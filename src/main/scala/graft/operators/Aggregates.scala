@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.D — aggregation operators.
+  *
+  * All group-bys rely on Spark's automatic partial/final split (map-side
+  * combine), so at 100 TB the shuffle carries one row per (partition, group),
+  * not per input row. Group-key cardinalities here are tiny (flags, segments,
+  * nations), so the shuffle is negligible regardless of fact-table size.
+  */
+object Aggregates extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+    // TPC-H Q1 shape: the §7.1 end-to-end slice. Scan → filter (pushed to
+    // parquet row groups) → hash agg (partial+final) → tiny sorted result.
+    Q(
+      "agg_group",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum("l_quantity"), 4).as("sum_qty"),
+            round(sum("l_extendedprice"), 4).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+              .as("sum_disc_price"),
+            round(
+              sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+                (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4)      AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 4)      AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4)      AS avg_disc,
+               count(*)                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // Exact COUNT(DISTINCT) per group: Catalyst rewrites to a two-stage
+    // expand+agg (RewriteDistinctAggregates); distinct keys shuffle once.
+    Q(
+      "agg_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*)                  AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // HyperLogLog++ approximate distinct — approximate by design, so graded
+    // rows-only (no oracle; DuckDB's approx sketch differs).
+    Q(
+      "agg_approx_distinct",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+          .orderBy("event_type")),
+
+    // ROLLUP over the region→nation hierarchy (customer counts + balances).
+    Q(
+      "agg_rollup",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            round(sum("c_acctbal"), 4).as("sum_bal"),
+            grouping_id().as("gid"))
+          .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+      },
+      oracle = Some("""
+        SELECT r_name, n_name, count(*) AS n_cust,
+               round(sum(c_acctbal), 4) AS sum_bal,
+               grouping(r_name, n_name) AS gid
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    // CUBE over two independent dimensions (orders ⋈ customer).
+    Q(
+      "agg_cube",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .cube(col("c_mktsegment"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 4).as("sum_price"))
+          .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderstatus"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE (c_mktsegment, o_orderstatus)
+        ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // Explicit GROUPING SETS via the SQL front end (§3.2): per-lang,
+    // per-source, and grand-total doc stats in one pass.
+    Q(
+      "agg_grouping_sets",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("graft_docs_gs")
+        s.sql("""
+          SELECT lang, source, count(*) AS n_docs,
+                 round(avg(n_chars), 4) AS avg_chars
+          FROM graft_docs_gs
+          GROUP BY GROUPING SETS ((lang), (source), ())
+          ORDER BY lang NULLS FIRST, source NULLS FIRST""")
+      },
+      oracle = Some("""
+        SELECT lang, source, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
+
+    // Exact order statistics: stddev + interpolated median/p90.
+    // Spark `median`/`percentile` are exact-interpolated, matching DuckDB
+    // median/quantile_cont; both sides rounded.
+    Q(
+      "agg_stats",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            round(stddev_samp(col("value")), 4).as("sd_value"),
+            round(median(col("value")), 4).as("med_value"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               round(stddev_samp(value), 4) AS sd_value,
+               round(median(value), 4)      AS med_value,
+               round(quantile_cont(value, 0.9), 4) AS p90_value,
+               count(*)                     AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // collect_list/collect_set, rendered as a sorted joined string so the
+    // oracle comparison is representation-stable across engines.
+    Q(
+      "agg_collect",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("user_id") < 20)
+          .groupBy(col("user_id"))
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("event_type"))))
+              .as("types_seen"),
+            size(collect_list(col("event_id"))).as("n_events"))
+          .orderBy("user_id"),
+      oracle = Some("""
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+               count(event_id) AS n_events
+        FROM events
+        WHERE user_id < 20
+        GROUP BY user_id
+        ORDER BY user_id"""))
+  )
+}

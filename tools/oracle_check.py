@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name>/ parquet (Spark result), runs the matching
+oracle_sql.json entry in DuckDB over <sfDir>/*.parquet views, sorts columns
+by name, and compares values (exact for ints/strings/timestamps, 1e-9 for
+floats). Mirrors SURVEY.md §5.1.
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if np.issubdtype(s.dtype, np.datetime64):
+            s = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # decimals from duckdb -> float
+            if len(s) and any(type(v).__name__ == "Decimal" for v in s.dropna().head(5)):
+                s = s.astype("float64")
+        elif np.issubdtype(s.dtype, np.integer):
+            s = s.astype("int64")
+        elif np.issubdtype(s.dtype, np.floating):
+            s = s.astype("float64")
+        out[c] = s
+    return pd.DataFrame(out)
+
+
+def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
+    got, exp = norm(got), norm(exp)
+    if list(got.columns) != list(exp.columns):
+        return f"COLUMNS spark={list(got.columns)} oracle={list(exp.columns)}"
+    if len(got) != len(exp):
+        return f"ROWS spark={len(got)} oracle={len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(e.dtype, np.floating):
+            g = g.astype("float64")
+            e = e.astype("float64")
+            bad = ~(np.isclose(g, e, rtol=1e-9, atol=1e-9, equal_nan=True) |
+                    (g.isna() & e.isna()))
+        else:
+            bad = ~((g == e) | (g.isna() & e.isna()))
+        if bad.any():
+            i = int(np.argmax(bad.values))
+            return (f"VALUE col={c} row={i} spark={got[c].iloc[i]!r} "
+                    f"oracle={exp[c].iloc[i]!r}")
+    return ""
+
+
+def main() -> int:
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    only = set(sys.argv[3:])
+    ok = fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: missing spark output")
+            fail += 1
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet('{files[0]}')").fetchdf()
+        try:
+            exp = con.sql(oracle[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0]}")
+            fail += 1
+            continue
+        msg = compare(name, got, exp)
+        if msg:
+            print(f"FAIL {name}: {msg}")
+            fail += 1
+        else:
+            ok += 1
+            print(f"ok   {name} ({len(got)} rows)")
+    print(f"== {ok} ok, {fail} fail ==")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
