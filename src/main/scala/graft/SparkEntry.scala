@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    graft.operators.Aggregates
+    graft.operators.Relational,
+    graft.operators.Scalars,
+    graft.operators.Joins,
+    graft.operators.Aggregates,
+    graft.operators.Windows
   )
 
   lazy val allQueries: Seq[Q] = {

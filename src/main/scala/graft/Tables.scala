@@ -62,7 +62,7 @@ object Tables {
       "l_shipdate" -> TimestampType),
     "events" -> st(
       "event_id" -> LongType,
-      "ts" -> TimestampType, // ns in the footer; Spark + DuckDB truncate to µs
+      "ts" -> LongType, // TIMESTAMP(NANOS) in the footer — see events() below
       "user_id" -> LongType,
       "event_type" -> StringType,
       "value" -> DoubleType,
@@ -82,6 +82,18 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
+  /** events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark 4 has
+    * no timestamp type for. Read it as raw nanos (legacy nanosAsLong) and
+    * floor-divide to µs — exactly the ns→µs truncation DuckDB applies when
+    * it reads the same file, so both engines see identical instants.
+    */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
@@ -89,7 +101,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -24,11 +24,15 @@ object Aggregates extends QueryModule {
           .agg(
             round(sum("l_quantity"), 4).as("sum_qty"),
             round(sum("l_extendedprice"), 4).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            // Terms are rounded to 4 decimals BEFORE summation so the exact
+            // decimal sum has ≤4 decimals; the final round(…,4) then lands
+            // on the same value in both engines regardless of partial-agg
+            // order (a tie at the 5th decimal can no longer occur).
+            round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4)
               .as("sum_disc_price"),
             round(
-              sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-                (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+              sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+                (lit(1.0) + col("l_tax")), 4)), 4).as("sum_charge"),
             round(avg("l_quantity"), 4).as("avg_qty"),
             round(avg("l_extendedprice"), 4).as("avg_price"),
             round(avg("l_discount"), 4).as("avg_disc"),

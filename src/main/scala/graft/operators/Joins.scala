@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.C — join operators.
+  *
+  * Scale design: dimension tables (region/nation/customer at low SF, and the
+  * literal band table) are broadcast so fact-side data never shuffles for
+  * enrichment joins; fact⋈fact joins (lineitem⋈orders) shuffle both sides on
+  * the join key once and let AQE pick SMJ vs shuffled-hash at runtime. The
+  * as-of join is the one operator Spark lacks natively: implemented as an
+  * equi-join on the entity key + per-row window top-1, which shuffles on the
+  * entity key (not the timestamp), so it scales horizontally with key
+  * cardinality and never materializes a cross product.
+  */
+object Joins extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+    Q(
+      "join_broadcast",
+      (s, dir) => {
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+          .orderBy("n_nationkey")
+      },
+      oracle = Some("""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_nationkey""")),
+
+    Q(
+      "join_shuffle",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+          .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("l_extendedprice"), col("o_totalprice"))
+          // lineitem keys are non-unique: include l_extendedprice so the
+          // sort is total up to fully-identical rows.
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, o_custkey, l_extendedprice, o_totalprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice""")),
+
+    // 4-way star join, TPC-H Q3/Q5 shape: facts joined on keys, dims
+    // broadcast, aggregated down to nation level.
+    Q(
+      "join_multiway",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    Q(
+      "join_left_outer",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 460000.0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 460000.0) o
+          ON c_custkey = o.o_custkey
+        ORDER BY c_custkey, coalesce(o_orderkey, -1)""")),
+
+    Q(
+      "join_full_outer",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        val c = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 300)
+          .select("c_custkey", "c_mktsegment")
+        ev.join(c, ev("user_id") === c("c_custkey"), "full")
+          .select(
+            coalesce(col("user_id"), col("c_custkey")).as("uid"),
+            col("n_events"), col("c_mktsegment"))
+          .orderBy("uid")
+      },
+      oracle = Some("""
+        SELECT coalesce(e.user_id, c.c_custkey) AS uid, e.n_events, c.c_mktsegment
+        FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+        FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 300) c
+          ON e.user_id = c.c_custkey
+        ORDER BY uid""")),
+
+    Q(
+      "join_semi",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 460000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 460000.0)
+        ORDER BY c_custkey""")),
+
+    Q(
+      "join_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 460000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 460000.0)
+        ORDER BY c_custkey""")),
+
+    // Theta/range join against a tiny literal band table: planned as a
+    // broadcast nested-loop join (5 band rows broadcast to every partition),
+    // so the fact side streams through without any shuffle.
+    Q(
+      "join_theta_range",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          (900.0, 925.0, "b1_900"),
+          (925.0, 950.0, "b2_925"),
+          (950.0, 975.0, "b3_950"),
+          (975.0, 1000.0, "b4_975")
+        ).toDF("lo", "hi", "band")
+        val p = Tables.part(s, dir)
+        p.join(broadcast(bands),
+            p("p_retailprice") >= bands("lo") && p("p_retailprice") < bands("hi"),
+            "inner")
+          .groupBy(col("band"))
+          .agg(
+            count(lit(1)).as("n_parts"),
+            round(avg("p_retailprice"), 4).as("avg_price"))
+          .orderBy("band")
+      },
+      oracle = Some("""
+        SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        FROM part
+        JOIN (VALUES (900.0, 925.0, 'b1_900'), (925.0, 950.0, 'b2_925'),
+                     (950.0, 975.0, 'b3_950'), (975.0, 1000.0, 'b4_975')) b(lo, hi, band)
+          ON p_retailprice >= b.lo AND p_retailprice < b.hi
+        GROUP BY band
+        ORDER BY band""")),
+
+    // As-of join: for each event, the latest order of the same customer at
+    // or before the event timestamp (non-strict, ties broken by orderkey).
+    // Composed as equi-join on the entity key + range predicate + top-1
+    // window per event — the standard Spark strategy for point-in-time
+    // lookups; shuffles on user_id/o_custkey only.
+    Q(
+      "join_asof",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val joined = e.join(o,
+          e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"),
+          "inner")
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        joined
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("last_orderkey"),
+            col("o_totalprice").as("last_price"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, o_orderkey AS last_orderkey, o_totalprice AS last_price
+        FROM (
+          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e
+          JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1
+        ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.B (projection/filter/predicates) + §2.F (sort/limit/set ops).
+  *
+  * All predicates here are plain Catalyst expressions, so they push down to
+  * the parquet scan (visible as PushedFilters in .explain) and stay inside
+  * whole-stage codegen. `limit_topk` deliberately uses orderBy+limit so the
+  * planner picks TakeOrderedAndProject (per-partition top-k, no global sort)
+  * — the shape that survives a 100× scale-up.
+  */
+object Relational extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+    Q(
+      "project_compute",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          // Per-row products of identical inputs evaluate bit-identically
+          // under IEEE 754 in both engines, so NO rounding here — round()
+          // itself is what diverges (Spark decimal-string HALF_UP vs DuckDB
+          // binary) exactly at decimal ties like x.xxxx5.
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("disc_price"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax"))).as("net_price"))
+          // (l_orderkey, l_linenumber) is NOT unique in this corpus —
+          // order by every output column for a deterministic total order.
+          .orderBy("l_orderkey", "l_linenumber", "disc_price", "net_price"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS disc_price,
+               l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net_price
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, disc_price, net_price""")),
+
+    Q(
+      "filter_compound",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(
+            (col("l_returnflag") === "A" && col("l_quantity") > 30) ||
+              (col("l_returnflag") === "N" && !(col("l_linestatus") === "F")))
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_quantity"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+        FROM lineitem
+        WHERE (l_returnflag = 'A' AND l_quantity > 30)
+           OR (l_returnflag = 'N' AND NOT (l_linestatus = 'F'))
+        ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity""")),
+
+    Q(
+      "filter_in_between_like",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+              col("o_totalprice").between(100000.0, 400000.0) &&
+              col("o_orderpriority").like("%URGENT%"))
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 100000.0 AND 400000.0
+          AND o_orderpriority LIKE '%URGENT%'
+        ORDER BY o_orderkey""")),
+
+    // Null semantics over derived nullable columns: IS NULL and the
+    // null-safe equality operator (<=> / IS NOT DISTINCT FROM).
+    Q(
+      "filter_null_semantics",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .withColumn("flag_a", nullif(col("l_returnflag"), lit("N")))
+          .withColumn("stat_o", nullif(col("l_linestatus"), lit("O")))
+          .filter(col("l_quantity") > 45)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("flag_a"),
+            col("stat_o"),
+            (col("flag_a") <=> col("stat_o")).as("same_nullsafe"),
+            col("flag_a").isNull.as("flag_is_null"))
+          .orderBy(asc_nulls_first("flag_a"), asc_nulls_first("stat_o"),
+            asc("l_orderkey"), asc("l_linenumber")),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               nullif(l_returnflag, 'N') AS flag_a,
+               nullif(l_linestatus, 'O') AS stat_o,
+               nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O') AS same_nullsafe,
+               nullif(l_returnflag, 'N') IS NULL AS flag_is_null
+        FROM lineitem
+        WHERE l_quantity > 45
+        ORDER BY flag_a NULLS FIRST, stat_o NULLS FIRST, l_orderkey, l_linenumber""")),
+
+    Q(
+      "sort_global",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy(asc("o_orderstatus"), desc_nulls_last("o_totalprice"),
+            asc("o_orderkey")),
+      oracle = Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey ASC""")),
+
+    // Global top-k: planned as TakeOrderedAndProject (each partition keeps
+    // its local top 100, driver merges) — no global sort even at 100 TB.
+    Q(
+      "limit_topk",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(desc("l_extendedprice"), asc("l_orderkey"),
+            asc("l_linenumber"))
+          .limit(100),
+      // l_extendedprice is continuous, so rows tied on the full sort key are
+      // identical in all three output columns — the LIMIT cut is stable.
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 100""")),
+
+    Q(
+      "set_union_all",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select("event_id", "event_type", "value")
+        e.filter(col("event_type") === "click")
+          .unionByName(e.filter(col("value") > 15.0))
+          .orderBy("event_id", "event_type")
+      },
+      oracle = Some("""
+        SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, event_type, value FROM events WHERE value > 15.0
+        ORDER BY event_id, event_type""")),
+
+    Q(
+      "set_union_distinct",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select("event_id", "event_type", "value")
+        e.filter(col("event_type") === "click")
+          .union(e.filter(col("value") > 15.0))
+          .distinct()
+          .orderBy("event_id", "event_type")
+      },
+      oracle = Some("""
+        SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+        UNION
+        SELECT event_id, event_type, value FROM events WHERE value > 15.0
+        ORDER BY event_id, event_type""")),
+
+    Q(
+      "set_intersect",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.filter(col("event_type") === "click").select("user_id")
+          .intersect(
+            e.filter(col("event_type") === "purchase").select("user_id"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        ORDER BY user_id""")),
+
+    Q(
+      "set_except",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.filter(col("event_type") === "click").select("user_id")
+          .except(
+            e.filter(col("event_type") === "error").select("user_id"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+        ORDER BY user_id"""))
+  )
+}

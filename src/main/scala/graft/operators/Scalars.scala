@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** §2.G — scalar function surface (string / regex / date / math /
+  * conditional / array / higher-order / map / JSON).
+  *
+  * Everything is a built-in Column function (codegen'd, no UDFs), so these
+  * stay inside WholeStageCodegen and vectorize over the parquet scan.
+  * Engine-difference notes are inline where DuckDB semantics diverge
+  * (dayofweek base, regexp_replace global flag, ceil/floor return types).
+  */
+object Scalars extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+    Q(
+      "fn_string",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .select(
+            col("c_custkey"),
+            lower(col("c_name")).as("lo"),
+            upper(col("c_mktsegment")).as("up"),
+            substring(col("c_name"), 1, 8).as("sub"),
+            concat(col("c_name"), lit("#"), col("c_mktsegment")).as("cat"),
+            trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"),
+            lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+            length(col("c_name")).as("len"))
+          .orderBy("c_custkey"),
+      oracle = Some("""
+        SELECT c_custkey,
+               lower(c_name) AS lo,
+               upper(c_mktsegment) AS up,
+               substring(c_name, 1, 8) AS sub,
+               c_name || '#' || c_mktsegment AS cat,
+               trim('  ' || c_mktsegment || '  ') AS trimmed,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+               CAST(length(c_name) AS INTEGER) AS len
+        FROM customer
+        ORDER BY c_custkey""")),
+
+    // DuckDB regexp_replace replaces only the first match unless the 'g'
+    // option is passed; Spark always replaces globally.
+    Q(
+      "fn_string_regex",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            regexp_extract(col("text"), "^([a-z]+)", 1).as("first_tok"),
+            regexp_replace(substring(col("text"), 1, 30), "[aeiou]", "_")
+              .as("devoweled"),
+            size(split(col("text"), " ")).as("n_toks"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               regexp_extract(text, '^([a-z]+)', 1) AS first_tok,
+               regexp_replace(substring(text, 1, 30), '[aeiou]', '_', 'g') AS devoweled,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // DuckDB dayofweek is 0-based (Sunday=0); Spark is 1-based (Sunday=1).
+    Q(
+      "fn_date",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+              .as("days_before_2002"),
+            add_months(col("o_orderdate"), 3).as("plus3m"))
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_before_2002,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // Spark ceil/floor on double return BIGINT; DuckDB returns DOUBLE — cast.
+    Q(
+      "fn_math",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("rounded"),
+            abs(col("l_discount") - lit(0.05)).as("abs_off"),
+            ceil(col("l_extendedprice")).as("ceiled"),
+            floor(col("l_extendedprice")).as("floored"),
+            round(log(col("l_extendedprice") + lit(1.0)), 4).as("ln_p1"),
+            round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+            pmod(col("l_orderkey"), lit(7L)).as("key_mod"))
+          // lineitem has no unique key — sort on enough value columns that
+          // key-tied rows are identical in every output column.
+          .orderBy("l_orderkey", "l_linenumber", "rounded", "abs_off",
+            "qty_sq"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 2) AS rounded,
+               abs(l_discount - 0.05) AS abs_off,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS ceiled,
+               CAST(floor(l_extendedprice) AS BIGINT) AS floored,
+               round(ln(l_extendedprice + 1.0), 4) AS ln_p1,
+               round(pow(l_quantity, 2), 4) AS qty_sq,
+               ((l_orderkey % 7) + 7) % 7 AS key_mod
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, rounded, abs_off, qty_sq""")),
+
+    Q(
+      "fn_conditional",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            when(col("o_totalprice") < 100000.0, "low")
+              .when(col("o_totalprice") < 300000.0, "mid")
+              .otherwise("high").as("band"),
+            coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+              .as("status_or_open"),
+            greatest(col("o_totalprice"), lit(250000.0)).as("at_least"),
+            least(col("o_totalprice"), lit(250000.0)).as("at_most"))
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 100000.0 THEN 'low'
+                    WHEN o_totalprice < 300000.0 THEN 'mid'
+                    ELSE 'high' END AS band,
+               coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+               greatest(o_totalprice, 250000.0) AS at_least,
+               least(o_totalprice, 250000.0) AS at_most
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // Arrays are 1-indexed via element_at in Spark and [] in DuckDB.
+    // float32 values are widened to double before rounding on both sides.
+    Q(
+      "fn_array",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            round(element_at(col("embedding"), 1).cast(DoubleType), 4)
+              .as("first_v"),
+            round(element_at(col("embedding"), 10).cast(DoubleType), 4)
+              .as("tenth_v"),
+            round(element_at(col("embedding"), 64).cast(DoubleType), 4)
+              .as("last_v"))
+          .orderBy("vec_id"),
+      oracle = Some("""
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 4) AS first_v,
+               round(CAST(embedding[10] AS DOUBLE), 4) AS tenth_v,
+               round(CAST(embedding[64] AS DOUBLE), 4) AS last_v
+        FROM embeddings
+        ORDER BY vec_id""")),
+
+    // Higher-order lambdas: transform / filter / aggregate (fold). The fold
+    // runs left-to-right on both engines; round(…,4) guards the last ulp.
+    Q(
+      "fn_array_higher_order",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .withColumn("emb_d", col("embedding").cast("array<double>"))
+          .select(
+            col("vec_id"),
+            round(
+              sqrt(aggregate(col("emb_d"), lit(0.0), (acc, x) => acc + x * x)),
+              4).as("l2_norm"),
+            size(filter(col("emb_d"), x => x > lit(0.0))).as("n_pos"),
+            round(element_at(transform(col("emb_d"), x => x * 2.0), 1), 4)
+              .as("scaled_first"))
+          .orderBy("vec_id"),
+      oracle = Some("""
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+               CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS INTEGER) AS n_pos,
+               round(CAST(embedding[1] AS DOUBLE) * 2.0, 4) AS scaled_first
+        FROM embeddings
+        ORDER BY vec_id""")),
+
+    // MapType surface: build a map from a kv string, read keys/values back.
+    // Output columns are flattened to scalars so the oracle can check them.
+    Q(
+      "fn_map",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn(
+            "kv",
+            str_to_map(
+              concat(lit("type:"), col("event_type"), lit(",user:"),
+                col("user_id").cast("string")),
+              lit(","), lit(":")))
+          .select(
+            col("event_id"),
+            element_at(col("kv"), "type").as("type_v"),
+            element_at(col("kv"), "user").as("user_v"),
+            size(map_keys(col("kv"))).as("n_keys"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id,
+               event_type AS type_v,
+               CAST(user_id AS VARCHAR) AS user_v,
+               2 AS n_keys
+        FROM events
+        ORDER BY event_id""")),
+
+    Q(
+      "fn_json",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+              .getField("k").as("k_long"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
+        FROM events
+        ORDER BY event_id"""))
+  )
+}

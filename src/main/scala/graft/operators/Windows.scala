@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.E — window functions.
+  *
+  * Every window partitions on a real entity key (customer / user), so at
+  * scale the single shuffle that feeds the window is hash-partitioned by
+  * that key and each partition sorts locally — no global sort, no driver
+  * involvement. Frames that need time arithmetic order on unix_micros
+  * (exact integers) rather than floating epoch seconds, so frame-boundary
+  * comparisons are bit-exact and match the DuckDB oracle.
+  */
+object Windows extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+    // row_number / rank / dense_rank / ntile per customer. row_number and
+    // ntile order by a total order (tie-break on o_orderkey) so they're
+    // deterministic; rank/dense_rank use the value order alone, which is
+    // deterministic in value even with ties.
+    Q(
+      "win_rank",
+      (s, dir) => {
+        val total = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        val byValue = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"))
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            row_number().over(total).as("rn"),
+            rank().over(byValue).as("rnk"),
+            dense_rank().over(byValue).as("drnk"),
+            ntile(4).over(total).as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+               rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+               CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS quartile
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // Top-3 orders per customer: rank window + filter — Spark pushes the
+    // rn<=3 filter into the window sort as a group-limit at scale.
+    Q(
+      "win_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice, rn FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn""")),
+
+    // Inter-event gap per user via lag/lead on exact microsecond epochs.
+    Q(
+      "win_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(asc("ts"), asc("event_id"))
+        Tables.events(s, dir)
+          .select(
+            col("event_id"), col("user_id"), col("event_type"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+              .as("gap_us"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+        ORDER BY event_id""")),
+
+    // Running (cumulative) sum/count per user: ROWS frame, so partial sums
+    // accumulate in identical order on both engines.
+    Q(
+      "win_running_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(asc("ts"), asc("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(
+            col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 4).as("running_value"),
+            count(lit(1)).over(w).as("running_n"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        FROM events
+        ORDER BY event_id""")),
+
+    // Trailing 1-hour moving average per user: RANGE frame over integer
+    // microseconds (not float seconds) for exact boundary semantics.
+    Q(
+      "win_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select(
+            col("event_id"), col("user_id"),
+            round(avg(col("value")).over(w), 4).as("avg_1h"),
+            count(lit(1)).over(w).as("n_1h"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS avg_1h,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+        FROM events
+        ORDER BY event_id""")),
+
+    // Moving average over a ROWS frame (previous 5 rows + current) — the
+    // frame SURVEY §2.E calls `rowsBetween`; distinct from the RANGE frame
+    // above in how peers are counted.
+    Q(
+      "win_moving_rows",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(asc("ts"), asc("event_id"))
+          .rowsBetween(-5, 0)
+        Tables.events(s, dir)
+          .select(
+            col("event_id"), col("user_id"),
+            round(avg(col("value")).over(w), 4).as("avg_6rows"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS avg_6rows
+        FROM events
+        ORDER BY event_id"""))
+  )
+}

@@ -27,7 +27,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     out = {}
     for c in df.columns:
         s = df[c]
-        if np.issubdtype(s.dtype, np.datetime64):
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
             s = s.astype("datetime64[us]")
         elif s.dtype == object:
             # decimals from duckdb -> float
