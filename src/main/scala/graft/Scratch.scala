@@ -1,0 +1,25 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Per-query scratch directories for side-effecting operators (CSV/JSON
+  * round-trips, partitioned sinks, streaming checkpoints). Each key gets a
+  * fresh directory under java.io.tmpdir; the previous run's contents are
+  * removed so every invocation is deterministic from a clean slate.
+  */
+object Scratch {
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+
+  /** Empty, freshly-created scratch dir for `key`. */
+  def fresh(key: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_scratch", key)
+    deleteRec(p)
+    Files.createDirectories(p)
+    p.toString
+  }
+}

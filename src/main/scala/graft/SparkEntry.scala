@@ -11,11 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
+    graft.operators.Sources,
     graft.operators.Relational,
     graft.operators.Scalars,
     graft.operators.Joins,
     graft.operators.Aggregates,
-    graft.operators.Windows
+    graft.operators.Windows,
+    graft.operators.Text
   )
 
   lazy val allQueries: Seq[Q] = {

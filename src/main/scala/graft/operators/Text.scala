@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.I (text half) — text analysis for a training-data pipeline: corpus
+  * term stats, TF-IDF, corpus-trained language ID, quality scoring, token
+  * counting, and rolling-hash fingerprints, all over the `documents` table.
+  *
+  * Scale notes: every query is explode→shuffle-on-(small key) shapes. The
+  * token explode multiplies rows by ~doc length, but the groupBy keys (term,
+  * lang, doc_id) partial-aggregate map-side, so the shuffle carries counts,
+  * not tokens. Nothing here collects to the driver; the "trained" language
+  * model is a ~155-row DataFrame joined back in (broadcast at any scale).
+  */
+object Text extends QueryModule {
+
+  private def toks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+
+  def all: Seq[Q] = Seq(
+    // Corpus term frequencies (the classic wordcount, explode + hash agg).
+    Q(
+      "text_tokenize_wordcount",
+      (s, dir) =>
+        toks(s, dir)
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("term")),
+      oracle = Some("""
+        SELECT w AS term, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w ORDER BY n DESC, term""")),
+
+    // Per (lang, source) document-length statistics.
+    Q(
+      "text_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            round(avg(col("n_tokens")), 4).as("avg_tokens"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("lang", "source"),
+      oracle = Some("""
+        SELECT lang, source, count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS sum_tokens,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // TF-IDF per (doc, term): tf = termcount/doclen, idf = ln(N/df) with df
+    // computed over the whole corpus; scored rows restricted to doc_id < 20
+    // to bound output. Two aggregations + two joins; df and N are tiny
+    // aggregates (vocab-sized / scalar) so both joins broadcast at any scale.
+    Q(
+      "text_tfidf",
+      (s, dir) => {
+        val t = toks(s, dir)
+        val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        val len = t.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+        val df = t.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        tf.join(len, "doc_id").join(broadcast(df), "term").crossJoin(broadcast(n))
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"), col("term"),
+            round((col("cnt") / col("doc_len")) *
+              log(col("n_docs") / col("df")), 4).as("tfidf"))
+          .orderBy("doc_id", "term")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS doc_len FROM t GROUP BY 1),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term,
+               round((cnt / doc_len) * ln(n_docs / df), 4) AS tfidf
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+        WHERE tf.doc_id < 20
+        ORDER BY doc_id, term""")),
+
+    // Language ID via a unigram model trained on the corpus itself:
+    // P(term|lang) with add-one smoothing, doc scored by sum of log-probs,
+    // argmax lang. Output is the actual×predicted confusion matrix. The
+    // model is |vocab|·|langs| rows — broadcast-joined against the exploded
+    // tokens, so the heavy side never shuffles on a skewed key.
+    Q(
+      "text_langid",
+      (s, dir) => {
+        val t = toks(s, dir)
+        val vocab = t.agg(countDistinct("term").as("v"))
+        val langTok = t.groupBy(col("lang").as("m_lang")).agg(count(lit(1)).as("lang_toks"))
+        val model = t.groupBy(col("lang").as("m_lang"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .join(langTok, "m_lang").crossJoin(vocab)
+          .select(col("m_lang"), col("term"),
+            log((col("cnt") + 1) / (col("lang_toks") + col("v"))).as("lp"))
+        val scored = t.join(broadcast(model), "term")
+          .groupBy(col("doc_id"), col("lang"), col("m_lang"))
+          .agg(round(sum("lp"), 6).as("score"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("m_lang"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("lang").as("actual"), col("m_lang").as("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("actual", "predicted")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        v AS (SELECT count(DISTINCT term) AS v FROM t),
+        lt AS (SELECT lang AS m_lang, count(*) AS lang_toks FROM t GROUP BY 1),
+        model AS (
+          SELECT c.m_lang, c.term, ln((cnt + 1) / (lang_toks + v)) AS lp
+          FROM (SELECT lang AS m_lang, term, count(*) AS cnt
+                FROM t GROUP BY 1, 2) c
+          JOIN lt USING (m_lang) CROSS JOIN v),
+        scored AS (
+          SELECT doc_id, lang, m_lang, round(sum(lp), 6) AS score
+          FROM t JOIN model USING (term) GROUP BY 1, 2, 3),
+        best AS (
+          SELECT doc_id, lang, m_lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, m_lang) AS rn
+          FROM scored)
+        SELECT lang AS actual, m_lang AS predicted, count(*) AS n_docs
+        FROM best WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY actual, predicted""")),
+
+    // Per-document quality scoring: lexical-diversity ratio, mean token
+    // length, stopword ratio, and a weighted composite score. Pure per-row
+    // column math — no shuffle at all except the final sort.
+    Q(
+      "text_quality",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 200)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("w")))
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            round(size(array_distinct(col("w"))) / col("n_tokens").cast("double"), 4)
+              .as("distinct_ratio"),
+            round((length(col("text")) - col("n_tokens") + 1) /
+              col("n_tokens").cast("double"), 4).as("avg_token_len"),
+            round(size(filter(col("w"), t => t === "the" || t === "a")) /
+              col("n_tokens").cast("double"), 4).as("stopword_ratio"))
+          // The composite's exact decimal value has ≤5 decimals (weights ×
+          // 4-decimal inputs), so rounding at 5 avoids the half-way
+          // knife-edge that round(…,4) would sit on in both engines.
+          .withColumn("quality",
+            round(lit(0.4) * col("distinct_ratio") +
+              lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) +
+              lit(0.3) * (lit(1.0) - col("stopword_ratio")), 5))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+                          len(string_split(text, ' ')) AS n_tokens
+                   FROM documents WHERE doc_id < 200),
+        m AS (
+          SELECT doc_id, n_tokens,
+                 round(len(list_distinct(w)) / CAST(n_tokens AS DOUBLE), 4)
+                   AS distinct_ratio,
+                 round((length(text) - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 4)
+                   AS avg_token_len,
+                 round(len(list_filter(w, t -> t IN ('the', 'a'))) /
+                   CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio
+          FROM d)
+        SELECT doc_id, n_tokens, distinct_ratio, avg_token_len, stopword_ratio,
+               round(0.4 * distinct_ratio +
+                     0.3 * least(n_tokens / 100.0, 1.0) +
+                     0.3 * (1.0 - stopword_ratio), 5) AS quality
+        FROM m ORDER BY doc_id""")),
+
+    // Token counting two ways: whitespace tokens and a BPE-ish regex that
+    // caps pieces at 4 chars (a crude subword segmenter), aggregated per
+    // lang. regexp_count is codegen'd per row; no UDF.
+    Q(
+      "text_token_count",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("ws_tokens", size(split(col("text"), " ")))
+          .withColumn("sub_tokens", regexp_count(col("text"), lit("[a-z]{1,4}")))
+          .groupBy(col("lang"))
+          .agg(
+            sum("ws_tokens").as("sum_ws_tokens"),
+            sum("sub_tokens").as("sum_sub_tokens"),
+            round(avg(col("sub_tokens") / col("ws_tokens").cast("double")), 4)
+              .as("avg_pieces_per_word"))
+          .orderBy("lang"),
+      oracle = Some("""
+        WITH d AS (SELECT lang,
+                          len(string_split(text, ' ')) AS ws_tokens,
+                          len(regexp_extract_all(text, '[a-z]{1,4}')) AS sub_tokens
+                   FROM documents)
+        SELECT lang, sum(ws_tokens) AS sum_ws_tokens,
+               sum(sub_tokens) AS sum_sub_tokens,
+               round(avg(sub_tokens / CAST(ws_tokens AS DOUBLE)), 4)
+                 AS avg_pieces_per_word
+        FROM d GROUP BY lang ORDER BY lang""")),
+
+    // Document fingerprinting: 31-ary rolling hash over the characters,
+    // mod 1e9+7 (intermediates stay < 2^35, safe in 64-bit on both
+    // engines). A per-row sequential fold — embarrassingly parallel.
+    Q(
+      "text_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            aggregate(
+              transform(sequence(lit(1), length(col("text"))),
+                i => ascii(col("text").substr(i, lit(1)))),
+              lit(0L),
+              (acc, c) => (acc * 31 + c) % 1000000007L).as("fingerprint"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(text)),
+                     i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+  )
+}
