@@ -17,7 +17,9 @@ object SparkEntry {
     graft.operators.Joins,
     graft.operators.Aggregates,
     graft.operators.Windows,
-    graft.operators.Text
+    graft.operators.Text,
+    graft.operators.Dedup,
+    graft.operators.Similarity
   )
 
   lazy val allQueries: Seq[Q] = {

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.I (similarity half) — vector similarity search over `embeddings`.
+  *
+  * Brute-force cosine top-k is the exact baseline: the query side is tiny
+  * and broadcast, so the plan is a BroadcastNestedLoopJoin that streams the
+  * candidate table once — at 100 TB that is a single scan with no shuffle of
+  * the big side, and the per-row cost is one 64-dim fused dot product.
+  *
+  * The ANN variant shows the scale path: a 6-hyperplane signed-random-
+  * projection LSH buckets vectors (64 buckets), and search only compares
+  * within the query's bucket — an equi-join on the signature instead of a
+  * cross join. Hyperplanes are generated from a fixed seed at plan time and
+  * inlined as literals, so signatures are deterministic everywhere.
+  *
+  * All similarity math is done in double after an elementwise cast from
+  * float, with sequential folds, to stay bit-identical with the DuckDB
+  * oracle's list_dot_product.
+  */
+object Similarity extends QueryModule {
+
+  /** Embeddings with a double-cast vector and its L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(ea, eb, (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x) / (na * nb)
+
+  /** 6 fixed-seed random hyperplanes (dim 64), inlined as a literal. */
+  private lazy val planes: Column = {
+    val rnd = new java.util.Random(42)
+    typedlit(Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian())))
+  }
+
+  /** Signed-random-projection LSH signature: 6 sign bits → int 0..63. */
+  private def lshSig(e: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(5)),
+        j => when(
+          aggregate(zip_with(e, element_at(planes, j + 1), (x, p) => x * p),
+            lit(0.0), (acc, x) => acc + x) > 0,
+          pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
+      lit(0), (acc, b) => acc + b)
+
+  def all: Seq[Q] = Seq(
+    // Exact brute-force cosine top-5 per query vector (queries: vec_id<10).
+    Q(
+      "sim_cosine_topk",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val q = v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            col("nrm").as("qn"))
+        val c = v.select(col("vec_id").as("cand_id"), col("e"), col("nrm"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        broadcast(q).join(c, col("cand_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("e"), col("qn"), col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(cos, 6) DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id, round(cos, 4) AS cos_sim
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // kNN majority-label classification: held-out vectors (vec_id % 53 = 0)
+    // classified by the mode label of their 10 nearest training neighbors.
+    Q(
+      "sim_knn_label",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val test = v.filter(col("vec_id") % 53 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val train = v.filter(col("vec_id") % 53 =!= 0)
+          .select(col("vec_id").as("cand_id"), col("label"), col("e"),
+            col("nrm"))
+        val wN = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        val neighbors = broadcast(test).join(train)
+          .withColumn("cos", cosine(col("qe"), col("e"), col("qn"), col("nrm")))
+          .withColumn("rn", row_number().over(wN))
+          .filter(col("rn") <= 10)
+        val wV = Window.partitionBy("query_id")
+          .orderBy(desc("votes"), asc("label"))
+        neighbors
+          .groupBy("query_id", "true_label", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wV))
+          .filter(col("vr") === 1)
+          .select(col("query_id"), col("true_label"),
+            col("label").as("pred_label"), col("votes"))
+          .orderBy("query_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.label AS true_label,
+                 c.vec_id AS cand_id, c.label AS label,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+          FROM e q JOIN e c ON c.vec_id % 53 <> 0
+          WHERE q.vec_id % 53 = 0),
+        nn AS (
+          SELECT query_id, true_label, label,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(cos, 6) DESC, cand_id) AS rn
+          FROM scored),
+        votes AS (
+          SELECT query_id, true_label, label, count(*) AS votes
+          FROM nn WHERE rn <= 10 GROUP BY 1, 2, 3),
+        best AS (
+          SELECT query_id, true_label, label, votes,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY votes DESC, label) AS vr
+          FROM votes)
+        SELECT query_id, true_label, label AS pred_label, votes
+        FROM best WHERE vr = 1 ORDER BY query_id""")),
+
+    // ANN via signed-random-projection LSH: bucket on the 6-bit signature,
+    // then exact top-3 within the query's bucket only. Equi-join on `sig`
+    // replaces the cross join — the 100 TB path (per-bucket work ≈ n/64).
+    Q(
+      "sim_ann_lsh",
+      (s, dir) => {
+        val v = vecs(s, dir).withColumn("sig", lshSig(col("e")))
+        val q = v.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("sig"),
+            col("e").as("qe"), col("nrm").as("qn"))
+        val c = v.select(col("vec_id").as("cand_id"), col("sig"), col("e"),
+          col("nrm"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        broadcast(q).join(c,
+            Seq("sig")).filter(col("cand_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("e"), col("qn"), col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("sig").as("bucket"), col("rank"),
+            col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      })
+  )
+}
