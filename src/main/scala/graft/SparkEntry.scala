@@ -19,7 +19,8 @@ object SparkEntry {
     graft.operators.Windows,
     graft.operators.Text,
     graft.operators.Dedup,
-    graft.operators.Similarity
+    graft.operators.Similarity,
+    graft.operators.Streaming
   )
 
   lazy val allQueries: Seq[Q] = {

@@ -1,0 +1,297 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.{Q, QueryModule, Scratch, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+/** §2.H — event-time windowing and Structured Streaming over `events`.
+  *
+  * The three window queries run the identical expression in batch mode, so
+  * they are DuckDB-oracle-checkable; the stream_* queries run a real
+  * MicroBatchExecution: the events table is re-cut into three time-ordered
+  * parquet slice files, fed through a file source with maxFilesPerTrigger=1
+  * (three micro-batches + finalizing batch), driven to completion with
+  * Trigger.AvailableNow. Because slices are time-ordered, no event is ever
+  * behind the watermark, and the streamed result equals the batch result —
+  * which is exactly the exactly-once contract, and lets several streaming
+  * queries carry a batch-SQL oracle.
+  *
+  * Scale notes: state (watermark aggs, dedup keys, per-user state) lives in
+  * per-partition StateStores keyed by the groupBy columns, so state shards
+  * horizontally with executors; watermarks bound state size — without them
+  * an unbounded-key agg would OOM at 100 TB/day ingest.
+  */
+object Streaming extends QueryModule {
+
+  /** events.ts already normalized to µs by Tables.events. */
+  private val eventCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Cut events into 3 time-ordered slice files under a fresh scratch dir.
+    * Returns (inputDir, checkpointDir). Slice files are written in time
+    * order so micro-batch arrival matches event time.
+    */
+  private def slices(s: SparkSession, dir: String, key: String): (String, String) = {
+    val root = Scratch.fresh(key)
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    val ev = Tables.events(s, dir)
+    val cuts = Seq(
+      ("slice0", col("ts") < lit("2024-01-11").cast("timestamp")),
+      ("slice1", col("ts") >= lit("2024-01-11").cast("timestamp") &&
+        col("ts") < lit("2024-01-21").cast("timestamp")),
+      ("slice2", col("ts") >= lit("2024-01-21").cast("timestamp")))
+    cuts.foreach { case (name, pred) =>
+      val tmp = s"$root/tmp_$name"
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, Paths.get(in, s"$name.parquet"))
+    }
+    (in, s"$root/ckpt")
+  }
+
+  def all: Seq[Q] = Seq(
+    // 1-hour tumbling window aggregate (batch mode of the same expression).
+    Q(
+      "window_tumbling",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("window_start", "event_type"),
+      oracle = Some("""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // Sliding window (1 h window, 15 min slide): every event lands in 4
+    // epoch-aligned windows; the oracle rebuilds the window set arithmetically.
+    Q(
+      "window_sliding",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("window_start", "event_type"),
+      oracle = Some("""
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k * INTERVAL '15 minutes' AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+        GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // Session windows (30-min inactivity gap) per user. Spark closes a
+    // session when the next event is >= gap after the previous (strict
+    // overlap merge); the oracle's gaps-and-islands flag uses the same >=.
+    Q(
+      "window_session",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("sum_value"))
+          .select(col("user_id"), col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start"),
+      oracle = Some("""
+        WITH x AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        y AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess
+          FROM x)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""")),
+
+    // Streaming file-source ingestion: 3 micro-batches, complete-mode agg.
+    // Time-ordered arrival ⇒ result equals the batch aggregate (oracle).
+    Q(
+      "stream_file_source",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_file_source")
+        val q = s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("graft_sfs").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_sfs").orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Micro-batch parquet sink via foreachBatch (the exactly-once-per-batch
+    // pattern: idempotent append keyed by batchId in real deployments).
+    // Verified by re-reading the sink and aggregating.
+    Q(
+      "stream_sink_foreachbatch",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_sink_foreachbatch")
+        val root = Paths.get(in).getParent.toString
+        val sink = s"$root/sink"
+        val q = s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Watermarked tumbling-window agg in append mode: a window only emits
+    // once the 10-min watermark passes its end, and state for emitted
+    // windows is dropped — the mechanism that bounds state at scale.
+    // Time-ordered slices ⇒ nothing is late ⇒ every window up to the final
+    // watermark emits; AvailableNow's finalizing batch flushes the rest.
+    Q(
+      "stream_watermark_agg",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_watermark_agg")
+        val q = s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_swa").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_swa")
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("window_start", "event_type")
+      }),
+
+    // Streaming dedup within the watermark: first event per (user_id,
+    // event_type) while the key's state lives; counts the survivors.
+    Q(
+      "stream_dedup",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_dedup")
+        val root = Paths.get(in).getParent.toString
+        val sink = s"$root/sink"
+        val q = s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+          .orderBy("event_type")
+      }),
+
+    // Stream ⋈ static-dimension enrichment: the static side is planned as a
+    // broadcast per micro-batch (no state), the canonical cheap enrich.
+    Q(
+      "stream_static_join",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_static_join")
+        val weights = s.createDataFrame(Seq(
+          ("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+          ("signup", 3.0), ("error", 0.0)))
+          .toDF("event_type", "weight")
+        val q = s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .join(weights, "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value") * col("weight")), 4).as("weighted_value"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("graft_ssj").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("graft_ssj").orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               round(sum(value * CASE event_type
+                 WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                 WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+                 ELSE 0.0 END), 4) AS weighted_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Custom per-key state machine via mapGroupsWithState: running purchase
+    // count/revenue per user, state carried across micro-batches. The final
+    // update per user equals the batch aggregate (oracle) — the streaming
+    // exactly-once invariant for monotone state.
+    Q(
+      "stream_stateful_custom",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_stateful_custom")
+        val sp = s
+        import sp.implicits._
+        val updates = scala.collection.mutable.Map[Long, (Long, Double)]()
+        val q = s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+            GroupStateTimeout.NoTimeout) {
+            (uid: Long, rows: Iterator[(Long, Double)],
+             state: GroupState[(Long, Double)]) =>
+              val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+              var n = n0; var t = t0
+              rows.foreach { r => n += 1; t += r._2 }
+              state.update((n, t))
+              (uid, n, t)
+          }
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+            batch.collect().foreach { case (u, n, t) =>
+              updates.synchronized { updates(u) = (n, t) }
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        updates.toSeq.map { case (u, (n, t)) => (u, n, t) }
+          .toDF("user_id", "n_purchases", "total")
+          .withColumn("total", round(col("total"), 4))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, count(*) AS n_purchases,
+               round(sum(value), 4) AS total
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id ORDER BY user_id"""))
+  )
+}
