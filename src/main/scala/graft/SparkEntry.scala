@@ -20,7 +20,9 @@ object SparkEntry {
     graft.operators.Text,
     graft.operators.Dedup,
     graft.operators.Similarity,
-    graft.operators.Streaming
+    graft.operators.Streaming,
+    graft.operators.Udx,
+    graft.operators.Multimodal
   )
 
   lazy val allQueries: Seq[Q] = {

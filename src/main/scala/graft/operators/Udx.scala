@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** §2.J — the user-extension surface: scalar UDF, typed Aggregator UDAF,
+  * generator (UDTF-shaped) explode, and the custom codegen Expression.
+  *
+  * udf_scalar demonstrates the registration surface but is the *worst* way
+  * to express its logic (a black-box closure blocks predicate pushdown and
+  * codegen fusion); everywhere else the engine uses built-ins. The typed
+  * Aggregator, in contrast, is the right tool for custom aggregation state:
+  * it partial-aggregates map-side like any builtin agg, so the shuffle
+  * carries one (sum, weight) pair per group per partition.
+  */
+object Udx extends QueryModule {
+
+  /** Exact weighted mean as a typed Aggregator: IN = (value, weight). */
+  private object WeightedMean
+      extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(b: (Double, Double)): Double =
+      if (b._2 == 0.0) Double.NaN else b._1 / b._2
+    def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def all: Seq[Q] = Seq(
+    // Registered scalar UDF: price-band labeler over part.
+    Q(
+      "udf_scalar",
+      (s, dir) => {
+        val band = udf((p: Double) =>
+          if (p < 930.0) "budget" else if (p < 965.0) "mid" else "premium")
+        s.udf.register("graft_price_band", band)
+        Tables.part(s, dir)
+          .withColumn("band", call_udf("graft_price_band", col("p_retailprice")))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_parts"),
+            round(avg("p_retailprice"), 4).as("avg_price"))
+          .orderBy("band")
+      },
+      oracle = Some("""
+        SELECT CASE WHEN p_retailprice < 930.0 THEN 'budget'
+                    WHEN p_retailprice < 965.0 THEN 'mid'
+                    ELSE 'premium' END AS band,
+               count(*) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part GROUP BY 1 ORDER BY band""")),
+
+    // Typed Aggregator UDAF: quantity-weighted mean price per return flag.
+    Q(
+      "udaf_typed",
+      (s, dir) => {
+        val wmean = udaf(WeightedMean)
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            round(wmean(col("l_extendedprice"), col("l_quantity")), 4)
+              .as("wavg_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                 AS wavg_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Generator surface: posexplode of 3-word shingles, one output row per
+    // (doc, position) — the UDTF shape (N rows out per row in).
+    Q(
+      "udtf_generator",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 30)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+              i => concat_ws(" ", element_at(col("w"), i),
+                element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
+          .select(col("doc_id"), col("pos"), col("col").as("shingle"))
+          .orderBy("doc_id", "pos"),
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents WHERE doc_id < 30),
+        p AS (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+              FROM d)
+        SELECT doc_id, i - 1 AS pos,
+               concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+        FROM p ORDER BY doc_id, pos""")),
+
+    // The custom codegen Expression (graft.functions.CosineSimilarity):
+    // similarity of every embedding to the vec_id=0 reference vector,
+    // computed in a single fused whole-stage-codegen pass (no UDF boxing).
+    Q(
+      "expr_custom",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val ref = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("ref_emb"))
+        e.filter(col("vec_id") > 0).crossJoin(broadcast(ref))
+          .select(col("vec_id"),
+            round(CosineSimilarity(col("embedding"), col("ref_emb")), 4)
+              .as("cos_to_ref"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH r AS (SELECT CAST(embedding AS DOUBLE[]) AS ref
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]), ref) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(ref, ref))), 4) AS cos_to_ref
+        FROM embeddings CROSS JOIN r WHERE vec_id > 0 ORDER BY vec_id"""))
+  )
+}
