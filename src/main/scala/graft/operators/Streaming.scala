@@ -44,12 +44,17 @@ object Streaming extends QueryModule {
       ("slice1", col("ts") >= lit("2024-01-11").cast("timestamp") &&
         col("ts") < lit("2024-01-21").cast("timestamp")),
       ("slice2", col("ts") >= lit("2024-01-21").cast("timestamp")))
-    cuts.foreach { case (name, pred) =>
+    cuts.zipWithIndex.foreach { case ((name, pred), i) =>
       val tmp = s"$root/tmp_$name"
       ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
-      Files.copy(part, Paths.get(in, s"$name.parquet"))
+      val dst = Paths.get(in, s"$name.parquet")
+      Files.copy(part, dst)
+      // The file source orders arrivals by modification time; pin distinct,
+      // increasing mtimes so micro-batch order is deterministic.
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
     }
     (in, s"$root/ckpt")
   }

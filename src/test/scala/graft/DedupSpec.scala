@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Near-dup detection behavior: planted near-duplicates must pair; random
+  * docs must not; dedup must be idempotent (SURVEY.md §5.3 invariants).
+  */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  test("dedup_minhash finds every planted near-duplicate pair") {
+    val got = SparkEntry.queries("dedup_minhash")(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { id =>
+      assert(got.contains((id, id + 1000000L)),
+        s"planted pair $id <-> ${id + 1000000L} not detected")
+    }
+  }
+
+  test("dedup_simhash: planted pairs all within hamming 8 and LSH-detected") {
+    val rows = SparkEntry.queries("dedup_simhash")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Number]("hamming").longValue() <= 8, r.toString)
+      assert(r.getAs[Boolean]("lsh_candidate"), r.toString)
+    }
+  }
+
+  test("jaccard scores are within [0,1] and self-join identity holds") {
+    val j = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf0001)
+    val bad = j.filter(col("jaccard") < 0 || col("jaccard") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("exact dedup is idempotent and keeps the min doc_id") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, " A b C  ".toLowerCase.trim),
+      (4L, "x y z")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents_tiny")
+    val dedup = docs.groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    val once = dedup.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(once == Set(("a b c", 1L, 3L), ("x y z", 4L, 1L)))
+  }
+
+  test("embedding near-dup pairs are ordered by similarity descending") {
+    val rows = SparkEntry.queries("dedup_embedding")(spark, sf0001)
+      .select("cos_sim").collect().map(_.getDouble(0))
+    assert(rows.length == 20)
+    assert(rows.sliding(2).forall(w => w(0) >= w(1) - 1e-4))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants over generated inputs (SURVEY.md §5.3). Generators
+  * are sampled with fixed seeds (no scalatestplus bridge in the offline
+  * cache), which also keeps failures reproducible.
+  */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private lazy val sp = spark
+
+  private def toDF(xs: Seq[(Long, String)]) = {
+    import sp.implicits._
+    xs.toDF("id", "s")
+  }
+
+  private val rows: Gen[List[(Long, String)]] = Gen.listOfN(30,
+    Gen.zip(Gen.choose(0L, 20L), Gen.oneOf("a", "b", "c", "d")))
+
+  test("union_all is count-additive; intersect/except partition distinct left") {
+    samples(Gen.zip(rows, rows), 5).foreach { case (xs, ys) =>
+      val (l, r) = (toDF(xs), toDF(ys))
+      assert(l.unionByName(r).count() == l.count() + r.count())
+      val both = l.distinct().intersect(r).count()
+      val only = l.distinct().except(r).count()
+      assert(both + only == l.distinct().count())
+    }
+  }
+
+  test("dedup is idempotent") {
+    samples(rows, 5).foreach { xs =>
+      val d = toDF(xs).dropDuplicates("s")
+      assert(d.count() == d.dropDuplicates("s").count())
+    }
+  }
+
+  test("row_number is a bijection per partition") {
+    import org.apache.spark.sql.expressions.Window
+    samples(rows, 5).foreach { xs =>
+      val w = Window.partitionBy("s").orderBy("id", "rnd")
+      val d = toDF(xs).withColumn("rnd", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w))
+      d.groupBy("s").agg(count(lit(1)).as("n"), max("rn").as("m"))
+        .collect()
+        .foreach(r => assert(r.getAs[Long]("n") == r.getAs[Int]("m").toLong))
+    }
+  }
+
+  test("cosine self-similarity is 1 for nonzero vectors") {
+    import graft.functions.CosineSimilarity
+    import sp.implicits._
+    val vecs = Gen.listOfN(8, Gen.listOfN(16, Gen.choose(-5f, 5f)))
+    samples(vecs, 5).foreach { vs =>
+      val nonzero = vs.filter(v => v.exists(_ != 0f)).map(Tuple1(_))
+      if (nonzero.nonEmpty) {
+        val d = nonzero.toDF("v")
+        val r = d.select(CosineSimilarity(col("v"), col("v"))).collect()
+        r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-6))
+      }
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics: watermark late-data drop with
+  * deliberately out-of-order slices, and stream ≡ batch for windowed aggs
+  * when arrival is time-ordered (SURVEY.md §5.4).
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  /** Write each slice DataFrame as one parquet file, in order. */
+  private def writeSlices(key: String, slices: Seq[DataFrame]): (String, String) = {
+    val root = Scratch.fresh(s"test_$key")
+    val in = s"$root/in"
+    Files.createDirectories(Paths.get(in))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$root/tmp_$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Paths.get(in, s"slice$i.parquet")
+      Files.copy(part, dst)
+      // Distinct, increasing mtimes pin the file source's arrival order.
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    (in, s"$root/ckpt")
+  }
+
+  test("watermark drops late data that arrives behind the watermark") {
+    val sp = spark
+    import sp.implicits._
+    val mk = (id: Long, t: String, v: Double) =>
+      (id, java.sql.Timestamp.valueOf(t), v)
+    // Spark filters late events against the watermark lagged by ONE batch
+    // (watermarkForLateEvents), while eviction uses the current one — so
+    // the drop needs the advancing batch, a lag batch, then the late row.
+    // Verified empirically on 4.1.2 (batch N's late-filter watermark is the
+    // watermark computed from batches ≤ N-2).
+    val early = Seq(
+      mk(1, "2024-01-01 00:10:00", 1.0),
+      mk(2, "2024-01-01 08:00:00", 1.0)).toDF("id", "ts", "v")
+    val lag = Seq(mk(9, "2024-01-01 08:01:00", 1.0)).toDF("id", "ts", "v")
+    val late = Seq(
+      mk(3, "2024-01-01 00:20:00", 100.0), // late into closed 00:00 window
+      mk(4, "2024-01-01 08:05:00", 1.0)).toDF("id", "ts", "v")
+    // Final slice advances the watermark past the 08:00 window so it emits.
+    val fin = Seq(mk(5, "2024-01-01 12:00:00", 1.0)).toDF("id", "ts", "v")
+    val (in, ckpt) = writeSlices("late_drop", Seq(early, lag, late, fin))
+    val q = spark.readStream.schema(early.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(sum("v").as("sum_v"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_test_late").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val res = spark.table("graft_test_late")
+      .select(col("w.start").cast("string").as("start"), col("sum_v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // The 00:00 window must contain only the on-time row (1.0) — the late
+    // 100.0 is dropped; the 08:00 window keeps its three on-time rows.
+    assert(res("2024-01-01 00:00:00") == 1.0, res.toString)
+    assert(res("2024-01-01 08:00:00") == 3.0, res.toString)
+  }
+
+  test("streamed tumbling agg equals batch agg under time-ordered arrival") {
+    val batch = SparkEntry.queries("window_tumbling")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val streamed = SparkEntry.queries("stream_file_source")(spark, sf0001)
+    // stream_file_source aggregates per event_type (complete mode); compare
+    // against the batch equivalent computed directly.
+    val expect = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    assert(streamed.collect().map(_.toString).toSeq == expect)
+    assert(batch.nonEmpty)
+  }
+
+  test("stateful per-user totals equal the batch aggregate") {
+    val got = SparkEntry.queries("stream_stateful_custom")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+  }
+}
