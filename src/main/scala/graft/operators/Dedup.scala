@@ -39,10 +39,26 @@ object Dedup extends QueryModule {
           i => concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
 
-  /** 32-value MinHash signature (xxhash64 under 32 fixed salts). */
-  private val minhashSig: Column =
-    transform(sequence(lit(0), lit(31)),
-      k => array_min(transform(col("shingles"), s => xxhash64(k, s))))
+  /** 32-value MinHash signatures via explode → 32 salted min-aggregates.
+    *
+    * The naive nested-lambda formulation (transform over 32 salts × inner
+    * transform over shingles) runs interpreted and re-inlines the inner
+    * hash under every salt — measured 14s at sf0.1. This shape instead
+    * explodes shingles to rows, computes the 32 salted hashes as plain
+    * codegen'd columns (shingle string hashed once, salts re-hash the
+    * 8-byte value), and min-aggregates — partial aggregation makes the
+    * shuffle one 32-long row per (partition, doc), the layout that holds
+    * at any scale.
+    */
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val mins = (0 until 32).map(k => min(xxhash64(lit(k), col("h"))).as(s"m$k"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 32).map(k => col(s"m$k")): _*).as("sig"))
+  }
 
   def all: Seq[Q] = Seq(
     // Exact dedup by normalized-text hash: one keeper (min doc_id) per
@@ -68,8 +84,9 @@ object Dedup extends QueryModule {
     Q(
       "dedup_minhash",
       (s, dir) => {
-        val sigs = shingled(withPlanted(s, dir))
-          .select(col("doc_id"), minhashSig.as("sig"))
+        // Persisted: the banded self-join would otherwise recompute the
+        // whole shingle→hash→min pipeline on both build and probe sides.
+        val sigs = minhashSigs(withPlanted(s, dir)).persist()
         val banded = sigs
           .select(col("doc_id"), col("sig"),
             explode(sequence(lit(0), lit(7))).as("band"))
@@ -180,15 +197,11 @@ object Dedup extends QueryModule {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
           .filter(col("vec_id") < 300)
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double")).as("e"))
-          .withColumn("nrm", sqrt(aggregate(col("e"), lit(0.0),
-            (acc, x) => acc + x * x)))
+          .select(col("vec_id"), col("embedding").as("e"))
         e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            (aggregate(zip_with(col("a.e"), col("b.e"), (x, y) => x * y),
-              lit(0.0), (acc, x) => acc + x) /
-              (col("a.nrm") * col("b.nrm"))).as("cos"))
+            graft.functions.CosineSimilarity(col("a.e"), col("b.e"))
+              .as("cos"))
           .orderBy(round(col("cos"), 6).desc, col("id_a"), col("id_b"))
           .limit(20)
           .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))

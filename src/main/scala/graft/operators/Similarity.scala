@@ -24,17 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  /** Embeddings with a double-cast vector and its L2 norm. */
+  /** Embeddings with the raw float vector (for the fused codegen cosine)
+    * and a double-cast copy (for the LSH plane projections).
+    */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
 
-  private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(ea, eb, (x, y) => x * y), lit(0.0),
-      (acc, x) => acc + x) / (na * nb)
+  /** Fused single-pass cosine (graft.functions.CosineSimilarity): same
+    * float→double promotion and sequential accumulation as the DuckDB
+    * oracle's list_dot_product formulation, but codegen'd — no per-element
+    * lambda boxing in the hot loop.
+    */
+  private def cosine(ea: Column, eb: Column): Column =
+    graft.functions.CosineSimilarity(ea, eb)
 
   /** 6 fixed-seed random hyperplanes (dim 64), inlined as a literal. */
   private lazy val planes: Column = {
@@ -59,13 +62,12 @@ object Similarity extends QueryModule {
       (s, dir) => {
         val v = vecs(s, dir)
         val q = v.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("e").as("qe"),
-            col("nrm").as("qn"))
-        val c = v.select(col("vec_id").as("cand_id"), col("e"), col("nrm"))
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val c = v.select(col("vec_id").as("cand_id"), col("e"))
         val w = Window.partitionBy("query_id")
           .orderBy(round(col("cos"), 6).desc, col("cand_id"))
         broadcast(q).join(c, col("cand_id") =!= col("query_id"))
-          .withColumn("cos", cosine(col("qe"), col("e"), col("qn"), col("nrm")))
+          .withColumn("cos", cosine(col("qe"), col("e")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("cand_id"),
@@ -99,14 +101,13 @@ object Similarity extends QueryModule {
         val v = vecs(s, dir)
         val test = v.filter(col("vec_id") % 53 === 0)
           .select(col("vec_id").as("query_id"), col("label").as("true_label"),
-            col("e").as("qe"), col("nrm").as("qn"))
+            col("e").as("qe"))
         val train = v.filter(col("vec_id") % 53 =!= 0)
-          .select(col("vec_id").as("cand_id"), col("label"), col("e"),
-            col("nrm"))
+          .select(col("vec_id").as("cand_id"), col("label"), col("e"))
         val wN = Window.partitionBy("query_id")
           .orderBy(round(col("cos"), 6).desc, col("cand_id"))
         val neighbors = broadcast(test).join(train)
-          .withColumn("cos", cosine(col("qe"), col("e"), col("qn"), col("nrm")))
+          .withColumn("cos", cosine(col("qe"), col("e")))
           .withColumn("rn", row_number().over(wN))
           .filter(col("rn") <= 10)
         val wV = Window.partitionBy("query_id")
@@ -154,17 +155,17 @@ object Similarity extends QueryModule {
     Q(
       "sim_ann_lsh",
       (s, dir) => {
-        val v = vecs(s, dir).withColumn("sig", lshSig(col("e")))
+        val v = vecs(s, dir).withColumn("sig",
+          lshSig(transform(col("e"), x => x.cast("double"))))
         val q = v.filter(col("vec_id") < 50)
           .select(col("vec_id").as("query_id"), col("sig"),
-            col("e").as("qe"), col("nrm").as("qn"))
-        val c = v.select(col("vec_id").as("cand_id"), col("sig"), col("e"),
-          col("nrm"))
+            col("e").as("qe"))
+        val c = v.select(col("vec_id").as("cand_id"), col("sig"), col("e"))
         val w = Window.partitionBy("query_id")
           .orderBy(round(col("cos"), 6).desc, col("cand_id"))
         broadcast(q).join(c,
             Seq("sig")).filter(col("cand_id") =!= col("query_id"))
-          .withColumn("cos", cosine(col("qe"), col("e"), col("qn"), col("nrm")))
+          .withColumn("cos", cosine(col("qe"), col("e")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("query_id"), col("sig").as("bucket"), col("rank"),

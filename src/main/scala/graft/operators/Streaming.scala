@@ -30,12 +30,26 @@ object Streaming extends QueryModule {
   private val eventCols =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
-  /** Cut events into 3 time-ordered slice files under a fresh scratch dir.
-    * Returns (inputDir, checkpointDir). Slice files are written in time
-    * order so micro-batch arrival matches event time.
+  /** Slice-input cache: the 3-file time-ordered cut of `events` is identical
+    * for every streaming query at a given scale dir, so cut once per
+    * (JVM, sfDir) and give each query its own fresh checkpoint.
+    */
+  private val sliceCache = scala.collection.mutable.Map[String, String]()
+
+  /** Cut events into 3 time-ordered slice files (cached per sfDir) and a
+    * fresh per-query checkpoint dir. Returns (inputDir, checkpointDir).
     */
   private def slices(s: SparkSession, dir: String, key: String): (String, String) = {
-    val root = Scratch.fresh(key)
+    val ckpt = s"${Scratch.fresh(key)}/ckpt"
+    val in = sliceCache.synchronized {
+      sliceCache.getOrElseUpdate(dir, cutSlices(s, dir))
+    }
+    (in, ckpt)
+  }
+
+  private def cutSlices(s: SparkSession, dir: String): String = {
+    val root = Scratch.fresh(
+      "slices_" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))
     val in = s"$root/in"
     Files.createDirectories(Paths.get(in))
     val ev = Tables.events(s, dir)
@@ -56,7 +70,7 @@ object Streaming extends QueryModule {
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
     }
-    (in, s"$root/ckpt")
+    in
   }
 
   def all: Seq[Q] = Seq(
@@ -153,7 +167,7 @@ object Streaming extends QueryModule {
       "stream_sink_foreachbatch",
       (s, dir) => {
         val (in, ckpt) = slices(s, dir, "stream_sink_foreachbatch")
-        val root = Paths.get(in).getParent.toString
+        val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
         val q = s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
@@ -205,7 +219,7 @@ object Streaming extends QueryModule {
       "stream_dedup",
       (s, dir) => {
         val (in, ckpt) = slices(s, dir, "stream_dedup")
-        val root = Paths.get(in).getParent.toString
+        val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
         val q = s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
