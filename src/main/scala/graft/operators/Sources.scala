@@ -83,6 +83,19 @@ object Sources extends QueryModule {
       oracle = Some("""
         SELECT * FROM supplier ORDER BY s_suppkey""")),
 
+    // ORC round-trip: the second columnar format, same explicit-schema
+    // discipline. Spark's ORC reader is vectorized like parquet's.
+    Q(
+      "scan_orc",
+      (s, dir) => {
+        val out = Scratch.fresh("scan_orc")
+        Tables.customer(s, dir).write.mode("overwrite").orc(out)
+        s.read.schema(Tables.schemas("customer")).orc(out)
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT * FROM customer ORDER BY c_custkey""")),
+
     // Hive-style partitioned parquet sink, verified by re-reading. At scale,
     // partitionBy(low-cardinality col) is the layout that makes downstream
     // partition pruning possible; the re-read aggregate proves no rows were

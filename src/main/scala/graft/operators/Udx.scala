@@ -100,6 +100,22 @@ object Udx extends QueryModule {
                concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
         FROM p ORDER BY doc_id, pos""")),
 
+    // From-scratch HyperLogLog sketch (graft.functions.HyperLogLog) as a
+    // typed Aggregator: approximate distinct users per event type, with the
+    // exact count alongside for error inspection. Approximate by design →
+    // no oracle; HllSpec bounds the relative error.
+    Q(
+      "udaf_hll",
+      (s, dir) => {
+        val hll = udaf(new graft.functions.HyperLogLog(12))
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            hll(col("user_id")).as("hll_users"),
+            countDistinct("user_id").as("exact_users"))
+          .orderBy("event_type")
+      }),
+
     // The custom codegen Expression (graft.functions.CosineSimilarity):
     // similarity of every embedding to the vec_id=0 reference vector,
     // computed in a single fused whole-stage-codegen pass (no UDF boxing).

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions surface: SQL-callable graft_cosine and the
+  * self-cosine optimizer rule, exercised in a dedicated session built with
+  * withExtensions (the deployment path: spark.sql.extensions=...).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate would return the shared fixture session (ignoring
+    // withExtensions); clear the active/default session so a NEW session —
+    // with the extensions installed — is created on the same SparkContext,
+    // then restore the fixture as default for the other suites.
+    val prior = SparkFixture.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .getOrCreate()
+    SparkSession.setDefaultSession(prior)
+    SparkSession.setActiveSession(prior)
+    s
+  }
+
+  test("graft_cosine is callable from SQL") {
+    val r = spark.sql(
+      """SELECT graft_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |                    array(CAST(0 AS FLOAT), CAST(1 AS FLOAT))) AS c
+        |""".stripMargin).collect()
+    assert(math.abs(r(0).getDouble(0)) < 1e-12)
+  }
+
+  test("self-cosine folds to 1.0 for non-nullable input") {
+    val df = spark.sql(
+      """SELECT graft_cosine(v, v) AS c FROM (
+        |  SELECT array(CAST(3 AS FLOAT), CAST(4 AS FLOAT)) AS v)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_cosine"), optimized)
+    assert(df.collect()(0).getDouble(0) == 1.0)
+  }
+
+  test("nullable input is NOT rewritten (semantics preserved)") {
+    val df = spark.sql(
+      """SELECT graft_cosine(v, v) AS c FROM (
+        |  SELECT IF(id % 2 = 0, array(CAST(id + 1 AS FLOAT)), NULL) AS v
+        |  FROM range(4))""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
+    val rows = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows.count(_.isEmpty) == 2)
+    assert(rows.flatten.forall(v => math.abs(v - 1.0) < 1e-12 || v.isNaN == false))
+  }
+}

@@ -44,6 +44,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dedup_minhash band join is hash-based, never a cartesian product") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("sim_ann_lsh joins on the LSH signature (equi-join, not cross)") {
+    val p = plan("sim_ann_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("join_asof shuffles on the entity key, not a cross product") {
+    assert(!plan("join_asof").contains("CartesianProduct"))
+  }
+
+  test("text_langid broadcasts the trained model to the token stream") {
+    assert(plan("text_langid").contains("BroadcastHashJoin"))
+  }
+
+  test("agg_distinct partial-aggregates (expand + two-phase)") {
+    val p = plan("agg_distinct")
+    assert(p.contains("Expand") || p.contains("partial"), p)
+  }
+
+  test("scan_parquet reads all columns; agg_group scan prunes to 8 of 11") {
+    val p = plan("agg_group")
+    // Only the aggregation inputs + filter column should reach the scan.
+    assert(p.contains("l_shipdate") && p.contains("l_quantity"))
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"), p)
+  }
+
   test("expr_custom stays inside whole-stage codegen") {
     // AQE only materializes WholeStageCodegen spans in the final plan.
     val df = SparkEntry.queries("expr_custom")(spark, sf0001)
