@@ -63,19 +63,21 @@ object Dedup extends QueryModule {
   def all: Seq[Q] = Seq(
     // Exact dedup by normalized-text hash: one keeper (min doc_id) per
     // normalization class. A single hash-shuffle on the normalized text.
+    // Grouping on the 256-bit digest (not the raw text) keeps the shuffle
+    // key at 64 bytes regardless of document size — at 100 TB the shuffle
+    // moves hashes, never documents.
     Q(
       "dedup_exact",
       (s, dir) =>
         Tables.documents(s, dir)
-          .groupBy(lower(trim(col("text"))).as("norm"))
+          .groupBy(sha2(lower(trim(col("text"))), 256).as("text_sha"))
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-          .select(col("keep_id"), col("n_copies"),
-            sha2(col("norm"), 256).as("text_sha"))
+          .select(col("keep_id"), col("n_copies"), col("text_sha"))
           .orderBy("keep_id"),
       oracle = Some("""
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
                sha256(lower(trim(text))) AS text_sha
-        FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""")),
+        FROM documents GROUP BY sha256(lower(trim(text))) ORDER BY keep_id""")),
 
     // MinHash + LSH banding: 32 minhashes → 8 bands of 4 → docs sharing any
     // band become candidates (equi-join on the band key — the LSH trick that

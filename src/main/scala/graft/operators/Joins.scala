@@ -156,6 +156,68 @@ object Joins extends QueryModule {
         ORDER BY c_custkey""")),
 
     // Theta/range join against a tiny literal band table: planned as a
+    // Bucketed co-located join: both fact tables written bucketBy(8) on the
+    // join key, so the sort-merge join reads bucket i against bucket i with
+    // NO Exchange on either side (asserted in PlanShapeSpec). At 100 TB
+    // this is the difference between a join that reshuffles both tables and
+    // one that only streams co-located files. The merge hint pins SMJ so
+    // the demo doesn't degrade to a broadcast at small SF.
+    Q(
+      "join_bucketed",
+      (s, dir) => {
+        val wh = graft.Scratch.fresh("join_bucketed")
+        s.sql("DROP TABLE IF EXISTS graft_li_b")
+        s.sql("DROP TABLE IF EXISTS graft_ord_b")
+        Tables.lineitem(s, dir).write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/li").saveAsTable("graft_li_b")
+        Tables.orders(s, dir).write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$wh/ord").saveAsTable("graft_ord_b")
+        s.table("graft_li_b").hint("merge")
+          .join(s.table("graft_ord_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 4).as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Salted skew join: `event_type` has only 5 values, so a plain shuffle
+    // join on it sends each key's entire fact volume to one reducer — the
+    // canonical skew pathology at 100 TB. The salt spreads every hot key
+    // over 8 reducers (fact side: deterministic salt from event_id; dim
+    // side: exploded 8×), and the oracle proves the rewrite is
+    // result-identical to the unsalted join.
+    Q(
+      "join_skew_salted",
+      (s, dir) => {
+        val salts = 8
+        val dim = s.createDataFrame(Seq(
+          ("click", "engagement"), ("view", "engagement"),
+          ("purchase", "revenue"), ("signup", "growth"),
+          ("error", "ops"))).toDF("event_type", "category")
+          .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        val fact = Tables.events(s, dir)
+          .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)).cast("int"))
+        fact.join(dim, Seq("event_type", "salt"))
+          .groupBy("category")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .orderBy("category")
+      },
+      oracle = Some("""
+        SELECT CASE event_type
+                 WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+                 WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+                 ELSE 'ops' END AS category,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1 ORDER BY category""")),
+
     // broadcast nested-loop join (5 band rows broadcast to every partition),
     // so the fact side streams through without any shuffle.
     Q(

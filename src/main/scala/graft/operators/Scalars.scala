@@ -235,6 +235,24 @@ object Scalars extends QueryModule {
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long
         FROM events
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // Spark 4 VARIANT ingestion of dynamic JSON: parse once to a binary
+    // variant, extract typed paths lazily. The scale rationale: variant
+    // parse + shredded access beats repeated get_json_object string
+    // re-parsing when many fields are extracted. DuckDB has no variant
+    // type → rows-only grading; values are cross-checked against the
+    // string-path extraction inline (diff column must be all-zero).
+    Q(
+      "fn_json_variant",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"), parse_json(col("props")).as("v"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_str"))
+          .select(col("event_id"),
+            try_variant_get(col("v"), "$.k", "long").as("k_variant"),
+            col("k_str"))
+          .withColumn("diff", coalesce(col("k_variant") - col("k_str"), lit(-1L)))
+          .orderBy("event_id"))
   )
 }

@@ -3,9 +3,34 @@ package graft.operators
 import java.nio.file.{Files, Paths}
 
 import graft.{Q, QueryModule, Scratch, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+
+/** Spark 4 transformWithState processor: per-user event count + max value,
+  * held in a typed ValueState (RocksDB-backed). Monotone state ⇒ the final
+  * update per user equals the batch aggregate regardless of batching.
+  */
+class UserStatsProcessor
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var state: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double)]("stats",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val prev = Option(state.get()).getOrElse((0L, Double.NegativeInfinity))
+    var n = prev._1
+    var mx = prev._2
+    rows.foreach { r => n += 1; if (r._2 > mx) mx = r._2 }
+    state.update((n, mx))
+    Iterator.single((key, n, mx))
+  }
+}
 
 /** §2.H — event-time windowing and Structured Streaming over `events`.
   *
@@ -311,6 +336,56 @@ object Streaming extends QueryModule {
         SELECT user_id, count(*) AS n_purchases,
                round(sum(value), 4) AS total
         FROM events WHERE event_type = 'purchase'
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // Spark 4 transformWithState (the successor to mapGroupsWithState):
+    // typed ValueState in the RocksDB state store, per-user count + max.
+    // Monotone state ⇒ final update per user equals the batch aggregate.
+    Q(
+      "stream_transform_with_state",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_transform_with_state")
+        val sp = s
+        import sp.implicits._
+        val prior = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        // transformWithState requires the RocksDB state store provider.
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val updates = scala.collection.mutable.Map[Long, (Long, Double)]()
+          val q = s.readStream.schema(Tables.events(s, dir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .select(col("user_id"), col("value")).as[(Long, Double)]
+            .groupByKey(_._1)
+            .transformWithState(new UserStatsProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .writeStream.outputMode("update")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
+                batch.collect().foreach { case (u, n, mx) =>
+                  updates.synchronized { updates(u) = (n, mx) }
+                }
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          updates.toSeq.map { case (u, (n, mx)) => (u, n, mx) }
+            .toDF("user_id", "n_events", "max_value")
+            .withColumn("max_value", round(col("max_value"), 4))
+            .orderBy("user_id")
+        } finally {
+          prior match {
+            case Some(v) => s.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", v)
+            case None => s.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      oracle = Some("""
+        SELECT user_id, count(*) AS n_events,
+               round(max(value), 4) AS max_value
+        FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

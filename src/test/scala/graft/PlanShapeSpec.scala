@@ -76,6 +76,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("l_partkey") && !p.contains("l_suppkey"), p)
   }
 
+  test("join_bucketed sort-merge-joins with NO exchange on either side") {
+    val df = SparkEntry.queries("join_bucketed")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    // The aggregate above the join still exchanges; the join inputs must
+    // not (bucket layout satisfies the join's distribution requirement).
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"), p)
+  }
+
   test("expr_custom stays inside whole-stage codegen") {
     // AQE only materializes WholeStageCodegen spans in the final plan.
     val df = SparkEntry.queries("expr_custom")(spark, sf0001)
