@@ -15,9 +15,13 @@ object Scratch {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
 
-  /** Empty, freshly-created scratch dir for `key`. */
+  /** Empty, freshly-created scratch dir for `key`. The root is
+    * process-unique so concurrently-running harness JVMs (Verify, Bench,
+    * sbt test) can never clobber each other's side-effect directories.
+    */
   def fresh(key: String): String = {
-    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_scratch", key)
+    val p = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_scratch_${ProcessHandle.current().pid()}", key)
     deleteRec(p)
     Files.createDirectories(p)
     p.toString

@@ -96,6 +96,55 @@ object Sources extends QueryModule {
       oracle = Some("""
         SELECT * FROM customer ORDER BY c_custkey""")),
 
+    // Static partition pruning: read a returnflag-partitioned layout with a
+    // partition-column filter — the scan lists only the matching partition
+    // directory (PartitionFilters in the plan; 2/3 of the data never read).
+    Q(
+      "scan_partition_pruned",
+      (s, dir) => {
+        val out = Scratch.fresh("scan_partition_pruned")
+        Tables.lineitem(s, dir)
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        s.read.parquet(out)
+          .filter(col("l_returnflag") === "R")
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 4).as("sum_price"))
+          .orderBy("l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 4) AS sum_price
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // Dynamic partition pruning: the partition column is constrained only
+    // through a join with a filtered dim, so the pruning predicate is
+    // discovered at runtime (dynamicpruning subquery in the plan) — at
+    // 100 TB this skips whole partition trees the optimizer cannot prune
+    // statically.
+    Q(
+      "join_dpp",
+      (s, dir) => {
+        val out = Scratch.fresh("join_dpp")
+        Tables.lineitem(s, dir)
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        val dim = s.createDataFrame(Seq(
+          ("A", "returned_a"), ("N", "kept"), ("R", "returned_r")))
+          .toDF("flag", "flag_desc")
+          .filter(col("flag_desc").startsWith("returned"))
+        s.read.parquet(out)
+          .join(dim, col("l_returnflag") === col("flag"))
+          .groupBy("flag_desc")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+          .orderBy("flag_desc")
+      },
+      oracle = Some("""
+        SELECT CASE l_returnflag WHEN 'A' THEN 'returned_a'
+                                 ELSE 'returned_r' END AS flag_desc,
+               count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        GROUP BY 1 ORDER BY flag_desc""")),
+
     // Hive-style partitioned parquet sink, verified by re-reading. At scale,
     // partitionBy(low-cardinality col) is the layout that makes downstream
     // partition pruning possible; the re-read aggregate proves no rows were

@@ -76,6 +76,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("l_partkey") && !p.contains("l_suppkey"), p)
   }
 
+  test("scan_partition_pruned shows PartitionFilters on the scan") {
+    val p = plan("scan_partition_pruned")
+    assert(p.contains("PartitionFilters: [") &&
+      p.contains("l_returnflag"), p)
+  }
+
   test("join_bucketed sort-merge-joins with NO exchange on either side") {
     val df = SparkEntry.queries("join_bucketed")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
