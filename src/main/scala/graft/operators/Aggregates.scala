@@ -174,6 +174,53 @@ object Aggregates extends QueryModule {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // Pivot: event counts per user decile × event type. Spark plans pivot
+    // as a single two-phase agg over (decile, type) then a row-pivot —
+    // no per-column shuffle. Oracle uses explicit conditional aggregates.
+    Q(
+      "agg_pivot",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("user_decile", (col("user_id") % 10).cast("int"))
+          .groupBy("user_decile")
+          .pivot("event_type",
+            Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .orderBy("user_decile"),
+      oracle = Some("""
+        SELECT CAST(user_id % 10 AS INT) AS user_decile,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'view')     AS view,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'error')    AS error
+        FROM events GROUP BY 1 ORDER BY user_decile""")),
+
+    // Ordered-argument aggregates: the value at the extremum of another
+    // column (min_by/max_by) — single-pass, no window needed. The ordering
+    // value folds the order key in (price ties exist in the data; scaled
+    // price + key stays exact within double's 2^53 integer range), so the
+    // extremum is unique and both engines agree deterministically.
+    Q(
+      "agg_minmax_by",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .withColumn("ord", col("o_totalprice") * 1000000000.0 + col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(
+            max_by(col("o_orderkey"), col("ord")).as("priciest_order"),
+            min_by(col("o_orderkey"), col("ord")).as("cheapest_order"),
+            round(max("o_totalprice"), 4).as("max_price"))
+          .orderBy("o_orderstatus"),
+      oracle = Some("""
+        SELECT o_orderstatus,
+               arg_max(o_orderkey, o_totalprice * 1000000000.0 + o_orderkey)
+                 AS priciest_order,
+               arg_min(o_orderkey, o_totalprice * 1000000000.0 + o_orderkey)
+                 AS cheapest_order,
+               round(max(o_totalprice), 4) AS max_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // collect_list/collect_set, rendered as a sorted joined string so the
     // oracle comparison is representation-stable across engines.
     Q(

@@ -39,20 +39,29 @@ object Dedup extends QueryModule {
           i => concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
 
-  /** 32-value MinHash signatures via explode → 32 salted min-aggregates.
+  /** 32-value MinHash signatures, fully codegen'd.
     *
-    * The naive nested-lambda formulation (transform over 32 salts × inner
-    * transform over shingles) runs interpreted and re-inlines the inner
-    * hash under every salt — measured 14s at sf0.1. This shape instead
-    * explodes shingles to rows, computes the 32 salted hashes as plain
-    * codegen'd columns (shingle string hashed once, salts re-hash the
-    * 8-byte value), and min-aggregates — partial aggregation makes the
-    * shuffle one 32-long row per (partition, doc), the layout that holds
+    * Two prior shapes measured slow at sf0.1: nested HOF lambdas (14s —
+    * interpreted, inner hash re-inlined under every salt) and
+    * shingle-array building via transform/concat_ws (5s — interpreted
+    * per-element lambda). This shape has no lambdas at all: posexplode the
+    * tokens (codegen Generate), form each 3-shingle with window `lead`
+    * (codegen), hash the shingle string once, then 32 salted
+    * min-aggregates over the 8-byte value. MinHash is multiset-invariant,
+    * so no distinct pass is needed. Partial aggregation means the shuffle
+    * carries one 32-long row per (partition, doc) — the layout that holds
     * at any scale.
     */
   private def minhashSigs(docs: DataFrame): DataFrame = {
-    val sh = shingled(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+      // concat_ws skips the null leads at the tail, matching the shorter
+      // tail shingles of the array formulation.
+      .select(col("doc_id"), concat_ws(" ", col("tok"),
+        lead("tok", 1).over(w), lead("tok", 2).over(w)).as("sh"))
       .withColumn("h", xxhash64(col("sh")))
     val mins = (0 until 32).map(k => min(xxhash64(lit(k), col("h"))).as(s"m$k"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)

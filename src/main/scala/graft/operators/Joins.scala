@@ -165,15 +165,7 @@ object Joins extends QueryModule {
     Q(
       "join_bucketed",
       (s, dir) => {
-        val wh = graft.Scratch.fresh("join_bucketed")
-        s.sql("DROP TABLE IF EXISTS graft_li_b")
-        s.sql("DROP TABLE IF EXISTS graft_ord_b")
-        Tables.lineitem(s, dir).write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$wh/li").saveAsTable("graft_li_b")
-        Tables.orders(s, dir).write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$wh/ord").saveAsTable("graft_ord_b")
+        LayoutCache.bucketedTables(s, dir)
         s.table("graft_li_b").hint("merge")
           .join(s.table("graft_ord_b"),
             col("l_orderkey") === col("o_orderkey"))

@@ -102,9 +102,7 @@ object Sources extends QueryModule {
     Q(
       "scan_partition_pruned",
       (s, dir) => {
-        val out = Scratch.fresh("scan_partition_pruned")
-        Tables.lineitem(s, dir)
-          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        val out = LayoutCache.partitionedLineitem(s, dir)
         s.read.parquet(out)
           .filter(col("l_returnflag") === "R")
           .groupBy("l_linestatus")
@@ -125,9 +123,7 @@ object Sources extends QueryModule {
     Q(
       "join_dpp",
       (s, dir) => {
-        val out = Scratch.fresh("join_dpp")
-        Tables.lineitem(s, dir)
-          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        val out = LayoutCache.partitionedLineitem(s, dir)
         val dim = s.createDataFrame(Seq(
           ("A", "returned_a"), ("N", "kept"), ("R", "returned_r")))
           .toDF("flag", "flag_desc")
