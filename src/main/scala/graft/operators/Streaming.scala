@@ -319,6 +319,9 @@ object Streaming extends QueryModule {
               (uid, n, t)
           }
           .writeStream.outputMode("update")
+          // Driver-side accumulator is demo-only: per-batch output is one
+          // row per ACTIVE user (bounded); at scale foreachBatch would
+          // upsert into a keyed store instead of collecting.
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
             batch.collect().foreach { case (u, n, t) =>
               updates.synchronized { updates(u) = (n, t) }
