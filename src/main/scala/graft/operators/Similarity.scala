@@ -171,6 +171,59 @@ object Similarity extends QueryModule {
           .select(col("query_id"), col("sig").as("bucket"), col("rank"),
             col("cand_id"), round(col("cos"), 4).as("cos_sim"))
           .orderBy("query_id", "rank")
+      }),
+
+    // ANN via an IVF coarse quantizer: 16 seed centroids (vec_id < 16),
+    // one Lloyd refinement (mean per assigned cluster), every vector
+    // assigned to its nearest centroid, and each query searching only its
+    // nprobe=2 closest clusters. Every step is a broadcast of the 16-row
+    // centroid table against a streaming fact scan — at 100 TB the index
+    // build is two scans and the search reads ~nprobe/k of the data.
+    // Deterministic: fixed seeds, double means, tie-broken rankings.
+    Q(
+      "sim_ann_ivf",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val nearest = (df: DataFrame, cents: DataFrame) => {
+          val wn = Window.partitionBy("vec_id")
+            .orderBy(round(col("ccos"), 6).desc, col("cid"))
+          df.crossJoin(broadcast(cents))
+            .withColumn("ccos", cosine(col("e"), col("ce")))
+            .withColumn("crn", row_number().over(wn))
+            .filter(col("crn") === 1)
+            .select(col("vec_id"), col("e"), col("cid"))
+        }
+        val seeds = v.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        // One Lloyd step: per-dimension mean of each seed-assigned cluster.
+        val refined = nearest(v, seeds)
+          .select(col("cid"), posexplode(col("e")))
+          .groupBy("cid", "pos").agg(avg("col").as("m"))
+          .groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m").cast("float")).as("ce"))
+        val assigned = nearest(v, refined)
+        val queries = v.filter(col("vec_id") < 50)
+        val wp = Window.partitionBy("vec_id")
+          .orderBy(round(col("ccos"), 6).desc, col("cid"))
+        val probes = queries.crossJoin(broadcast(refined))
+          .withColumn("ccos", cosine(col("e"), col("ce")))
+          .withColumn("crn", row_number().over(wp))
+          .filter(col("crn") <= 2) // nprobe = 2
+          .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cid"))
+        val wr = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        probes.join(
+            assigned.select(col("vec_id").as("cand_id"), col("e"), col("cid")),
+            Seq("cid"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("rank", row_number().over(wr))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            col("cid").as("cluster"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy("query_id", "rank")
       })
   )
 }

@@ -389,6 +389,51 @@ object Streaming extends QueryModule {
       oracle = Some("""
         SELECT user_id, count(*) AS n_events,
                round(max(value), 4) AS max_value
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Stream–stream inner join with event-time range: signups matched to
+    // the same user's purchases within the following 24 h. Both sides carry
+    // watermarks so each side's join state is evicted once the other
+    // side's watermark passes the range bound — the mechanism that keeps
+    // stream-stream join state finite at scale. Inner join + time-ordered
+    // arrival ⇒ the match set equals the batch join (oracle).
+    Q(
+      "stream_stream_join",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_stream_join")
+        def side(tpe: String, pfx: String) =
+          s.readStream.schema(Tables.events(s, dir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(s"${pfx}_user"),
+              col("ts").as(s"${pfx}_ts"), col("value").as(s"${pfx}_value"))
+            .withWatermark(s"${pfx}_ts", "1 hour")
+        val joined = side("signup", "s").join(side("purchase", "p"),
+          col("s_user") === col("p_user") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
+        val root = Paths.get(ckpt).getParent.toString
+        val sink = s"$root/sink"
+        val q = joined.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .groupBy(col("s_user").as("user_id"))
+          .agg(count(lit(1)).as("n_matches"),
+            round(sum("p_value"), 4).as("sum_purchase_value"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT s.user_id AS user_id, count(*) AS n_matches,
+               round(sum(p.value), 4) AS sum_purchase_value
+        FROM events s JOIN events p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '24 hours'
+        WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        GROUP BY s.user_id ORDER BY user_id"""))
   )
 }

@@ -46,6 +46,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(once == Set(("a b c", 1L, 3L), ("x y z", 4L, 1L)))
   }
 
+  test("sim_ann_ivf candidates come only from the query's probed clusters") {
+    val rows = SparkEntry.queries("sim_ann_ivf")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // ≤ 3 results per query, ranks contiguous from 1
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), ranks.toString)
+    }
+    // clusters drawn from at most nprobe=2 distinct values per query
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("cluster")).toSet.size <= 2, s"query $q")
+    }
+  }
+
   test("embedding near-dup pairs are ordered by similarity descending") {
     val rows = SparkEntry.queries("dedup_embedding")(spark, sf0001)
       .select("cos_sim").collect().map(_.getDouble(0))
