@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2 edge cases for the operator families: empty input, all-null
+  * keys, single row, ties, duplicate join keys.
+  */
+class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val sp = spark
+
+  private def df(rows: Seq[Row], schema: StructType) =
+    sp.createDataFrame(sp.sparkContext.parallelize(rows, 2), schema)
+
+  private val kv = StructType(Seq(
+    StructField("k", StringType, nullable = true),
+    StructField("v", DoubleType, nullable = true)))
+
+  test("aggregation over empty input yields zero groups") {
+    val e = df(Nil, kv)
+    assert(e.groupBy("k").agg(sum("v")).count() == 0)
+    // ...but a global aggregate still yields one row (count = 0)
+    assert(e.agg(count(lit(1))).collect()(0).getLong(0) == 0)
+  }
+
+  test("groupBy treats null keys as one group") {
+    val d = df(Seq(Row(null, 1.0), Row(null, 2.0), Row("a", 3.0)), kv)
+    val m = d.groupBy("k").agg(sum("v").as("s")).collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(m(None) == 3.0 && m(Some("a")) == 3.0)
+  }
+
+  test("joins do not match on null keys; null-safe join does") {
+    val l = df(Seq(Row(null, 1.0), Row("a", 2.0)), kv)
+    val r = df(Seq(Row(null, 10.0), Row("a", 20.0)), kv)
+    assert(l.join(r, l("k") === r("k")).count() == 1)
+    assert(l.join(r, l("k") <=> r("k")).count() == 2)
+  }
+
+  test("duplicate join keys multiply rows (cross per key)") {
+    val l = df(Seq(Row("a", 1.0), Row("a", 2.0)), kv)
+    val r = df(Seq(Row("a", 10.0), Row("a", 20.0), Row("a", 30.0)), kv)
+    assert(l.join(r, Seq("k")).count() == 6)
+  }
+
+  test("left anti of empty right returns left; semi returns empty") {
+    val l = df(Seq(Row("a", 1.0), Row("b", 2.0)), kv)
+    val e = df(Nil, kv)
+    assert(l.join(e, Seq("k"), "left_anti").count() == 2)
+    assert(l.join(e, Seq("k"), "left_semi").count() == 0)
+  }
+
+  test("row_number with tied sort keys is made total by a tiebreaker") {
+    import org.apache.spark.sql.expressions.Window
+    val d = df(Seq(Row("a", 1.0), Row("b", 1.0), Row("c", 1.0)), kv)
+    val w = Window.orderBy(col("v"), col("k")) // tie on v broken by k
+    val ranks = d.withColumn("rn", row_number().over(w))
+      .orderBy("k").collect().map(_.getAs[Int]("rn")).toSeq
+    assert(ranks == Seq(1, 2, 3))
+  }
+
+  test("single-row input flows through window frames and stats") {
+    import org.apache.spark.sql.expressions.Window
+    val d = df(Seq(Row("a", 5.0)), kv)
+    val w = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = d.withColumn("run", sum("v").over(w))
+      .agg(first("run"), stddev_samp("v")).collect()(0)
+    assert(r.getDouble(0) == 5.0)
+    assert(r.isNullAt(1)) // stddev of one sample is null, not NaN/0
+  }
+
+  test("MinHash signature of an empty-text doc is defined (no crash)") {
+    val docs = sp.createDataFrame(
+      sp.sparkContext.parallelize(Seq(Row(1L, ""), Row(2L, "a b c d")), 2),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))))
+    // Same pipeline shape as Dedup.minhashSigs: posexplode of split.
+    val n = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .groupBy("doc_id").agg(count(lit(1))).count()
+    assert(n == 2) // split("") yields [""] — one token, not zero rows
+  }
+
+  test("cosine of empty arrays is null (zero norm), not an exception") {
+    import graft.functions.CosineSimilarity
+    val d = sp.createDataFrame(
+      sp.sparkContext.parallelize(Seq(Row(Seq.empty[Float], Seq.empty[Float])), 1),
+      StructType(Seq(
+        StructField("a", ArrayType(FloatType), nullable = true),
+        StructField("b", ArrayType(FloatType), nullable = true))))
+    val r = d.select(CosineSimilarity(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+}
