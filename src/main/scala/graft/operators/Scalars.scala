@@ -237,6 +237,29 @@ object Scalars extends QueryModule {
         FROM events
         ORDER BY event_id""")),
 
+    // ANSI-safe ingestion scalars: malformed values become nulls instead of
+    // failing the job — at 100 TB a single bad record must never kill a
+    // pipeline. try_cast semantics match DuckDB TRY_CAST.
+    Q(
+      "fn_try_ansi",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            // props is JSON like {"k": 87} — casting the raw string to a
+            // number fails → null; extracting then casting succeeds.
+            try_to_number(col("props"), lit("999999")).cast("long").as("bad_cast"),
+            get_json_object(col("props"), "$.k").cast("long").as("good_cast"),
+            try_divide(col("value"), col("event_id") % 3).as("maybe_div"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id,
+               TRY_CAST(props AS BIGINT) AS bad_cast,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS good_cast,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                    ELSE value / (event_id % 3) END AS maybe_div
+        FROM events ORDER BY event_id""")),
+
     // Spark 4 VARIANT ingestion of dynamic JSON: parse once to a binary
     // variant, extract typed paths lazily. The scale rationale: variant
     // parse + shredded access beats repeated get_json_object string

@@ -224,6 +224,43 @@ object Similarity extends QueryModule {
           .select(col("query_id"), col("rank"), col("cand_id"),
             col("cid").as("cluster"), round(col("cos"), 4).as("cos_sim"))
           .orderBy("query_id", "rank")
+      }),
+
+    // ANN quality evaluation: recall@3 of the LSH and IVF indexes against
+    // the exact brute-force top-3, per query — the measurement loop any
+    // production ANN deployment needs. Pure composition of the registry's
+    // own queries; one row per query vector.
+    Q(
+      "sim_ann_recall",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val q = v.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val c = v.select(col("vec_id").as("cand_id"), col("e"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        val exact = broadcast(q).join(c, col("cand_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("cand_id"))
+        def hits(approx: org.apache.spark.sql.DataFrame) =
+          exact.join(approx.select(col("query_id"), col("cand_id")),
+            Seq("query_id", "cand_id"), "left_semi")
+            .groupBy("query_id").agg(count(lit(1)).as("h"))
+        val lsh = hits(all.find(_.name == "sim_ann_lsh").get.run(s, dir))
+          .withColumnRenamed("h", "lsh_hits")
+        val ivf = hits(all.find(_.name == "sim_ann_ivf").get.run(s, dir))
+          .withColumnRenamed("h", "ivf_hits")
+        exact.groupBy("query_id").agg(count(lit(1)).as("k"))
+          .join(lsh, Seq("query_id"), "left")
+          .join(ivf, Seq("query_id"), "left")
+          .select(col("query_id"),
+            round(coalesce(col("lsh_hits"), lit(0)) / col("k"), 4)
+              .as("lsh_recall_at_3"),
+            round(coalesce(col("ivf_hits"), lit(0)) / col("k"), 4)
+              .as("ivf_recall_at_3"))
+          .orderBy("query_id")
       })
   )
 }
