@@ -174,6 +174,25 @@ object Aggregates extends QueryModule {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // Bivariate statistics: correlation and sample covariance of price vs
+    // quantity per flag — single-pass streaming moments, no window.
+    Q(
+      "agg_corr_cov",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr("l_extendedprice", "l_quantity"), 4).as("price_qty_corr"),
+            round(covar_samp("l_extendedprice", "l_quantity"), 4).as("price_qty_cov"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+               round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_cov,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Pivot: event counts per user decile × event type. Spark plans pivot
     // as a single two-phase agg over (decile, type) then a row-pivot —
     // no per-column shuffle. Oracle uses explicit conditional aggregates.

@@ -237,6 +237,28 @@ object Scalars extends QueryModule {
         FROM events
         ORDER BY event_id""")),
 
+    // Bitwise scalar surface over the 64-bit event id: shifts, masks, xor,
+    // popcount — the primitives the SimHash/LSH operators build on.
+    Q(
+      "fn_bitwise",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("event_id") < 2000)
+          .select(
+            col("event_id"),
+            expr("shiftright(event_id, 3)").as("shr3"),
+            expr("shiftleft(event_id & 255, 2)").as("masked_shl2"),
+            expr("event_id ^ 1431655765").as("xor_pattern"),
+            expr("bit_count(event_id)").as("popcount"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id,
+               event_id >> 3 AS shr3,
+               (event_id & 255) << 2 AS masked_shl2,
+               xor(event_id, 1431655765) AS xor_pattern,
+               bit_count(event_id) AS popcount
+        FROM events WHERE event_id < 2000 ORDER BY event_id""")),
+
     // ANSI-safe ingestion scalars: malformed values become nulls instead of
     // failing the job — at 100 TB a single bad record must never kill a
     // pipeline. try_cast semantics match DuckDB TRY_CAST.

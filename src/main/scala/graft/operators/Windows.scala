@@ -156,6 +156,31 @@ object Windows extends QueryModule {
                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS avg_6rows
         FROM events
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // Distribution windows: percent_rank and cume_dist of each customer's
+    // balance within their nation — relative standing without a self-join.
+    Q(
+      "win_percent_cume",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // c_acctbal ties would make the rank functions order-dependent per
+        // engine; the composite ordering value is unique per customer.
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal") * 1000000000.0 + col("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"),
+            round(percent_rank().over(w), 4).as("pr"),
+            round(cume_dist().over(w), 4).as("cd"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_nationkey,
+               round(percent_rank() OVER w, 4) AS pr,
+               round(cume_dist() OVER w, 4) AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal * 1000000000.0 + c_custkey)
+        ORDER BY c_custkey"""))
   )
 }
