@@ -42,8 +42,8 @@ object Aggregates extends QueryModule {
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4)      AS sum_qty,
                round(sum(l_extendedprice), 4) AS sum_base_price,
-               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-               round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+               round(sum(round(l_extendedprice * (1.0 - l_discount), 4)), 4) AS sum_disc_price,
+               round(sum(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4)), 4) AS sum_charge,
                round(avg(l_quantity), 4)      AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
                round(avg(l_discount), 4)      AS avg_disc,

@@ -72,7 +72,9 @@ object Scalars extends QueryModule {
             year(col("o_orderdate")).as("yr"),
             month(col("o_orderdate")).as("mo"),
             dayofweek(col("o_orderdate")).as("dow"),
-            date_trunc("month", col("o_orderdate")).as("month_start"),
+            // DuckDB date_trunc('month', ts) returns DATE; Spark's returns
+            // TIMESTAMP — cast to date so the output schemas agree.
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
             datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
               .as("days_before_2002"),
             add_months(col("o_orderdate"), 3).as("plus3m"))

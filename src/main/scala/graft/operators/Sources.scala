@@ -39,13 +39,17 @@ object Sources extends QueryModule {
 
     // Predicate pushdown: both conjuncts are parquet-filterable (timestamp
     // and double compare), so row groups outside the ranges never decode.
+    // The emitted timestamp is cast to NTZ after the filter (pushdown is on
+    // the raw column): Spark writes tz-adjusted TIMESTAMP_MICROS, DuckDB's
+    // TIMESTAMP is timezone-naive — NTZ makes the output schemas agree.
     Q(
       "scan_filter_pushdown",
       (s, dir) =>
         Tables.lineitem(s, dir)
           .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
             col("l_quantity") < 3.0)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate").cast("timestamp_ntz").as("l_shipdate"),
             col("l_quantity"))
           .orderBy("l_orderkey", "l_linenumber"),
       oracle = Some("""

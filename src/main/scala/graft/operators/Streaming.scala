@@ -118,14 +118,17 @@ object Streaming extends QueryModule {
 
   def all: Seq[Q] = Seq(
     // 1-hour tumbling window aggregate (batch mode of the same expression).
+    // Emitted window bounds are cast to NTZ: Spark writes tz-adjusted
+    // TIMESTAMP_MICROS while DuckDB's TIMESTAMP is naive — NTZ (under the
+    // fixed UTC session zone) makes the schemas agree without moving values.
     Q(
       "window_tumbling",
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
-          .select(col("w.start").as("window_start"), col("event_type"),
-            col("n"), col("sum_value"))
+          .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
           .orderBy("window_start", "event_type"),
       oracle = Some("""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -141,8 +144,8 @@ object Streaming extends QueryModule {
           .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
             col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
-          .select(col("w.start").as("window_start"), col("event_type"),
-            col("n"), col("sum_value"))
+          .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
           .orderBy("window_start", "event_type"),
       oracle = Some("""
         SELECT time_bucket(INTERVAL '15 minutes', ts)
@@ -163,8 +166,10 @@ object Streaming extends QueryModule {
             col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             round(sum("value"), 4).as("sum_value"))
-          .select(col("user_id"), col("sw.start").as("session_start"),
-            col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+          .select(col("user_id"),
+            col("sw.start").cast("timestamp_ntz").as("session_start"),
+            col("sw.end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"), col("sum_value"))
           .orderBy("user_id", "session_start"),
       oracle = Some("""
         WITH x AS (
@@ -248,10 +253,22 @@ object Streaming extends QueryModule {
           .queryName("graft_swa").option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start() }
         s.table("graft_swa")
-          .select(col("w.start").as("window_start"), col("event_type"),
-            col("n"), col("sum_value"))
+          .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
           .orderBy("window_start", "event_type")
-      }),
+      },
+      // Time-ordered slices ⇒ no event is ever late ⇒ every CLOSED window
+      // emits exactly once. Append mode only emits windows whose end the
+      // final watermark (max ts − 10 min) has passed; trailing windows stay
+      // in state — so the exact batch oracle is the tumbling aggregate
+      // restricted to closed windows.
+      oracle = Some("""
+        WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= (SELECT w FROM wm)
+        GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
     // Streaming dedup within the watermark: first event per (user_id,
     // event_type) while the key's state lives; counts the survivors.

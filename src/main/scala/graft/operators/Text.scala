@@ -50,7 +50,7 @@ object Text extends QueryModule {
           .orderBy("lang", "source"),
       oracle = Some("""
         SELECT lang, source, count(*) AS n_docs,
-               sum(len(string_split(text, ' '))) AS sum_tokens,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
                round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
                min(n_chars) AS min_chars, max(n_chars) AS max_chars
         FROM documents GROUP BY lang, source ORDER BY lang, source""")),
@@ -203,8 +203,8 @@ object Text extends QueryModule {
                           len(string_split(text, ' ')) AS ws_tokens,
                           len(regexp_extract_all(text, '[a-z]{1,4}')) AS sub_tokens
                    FROM documents)
-        SELECT lang, sum(ws_tokens) AS sum_ws_tokens,
-               sum(sub_tokens) AS sum_sub_tokens,
+        SELECT lang, CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+               CAST(sum(sub_tokens) AS BIGINT) AS sum_sub_tokens,
                round(avg(sub_tokens / CAST(ws_tokens AS DOUBLE)), 4)
                  AS avg_pieces_per_word
         FROM d GROUP BY lang ORDER BY lang""")),

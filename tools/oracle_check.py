@@ -44,6 +44,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
+    # The driver compares schemas strictly: a tz-aware Spark timestamp vs
+    # DuckDB's naive TIMESTAMP is a schema mismatch even when the instants
+    # agree (the round-1 blind spot). Flag before norm() hides it.
+    for c in got.columns:
+        if getattr(got[c].dtype, "tz", None) is not None:
+            return f"SCHEMA col={c} is tz-aware ({got[c].dtype}); cast to timestamp_ntz"
     got, exp = norm(got), norm(exp)
     if list(got.columns) != list(exp.columns):
         return f"COLUMNS spark={list(got.columns)} oracle={list(exp.columns)}"
