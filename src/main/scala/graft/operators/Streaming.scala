@@ -332,7 +332,8 @@ object Streaming extends QueryModule {
         val (in, ckpt) = slices(s, dir, "stream_stateful_custom")
         val sp = s
         import sp.implicits._
-        val updates = scala.collection.mutable.Map[Long, (Long, Double)]()
+        val root = Paths.get(ckpt).getParent.toString
+        val sink = s"$root/sink"
         drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .filter(col("event_type") === "purchase")
@@ -349,19 +350,25 @@ object Streaming extends QueryModule {
               (uid, n, t)
           }
           .writeStream.outputMode("update")
-          // Driver-side accumulator is demo-only: per-batch output is one
-          // row per ACTIVE user (bounded); at scale foreachBatch would
-          // upsert into a keyed store instead of collecting.
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
-            batch.collect().foreach { case (u, n, t) =>
-              updates.synchronized { updates(u) = (n, t) }
-            }
+          // Update-mode batches append to a batchId-stamped parquet sink
+          // (executor-side, distributed); the final per-key update is then
+          // the max-batch row on re-read — no data ever visits the driver.
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], batchId: Long) =>
+            batch.toDF("user_id", "n_purchases", "total")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(sink)
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start() }
-        updates.toSeq.map { case (u, (n, t)) => (u, n, t) }
-          .toDF("user_id", "n_purchases", "total")
-          .withColumn("total", round(col("total"), 4))
+        // One row per (user, batch) ⇒ the latest batch per user is the
+        // final state — a standard last-update-per-key window on re-read.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(desc("batch_id"))
+        s.read.parquet(sink)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n_purchases"),
+            round(col("total"), 4).as("total"))
           .orderBy("user_id")
       },
       oracle = Some("""
@@ -385,7 +392,8 @@ object Streaming extends QueryModule {
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          val updates = scala.collection.mutable.Map[Long, (Long, Double)]()
+          val root = Paths.get(ckpt).getParent.toString
+          val sink = s"$root/sink"
           drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
             .option("maxFilesPerTrigger", 1).parquet(in)
             .select(col("user_id"), col("value")).as[(Long, Double)]
@@ -393,17 +401,24 @@ object Streaming extends QueryModule {
             .transformWithState(new UserStatsProcessor,
               TimeMode.None(), OutputMode.Update())
             .writeStream.outputMode("update")
+            // Same distributed last-update-per-key pattern as
+            // stream_stateful_custom: append batchId-stamped updates to
+            // parquet, resolve the final row per key on re-read.
             .foreachBatch {
-              (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], _: Long) =>
-                batch.collect().foreach { case (u, n, mx) =>
-                  updates.synchronized { updates(u) = (n, mx) }
-                }
+              (batch: org.apache.spark.sql.Dataset[(Long, Long, Double)], batchId: Long) =>
+                batch.toDF("user_id", "n_events", "max_value")
+                  .withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(sink)
             }
             .option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start() }
-          updates.toSeq.map { case (u, (n, mx)) => (u, n, mx) }
-            .toDF("user_id", "n_events", "max_value")
-            .withColumn("max_value", round(col("max_value"), 4))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(desc("batch_id"))
+          s.read.parquet(sink)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("n_events"),
+              round(col("max_value"), 4).as("max_value"))
             .orderBy("user_id")
         } finally {
           prior match {
