@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * QUERIES against the layout rather than re-materializing it per query.
   * `sink_parquet` intentionally bypasses this — its job is to time the sink.
   */
-private[operators] object LayoutCache {
+private[graft] object LayoutCache {
 
   private val cache = scala.collection.mutable.Map[String, String]()
 
