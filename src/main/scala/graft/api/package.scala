@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public operator API: the engine's dedup / similarity / text / sketch
+  * primitives as functions over arbitrary DataFrames and Columns, not just
+  * the registry's demo corpus. The registry queries are re-expressed on top
+  * of these, so the verified demo suite and the user-facing API share one
+  * implementation.
+  *
+  * Determinism contract: every hash seed is a fixed literal (no RNG at
+  * runtime), so results are bit-stable across runs, partitionings, and
+  * cluster layouts.
+  */
+package object api {
+
+  /** Training-data deduplication primitives. */
+  object Dedup {
+
+    /** Distinct k-word shingles of a whitespace-tokenized text column
+      * (pure column expression; k ≥ 1). Short texts yield their single
+      * truncated shingle rather than an empty set.
+      */
+    def shingles(text: Column, k: Int = 3): Column = {
+      val w = split(text, " ")
+      array_distinct(
+        transform(sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
+          i => concat_ws(" ",
+            (0 until k).map(j => element_at(w, i + j)): _*)))
+    }
+
+    /** MinHash signatures over k-shingles: one row per input id with a
+      * `sig` array of `numHashes` 64-bit minimums.
+      *
+      * Fully codegen'd (no interpreted lambdas in the hot path): tokens are
+      * posexploded, each k-shingle is formed with window `lead`, hashed
+      * once with xxhash64, and the signature is `numHashes` salted
+      * min-aggregates. Partial aggregation means the shuffle carries one
+      * signature row per (partition, id) — the layout that holds at 100 TB.
+      * MinHash is multiset-invariant, so no distinct pass is needed.
+      */
+    def minhashSignatures(
+        df: DataFrame, id: Column, text: Column,
+        numHashes: Int = 32, k: Int = 3): DataFrame = {
+      val w = Window.partitionBy("id").orderBy("pos")
+      val sh = df
+        .select(id.as("id"), posexplode(split(text, " ")))
+        .toDF("id", "pos", "tok")
+        // concat_ws skips null leads at the tail, matching the shorter
+        // tail shingles of the array formulation in `shingles`.
+        .select(col("id"), concat_ws(" ",
+          (col("tok") +: (1 until k).map(j => lead("tok", j).over(w))): _*)
+          .as("sh"))
+        .withColumn("h", xxhash64(col("sh")))
+      val mins =
+        (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+      sh.groupBy("id").agg(mins.head, mins.tail: _*)
+        .select(col("id"),
+          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    }
+
+    /** MinHash + LSH near-duplicate pairs: signatures are cut into `bands`,
+      * docs sharing any band become candidates (equi-join on the band key —
+      * never an all-pairs comparison), candidates are scored by signature
+      * agreement and thresholded at `minJaccard`.
+      *
+      * Output: (id_a, id_b, est_jaccard) with id_a < id_b, one row per pair.
+      */
+    def minhashNearDuplicates(
+        df: DataFrame, id: Column, text: Column,
+        numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.4,
+        k: Int = 3): DataFrame = {
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      val rows = numHashes / bands
+      // Persisted: the banded self-join would otherwise recompute the whole
+      // shingle→hash→min pipeline on both build and probe sides.
+      val sigs = minhashSignatures(df, id, text, numHashes, k).persist()
+      val banded = sigs
+        .select(col("id"), col("sig"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("bsig", slice(col("sig"), col("band") * rows + 1, lit(rows)))
+        .withColumn("bkey", xxhash64(col("band"), col("bsig")))
+      val pairs = banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.bkey") === col("b.bkey") &&
+            col("a.bsig") === col("b.bsig") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .distinct()
+      pairs
+        .withColumn("est_jaccard", round(
+          aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v) / numHashes.toDouble, 4))
+        .filter(col("est_jaccard") >= minJaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    }
+
+    /** 64-bit SimHash signatures: sign-aggregated token-hash bits weighted
+      * by token frequency. Output: (id, simhash).
+      */
+    def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame =
+      df.select(id.as("id"), explode(split(text, " ")).as("token"))
+        .groupBy("id", "token").agg(count(lit(1)).as("cnt"))
+        .withColumn("h", xxhash64(col("token")))
+        .select(col("id"), posexplode(expr(
+          """transform(sequence(0, 63),
+             k -> CASE WHEN (shiftright(h, k) & 1) = 1
+                  THEN CAST(cnt AS BIGINT) ELSE -cnt END)""")))
+        .groupBy(col("id"), col("pos")).agg(sum("col").as("bit_sum"))
+        .groupBy("id")
+        .agg(sum(when(col("bit_sum") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
+          .as("simhash"))
+
+    /** Exact duplicate groups by normalized-text digest: one row per
+      * distinct normalized text with the minimum id as keeper. Grouping on
+      * the 256-bit digest keeps the shuffle key at 64 bytes regardless of
+      * document size. Output: (keep_id, n_copies, text_sha).
+      */
+    def exactDuplicates(df: DataFrame, id: Column, text: Column): DataFrame =
+      df.groupBy(sha2(lower(trim(text)), 256).as("text_sha"))
+        .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("text_sha"))
+  }
+
+  /** Vector similarity search primitives. */
+  object Similarity {
+
+    /** Fused single-pass cosine similarity (custom codegen Catalyst
+      * expression): float inputs are promoted elementwise to double and
+      * accumulated sequentially — bit-identical to a sequential-fold
+      * formulation, with no per-element boxing.
+      */
+    def cosine(a: Column, b: Column): Column =
+      graft.functions.CosineSimilarity(a, b)
+
+    /** Signed-random-projection LSH signature: `numPlanes` sign bits packed
+      * into an int bucket id in [0, 2^numPlanes). Hyperplanes are generated
+      * from the fixed seed at plan time and inlined as literals, so
+      * signatures are deterministic everywhere. Expects a double array
+      * (cast float embeddings first).
+      */
+    def lshSignature(
+        e: Column, numPlanes: Int = 6, dim: Int = 64,
+        seed: Long = 42L): Column = {
+      val rnd = new java.util.Random(seed)
+      val planes: Column =
+        typedlit(Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian())))
+      aggregate(
+        transform(sequence(lit(0), lit(numPlanes - 1)),
+          j => when(
+            aggregate(zip_with(e, element_at(planes, j + 1), (x, p) => x * p),
+              lit(0.0), (acc, x) => acc + x) > 0,
+            pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
+        lit(0), (acc, b) => acc + b)
+    }
+
+    /** Exact brute-force cosine top-k: every query row against every
+      * candidate row. The query side is broadcast, so the plan streams the
+      * candidate table once with no shuffle of the big side — the right
+      * baseline at any scale when queries are few.
+      *
+      * Output: (query_id, rank, cand_id, cos), rank 1..k per query,
+      * ties broken on round(cos, 6) then cand_id. Self-matches (equal ids)
+      * are excluded.
+      */
+    def cosineTopK(
+        queries: DataFrame, queryId: Column, queryVec: Column,
+        candidates: DataFrame, candId: Column, candVec: Column,
+        topK: Int = 5): DataFrame = {
+      val q = queries.select(queryId.as("query_id"), queryVec.as("qe"))
+      val c = candidates.select(candId.as("cand_id"), candVec.as("e"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+      broadcast(q).join(c, col("cand_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qe"), col("e")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
+    }
+  }
+
+  /** Approximate sketch aggregates. */
+  object Sketches {
+
+    /** HyperLogLog approximate distinct count of a LONG column as an
+      * aggregate Column (from-scratch dense HLL, 2^p registers; standard
+      * error ≈ 1.04/sqrt(2^p) ⇒ ~1.6% at the default p=12).
+      */
+    def hllCountDistinct(c: Column, p: Int = 12): Column =
+      udaf(new graft.functions.HyperLogLog(p)).apply(c)
+  }
+
+  /** Text analysis primitives. */
+  object Text {
+
+    /** Whitespace token count (pure column expression). */
+    def tokenCount(text: Column): Column = size(split(text, " "))
+
+    /** 31-ary rolling-hash fingerprint over the characters, mod 1e9+7
+      * (intermediates stay < 2^35, exact in 64-bit).
+      */
+    def fingerprint(text: Column): Column =
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => ascii(text.substr(i, lit(1)))),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % 1000000007L)
+  }
+}

@@ -31,43 +31,17 @@ object Dedup extends QueryModule {
         expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
-  /** Distinct 3-word shingles of a space-tokenized text column. */
+  /** Distinct 3-word shingles via the public API (graft.api.Dedup). */
   private def shingled(df: DataFrame): DataFrame =
-    df.withColumn("w", split(col("text"), " "))
-      .withColumn("shingles", array_distinct(
-        transform(sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
-          i => concat_ws(" ", element_at(col("w"), i),
-            element_at(col("w"), i + 1), element_at(col("w"), i + 2)))))
+    df.withColumn("shingles", graft.api.Dedup.shingles(col("text")))
 
-  /** 32-value MinHash signatures, fully codegen'd.
-    *
-    * Two prior shapes measured slow at sf0.1: nested HOF lambdas (14s —
-    * interpreted, inner hash re-inlined under every salt) and
-    * shingle-array building via transform/concat_ws (5s — interpreted
-    * per-element lambda). This shape has no lambdas at all: posexplode the
-    * tokens (codegen Generate), form each 3-shingle with window `lead`
-    * (codegen), hash the shingle string once, then 32 salted
-    * min-aggregates over the 8-byte value. MinHash is multiset-invariant,
-    * so no distinct pass is needed. Partial aggregation means the shuffle
-    * carries one 32-long row per (partition, doc) — the layout that holds
-    * at any scale.
+  /** 32-value MinHash signatures via the public API (graft.api.Dedup;
+    * codegen pipeline rationale documented there — measured 14s→2.7s at
+    * sf0.1 vs the interpreted nested-lambda shape).
     */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val sh = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "pos", "tok")
-      // concat_ws skips the null leads at the tail, matching the shorter
-      // tail shingles of the array formulation.
-      .select(col("doc_id"), concat_ws(" ", col("tok"),
-        lead("tok", 1).over(w), lead("tok", 2).over(w)).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
-    val mins = (0 until 32).map(k => min(xxhash64(lit(k), col("h"))).as(s"m$k"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 32).map(k => col(s"m$k")): _*).as("sig"))
-  }
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    graft.api.Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
 
   def all: Seq[Q] = Seq(
     // Exact dedup by normalized-text hash: one keeper (min doc_id) per
@@ -78,10 +52,8 @@ object Dedup extends QueryModule {
     Q(
       "dedup_exact",
       (s, dir) =>
-        Tables.documents(s, dir)
-          .groupBy(sha2(lower(trim(col("text"))), 256).as("text_sha"))
-          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-          .select(col("keep_id"), col("n_copies"), col("text_sha"))
+        graft.api.Dedup.exactDuplicates(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
           .orderBy("keep_id"),
       oracle = Some("""
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
@@ -94,33 +66,13 @@ object Dedup extends QueryModule {
     // scored by signature agreement and thresholded.
     Q(
       "dedup_minhash",
-      (s, dir) => {
-        // Persisted: the banded self-join would otherwise recompute the
-        // whole shingle→hash→min pipeline on both build and probe sides.
-        val sigs = minhashSigs(withPlanted(s, dir)).persist()
-        val banded = sigs
-          .select(col("doc_id"), col("sig"),
-            explode(sequence(lit(0), lit(7))).as("band"))
-          .withColumn("bsig", slice(col("sig"), col("band") * 4 + 1, lit(4)))
-          .withColumn("bkey", xxhash64(col("band"), col("bsig")))
-        val pairs = banded.alias("a")
-          .join(banded.alias("b"),
-            col("a.bkey") === col("b.bkey") &&
-              col("a.bsig") === col("b.bsig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-          .distinct()
-        pairs
-          .withColumn("est_jaccard", round(
-            aggregate(
-              zip_with(col("sig_a"), col("sig_b"),
-                (x, y) => when(x === y, 1).otherwise(0)),
-              lit(0), (acc, v) => acc + v) / 32.0, 4))
-          .filter(col("est_jaccard") >= 0.4)
-          .select("doc_a", "doc_b", "est_jaccard")
-          .orderBy("doc_a", "doc_b")
-      }),
+      (s, dir) =>
+        graft.api.Dedup.minhashNearDuplicates(
+          withPlanted(s, dir), col("doc_id"), col("text"),
+          numHashes = 32, bands = 8, minJaccard = 0.4)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("est_jaccard"))
+          .orderBy("doc_a", "doc_b")),
 
     // SimHash: 64-bit signature from sign-aggregated token-hash bits
     // (explode tokens → per-bit ±count → reassemble), evaluated on the
@@ -130,20 +82,9 @@ object Dedup extends QueryModule {
     Q(
       "dedup_simhash",
       (s, dir) => {
-        val tok = withPlanted(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-          .withColumn("h", xxhash64(col("token")))
-        val sim = tok
-          .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(0, 63),
-               k -> CASE WHEN (shiftright(h, k) & 1) = 1
-                    THEN CAST(cnt AS BIGINT) ELSE -cnt END)""")))
-          .groupBy(col("doc_id"), col("pos")).agg(sum("col").as("bit_sum"))
-          .groupBy("doc_id")
-          .agg(sum(when(col("bit_sum") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
-            .as("simhash"))
+        val sim = graft.api.Dedup.simhashSignatures(
+          withPlanted(s, dir), col("doc_id"), col("text"))
+          .withColumnRenamed("id", "doc_id")
         val a = sim.filter(col("doc_id") < 10)
           .select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
         val b = sim.filter(col("doc_id") >= 1000000L)

@@ -31,45 +31,26 @@ object Similarity extends QueryModule {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").as("e"))
 
-  /** Fused single-pass cosine (graft.functions.CosineSimilarity): same
-    * float→double promotion and sequential accumulation as the DuckDB
-    * oracle's list_dot_product formulation, but codegen'd — no per-element
-    * lambda boxing in the hot loop.
-    */
+  /** Fused single-pass codegen cosine via the public API. */
   private def cosine(ea: Column, eb: Column): Column =
-    graft.functions.CosineSimilarity(ea, eb)
+    graft.api.Similarity.cosine(ea, eb)
 
-  /** 6 fixed-seed random hyperplanes (dim 64), inlined as a literal. */
-  private lazy val planes: Column = {
-    val rnd = new java.util.Random(42)
-    typedlit(Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian())))
-  }
-
-  /** Signed-random-projection LSH signature: 6 sign bits → int 0..63. */
+  /** Signed-random-projection LSH signature (6 sign bits → int 0..63) via
+    * the public API (fixed-seed hyperplanes inlined as literals).
+    */
   private def lshSig(e: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(5)),
-        j => when(
-          aggregate(zip_with(e, element_at(planes, j + 1), (x, p) => x * p),
-            lit(0.0), (acc, x) => acc + x) > 0,
-          pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
-      lit(0), (acc, b) => acc + b)
+    graft.api.Similarity.lshSignature(e, numPlanes = 6, dim = 64, seed = 42L)
 
   def all: Seq[Q] = Seq(
-    // Exact brute-force cosine top-5 per query vector (queries: vec_id<10).
+    // Exact brute-force cosine top-5 per query vector (queries: vec_id<10),
+    // expressed on the public API's broadcast-BNLJ top-k.
     Q(
       "sim_cosine_topk",
       (s, dir) => {
         val v = vecs(s, dir)
-        val q = v.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("e").as("qe"))
-        val c = v.select(col("vec_id").as("cand_id"), col("e"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
-        broadcast(q).join(c, col("cand_id") =!= col("query_id"))
-          .withColumn("cos", cosine(col("qe"), col("e")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
+        graft.api.Similarity.cosineTopK(
+          v.filter(col("vec_id") < 10), col("vec_id"), col("e"),
+          v, col("vec_id"), col("e"), topK = 5)
           .select(col("query_id"), col("rank"), col("cand_id"),
             round(col("cos"), 4).as("cos_sim"))
           .orderBy("query_id", "rank")

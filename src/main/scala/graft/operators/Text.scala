@@ -39,7 +39,7 @@ object Text extends QueryModule {
       "text_stats",
       (s, dir) =>
         Tables.documents(s, dir)
-          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("n_tokens", graft.api.Text.tokenCount(col("text")))
           .groupBy(col("lang"), col("source"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -189,7 +189,7 @@ object Text extends QueryModule {
       "text_token_count",
       (s, dir) =>
         Tables.documents(s, dir)
-          .withColumn("ws_tokens", size(split(col("text"), " ")))
+          .withColumn("ws_tokens", graft.api.Text.tokenCount(col("text")))
           .withColumn("sub_tokens", regexp_count(col("text"), lit("[a-z]{1,4}")))
           .groupBy(col("lang"))
           .agg(
@@ -218,11 +218,7 @@ object Text extends QueryModule {
         Tables.documents(s, dir)
           .filter(col("doc_id") < 200)
           .select(col("doc_id"),
-            aggregate(
-              transform(sequence(lit(1), length(col("text"))),
-                i => ascii(col("text").substr(i, lit(1)))),
-              lit(0L),
-              (acc, c) => (acc * 31 + c) % 1000000007L).as("fingerprint"))
+            graft.api.Text.fingerprint(col("text")).as("fingerprint"))
           .orderBy("doc_id"),
       oracle = Some("""
         SELECT doc_id,

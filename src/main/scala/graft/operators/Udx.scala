@@ -106,15 +106,14 @@ object Udx extends QueryModule {
     // no oracle; HllSpec bounds the relative error.
     Q(
       "udaf_hll",
-      (s, dir) => {
-        val hll = udaf(new graft.functions.HyperLogLog(12))
+      (s, dir) =>
         Tables.events(s, dir)
           .groupBy("event_type")
           .agg(
-            hll(col("user_id")).as("hll_users"),
+            graft.api.Sketches.hllCountDistinct(col("user_id"), 12)
+              .as("hll_users"),
             countDistinct("user_id").as("exact_users"))
-          .orderBy("event_type")
-      }),
+          .orderBy("event_type")),
 
     // The custom codegen Expression (graft.functions.CosineSimilarity):
     // similarity of every embedding to the vec_id=0 reference vector,

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public graft.api surface exercised on NON-corpus DataFrames built
+  * inline — proving the operators are callable engine functions over
+  * arbitrary (DataFrame, Column) inputs, not registry demos hard-wired to
+  * the test tables.
+  */
+class ApiSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "completely different content about spark catalyst optimizer rules"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (5L, "ANOTHER unrelated document mentioning shuffle partitions and joins")
+    ).toDF("id", "body")
+  }
+
+  test("minhashNearDuplicates finds the perturbed pair, not the unrelated ones") {
+    val pairs = api.Dedup.minhashNearDuplicates(
+      docs, col("id"), col("body"), numHashes = 32, bands = 8,
+      minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1↔2 near-dup (one token dropped), 1↔4 and 2↔4 exact-text pairs;
+    // 3 and 5 must never pair with anything.
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("exactDuplicates groups identical normalized text") {
+    val groups = api.Dedup.exactDuplicates(docs, col("id"), col("body"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ids 1 and 4 share a text → keeper 1 with 2 copies; 4 groups total.
+    assert(groups.length == 4)
+    assert(groups.contains((1L, 2L)))
+  }
+
+  test("simhashSignatures: near-dups are close in hamming, unrelated far") {
+    val sig = api.Dedup.simhashSignatures(docs, col("id"), col("body"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sig(1L) == sig(4L)) // identical text, identical signature
+    assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
+  }
+
+  test("shingles column expression produces distinct k-grams") {
+    val sh = docs.filter(col("id") === 3)
+      .select(api.Dedup.shingles(col("body"), k = 2))
+      .collect()(0).getSeq[String](0)
+    assert(sh.contains("completely different"))
+    assert(sh.contains("catalyst optimizer"))
+    assert(sh.distinct.length == sh.length)
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vid", "v")
+    val top = api.Similarity.cosineTopK(
+      vecs.filter(col("vid") === 0), col("vid"), col("v"),
+      vecs, col("vid"), col("v"), topK = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(top(0).getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("lshSignature is deterministic and buckets identical vectors together") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = Seq(
+      (0L, Seq.tabulate(64)(i => math.sin(i + 1))),
+      (1L, Seq.tabulate(64)(i => math.sin(i + 1))),
+      (2L, Seq.tabulate(64)(i => math.cos(3 * i + 2)))
+    ).toDF("vid", "v")
+    val sig = vecs.select(col("vid"),
+      api.Similarity.lshSignature(col("v")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig.values.forall(s => s >= 0 && s < 64))
+    // Re-evaluation yields the same buckets (plan-time literal planes).
+    val sig2 = vecs.select(col("vid"),
+      api.Similarity.lshSignature(col("v")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sig == sig2)
+  }
+
+  test("hllCountDistinct estimates within dense-HLL error bounds") {
+    val sp = spark
+    import sp.implicits._
+    val n = 5000
+    val est = (0 until n).map(_.toLong).toDF("x")
+      .agg(api.Sketches.hllCountDistinct(col("x")).as("est"))
+      .collect()(0).getLong(0)
+    // p=12 ⇒ σ ≈ 1.63%; 5σ bound keeps the test deterministic-safe.
+    assert(math.abs(est - n) < n * 0.082, s"est=$est for n=$n")
+  }
+
+  test("Text.fingerprint matches the hand-computed rolling hash") {
+    val sp = spark
+    import sp.implicits._
+    // "ab" → (0*31+97)*31+98 = 3105
+    val fp = Seq("ab").toDF("t")
+      .select(api.Text.fingerprint(col("t"))).collect()(0).getLong(0)
+    assert(fp == 3105L)
+    val tc = Seq("one two  three").toDF("t")
+      .select(api.Text.tokenCount(col("t"))).collect()(0).getInt(0)
+    assert(tc == 4) // split on single space: empty token counts, as documented
+  }
+}
