@@ -88,7 +88,10 @@ object Tables {
     * it reads the same file, so both engines see identical instants.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session-level flag, set once per session (guarded: repeated sets from
+    // concurrent query builds would race on the shared conf).
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
     apply(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -245,7 +245,8 @@ object Joins extends QueryModule {
     // or before the event timestamp (non-strict, ties broken by orderkey).
     // Composed as equi-join on the entity key + range predicate + top-1
     // window per event — the standard Spark strategy for point-in-time
-    // lookups; shuffles on user_id/o_custkey only.
+    // lookups. The join shuffles on user_id/o_custkey; the top-1 window
+    // then re-shuffles on event_id (its partition key).
     Q(
       "join_asof",
       (s, dir) => {

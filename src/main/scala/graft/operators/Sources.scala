@@ -87,6 +87,78 @@ object Sources extends QueryModule {
       oracle = Some("""
         SELECT * FROM supplier ORDER BY s_suppkey""")),
 
+    // Record-level ingestion safety for CSV: every 5th nation row is
+    // written with a non-numeric n_regionkey, then read back PERMISSIVE
+    // with a corrupt-record column. Malformed fields become null, the raw
+    // line is preserved for quarantine, and the read NEVER throws — at
+    // 100 TB a single bad record must not kill the pipeline (fn_try_ansi
+    // covers value-level safety; this covers record-level).
+    Q(
+      "scan_csv_corrupt",
+      (s, dir) => {
+        val out = Scratch.fresh("scan_csv_corrupt")
+        Tables.nation(s, dir)
+          .select(concat_ws(",",
+            col("n_nationkey"), col("n_name"),
+            // Both branches string: under ANSI coercion a STRING/INT CASE
+            // unifies to BIGINT and casting 'XX' would throw at write time.
+            when(col("n_nationkey") % 5 === 0, lit("XX"))
+              .otherwise(col("n_regionkey").cast("string"))).as("value"))
+          .write.mode("overwrite").text(out)
+        val schema = Tables.schemas("nation")
+          .add("_bad", org.apache.spark.sql.types.StringType)
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(out)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+            col("_bad").isNotNull.as("is_corrupt"))
+          .orderBy("n_nationkey")
+      },
+      oracle = Some("""
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                    ELSE n_regionkey END AS n_regionkey,
+               n_nationkey % 5 = 0 AS is_corrupt
+        FROM nation ORDER BY n_nationkey""")),
+
+    // Record-level ingestion safety for JSON: every 7th supplier row is
+    // written as a truncated (unparseable) JSON line. PERMISSIVE parsing
+    // nulls all fields for those rows and captures the raw line; the
+    // aggregate proves exactly the planted rows were quarantined and the
+    // good rows survived bit-intact.
+    Q(
+      "scan_json_corrupt",
+      (s, dir) => {
+        val out = Scratch.fresh("scan_json_corrupt")
+        Tables.supplier(s, dir)
+          .select(
+            when(col("s_suppkey") % 7 === 0,
+              concat(lit("{\"s_suppkey\": "), col("s_suppkey"),
+                lit(", \"s_name\": ")))
+              .otherwise(to_json(struct(col("s_suppkey"), col("s_name"),
+                col("s_nationkey"), col("s_acctbal")))).as("value"))
+          .write.mode("overwrite").text(out)
+        val schema = Tables.schemas("supplier")
+          .add("_bad", org.apache.spark.sql.types.StringType)
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .json(out)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("s_suppkey")).as("n_good"),
+            count(col("_bad")).as("n_corrupt"),
+            round(sum("s_acctbal"), 4).as("good_acctbal"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (WHERE s_suppkey % 7 <> 0) AS n_good,
+               count(*) FILTER (WHERE s_suppkey % 7 = 0) AS n_corrupt,
+               round(sum(s_acctbal) FILTER (WHERE s_suppkey % 7 <> 0), 4)
+                 AS good_acctbal
+        FROM supplier""")),
+
     // ORC round-trip: the second columnar format, same explicit-schema
     // discipline. Spark's ORC reader is vectorized like parquet's.
     Q(
