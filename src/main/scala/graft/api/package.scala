@@ -196,6 +196,63 @@ package object api {
       udaf(new graft.functions.HyperLogLog(p)).apply(c)
   }
 
+  /** Multimodal decode: real pure-JVM codecs (graft.functions.Codecs) over
+    * opaque binary payload columns. mapPartitions is the right tool here —
+    * per-row opaque byte work with no relational structure to expose to
+    * Catalyst — and the decode fans out map-side with no shuffle.
+    */
+  object Multimodal {
+
+    /** Decode PCM WAV payloads and emit per-file audio stats:
+      * (id, sample_rate, n_samples, peak_abs, sum_sq). Rows that fail to
+      * decode are dropped (quarantine them upstream via a try if needed).
+      */
+    def wavStats(df: DataFrame, id: Column, payload: Column): DataFrame = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val w = graft.functions.Codecs.decodeWav(bytes)
+              var peak = 0L; var sumSq = 0L
+              w.samples.foreach { s =>
+                val v = s.toLong
+                if (math.abs(v) > peak) peak = math.abs(v)
+                sumSq += v * v
+              }
+              (i, w.sampleRate, w.samples.length.toLong, peak, sumSq)
+            }.toOption
+          }
+        }
+        .toDF("id", "sample_rate", "n_samples", "peak_abs", "sum_sq")
+    }
+
+    /** Decode 24-bpp BMP payloads and emit per-image pixel stats:
+      * (id, width, height, n_pixels, sum_red, mean_px) where mean_px
+      * averages all three channels.
+      */
+    def bmpStats(df: DataFrame, id: Column, payload: Column): DataFrame = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val bmp = graft.functions.Codecs.decodeBmp(bytes)
+              var sumR = 0L; var sumAll = 0L
+              bmp.pixels.foreach(_.foreach { case (b, g, r) =>
+                sumR += r; sumAll += b + g + r
+              })
+              val n = bmp.width.toLong * bmp.height
+              (i, bmp.width, bmp.height, n, sumR, sumAll / (3.0 * n))
+            }.toOption
+          }
+        }
+        .toDF("id", "width", "height", "n_pixels", "sum_red", "mean_px")
+    }
+  }
+
   /** Text analysis primitives. */
   object Text {
 

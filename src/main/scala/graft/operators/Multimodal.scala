@@ -105,6 +105,93 @@ object Multimodal extends QueryModule {
             xxhash64(col("features")).as("feature_sig"))
           .orderBy("doc_id")),
 
+    // REAL audio decode: each doc gets a complete PCM WAV file assembled
+    // byte-for-byte (RIFF/fmt/data chunks, little-endian — Codecs.encodeWav)
+    // with deterministic samples; the operator then decodes the actual
+    // bytes (magic validation, chunk walk, 16-bit PCM read) and aggregates
+    // audio stats. The oracle recomputes the same stats arithmetically —
+    // if the codec mis-parsed a single header field or sample, the hash
+    // would differ.
+    Q(
+      "mm_wav_decode",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .map { case (id, nChars) =>
+            val sr = (8000 + (id % 4) * 4000).toInt
+            val n = (nChars % 2000 + 100).toInt
+            val samples = Array.tabulate[Short](n)(
+              i => (((id * 31 + i * 7) % 65536) - 32768).toShort)
+            (id, graft.functions.Codecs.encodeWav(sr, samples))
+          }
+          .toDF("doc_id", "payload")
+        graft.api.Multimodal.wavStats(encoded, col("doc_id"), col("payload"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, n_chars % 2000 + 100 AS n
+                   FROM documents WHERE doc_id < 100),
+        s AS (
+          SELECT doc_id, n,
+                 ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+          FROM d, LATERAL (SELECT unnest(generate_series(0, CAST(n - 1 AS INT))) AS i))
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM s GROUP BY doc_id, n ORDER BY doc_id""")),
+
+    // REAL image decode: each doc gets a complete 24-bpp BMP assembled
+    // byte-for-byte (file+info headers, bottom-up rows, 4-byte padding —
+    // Codecs.encodeBmp) with pixel (x,y) = (x*7 + y*13 + doc_id) % 256 on
+    // all channels; the operator decodes the actual bytes (honoring
+    // padding and row order) and aggregates pixel stats against an
+    // arithmetic oracle.
+    Q(
+      "mm_bmp_decode",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            val w = (id % 16 + 4).toInt
+            val h = (id % 12 + 4).toInt
+            val bytes = graft.functions.Codecs.encodeBmp(w, h, (x, y) => {
+              val v = ((x * 7 + y * 13 + id) % 256).toInt
+              (v, v, v)
+            })
+            (id, bytes)
+          }
+          .toDF("doc_id", "payload")
+        graft.api.Multimodal.bmpStats(encoded, col("doc_id"), col("payload"))
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("mean_px", round(col("mean_px"), 4))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+                          CAST(doc_id % 12 + 4 AS INT) AS h
+                   FROM documents WHERE doc_id < 100),
+        px AS (
+          SELECT doc_id, w, h, (x * 7 + y * 13 + doc_id) % 256 AS v
+          FROM d,
+               LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+               LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y))
+        SELECT doc_id, w AS width, h AS height,
+               CAST(w AS BIGINT) * h AS n_pixels,
+               CAST(sum(v) AS BIGINT) AS sum_red,
+               round(sum(v * 3) / (3.0 * w * h), 4) AS mean_px
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // Typed mapPartitions "resize": partition-wise batch processing with a
     // case-class Encoder — the Scala analogue of mapInPandas batches. The
     // resize itself is stubbed to halved dimensions + a deterministic
