@@ -194,6 +194,19 @@ package object api {
       */
     def hllCountDistinct(c: Column, p: Int = 12): Column =
       udaf(new graft.functions.HyperLogLog(p)).apply(c)
+
+    /** HLL sketch-as-column aggregate: emits the raw register buffer
+      * (BINARY) instead of an estimate, for storage in rollup tables.
+      */
+    def hllSketch(c: Column, p: Int = 12): Column =
+      udaf(new graft.functions.HllSketch(p)).apply(c)
+
+    /** Union pre-aggregated sketch columns into a distinct-count estimate.
+      * Register-max union is lossless: merging per-group sketches yields
+      * the bit-identical estimate to sketching the raw union.
+      */
+    def hllMerge(sketch: Column, p: Int = 12): Column =
+      udaf(new graft.functions.HllMerge(p)).apply(sketch)
   }
 
   /** Multimodal decode: real pure-JVM codecs (graft.functions.Codecs) over

@@ -18,19 +18,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * Hashing uses the 64-bit finalizer of SplitMix64 over the input long —
   * deterministic everywhere, no RNG.
   */
-class HyperLogLog(p: Int = 12)
-    extends Aggregator[Long, Array[Byte], Long] with Serializable {
-  require(p >= 4 && p <= 16, s"precision $p out of range [4,16]")
+object Hll {
 
-  private val m = 1 << p
-  private val alpha = p match {
-    case 4 => 0.673
-    case 5 => 0.697
-    case 6 => 0.709
-    case _ => 0.7213 / (1.0 + 1.079 / m)
-  }
-
-  private def hash(x: Long): Long = {
+  def hash(x: Long): Long = {
     // SplitMix64 finalizer — public-domain mixing constants.
     var z = x + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -38,9 +28,17 @@ class HyperLogLog(p: Int = 12)
     z ^ (z >>> 31)
   }
 
-  def zero: Array[Byte] = new Array[Byte](m)
+  def alpha(p: Int): Double = {
+    val m = 1 << p
+    p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+  }
 
-  def reduce(buf: Array[Byte], x: Long): Array[Byte] = {
+  def reduce(buf: Array[Byte], x: Long, p: Int): Array[Byte] = {
     val h = hash(x)
     val idx = (h >>> (64 - p)).toInt
     val rest = h << p
@@ -49,13 +47,15 @@ class HyperLogLog(p: Int = 12)
     buf
   }
 
+  /** Element-wise max into `a` — the lossless sketch union. */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     var i = 0
-    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a
   }
 
-  def finish(buf: Array[Byte]): Long = {
+  def estimate(buf: Array[Byte], p: Int): Long = {
+    val m = 1 << p
     var invSum = 0.0
     var zeros = 0
     var i = 0
@@ -64,13 +64,55 @@ class HyperLogLog(p: Int = 12)
       if (buf(i) == 0) zeros += 1
       i += 1
     }
-    val raw = alpha * m * m / invSum
+    val raw = alpha(p) * m * m / invSum
     val est =
       if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
       else raw
     math.round(est)
   }
+}
 
+class HyperLogLog(p: Int = 12)
+    extends Aggregator[Long, Array[Byte], Long] with Serializable {
+  require(p >= 4 && p <= 16, s"precision $p out of range [4,16]")
+
+  def zero: Array[Byte] = new Array[Byte](1 << p)
+  def reduce(buf: Array[Byte], x: Long): Array[Byte] = Hll.reduce(buf, x, p)
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
+  def finish(buf: Array[Byte]): Long = Hll.estimate(buf, p)
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** Sketch-as-column: aggregates raw values into the HLL register buffer
+  * itself. Pre-aggregated sketches can be stored alongside rollup tables
+  * and later unioned with [[HllMerge]] — the pattern that lets a 100 TB
+  * pipeline answer distinct-count questions over any group combination
+  * without re-reading raw data. Register-max union is lossless, so the
+  * merged estimate is bit-identical to sketching the raw union.
+  */
+class HllSketch(p: Int = 12)
+    extends Aggregator[Long, Array[Byte], Array[Byte]] with Serializable {
+  require(p >= 4 && p <= 16, s"precision $p out of range [4,16]")
+
+  def zero: Array[Byte] = new Array[Byte](1 << p)
+  def reduce(buf: Array[Byte], x: Long): Array[Byte] = Hll.reduce(buf, x, p)
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
+  def finish(buf: Array[Byte]): Array[Byte] = buf
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Union of pre-aggregated HLL sketch columns → distinct-count estimate. */
+class HllMerge(p: Int = 12)
+    extends Aggregator[Array[Byte], Array[Byte], Long] with Serializable {
+  require(p >= 4 && p <= 16, s"precision $p out of range [4,16]")
+
+  def zero: Array[Byte] = new Array[Byte](1 << p)
+  def reduce(buf: Array[Byte], sk: Array[Byte]): Array[Byte] =
+    Hll.merge(buf, sk)
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
+  def finish(buf: Array[Byte]): Long = Hll.estimate(buf, p)
   def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

@@ -245,6 +245,67 @@ object Streaming extends QueryModule {
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Native partitioned streaming file sink: the micro-batch stream writes
+    // directly into a Hive-partitioned parquet layout (event_type dirs)
+    // with exactly-once tracking via the sink's file manifest log. The
+    // re-read filters on the partition column, so downstream consumers get
+    // partition pruning over data that was laid out correctly at ingest —
+    // at 100 TB/day this layout decision at the sink is what makes every
+    // later query prunable.
+    Q(
+      "stream_sink_partitioned",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_sink_partitioned")
+        val root = Paths.get(ckpt).getParent.toString
+        val sink = s"$root/sink"
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .writeStream.format("parquet")
+          .partitionBy("event_type")
+          .option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start() }
+        s.read.parquet(sink)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum("value"), 4).as("sum_value"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // Rate-limited generator source (the Kafka-shaped ingest emulation: no
+    // Kafka jar ships in this container, and rate-micro-batch is the
+    // deterministic stand-in Spark provides). rowsPerBatch pins exactly
+    // which values the micro-batch carries (AvailableNow drains the one
+    // currently-available batch), so the streamed aggregate is
+    // arithmetically checkable: values 0..2499.
+    Q(
+      "stream_rate_source",
+      (s, dir) => {
+        val ckpt = s"${Scratch.fresh("stream_rate_source")}/ckpt"
+        drive(s) { s.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", 2500)
+          .option("numPartitions", 4)
+          .option("startTimestamp", 1700000000000L)
+          .load()
+          .groupBy((col("value") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("graft_srs").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start() }
+        s.table("graft_srs").orderBy("bucket")
+      },
+      oracle = Some("""
+        SELECT i % 10 AS bucket, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_value
+        FROM (SELECT unnest(generate_series(0, 2499)) AS i)
+        GROUP BY 1 ORDER BY bucket""")),
+
     // Watermarked tumbling-window agg in append mode: a window only emits
     // once the 10-min watermark passes its end, and state for emitted
     // windows is dropped — the mechanism that bounds state at scale.

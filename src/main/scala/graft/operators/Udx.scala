@@ -115,6 +115,37 @@ object Udx extends QueryModule {
             countDistinct("user_id").as("exact_users"))
           .orderBy("event_type")),
 
+    // Sketch-merge rollup: per-(event_type, day) HLL sketches are stored as
+    // BINARY columns (the rollup-table pattern), then unioned per
+    // event_type and finished into an estimate. Register-max union is
+    // lossless, so the merged estimate must equal the direct single-pass
+    // estimate EXACTLY — emitted as merged_minus_direct (all-zero,
+    // self-checked like fn_json_variant) with the exact count alongside.
+    // At 100 TB this is the pattern that answers distinct-count questions
+    // over any group combination without re-reading raw data.
+    Q(
+      "udaf_hll_merge",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val daily = ev
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(graft.api.Sketches.hllSketch(col("user_id"), 12).as("sk"))
+        val merged = daily
+          .groupBy("event_type")
+          .agg(graft.api.Sketches.hllMerge(col("sk"), 12).as("merged_users"))
+        val direct = ev
+          .groupBy("event_type")
+          .agg(
+            graft.api.Sketches.hllCountDistinct(col("user_id"), 12)
+              .as("direct_users"),
+            countDistinct("user_id").as("exact_users"))
+        merged.join(direct, "event_type")
+          .select(col("event_type"), col("merged_users"), col("exact_users"),
+            (col("merged_users") - col("direct_users"))
+              .as("merged_minus_direct"))
+          .orderBy("event_type")
+      }),
+
     // The custom codegen Expression (graft.functions.CosineSimilarity):
     // similarity of every embedding to the vec_id=0 reference vector,
     // computed in a single fused whole-stage-codegen pass (no UDF boxing).

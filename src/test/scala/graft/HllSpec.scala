@@ -42,4 +42,22 @@ class HllSpec extends AnyFunSuite with SparkFixture {
         s"${r.getString(0)}: est=$est exact=$exact")
     }
   }
+
+  test("sketch-as-column merge is bit-identical to direct sketching") {
+    val sp = spark
+    import sp.implicits._
+    // 40k values split across 7 artificial day-groups: per-group sketches
+    // unioned with hllMerge must equal the single-pass estimate EXACTLY
+    // (register-max union is lossless).
+    val df = sp.range(40000)
+      .select(col("id"), (col("id") % 7).as("day"))
+    val perDay = df.groupBy("day")
+      .agg(graft.api.Sketches.hllSketch(col("id")).as("sk"))
+    val merged = perDay.agg(graft.api.Sketches.hllMerge(col("sk")).as("e"))
+      .collect()(0).getLong(0)
+    val direct = df.agg(graft.api.Sketches.hllCountDistinct(col("id")).as("e"))
+      .collect()(0).getLong(0)
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    assert(math.abs(merged - 40000).toDouble / 40000 < 0.05)
+  }
 }
