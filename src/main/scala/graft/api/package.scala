@@ -185,6 +185,58 @@ package object api {
     }
   }
 
+  /** Join strategies Spark lacks as single operators. */
+  object Joins {
+
+    /** As-of join: for each left row, the single latest right row whose
+      * `rightTime` is at or before the left row's `leftTime`, matching on
+      * an equality key. Composed as equi-join + range predicate + top-1
+      * window — the standard Spark strategy for point-in-time lookups
+      * (the join shuffles on the entity key; the top-1 window re-shuffles
+      * on the left row id).
+      *
+      * `leftId` must uniquely identify left rows (it is the window
+      * partition key). Right columns are returned with their own names —
+      * alias them before the call on collision. Ties at the same
+      * `rightTime` break toward the largest `tieBreak` value.
+      */
+    def asOf(
+        left: DataFrame, leftId: Column, leftKey: Column, leftTime: Column,
+        right: DataFrame, rightKey: Column, rightTime: Column,
+        tieBreak: Column): DataFrame = {
+      val l = left.withColumn("_graft_id", leftId)
+        .withColumn("_graft_lk", leftKey).withColumn("_graft_lt", leftTime)
+      val r = right.withColumn("_graft_rk", rightKey)
+        .withColumn("_graft_rt", rightTime).withColumn("_graft_tb", tieBreak)
+      val w = Window.partitionBy("_graft_id")
+        .orderBy(col("_graft_rt").desc, col("_graft_tb").desc)
+      l.join(r, l("_graft_lk") === r("_graft_rk") &&
+          r("_graft_rt") <= l("_graft_lt"))
+        .withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1)
+        .drop("_graft_id", "_graft_lk", "_graft_lt", "_graft_rk",
+          "_graft_rt", "_graft_tb", "_graft_rn")
+    }
+
+    /** Skew-salted equi-join against a small dimension: the fact side gets
+      * a deterministic salt from `factSaltSource` (any high-cardinality
+      * column), the dim side is exploded `salts`×, and the join key becomes
+      * (key, salt) — spreading each hot key over `salts` reducers. Result
+      * is identical to the unsalted join; use when one key dominates the
+      * fact volume and AQE's skew split isn't available (e.g. a
+      * first-shuffle join).
+      */
+    def salted(
+        fact: DataFrame, dim: DataFrame, key: String,
+        factSaltSource: Column, salts: Int = 8): DataFrame = {
+      val f = fact.withColumn("_graft_salt",
+        pmod(xxhash64(factSaltSource), lit(salts)).cast("int"))
+      val d = dim.withColumn("_graft_salt",
+        explode(sequence(lit(0), lit(salts - 1))))
+      f.join(d, Seq(key, "_graft_salt")).drop("_graft_salt")
+    }
+  }
+
   /** Approximate sketch aggregates. */
   object Sketches {
 

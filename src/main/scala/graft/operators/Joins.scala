@@ -189,15 +189,13 @@ object Joins extends QueryModule {
     Q(
       "join_skew_salted",
       (s, dir) => {
-        val salts = 8
         val dim = s.createDataFrame(Seq(
           ("click", "engagement"), ("view", "engagement"),
           ("purchase", "revenue"), ("signup", "growth"),
           ("error", "ops"))).toDF("event_type", "category")
-          .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-        val fact = Tables.events(s, dir)
-          .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)).cast("int"))
-        fact.join(dim, Seq("event_type", "salt"))
+        graft.api.Joins.salted(
+          Tables.events(s, dir), dim, "event_type",
+          factSaltSource = col("event_id"), salts = 8)
           .groupBy("category")
           .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
           .orderBy("category")
@@ -253,14 +251,11 @@ object Joins extends QueryModule {
         val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
         val o = Tables.orders(s, dir)
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-        val joined = e.join(o,
-          e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"),
-          "inner")
-        val w = Window.partitionBy(col("event_id"))
-          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
-        joined
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        graft.api.Joins.asOf(
+          e, leftId = col("event_id"), leftKey = col("user_id"),
+          leftTime = col("ts"),
+          right = o, rightKey = col("o_custkey"),
+          rightTime = col("o_orderdate"), tieBreak = col("o_orderkey"))
           .select(col("event_id"), col("user_id"),
             col("o_orderkey").as("last_orderkey"),
             col("o_totalprice").as("last_price"))

@@ -97,6 +97,38 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(sig == sig2)
   }
 
+  test("Joins.asOf picks the latest right row at or before each left time") {
+    val sp = spark
+    import sp.implicits._
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 150L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 10.0), ("A", 200L, 11.0), ("A", 210L, 12.0),
+      ("B", 150L, 20.0), ("B", 160L, 21.0))
+      .toDF("q_sym", "q_t", "px")
+    val got = api.Joins.asOf(
+      trades, col("trade_id"), col("sym"), col("t"),
+      quotes, col("q_sym"), col("q_t"), tieBreak = col("q_t"))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // trade 1 at t=100 sees quote t=90; trade 2 at t=205 sees t=200 (not
+    // 210); trade 3 at t=150 matches the equal-time quote (non-strict).
+    assert(got == Map(1L -> 10.0, 2L -> 11.0, 3L -> 20.0))
+  }
+
+  test("Joins.salted equals the unsalted join result") {
+    val sp = spark
+    import sp.implicits._
+    val fact = sp.range(1000)
+      .select(col("id"), (when(col("id") % 100 === 0, "rare")
+        .otherwise("hot")).as("k"))
+    val dim = Seq(("hot", 1.0), ("rare", 100.0)).toDF("k", "wt")
+    val salted = api.Joins.salted(fact, dim, "k", col("id"), salts = 4)
+      .agg(sum("wt")).collect()(0).getDouble(0)
+    val plain = fact.join(dim, "k")
+      .agg(sum("wt")).collect()(0).getDouble(0)
+    assert(salted == plain)
+  }
+
   test("hllCountDistinct estimates within dense-HLL error bounds") {
     val sp = spark
     import sp.implicits._
