@@ -207,6 +207,58 @@ object Similarity extends QueryModule {
           .orderBy("query_id", "rank")
       }),
 
+    // Int8 scalar quantization of embeddings — the storage-side operator a
+    // 100 TB vector pipeline runs before indexing (4× smaller than float32,
+    // 8× smaller than float64). Per-vector affine quantization to 0..255
+    // with reconstruction-error stats; everything is per-row column math
+    // (no shuffle but the final sort), and the oracle recomputes the whole
+    // quantize→dequantize→error pipeline arithmetically.
+    Q(
+      "sim_quantize_int8",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("ed", transform(col("embedding"), x => x.cast("double")))
+          .withColumn("mn", array_min(col("ed")))
+          .withColumn("mx", array_max(col("ed")))
+          .withColumn("scale",
+            when(col("mx") === col("mn"), lit(1.0))
+              .otherwise((col("mx") - col("mn")) / 255.0))
+          .withColumn("q",
+            transform(col("ed"), x => round((x - col("mn")) / col("scale"))
+              .cast("int")))
+          .withColumn("dq",
+            transform(col("q"), q => col("mn") + q * col("scale")))
+          .withColumn("err",
+            zip_with(col("ed"), col("dq"), (x, y) => abs(x - y)))
+        e.select(col("vec_id"),
+            round(col("mn"), 6).as("mn"),
+            round(col("mx"), 6).as("mx"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+            round(array_max(col("err")), 8).as("max_abs_err"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+                 list_min(CAST(embedding AS DOUBLE[])) AS mn,
+                 list_max(CAST(embedding AS DOUBLE[])) AS mx
+          FROM embeddings),
+        s AS (
+          SELECT vec_id, ed, mn, mx,
+                 CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS sc
+          FROM e),
+        q AS (
+          SELECT vec_id, mn, mx, sc,
+                 list_transform(ed, x -> CAST(round((x - mn) / sc) AS INT)) AS qv,
+                 ed
+          FROM s)
+        SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               round(list_max(list_transform(
+                 generate_series(1, len(ed)),
+                 i -> abs(ed[i] - (mn + qv[i] * sc)))), 8) AS max_abs_err
+        FROM q ORDER BY vec_id""")),
+
     // ANN quality evaluation: recall@3 of the LSH and IVF indexes against
     // the exact brute-force top-3, per query — the measurement loop any
     // production ANN deployment needs. Pure composition of the registry's

@@ -209,6 +209,37 @@ object Text extends QueryModule {
                  AS avg_pieces_per_word
         FROM d GROUP BY lang ORDER BY lang""")),
 
+    // Text normalization — the cleaning pass every training-data pipeline
+    // runs before dedup/tokenization: lowercase, strip non-alphanumerics,
+    // collapse whitespace runs, trim. Pure per-row regex column math
+    // (codegen'd, no UDF, no shuffle except the output sort); the oracle
+    // replays the identical pipeline with DuckDB's global-flag regexes.
+    Q(
+      "text_normalize",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 200)
+          .withColumn("norm",
+            trim(regexp_replace(
+              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+              " +", " ")))
+          .select(col("doc_id"),
+            substring(col("norm"), 1, 60).as("norm_prefix"),
+            length(col("norm")).as("norm_len"),
+            graft.api.Text.tokenCount(col("norm")).as("n_tokens"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS norm
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id, substring(norm, 1, 60) AS norm_prefix,
+               CAST(length(norm) AS INTEGER) AS norm_len,
+               CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_tokens
+        FROM n ORDER BY doc_id""")),
+
     // Document fingerprinting: 31-ary rolling hash over the characters,
     // mod 1e9+7 (intermediates stay < 2^35, safe in 64-bit on both
     // engines). A per-row sequential fold — embarrassingly parallel.
