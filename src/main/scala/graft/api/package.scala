@@ -259,6 +259,14 @@ package object api {
       */
     def hllMerge(sketch: Column, p: Int = 12): Column =
       udaf(new graft.functions.HllMerge(p)).apply(sketch)
+
+    /** Misra–Gries heavy-hitters aggregate: at most k counters, one-pass,
+      * mergeable. Returns array<struct<_1: item, _2: lower-bound count>>
+      * sorted by descending bound; every item with true frequency >
+      * n/(k+1) is guaranteed present.
+      */
+    def heavyHitters(c: Column, k: Int = 16): Column =
+      udaf(new graft.functions.HeavyHitters(k)).apply(c)
   }
 
   /** Multimodal decode: real pure-JVM codecs (graft.functions.Codecs) over

@@ -113,6 +113,31 @@ object Relational extends QueryModule {
         FROM orders
         ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey ASC""")),
 
+    // Deterministic hash sampling — the reproducible-subset primitive a
+    // training pipeline needs (the same 10% sample on every run, cluster,
+    // and engine; Spark's native .sample is seed-dependent on partitioning).
+    // Knuth multiplicative hashing over the row key with exact 64-bit
+    // integer arithmetic, expressible identically in any engine; selection
+    // is a pure per-row filter that pushes down to the scan.
+    Q(
+      "filter_sample_hash",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(
+            pmod(col("event_id") * lit(2654435761L), lit(4294967296L)) % 100 < 10)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_sampled"),
+            round(sum("value"), 4).as("sum_value"),
+            min("event_id").as("min_id"), max("event_id").as("max_id"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, count(*) AS n_sampled,
+               round(sum(value), 4) AS sum_value,
+               min(event_id) AS min_id, max(event_id) AS max_id
+        FROM events
+        WHERE ((event_id * 2654435761) % 4294967296) % 100 < 10
+        GROUP BY event_type ORDER BY event_type""")),
+
     // Global top-k: planned as TakeOrderedAndProject (each partition keeps
     // its local top 100, driver merges) — no global sort even at 100 TB.
     Q(

@@ -115,6 +115,51 @@ object Udx extends QueryModule {
             countDistinct("user_id").as("exact_users"))
           .orderBy("event_type")),
 
+    // Misra–Gries heavy hitters: the bounded-memory top-k-frequent sketch
+    // (graft.functions.HeavyHitters), run per language over the exploded
+    // token stream, cross-checked in-query against the exact counts: the
+    // exact top-5 terms per lang form the output skeleton, and the sketch
+    // columns verify every one was found with a valid lower bound
+    // (MG guarantee: freq > n/(k+1) ⇒ present; k=32 ⊇ top-5 here).
+    // The skeleton is exact ⇒ the whole row set is DuckDB-oracle-checkable.
+    Q(
+      "udaf_heavy_hitters",
+      (s, dir) => {
+        val tokens = Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        val mg = tokens.groupBy("lang")
+          .agg(graft.api.Sketches.heavyHitters(col("term"), 32).as("hh"))
+          .select(col("lang"), explode(col("hh")).as("e"))
+          .select(col("lang"), col("e._1").as("term"), col("e._2").as("lb"))
+        val exact = tokens.groupBy("lang", "term")
+          .agg(count(lit(1)).as("exact_count"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(desc("exact_count"), asc("term"))
+        exact.withColumn("exact_rank", row_number().over(w))
+          .filter(col("exact_rank") <= 5)
+          .join(mg, Seq("lang", "term"), "left")
+          .select(col("lang"), col("exact_rank"), col("term"),
+            col("exact_count"),
+            col("lb").isNotNull.as("mg_found"),
+            coalesce(col("lb") <= col("exact_count"), lit(false))
+              .as("lb_valid"))
+          .orderBy("lang", "exact_rank")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        exact AS (SELECT lang, term, count(*) AS exact_count
+                  FROM t GROUP BY 1, 2),
+        ranked AS (
+          SELECT lang, term, exact_count,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY exact_count DESC, term) AS exact_rank
+          FROM exact)
+        SELECT lang, exact_rank, term, exact_count,
+               true AS mg_found, true AS lb_valid
+        FROM ranked WHERE exact_rank <= 5
+        ORDER BY lang, exact_rank""")),
+
     // Sketch-merge rollup: per-(event_type, day) HLL sketches are stored as
     // BINARY columns (the rollup-table pattern), then unioned per
     // event_type and finished into an estimate. Register-max union is
