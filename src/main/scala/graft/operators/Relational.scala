@@ -117,8 +117,11 @@ object Relational extends QueryModule {
     // training pipeline needs (the same 10% sample on every run, cluster,
     // and engine; Spark's native .sample is seed-dependent on partitioning).
     // Knuth multiplicative hashing over the row key with exact 64-bit
-    // integer arithmetic, expressible identically in any engine; selection
-    // is a pure per-row filter that pushes down to the scan.
+    // integer arithmetic, expressible identically in any engine. The
+    // predicate evaluates inside the scan's codegen stage before any
+    // shuffle (only IsNotNull reaches PushedFilters — a uniform hash
+    // cannot use row-group stats, inherent to hash sampling, not a plan
+    // defect), and column pruning still applies.
     Q(
       "filter_sample_hash",
       (s, dir) =>

@@ -140,6 +140,31 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(est - n) < n * 0.082, s"est=$est for n=$n")
   }
 
+  test("API edge cases: nulls and empties don't throw, contracts hold") {
+    val sp = spark
+    import sp.implicits._
+    val withNull = Seq((1L, "real text here"), (2L, null: String))
+      .toDF("id", "body")
+    // null text rows produce no signature (posexplode drops them) — they
+    // can't be near-duplicates of anything.
+    val sigs = api.Dedup.minhashSignatures(withNull, col("id"), col("body"))
+      .collect()
+    assert(sigs.map(_.getLong(0)).toSet == Set(1L))
+    // exactDuplicates groups nulls into one digest-null class, no throw
+    val groups = api.Dedup.exactDuplicates(withNull, col("id"), col("body"))
+    assert(groups.count() == 2)
+    // empty query side → empty top-k, no throw
+    val vecs = Seq((0L, Array(1.0f, 0.0f))).toDF("vid", "v")
+    val empty = api.Similarity.cosineTopK(
+      vecs.filter(col("vid") < 0), col("vid"), col("v"),
+      vecs, col("vid"), col("v"), topK = 3)
+    assert(empty.count() == 0)
+    // single-doc corpus → no candidate pairs
+    val single = api.Dedup.minhashNearDuplicates(
+      withNull.filter(col("id") === 1), col("id"), col("body"))
+    assert(single.count() == 0)
+  }
+
   test("Text.fingerprint matches the hand-computed rolling hash") {
     val sp = spark
     import sp.implicits._
