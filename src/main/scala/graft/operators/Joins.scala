@@ -239,6 +239,49 @@ object Joins extends QueryModule {
         GROUP BY band
         ORDER BY band""")),
 
+    // Runtime bloom-filter join pruning: the selective dim-side predicate
+    // is turned into a bloom filter that row-filters the fact scan BEFORE
+    // the shuffle (Spark's InjectRuntimeFilter) — at 100 TB this drops the
+    // shuffle volume of a shuffle join by the dim's selectivity without
+    // any layout change (DPP's row-level sibling for non-partitioned
+    // keys). Thresholds are scoped down so the rewrite fires at test
+    // scale; broadcast is disabled to exercise the shuffle-join path the
+    // rule exists for. Result is plan-invariant (oracle-checked).
+    Q(
+      "join_bloom_filtered",
+      (s, dir) => {
+        val priors = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+          .map(k => k -> s.conf.getOption(k))
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        try {
+          val o = Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_orderkey", "o_totalprice")
+          val df = Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_quantity")
+            .join(o, col("l_orderkey") === col("o_orderkey"))
+            .groupBy()
+            .agg(count(lit(1)).as("n"),
+              round(sum("l_quantity"), 4).as("sum_qty"))
+          // Planning is lazy: force it while the scoped thresholds are in
+          // effect (QueryExecution caches the plan; the later action
+          // reuses it — without this the rule would see restored confs).
+          df.queryExecution.executedPlan
+          df
+        } finally priors.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      oracle = Some("""
+        SELECT count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'""")),
+
     // As-of join: for each event, the latest order of the same customer at
     // or before the event timestamp (non-strict, ties broken by orderkey).
     // Composed as equi-join on the entity key + range predicate + top-1

@@ -217,6 +217,41 @@ object Sources extends QueryModule {
         FROM lineitem WHERE l_returnflag IN ('A', 'R')
         GROUP BY 1 ORDER BY flag_desc""")),
 
+    // Schema evolution across ingestion batches: batch 1 lands (key, name),
+    // batch 2 adds columns (mktsegment, acctbal) and drops name — the
+    // normal drift of a long-lived feed. mergeSchema unions the parquet
+    // footers at read time; columns absent in a batch read as null. The
+    // aggregate proves both the union schema and the per-batch null
+    // pattern. (At 100 TB, mergeSchema scans every footer — pin the merged
+    // schema explicitly once known; this op is the ingestion-time path.)
+    Q(
+      "scan_schema_evolution",
+      (s, dir) => {
+        val out = Scratch.fresh("scan_schema_evolution")
+        val c = Tables.customer(s, dir)
+        c.select("c_custkey", "c_name")
+          .write.mode("overwrite").parquet(s"$out/batch=1")
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+          .write.mode("overwrite").parquet(s"$out/batch=2")
+        s.read.option("mergeSchema", "true")
+          .option("basePath", out).parquet(out)
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n"),
+            count(col("c_name")).as("n_name"),
+            count(col("c_mktsegment")).as("n_seg"),
+            round(sum("c_acctbal"), 4).as("sum_bal"))
+          .orderBy("batch")
+      },
+      oracle = Some("""
+        SELECT 1 AS batch, count(*) AS n, count(*) AS n_name,
+               CAST(0 AS BIGINT) AS n_seg, CAST(NULL AS DOUBLE) AS sum_bal
+        FROM customer
+        UNION ALL
+        SELECT 2, count(*), CAST(0 AS BIGINT), count(*),
+               round(sum(c_acctbal), 4)
+        FROM customer
+        ORDER BY batch""")),
+
     // Hive-style partitioned parquet sink, verified by re-reading. At scale,
     // partitionBy(low-cardinality col) is the layout that makes downstream
     // partition pruning possible; the re-read aggregate proves no rows were

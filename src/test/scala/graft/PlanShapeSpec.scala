@@ -11,6 +11,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  test("join_bloom_filtered injects a runtime bloom filter on the fact scan") {
+    // The query scopes the thresholds itself; the physical plan must show
+    // the fact side filtered by bloom_filter_might_contain before the join.
+    val p = plan("join_bloom_filtered").toLowerCase
+    assert(p.contains("bloom_filter_might_contain") ||
+      p.contains("bloomfilter"), s"no runtime bloom filter in plan:\n$p")
+  }
+
   test("scan_projection prunes the parquet ReadSchema to selected columns") {
     val p = plan("scan_projection")
     assert(p.contains("l_orderkey"))
