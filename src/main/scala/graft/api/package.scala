@@ -341,5 +341,56 @@ package object api {
           i => ascii(text.substr(i, lit(1)))),
         lit(0L),
         (acc, c) => (acc * 31 + c) % 1000000007L)
+
+    /** TF-IDF per (id, term): tf = termcount/doclen, idf = ln(N/df) with
+      * document frequency over the whole input. df and N are tiny
+      * aggregates (vocab-sized / scalar), so both enrichment joins
+      * broadcast at any scale. Output: (id, term, tfidf).
+      */
+    def tfIdf(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val t = df.select(id.as("id"),
+        explode(split(text, " ")).as("term"))
+      val tf = t.groupBy("id", "term").agg(count(lit(1)).as("cnt"))
+      val len = t.groupBy("id").agg(count(lit(1)).as("doc_len"))
+      val docFreq = t.groupBy("term").agg(countDistinct("id").as("df"))
+      val n = df.agg(count(lit(1)).as("n_docs"))
+      tf.join(len, "id").join(broadcast(docFreq), "term")
+        .crossJoin(broadcast(n))
+        .select(col("id"), col("term"),
+          ((col("cnt") / col("doc_len")) *
+            log(col("n_docs") / col("df"))).as("tfidf"))
+    }
+
+    /** Language identification via a unigram model with add-one smoothing,
+      * trained on `labeled` (text + language label) and applied to `docs`:
+      * each doc is scored by the sum of token log-probs per language and
+      * assigned the argmax (ties break to the lexicographically first
+      * language). The model is |vocab|·|langs| rows, broadcast to the
+      * exploded token stream — the heavy side never shuffles on a skewed
+      * key. Output: (id, predicted_lang, score).
+      */
+    def languageId(
+        labeled: DataFrame, labeledText: Column, labeledLang: Column,
+        docs: DataFrame, docId: Column, docText: Column): DataFrame = {
+      val lt = labeled.select(labeledLang.as("m_lang"),
+        explode(split(labeledText, " ")).as("term"))
+      val vocab = lt.agg(countDistinct("term").as("v"))
+      val langTok = lt.groupBy("m_lang").agg(count(lit(1)).as("lang_toks"))
+      val model = lt.groupBy("m_lang", "term")
+        .agg(count(lit(1)).as("cnt"))
+        .join(langTok, "m_lang").crossJoin(vocab)
+        .select(col("m_lang"), col("term"),
+          log((col("cnt") + 1) / (col("lang_toks") + col("v"))).as("lp"))
+      val toks = docs.select(docId.as("id"),
+        explode(split(docText, " ")).as("term"))
+      val scored = toks.join(broadcast(model), "term")
+        .groupBy(col("id"), col("m_lang"))
+        .agg(round(sum("lp"), 6).as("score"))
+      val w = Window.partitionBy("id")
+        .orderBy(desc("score"), asc("m_lang"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("m_lang").as("predicted_lang"), col("score"))
+    }
   }
 }

@@ -61,19 +61,13 @@ object Text extends QueryModule {
     // aggregates (vocab-sized / scalar) so both joins broadcast at any scale.
     Q(
       "text_tfidf",
-      (s, dir) => {
-        val t = toks(s, dir)
-        val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-        val len = t.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
-        val df = t.groupBy("term").agg(countDistinct("doc_id").as("df"))
-        val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-        tf.join(len, "doc_id").join(broadcast(df), "term").crossJoin(broadcast(n))
-          .filter(col("doc_id") < 20)
-          .select(col("doc_id"), col("term"),
-            round((col("cnt") / col("doc_len")) *
-              log(col("n_docs") / col("df")), 4).as("tfidf"))
-          .orderBy("doc_id", "term")
-      },
+      (s, dir) =>
+        graft.api.Text.tfIdf(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+          .filter(col("id") < 20)
+          .select(col("id").as("doc_id"), col("term"),
+            round(col("tfidf"), 4).as("tfidf"))
+          .orderBy("doc_id", "term"),
       oracle = Some("""
         WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                    FROM documents),
@@ -95,22 +89,13 @@ object Text extends QueryModule {
     Q(
       "text_langid",
       (s, dir) => {
-        val t = toks(s, dir)
-        val vocab = t.agg(countDistinct("term").as("v"))
-        val langTok = t.groupBy(col("lang").as("m_lang")).agg(count(lit(1)).as("lang_toks"))
-        val model = t.groupBy(col("lang").as("m_lang"), col("term"))
-          .agg(count(lit(1)).as("cnt"))
-          .join(langTok, "m_lang").crossJoin(vocab)
-          .select(col("m_lang"), col("term"),
-            log((col("cnt") + 1) / (col("lang_toks") + col("v"))).as("lp"))
-        val scored = t.join(broadcast(model), "term")
-          .groupBy(col("doc_id"), col("lang"), col("m_lang"))
-          .agg(round(sum("lp"), 6).as("score"))
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("m_lang"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .groupBy(col("lang").as("actual"), col("m_lang").as("predicted"))
+        val docs = Tables.documents(s, dir)
+        graft.api.Text.languageId(
+          docs, col("text"), col("lang"),
+          docs, col("doc_id"), col("text"))
+          .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+          .groupBy(col("lang").as("actual"),
+            col("predicted_lang").as("predicted"))
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("actual", "predicted")
       },

@@ -140,6 +140,34 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(est - n) < n * 0.082, s"est=$est for n=$n")
   }
 
+  test("Text.languageId classifies disjoint-vocabulary languages") {
+    val sp = spark
+    import sp.implicits._
+    val labeled = Seq(
+      ("aa bb cc dd aa bb", "xx"), ("aa cc bb dd dd", "xx"),
+      ("zz yy ww vv zz yy", "qq"), ("ww vv zz yy ww", "qq")
+    ).toDF("body", "tongue")
+    val unknown = Seq((1L, "aa bb dd"), (2L, "zz ww yy"))
+      .toDF("uid", "body")
+    val pred = api.Text.languageId(
+      labeled, col("body"), col("tongue"),
+      unknown, col("uid"), col("body"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "xx", 2L -> "qq"))
+  }
+
+  test("Text.tfIdf: corpus-wide terms score zero, rare terms positive") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "common rare1"), (2L, "common rare2"))
+      .toDF("did", "body")
+    val scores = api.Text.tfIdf(docs, col("did"), col("body"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(scores((1L, "common")) == 0.0) // ln(2/2) = 0
+    assert(scores((1L, "rare1")) > 0.3)   // 0.5 * ln 2
+    assert(scores.get((1L, "rare2")).isEmpty)
+  }
+
   test("API edge cases: nulls and empties don't throw, contracts hold") {
     val sp = spark
     import sp.implicits._
