@@ -117,6 +117,25 @@ package object api {
           expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
           .as("simhash"))
 
+    /** Exact n-gram Jaccard similarity for candidate pairs: both sides are
+      * shingled, candidates come from `candidates` (a DataFrame with
+      * columns `id_a`, `id_b`), and each pair is scored
+      * |shingles∩| / |shingles∪|. At scale, feed LSH candidates in; the
+      * shingle arrays join in via two hash joins on the ids.
+      */
+    def ngramJaccard(
+        df: DataFrame, id: Column, text: Column,
+        candidates: DataFrame, k: Int = 3): DataFrame = {
+      val sh = df.select(id.as("_gid"), shingles(text, k).as("_gsh"))
+      candidates
+        .join(sh.select(col("_gid").as("id_a"), col("_gsh").as("sh_a")), "id_a")
+        .join(sh.select(col("_gid").as("id_b"), col("_gsh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+            .as("jaccard"))
+    }
+
     /** Exact duplicate groups by normalized-text digest: one row per
       * distinct normalized text with the minimum id as keeper. Grouping on
       * the 256-bit digest keeps the shuffle key at 64 bytes regardless of
@@ -299,6 +318,48 @@ package object api {
           }
         }
         .toDF("id", "sample_rate", "n_samples", "peak_abs", "sum_sq")
+    }
+
+    /** Decode 24-bpp BMP payloads and emit REAL patch features: the image
+      * is cut into a grid×grid patch grid (pixel (x,y) belongs to patch
+      * (y·grid)/h · grid + (x·grid)/w, integer division) and each patch
+      * yields its pixel count, value sum, and mean over all channels —
+      * the hand-rolled analogue of the patch-embedding step a vision
+      * pipeline runs after decode. One output row per (id, patch).
+      */
+    def bmpPatchFeatures(
+        df: DataFrame, id: Column, payload: Column,
+        grid: Int = 2): DataFrame = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val bmp = graft.functions.Codecs.decodeBmp(bytes)
+              val n = new Array[Long](grid * grid)
+              val sum = new Array[Long](grid * grid)
+              var y = 0
+              while (y < bmp.height) {
+                var x = 0
+                while (x < bmp.width) {
+                  val patch = (y * grid / bmp.height) * grid +
+                    (x * grid / bmp.width)
+                  val (b, g, r) = bmp.pixels(y)(x)
+                  n(patch) += 1
+                  sum(patch) += b + g + r
+                  x += 1
+                }
+                y += 1
+              }
+              // n_px = pixels, sum_val = over all 3 channels, mean over
+              // channels — general for non-grayscale inputs.
+              (0 until grid * grid).map(p =>
+                (i, p, n(p), sum(p), sum(p) / (3.0 * n(p))))
+            }.getOrElse(Seq.empty)
+          }
+        }
+        .toDF("id", "patch", "n_px", "sum_val", "mean_val")
     }
 
     /** Decode 24-bpp BMP payloads and emit per-image pixel stats:

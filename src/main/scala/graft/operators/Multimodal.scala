@@ -192,6 +192,55 @@ object Multimodal extends QueryModule {
                round(sum(v * 3) / (3.0 * w * h), 4) AS mean_px
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // REAL patch features from decoded pixels: the BMP is decoded and cut
+    // into a 2×2 patch grid; each patch emits count/sum/mean over its
+    // actual pixel values — the hand-rolled analogue of the
+    // patch-embedding step (mm_feature_stub stands for the learned model
+    // call; this is the decode-side feature path made real). The oracle
+    // recomputes every patch from the pixel formula, so a single
+    // mis-assigned pixel (padding, row order, grid boundary) would
+    // hash-mismatch.
+    Q(
+      "mm_patch_features",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            val w = (id % 16 + 4).toInt
+            val h = (id % 12 + 4).toInt
+            val bytes = graft.functions.Codecs.encodeBmp(w, h, (x, y) => {
+              val v = ((x * 7 + y * 13 + id) % 256).toInt
+              (v, v, v)
+            })
+            (id, bytes)
+          }
+          .toDF("doc_id", "payload")
+        graft.api.Multimodal.bmpPatchFeatures(
+          encoded, col("doc_id"), col("payload"), grid = 2)
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("mean_val", round(col("mean_val"), 4))
+          .orderBy("doc_id", "patch")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+                          CAST(doc_id % 12 + 4 AS INT) AS h
+                   FROM documents WHERE doc_id < 100),
+        px AS (
+          SELECT doc_id, w, h, x, y, (x * 7 + y * 13 + doc_id) % 256 AS v
+          FROM d,
+               LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+               LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y))
+        SELECT doc_id,
+               CAST((y * 2) // h * 2 + (x * 2) // w AS INT) AS patch,
+               count(*) AS n_px,
+               CAST(sum(v) * 3 AS BIGINT) AS sum_val,
+               round(sum(v) * 3 / (3.0 * count(*)), 4) AS mean_val
+        FROM px GROUP BY 1, 2 ORDER BY doc_id, patch""")),
+
     // Typed mapPartitions "resize": partition-wise batch processing with a
     // case-class Encoder — the Scala analogue of mapInPandas batches. The
     // resize itself is stubbed to halved dimensions + a deterministic

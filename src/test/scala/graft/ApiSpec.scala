@@ -140,6 +140,19 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(est - n) < n * 0.082, s"est=$est for n=$n")
   }
 
+  test("LSH candidates rescored exactly: minhashNearDuplicates -> ngramJaccard") {
+    // The production near-dup pipeline: cheap LSH candidate generation,
+    // then exact Jaccard rescoring of only those pairs.
+    val cands = api.Dedup.minhashNearDuplicates(
+      docs, col("id"), col("body"), numHashes = 32, bands = 8,
+      minJaccard = 0.3).select("id_a", "id_b")
+    val scored = api.Dedup.ngramJaccard(docs, col("id"), col("body"), cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scored((1L, 4L)) == 1.0) // identical docs: exact jaccard 1
+    val near = scored((1L, 2L))     // one-token-dropped copy
+    assert(near > 0.7 && near < 1.0)
+  }
+
   test("Text.languageId classifies disjoint-vocabulary languages") {
     val sp = spark
     import sp.implicits._
