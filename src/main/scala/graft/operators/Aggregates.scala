@@ -53,6 +53,90 @@ object Aggregates extends QueryModule {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")),
 
+    // Equi-width histogram — numeric profiling for ingestion QA: one
+    // hash-agg over computed bucket ids (map-side partial ⇒ the shuffle
+    // carries one row per bucket), plus a windowless share computation
+    // via a broadcast scalar join.
+    Q(
+      "agg_histogram",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val total = li.agg(count(lit(1)).as("n_total"))
+        li.select(floor(col("l_extendedprice") / 5000).cast("int").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(total))
+          .select(col("bucket"),
+            (col("bucket") * 5000).cast("double").as("lo"),
+            ((col("bucket") + 1) * 5000).cast("double").as("hi"),
+            col("n"),
+            round(col("n") / col("n_total").cast("double"), 6).as("share"))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(floor(l_extendedprice / 5000) AS INT) AS bucket,
+                 count(*) AS n
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT count(*) AS n_total FROM lineitem)
+        SELECT bucket, CAST(bucket * 5000 AS DOUBLE) AS lo,
+               CAST((bucket + 1) * 5000 AS DOUBLE) AS hi, n,
+               round(n / CAST(n_total AS DOUBLE), 6) AS share
+        FROM b, t ORDER BY bucket""")),
+
+    // Column profiling — the data-quality summary an ingestion service
+    // emits per landed batch: row/null/distinct counts and value range per
+    // column, one narrow output row per profiled column. Each column's
+    // stats are a single pass; the union is 5 small aggregates.
+    Q(
+      "agg_profile_columns",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        cols.map { c =>
+          li.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("double").as("min_v"),
+            max(col(c)).cast("double").as("max_v"))
+            .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+              col("n_distinct"), col("min_v"), col("max_v"))
+        }.reduce(_.unionByName(_)).orderBy("column_name")
+      },
+      oracle = Some("""
+        SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+               CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+               count(DISTINCT l_orderkey) AS n_distinct,
+               CAST(min(l_orderkey) AS DOUBLE) AS min_v,
+               CAST(max(l_orderkey) AS DOUBLE) AS max_v FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(*),
+               CAST(count(*) - count(l_quantity) AS BIGINT),
+               count(DISTINCT l_quantity),
+               CAST(min(l_quantity) AS DOUBLE),
+               CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*),
+               CAST(count(*) - count(l_extendedprice) AS BIGINT),
+               count(DISTINCT l_extendedprice),
+               CAST(min(l_extendedprice) AS DOUBLE),
+               CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*),
+               CAST(count(*) - count(l_discount) AS BIGINT),
+               count(DISTINCT l_discount),
+               CAST(min(l_discount) AS DOUBLE),
+               CAST(max(l_discount) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', count(*),
+               CAST(count(*) - count(l_tax) AS BIGINT),
+               count(DISTINCT l_tax),
+               CAST(min(l_tax) AS DOUBLE),
+               CAST(max(l_tax) AS DOUBLE) FROM lineitem
+        ORDER BY column_name""")),
+
     // Exact COUNT(DISTINCT) per group: Catalyst rewrites to a two-stage
     // expand+agg (RewriteDistinctAggregates); distinct keys shuffle once.
     Q(
