@@ -136,6 +136,39 @@ package object api {
             .as("jaccard"))
     }
 
+    /** Distributed connected components over an undirected edge list — the
+      * closure step that turns near-duplicate PAIRS into dedup CLUSTERS
+      * (one keeper per component). Min-label propagation with a
+      * pointer-jumping step per round: neighbor-min alone needs
+      * diameter rounds; composing label := label(label) doubles effective
+      * reach per round, so `iterations` = 8 covers diameters into the
+      * hundreds. All steps are min-aggregates and equi-joins (order-free,
+      * deterministic); lineage is cut every few rounds so plan size stays
+      * bounded. Output: (id, component) with component = min id reachable.
+      */
+    def connectedComponents(
+        nodes: DataFrame, nodeId: Column,
+        edges: DataFrame, src: Column, dst: Column,
+        iterations: Int = 8): DataFrame = {
+      val e = edges.select(src.as("src"), dst.as("dst"))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = nodes.select(nodeId.as("id"), nodeId.as("label"))
+      for (i <- 1 to iterations) {
+        val nbr = labels.join(sym, col("id") === col("src"))
+          .groupBy(col("dst").as("nid")).agg(min("label").as("nlabel"))
+        labels = labels.join(nbr, col("id") === col("nid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label")))
+              .as("label"))
+        val jump = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+        labels = labels.join(jump, col("label") === col("jid"), "left")
+          .select(col("id"),
+            coalesce(col("jlabel"), col("label")).as("label"))
+        if (i % 3 == 0) labels = labels.localCheckpoint(true)
+      }
+      labels.select(col("id"), col("label").as("component"))
+    }
+
     /** Exact duplicate groups by normalized-text digest: one row per
       * distinct normalized text with the minimum id as keeper. Grouping on
       * the 256-bit digest keeps the shuffle key at 64 bytes regardless of

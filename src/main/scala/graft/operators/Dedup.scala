@@ -140,6 +140,46 @@ object Dedup extends QueryModule {
          AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 40
         ORDER BY doc_a, doc_b""")),
 
+    // Dedup-cluster closure: near-dup PAIRS become CLUSTERS via
+    // distributed connected components (api.Dedup.connectedComponents —
+    // min-label propagation + pointer jumping). The edge set here is
+    // oracle-derivable (same source, id gap ≤ 3 — sparse random chains
+    // with nontrivial diameters), and DuckDB recomputes the exact
+    // components with a recursive CTE, so every label is hash-checked.
+    // At 100 TB the edges would come from the LSH pair operators; the
+    // closure algorithm is the same.
+    Q(
+      "dedup_connected_components",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .filter(col("doc_id") < 1000)
+          .select(col("doc_id"), col("source"))
+        val edges = d.alias("a").join(d.alias("b"),
+            col("a.source") === col("b.source") &&
+              col("b.doc_id") > col("a.doc_id") &&
+              col("b.doc_id") <= col("a.doc_id") + 3)
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        graft.api.Dedup.connectedComponents(
+          d, col("doc_id"), edges, col("src"), col("dst"))
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, source FROM documents WHERE doc_id < 1000),
+        e AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM d a JOIN d b
+            ON a.source = b.source
+           AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id)
+        SELECT id AS doc_id, min(r) AS component
+        FROM reach GROUP BY id ORDER BY doc_id""")),
+
     // Embedding near-dup: top-20 most-cosine-similar vector pairs among
     // vec_id < 300. All math in double (elementwise cast first) with
     // sequential folds so Spark and DuckDB produce bit-identical sums;

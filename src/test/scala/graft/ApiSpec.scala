@@ -153,6 +153,23 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(near > 0.7 && near < 1.0)
   }
 
+  test("Dedup.connectedComponents labels a long chain, a triangle, an isolate") {
+    val sp = spark
+    import sp.implicits._
+    // chain 0-1-2-...-40 (diameter 40 — needs pointer jumping at 8 iters),
+    // triangle 100-101-102, isolated node 200
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("s", "t")
+    val nodes = ((0L to 40L) ++ Seq(100L, 101L, 102L, 200L)).toDF("nid")
+    val comp = api.Dedup.connectedComponents(
+      nodes, col("nid"), edges, col("s"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 40L).forall(comp(_) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(comp(_) == 100L))
+    assert(comp(200L) == 200L)
+  }
+
   test("Text.languageId classifies disjoint-vocabulary languages") {
     val sp = spark
     import sp.implicits._
