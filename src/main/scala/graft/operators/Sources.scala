@@ -18,6 +18,45 @@ import org.apache.spark.sql.functions._
 object Sources extends QueryModule {
 
   def all: Seq[Q] = Seq(
+    // SCD-1 upsert into a keyed parquet table — the canonical keyed-ingest
+    // pattern without a table format: land the update batch, then rewrite
+    // as union + last-writer-wins per key (version-desc window). Every
+    // step is a key-partitioned shuffle; no driver involvement. (With a
+    // transactional table format this becomes MERGE INTO; the resolution
+    // semantics verified here are identical.)
+    Q(
+      "sink_upsert",
+      (s, dir) => {
+        val out = Scratch.fresh("sink_upsert")
+        val base = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .withColumn("version", lit(0))
+        // Update batch: every 10th customer moves to segment UPGRADED with
+        // a 1000.00 credit — derived deterministically from the base.
+        val updates = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"),
+            (col("c_acctbal") + 1000.0).as("c_acctbal"))
+          .withColumn("version", lit(1))
+        base.unionByName(updates)
+          .write.mode("overwrite").parquet(s"$out/staged")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_custkey").orderBy(desc("version"))
+        s.read.parquet(s"$out/staged")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal"), 4).as("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN 'UPGRADED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                          ELSE c_acctbal END, 4) AS c_acctbal
+        FROM customer ORDER BY c_custkey""")),
+
     // Full-table vectorized parquet scan. Trivial by design: it pins the
     // baseline read path (VectorizedParquetRecordReader, batch decoding).
     Q(
