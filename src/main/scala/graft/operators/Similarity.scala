@@ -259,6 +259,55 @@ object Similarity extends QueryModule {
                  i -> abs(ed[i] - (mn + qv[i] * sc)))), 8) AS max_abs_err
         FROM q ORDER BY vec_id""")),
 
+    // Top-k search in int8-quantized space: the query side of the
+    // sim_quantize_int8 storage story, scored by the second custom codegen
+    // expression (QuantizedDotProduct — fused 64-bit integer dot in
+    // whole-stage codegen). Same broadcast-BNLJ plan as sim_cosine_topk.
+    // Integer accumulation is exact, so unlike the float kernels this
+    // ranking hash-matches the oracle with no rounding discipline at all.
+    Q(
+      "sim_quantized_topk",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x =>
+              greatest(least(round(x.cast("double") * 127), lit(127.0)),
+                lit(-127.0)).cast("int")).as("q"))
+        val q = v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("q").as("qa"))
+        val c = v.select(col("vec_id").as("cand_id"), col("q").as("qb"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("dot_q"), asc("cand_id"))
+        broadcast(q).join(c, col("cand_id") =!= col("query_id"))
+          .withColumn("dot_q",
+            graft.functions.QuantizedDotProduct(col("qa"), col("qb")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("cand_id"), col("dot_q"))
+          .orderBy("query_id", "rank")
+      },
+      // |q_i| ≤ 127 ⇒ dot ≤ 64·127² ≈ 1.03e6 ≪ 2^53, so DuckDB's
+      // double-typed list_dot_product is integer-exact here.
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(greatest(least(round(CAST(x AS DOUBLE) * 127), 127),
+                                 -127) AS INT)) AS q
+          FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot_q
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 10),
+        r AS (
+          SELECT query_id, cand_id, dot_q,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot_q DESC, cand_id) AS rank
+          FROM p)
+        SELECT query_id, rank, cand_id, dot_q
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ANN quality evaluation: recall@3 of the LSH and IVF indexes against
     // the exact brute-force top-3, per query — the measurement loop any
     // production ANN deployment needs. Pure composition of the registry's

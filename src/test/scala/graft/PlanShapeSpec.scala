@@ -11,6 +11,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  test("sim_quantized_topk keeps the integer-dot kernel in codegen (no UDF)") {
+    val p = plan("sim_quantized_topk")
+    assert(p.contains("graft_qdot"), "custom expression missing from plan")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "quantized dot must not fall back to a black-box UDF")
+  }
+
   test("join_bloom_filtered injects a runtime bloom filter on the fact scan") {
     // The query scopes the thresholds itself; the physical plan must show
     // the fact side filtered by bloom_filter_might_contain before the join.
