@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.DoubleType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.qdotDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
   }
 }
@@ -34,6 +35,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_cosine takes exactly 2 arguments")
       CosineSimilarity(children.head, children(1))
+    })
+
+  val qdotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_qdot"),
+    new ExpressionInfo(classOf[QuantizedDotProduct].getName, "graft_qdot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_qdot takes exactly 2 arguments")
+      QuantizedDotProduct(children.head, children(1))
     })
 }
 

@@ -38,6 +38,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(0)) < 1e-12)
   }
 
+  test("graft_qdot is callable from SQL and exact") {
+    val r = spark.sql(
+      "SELECT graft_qdot(array(1, 2, 3), array(4, 5, 6)) AS d").collect()
+    assert(r(0).getLong(0) == 32L)
+  }
+
   test("self-cosine folds to 1.0 for non-nullable input") {
     val df = spark.sql(
       """SELECT graft_cosine(v, v) AS c FROM (
