@@ -154,6 +154,36 @@ object Similarity extends QueryModule {
           .orderBy("query_id", "rank")
       }),
 
+    // Multi-probe LSH: same signed-random-projection index as sim_ann_lsh,
+    // but each query also probes the 6 buckets at hamming distance 1 from
+    // its own signature (flip one sign bit) — the standard recall knob
+    // that trades ~7× candidate work for recall without rebuilding the
+    // index. Candidate pool ⊇ single-probe pool ⇒ recall@k is provably
+    // monotone (asserted in AnnRecallSpec).
+    Q(
+      "sim_ann_lsh_multiprobe",
+      (s, dir) => {
+        val v = vecs(s, dir).withColumn("sig",
+          lshSig(transform(col("e"), x => x.cast("double"))))
+        val probes = array(
+          (col("sig") +: (0 until 6).map(b =>
+            col("sig").bitwiseXOR(lit(1 << b)))): _*)
+        val q = v.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            explode(probes).as("sig"))
+        val c = v.select(col("vec_id").as("cand_id"), col("sig"), col("e"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        broadcast(q).join(c, Seq("sig"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      }),
+
     // ANN via an IVF coarse quantizer: 16 seed centroids (vec_id < 16),
     // one Lloyd refinement (mean per assigned cluster), every vector
     // assigned to its nearest centroid, and each query searching only its
@@ -332,14 +362,20 @@ object Similarity extends QueryModule {
             .groupBy("query_id").agg(count(lit(1)).as("h"))
         val lsh = hits(all.find(_.name == "sim_ann_lsh").get.run(s, dir))
           .withColumnRenamed("h", "lsh_hits")
+        val mp = hits(
+          all.find(_.name == "sim_ann_lsh_multiprobe").get.run(s, dir))
+          .withColumnRenamed("h", "mp_hits")
         val ivf = hits(all.find(_.name == "sim_ann_ivf").get.run(s, dir))
           .withColumnRenamed("h", "ivf_hits")
         exact.groupBy("query_id").agg(count(lit(1)).as("k"))
           .join(lsh, Seq("query_id"), "left")
+          .join(mp, Seq("query_id"), "left")
           .join(ivf, Seq("query_id"), "left")
           .select(col("query_id"),
             round(coalesce(col("lsh_hits"), lit(0)) / col("k"), 4)
               .as("lsh_recall_at_3"),
+            round(coalesce(col("mp_hits"), lit(0)) / col("k"), 4)
+              .as("lsh_mp_recall_at_3"),
             round(coalesce(col("ivf_hits"), lit(0)) / col("k"), 4)
               .as("ivf_recall_at_3"))
           .orderBy("query_id")
