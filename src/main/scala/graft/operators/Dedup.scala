@@ -180,6 +180,29 @@ object Dedup extends QueryModule {
         SELECT id AS doc_id, min(r) AS component
         FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    // The full near-dup pipeline as one operator: MinHash+LSH candidate
+    // pairs → connected components → keeper per cluster (min doc_id) →
+    // the removal manifest a training-data pipeline actually executes.
+    // Pure composition of the public API (minhashNearDuplicates +
+    // connectedComponents); on this corpus the manifest must be exactly
+    // the 10 planted perturbed copies mapping to their originals
+    // (asserted in DedupSpec). Approx candidate generation ⇒ no SQL
+    // oracle, like dedup_minhash.
+    Q(
+      "dedup_pipeline",
+      (s, dir) => {
+        val docs = withPlanted(s, dir)
+        val pairs = graft.api.Dedup.minhashNearDuplicates(
+          docs, col("doc_id"), col("text"),
+          numHashes = 32, bands = 8, minJaccard = 0.4)
+        graft.api.Dedup.connectedComponents(
+          docs.select(col("doc_id")), col("doc_id"),
+          pairs, col("id_a"), col("id_b"))
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("removed_doc"), col("component").as("kept_doc"))
+          .orderBy("removed_doc")
+      }),
+
     // Embedding near-dup: top-20 most-cosine-similar vector pairs among
     // vec_id < 300. All math in double (elementwise cast first) with
     // sequential folds so Spark and DuckDB produce bit-identical sums;

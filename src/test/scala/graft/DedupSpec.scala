@@ -18,6 +18,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedup_pipeline removes exactly the planted copies, keeping originals") {
+    val manifest = SparkEntry.queries("dedup_pipeline")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every planted perturbed copy (id + 1_000_000) is removed in favor of
+    // its original. (The corpus also contains genuine near-dup pairs above
+    // the 0.4 threshold — dedup_minhash returns 36 pairs — so the manifest
+    // may legitimately contain more removals than the planted ten.)
+    (0L until 10L).foreach(i => assert(manifest.get(i + 1000000L).contains(i)))
+    // Keepers are cluster minima: never removed, always below the removed id.
+    val removed = manifest.keySet
+    assert(manifest.values.forall(k => !removed.contains(k)))
+    assert(manifest.forall { case (r, k) => k < r })
+  }
+
   test("dedup_simhash: planted pairs all within hamming 8 and LSH-detected") {
     val rows = SparkEntry.queries("dedup_simhash")(spark, sf0001).collect()
     assert(rows.length == 10)
