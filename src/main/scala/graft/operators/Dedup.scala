@@ -143,8 +143,11 @@ object Dedup extends QueryModule {
     // Dedup-cluster closure: near-dup PAIRS become CLUSTERS via
     // distributed connected components (api.Dedup.connectedComponents —
     // min-label propagation + pointer jumping). The edge set here is
-    // oracle-derivable (same source, id gap ≤ 3 — sparse random chains
-    // with nontrivial diameters), and DuckDB recomputes the exact
+    // oracle-derivable (same source, id gap ≤ 25: with ~25 docs per
+    // source spread over 500 ids, consecutive same-source docs mostly
+    // chain, giving components of ~20+ members with diameters in the
+    // tens — pointer jumping is genuinely exercised), and DuckDB
+    // recomputes the exact
     // components with a recursive CTE, so every label is hash-checked.
     // At 100 TB the edges would come from the LSH pair operators; the
     // closure algorithm is the same.
@@ -157,7 +160,7 @@ object Dedup extends QueryModule {
         val edges = d.alias("a").join(d.alias("b"),
             col("a.source") === col("b.source") &&
               col("b.doc_id") > col("a.doc_id") &&
-              col("b.doc_id") <= col("a.doc_id") + 3)
+              col("b.doc_id") <= col("a.doc_id") + 25)
           .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
         graft.api.Dedup.connectedComponents(
           d, col("doc_id"), edges, col("src"), col("dst"))
@@ -171,7 +174,7 @@ object Dedup extends QueryModule {
           SELECT a.doc_id AS src, b.doc_id AS dst
           FROM d a JOIN d b
             ON a.source = b.source
-           AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3),
+           AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25),
         sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         reach(id, r) AS (
           SELECT doc_id, doc_id FROM d
