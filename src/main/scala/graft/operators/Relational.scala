@@ -208,16 +208,21 @@ object Relational extends QueryModule {
     Q(
       "set_except",
       (s, dir) => {
+        // value > 90 keeps both sides proper subsets of the user base, so
+        // the difference is non-empty at every scale factor (an EXCEPT
+        // that always returns zero rows proves nothing).
         val e = Tables.events(s, dir)
-        e.filter(col("event_type") === "click").select("user_id")
+        e.filter(col("event_type") === "click" && col("value") > 90)
+          .select("user_id")
           .except(
-            e.filter(col("event_type") === "error").select("user_id"))
+            e.filter(col("event_type") === "error" && col("value") > 90)
+              .select("user_id"))
           .orderBy("user_id")
       },
       oracle = Some("""
-        SELECT user_id FROM events WHERE event_type = 'click'
+        SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
         EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'error'
+        SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
         ORDER BY user_id"""))
   )
 }
