@@ -405,6 +405,34 @@ package object api {
         .toDF("id", "patch", "n_px", "sum_val", "mean_val")
     }
 
+    /** REAL nearest-neighbor resize of 24-bpp BMP payloads: decode the
+      * actual bytes, sample source pixel (x·w/outW, y·h/outH) for each
+      * output pixel, and re-encode a complete BMP at the reduced size.
+      * Output: (id, payload, out_width, out_height) with `payload` a
+      * well-formed BMP ready for downstream decode stages.
+      */
+    def bmpResizeNearest(
+        df: DataFrame, id: Column, payload: Column,
+        factor: Int = 2): DataFrame = {
+      require(factor >= 1, "factor must be >= 1")
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val bmp = graft.functions.Codecs.decodeBmp(bytes)
+              val ow = math.max(bmp.width / factor, 1)
+              val oh = math.max(bmp.height / factor, 1)
+              val out = graft.functions.Codecs.encodeBmp(ow, oh, (x, y) =>
+                bmp.pixels(y * bmp.height / oh)(x * bmp.width / ow))
+              (i, out, ow, oh)
+            }.toOption
+          }
+        }
+        .toDF("id", "payload", "out_width", "out_height")
+    }
+
     /** Decode 24-bpp BMP payloads and emit per-image pixel stats:
       * (id, width, height, n_pixels, sum_red, mean_px) where mean_px
       * averages all three channels.

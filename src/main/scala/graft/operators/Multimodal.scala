@@ -241,6 +241,56 @@ object Multimodal extends QueryModule {
                round(sum(v) * 3 / (3.0 * count(*)), 4) AS mean_val
         FROM px GROUP BY 1, 2 ORDER BY doc_id, patch""")),
 
+    // REAL resize chain: encode a full BMP → nearest-neighbor resize to
+    // half size (decode actual bytes, sample src pixel (x·w/outW,
+    // y·h/outH), re-encode) → re-decode the RESIZED payload with bmpStats.
+    // The oracle recomputes the sampled pixel grid arithmetically, so the
+    // whole encode→resize→re-encode→decode chain is hash-verified
+    // end-to-end. (mm_resize_stub is retained for the typed-batch shape
+    // it documents; this is the codec path made real.)
+    Q(
+      "mm_resize_real",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            val w = (id % 16 + 4).toInt
+            val h = (id % 12 + 4).toInt
+            val bytes = graft.functions.Codecs.encodeBmp(w, h, (x, y) => {
+              val v = ((x * 7 + y * 13 + id) % 256).toInt
+              (v, v, v)
+            })
+            (id, bytes)
+          }
+          .toDF("doc_id", "payload")
+        val resized = graft.api.Multimodal.bmpResizeNearest(
+          encoded, col("doc_id"), col("payload"), factor = 2)
+        graft.api.Multimodal.bmpStats(resized, col("id"), col("payload"))
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("mean_px", round(col("mean_px"), 4))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+                          CAST(doc_id % 12 + 4 AS INT) AS h
+                   FROM documents WHERE doc_id < 100),
+        dims AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
+        px AS (
+          SELECT doc_id, ow, oh,
+                 ((x * w // ow) * 7 + (y * h // oh) * 13 + doc_id) % 256 AS v
+          FROM dims,
+               LATERAL (SELECT unnest(generate_series(0, ow - 1)) AS x),
+               LATERAL (SELECT unnest(generate_series(0, oh - 1)) AS y))
+        SELECT doc_id, ow AS width, oh AS height,
+               CAST(ow AS BIGINT) * oh AS n_pixels,
+               CAST(sum(v) AS BIGINT) AS sum_red,
+               round(sum(v) * 3 / (3.0 * ow * oh), 4) AS mean_px
+        FROM px GROUP BY doc_id, ow, oh ORDER BY doc_id""")),
+
     // Typed mapPartitions "resize": partition-wise batch processing with a
     // case-class Encoder — the Scala analogue of mapInPandas batches. The
     // resize itself is stubbed to halved dimensions + a deterministic
