@@ -405,6 +405,35 @@ package object api {
         .toDF("id", "patch", "n_px", "sum_val", "mean_val")
     }
 
+    /** REAL audio decimation of PCM WAV payloads: decode the actual bytes,
+      * keep every `factor`-th sample, divide the sample rate, re-encode a
+      * complete WAV. (Plain decimation aliases above the new Nyquist —
+      * production would low-pass first; the container/codec path is what
+      * this exercises.) Output: (id, payload, out_rate, out_samples).
+      */
+    def wavDecimate(
+        df: DataFrame, id: Column, payload: Column,
+        factor: Int = 2): DataFrame = {
+      require(factor >= 1, "factor must be >= 1")
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val w = graft.functions.Codecs.decodeWav(bytes)
+              val out = Array.tabulate[Short](
+                (w.samples.length + factor - 1) / factor)(
+                k => w.samples(k * factor))
+              val rate = math.max(w.sampleRate / factor, 1)
+              (i, graft.functions.Codecs.encodeWav(rate, out),
+                rate, out.length.toLong)
+            }.toOption
+          }
+        }
+        .toDF("id", "payload", "out_rate", "out_samples")
+    }
+
     /** REAL nearest-neighbor resize of 24-bpp BMP payloads: decode the
       * actual bytes, sample source pixel (x·w/outW, y·h/outH) for each
       * output pixel, and re-encode a complete BMP at the reduced size.

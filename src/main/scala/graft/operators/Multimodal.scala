@@ -147,6 +147,49 @@ object Multimodal extends QueryModule {
                CAST(sum(v * v) AS BIGINT) AS sum_sq
         FROM s GROUP BY doc_id, n ORDER BY doc_id""")),
 
+    // REAL audio decimation chain: encode a full WAV → keep every 2nd
+    // sample at half the rate (decode actual bytes, re-encode) → re-decode
+    // the decimated payload with wavStats. The oracle recomputes the
+    // surviving samples (indices 0, 2, 4, …) arithmetically, so the whole
+    // encode→decimate→re-encode→decode chain is hash-verified.
+    Q(
+      "mm_wav_resample",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .map { case (id, nChars) =>
+            val sr = (8000 + (id % 4) * 4000).toInt
+            val n = (nChars % 2000 + 100).toInt
+            val samples = Array.tabulate[Short](n)(
+              i => (((id * 31 + i * 7) % 65536) - 32768).toShort)
+            (id, graft.functions.Codecs.encodeWav(sr, samples))
+          }
+          .toDF("doc_id", "payload")
+        val dec = graft.api.Multimodal.wavDecimate(
+          encoded, col("doc_id"), col("payload"), factor = 2)
+        graft.api.Multimodal.wavStats(dec, col("id"), col("payload"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, n_chars % 2000 + 100 AS n
+                   FROM documents WHERE doc_id < 100),
+        s AS (
+          SELECT doc_id, n, (n + 1) // 2 AS n_out,
+                 ((doc_id * 31 + (k * 2) * 7) % 65536) - 32768 AS v
+          FROM d, LATERAL (SELECT unnest(generate_series(0,
+                 CAST((n + 1) // 2 - 1 AS INT))) AS k))
+        SELECT doc_id,
+               CAST((8000 + (doc_id % 4) * 4000) // 2 AS INT) AS sample_rate,
+               CAST(n_out AS BIGINT) AS n_samples,
+               CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        FROM s GROUP BY doc_id, n_out ORDER BY doc_id""")),
+
     // REAL image decode: each doc gets a complete 24-bpp BMP assembled
     // byte-for-byte (file+info headers, bottom-up rows, 4-byte padding —
     // Codecs.encodeBmp) with pixel (x,y) = (x*7 + y*13 + doc_id) % 256 on

@@ -308,6 +308,53 @@ object Streaming extends QueryModule {
         FROM (SELECT unnest(generate_series(0, 2499)) AS i)
         GROUP BY 1 ORDER BY bucket""")),
 
+    // Checkpoint recovery — the exactly-once restart contract: the query
+    // processes two slices, TERMINATES, a third slice lands, and a new
+    // query instance resumes from the SAME checkpoint. The file-source
+    // offset log replays nothing and skips nothing, so the final sink
+    // equals the batch aggregate over all three slices (oracle). This is
+    // the property that makes a 100 TB/day ingest restartable after any
+    // failure or deploy.
+    Q(
+      "stream_checkpoint_recovery",
+      (s, dir) => {
+        val (sharedIn, ckpt) = slices(s, dir, "stream_checkpoint_recovery")
+        val root = Paths.get(ckpt).getParent.toString
+        val in = s"$root/in"
+        val sink = s"$root/sink"
+        Files.createDirectories(Paths.get(in))
+        val sliceFiles = Files.list(Paths.get(sharedIn)).sorted().toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+        def run(): Unit = drive(s) {
+          s.readStream.schema(Tables.events(s, dir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(sink)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        // Phase 1: two slices land, query runs to completion and stops.
+        sliceFiles.take(2).foreach(f =>
+          Files.copy(f, Paths.get(in, f.getFileName.toString)))
+        run()
+        // Phase 2: a third slice lands; a NEW query instance resumes from
+        // the same checkpoint and processes only the unseen file.
+        sliceFiles.drop(2).foreach(f =>
+          Files.copy(f, Paths.get(in, f.getFileName.toString)))
+        run()
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"),
+            countDistinct("event_id").as("n_distinct_events"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+               count(DISTINCT event_id) AS n_distinct_events
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Watermarked tumbling-window agg in append mode: a window only emits
     // once the 10-min watermark passes its end, and state for emitted
     // windows is dropped — the mechanism that bounds state at scale.
