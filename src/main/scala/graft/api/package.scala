@@ -493,6 +493,14 @@ package object api {
     /** Whitespace token count (pure column expression). */
     def tokenCount(text: Column): Column = size(split(text, " "))
 
+    /** Normalization pass before dedup/tokenization: lowercase, strip
+      * non-alphanumerics, collapse whitespace runs, trim. Pure codegen
+      * regex column expression.
+      */
+    def normalize(text: Column): Column =
+      trim(regexp_replace(
+        regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
     /** 31-ary rolling-hash fingerprint over the characters, mod 1e9+7
       * (intermediates stay < 2^35, exact in 64-bit).
       */

@@ -204,10 +204,7 @@ object Text extends QueryModule {
       (s, dir) =>
         Tables.documents(s, dir)
           .filter(col("doc_id") < 200)
-          .withColumn("norm",
-            trim(regexp_replace(
-              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-              " +", " ")))
+          .withColumn("norm", graft.api.Text.normalize(col("text")))
           .select(col("doc_id"),
             substring(col("norm"), 1, 60).as("norm_prefix"),
             length(col("norm")).as("norm_len"),
