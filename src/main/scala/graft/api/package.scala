@@ -159,21 +159,21 @@ package object api {
         .localCheckpoint(true)
       var labels = nodes.select(nodeId.as("id"), nodeId.as("label"))
       for (i <- 1 to iterations) {
-        val nbr = labels.join(sym, col("id") === col("src"))
-          .groupBy(col("dst").as("nid")).agg(min("label").as("nlabel"))
-        labels = labels.join(nbr, col("id") === col("nid"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label")))
-              .as("label"))
-        val jump = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-        labels = labels.join(jump, col("label") === col("jid"), "left")
-          .select(col("id"),
-            coalesce(col("jlabel"), col("label")).as("label"))
-        // Cut lineage EVERY round: the iterative self-join plan grows two
-        // joins per round, and Catalyst analysis over the nested plan
-        // quickly costs more than executing the tiny per-round jobs
-        // (measured: per-round checkpointing ≈ 3× faster end-to-end than
-        // every-3-rounds on the dedup pipeline).
+        // One round = min over three candidate sets in a single aggregate:
+        // keep own label, labels arriving over edges, and the composed
+        // label(label(x)) jump — 2 joins + 1 agg per round instead of the
+        // 3-join neighbor-min/jump split.
+        val viaEdges = sym.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("label"))
+        val viaJump = labels.toDF("jkey", "jlabel")
+          .join(labels, col("label") === col("jkey"))
+          .select(col("id"), col("jlabel").as("label"))
+        labels = labels.union(viaEdges).union(viaJump)
+          .groupBy("id").agg(min("label").as("label"))
+        // Cut lineage EVERY round: Catalyst analysis over the nested
+        // iterative plan quickly costs more than executing the tiny
+        // per-round jobs (measured: per-round checkpointing ≈ 3× faster
+        // end-to-end than every-3-rounds on the dedup pipeline).
         labels = labels.localCheckpoint(true)
       }
       labels.select(col("id"), col("label").as("component"))
