@@ -84,6 +84,72 @@ object Aggregates extends QueryModule {
                round(n / CAST(n_total AS DOUBLE), 6) AS share
         FROM b, t ORDER BY bucket""")),
 
+    // Quantiles from a mergeable equi-width histogram: bin counts merge by
+    // addition (the property that makes this a one-pass distributed
+    // quantile estimate at any scale), and the estimate interpolates
+    // linearly inside the bin containing q·N. The exact interpolated
+    // percentile runs alongside so the error is visible; BOTH the
+    // estimate and the exact value are deterministic expressions the
+    // oracle replays, so the whole row set hash-matches.
+    Q(
+      "agg_quantile_hist",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val width = 500.0
+        val li = Tables.lineitem(s, dir)
+        val hist = li
+          .select(floor(col("l_extendedprice") / width).cast("int").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("bin_n"))
+        val cum = hist.withColumn("cum",
+          sum("bin_n").over(Window.orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val total = li.agg(count(lit(1)).as("n_total"))
+        val exact = li.agg(
+          expr("percentile(l_extendedprice, 0.5)").as("e50"),
+          expr("percentile(l_extendedprice, 0.9)").as("e90"),
+          expr("percentile(l_extendedprice, 0.99)").as("e99"))
+        val qs = s.createDataFrame(Seq(Tuple1(0.5), Tuple1(0.9), Tuple1(0.99)))
+          .toDF("q")
+        qs.crossJoin(broadcast(total)).crossJoin(broadcast(exact))
+          .join(cum,
+            col("cum") >= col("q") * col("n_total") &&
+              (col("cum") - col("bin_n")) < col("q") * col("n_total"))
+          .select(col("q"),
+            round(col("bin") * width +
+              (col("q") * col("n_total") - (col("cum") - col("bin_n"))) /
+              col("bin_n") * width, 4).as("est_quantile"),
+            round(
+              when(col("q") === 0.5, col("e50"))
+                .when(col("q") === 0.9, col("e90"))
+                .otherwise(col("e99")), 4).as("exact_quantile"))
+          .orderBy("q")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT CAST(floor(l_extendedprice / 500) AS INT) AS bin,
+                 count(*) AS bin_n
+          FROM lineitem GROUP BY 1),
+        c AS (
+          SELECT bin, bin_n,
+                 sum(bin_n) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h),
+        t AS (SELECT count(*) AS n_total FROM lineitem),
+        ex AS (SELECT quantile_cont(l_extendedprice, 0.5) AS e50,
+                      quantile_cont(l_extendedprice, 0.9) AS e90,
+                      quantile_cont(l_extendedprice, 0.99) AS e99
+               FROM lineitem),
+        q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        SELECT q,
+               round(bin * 500 + (q * n_total - (cum - bin_n)) / bin_n * 500,
+                     4) AS est_quantile,
+               round(CASE WHEN q = 0.5 THEN e50
+                          WHEN q = 0.9 THEN e90 ELSE e99 END, 4)
+                 AS exact_quantile
+        FROM q, t, ex JOIN c
+          ON cum >= q * n_total AND (cum - bin_n) < q * n_total
+        ORDER BY q""")),
+
     // Column profiling — the data-quality summary an ingestion service
     // emits per landed batch: row/null/distinct counts and value range per
     // column, one narrow output row per profiled column. Each column's
