@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's final stdout line as JSON. sbt's default
+// LoggedOutput decorates forked-run output with an "[info] " prefix and
+// appends "[success] Total time: …" — both made BENCH_r{1,2}.json
+// "parsed": null. Pass the child's stdout through verbatim and drop the
+// success banner so the bare JSON summary line is the LAST line of stdout.
+run / connectInput := false
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

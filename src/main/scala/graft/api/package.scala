@@ -48,11 +48,16 @@ package object api {
       val sh = df
         .select(id.as("id"), posexplode(split(text, " ")))
         .toDF("id", "pos", "tok")
-        // concat_ws skips null leads at the tail, matching the shorter
-        // tail shingles of the array formulation in `shingles`.
-        .select(col("id"), concat_ws(" ",
+        // A window position yields a FULL k-shingle only when lead(k-1)
+        // exists; tail positions (concat_ws would silently shorten them)
+        // are dropped so the shingle set matches `shingles` exactly. Docs
+        // shorter than k keep their pos-0 row: its truncated shingle is
+        // the whole document, same as `shingles`' single truncated entry.
+        .select(col("id"), col("pos"), concat_ws(" ",
           (col("tok") +: (1 until k).map(j => lead("tok", j).over(w))): _*)
-          .as("sh"))
+          .as("sh"),
+          lead("tok", k - 1).over(w).as("_full"))
+        .filter(col("_full").isNotNull || col("pos") === 0)
         .withColumn("h", xxhash64(col("sh")))
       val mins =
         (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
@@ -213,13 +218,19 @@ package object api {
       val rnd = new java.util.Random(seed)
       val planes: Column =
         typedlit(Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian())))
-      aggregate(
+      val sig = aggregate(
         transform(sequence(lit(0), lit(numPlanes - 1)),
           j => when(
             aggregate(zip_with(e, element_at(planes, j + 1), (x, p) => x * p),
               lit(0.0), (acc, x) => acc + x) > 0,
             pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
         lit(0), (acc, b) => acc + b)
+      // A length≠dim vector would null-pad through zip_with, turn every
+      // plane dot product null, and silently collapse the row into bucket
+      // 0 (recall loss with no error) — fail loudly instead.
+      when(size(e) === dim, sig).otherwise(raise_error(concat(
+        lit("graft lshSignature: vector length "), size(e).cast("string"),
+        lit(s" != dim $dim"))))
     }
 
     /** Exact brute-force cosine top-k: every query row against every
@@ -261,6 +272,11 @@ package object api {
       * partition key). Right columns are returned with their own names —
       * alias them before the call on collision. Ties at the same
       * `rightTime` break toward the largest `tieBreak` value.
+      *
+      * Left rows with NO right row at or before their timestamp are
+      * RETAINED with null right columns (pandas merge_asof semantics): the
+      * left-outer join emits exactly one all-null right row for them, which
+      * the rn=1 filter keeps.
       */
     def asOf(
         left: DataFrame, leftId: Column, leftKey: Column, leftTime: Column,
@@ -273,7 +289,7 @@ package object api {
       val w = Window.partitionBy("_graft_id")
         .orderBy(col("_graft_rt").desc, col("_graft_tb").desc)
       l.join(r, l("_graft_lk") === r("_graft_rk") &&
-          r("_graft_rt") <= l("_graft_lt"))
+          r("_graft_rt") <= l("_graft_lt"), "left")
         .withColumn("_graft_rn", row_number().over(w))
         .filter(col("_graft_rn") === 1)
         .drop("_graft_id", "_graft_lk", "_graft_lt", "_graft_rk",

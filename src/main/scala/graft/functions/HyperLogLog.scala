@@ -47,8 +47,15 @@ object Hll {
     buf
   }
 
-  /** Element-wise max into `a` — the lossless sketch union. */
+  /** Element-wise max into `a` — the lossless sketch union. Register
+    * arrays must agree in length (same precision p): merging a larger
+    * sketch would silently drop its extra registers (wrong estimate), a
+    * smaller one would throw mid-task — fail fast with the cause instead.
+    */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length,
+      s"HLL register mismatch: ${a.length} vs ${b.length} " +
+        "(sketches built with different precision p cannot be merged)")
     var i = 0
     while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a

@@ -17,40 +17,66 @@ object Aggregates extends QueryModule {
     // parquet row groups) → hash agg (partial+final) → tiny sorted result.
     Q(
       "agg_group",
-      (s, dir) =>
+      (s, dir) => {
+        // The source columns are exact 2-decimal money values stored as
+        // doubles, so a cast to decimal(_,2) is lossless and identical in
+        // both engines. ALL arithmetic then happens in exact decimal —
+        // double accumulation order (Spark partial-agg vs DuckDB serial)
+        // can no longer flip any digit; the final cast to double of an
+        // exact decimal is correctly rounded and engine-independent.
+        val qty   = col("l_quantity").cast("decimal(12,2)")
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc  = col("l_discount").cast("decimal(4,2)")
+        val tax   = col("l_tax").cast("decimal(4,2)")
+        val one   = lit(1).cast("decimal(3,2)")
         Tables.lineitem(s, dir)
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum("l_quantity"), 4).as("sum_qty"),
-            round(sum("l_extendedprice"), 4).as("sum_base_price"),
-            // Terms are rounded to 4 decimals BEFORE summation so the exact
-            // decimal sum has ≤4 decimals; the final round(…,4) then lands
-            // on the same value in both engines regardless of partial-agg
-            // order (a tie at the 5th decimal can no longer occur).
-            round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)), 4)
-              .as("sum_disc_price"),
-            round(
-              sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-                (lit(1.0) + col("l_tax")), 4)), 4).as("sum_charge"),
-            round(avg("l_quantity"), 4).as("avg_qty"),
-            round(avg("l_extendedprice"), 4).as("avg_price"),
-            round(avg("l_discount"), 4).as("avg_disc"),
+            sum(qty).cast("double").as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+            sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+            sum(disc).cast("double").as("sum_disc"),
             count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus"),
+          // Averages from the SAME exact double sums both engines now
+          // share; the quotient doubles are therefore bit-identical inputs
+          // to round() on both sides.
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("sum_qty"), col("sum_base_price"),
+            col("sum_disc_price"), col("sum_charge"),
+            round(col("sum_qty") / col("count_order"), 4).as("avg_qty"),
+            round(col("sum_base_price") / col("count_order"), 4).as("avg_price"),
+            round(col("sum_disc") / col("count_order"), 4).as("avg_disc"),
+            col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       oracle = Some("""
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4)      AS sum_qty,
-               round(sum(l_extendedprice), 4) AS sum_base_price,
-               round(sum(round(l_extendedprice * (1.0 - l_discount), 4)), 4) AS sum_disc_price,
-               round(sum(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4)), 4) AS sum_charge,
-               round(avg(l_quantity), 4)      AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4)      AS avg_disc,
-               count(*)                       AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
+        WITH t AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DECIMAL(12,2))      AS qty,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                 CAST(l_discount AS DECIMAL(4,2))       AS disc,
+                 CAST(l_tax AS DECIMAL(4,2))            AS tax
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+        g AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(qty) AS DOUBLE)   AS sum_qty,
+                 CAST(sum(price) AS DOUBLE) AS sum_base_price,
+                 CAST(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)) AS DOUBLE) AS sum_disc_price,
+                 CAST(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)
+                                * (CAST(1 AS DECIMAL(3,2)) + tax)) AS DOUBLE)  AS sum_charge,
+                 CAST(sum(disc) AS DOUBLE) AS sum_disc,
+                 count(*) AS count_order
+          FROM t GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+               sum_disc_price, sum_charge,
+               round(sum_qty / count_order, 4)        AS avg_qty,
+               round(sum_base_price / count_order, 4) AS avg_price,
+               round(sum_disc / count_order, 4)       AS avg_disc,
+               count_order
+        FROM g
         ORDER BY l_returnflag, l_linestatus""")),
 
     // Equi-width histogram — numeric profiling for ingestion QA: one

@@ -284,10 +284,11 @@ object Joins extends QueryModule {
 
     // As-of join: for each event, the latest order of the same customer at
     // or before the event timestamp (non-strict, ties broken by orderkey).
-    // Composed as equi-join on the entity key + range predicate + top-1
-    // window per event — the standard Spark strategy for point-in-time
-    // lookups. The join shuffles on user_id/o_custkey; the top-1 window
-    // then re-shuffles on event_id (its partition key).
+    // Composed as LEFT equi-join on the entity key + range predicate +
+    // top-1 window per event — the standard Spark strategy for
+    // point-in-time lookups; events with no prior order are retained with
+    // null order columns. The join shuffles on user_id/o_custkey; the
+    // top-1 window then re-shuffles on event_id (its partition key).
     Q(
       "join_asof",
       (s, dir) => {
@@ -311,7 +312,7 @@ object Joins extends QueryModule {
                  row_number() OVER (PARTITION BY e.event_id
                                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
           FROM events e
-          JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+          LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         ) WHERE rn = 1
         ORDER BY event_id"""))
   )
