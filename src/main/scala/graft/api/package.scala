@@ -227,10 +227,16 @@ package object api {
         lit(0), (acc, b) => acc + b)
       // A length≠dim vector would null-pad through zip_with, turn every
       // plane dot product null, and silently collapse the row into bucket
-      // 0 (recall loss with no error) — fail loudly instead.
-      when(size(e) === dim, sig).otherwise(raise_error(concat(
-        lit("graft lshSignature: vector length "), size(e).cast("string"),
-        lit(s" != dim $dim"))))
+      // 0 (recall loss with no error) — fail loudly instead. A NULL vector
+      // must short-circuit first: size(NULL) is NULL, so without the guard
+      // the otherwise branch fires with a NULL message (raise_error(NULL)
+      // crashes the job message-less). NULL in → NULL signature out.
+      when(e.isNull, lit(null).cast("int"))
+        .when(size(e) === dim, sig)
+        .otherwise(raise_error(concat(
+          lit("graft lshSignature: vector length "),
+          coalesce(size(e).cast("string"), lit("null")),
+          lit(s" != dim $dim"))))
     }
 
     /** Exact brute-force cosine top-k: every query row against every
@@ -345,6 +351,16 @@ package object api {
       */
     def heavyHitters(c: Column, k: Int = 16): Column =
       udaf(new graft.functions.HeavyHitters(k)).apply(c)
+
+    /** q-digest quantile sketch aggregate over a LONG column: returns
+      * array<long> of the values at `fractions`, each with rank error at
+      * most (universeBits / k) · n. Mergeable (count-map addition), O(k)
+      * state per group — the one-pass distributed quantile at any scale.
+      */
+    def quantileDigest(
+        c: Column, fractions: Seq[Double],
+        universeBits: Int = 20, k: Int = 2048): Column =
+      udaf(new graft.functions.QDigest(fractions, universeBits, k)).apply(c)
   }
 
   /** Multimodal decode: real pure-JVM codecs (graft.functions.Codecs) over

@@ -22,8 +22,12 @@ object Aggregates extends QueryModule {
         // doubles, so a cast to decimal(_,2) is lossless and identical in
         // both engines. ALL arithmetic then happens in exact decimal —
         // double accumulation order (Spark partial-agg vs DuckDB serial)
-        // can no longer flip any digit; the final cast to double of an
-        // exact decimal is correctly rounded and engine-independent.
+        // can no longer flip any digit. The exact sums are rounded to
+        // scale 4 (half-up in both engines) BEFORE the double cast: the
+        // scale-4 scaled integer stays below 2^53 far beyond the tested
+        // scale factors, so each engine performs one exact int→double plus
+        // one correctly-rounded division — no double-rounding divergence
+        // from DuckDB's scaled-int128 cast path at scale 6.
         val qty   = col("l_quantity").cast("decimal(12,2)")
         val price = col("l_extendedprice").cast("decimal(12,2)")
         val disc  = col("l_discount").cast("decimal(4,2)")
@@ -33,13 +37,13 @@ object Aggregates extends QueryModule {
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(qty).cast("double").as("sum_qty"),
-            sum(price).cast("double").as("sum_base_price"),
-            sum(price * (one - disc)).cast("double").as("sum_disc_price"),
-            sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
-            sum(disc).cast("double").as("sum_disc"),
+            round(sum(qty), 4).cast("double").as("sum_qty"),
+            round(sum(price), 4).cast("double").as("sum_base_price"),
+            round(sum(price * (one - disc)), 4).cast("double").as("sum_disc_price"),
+            round(sum(price * (one - disc) * (one + tax)), 4).cast("double").as("sum_charge"),
+            round(sum(disc), 4).cast("double").as("sum_disc"),
             count(lit(1)).as("count_order"))
-          // Averages from the SAME exact double sums both engines now
+          // Averages from the SAME rounded double sums both engines now
           // share; the quotient doubles are therefore bit-identical inputs
           // to round() on both sides.
           .select(col("l_returnflag"), col("l_linestatus"),
@@ -62,12 +66,12 @@ object Aggregates extends QueryModule {
           WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
         g AS (
           SELECT l_returnflag, l_linestatus,
-                 CAST(sum(qty) AS DOUBLE)   AS sum_qty,
-                 CAST(sum(price) AS DOUBLE) AS sum_base_price,
-                 CAST(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)) AS DOUBLE) AS sum_disc_price,
-                 CAST(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)
-                                * (CAST(1 AS DECIMAL(3,2)) + tax)) AS DOUBLE)  AS sum_charge,
-                 CAST(sum(disc) AS DOUBLE) AS sum_disc,
+                 CAST(round(sum(qty), 4) AS DOUBLE)   AS sum_qty,
+                 CAST(round(sum(price), 4) AS DOUBLE) AS sum_base_price,
+                 CAST(round(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)), 4) AS DOUBLE) AS sum_disc_price,
+                 CAST(round(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)
+                                      * (CAST(1 AS DECIMAL(3,2)) + tax)), 4) AS DOUBLE)  AS sum_charge,
+                 CAST(round(sum(disc), 4) AS DOUBLE) AS sum_disc,
                  count(*) AS count_order
           FROM t GROUP BY l_returnflag, l_linestatus)
         SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,

@@ -115,6 +115,42 @@ object Udx extends QueryModule {
             countDistinct("user_id").as("exact_users"))
           .orderBy("event_type")),
 
+    // q-digest quantile sketch (graft.functions.QDigest): the third owned
+    // mergeable summary (distinct=HLL, heavy hitters=MG, quantiles=this).
+    // Per return-flag sketch of price cents (universe 2^24 ≥ max price in
+    // cents, k=2048 ⇒ ε ≈ 1.2% rank error), self-checked in-query: the
+    // exact rank of each reported estimate — count(cents ≤ est) via one
+    // broadcast of the 15-row estimate table back onto lineitem — must sit
+    // within ε·n+1 of the requested rank. No oracle: the estimate depends
+    // on the digest's merge tree, which DuckDB cannot replay.
+    Q(
+      "udaf_qdigest",
+      (s, dir) => {
+        val fr = Seq(0.5, 0.9, 0.99)
+        val (uBits, kk) = (24, 2048)
+        val eps = uBits.toDouble / kk
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        val sk = li.groupBy("l_returnflag")
+          .agg(
+            graft.api.Sketches.quantileDigest(col("cents"), fr, uBits, kk)
+              .as("qs"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("n"),
+            posexplode(col("qs")).as(Seq("i", "est_cents")))
+          .select(col("l_returnflag"), col("n"),
+            element_at(typedlit(fr), col("i") + 1).as("q"), col("est_cents"))
+        li.join(broadcast(sk), Seq("l_returnflag"))
+          .groupBy("l_returnflag", "q", "est_cents", "n")
+          .agg(sum(when(col("cents") <= col("est_cents"), 1L).otherwise(0L))
+            .as("est_rank"))
+          .select(col("l_returnflag"), col("q"),
+            round(col("est_cents") / 100.0, 2).as("est_value"),
+            (abs(col("est_rank") - col("q") * col("n")) <=
+              lit(eps) * col("n") + 1).as("rank_ok"))
+          .orderBy("l_returnflag", "q")
+      }),
+
     // Misra–Gries heavy hitters: the bounded-memory top-k-frequent sketch
     // (graft.functions.HeavyHitters), run per language over the exploded
     // token stream, cross-checked in-query against the exact counts: the

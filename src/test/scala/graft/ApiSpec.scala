@@ -97,6 +97,22 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(sig == sig2)
   }
 
+  test("lshSignature: NULL vector yields NULL signature; wrong dim raises with a message") {
+    val sp = spark
+    import sp.implicits._
+    val withNull = Seq((0L, Option(Seq.tabulate(64)(i => math.sin(i + 1)))),
+      (1L, Option.empty[Seq[Double]])).toDF("vid", "v")
+    val rows = withNull.select(col("vid"),
+      api.Similarity.lshSignature(col("v")).as("sig")).orderBy("vid").collect()
+    assert(!rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1))
+    val short = Seq((0L, Seq.tabulate(8)(i => math.sin(i + 1)))).toDF("vid", "v")
+    val ex = intercept[Exception] {
+      short.select(api.Similarity.lshSignature(col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("vector length 8"))
+  }
+
   test("Joins.asOf picks the latest right row at or before each left time") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.QDigest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The from-scratch q-digest quantile sketch: rank-error within the ε =
+  * universeBits/k envelope on skewed data, merge correctness (order/
+  * partitioning invariance of the bound, not of the digest), and the
+  * Spark aggregate path.
+  */
+class QDigestSpec extends AnyFunSuite with SparkFixture {
+
+  private def rankOf(sorted: IndexedSeq[Long], v: Long): Int = {
+    // count of elements <= v
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  private def assertBounds(
+      d: QDigest, buf: Map[Long, Long], data: IndexedSeq[Long],
+      fractions: Seq[Double]): Unit = {
+    val sorted = data.sorted
+    val n = data.length
+    val est = d.finish(buf)
+    fractions.zip(est).foreach { case (q, v) =>
+      val r = rankOf(sorted, v)
+      val target = math.ceil(q * n)
+      assert(math.abs(r - target) <= d.epsilon * n + 1,
+        s"q=$q est=$v rank=$r target=$target eps*n=${d.epsilon * n}")
+    }
+  }
+
+  test("rank error within eps*n on a skewed distribution") {
+    val fr = Seq(0.1, 0.5, 0.9, 0.99)
+    val d = new QDigest(fr, universeBits = 16, k = 512)
+    // Zipf-ish: many small values, long tail.
+    val data = (0 until 50000).map(i => ((i.toLong * i) % 65536))
+    val buf = data.foldLeft(d.zero)(d.reduce)
+    assertBounds(d, buf, data, fr)
+  }
+
+  test("merged halves obey the same bound (mergeability)") {
+    val fr = Seq(0.25, 0.5, 0.75)
+    val d = new QDigest(fr, universeBits = 16, k = 256)
+    val data = (0 until 30000).map(i => ((i.toLong * 2654435761L) % 65536))
+    val (l, r) = data.splitAt(11111)
+    val merged = d.merge(l.foldLeft(d.zero)(d.reduce),
+      r.foldLeft(d.zero)(d.reduce))
+    assertBounds(d, merged, data, fr)
+    // merge() compresses: the kept map is O(k), not O(distinct).
+    assert(merged.size <= 3 * 256, s"digest size ${merged.size} not O(k)")
+  }
+
+  test("out-of-universe values clamp to the edges, not crash") {
+    val d = new QDigest(Seq(0.5), universeBits = 8, k = 64)
+    val buf = Seq(-5L, 1000L, 10L, 10L, 10L).foldLeft(d.zero)(d.reduce)
+    val est = d.finish(buf)(0)
+    assert(est >= 0 && est <= 255)
+  }
+
+  test("Spark aggregate path: per-group quantiles within bound") {
+    val sp = spark
+    import sp.implicits._
+    val fr = Seq(0.5, 0.9)
+    val df = sp.range(40000).select(
+      (col("id") % 4).as("g"),
+      ((col("id") * col("id")) % 32768).as("v"))
+    val got = df.groupBy("g")
+      .agg(api.Sketches.quantileDigest(col("v"), fr, 15, 512).as("qs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val byG = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val eps = 15.0 / 512
+    got.foreach { case (g, est) =>
+      val sorted = byG(g)
+      fr.zip(est).foreach { case (q, v) =>
+        val r = rankOf(sorted, v)
+        assert(math.abs(r - math.ceil(q * sorted.length)) <=
+          eps * sorted.length + 1, s"g=$g q=$q est=$v rank=$r")
+      }
+    }
+  }
+}
