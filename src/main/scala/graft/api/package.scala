@@ -264,6 +264,29 @@ package object api {
     }
   }
 
+  /** Physical-layout helpers: how a table is arranged on disk so later
+    * scans prune. These return the rearranged DataFrame — the caller
+    * writes it (layout is a write-time decision).
+    */
+  object Layout {
+
+    /** Z-order (Morton) clustering on two long-castable dimensions: rows
+      * are range-partitioned and sorted by the bit-interleave of the two
+      * columns (custom codegen expression graft_zorder), so each output
+      * file covers a compact 2-D tile and parquet row-group min/max stats
+      * prune box predicates on EITHER dimension. numFiles bounds the
+      * layout's granularity: more files = finer tiles = sharper pruning,
+      * at the cost of smaller row groups.
+      */
+    def zorderBy(
+        df: DataFrame, a: Column, b: Column, numFiles: Int = 16): DataFrame =
+      df.withColumn("__graft_z",
+        graft.functions.ZOrderCode(a.cast("long"), b.cast("long")))
+        .repartitionByRange(numFiles, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+  }
+
   /** Join strategies Spark lacks as single operators. */
   object Joins {
 

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.qdotDescriptor)
+    ext.injectFunction(GraftExtensions.zorderDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
   }
 }
@@ -43,6 +44,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_qdot takes exactly 2 arguments")
       QuantizedDotProduct(children.head, children(1))
+    })
+
+  val zorderDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_zorder"),
+    new ExpressionInfo(classOf[ZOrderCode].getName, "graft_zorder"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_zorder takes exactly 2 arguments")
+      ZOrderCode(children.head, children(1))
     })
 }
 

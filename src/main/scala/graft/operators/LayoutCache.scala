@@ -24,6 +24,25 @@ private[graft] object LayoutCache {
       })
     }
 
+  /** lineitem Z-order-clustered on (l_partkey, l_suppkey): rows sorted by
+    * the Morton interleave of the two keys, range-partitioned into 16
+    * files so each file (= one parquet row group at this scale) covers a
+    * compact 2-D tile. Row-group min/max stats on BOTH columns then prune
+    * a box predicate on either or both dimensions — the multi-dimensional
+    * clustering a single-column sort cannot give. Returns the layout path.
+    */
+  def zorderedLineitem(s: SparkSession, dir: String): String =
+    cache.synchronized {
+      cache.getOrElseUpdate(s"zorder_lineitem:$dir", {
+        val out = Scratch.fresh("layout_zorder_lineitem")
+        import org.apache.spark.sql.functions.col
+        graft.api.Layout.zorderBy(Tables.lineitem(s, dir),
+            col("l_partkey"), col("l_suppkey"), numFiles = 16)
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+
   /** lineitem + orders as bucketed tables graft_li_b / graft_ord_b. */
   def bucketedTables(s: SparkSession, dir: String): Unit =
     cache.synchronized {

@@ -230,6 +230,33 @@ object Sources extends QueryModule {
         FROM lineitem WHERE l_returnflag = 'R'
         GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // Z-order clustered scan: the layout (LayoutCache.zorderedLineitem)
+    // sorts lineitem by the Morton interleave of (l_partkey, l_suppkey) —
+    // a custom codegen expression (functions.ZOrderCode) — so a 2-D box
+    // predicate maps to a handful of compact key ranges and parquet
+    // row-group min/max stats prune most of the table on BOTH dimensions
+    // (a single-column sort can only prune its leading column). The
+    // result is layout-independent, so the raw-table oracle checks that
+    // clustering preserved the data exactly; ZOrderSpec asserts the
+    // pruning itself (rows actually read ≪ table size).
+    Q(
+      "scan_zorder_pruned",
+      (s, dir) => {
+        val out = LayoutCache.zorderedLineitem(s, dir)
+        s.read.parquet(out)
+          .filter(col("l_partkey").between(50, 150) &&
+            col("l_suppkey").between(3, 8))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_extendedprice"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               l_extendedprice
+        FROM lineitem
+        WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 3 AND 8
+        ORDER BY l_orderkey, l_linenumber""")),
+
     // Dynamic partition pruning: the partition column is constrained only
     // through a join with a filtered dim, so the pruning predicate is
     // discovered at runtime (dynamicpruning subquery in the plan) — at

@@ -44,6 +44,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r(0).getLong(0) == 32L)
   }
 
+  test("graft_zorder is callable from SQL and interleaves") {
+    val r = spark.sql(
+      "SELECT graft_zorder(CAST(3 AS BIGINT), CAST(3 AS BIGINT)) AS z")
+      .collect()
+    assert(r(0).getLong(0) == 15L)
+  }
+
   test("self-cosine folds to 1.0 for non-nullable input") {
     val df = spark.sql(
       """SELECT graft_cosine(v, v) AS c FROM (
