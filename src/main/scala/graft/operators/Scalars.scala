@@ -300,6 +300,68 @@ object Scalars extends QueryModule {
             try_variant_get(col("v"), "$.k", "long").as("k_variant"),
             col("k_str"))
           .withColumn("diff", coalesce(col("k_variant") - col("k_str"), lit(-1L)))
-          .orderBy("event_id"))
+          .orderBy("event_id")),
+
+    // Binary-text codecs: base64 / hex / digest round-trips — the
+    // serialization scalars an ingestion boundary leans on (opaque keys,
+    // content digests, wire-safe payload columns). All pure column math,
+    // fully codegen.
+    Q(
+      "fn_encode",
+      (s, dir) => {
+        val prefix = substring(col("text"), 1, 24)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            base64(prefix.cast("binary")).as("b64"),
+            hex(prefix.cast("binary")).as("hex_u"),
+            (unbase64(base64(prefix.cast("binary"))).cast("string") === prefix)
+              .as("roundtrip_ok"),
+            md5(prefix.cast("binary")).as("md5_hex"),
+            sha2(prefix.cast("binary"), 256).as("sha256_hex"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, substring(text, 1, 24) AS prefix
+                   FROM documents)
+        SELECT doc_id,
+               base64(CAST(prefix AS BLOB)) AS b64,
+               hex(prefix) AS hex_u,
+               decode(from_base64(base64(CAST(prefix AS BLOB)))) = prefix
+                 AS roundtrip_ok,
+               md5(prefix) AS md5_hex,
+               sha256(prefix) AS sha256_hex
+        FROM t ORDER BY doc_id""")),
+
+    // URL decomposition with Spark's native parse_url (HOST/PATH/QUERY +
+    // single-parameter extraction). The oracle replays the same semantics
+    // with plain regexes — different mechanism, identical values — so the
+    // whole operator is hash-checked despite DuckDB lacking parse_url.
+    Q(
+      "fn_url",
+      (s, dir) => {
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id"),
+          lit("?lang="), col("lang"), lit("&ref=ingest"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY")).as("query"),
+            parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.com/docs/' || doc_id ||
+                 '?lang=' || lang || '&ref=ingest' AS url
+          FROM documents)
+        SELECT doc_id, url,
+               regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1) AS path,
+               regexp_extract(url, '\?(.*)$', 1) AS query,
+               regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+        FROM t ORDER BY doc_id"""))
   )
 }

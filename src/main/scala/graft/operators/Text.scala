@@ -240,6 +240,60 @@ object Text extends QueryModule {
                    list_transform(generate_series(1, length(text)),
                      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
                  (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
-        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
+    // PII redaction — the compliance pass a training-data pipeline runs
+    // before anything leaves the boundary: regex-replace emails and phone
+    // numbers with typed placeholders and count what was struck. The
+    // corpus has no real PII, so deterministic synthetic contact strings
+    // are appended first (making every row exercise both patterns), then
+    // redacted. Pure per-row regex column math; the patterns avoid
+    // Java-vs-RE2 divergences (no backrefs, no lookaround).
+    Q(
+      "text_pii_redact",
+      (s, dir) => {
+        val withPii = concat(col("text"),
+          lit(" Contact contact_"), col("doc_id"),
+          lit("@mail"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        val emailPat = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+"
+        val phonePat = "\\+1-555-[0-9]{4}"
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), withPii.as("raw"))
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(col("raw"), emailPat, "[EMAIL]"),
+              phonePat, "[PHONE]").as("redacted"),
+            size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+              .as("n_emails"),
+            size(regexp_extract_all(col("raw"), lit(phonePat), lit(0)))
+              .as("n_phones"))
+          .select(col("doc_id"),
+            expr("right(redacted, 48)").as("redacted_tail"),
+            col("n_emails"), col("n_phones"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' Contact contact_' || doc_id || '@mail' ||
+                 (doc_id % 7) || '.example.com or +1-555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+          FROM documents WHERE doc_id < 300),
+        r AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(raw, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+',
+                                  '[EMAIL]', 'g'),
+                   '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+                 CAST(len(regexp_extract_all(raw,
+                   '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS INTEGER) AS n_emails,
+                 CAST(len(regexp_extract_all(raw,
+                   '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones
+          FROM t)
+        SELECT doc_id, right(redacted, 48) AS redacted_tail,
+               n_emails, n_phones
+        FROM r ORDER BY doc_id"""))
   )
 }

@@ -181,6 +181,39 @@ object Windows extends QueryModule {
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey
                      ORDER BY c_acctbal * 1000000000.0 + c_custkey)
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // Value-navigation window functions (first/last/nth over an explicit
+    // full frame): per-partition reference values attached to every row.
+    // The frame must be spelled out — the default frame stops at CURRENT
+    // ROW, which silently turns last_value into "current value" in both
+    // engines. Ordering is tie-broken on o_orderkey so the navigated
+    // values are unique and engine-independent.
+    Q(
+      "win_nth_value",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        val wf = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"),
+            first(col("o_totalprice")).over(wf).as("cheapest"),
+            last(col("o_totalprice")).over(wf).as("priciest"),
+            nth_value(col("o_totalprice"), 10).over(wf).as("tenth_cheapest"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               first_value(o_totalprice) OVER w AS cheapest,
+               last_value(o_totalprice)  OVER w AS priciest,
+               nth_value(o_totalprice, 10) OVER w AS tenth_cheapest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey"""))
   )
 }
