@@ -170,8 +170,12 @@ package object api {
       // min id. `iterations` is thus a CAP (label(label) doubling reaches
       // diameter 2^iterations), and typical inputs stop rounds early: the
       // probe is one tiny scan of the just-checkpointed labels, far
-      // cheaper than the 2-join round it saves.
-      var prevSum: java.math.BigDecimal = null
+      // cheaper than the 2-join round it saves. Seeded with the initial
+      // identity-label sum so an already-converged input (no edges, or
+      // every node its own min) exits after a single round.
+      var prevSum: java.math.BigDecimal = labels
+        .agg(sum(col("label").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
       var round = 0
       var converged = false
       while (round < iterations && !converged) {
@@ -295,12 +299,17 @@ package object api {
       * at the cost of smaller row groups.
       */
     def zorderBy(
-        df: DataFrame, a: Column, b: Column, numFiles: Int = 16): DataFrame =
-      df.withColumn("__graft_z",
+        df: DataFrame, a: Column, b: Column, numFiles: Int = 16): DataFrame = {
+      // The sort key must not silently replace (and then drop) a caller
+      // column, so pick a name the input provably doesn't use.
+      val zcol = Iterator.from(0).map(i => s"__graft_z$i")
+        .find(n => !df.columns.contains(n)).get
+      df.withColumn(zcol,
         graft.functions.ZOrderCode(a.cast("long"), b.cast("long")))
-        .repartitionByRange(numFiles, col("__graft_z"))
-        .sortWithinPartitions("__graft_z")
-        .drop("__graft_z")
+        .repartitionByRange(numFiles, col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+    }
   }
 
   /** Join strategies Spark lacks as single operators. */

@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -23,15 +22,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Null semantics: null if either input is null.
   */
 case class ZOrderCode(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == LongType))
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two bigint arguments, got " +
-          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  // ImplicitCastInputTypes lets the analyzer coerce narrower integral
+  // arguments (int/short/byte SQL literals or columns) up to bigint, the
+  // same ergonomics as built-in numeric expressions; non-integral types
+  // still fail analysis with the standard type-mismatch error. (Return
+  // type inferred: Seq[AbstractDataType] is private[sql].)
+  override def inputTypes = Seq(LongType, LongType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -23,11 +23,13 @@ object Aggregates extends QueryModule {
         // both engines. ALL arithmetic then happens in exact decimal —
         // double accumulation order (Spark partial-agg vs DuckDB serial)
         // can no longer flip any digit. The exact sums are rounded to
-        // scale 4 (half-up in both engines) BEFORE the double cast: the
-        // scale-4 scaled integer stays below 2^53 far beyond the tested
-        // scale factors, so each engine performs one exact int→double plus
-        // one correctly-rounded division — no double-rounding divergence
-        // from DuckDB's scaled-int128 cast path at scale 6.
+        // scale 4 (half-up in both engines) BEFORE the double cast, so
+        // each engine performs one exact int→double plus one
+        // correctly-rounded division — no double-rounding divergence from
+        // DuckDB's scaled-int128 cast path at scale 6. Bound: per-group
+        // sum_charge reaches ~1.2e11 at SF1, so the scale-4 scaled
+        // integer (~1.2e15) crosses 2^53 (~9e15) near SF8; beyond that,
+        // drop to scale 2 (money scale) for ~100× more headroom.
         val qty   = col("l_quantity").cast("decimal(12,2)")
         val price = col("l_extendedprice").cast("decimal(12,2)")
         val disc  = col("l_discount").cast("decimal(4,2)")

@@ -250,4 +250,18 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
       .select(api.Text.tokenCount(col("t"))).collect()(0).getInt(0)
     assert(tc == 4) // split on single space: empty token counts, as documented
   }
+
+  test("Layout.zorderBy preserves caller columns named like its sort key") {
+    val sp = spark
+    import sp.implicits._
+    // A caller column that collides with the internal sort-key name must
+    // survive the layout pass untouched (regression: hardcoded temp name
+    // silently replaced and dropped it).
+    val df = Seq((1L, 2L, "keep-me"), (3L, 4L, "me-too"))
+      .toDF("x", "y", "__graft_z0")
+    val out = api.Layout.zorderBy(df, col("x"), col("y"), numFiles = 2)
+    assert(out.columns.toSeq == Seq("x", "y", "__graft_z0"))
+    assert(out.select("__graft_z0").collect().map(_.getString(0)).toSet ==
+      Set("keep-me", "me-too"))
+  }
 }

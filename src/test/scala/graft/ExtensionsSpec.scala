@@ -51,6 +51,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r(0).getLong(0) == 15L)
   }
 
+  test("graft_zorder coerces integral arguments without explicit casts") {
+    // Bare INT literals (and int columns) must analyze: ImplicitCast
+    // widens them to BIGINT like any built-in numeric expression.
+    val r = spark.sql("SELECT graft_zorder(3, 3) AS z").collect()
+    assert(r(0).getLong(0) == 15L)
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_zorder(array(1), 3)").collect())
+    assert(err.getMessage.toLowerCase.contains("graft_zorder"))
+  }
+
   test("self-cosine folds to 1.0 for non-nullable input") {
     val df = spark.sql(
       """SELECT graft_cosine(v, v) AS c FROM (
