@@ -22,8 +22,8 @@ class QDigestSpec extends AnyFunSuite with SparkFixture {
   }
 
   private def assertBounds(
-      d: QDigest, buf: Map[Long, Long], data: IndexedSeq[Long],
-      fractions: Seq[Double]): Unit = {
+      d: QDigest, buf: scala.collection.mutable.LongMap[Long],
+      data: IndexedSeq[Long], fractions: Seq[Double]): Unit = {
     val sorted = data.sorted
     val n = data.length
     val est = d.finish(buf)
