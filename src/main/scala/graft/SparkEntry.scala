@@ -22,7 +22,8 @@ object SparkEntry {
     graft.operators.Similarity,
     graft.operators.Streaming,
     graft.operators.Udx,
-    graft.operators.Multimodal
+    graft.operators.Multimodal,
+    graft.operators.Pipeline
   )
 
   lazy val allQueries: Seq[Q] = {

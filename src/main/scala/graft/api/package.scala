@@ -568,6 +568,209 @@ package object api {
   }
 
   /** Text analysis primitives. */
+  /** Training-data pipeline operators: context-window chunking and
+    * packing, benchmark-contamination checks, deterministic sampling and
+    * mixture construction, batch sessionization. Everything here is a
+    * declarative plan (window/agg/join column math) except next-fit
+    * packing, whose sequential semantics genuinely need a per-group fold
+    * — and that fold is sharded so no group ever exceeds a bounded size.
+    */
+  object Pipeline {
+
+    /** Cut each document's token sequence into overlapping context
+      * windows of `window` tokens advancing by `stride` (< window ⇒
+      * overlap). One output row per (doc, chunk): (id, chunk_id,
+      * chunk_start, chunk_len, first_tok, last_tok). Pure column math
+      * (sequence + explode), no shuffle: chunking fans out map-side.
+      */
+    def chunkWindows(
+        df: DataFrame, id: Column, text: Column,
+        window: Int = 64, stride: Int = 48): DataFrame = {
+      require(window >= 1 && stride >= 1 && stride <= window)
+      val base = df.select(id.as("id"), split(text, " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("nch",
+          when(col("n") <= window, lit(1L))
+            .otherwise(expr(s"(n - $window + ${stride - 1}) div $stride") + 1L))
+      base
+        .select(col("id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("nch") - 1L)).as("chunk_id"))
+        .withColumn("chunk_start", col("chunk_id") * stride)
+        .withColumn("chunk_len",
+          least(col("n") - col("chunk_start"), lit(window.toLong)))
+        .select(col("id"), col("chunk_id"), col("chunk_start"),
+          col("chunk_len"),
+          element_at(col("toks"), (col("chunk_start") + 1L).cast("int"))
+            .as("first_tok"),
+          element_at(col("toks"),
+            least(col("chunk_start") + window, col("n")).cast("int"))
+            .as("last_tok"))
+    }
+
+    /** Benchmark-contamination check: for every corpus document sharing at
+      * least one distinct token n-gram with a benchmark document, the
+      * count of shared distinct n-grams and the fraction of the benchmark
+      * doc's n-grams covered. The inverted-index equi-join on the gram is
+      * the scale shape — candidates come from shared grams, never an
+      * all-pairs comparison — and the per-benchmark gram totals broadcast.
+      * Output: (corpus_id, bench_id, shared_ngrams, bench_ngrams,
+      * overlap_frac) for pairs with overlap_frac >= minOverlap.
+      */
+    def contaminationNgram(
+        corpus: DataFrame, corpusId: Column, corpusText: Column,
+        bench: DataFrame, benchId: Column, benchText: Column,
+        n: Int = 8, minOverlap: Double = 0.5): DataFrame = {
+      require(n >= 1)
+      def grams(df: DataFrame, id: Column, text: Column): DataFrame =
+        df.select(id.as("_id"), split(text, " ").as("toks"))
+          .filter(size(col("toks")) >= n)
+          .select(col("_id"), explode(array_distinct(
+            expr(s"""transform(sequence(1, size(toks) - ${n - 1}),
+                     i -> array_join(slice(toks, i, $n), ' '))""")))
+            .as("gram"))
+      val cg = grams(corpus, corpusId, corpusText)
+        .toDF("corpus_id", "gram")
+      val bg = grams(bench, benchId, benchText)
+        .toDF("bench_id", "gram")
+      val benchTotals = bg.groupBy("bench_id")
+        .agg(count(lit(1)).as("bench_ngrams"))
+      // The benchmark suite is small by definition — broadcast its gram
+      // index so the (huge) corpus gram stream never shuffles.
+      cg.join(broadcast(bg), "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .join(broadcast(benchTotals), "bench_id")
+        .withColumn("overlap_frac",
+          round(col("shared_ngrams") / col("bench_ngrams").cast("double"), 4))
+        .filter(col("overlap_frac") >= minOverlap)
+        .select(col("corpus_id"), col("bench_id"), col("shared_ngrams"),
+          col("bench_ngrams"), col("overlap_frac"))
+    }
+
+    /** Gap-based batch sessionization: per-key session ordinal attached to
+      * every row, incrementing whenever the gap since the previous row
+      * exceeds `gapMinutes`. Classic gaps-and-islands on a per-key window
+      * — one shuffle on the key, everything else window math. Ties in ts
+      * break on `tieBreak` so the numbering is deterministic.
+      * Output: input key/ts/tieBreak columns plus session_seq (1-based).
+      */
+    def sessionize(
+        df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+        gapMinutes: Int = 30): DataFrame = {
+      val w = Window.partitionBy("sess_key").orderBy("sess_us", "sess_tie")
+      val gapUs = gapMinutes * 60L * 1000000L
+      df.select(key.as("sess_key"), unix_micros(ts).as("sess_us"),
+        tieBreak.as("sess_tie"))
+        .withColumn("is_new",
+          when(col("sess_us") - lag("sess_us", 1).over(w) > gapUs ||
+            lag("sess_us", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_seq",
+          sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .drop("is_new")
+    }
+
+    /** Deterministic stratified sample: keep a row iff
+      * (key · 2654435761) mod 1000 < permille. The Knuth multiplicative
+      * hash is plain integer arithmetic, so the SAME rows are selected by
+      * any engine — reproducible sampling without a seed exchange — and
+      * selection is a pushed-down filter: no shuffle, no sort, rate holds
+      * per stratum because the hash is independent of the stratum.
+      */
+    def stratifiedHashSample(
+        df: DataFrame, key: Column, permille: Int): DataFrame = {
+      require(permille >= 0 && permille <= 1000)
+      df.filter(pmod(key * lit(2654435761L), lit(1000L)) < permille)
+    }
+
+    /** Downsample sources to a target mixture: integer-exact quotas.
+      * For weights w_s (permille, summing ≤ 1000), the largest feasible
+      * total T respecting the mixture without upsampling satisfies
+      * T_s = ⌊1000·n_s / w_s⌋; T = min_s T_s; quota_s = ⌊T·w_s / 1000⌋.
+      * All arithmetic is BIGINT (engine-exact). Selection is the quota_s
+      * smallest ids per source — deterministic. Output: selected rows
+      * (id, source) plus per-source quota columns for audit.
+      */
+    def weightedMixture(
+        df: DataFrame, source: Column, id: Column,
+        weightsPermille: Map[String, Long]): DataFrame = {
+      require(weightsPermille.values.forall(_ > 0))
+      val sp = df.sparkSession
+      val weights = {
+        import sp.implicits._
+        weightsPermille.toSeq.toDF("mix_source", "w_pm")
+      }
+      val d = df.select(source.as("mix_source"), id.as("mix_id"))
+      val counts = d.groupBy("mix_source").agg(count(lit(1)).as("n_avail"))
+        .join(broadcast(weights), "mix_source")
+        .withColumn("t_s", expr("1000 * n_avail div w_pm"))
+      val t = counts.agg(min("t_s").as("t_total"))
+      val quotas = counts.crossJoin(broadcast(t))
+        .withColumn("quota", expr("t_total * w_pm div 1000"))
+        .select("mix_source", "n_avail", "w_pm", "quota")
+      val w = Window.partitionBy("mix_source").orderBy("mix_id")
+      d.withColumn("rn", row_number().over(w))
+        .join(broadcast(quotas), "mix_source")
+        .filter(col("rn") <= col("quota"))
+        .select(col("mix_source").as("source"), col("mix_id").as("id"),
+          col("n_avail"), col("w_pm"), col("quota"))
+    }
+
+    /** Concat-then-split packing (how LLM training shards are actually
+      * cut): tokens of consecutive docs per group are conceptually
+      * concatenated and sliced at every `budget` boundary; a doc spans
+      * bins ⌊before/budget⌋ .. ⌊(before+tc−1)/budget⌋. Closed-form over a
+      * running sum — one shuffle on the group key, no sequential state.
+      * Output: (id, group, n_tokens, first_bin, last_bin, bins_spanned).
+      */
+    def packConcatSplit(
+        df: DataFrame, group: Column, id: Column, tokenCount: Column,
+        budget: Int = 512): DataFrame = {
+      require(budget >= 1)
+      val w = Window.partitionBy("pack_group").orderBy("pack_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.select(group.as("pack_group"), id.as("pack_id"),
+        tokenCount.cast("long").as("tc"))
+        .withColumn("before", coalesce(sum("tc").over(w), lit(0L)))
+        .select(col("pack_id").as("id"), col("pack_group").as("group"),
+          col("tc").as("n_tokens"),
+          expr(s"before div $budget").as("first_bin"),
+          expr(s"(before + tc - 1) div $budget").as("last_bin"))
+        .withColumn("bins_spanned", col("last_bin") - col("first_bin") + 1L)
+    }
+
+    /** Next-fit sequence packing: docs never split across bins; a new bin
+      * opens when the current one can't fit the next doc. Inherently
+      * sequential per group, so the fold runs inside flatMapGroups — and
+      * the group key is (group, id mod shards) so no single group ever
+      * exceeds a bounded shard: the memory-safe way to run an ordered
+      * fold at 100 TB. Oversized docs (tc > budget) get a bin of their
+      * own. Output: (id, group, shard, bin_id, n_tokens, fill_after).
+      */
+    def packNextFit(
+        df: DataFrame, group: Column, id: Column, tokenCount: Column,
+        budget: Int = 512, shards: Int = 4): DataFrame = {
+      require(budget >= 1 && shards >= 1)
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(group.as("g"), id.as("id"), tokenCount.cast("long").as("tc"),
+        pmod(id, lit(shards.toLong)).cast("int").as("shard"))
+        .as[(String, Long, Long, Int)]
+        .groupByKey { case (g, _, _, shard) => (g, shard) }
+        .flatMapGroups { (key: (String, Int), it: Iterator[(String, Long, Long, Int)]) =>
+          val (g, shard) = key
+          val docs = it.toArray.sortBy(_._2)
+          var bin = 0L
+          var fill = 0L
+          docs.iterator.map { case (_, docId, tc, _) =>
+            if (fill > 0 && fill + tc > budget) { bin += 1; fill = 0L }
+            fill += tc
+            (docId, g, shard, bin, tc, fill)
+          }
+        }
+        .toDF("id", "group", "shard", "bin_id", "n_tokens", "fill_after")
+    }
+  }
+
   object Text {
 
     /** Whitespace token count (pure column expression). */

@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents/events corpus:
+  * context-window chunking, concat-split and next-fit sequence packing,
+  * benchmark-contamination checks, deterministic stratified sampling,
+  * mixture construction, and batch sessionization. Registry queries are
+  * thin compositions over graft.api.Pipeline; every DuckDB-expressible
+  * shape carries an exact oracle (the hash/sampling arithmetic is plain
+  * BIGINT math precisely so both engines select identical rows).
+  */
+object Pipeline extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+    // Context-window chunking with stride/overlap — the canonical LLM
+    // preprocessing cut. Pure map-side column math (sequence + explode):
+    // no shuffle at any scale; row growth is bounded by ~n_tokens/stride.
+    Q(
+      "text_chunk_windows",
+      (s, dir) =>
+        graft.api.Pipeline.chunkWindows(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          window = 64, stride = 48)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "chunk_id"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks, n,
+                 CASE WHEN n <= 64 THEN 1
+                      ELSE (n - 64 + 47) // 48 + 1 END AS nch
+          FROM t),
+        e AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, nch - 1)) AS chunk_id
+          FROM c)
+        SELECT doc_id, chunk_id, chunk_id * 48 AS chunk_start,
+               least(n - chunk_id * 48, 64) AS chunk_len,
+               toks[CAST(chunk_id * 48 + 1 AS BIGINT)] AS first_tok,
+               toks[CAST(least(chunk_id * 48 + 64, n) AS BIGINT)] AS last_tok
+        FROM e ORDER BY doc_id, chunk_id""")),
+
+    // Benchmark contamination: corpus docs sharing distinct token bigrams
+    // with a held-out "benchmark" slice (doc_id % 97 = 0), scored by the
+    // fraction of the benchmark doc's grams covered. Inverted-index join
+    // on the gram — candidates from shared grams, never all-pairs. The
+    // synthetic corpus has a dense bigram space, so n=2 with a 0.15 floor
+    // yields a real (non-empty, non-everything) pair set; production runs
+    // use n=8+ where any hit is damning.
+    Q(
+      "contamination_ngram",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.api.Pipeline.contaminationNgram(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"),
+          n = 2, minOverlap = 0.15)
+          .orderBy("corpus_id", "bench_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 2),
+        grams AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS gram FROM pos),
+        bench AS (
+          SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 97 = 0),
+        corp AS (
+          SELECT doc_id AS corpus_id, gram FROM grams WHERE doc_id % 97 <> 0),
+        totals AS (
+          SELECT bench_id, count(*) AS bench_ngrams FROM bench GROUP BY 1),
+        hits AS (
+          SELECT corpus_id, bench_id, count(*) AS shared_ngrams
+          FROM corp JOIN bench USING (gram) GROUP BY 1, 2)
+        SELECT corpus_id, bench_id, shared_ngrams, bench_ngrams,
+               round(shared_ngrams * 1.0 / bench_ngrams, 4) AS overlap_frac
+        FROM hits JOIN totals USING (bench_id)
+        WHERE round(shared_ngrams * 1.0 / bench_ngrams, 4) >= 0.15
+        ORDER BY corpus_id, bench_id""")),
+
+    // Gap-based batch sessionization (gaps-and-islands): 30-min
+    // inactivity splits a user's events into numbered sessions, then
+    // per-session stats. One shuffle on user_id; all else window math.
+    // Both engines compare µs-truncated BIGINT epochs, so the gap
+    // predicate is integer-exact.
+    Q(
+      "sessionize_gap",
+      (s, dir) =>
+        graft.api.Pipeline.sessionize(
+          Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+          gapMinutes = 30)
+          .groupBy(col("sess_key").as("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+            timestamp_micros(min("sess_us")).cast("timestamp_ntz")
+              .as("t_start"),
+            timestamp_micros(max("sess_us")).cast("timestamp_ntz")
+              .as("t_end"))
+          .orderBy("user_id", "session_seq"),
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                        OR lag(us) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sessed AS (
+          SELECT user_id, us,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged)
+        SELECT user_id, session_seq, count(*) AS n_events,
+               make_timestamp(min(us)) AS t_start,
+               make_timestamp(max(us)) AS t_end
+        FROM sessed GROUP BY 1, 2 ORDER BY user_id, session_seq""")),
+
+    // Deterministic stratified sample: the Knuth multiplicative hash on
+    // doc_id picks ~10% engine-independently (plain BIGINT arithmetic, no
+    // seed exchange), and the per-stratum audit proves the rate holds in
+    // every language. Selection is a pushed-down filter — no shuffle.
+    Q(
+      "sample_stratified",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sampled = graft.api.Pipeline.stratifiedHashSample(
+          docs, col("doc_id"), permille = 100)
+        val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        sampled.groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum("doc_id").as("id_checksum"))
+          .join(totals, Seq("lang"), "right")
+          .select(col("lang"),
+            col("n_total"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("id_checksum"), lit(0L)).as("id_checksum"),
+            round(coalesce(col("n_sampled"), lit(0L)) /
+              col("n_total").cast("double"), 4).as("rate"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT lang, doc_id FROM documents
+          WHERE (doc_id * 2654435761) % 1000 < 100),
+        t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+        a AS (SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_checksum
+              FROM s GROUP BY 1)
+        SELECT lang, n_total,
+               coalesce(n_sampled, 0) AS n_sampled,
+               coalesce(id_checksum, 0) AS id_checksum,
+               round(coalesce(n_sampled, 0) * 1.0 / n_total, 4) AS rate
+        FROM t LEFT JOIN a USING (lang) ORDER BY lang""")),
+
+    // Mixture construction: downsample three sources to a 50/30/20 target
+    // using integer-exact quotas (largest feasible total without
+    // upsampling), selection = smallest ids per source. The audit output
+    // is one row per source; the quota arithmetic is BIGINT everywhere so
+    // both engines agree exactly.
+    Q(
+      "mix_weighted",
+      (s, dir) => {
+        val sel = graft.api.Pipeline.weightedMixture(
+          Tables.documents(s, dir), col("source"), col("doc_id"),
+          Map("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))
+        sel.groupBy("source", "n_avail", "w_pm", "quota")
+          .agg(count(lit(1)).as("n_selected"),
+            sum("id").as("id_checksum"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT * FROM (VALUES ('src0', 500), ('src1', 300), ('src2', 200))
+            AS v(mix_source, w_pm)),
+        c AS (
+          SELECT source AS mix_source, count(*) AS n_avail
+          FROM documents GROUP BY 1),
+        j AS (
+          SELECT mix_source, n_avail, w_pm,
+                 (1000 * n_avail) // w_pm AS t_s
+          FROM c JOIN w USING (mix_source)),
+        q AS (
+          SELECT mix_source, n_avail, w_pm,
+                 ((SELECT min(t_s) FROM j) * w_pm) // 1000 AS quota
+          FROM j),
+        ranked AS (
+          SELECT d.source AS mix_source, d.doc_id,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY d.doc_id) AS rn
+          FROM documents d JOIN q ON d.source = q.mix_source)
+        SELECT q.mix_source AS source, q.n_avail, q.w_pm, q.quota,
+               count(*) AS n_selected, sum(r.doc_id) AS id_checksum
+        FROM ranked r JOIN q USING (mix_source)
+        WHERE r.rn <= q.quota
+        GROUP BY 1, 2, 3, 4 ORDER BY source""")),
+
+    // Concat-then-split packing: tokens of consecutive docs per source are
+    // conceptually concatenated and cut at every 512-token boundary; each
+    // doc's spanned bin range is closed-form over a running sum — the
+    // shuffle-once, no-sequential-state way to pack at scale.
+    Q(
+      "pack_concat_split",
+      (s, dir) =>
+        graft.api.Pipeline.packConcatSplit(
+          Tables.documents(s, dir).withColumn("tc",
+            size(split(col("text"), " "))),
+          col("source"), col("doc_id"), col("tc"), budget = 512)
+          .select(col("id").as("doc_id"), col("group").as("source"),
+            col("n_tokens"), col("first_bin"), col("last_bin"),
+            col("bins_spanned"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, tc,
+                 coalesce(sum(tc) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+          FROM t)
+        SELECT doc_id, source, tc AS n_tokens,
+               before // 512 AS first_bin,
+               (before + tc - 1) // 512 AS last_bin,
+               (before + tc - 1) // 512 - before // 512 + 1 AS bins_spanned
+        FROM c ORDER BY doc_id""")),
+
+    // Next-fit packing (docs never split): the sequential per-group fold
+    // runs inside flatMapGroups, sharded by id so no group exceeds a
+    // bounded size — the memory-safe ordered fold. No oracle (sequential
+    // state isn't SQL-expressible without recursion); the fill invariant
+    // is carried in-row and spec-asserted, and the driver checks rows.
+    Q(
+      "pack_sequences",
+      (s, dir) =>
+        graft.api.Pipeline.packNextFit(
+          Tables.documents(s, dir).withColumn("tc",
+            size(split(col("text"), " "))),
+          col("source"), col("doc_id"), col("tc"),
+          budget = 512, shards = 4)
+          .select(col("id").as("doc_id"), col("group").as("source"),
+            col("shard"), col("bin_id"), col("n_tokens"), col("fill_after"),
+            (col("fill_after") <= 512 || col("n_tokens") > 512).as("fill_ok"))
+          .orderBy("doc_id"))
+  )
+}

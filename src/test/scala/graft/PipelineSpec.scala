@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.api.Pipeline — the training-data pipeline operators — exercised
+  * on small non-corpus DataFrames with hand-computed expectations.
+  */
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+
+  test("chunkWindows: stride arithmetic, tail chunk, short doc") {
+    val sp = spark
+    import sp.implicits._
+    // 20 tokens t1..t20, window 8, stride 5 → ceil((20-8)/5)+1 = 4 chunks
+    // starting at 0,5,10,15; the tail chunk is short (len 5) and reaches
+    // the final token.
+    val doc = (1 to 20).map(i => s"t$i").mkString(" ")
+    val out = api.Pipeline.chunkWindows(
+      Seq((1L, doc), (2L, "a b")).toDF("id", "txt"),
+      col("id"), col("txt"), window = 8, stride = 5)
+      .orderBy("id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(8L, 8L, 8L, 5L)) // chunk_len
+    assert(d1.map(_.getString(4)).toSeq == Seq("t1", "t6", "t11", "t16"))
+    assert(d1.map(_.getString(5)).toSeq == Seq("t8", "t13", "t18", "t20"))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(3) == 2L)
+    assert(d2(0).getString(4) == "a" && d2(0).getString(5) == "b")
+  }
+
+  test("chunkWindows covers every token when stride < window") {
+    val sp = spark
+    import sp.implicits._
+    // window 8 stride 5 on 23 tokens: chunks 0,5,10,15 → last covers
+    // t16..t23; union of [start, start+len) must be [0, n).
+    val doc = (1 to 23).map(i => s"t$i").mkString(" ")
+    val rows = api.Pipeline.chunkWindows(
+      Seq((1L, doc)).toDF("id", "txt"), col("id"), col("txt"), 8, 5)
+      .collect()
+    val covered = rows.flatMap { r =>
+      val s = r.getLong(2); val l = r.getLong(3); s until (s + l)
+    }.toSet
+    assert(covered == (0L until 23L).toSet)
+  }
+
+  test("contaminationNgram finds the planted overlap, not the disjoint doc") {
+    val sp = spark
+    import sp.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("id", "t")
+    val corpus = Seq(
+      (1L, "zzz alpha beta gamma delta yyy"), // shares 3 of 4 bigrams
+      (2L, "one two three four five six")     // shares none
+    ).toDF("id", "t")
+    val got = api.Pipeline.contaminationNgram(
+      corpus, col("id"), col("t"), bench, col("id"), col("t"),
+      n = 2, minOverlap = 0.5).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 100L)
+    assert(got(0).getLong(2) == 3L && got(0).getLong(3) == 4L)
+    assert(got(0).getDouble(4) == 0.75)
+  }
+
+  test("sessionize splits on gap, numbers sessions per key") {
+    val sp = spark
+    import sp.implicits._
+    val base = 1700000000000000L // µs
+    val m = 60L * 1000000L
+    val ev = Seq(
+      ("u1", base, 1L), ("u1", base + 10 * m, 2L),      // session 1
+      ("u1", base + 50 * m, 3L),                         // gap 40m → s2
+      ("u1", base + 55 * m, 4L),
+      ("u2", base, 5L)                                   // own key → s1
+    ).toDF("u", "us", "eid")
+      .select(col("u"), timestamp_micros(col("us")).as("ts"), col("eid"))
+    val got = api.Pipeline.sessionize(
+      ev, col("u"), col("ts"), col("eid"), gapMinutes = 30)
+      .select("sess_key", "sess_tie", "session_seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 2L),
+      ("u1", 4L, 2L), ("u2", 5L, 1L)))
+  }
+
+  test("stratifiedHashSample is deterministic and near the target rate") {
+    val df = spark.range(10000).toDF("id")
+    val a = api.Pipeline.stratifiedHashSample(df, col("id"), 100)
+      .collect().map(_.getLong(0)).toSet
+    val b = api.Pipeline.stratifiedHashSample(df, col("id"), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size - 1000) < 150, s"rate off: ${a.size}")
+    // permille 0 and 1000 are the empty and full samples.
+    assert(api.Pipeline.stratifiedHashSample(df, col("id"), 0).count() == 0)
+    assert(api.Pipeline.stratifiedHashSample(df, col("id"), 1000)
+      .count() == 10000)
+  }
+
+  test("weightedMixture quotas are integer-exact and selection is min-ids") {
+    val sp = spark
+    import sp.implicits._
+    // a: 10 docs, b: 30 docs; weights 500/300 permille.
+    // T = min(1000*10/500, 1000*30/300) = min(20, 100) = 20
+    // quota_a = 20*500/1000 = 10, quota_b = 20*300/1000 = 6.
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (101 to 130).map(i => ("b", i.toLong))).toDF("src", "id")
+    val got = api.Pipeline.weightedMixture(
+      df, col("src"), col("id"), Map("a" -> 500L, "b" -> 300L))
+    val byS = got.collect().groupBy(_.getString(0))
+    assert(byS("a").length == 10 && byS("b").length == 6)
+    assert(byS("b").map(_.getLong(1)).sorted.toSeq ==
+      (101L to 106L)) // smallest ids win
+    assert(byS("a").head.getLong(4) == 10L && byS("b").head.getLong(4) == 6L)
+  }
+
+  test("packConcatSplit bins follow the running sum") {
+    val sp = spark
+    import sp.implicits._
+    // budget 10, one group, docs of 4,4,4,9,1 tokens →
+    // before: 0,4,8,12,21 → first_bin 0,0,0,1,2 / last_bin 0,0,1,2,2.
+    val df = Seq(("g", 1L, 4L), ("g", 2L, 4L), ("g", 3L, 4L),
+      ("g", 4L, 9L), ("g", 5L, 1L)).toDF("g", "id", "tc")
+    val got = api.Pipeline.packConcatSplit(
+      df, col("g"), col("id"), col("tc"), budget = 10)
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(3)).toSeq == Seq(0L, 0L, 0L, 1L, 2L))
+    assert(got.map(_.getLong(4)).toSeq == Seq(0L, 0L, 1L, 2L, 2L))
+    assert(got.map(_.getLong(5)).toSeq == Seq(1L, 1L, 2L, 2L, 1L))
+  }
+
+  test("packNextFit: fill bound holds, docs never split, oversize isolated") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 200L).map(i => ("g" + (i % 2), i,
+      if (i == 7L) 900L else 1 + rnd.nextInt(400).toLong))
+    val df = docs.toDF("src", "id", "tc")
+    val got = api.Pipeline.packNextFit(
+      df, col("src"), col("id"), col("tc"), budget = 512, shards = 3)
+      .collect()
+    assert(got.length == 200) // every doc packed exactly once
+    got.foreach { r =>
+      val tc = r.getLong(4); val fill = r.getLong(5)
+      assert(fill <= 512 || tc > 512, s"overfull bin: $r")
+    }
+    // Within a (group, shard), bins are consecutive from 0 and fills are
+    // reconstructible by replaying next-fit over ids in order.
+    got.groupBy(r => (r.getString(1), r.getInt(2))).foreach {
+      case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(0))
+        var bin = 0L; var fill = 0L
+        sorted.foreach { r =>
+          val tc = r.getLong(4)
+          if (fill > 0 && fill + tc > 512) { bin += 1; fill = 0 }
+          fill += tc
+          assert(r.getLong(3) == bin && r.getLong(5) == fill,
+            s"replay mismatch at ${r.getLong(0)}")
+        }
+    }
+  }
+}
