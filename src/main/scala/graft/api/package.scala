@@ -769,6 +769,117 @@ package object api {
         }
         .toDF("id", "group", "shard", "bin_id", "n_tokens", "fill_after")
     }
+
+    /** Ordered funnel: how many keys reach each stage, where stage i+1
+      * counts only events STRICTLY AFTER the key's earliest stage-i
+      * event. Each stage is a filter + per-key min-aggregate joined to
+      * the previous stage's frontier — no window over the whole event
+      * stream, and each stage's frontier shrinks. Output: one row per
+      * stage (stage_idx, stage, n_keys, conv_from_first).
+      */
+    def funnel(
+        df: DataFrame, key: Column, eventType: Column, ts: Column,
+        stages: Seq[String]): DataFrame = {
+      require(stages.nonEmpty)
+      val base = df.select(key.as("fk"), eventType.as("fet"), ts.as("fts"))
+      var frontier = base.filter(col("fet") === stages.head)
+        .groupBy("fk").agg(min("fts").as("t_prev"))
+      var out = frontier.agg(count(lit(1)).as("n_keys"))
+        .select(lit(1).as("stage_idx"), lit(stages.head).as("stage"),
+          col("n_keys"))
+      var idx = 2
+      stages.tail.foreach { st =>
+        frontier = base.filter(col("fet") === st)
+          .join(frontier, "fk")
+          .filter(col("fts") > col("t_prev"))
+          .groupBy("fk").agg(min("fts").as("t_prev"))
+        out = out.unionAll(
+          frontier.agg(count(lit(1)).as("n_keys"))
+            .select(lit(idx).as("stage_idx"), lit(st).as("stage"),
+              col("n_keys")))
+        idx += 1
+      }
+      val first = out.filter(col("stage_idx") === 1)
+        .select(col("n_keys").as("n_first"))
+      out.crossJoin(broadcast(first))
+        .select(col("stage_idx"), col("stage"), col("n_keys"),
+          round(col("n_keys") / col("n_first").cast("double"), 4)
+            .as("conv_from_first"))
+    }
+
+    /** Cohort retention: keys grouped by first-seen date, activity
+      * counted per whole-week offset from that date. Two shuffles (first
+      * -seen agg, cohort-cell agg) — the offset math is integer date
+      * arithmetic, exact in any engine. Output: (cohort_day, week_offset,
+      * n_active).
+      */
+    def cohortRetention(
+        df: DataFrame, key: Column, ts: Column): DataFrame = {
+      val e = df.select(key.as("ck"), to_date(ts).as("d"))
+      val first = e.groupBy("ck").agg(min("d").as("cohort_day"))
+      e.join(first, "ck")
+        .withColumn("week_offset",
+          expr("datediff(d, cohort_day) div 7"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(countDistinct("ck").as("n_active"))
+    }
+  }
+
+  /** Graph algorithms beyond connected components (Dedup): expressed as
+    * iterative join+aggregate rounds with per-round lineage cuts, the
+    * same scale discipline as [[Dedup.connectedComponents]].
+    */
+  object Graph {
+
+    /** PageRank over an edge list. Each round: every node splits its rank
+      * over its out-edges (rank/deg joins the edge list on src), shares
+      * aggregate per dst, dangling mass (no-out-edge nodes) and the
+      * teleport term are folded in via a broadcast 1-row aggregate — no
+      * driver-side loop over data, one shuffle per round, lineage cut per
+      * round so plan size stays bounded. Output: (id, rank), summing to 1.
+      */
+    def pageRank(
+        edges: DataFrame, src: Column, dst: Column,
+        iterations: Int = 6, damping: Double = 0.85,
+        undirected: Boolean = false): DataFrame = {
+      require(iterations >= 1 && damping > 0 && damping < 1)
+      val e0 = edges.select(src.as("src"), dst.as("dst")).distinct()
+      val e = (if (undirected)
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      else e0).localCheckpoint(true)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct().localCheckpoint(true)
+      // One scalar job up front (same budget as the CC convergence
+      // probe); N parameterizes the teleport term.
+      val n = nodes.count().toDouble
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      var round = 0
+      while (round < iterations) {
+        val shares = ranks
+          .join(deg, ranks("id") === deg("src"))
+          .select(col("src"), (col("rank") / col("deg")).as("share"))
+        val inbound = e.join(shares, "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum("share").as("in_share"))
+        // Dangling nodes (no out-edges) spread their rank uniformly.
+        val dangling = ranks
+          .join(deg, ranks("id") === deg("src"), "left_anti")
+          .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+        ranks = nodes.join(inbound, Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            (lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("in_share"), lit(0.0)) + col("dm") / n))
+              .as("rank"))
+          .localCheckpoint(true)
+        round += 1
+      }
+      ranks
+    }
   }
 
   object Text {

@@ -252,6 +252,80 @@ object Pipeline extends QueryModule {
           .select(col("id").as("doc_id"), col("group").as("source"),
             col("shard"), col("bin_id"), col("n_tokens"), col("fill_after"),
             (col("fill_after") <= 512 || col("n_tokens") > 512).as("fill_ok"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Ordered funnel over the event stream: users reaching view → click
+    // → purchase, each stage strictly after the user's earliest previous
+    // -stage event. Stage frontiers are per-key min-aggregates that only
+    // shrink — no full-stream window.
+    Q(
+      "funnel_conversion",
+      (s, dir) =>
+        graft.api.Pipeline.funnel(
+          Tables.events(s, dir), col("user_id"), col("event_type"),
+          col("ts"), Seq("view", "click", "purchase"))
+          .orderBy("stage_idx"),
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        s1 AS (SELECT user_id, min(us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+               JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+               JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        c AS (
+          SELECT 1 AS stage_idx, 'view' AS stage,
+                 (SELECT count(*) FROM s1) AS n_keys
+          UNION ALL
+          SELECT 2, 'click', (SELECT count(*) FROM s2)
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        SELECT stage_idx, stage, n_keys,
+               round(n_keys * 1.0 /
+                 (SELECT count(*) FROM s1), 4) AS conv_from_first
+        FROM c ORDER BY stage_idx""")),
+
+    // Cohort retention matrix: users bucketed by first-seen day, activity
+    // per whole-week offset. Integer date arithmetic — engine-exact.
+    Q(
+      "cohort_retention",
+      (s, dir) =>
+        graft.api.Pipeline.cohortRetention(
+          Tables.events(s, dir), col("user_id"), col("ts"))
+          .orderBy("cohort_day", "week_offset"),
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1)
+        SELECT cohort_day, (d - cohort_day) // 7 AS week_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM e JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_day, week_offset""")),
+
+    // PageRank over the bipartite part↔supplier graph from lineitem
+    // (distinct edges, symmetrized). Iterative join+agg rounds with
+    // per-round lineage cuts; no oracle (iterative float fixpoint isn't
+    // DuckDB-hashable) — PipelineSpec checks a hand-computed graph and
+    // the in-row mass_ok column certifies ranks sum to 1 in-query.
+    Q(
+      "graph_pagerank",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select(concat(lit("p"), col("l_partkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+        val ranks = graft.api.Graph.pageRank(
+          edges, col("src"), col("dst"), iterations = 5, undirected = true)
+        val mass = ranks.agg(sum("rank").as("total_mass"))
+        ranks.orderBy(desc("rank"), asc("id")).limit(20)
+          .crossJoin(broadcast(mass))
+          .select(col("id"), round(col("rank") * 1e6, 4).as("rank_ppm"),
+            (abs(col("total_mass") - 1.0) < 1e-6).as("mass_ok"))
+          .orderBy(desc("rank_ppm"), asc("id"))
+      })
   )
 }

@@ -127,6 +127,70 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_.getLong(5)).toSeq == Seq(1L, 1L, 2L, 2L, 1L))
   }
 
+  test("funnel counts strictly-ordered stage reachers") {
+    val sp = spark
+    import sp.implicits._
+    val base = 1700000000000000L
+    val ev = Seq(
+      // u1 completes view→click→buy in order.
+      ("u1", "view", 1L), ("u1", "click", 2L), ("u1", "buy", 3L),
+      // u2 clicks BEFORE viewing — click must not count.
+      ("u2", "click", 1L), ("u2", "view", 2L),
+      // u3 views only.
+      ("u3", "view", 5L),
+      // u4 has click exactly AT the view instant — strict > excludes it.
+      ("u4", "view", 7L), ("u4", "click", 7L)
+    ).toDF("u", "et", "off")
+      .select(col("u"), col("et"),
+        timestamp_micros(col("off") * 1000000L + base).as("ts"))
+    val got = api.Pipeline.funnel(
+      ev, col("u"), col("et"), col("ts"), Seq("view", "click", "buy"))
+      .orderBy("stage_idx").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(4L, 1L, 1L))
+    assert(got.map(_.getDouble(3)).toSeq == Seq(1.0, 0.25, 0.25))
+  }
+
+  test("cohortRetention buckets by first-seen day and week offset") {
+    val sp = spark
+    import sp.implicits._
+    val ev = Seq(
+      ("a", "2024-01-01"), ("a", "2024-01-03"), ("a", "2024-01-09"),
+      ("b", "2024-01-01"), ("b", "2024-01-20"),
+      ("c", "2024-01-02")
+    ).toDF("u", "ds").select(col("u"), col("ds").cast("timestamp").as("ts"))
+    val got = api.Pipeline.cohortRetention(ev, col("u"), col("ts"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    // a: offsets 0 (d0,d2), 1 (d8); b: 0 and 2 (d19); c: 0.
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
+  test("pageRank matches power iteration on a hand graph, mass conserved") {
+    val sp = spark
+    import sp.implicits._
+    // Directed: 1→2, 1→3, 2→3, 3→1, 4 dangling (edge 2→4 gives it rank).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L))
+      .toDF("s", "d")
+    val got = api.Graph.pageRank(edges, col("s"), col("d"),
+      iterations = 30, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Reference power iteration, same dangling/teleport handling.
+    var r = Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25)
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L, 4L), 3L -> Seq(1L))
+    (1 to 30).foreach { _ =>
+      val dm = r(4L)
+      val contrib = out.toSeq.flatMap { case (s, ds) =>
+        ds.map(d => d -> r(s) / ds.size)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = r.keys.map(k =>
+        k -> (0.15 / 4 + 0.85 * (contrib.getOrElse(k, 0.0) + dm / 4))).toMap
+    }
+    r.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"$k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("packNextFit: fill bound holds, docs never split, oversize isolated") {
     val sp = spark
     import sp.implicits._
