@@ -843,42 +843,66 @@ package object api {
         iterations: Int = 6, damping: Double = 0.85,
         undirected: Boolean = false): DataFrame = {
       require(iterations >= 1 && damping > 0 && damping < 1)
-      val e0 = edges.select(src.as("src"), dst.as("dst")).distinct()
+      val raw = edges.select(src.as("src"), dst.as("dst"))
+      // Symmetrize FIRST, distinct ONCE: two separate distincts would pay
+      // two full edge shuffles for one deduplicated result.
       val e = (if (undirected)
-        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
-      else e0).localCheckpoint(true)
+        raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      else raw).distinct().localCheckpoint(true)
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
-      val nodes = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id")))
-        .distinct().localCheckpoint(true)
+      // The iterated frame carries (id, deg, rank): deg is static, so
+      // folding it in once turns the per-round degree join and the
+      // dangling anti-join into plain filters. In the undirected case
+      // every node has an out-edge, so the degree table IS the node set —
+      // no separate union+distinct pass.
+      val nodesDeg = (if (undirected)
+        deg.select(col("src").as("id"), col("deg"))
+      else
+        e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id")))
+          .distinct()
+          .join(deg, col("id") === col("src"), "left")
+          .select(col("id"), col("deg"))
+        ).localCheckpoint(true)
       // One scalar job up front (same budget as the CC convergence
       // probe); N parameterizes the teleport term.
-      val n = nodes.count().toDouble
-      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      val n = nodesDeg.count().toDouble
+      val hasDangling = !undirected &&
+        nodesDeg.filter(col("deg").isNull).limit(1).count() > 0
+      var ranks = nodesDeg.withColumn("rank", lit(1.0 / n))
       var round = 0
       while (round < iterations) {
-        val shares = ranks
-          .join(deg, ranks("id") === deg("src"))
-          .select(col("src"), (col("rank") / col("deg")).as("share"))
-        val inbound = e.join(shares, "src")
-          .groupBy(col("dst").as("id"))
+        val shares = ranks.filter(col("deg").isNotNull)
+          .select(col("id").as("share_src"),
+            (col("rank") / col("deg")).as("share"))
+        val inbound = e.join(shares, col("src") === col("share_src"))
+          .groupBy(col("dst").as("in_id"))
           .agg(sum("share").as("in_share"))
-        // Dangling nodes (no out-edges) spread their rank uniformly.
-        val dangling = ranks
-          .join(deg, ranks("id") === deg("src"), "left_anti")
-          .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-        ranks = nodes.join(inbound, Seq("id"), "left")
-          .crossJoin(broadcast(dangling))
-          .select(col("id"),
+        val base = nodesDeg.join(inbound, col("id") === col("in_id"), "left")
+        ranks = if (hasDangling) {
+          // Dangling nodes (no out-edges) spread their rank uniformly.
+          // The dangling scalar re-reads this round's ranks, so the frame
+          // must be materialized per round — otherwise round k's scalar
+          // re-executes rounds 1..k-1 (quadratic blowup).
+          val dangling = ranks.filter(col("deg").isNull)
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("id"), col("deg"),
+              (lit((1 - damping) / n) + lit(damping) *
+                (coalesce(col("in_share"), lit(0.0)) + col("dm") / n))
+                .as("rank"))
+            .localCheckpoint(true)
+        } else {
+          // No dangling mass ⇒ each round references the previous exactly
+          // once ⇒ the whole iteration chains into ONE fused job with no
+          // per-round materialization.
+          base.select(col("id"), col("deg"),
             (lit((1 - damping) / n) + lit(damping) *
-              (coalesce(col("in_share"), lit(0.0)) + col("dm") / n))
-              .as("rank"))
-          .localCheckpoint(true)
+              coalesce(col("in_share"), lit(0.0))).as("rank"))
+        }
         round += 1
       }
-      ranks
+      ranks.select(col("id"), col("rank"))
     }
   }
 
