@@ -846,9 +846,14 @@ package object api {
       val raw = edges.select(src.as("src"), dst.as("dst"))
       // Symmetrize FIRST, distinct ONCE: two separate distincts would pay
       // two full edge shuffles for one deduplicated result.
+      // The checkpoint captures the physical layout (hash-partitioned and
+      // sorted on src), so every round's share join reuses it: only the
+      // node-sized shares side moves per iteration, never the edges.
       val e = (if (undirected)
         raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      else raw).distinct().localCheckpoint(true)
+      else raw).distinct()
+        .repartition(col("src")).sortWithinPartitions("src")
+        .localCheckpoint(true)
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       // The iterated frame carries (id, deg, rank): deg is static, so
       // folding it in once turns the per-round degree join and the
@@ -875,7 +880,11 @@ package object api {
         val shares = ranks.filter(col("deg").isNotNull)
           .select(col("id").as("share_src"),
             (col("rank") / col("deg")).as("share"))
-        val inbound = e.join(shares, col("src") === col("share_src"))
+        // The shares side is node-sized — broadcast it so the edge list
+        // never moves. (For graphs whose rank vector outgrows broadcast,
+        // drop the hint: the edge layout above already hash-partitions on
+        // src, so the planner falls back to a co-partitioned merge join.)
+        val inbound = e.join(broadcast(shares), col("src") === col("share_src"))
           .groupBy(col("dst").as("in_id"))
           .agg(sum("share").as("in_share"))
         val base = nodesDeg.join(inbound, col("id") === col("in_id"), "left")

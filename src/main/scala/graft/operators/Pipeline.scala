@@ -318,8 +318,12 @@ object Pipeline extends QueryModule {
         val edges = Tables.lineitem(s, dir)
           .select(concat(lit("p"), col("l_partkey")).as("src"),
             concat(lit("s"), col("l_suppkey")).as("dst"))
+        // Materialize the fixpoint once: both the top-20 sort and the
+        // mass certificate read it, and without the cut the whole
+        // 5-round chain would execute twice.
         val ranks = graft.api.Graph.pageRank(
           edges, col("src"), col("dst"), iterations = 5, undirected = true)
+          .localCheckpoint(true)
         val mass = ranks.agg(sum("rank").as("total_mass"))
         ranks.orderBy(desc("rank"), asc("id")).limit(20)
           .crossJoin(broadcast(mass))
