@@ -367,6 +367,67 @@ package object api {
         explode(sequence(lit(0), lit(salts - 1))))
       f.join(d, Seq(key, "_graft_salt")).drop("_graft_salt")
     }
+
+    /** Blocked fuzzy (edit-distance) join — the record-linkage shape:
+      * candidate pairs come from EQUALITY on blocking keys (an ordinary
+      * hash join, never all-pairs), and only candidates pay the
+      * levenshtein comparison. Output: (id_l, id_r, text_l, text_r,
+      * edit_dist) for candidates within `maxDist`. Pick blocking keys so
+      * block sizes stay bounded — that, not the distance function, is
+      * what makes linkage feasible at scale.
+      */
+    def fuzzyJoin(
+        left: DataFrame, leftId: Column, leftText: Column,
+        leftBlock: Seq[Column],
+        right: DataFrame, rightId: Column, rightText: Column,
+        rightBlock: Seq[Column],
+        maxDist: Int): DataFrame = {
+      require(leftBlock.nonEmpty && leftBlock.size == rightBlock.size)
+      val l = left.select(leftId.as("id_l") +: leftText.as("text_l") +:
+        leftBlock.zipWithIndex.map { case (c, i) => c.as(s"_bl$i") }: _*)
+      val r = right.select(rightId.as("id_r") +: rightText.as("text_r") +:
+        rightBlock.zipWithIndex.map { case (c, i) => c.as(s"_br$i") }: _*)
+      val cond = leftBlock.indices
+        .map(i => col(s"_bl$i") === col(s"_br$i"))
+        .reduce(_ && _)
+      l.join(r, cond)
+        .withColumn("edit_dist", levenshtein(col("text_l"), col("text_r")))
+        .filter(col("edit_dist") <= maxDist)
+        .select("id_l", "id_r", "text_l", "text_r", "edit_dist")
+    }
+
+    /** SCD-2 merge: apply a change batch to a versioned dimension.
+      * Current rows (null validTo) whose tracked value actually changes
+      * are closed at the effective date and a new open version is
+      * appended; no-op changes are ignored; history rows pass through
+      * untouched. One broadcast-able join against the change batch — the
+      * dimension never shuffles on more than the key.
+      * Output: (key, value, valid_from, valid_to, is_current).
+      */
+    def scd2Apply(
+        current: DataFrame, key: Column, tracked: Column,
+        validFrom: Column, validTo: Column,
+        changes: DataFrame, changeKey: Column, newValue: Column,
+        effDate: Column): DataFrame = {
+      val cur = current.select(key.as("k"), tracked.as("v"),
+        validFrom.as("vf"), validTo.as("vt"))
+      val hist = cur.filter(col("vt").isNotNull)
+      val live = cur.filter(col("vt").isNull)
+      val ch = changes.select(changeKey.as("k"), newValue.as("nv"),
+        effDate.as("ed"))
+      val joined = live.join(broadcast(ch), Seq("k"), "left")
+      val closedOrKept = joined.select(col("k"), col("v"), col("vf"),
+        when(col("nv").isNotNull && col("nv") =!= col("v"), col("ed"))
+          .as("vt"))
+      val newVersions = joined
+        .filter(col("nv").isNotNull && col("nv") =!= col("v"))
+        .select(col("k"), col("nv").as("v"), col("ed").as("vf"),
+          lit(null).cast(joined.schema("ed").dataType).as("vt"))
+      hist.unionAll(closedOrKept).unionAll(newVersions)
+        .select(col("k").as("key"), col("v").as("value"),
+          col("vf").as("valid_from"), col("vt").as("valid_to"),
+          col("vt").isNull.as("is_current"))
+    }
   }
 
   /** Approximate sketch aggregates. */

@@ -442,6 +442,34 @@ object Aggregates extends QueryModule {
         FROM events
         WHERE user_id < 20
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // Unpivot (melt): wide per-lang stats back to (lang, metric, value)
+    // long form — the inverse of agg_pivot, via the native unpivot
+    // operator (Expand under the hood, no join). Values unify to double.
+    Q(
+      "agg_unpivot",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("n_docs"),
+            round(avg("n_chars"), 4).as("avg_chars"),
+            max("n_chars").cast("double").as("max_chars"))
+          .unpivot(Array(col("lang")),
+            Array(col("n_docs"), col("avg_chars"), col("max_chars")),
+            "metric", "value")
+          .orderBy("lang", "metric"),
+      oracle = Some("""
+        WITH w AS (
+          SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs,
+                 round(avg(n_chars), 4) AS avg_chars,
+                 CAST(max(n_chars) AS DOUBLE) AS max_chars
+          FROM documents GROUP BY 1)
+        SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+        UNION ALL
+        SELECT lang, 'avg_chars', avg_chars FROM w
+        UNION ALL
+        SELECT lang, 'max_chars', max_chars FROM w
+        ORDER BY lang, metric"""))
   )
 }

@@ -314,6 +314,62 @@ object Joins extends QueryModule {
           FROM events e
           LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         ) WHERE rn = 1
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // Blocked fuzzy join (record linkage): candidates from EQUALITY on
+    // (brand, size) blocking keys — an ordinary hash join — and only
+    // candidates pay the levenshtein comparison. Both engines implement
+    // classic edit distance, so the pair set hash-matches exactly.
+    Q(
+      "join_fuzzy",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        graft.api.Joins.fuzzyJoin(
+          p, col("p_partkey"), col("p_name"),
+          Seq(col("p_brand"), col("p_size")),
+          p.select(col("p_partkey").as("pk2"), col("p_name").as("pn2"),
+            col("p_brand").as("pb2"), col("p_size").as("ps2")),
+          col("pk2"), col("pn2"), Seq(col("pb2"), col("ps2")),
+          maxDist = 3)
+          .filter(col("id_l") < col("id_r"))
+          .select(col("id_l"), col("id_r"), col("text_l"), col("text_r"),
+            col("edit_dist"))
+          .orderBy("id_l", "id_r")
+      },
+      oracle = Some("""
+        SELECT a.p_partkey AS id_l, b.p_partkey AS id_r,
+               a.p_name AS text_l, b.p_name AS text_r,
+               levenshtein(a.p_name, b.p_name) AS edit_dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+        ORDER BY id_l, id_r""")),
+
+    // SQL LATERAL correlated subquery: top-2 orders per customer via a
+    // per-row dependent subquery — Spark decorrelates it into a window
+    // top-k under the hood; the surface is the point.
+    Q(
+      "join_lateral",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("graft_cust_lat")
+        Tables.orders(s, dir).createOrReplaceTempView("graft_ord_lat")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM graft_cust_lat c,
+          LATERAL (SELECT o_orderkey, o_totalprice
+                   FROM graft_ord_lat o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          ORDER BY c_custkey, o_orderkey""")
+      },
+      oracle = Some("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, o_orderkey"""))
   )
 }

@@ -307,6 +307,52 @@ object Pipeline extends QueryModule {
         FROM e JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY cohort_day, week_offset""")),
 
+    // SCD-2 dimension merge: a deterministic change batch (every tenth
+    // customer moves nation) applied to the versioned customer dimension —
+    // changed rows close at the effective date, new open versions append,
+    // no-ops and history pass through. The change batch broadcasts; the
+    // dimension never shuffles on more than its key.
+    Q(
+      "scd2_apply",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val current = cust.select(col("c_custkey"),
+          col("c_nationkey").as("nation"),
+          lit("2024-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val changes = cust.filter(col("c_custkey") % 10 === 3)
+          .select(col("c_custkey"),
+            ((col("c_nationkey") + 7) % 25).as("new_nation"),
+            lit("2024-06-01").cast("date").as("eff"))
+        graft.api.Joins.scd2Apply(
+          current, col("c_custkey"), col("nation"),
+          col("valid_from"), col("valid_to"),
+          changes, col("c_custkey"), col("new_nation"), col("eff"))
+          .select(col("key").as("c_custkey"), col("value").as("nation"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      oracle = Some("""
+        WITH live AS (
+          SELECT c_custkey AS k, c_nationkey AS v,
+                 DATE '2024-01-01' AS vf FROM customer),
+        ch AS (
+          SELECT c_custkey AS k, (c_nationkey + 7) % 25 AS nv,
+                 DATE '2024-06-01' AS ed
+          FROM customer WHERE c_custkey % 10 = 3),
+        closed AS (
+          SELECT l.k, l.v, l.vf,
+                 CASE WHEN ch.k IS NOT NULL AND ch.nv <> l.v
+                      THEN ch.ed END AS vt
+          FROM live l LEFT JOIN ch ON l.k = ch.k),
+        newv AS (
+          SELECT ch.k, ch.nv AS v, ch.ed AS vf, CAST(NULL AS DATE) AS vt
+          FROM ch JOIN live l ON ch.k = l.k AND ch.nv <> l.v)
+        SELECT k AS c_custkey, v AS nation, vf AS valid_from,
+               vt AS valid_to, vt IS NULL AS is_current
+        FROM (SELECT * FROM closed UNION ALL SELECT * FROM newv)
+        ORDER BY c_custkey, valid_from""")),
+
     // PageRank over the bipartite part↔supplier graph from lineitem
     // (distinct edges, symmetrized). Iterative join+agg rounds with
     // per-round lineage cuts; no oracle (iterative float fixpoint isn't

@@ -191,6 +191,53 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("fuzzyJoin blocks first, then scores within the block") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, "red widget", "B1"), (2L, "blue bolt", "B2"))
+      .toDF("id", "name", "brand")
+    val r = Seq(
+      (10L, "red widgets", "B1"), // dist 1, same block → match
+      (11L, "red widget", "B2"),  // identical text, DIFFERENT block → out
+      (12L, "blue volt", "B2")    // dist 1 vs blue bolt, same block
+    ).toDF("rid", "rname", "rbrand")
+    val got = api.Joins.fuzzyJoin(
+      l, col("id"), col("name"), Seq(col("brand")),
+      r, col("rid"), col("rname"), Seq(col("rbrand")), maxDist = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(4))).toSet
+    assert(got == Set((1L, 10L, 1), (2L, 12L, 1)))
+  }
+
+  test("scd2Apply closes changed rows, appends versions, ignores no-ops") {
+    val sp = spark
+    import sp.implicits._
+    val dim = Seq(
+      // (key, value, from, to): key 1 has history + live, key 2 live only.
+      (1L, 10, "2024-01-01", Some("2024-03-01")),
+      (1L, 11, "2024-03-01", None),
+      (2L, 20, "2024-01-01", None),
+      (3L, 30, "2024-01-01", None)
+    ).toDF("k", "v", "f", "t")
+      .select(col("k"), col("v"), col("f").cast("date").as("f"),
+        col("t").cast("date").as("t"))
+    val ch = Seq((1L, 99), (2L, 20), (4L, 40)) // change, no-op, unknown key
+      .toDF("k", "nv")
+      .withColumn("ed", lit("2024-06-01").cast("date"))
+    val got = api.Joins.scd2Apply(
+      dim, col("k"), col("v"), col("f"), col("t"),
+      ch, col("k"), col("nv"), col("ed"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, 10, "2024-01-01", Some("2024-03-01"), false), // history kept
+      (1L, 11, "2024-03-01", Some("2024-06-01"), false), // closed
+      (1L, 99, "2024-06-01", None, true),                // new version
+      (2L, 20, "2024-01-01", None, true),                // no-op unchanged
+      (3L, 30, "2024-01-01", None, true)))               // untouched
+  }
+
   test("packNextFit: fill bound holds, docs never split, oversize isolated") {
     val sp = spark
     import sp.implicits._
