@@ -108,6 +108,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       !joinSection.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
+  test("join_fuzzy blocks with a hash join — never a cartesian product") {
+    val p = plan("join_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join must join on blocking keys:\n$p")
+    assert(p.contains("levenshtein"), "distance filter missing")
+  }
+
+  test("text_chunk_windows fans out map-side (no shuffle at all)") {
+    val p = plan("text_chunk_windows")
+    // The orderBy adds a range exchange for output determinism; nothing
+    // else may shuffle — chunking itself is Generate + Project.
+    val body = p.substring(p.indexOf("Generate"))
+    assert(!body.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$p")
+  }
+
+  test("sample_stratified evaluates the hash filter at the scan stage") {
+    val p = plan("sample_stratified")
+    // The arithmetic keep-predicate must sit in a Filter directly over
+    // the file scan (no shuffle before selection).
+    val scanIdx = p.indexOf("Scan parquet")
+    val filterIdx = p.indexOf("2654435761")
+    assert(filterIdx >= 0 && filterIdx < scanIdx,
+      s"sampling filter not adjacent to scan:\n$p")
+  }
+
+  test("scd2_apply broadcasts the change batch") {
+    val p = plan("scd2_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"change batch should broadcast:\n$p")
+  }
+
+  test("contamination_ngram joins grams hash-based, bench side broadcast") {
+    val p = plan("contamination_ngram")
+    assert(!p.contains("CartesianProduct"),
+      s"contamination must be an inverted-index join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench gram index should broadcast:\n$p")
+  }
+
   test("expr_custom stays inside whole-stage codegen") {
     // AQE only materializes WholeStageCodegen spans in the final plan.
     val df = SparkEntry.queries("expr_custom")(spark, sf0001)
