@@ -864,7 +864,8 @@ package object api {
         .select(col("n_keys").as("n_first"))
       out.crossJoin(broadcast(first))
         .select(col("stage_idx"), col("stage"), col("n_keys"),
-          round(col("n_keys") / col("n_first").cast("double"), 4)
+          // Null, not ANSI divide-by-zero, when the first stage is empty.
+          round(try_divide(col("n_keys"), col("n_first").cast("double")), 4)
             .as("conv_from_first"))
     }
 

@@ -94,4 +94,48 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     val r = d.select(CosineSimilarity(col("a"), col("b"))).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("Pipeline ops on empty input return empty, not exceptions") {
+    val docs = df(Nil, StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType),
+      StructField("g", StringType))))
+    assert(api.Pipeline.chunkWindows(docs, col("id"), col("t")).count() == 0)
+    assert(api.Pipeline.packConcatSplit(
+      docs, col("g"), col("id"), lit(1L)).count() == 0)
+    assert(api.Pipeline.packNextFit(
+      docs, col("g"), col("id"), lit(1L)).count() == 0)
+    assert(api.Pipeline.stratifiedHashSample(docs, col("id"), 500)
+      .count() == 0)
+    // Funnel on empty input: every stage reaches zero keys; the rate is
+    // null (0/0) rather than a crash.
+    val f = api.Pipeline.funnel(docs, col("id"), col("t"), col("id"),
+      Seq("a", "b")).collect()
+    assert(f.length == 2 && f.forall(_.getLong(2) == 0L))
+  }
+
+  test("chunkWindows of a single-token doc is one chunk of itself") {
+    import sp.implicits._
+    val one = Seq((7L, "solo")).toDF("id", "t")
+    val rows = api.Pipeline.chunkWindows(one, col("id"), col("t"), 64, 48)
+      .collect()
+    assert(rows.length == 1 && rows(0).getLong(3) == 1L &&
+      rows(0).getString(4) == "solo" && rows(0).getString(5) == "solo")
+  }
+
+  test("weightedMixture drops sources without weights; empty changes are no-op for scd2") {
+    import sp.implicits._
+    val d = Seq(("a", 1L), ("a", 2L), ("zzz", 9L)).toDF("s", "id")
+    val got = api.Pipeline.weightedMixture(
+      d, col("s"), col("id"), Map("a" -> 1000L))
+    assert(got.collect().forall(_.getString(0) == "a"))
+    val dim = Seq((1L, 5)).toDF("k", "v")
+      .select(col("k"), col("v"), lit("2024-01-01").cast("date").as("f"),
+        lit(null).cast("date").as("t"))
+    val ch = df(Nil, StructType(Seq(
+      StructField("k", LongType), StructField("nv", IntegerType),
+      StructField("ed", DateType))))
+    val out = api.Joins.scd2Apply(dim, col("k"), col("v"), col("f"),
+      col("t"), ch, col("k"), col("nv"), col("ed")).collect()
+    assert(out.length == 1 && out(0).getBoolean(4))
+  }
 }
