@@ -361,9 +361,13 @@ object Pipeline extends QueryModule {
     Q(
       "graph_pagerank",
       (s, dir) => {
+        // Numeric node encoding (even = part, odd = supplier): every
+        // iteration shuffles/sorts/aggregates node ids, so 8-byte longs
+        // beat strings throughout; labels are reconstructed only on the
+        // 20 output rows.
         val edges = Tables.lineitem(s, dir)
-          .select(concat(lit("p"), col("l_partkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
         // Materialize the fixpoint once: both the top-20 sort and the
         // mass certificate read it, and without the cut the whole
         // 5-round chain would execute twice.
@@ -373,7 +377,10 @@ object Pipeline extends QueryModule {
         val mass = ranks.agg(sum("rank").as("total_mass"))
         ranks.orderBy(desc("rank"), asc("id")).limit(20)
           .crossJoin(broadcast(mass))
-          .select(col("id"), round(col("rank") * 1e6, 4).as("rank_ppm"),
+          .select(
+            when(col("id") % 2 === 0, concat(lit("p"), expr("id div 2")))
+              .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),
+            round(col("rank") * 1e6, 4).as("rank_ppm"),
             (abs(col("total_mass") - 1.0) < 1e-6).as("mass_ok"))
           .orderBy(desc("rank_ppm"), asc("id"))
       })
