@@ -307,6 +307,62 @@ object Pipeline extends QueryModule {
         FROM e JOIN f USING (user_id)
         GROUP BY 1, 2 ORDER BY cohort_day, week_offset""")),
 
+    // End-to-end corpus preparation — the pipeline a training run feeds
+    // from, as ONE declarative plan: normalize → token-count quality
+    // filter → prefix-digest dedup (boilerplate/header duplicates: same
+    // first 8 normalized tokens, keep the smallest id; the shuffle key is
+    // a 128-bit digest regardless of document size) → concat-split
+    // packing per source. Catalyst sees the whole chain, so the filter
+    // runs before the dedup shuffle and only kept docs reach packing.
+    Q(
+      "pipeline_corpus_prep",
+      (s, dir) => {
+        val norm = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            graft.api.Text.normalize(col("text")).as("t"))
+          .withColumn("toks", split(col("t"), " "))
+          .withColumn("tc", size(col("toks")).cast("long"))
+          .filter(col("tc").between(20, 500))
+          .withColumn("pre", md5(array_join(slice(col("toks"), 1, 8), " ")))
+        val keep = norm.groupBy("pre").agg(min("doc_id").as("doc_id"))
+        val kept = norm.join(keep, Seq("pre", "doc_id"), "left_semi")
+        graft.api.Pipeline.packConcatSplit(
+          kept, col("source"), col("doc_id"), col("tc"), budget = 512)
+          .select(col("id").as("doc_id"), col("group").as("source"),
+            col("n_tokens"), col("first_bin"), col("last_bin"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH norm AS (
+          SELECT doc_id, source,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+          FROM documents),
+        qual AS (
+          SELECT doc_id, source, string_split(t, ' ') AS toks,
+                 CAST(len(string_split(t, ' ')) AS BIGINT) AS tc
+          FROM norm
+          WHERE len(string_split(t, ' ')) BETWEEN 20 AND 500),
+        pre AS (
+          SELECT doc_id, source, tc,
+                 md5(array_to_string(toks[1:8], ' ')) AS pre
+          FROM qual),
+        keep AS (
+          SELECT pre, min(doc_id) AS doc_id FROM pre GROUP BY pre),
+        kept AS (
+          SELECT p.doc_id, p.source, p.tc
+          FROM pre p JOIN keep k ON p.pre = k.pre AND p.doc_id = k.doc_id),
+        packed AS (
+          SELECT doc_id, source, tc,
+                 coalesce(sum(tc) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+          FROM kept)
+        SELECT doc_id, source, tc AS n_tokens,
+               before // 512 AS first_bin,
+               (before + tc - 1) // 512 AS last_bin
+        FROM packed ORDER BY doc_id""")),
+
     // SCD-2 dimension merge: a deterministic change batch (every tenth
     // customer moves nation) applied to the versioned customer dimension —
     // changed rows close at the effective date, new open versions append,
