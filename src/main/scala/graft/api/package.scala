@@ -1000,6 +1000,31 @@ package object api {
         lit(0L),
         (acc, c) => (acc * 31 + c) % 1000000007L)
 
+    /** Unigram-LM perplexity per document — the classic corpus-quality
+      * signal (low = boilerplate/common tokens, high = rare-token noise).
+      * The LM is the corpus itself (every token is in-vocabulary, no
+      * smoothing needed); log-probs are quantized to 1e-6 fixed point so
+      * the per-doc score is an exact BIGINT sum — engine- and
+      * partitioning-independent — with float math only on the final
+      * scalar. The model is vocabulary-sized and broadcasts; the token
+      * stream shuffles once, on the doc id. Output: (id, n_tokens, ppl).
+      */
+    def perplexity(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val toks = df.select(id.as("id"),
+        explode(split(text, " ")).as("term"))
+      val total = toks.agg(count(lit(1)).as("tot"))
+      val model = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .select(col("term"),
+          round(log(col("cnt").cast("double") / col("tot")) * 1e6, 0)
+            .cast("long").as("lpq"))
+      toks.join(broadcast(model), "term")
+        .groupBy("id")
+        .agg(sum("lpq").as("s"), count(lit(1)).as("n_tokens"))
+        .select(col("id"), col("n_tokens"),
+          round(exp(-col("s") / 1e6 / col("n_tokens")), 4).as("ppl"))
+    }
+
     /** TF-IDF per (id, term): tf = termcount/doclen, idf = ln(N/df) with
       * document frequency over the whole input. df and N are tiny
       * aggregates (vocab-sized / scalar), so both enrichment joins

@@ -294,6 +294,33 @@ object Text extends QueryModule {
           FROM t)
         SELECT doc_id, right(redacted, 48) AS redacted_tail,
                n_emails, n_phones
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // Unigram-LM perplexity — the corpus-quality filter signal. Log-probs
+    // quantized to 1e-6 fixed point make the per-doc score an exact
+    // BIGINT sum (partitioning-independent), so the whole operator
+    // hash-matches despite being "float" scoring; float math touches only
+    // the one final exp per doc.
+    Q(
+      "text_perplexity",
+      (s, dir) =>
+        graft.api.Text.perplexity(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tot AS (SELECT count(*) AS tot FROM toks),
+        model AS (
+          SELECT term,
+                 CAST(round(ln(count(*) * 1.0 /
+                   (SELECT tot FROM tot)) * 1e6, 0) AS BIGINT) AS lpq
+          FROM toks GROUP BY term)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(exp(-sum(lpq) / 1e6 / count(*)), 4) AS ppl
+        FROM toks JOIN model USING (term)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -191,6 +191,22 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("perplexity matches the closed form on a tiny corpus") {
+    val sp = spark
+    import sp.implicits._
+    // Corpus: "a a a b" → p(a)=3/4, p(b)=1/4.
+    // doc1 "a a" → ppl = exp(-ln(3/4)) = 4/3; doc2 "a b" →
+    // exp(-(ln .75 + ln .25)/2) = 1/sqrt(.1875).
+    val docs = Seq((1L, "a a"), (2L, "a b")).toDF("id", "t")
+    val got = api.Text.perplexity(docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L)._1 == 2 && math.abs(got(1L)._2 - 4.0 / 3.0) < 1e-3)
+    assert(math.abs(got(2L)._2 - 1.0 / math.sqrt(0.1875)) < 1e-3)
+    // Rare-token docs score strictly higher than boilerplate docs.
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
   test("fuzzyJoin blocks first, then scores within the block") {
     val sp = spark
     import sp.implicits._
