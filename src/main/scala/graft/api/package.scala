@@ -282,6 +282,59 @@ package object api {
         .filter(col("rank") <= topK)
         .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
     }
+
+    /** Lloyd's k-means over an embedding column, as iterative DataFrame
+      * rounds: assignment = broadcast the k×dim centroid table and argmin
+      * squared L2 via min_by (the big side never shuffles for assignment);
+      * update = posexplode dims → per-(cluster, dim) mean → rebuild
+      * arrays. Centroids are tiny, so each round checkpoint is O(k·dim).
+      * Init = the k smallest-id vectors (deterministic). This is the
+      * trainer behind IVF-style coarse quantizers. Output: (id, cluster,
+      * sq_dist) — the final assignment with its distance.
+      */
+    def kMeans(
+        df: DataFrame, id: Column, vec: Column,
+        k: Int = 8, iterations: Int = 5): DataFrame = {
+      require(k >= 1 && iterations >= 1)
+      val v = df.select(id.as("vid"), vec.cast("array<double>").as("e"))
+        .localCheckpoint(true)
+      // Centroids are k·dim doubles — driver-resident and inlined as plan
+      // literals each round (the same trick as the LSH hyperplanes), so
+      // ASSIGNMENT is pure map-side codegen over the big table: no
+      // shuffle, no join. The only shuffle per round is the per-(cluster,
+      // dim) mean, which partial-aggregates to k·dim rows per partition.
+      // array_min over (dist, cid) structs gives a deterministic
+      // lexicographic argmin (ties break to the lowest cluster id).
+      def sqDistTo(c: Seq[Double]): Column =
+        aggregate(zip_with(col("e"), typedlit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)
+      // array() unifies struct element types and renames fields to
+      // col1/col2 — access the argmin result positionally.
+      def best(cents: Seq[(Int, Seq[Double])]): Column =
+        array_min(array(cents.map { case (cid, c) =>
+          struct(sqDistTo(c), lit(cid))
+        }: _*))
+      var cents: Seq[(Int, Seq[Double])] = v.orderBy("vid").limit(k)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
+      var round = 0
+      while (round < iterations) {
+        val means = v.select(best(cents).getField("col2").as("cluster"),
+            posexplode(col("e")))
+          .groupBy("cluster", "pos").agg(avg("col").as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          }
+        // A cluster that lost every point keeps its previous centroid.
+        cents = cents.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
+        round += 1
+      }
+      val b = best(cents)
+      v.select(col("vid").as("id"), b.getField("col2").as("cluster"),
+        b.getField("col1").as("sq_dist"))
+    }
   }
 
   /** Physical-layout helpers: how a table is arranged on disk so later

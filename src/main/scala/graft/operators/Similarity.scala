@@ -379,6 +379,36 @@ object Similarity extends QueryModule {
             round(coalesce(col("ivf_hits"), lit(0)) / col("k"), 4)
               .as("ivf_recall_at_3"))
           .orderBy("query_id")
+      }),
+
+    // Lloyd's k-means over the embedding table (api.Similarity.kMeans):
+    // assignment is map-side codegen against literal centroids, update is
+    // the one per-round shuffle. The embeddings carry ground-truth labels,
+    // so each cluster reports its dominant label and purity — the
+    // self-check that the clustering is real (no oracle: iterative float).
+    Q(
+      "ml_kmeans",
+      (s, dir) => {
+        val assigned = graft.api.Similarity.kMeans(
+          Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+          k = 8, iterations = 5)
+        val labeled = assigned.join(
+          Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+            col("label")), "id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster").orderBy(desc("nl"), asc("label"))
+        labeled.groupBy("cluster", "label")
+          .agg(count(lit(1)).as("nl"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(labeled.groupBy("cluster")
+            .agg(count(lit(1)).as("n_points"),
+              round(sum("sq_dist"), 2).as("inertia")), "cluster")
+          .select(col("cluster"), col("n_points"), col("inertia"),
+            col("label").as("top_label"),
+            round(col("nl") / col("n_points").cast("double"), 4)
+              .as("purity"))
+          .orderBy("cluster")
       })
   )
 }

@@ -207,6 +207,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("kMeans recovers separable blobs exactly") {
+    val sp = spark
+    import sp.implicits._
+    // Two tight blobs around (0,0) and (10,10); init takes the first 2
+    // vectors (one from each blob by construction of the ids).
+    val pts = Seq(
+      (1L, Seq(0.0, 0.1)), (2L, Seq(10.0, 10.1)),
+      (3L, Seq(0.1, 0.0)), (4L, Seq(9.9, 10.0)),
+      (5L, Seq(-0.1, 0.0)), (6L, Seq(10.1, 9.9))
+    ).toDF("id", "v")
+    val got = api.Similarity.kMeans(pts, col("id"), col("v"),
+      k = 2, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == got(3L) && got(3L) == got(5L))
+    assert(got(2L) == got(4L) && got(4L) == got(6L))
+    assert(got(1L) != got(2L))
+    // Assignment distance is to the blob mean, so it's tiny.
+    val d = api.Similarity.kMeans(pts, col("id"), col("v"), 2, 5)
+      .agg(max("sq_dist")).collect()(0).getDouble(0)
+    assert(d < 0.05, s"max sq_dist $d")
+  }
+
   test("fuzzyJoin blocks first, then scores within the block") {
     val sp = spark
     import sp.implicits._
