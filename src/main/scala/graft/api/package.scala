@@ -295,31 +295,59 @@ package object api {
     def kMeans(
         df: DataFrame, id: Column, vec: Column,
         k: Int = 8, iterations: Int = 5): DataFrame = {
-      require(k >= 1 && iterations >= 1)
-      val v = df.select(id.as("vid"), vec.cast("array<double>").as("e"))
+      val v = prepVectors(df, id, vec)
+      val b = bestCentroid(lloyd(v, k, iterations))
+      v.select(col("vid").as("id"), b.getField("col2").as("cluster"),
+        b.getField("col1").as("sq_dist"))
+    }
+
+    /** The trained centroids themselves, as a (cid, centroid) DataFrame —
+      * the coarse-quantizer table an IVF index probes against.
+      */
+    def kMeansCentroids(
+        df: DataFrame, id: Column, vec: Column,
+        k: Int = 8, iterations: Int = 5): DataFrame = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      lloyd(prepVectors(df, id, vec), k, iterations)
+        .toDF("cid", "centroid")
+    }
+
+    private def prepVectors(
+        df: DataFrame, id: Column, vec: Column): DataFrame =
+      df.select(id.as("vid"), vec.cast("array<double>").as("e"))
         .localCheckpoint(true)
-      // Centroids are k·dim doubles — driver-resident and inlined as plan
-      // literals each round (the same trick as the LSH hyperplanes), so
-      // ASSIGNMENT is pure map-side codegen over the big table: no
-      // shuffle, no join. The only shuffle per round is the per-(cluster,
-      // dim) mean, which partial-aggregates to k·dim rows per partition.
-      // array_min over (dist, cid) structs gives a deterministic
-      // lexicographic argmin (ties break to the lowest cluster id).
-      def sqDistTo(c: Seq[Double]): Column =
-        aggregate(zip_with(col("e"), typedlit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d)
-      // array() unifies struct element types and renames fields to
-      // col1/col2 — access the argmin result positionally.
-      def best(cents: Seq[(Int, Seq[Double])]): Column =
-        array_min(array(cents.map { case (cid, c) =>
-          struct(sqDistTo(c), lit(cid))
-        }: _*))
+
+    private def sqDistTo(c: Seq[Double]): Column =
+      aggregate(zip_with(col("e"), typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+
+    // array() unifies struct element types and renames fields to
+    // col1/col2 — access the argmin result positionally. Lexicographic
+    // array_min over (dist, cid) is a deterministic argmin (ties break to
+    // the lowest cluster id).
+    private def bestCentroid(cents: Seq[(Int, Seq[Double])]): Column =
+      array_min(array(cents.map { case (cid, c) =>
+        struct(sqDistTo(c), lit(cid))
+      }: _*))
+
+    /** Lloyd iterations over a prepped (vid, e) frame. Centroids are
+      * k·dim doubles — driver-resident and inlined as plan literals each
+      * round (the same trick as the LSH hyperplanes), so ASSIGNMENT is
+      * pure map-side codegen over the big table: no shuffle, no join. The
+      * only shuffle per round is the per-(cluster, dim) mean, which
+      * partial-aggregates to k·dim rows per partition.
+      */
+    private def lloyd(
+        v: DataFrame, k: Int, iterations: Int): Seq[(Int, Seq[Double])] = {
+      require(k >= 1 && iterations >= 1)
       var cents: Seq[(Int, Seq[Double])] = v.orderBy("vid").limit(k)
         .collect().zipWithIndex
         .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
       var round = 0
       while (round < iterations) {
-        val means = v.select(best(cents).getField("col2").as("cluster"),
+        val means = v.select(
+            bestCentroid(cents).getField("col2").as("cluster"),
             posexplode(col("e")))
           .groupBy("cluster", "pos").agg(avg("col").as("m"))
           .collect()
@@ -331,9 +359,7 @@ package object api {
         cents = cents.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
         round += 1
       }
-      val b = best(cents)
-      v.select(col("vid").as("id"), b.getField("col2").as("cluster"),
-        b.getField("col1").as("sq_dist"))
+      cents
     }
   }
 

@@ -35,6 +35,41 @@ object Similarity extends QueryModule {
   private def cosine(ea: Column, eb: Column): Column =
     graft.api.Similarity.cosine(ea, eb)
 
+  /** IVF assign + probe + search against a (cid, ce) centroid table:
+    * every vector joins its nearest centroid's cell, queries search their
+    * nprobe closest cells only. Centroid tables broadcast everywhere —
+    * the fact scan streams once for the build and once for the search.
+    */
+  private def ivfProbeSearch(
+      v: DataFrame, cents: DataFrame,
+      nprobe: Int = 2, topK: Int = 3): DataFrame = {
+    val wn = Window.partitionBy("vec_id")
+      .orderBy(round(col("ccos"), 6).desc, col("cid"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("e"), col("ce")))
+      .withColumn("crn", row_number().over(wn))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("e"), col("cid"))
+    val queries = v.filter(col("vec_id") < 50)
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("e"), col("ce")))
+      .withColumn("crn", row_number().over(wn))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cid"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+    probes.join(
+        assigned.select(col("vec_id").as("cand_id"), col("e"), col("cid")),
+        Seq("cid"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("e")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("cid").as("cluster"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Signed-random-projection LSH signature (6 sign bits → int 0..63) via
     * the public API (fixed-seed hyperplanes inlined as literals).
     */
@@ -214,27 +249,29 @@ object Similarity extends QueryModule {
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
             p => p.getField("m").cast("float")).as("ce"))
-        val assigned = nearest(v, refined)
-        val queries = v.filter(col("vec_id") < 50)
-        val wp = Window.partitionBy("vec_id")
-          .orderBy(round(col("ccos"), 6).desc, col("cid"))
-        val probes = queries.crossJoin(broadcast(refined))
-          .withColumn("ccos", cosine(col("e"), col("ce")))
-          .withColumn("crn", row_number().over(wp))
-          .filter(col("crn") <= 2) // nprobe = 2
-          .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cid"))
-        val wr = Window.partitionBy("query_id")
-          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
-        probes.join(
-            assigned.select(col("vec_id").as("cand_id"), col("e"), col("cid")),
-            Seq("cid"))
-          .filter(col("cand_id") =!= col("query_id"))
-          .withColumn("cos", cosine(col("qe"), col("e")))
-          .withColumn("rank", row_number().over(wr))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("cand_id"),
-            col("cid").as("cluster"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy("query_id", "rank")
+        ivfProbeSearch(v, refined)
+      }),
+
+    // IVF with a FULLY-TRAINED coarse quantizer: 16 SPHERICAL k-means
+    // centroids (vectors unit-normalized before Lloyd, so L2 clustering
+    // coincides with the cosine geometry the probe uses) from 5
+    // iterations (api.Similarity.kMeansCentroids) instead of one
+    // refinement of arbitrary seeds. sim_ann_recall reports seed-IVF and
+    // trained-IVF side by side.
+    Q(
+      "sim_ann_ivf_trained",
+      (s, dir) => {
+        val unit = expr(
+          """transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+               aggregate(zip_with(embedding, embedding,
+                 (a, b) -> CAST(a AS DOUBLE) * b), 0D, (s, v) -> s + v)))""")
+        val cents = graft.api.Similarity.kMeansCentroids(
+          Tables.embeddings(s, dir), col("vec_id"), unit,
+          k = 16, iterations = 5)
+          .select(col("cid"),
+            transform(col("centroid"), x => x.cast("float")).as("ce"))
+          .localCheckpoint(true)
+        ivfProbeSearch(vecs(s, dir), cents)
       }),
 
     // Int8 scalar quantization of embeddings — the storage-side operator a
@@ -367,17 +404,23 @@ object Similarity extends QueryModule {
           .withColumnRenamed("h", "mp_hits")
         val ivf = hits(all.find(_.name == "sim_ann_ivf").get.run(s, dir))
           .withColumnRenamed("h", "ivf_hits")
+        val ivfT = hits(
+          all.find(_.name == "sim_ann_ivf_trained").get.run(s, dir))
+          .withColumnRenamed("h", "ivf_t_hits")
         exact.groupBy("query_id").agg(count(lit(1)).as("k"))
           .join(lsh, Seq("query_id"), "left")
           .join(mp, Seq("query_id"), "left")
           .join(ivf, Seq("query_id"), "left")
+          .join(ivfT, Seq("query_id"), "left")
           .select(col("query_id"),
             round(coalesce(col("lsh_hits"), lit(0)) / col("k"), 4)
               .as("lsh_recall_at_3"),
             round(coalesce(col("mp_hits"), lit(0)) / col("k"), 4)
               .as("lsh_mp_recall_at_3"),
             round(coalesce(col("ivf_hits"), lit(0)) / col("k"), 4)
-              .as("ivf_recall_at_3"))
+              .as("ivf_recall_at_3"),
+            round(coalesce(col("ivf_t_hits"), lit(0)) / col("k"), 4)
+              .as("ivf_trained_recall_at_3"))
           .orderBy("query_id")
       }),
 

@@ -250,6 +250,39 @@ object Udx extends QueryModule {
                      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                             CAST(embedding AS DOUBLE[]))) *
                       sqrt(list_dot_product(ref, ref))), 4) AS cos_to_ref
-        FROM embeddings CROSS JOIN r WHERE vec_id > 0 ORDER BY vec_id"""))
+        FROM embeddings CROSS JOIN r WHERE vec_id > 0 ORDER BY vec_id""")),
+
+    // Count-Min sketch (4th mergeable summary: distinct=HLL, heavy
+    // hitters=MG, quantiles=q-digest, point frequencies=CMS) via Spark's
+    // built-in count_min_sketch aggregate, probed in-query with a tiny
+    // deserializing UDF over the (event_type × probe-user) grid — 25
+    // rows, not the event stream. The CMS one-sided guarantee (est ≥
+    // exact, est ≤ exact + ε·N w.h.p.) is certified in-row against the
+    // exact counts.
+    Q(
+      "udaf_countmin",
+      (s, dir) => {
+        val eps = 0.001
+        val probe = udf((b: Array[Byte], u: Long) =>
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(b))
+            .estimateCount(u))
+        val ev = Tables.events(s, dir)
+        val sketches = ev.groupBy("event_type")
+          .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)")
+            .as("cms"),
+            count(lit(1)).as("n_events"))
+        val exact = ev.filter(col("user_id") < 5)
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("exact_n"))
+        exact.join(broadcast(sketches), "event_type")
+          .withColumn("cms_est", probe(col("cms"), col("user_id")))
+          .select(col("event_type"), col("user_id"), col("exact_n"),
+            col("cms_est"),
+            (col("cms_est") >= col("exact_n") &&
+              col("cms_est") <= col("exact_n") +
+                ceil(lit(eps) * col("n_events"))).as("bound_ok"))
+          .orderBy("event_type", "user_id")
+      })
   )
 }

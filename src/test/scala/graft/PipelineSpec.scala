@@ -207,6 +207,12 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("countmin bound certificate holds on the registry query") {
+    val rows = SparkEntry.queries("udaf_countmin")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)), "CMS one-sided bound violated")
+  }
+
   test("kMeans recovers separable blobs exactly") {
     val sp = spark
     import sp.implicits._
