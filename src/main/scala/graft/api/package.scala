@@ -296,9 +296,11 @@ package object api {
         df: DataFrame, id: Column, vec: Column,
         k: Int = 8, iterations: Int = 5): DataFrame = {
       val v = prepVectors(df, id, vec)
-      val b = bestCentroid(lloyd(v, k, iterations))
-      v.select(col("vid").as("id"), b.getField("col2").as("cluster"),
-        b.getField("col1").as("sq_dist"))
+      v.withColumn("ds", distsTo(lloyd(v, k, iterations)))
+        .select(col("vid").as("id"),
+          array_position(col("ds"), array_min(col("ds")))
+            .cast("int").as("cluster"),
+          array_min(col("ds")).as("sq_dist"))
     }
 
     /** The trained centroids themselves, as a (cid, centroid) DataFrame —
@@ -318,18 +320,21 @@ package object api {
       df.select(id.as("vid"), vec.cast("array<double>").as("e"))
         .localCheckpoint(true)
 
-    private def sqDistTo(c: Seq[Double]): Column =
-      aggregate(zip_with(col("e"), typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
-
-    // array() unifies struct element types and renames fields to
-    // col1/col2 — access the argmin result positionally. Lexicographic
-    // array_min over (dist, cid) is a deterministic argmin (ties break to
-    // the lowest cluster id).
-    private def bestCentroid(cents: Seq[(Int, Seq[Double])]): Column =
-      array_min(array(cents.map { case (cid, c) =>
-        struct(sqDistTo(c), lit(cid))
-      }: _*))
+    /** Squared-L2 distances from `e` to every centroid, as one array
+      * column over a SINGLE k×dim matrix literal with one shared lambda —
+      * a per-centroid expression forest (k copies of the HOF tree, each
+      * with its own 64-literal array) made analysis+codegen cost scale
+      * with k and dominated the k-means rounds; this form plans once and
+      * stays small. argmin = array_position of the min (first occurrence
+      * ⇒ ties break to the lowest cluster id; centroids are ordered by
+      * cid 1..k, so the 1-based position IS the cluster id).
+      */
+    private def distsTo(cents: Seq[(Int, Seq[Double])]): Column = {
+      val mat = typedlit(cents.sortBy(_._1).map(_._2))
+      transform(mat, c =>
+        aggregate(zip_with(col("e"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d))
+    }
 
     /** Lloyd iterations over a prepped (vid, e) frame. Centroids are
       * k·dim doubles — driver-resident and inlined as plan literals each
@@ -346,9 +351,11 @@ package object api {
         .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
       var round = 0
       while (round < iterations) {
-        val means = v.select(
-            bestCentroid(cents).getField("col2").as("cluster"),
-            posexplode(col("e")))
+        val means = v
+          .withColumn("ds", distsTo(cents))
+          .withColumn("cluster",
+            array_position(col("ds"), array_min(col("ds"))).cast("int"))
+          .select(col("cluster"), posexplode(col("e")))
           .groupBy("cluster", "pos").agg(avg("col").as("m"))
           .collect()
           .groupBy(_.getInt(0))
