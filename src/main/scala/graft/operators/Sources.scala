@@ -338,6 +338,43 @@ object Sources extends QueryModule {
       oracle = Some("""
         SELECT l_returnflag, count(*) AS n_rows,
                round(sum(l_quantity), 4) AS sum_qty
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // The binaryFile source: whole-file blobs as (path, length, content)
+    // rows — the ingestion entry for media/document payloads that no
+    // record reader parses. Deterministic BMP fixtures are written to
+    // scratch, re-read via format("binaryFile") with a glob, and
+    // re-decoded; byte lengths and a pixel probe certify a lossless
+    // round-trip. (No oracle: the side-effecting write's absolute paths
+    // aren't portable — every check is carried in-row.)
+    Q(
+      "scan_binary_files",
+      (s, dir) => {
+        val out = Scratch.fresh("scan_binary_files")
+        val w = 32; val h = 16
+        (0 until 12).foreach { i =>
+          val bytes = graft.functions.Codecs.encodeBmp(w, h, (x, y) =>
+            ((x * 7 + y * 13 + i) % 256, (x + i) % 256, (y + i) % 256))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"img_$i%02d.bmp"), bytes)
+        }
+        val expectLen = 54L + h * ((w * 3 + 3) / 4 * 4)
+        s.read.format("binaryFile").option("pathGlobFilter", "*.bmp")
+          .load(out)
+          .select(
+            element_at(split(col("path"), "/"), -1).as("file"),
+            col("length"),
+            col("content"))
+          .withColumn("decoded",
+            udf((b: Array[Byte]) => {
+              val d = graft.functions.Codecs.decodeBmp(b)
+              Seq(d.width, d.height, d.pixels(0)(0)._1)
+            }).apply(col("content")))
+          .select(col("file"), col("length"),
+            (col("length") === expectLen).as("len_ok"),
+            (element_at(col("decoded"), 1) === w &&
+              element_at(col("decoded"), 2) === h).as("dims_ok"))
+          .orderBy("file")
+      })
   )
 }

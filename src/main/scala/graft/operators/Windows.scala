@@ -214,6 +214,27 @@ object Windows extends QueryModule {
                      ORDER BY o_totalprice ASC, o_orderkey ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING
                               AND UNBOUNDED FOLLOWING)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // Equal-frequency bucketing: ntile quartiles of account balance per
+    // market segment — the binning pass behind decile/quartile features.
+    // Both engines put the remainder rows in the LEADING buckets, so a
+    // unique total order (balance then key) makes tiles engine-exact.
+    Q(
+      "win_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(asc("c_acctbal"), asc("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            ntile(4).over(w).as("bal_quartile"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal ASC, c_custkey ASC)
+                 AS bal_quartile
+        FROM customer ORDER BY c_custkey"""))
   )
 }
