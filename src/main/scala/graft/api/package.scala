@@ -1061,6 +1061,66 @@ package object api {
       }
       ranks.select(col("id"), col("rank"))
     }
+
+    /** Exact triangle/wedge census of an undirected graph given as an
+      * edge list (long-typed endpoints; duplicates and self-loops are
+      * dropped). Returns one row: (n_nodes, n_edges, n_wedges,
+      * n_triangles, transitivity = 3T/W).
+      *
+      * Algorithm: orient every edge from its (degree, id)-smaller
+      * endpoint to the larger, then count out-wedges (pairs of
+      * out-neighbors) and close them with a semi-join back on the edge
+      * list. Each triangle is found exactly once (at its order-minimal
+      * vertex), and the wedge-join size is Σ out-deg², which the degree
+      * orientation bounds by Σ min-deg(u,v) per edge — on skewed graphs
+      * (the 100 TB case) this is the difference between the hub node
+      * exploding quadratically and the join staying linear-ish. Endpoint
+      * order keys pack (degree, id) into one long so every join/compare
+      * runs on 8-byte keys.
+      */
+    def triangleStats(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+      // Canonical undirected edge set; materialized once — degrees read
+      // it twice and the oriented set derives from it.
+      val e = edges
+        .select(least(src, dst).cast("long").as("u"),
+          greatest(src, dst).cast("long").as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull)
+        .distinct()
+        .localCheckpoint(true)
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      // ord = degree·2^40 + id (ids must stay below 2^40; degrees below
+      // 2^23 keep the product in a long): one comparable key for the
+      // (degree, id) total order.
+      val ORD = 1L << 40
+      val eo = e
+        .join(deg.as("du"), col("u") === col("du.n"))
+        .join(deg.as("dv"), col("v") === col("dv.n"))
+        .select(
+          least(col("du.d") * ORD + col("u"), col("dv.d") * ORD + col("v"))
+            .as("lo"),
+          greatest(col("du.d") * ORD + col("u"), col("dv.d") * ORD + col("v"))
+            .as("hi"))
+        .localCheckpoint(true)
+      val paths = eo.as("e1")
+        .join(eo.as("e2"),
+          col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+        .select(col("e1.hi").as("b"), col("e2.hi").as("c"))
+      val tri = paths
+        .join(eo.as("e3"),
+          col("b") === col("e3.lo") && col("c") === col("e3.hi"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val census = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      census.crossJoin(nEdges).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
+            .as("transitivity"))
+    }
   }
 
   object Text {

@@ -470,6 +470,84 @@ object Aggregates extends QueryModule {
         SELECT lang, 'avg_chars', avg_chars FROM w
         UNION ALL
         SELECT lang, 'max_chars', max_chars FROM w
-        ORDER BY lang, metric"""))
+        ORDER BY lang, metric""")),
+
+    // Exact order statistics + deterministic mode per group. percentile()
+    // is Spark's exact continuous-interpolation quantile (DuckDB
+    // quantile_cont / median agree on the definition). Mode is computed
+    // explicitly (count per value, rank by count DESC then value ASC) so
+    // the tie-break is deterministic in BOTH engines — the built-in
+    // mode() leaves ties unspecified. At scale the quantile is the
+    // expensive half (exact percentile collects per-group value
+    // multisets); the sketch path for 100 TB is udaf_qdigest — this op
+    // is the exact-answer complement.
+    Q(
+      "agg_median_mode",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val quant = li.groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+            round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+            round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"))
+        val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("c"))
+        val mode = counts
+          .withColumn("rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("l_returnflag")
+              .orderBy(col("c").desc, col("l_quantity").asc)))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+        quant.join(mode, "l_returnflag").orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH counts AS (
+          SELECT l_returnflag, l_quantity, count(*) AS c
+          FROM lineitem GROUP BY 1, 2),
+        mode AS (
+          SELECT l_returnflag, l_quantity AS mode_qty
+          FROM (SELECT l_returnflag, l_quantity,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY c DESC, l_quantity ASC) AS rn
+                FROM counts)
+          WHERE rn = 1),
+        quant AS (
+          SELECT l_returnflag,
+                 round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+                 round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+                 round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+                 round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+          FROM lineitem GROUP BY 1)
+        SELECT q.l_returnflag, med_qty, p25_qty, p75_qty, med_price, mode_qty
+        FROM quant q JOIN mode m ON q.l_returnflag = m.l_returnflag
+        ORDER BY q.l_returnflag""")),
+
+    // Exact COUNT(DISTINCT) as a mergeable bitmap summary: key k sets bit
+    // (k mod 64) of word (k div 64); bit_or is the merge. The shuffle
+    // carries one row per (group, occupied word) — for dense key spaces
+    // that is |keys|/64 rows instead of |keys|, and unlike count(distinct)
+    // (which Spark plans as a two-phase Expand+double shuffle) the words
+    // partial-aggregate map-side and stay mergeable across any further
+    // rollup. This is the exact counterpart of udaf_hll (approximate) —
+    // use bitmaps when keys are dense integers, HLL when they are not.
+    Q(
+      "agg_bitmap_distinct",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"),
+            (col("o_custkey") / 64).cast("long").as("word"),
+            expr("shiftleft(1L, CAST(o_custkey % 64 AS INT))").as("bit"))
+          .groupBy("o_orderpriority", "word")
+          .agg(expr("bit_or(bit)").as("w"))
+          .groupBy("o_orderpriority")
+          .agg(sum(bit_count(col("w"))).as("n_customers"))
+          .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }

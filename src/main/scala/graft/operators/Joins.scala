@@ -370,6 +370,51 @@ object Joins extends QueryModule {
                  FROM orders o
                  WHERE o.o_custkey = c.c_custkey
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-        ORDER BY c_custkey, o_orderkey"""))
+        ORDER BY c_custkey, o_orderkey""")),
+
+    // Point-in-interval join with NO equality key, made shuffle-joinable
+    // by time binning: each signup's 2-hour window expands to the hour
+    // bins it covers (≤3 rows), each purchase maps to exactly ONE bin, so
+    // the equi-join on bin finds every qualifying pair exactly once (no
+    // post-join dedup needed) and the real predicate refines in the same
+    // join condition. This replaces the O(|S|·|P|) broadcast-nested-loop
+    // plan Spark would otherwise pick — at 100 TB neither side
+    // broadcasts, but bins hash-partition like any key; fan-out is
+    // bounded by interval_span/bin_width + 1. LEFT join keeps
+    // zero-purchase signups (every bin row misses ⇒ count(null) = 0).
+    Q(
+      "join_range_binned",
+      (s, dir) => {
+        val HOUR = 3600L * 1000000L // µs
+        val ev = Tables.events(s, dir)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("s_id"), unix_micros(col("ts")).as("lo"))
+          .withColumn("hi", col("lo") + 2 * HOUR)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pt"))
+          .withColumn("bin", expr(s"pt div $HOUR"))
+        val binned = signups.withColumn("bin",
+          explode(sequence(expr(s"lo div $HOUR"), expr(s"hi div $HOUR"))))
+        binned
+          .join(purchases,
+            binned("bin") === purchases("bin") &&
+              col("pt") >= col("lo") && col("pt") < col("hi"),
+            "left")
+          .groupBy("s_id")
+          .agg(count(col("p_id")).as("n_purchases"))
+          .select(col("s_id").as("event_id"), col("n_purchases"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT s.event_id,
+               count(p.event_id) AS n_purchases
+        FROM events s
+        LEFT JOIN events p
+          ON p.event_type = 'purchase'
+         AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(s.ts AS TIMESTAMP))
+         AND epoch_us(CAST(p.ts AS TIMESTAMP)) < epoch_us(CAST(s.ts AS TIMESTAMP)) + 7200000000
+        WHERE s.event_type = 'signup'
+        GROUP BY s.event_id
+        ORDER BY s.event_id"""))
   )
 }

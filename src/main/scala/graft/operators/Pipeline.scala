@@ -439,6 +439,55 @@ object Pipeline extends QueryModule {
             round(col("rank") * 1e6, 4).as("rank_ppm"),
             (abs(col("total_mass") - 1.0) < 1e-6).as("mass_ok"))
           .orderBy(desc("rank_ppm"), asc("id"))
-      })
+      }),
+
+    // Triangle census of the co-purchase graph (parts co-occurring in a
+    // 1-URGENT order). The Spark side orients edges by (degree, id) —
+    // the skew-proof wedge bound (api.Graph.triangleStats); the oracle
+    // counts with plain id-ordering, which is valid because the census
+    // is orientation-invariant. The urgent filter keeps the graph at a
+    // density where the exact count is the right tool; the same code on
+    // a denser graph is where the degree orientation earns its keep.
+    Q(
+      "graph_triangles",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey")
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        graft.api.Graph.triangleStats(pairs, col("u"), col("v"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT n, count(*) AS d
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+          GROUP BY n),
+        tri AS (
+          SELECT count(*) AS t
+          FROM e e1
+          JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+               (SELECT t FROM tri) AS n_triangles,
+               round(3.0 * (SELECT t FROM tri) /
+                     (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS transitivity"""))
   )
 }

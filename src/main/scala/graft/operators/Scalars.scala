@@ -362,6 +362,36 @@ object Scalars extends QueryModule {
                regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1) AS path,
                regexp_extract(url, '\?(.*)$', 1) AS query,
                regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
-        FROM t ORDER BY doc_id"""))
+        FROM t ORDER BY doc_id""")),
+
+    // Calendar-field extraction + interval arithmetic beyond fn_date's
+    // basics: quarter/ISO-week/day-of-year, month-end snap, day offsets,
+    // and strftime-style rendering. All derived columns are DATE/INT/
+    // STRING (never raw timestamps) per the tz-schema parity rule
+    // (NOTES.md round-2). Pure per-row codegen'd projection — scans one
+    // column, no shuffle.
+    Q(
+      "fn_interval",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            quarter(col("o_orderdate")).as("qtr"),
+            dayofyear(col("o_orderdate")).as("doy"),
+            weekofyear(col("o_orderdate")).as("iso_week"),
+            last_day(col("o_orderdate")).as("month_end"),
+            date_add(col("o_orderdate").cast("date"), 45).as("plus45d"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(o_orderdate AS DATE) + 45 AS plus45d,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders
+        ORDER BY o_orderkey"""))
   )
 }

@@ -312,4 +312,84 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         }
     }
   }
+
+  test("triangleStats: hand graph census, dup/self-loop/direction immune") {
+    val sp = spark
+    import sp.implicits._
+    // K4 on {1,2,3,4} (4 triangles) plus pendant edge 5-1.
+    // Degrees: 1→4, 2,3,4→3, 5→1 ⇒ wedges = C(4,2)+3·C(3,2) = 6+9 = 15.
+    // Edges fed with duplicates, reversed copies, and a self-loop — all
+    // must be dropped by canonicalization.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L),
+      (2L, 4L), (4L, 2L), (1L, 5L), (3L, 3L), (1L, 2L))
+      .toDF("a", "b")
+    val r = api.Graph.triangleStats(edges, col("a"), col("b")).collect()(0)
+    assert(r.getLong(0) == 5, "n_nodes")
+    assert(r.getLong(1) == 7, "n_edges")
+    assert(r.getLong(2) == 15, "n_wedges")
+    assert(r.getLong(3) == 4, "n_triangles")
+    assert(math.abs(r.getDouble(4) - 3.0 * 4 / 15) < 1e-4, "transitivity")
+  }
+
+  test("triangleStats: triangle-free bipartite graph counts zero") {
+    val sp = spark
+    import sp.implicits._
+    // C4 cycle 1-2-3-4-1 (bipartite): 4 wedges, 0 triangles.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val r = api.Graph.triangleStats(edges, col("a"), col("b")).collect()(0)
+    assert(r.getLong(2) == 4 && r.getLong(3) == 0)
+  }
+
+  test("graph_triangles registry census is internally consistent") {
+    val r = SparkEntry.queries("graph_triangles")(spark, sf0001).collect()(0)
+    val (nodes, edges, wedges, tris) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nodes > 0 && edges > 0)
+    assert(edges <= nodes * (nodes - 1) / 2)
+    // Each triangle consumes 3 wedges; transitivity ∈ [0, 1].
+    assert(3 * tris <= wedges)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("binned range join equals the naive nested-loop on a hand case") {
+    val sp = spark
+    import sp.implicits._
+    // Intervals [0,200) and [250,450) in µs-scale ticks; points chosen to
+    // sit on bin edges (bin width from the registry op is 1h — here we
+    // replicate the shape inline with the same sequence/explode plumbing
+    // at width 100 to keep numbers readable).
+    val BIN = 100L
+    val iv = Seq((10L, 0L, 200L), (20L, 250L, 450L), (30L, 500L, 510L))
+      .toDF("iid", "lo", "hi")
+    val pts = Seq((1L, 0L), (2L, 199L), (3L, 200L), (4L, 249L), (5L, 250L),
+      (6L, 449L), (7L, 450L), (8L, 505L))
+      .toDF("pid", "pt")
+    val binned = iv.withColumn("bin",
+      explode(sequence(expr(s"lo div $BIN"), expr(s"hi div $BIN"))))
+    val ptsB = pts.withColumn("bin", expr(s"pt div $BIN"))
+    val got = binned.join(ptsB,
+        binned("bin") === ptsB("bin") &&
+          col("pt") >= col("lo") && col("pt") < col("hi"), "left")
+      .groupBy("iid").agg(count(col("pid")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Naive check: [0,200) gets pts 1,2; [250,450) gets 5,6 (4 is below
+    // lo in a shared bin, 7 sits exactly at hi); [500,510) gets 8.
+    assert(got == Map(10L -> 2L, 20L -> 2L, 30L -> 1L))
+  }
+
+  test("bitmap distinct equals count distinct on a skewed hand set") {
+    val sp = spark
+    import sp.implicits._
+    // Keys straddling word boundaries (63/64/65) and heavy duplication.
+    val df = Seq(0L, 1L, 63L, 64L, 64L, 65L, 127L, 128L, 1000L, 1000L, 0L)
+      .toDF("k").withColumn("g", lit("x"))
+    val got = df
+      .select(col("g"), (col("k") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(k % 64 AS INT))").as("bit"))
+      .groupBy("g", "word").agg(expr("bit_or(bit)").as("w"))
+      .groupBy("g").agg(sum(bit_count(col("w"))).as("n"))
+      .collect()(0).getLong(1)
+    assert(got == 8)
+  }
 }
