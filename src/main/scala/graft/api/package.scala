@@ -514,6 +514,45 @@ package object api {
           col("vf").as("valid_from"), col("vt").as("valid_to"),
           col("vt").isNull.as("is_current"))
     }
+
+    /** Interval-overlap join with no equality key: every (left, right)
+      * pair of half-open intervals `[lo, hi)` that overlap
+      * (`lLo < rHi && rLo < lHi`), each pair emitted EXACTLY once.
+      * Returns two columns (`left_id`, `right_id`).
+      *
+      * Both sides explode to the `binWidth`-sized time bins they cover
+      * (fan-out = span/binWidth + 1), and the pair is counted only in its
+      * ASSIGNED bin `greatest(lLo, rLo) div binWidth` — which both sides
+      * provably cover when the intervals overlap — so no post-join
+      * distinct is needed. The equi-join on bin hash-partitions like any
+      * key join; this replaces the broadcast-nested-loop plan Spark picks
+      * for a pure theta join, which at 100 TB has no broadcastable side.
+      * Pick `binWidth` near the typical interval span: wider bins cut
+      * fan-out but pack more candidates per bin.
+      */
+    def intervalOverlap(
+        left: DataFrame, leftId: Column, leftLo: Column, leftHi: Column,
+        right: DataFrame, rightId: Column, rightLo: Column, rightHi: Column,
+        binWidth: Long): DataFrame = {
+      require(binWidth > 0, "binWidth must be positive")
+      val l = left.select(leftId.as("_gl_id"),
+          leftLo.cast("long").as("_gl_lo"), leftHi.cast("long").as("_gl_hi"))
+        .filter(col("_gl_lo") < col("_gl_hi"))
+        .withColumn("_g_bin", explode(sequence(
+          expr(s"_gl_lo div ${binWidth}L"),
+          expr(s"(_gl_hi - 1) div ${binWidth}L"))))
+      val r = right.select(rightId.as("_gr_id"),
+          rightLo.cast("long").as("_gr_lo"), rightHi.cast("long").as("_gr_hi"))
+        .filter(col("_gr_lo") < col("_gr_hi"))
+        .withColumn("_g_rbin", explode(sequence(
+          expr(s"_gr_lo div ${binWidth}L"),
+          expr(s"(_gr_hi - 1) div ${binWidth}L"))))
+      l.join(r,
+          col("_g_bin") === col("_g_rbin") &&
+            col("_g_bin") === expr(s"greatest(_gl_lo, _gr_lo) div ${binWidth}L") &&
+            col("_gl_lo") < col("_gr_hi") && col("_gr_lo") < col("_gl_hi"))
+        .select(col("_gl_id").as("left_id"), col("_gr_id").as("right_id"))
+    }
   }
 
   /** Approximate sketch aggregates. */

@@ -548,6 +548,147 @@ object Aggregates extends QueryModule {
         SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
         FROM orders
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // Simple linear regression (price ~ quantity) per group, computed
+    // from EXACT decimal moment sums so both engines feed bit-identical
+    // doubles into the same closed-form formula — the regr_slope /
+    // regr_intercept built-ins accumulate doubles in engine-specific
+    // order and can diverge past round(4). The moment sums are one
+    // map-side-combined shuffle row per group (5 numbers), the canonical
+    // distributed-OLS shape at any scale.
+    Q(
+      "agg_regression",
+      (s, dir) => {
+        val x = col("l_quantity").cast("decimal(12,2)")
+        val y = col("l_extendedprice").cast("decimal(12,2)")
+        val m = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"))
+        val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+        val vx  = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy  = col("n") * col("syy") - col("sy") * col("sy")
+        m.select(col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            round(cxy / vx, 4).as("slope"),
+            round((col("sy") - (cxy / vx) * col("sx")) / col("n"), 4)
+              .as("intercept"),
+            round(cxy * cxy / (vx * vy), 4).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+                          CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+                          CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+               round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4)
+                 AS intercept,
+               round((n*sxy - sx*sy) * (n*sxy - sx*sy) /
+                     ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+        FROM m ORDER BY l_returnflag""")),
+
+    // Ordered string aggregation (LISTAGG): names per nation in a pinned
+    // order. collect_list is the one non-mergeable aggregate in this
+    // module — its memory is O(group payload), so it is ONLY for
+    // human-bounded groups (here ≤ a few thousand names); the unbounded
+    // equivalent at 100 TB is packNextFit / a sorted sink, not a bigger
+    // collect. Sort happens inside the row (array_sort), so no extra
+    // shuffle beyond the group-by.
+    Q(
+      "agg_string_agg",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .groupBy("c_nationkey")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            array_join(array_sort(collect_list(col("c_name"))), ",")
+              .as("names"))
+          .orderBy("c_nationkey"),
+      oracle = Some("""
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")),
+
+    // Higher central moments (variance/skewness/excess kurtosis) from
+    // exact decimal power sums: the built-in skewness()/kurtosis() do
+    // streaming double accumulation whose order differs per engine; exact
+    // s1..s4 (decimal, overflow-checked: |x|<=10^6 scale 2 keeps x^4 sums
+    // inside decimal(38,8) to ~10^13 rows) make the downstream double
+    // math bit-identical. sqrt(m2)*m2 instead of pow(m2,1.5) keeps every
+    // double op correctly-rounded IEEE — pow is the one libm call whose
+    // last ulp differs across runtimes.
+    Q(
+      "agg_moments",
+      (s, dir) => {
+        val x  = col("l_quantity").cast("decimal(8,2)")
+        val m = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("s1"),
+            sum(x * x).cast("double").as("s2"),
+            sum(x * x * x).cast("double").as("s3"),
+            sum(x * x * x * x).cast("double").as("s4"))
+        val mean = col("s1") / col("n")
+        val m2 = col("s2") / col("n") - mean * mean
+        val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
+          lit(2.0) * mean * mean * mean
+        val m4 = col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n")) +
+          lit(6.0) * mean * mean * (col("s2") / col("n")) -
+          lit(3.0) * mean * mean * mean * mean
+        m.select(col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            round(mean, 4).as("mean_qty"),
+            round(m2, 4).as("var_pop"),
+            round(m3 / (sqrt(m2) * m2), 4).as("skewness"),
+            round(m4 / (m2 * m2) - lit(3.0), 4).as("kurtosis"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT l_returnflag, CAST(l_quantity AS DECIMAL(8,2)) AS x
+          FROM lineitem),
+        m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS s1,
+                 CAST(sum(x*x) AS DOUBLE) AS s2,
+                 CAST(sum(x*x*x) AS DOUBLE) AS s3,
+                 CAST(sum(x*x*x*x) AS DOUBLE) AS s4
+          FROM p GROUP BY 1),
+        c AS (
+          SELECT l_returnflag, n, s1/n AS mean,
+                 s2/n - (s1/n)*(s1/n) AS m2,
+                 s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3,
+                 s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+                      - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+          FROM m)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               round(mean, 4) AS mean_qty,
+               round(m2, 4) AS var_pop,
+               round(m3 / (sqrt(m2) * m2), 4) AS skewness,
+               round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis
+        FROM c ORDER BY l_returnflag"""))
   )
 }

@@ -415,6 +415,50 @@ object Joins extends QueryModule {
          AND epoch_us(CAST(p.ts AS TIMESTAMP)) < epoch_us(CAST(s.ts AS TIMESTAMP)) + 7200000000
         WHERE s.event_type = 'signup'
         GROUP BY s.event_id
-        ORDER BY s.event_id"""))
+        ORDER BY s.event_id""")),
+
+    // Interval × interval overlap join (no equality key): signup windows
+    // [ts, ts+2h) vs error windows [ts, ts+1h), each overlapping pair
+    // found exactly once by api.Joins.intervalOverlap's assigned-bin
+    // trick (pair counted only in bin greatest(lo1,lo2) div W — no
+    // post-join distinct). The left join back to signups keeps
+    // zero-overlap windows at count 0. DuckDB oracles the same semantics
+    // as a plain theta join, which it can afford at sf0.01; the binned
+    // equi-join is the form that still hash-partitions at 100 TB.
+    Q(
+      "join_interval_overlap",
+      (s, dir) => {
+        val HOUR = 3600L * 1000000L
+        val ev = Tables.events(s, dir)
+        val su = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("s_id"), unix_micros(col("ts")).as("slo"))
+          .withColumn("shi", col("slo") + 2 * HOUR)
+        val er = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("elo"))
+          .withColumn("ehi", col("elo") + HOUR)
+        val pairs = graft.api.Joins.intervalOverlap(
+          su, col("s_id"), col("slo"), col("shi"),
+          er, col("e_id"), col("elo"), col("ehi"), HOUR)
+        val perSignup = pairs.groupBy("left_id")
+          .agg(count(lit(1)).as("n_overlap"))
+        su.join(perSignup, su("s_id") === perSignup("left_id"), "left")
+          .select(col("s_id").as("event_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT event_id AS s_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS slo,
+                 epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS shi
+          FROM events WHERE event_type = 'signup'),
+        e AS (
+          SELECT event_id AS e_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS elo,
+                 epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS ehi
+          FROM events WHERE event_type = 'error')
+        SELECT s.s_id AS event_id, count(e.e_id) AS n_overlap
+        FROM s LEFT JOIN e ON s.slo < e.ehi AND e.elo < s.shi
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

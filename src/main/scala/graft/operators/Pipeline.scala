@@ -488,6 +488,47 @@ object Pipeline extends QueryModule {
                CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
                (SELECT t FROM tri) AS n_triangles,
                round(3.0 * (SELECT t FROM tri) /
-                     (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS transitivity"""))
+                     (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS transitivity""")),
+
+    // MATCH_RECOGNIZE-lite: each user's event history as an ordered
+    // initial-letter path string ('s'ignup 'v'iew 'c'lick 'p'urchase
+    // 'e'rror), then regex predicates over the path (did a signup ever
+    // lead to a purchase? how many errors?). The collect is bounded by
+    // per-user event count — the same per-entity-sequence contract as
+    // sessionize/packing; order is pinned by (ts, event_id) inside
+    // array_sort so the path is deterministic in both engines. At scale
+    // this is one shuffle on user_id; the path regex is per-row codegen.
+    Q(
+      "pattern_sequence",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"),
+            struct(unix_micros(col("ts")).as("t"),
+              col("event_id").as("i"),
+              substring(col("event_type"), 1, 1).as("c")).as("ste"))
+        ev.groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            array_join(
+              transform(array_sort(collect_list(col("ste"))),
+                x => x.getField("c")), "").as("path"))
+          .select(col("user_id"), col("n_events"), col("path"),
+            col("path").rlike("s.*p").as("converted"),
+            (length(col("path")) -
+              length(regexp_replace(col("path"), "e", ""))).as("n_errors"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT user_id,
+                 count(*) AS n_events,
+                 string_agg(left(event_type, 1), ''
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS path
+          FROM events GROUP BY user_id)
+        SELECT user_id, n_events, path,
+               regexp_matches(path, 's.*p') AS converted,
+               CAST(length(path) - length(replace(path, 'e', '')) AS INTEGER)
+                 AS n_errors
+        FROM p ORDER BY user_id"""))
   )
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-checkable verification of the closed-form statistics operators
+  * (regression, moments) and the interval-overlap join — values the
+  * DuckDB oracle also covers at corpus scale, pinned here on inputs
+  * small enough to verify by hand.
+  */
+class StatsSpec extends AnyFunSuite with SparkFixture {
+
+  test("regression moments recover an exact linear relationship") {
+    val sp = spark
+    import sp.implicits._
+    // y = 3x + 7 exactly: slope 3, intercept 7, r2 = 1.
+    val df = Seq((1.0, 10.0), (2.0, 13.0), (3.0, 16.0), (4.0, 19.0),
+      (5.0, 22.0)).toDF("x", "y").withColumn("g", lit("a"))
+    val m = df.groupBy("g").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val r = m.select(round(cxy / vx, 6).as("slope"),
+        round((col("sy") - (cxy / vx) * col("sx")) / col("n"), 6).as("icept"),
+        round(cxy * cxy / (vx * vy), 6).as("r2"))
+      .collect()(0)
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 7.0 &&
+      r.getDouble(2) == 1.0)
+  }
+
+  test("central moments: symmetric data has zero skewness, known variance") {
+    val sp = spark
+    import sp.implicits._
+    // {1,2,3,4,5}: mean 3, m2 = 2, m3 = 0, m4 = 6.8 ⇒ kurt = 6.8/4 - 3.
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x").withColumn("g", lit("a"))
+    val m = df.groupBy("g").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+      sum(col("x") * col("x") * col("x")).as("s3"),
+      sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    val mean = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - mean * mean
+    val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n")) +
+      lit(6.0) * mean * mean * (col("s2") / col("n")) -
+      lit(3.0) * mean * mean * mean * mean
+    val r = m.select(round(m2, 6).as("v"), round(m3, 6).as("m3"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("k"))
+      .collect()(0)
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(math.abs(r.getDouble(2) - (6.8 / 4.0 - 3.0)) < 1e-9)
+  }
+
+  test("intervalOverlap equals the naive theta join, pairs exactly once") {
+    val sp = spark
+    import sp.implicits._
+    // Boundary zoo: touching endpoints (no overlap under half-open),
+    // containment, identical intervals, bin-straddling spans.
+    val a = Seq((1L, 0L, 100L), (2L, 100L, 200L), (3L, 50L, 350L),
+      (4L, 400L, 401L)).toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 99L, 101L), (11L, 200L, 300L), (12L, 0L, 100L),
+      (13L, 350L, 400L), (14L, 50L, 350L)).toDF("bid", "blo", "bhi")
+    val got = api.Joins.intervalOverlap(
+        a, col("aid"), col("alo"), col("ahi"),
+        b, col("bid"), col("blo"), col("bhi"), binWidth = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = a.crossJoin(b)
+      .filter(col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got.toSet == naive, s"got ${got.toSet} want $naive")
+    assert(got.length == got.toSet.size, "a pair was emitted twice")
+    // Spot facts: touching [0,100) and [100,200) do NOT overlap; the
+    // wide [50,350) catches 99-101, 200-300, 0-100 copies, and itself.
+    assert(!naive.contains((1L, 11L)) && naive.contains((3L, 14L)))
+  }
+
+  test("pattern_sequence: path length matches event count, flags consistent") {
+    val rows = SparkEntry.queries("pattern_sequence")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, path) = (r.getLong(1), r.getString(2))
+      assert(path.length == n)
+      assert(r.getBoolean(3) == "s.*p".r.findFirstIn(path).isDefined)
+      assert(r.getInt(4) == path.count(_ == 'e'))
+    }
+  }
+}
