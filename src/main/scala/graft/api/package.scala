@@ -1229,6 +1229,52 @@ package object api {
             log(col("n_docs") / col("df"))).as("tfidf"))
     }
 
+    /** Top-`k` most distinctive terms per document, ranked by a fully
+      * INTEGER ordering — term frequency desc, then corpus document
+      * frequency asc (rarer wins), then term asc — so the ranking is
+      * engine- and partitioning-exact (a float tf-idf rank can flip ties
+      * across engines). Output: (id, keywords) with the winners joined
+      * in rank order. df is vocabulary-sized and broadcasts; the token
+      * stream shuffles once on (id, term).
+      */
+    def distinctiveTerms(
+        df: DataFrame, id: Column, text: Column, k: Int = 3): DataFrame = {
+      val t = df.select(id.as("id"),
+        explode(split(text, " ")).as("term"))
+      val tf = t.groupBy("id", "term").agg(count(lit(1)).as("cnt"))
+      val docFreq = t.groupBy("term").agg(countDistinct("id").as("df"))
+      val w = Window.partitionBy("id")
+        .orderBy(col("cnt").desc, col("df").asc, col("term").asc)
+      tf.join(broadcast(docFreq), "term")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy("id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("term")))),
+            x => x.getField("term")), ",").as("keywords"))
+    }
+
+    /** Canonicalize a URL column for dedup: strip the fragment, drop an
+      * explicit :443 port on https, strip utm_* tracking parameters (and
+      * a dangling '?'), lowercase scheme+host (path case preserved), and
+      * remove a trailing slash. Pure codegen regex chain — safe to run
+      * over 100 TB of crawl metadata as a projection.
+      */
+    def canonicalizeUrl(url: Column): Column = {
+      val noFrag = regexp_replace(url, "#.*$", "")
+      val noPort = regexp_replace(noFrag, "^(?i)(https://[^/:?#]*):443", "$1")
+      // Unify '?' to '&' so utm params strip uniformly wherever they sit,
+      // then restore the first separator — avoids a dangling '&param'
+      // when the stripped utm was the leading parameter.
+      val unified = regexp_replace(noPort, "\\?", "&")
+      val noUtm = regexp_replace(unified, "&utm_[A-Za-z_]+=[^&#]*", "")
+      val restored = regexp_replace(noUtm, "^([^&]*)&", "$1?")
+      val hostLower = concat(
+        lower(regexp_extract(restored, "^([A-Za-z]+://[^/?#]*)", 1)),
+        regexp_replace(restored, "^[A-Za-z]+://[^/?#]*", ""))
+      regexp_replace(hostLower, "/$", "")
+    }
+
     /** Language identification via a unigram model with add-one smoothing,
       * trained on `labeled` (text + language label) and applied to `docs`:
       * each doc is scored by the sum of token log-probs per language and

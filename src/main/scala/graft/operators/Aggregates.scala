@@ -689,6 +689,80 @@ object Aggregates extends QueryModule {
                round(m2, 4) AS var_pop,
                round(m3 / (sqrt(m2) * m2), 4) AS skewness,
                round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis
-        FROM c ORDER BY l_returnflag"""))
+        FROM c ORDER BY l_returnflag""")),
+
+    // FILTER-clause aggregates: several differently-conditioned measures
+    // in ONE pass over the table (vs one scan per condition). Spark's
+    // spelling is null-skipping agg(when(cond, x)); money sums go
+    // through exact decimal so the conditioned subset sums cannot
+    // diverge in double accumulation order. One shuffle, map-side
+    // partials for every measure.
+    Q(
+      "agg_filtered",
+      (s, dir) => {
+        val price = col("o_totalprice").cast("decimal(12,2)")
+        val highPrice = when(col("o_totalprice") > 150000.0, price)
+        val openPrice = when(col("o_orderstatus") === "O", price)
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(highPrice).as("n_high"),
+            round(sum(highPrice), 4).cast("double").as("sum_high"),
+            count(when(year(col("o_orderdate")) === 1996, lit(1)))
+              .as("n_1996"),
+            round(sum(openPrice).cast("double") /
+              count(openPrice).cast("double"), 4).as("avg_open"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE o_totalprice > 150000.0) AS n_high,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                     FILTER (WHERE o_totalprice > 150000.0), 4) AS DOUBLE)
+                 AS sum_high,
+               count(*) FILTER (WHERE year(o_orderdate) = 1996) AS n_1996,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) /
+                     CAST(count(*) FILTER (WHERE o_orderstatus = 'O')
+                       AS DOUBLE), 4) AS avg_open
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // Time-series resample: daily OHLC bars per event type. Open/close
+    // are min_by/max_by on the µs timestamp (unique in this corpus;
+    // argmin selection, not accumulation, so floats stay exact), bucket
+    // count is bounded by the time span — output size is independent of
+    // row count, the property that makes resampling viable at 100 TB.
+    Q(
+      "agg_ohlc",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            unix_micros(col("ts")).as("mu"), col("value"))
+          .groupBy("event_type", "day")
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(min_by(col("value"), col("mu")), 4).as("open"),
+            round(max(col("value")), 4).as("high"),
+            round(min(col("value")), 4).as("low"),
+            round(max_by(col("value"), col("mu")), 4).as("close"))
+          .orderBy("event_type", "day"),
+      oracle = Some("""
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               count(*) AS n_events,
+               round(arg_min(value, epoch_us(CAST(ts AS TIMESTAMP))), 4)
+                 AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(arg_max(value, epoch_us(CAST(ts AS TIMESTAMP))), 4)
+                 AS close
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""))
   )
 }

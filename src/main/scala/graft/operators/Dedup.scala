@@ -235,6 +235,68 @@ object Dedup extends QueryModule {
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
           FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        ORDER BY round(cos, 6) DESC, id_a, id_b LIMIT 20"""))
+        ORDER BY round(cos, 6) DESC, id_a, id_b LIMIT 20""")),
+
+    // URL-canonicalization dedup — the crawl-dedup step that runs BEFORE
+    // any text hashing: four deterministic "messy" variants per base URL
+    // (tracking params, explicit :443, case-noisy host, trailing slash,
+    // fragment) collapse under api.Text.canonicalizeUrl into their
+    // canonical groups. Pure codegen regex projection + one group-by on
+    // the canonical string; the oracle replays the identical regex chain
+    // in DuckDB (RE2 \1 backrefs / 'g' flags vs Java $1 — same automata).
+    Q(
+      "dedup_url_canonical",
+      (s, dir) => {
+        val base = concat(lit("docs/"), col("doc_id") % 50)
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://Example.COM/"), base, lit("?utm_source=x&id=9")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://example.com:443/"), base, lit("#frag")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("HTTPS://EXAMPLE.com/"), base, lit("/")))
+          .otherwise(
+            concat(lit("https://example.com/"), base, lit("?id=9&utm_campaign=z")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            graft.api.Text.canonicalizeUrl(col("url")).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy("canonical_url")
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'https://Example.COM/docs/' || (doc_id % 50)
+                               || '?utm_source=x&id=9'
+                   WHEN 1 THEN 'https://example.com:443/docs/' || (doc_id % 50)
+                               || '#frag'
+                   WHEN 2 THEN 'HTTPS://EXAMPLE.com/docs/' || (doc_id % 50)
+                               || '/'
+                   ELSE 'https://example.com/docs/' || (doc_id % 50)
+                        || '?id=9&utm_campaign=z'
+                 END AS url
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   lower(regexp_extract(u5, '^([A-Za-z]+://[^/?#]*)', 1)) ||
+                   regexp_replace(u5, '^[A-Za-z]+://[^/?#]*', ''),
+                   '/$', '') AS canonical_url
+          FROM (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(url, '#.*$', ''),
+                         '^(?i)(https://[^/:?#]*):443', '\1'),
+                       '\?', '&', 'g'),
+                     '&utm_[A-Za-z_]+=[^&#]*', '', 'g'),
+                   '^([^&]*)&', '\1?') AS u5
+            FROM raw))
+        SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc
+        FROM c GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -321,6 +321,31 @@ object Text extends QueryModule {
         SELECT doc_id, count(*) AS n_tokens,
                round(exp(-sum(lpq) / 1e6 / count(*)), 4) AS ppl
         FROM toks JOIN model USING (term)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Keyword extraction: top-3 distinctive terms per document. The rank
+    // is all-integer (tf desc, corpus df asc, term asc) so it cannot
+    // flip across engines the way a float tf-idf tie can — the tf-idf
+    // VALUES are text_tfidf's job; this op is the per-doc summary a
+    // corpus browser actually shows. df broadcasts (vocab-sized).
+    Q(
+      "text_keywords",
+      (s, dir) =>
+        graft.api.Text.distinctiveTerms(
+          Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+          .select(col("id").as("doc_id"), col("keywords"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        r AS (SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, df ASC, term ASC) AS rn
+              FROM tf JOIN df USING (term))
+        SELECT doc_id, string_agg(term, ',' ORDER BY rn) AS keywords
+        FROM r WHERE rn <= 3
         GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -236,5 +236,48 @@ object Windows extends QueryModule {
                               ORDER BY c_acctbal ASC, c_custkey ASC)
                  AS bal_quartile
         FROM customer ORDER BY c_custkey"""))
+  ,
+
+    // Gaps-and-islands: longest consecutive-day purchase streak per user.
+    // The classic day - row_number() island key — all integer math on
+    // epoch-days, so engine-exact. Two shuffles (distinct days, then the
+    // per-user window), both on user_id; island lengths aggregate
+    // map-side. The streak question is the canonical retention feature at
+    // any scale.
+    Q(
+      "win_streak",
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+        val islands = days
+          .withColumn("grp", col("day") - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+        islands.groupBy("user_id")
+          .agg(count(lit(1)).as("n_streaks"),
+            max(col("len")).as("longest_streak"),
+            sum(col("len")).as("n_active_days"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, day,
+                     row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+              FROM d),
+        s AS (SELECT user_id, day - rn AS grp, count(*) AS len
+              FROM r GROUP BY 1, 2)
+        SELECT user_id,
+               count(*) AS n_streaks,
+               CAST(max(len) AS BIGINT) AS longest_streak,
+               CAST(sum(len) AS BIGINT) AS n_active_days
+        FROM s GROUP BY user_id ORDER BY user_id"""))
   )
 }

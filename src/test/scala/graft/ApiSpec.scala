@@ -264,4 +264,39 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(out.select("__graft_z0").collect().map(_.getString(0)).toSet ==
       Set("keep-me", "me-too"))
   }
+
+  test("canonicalizeUrl collapses tracking/port/case/slash/fragment noise") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      // (input, expected canonical)
+      ("https://Example.COM/a/b?utm_source=x&id=9",
+        "https://example.com/a/b?id=9"), // leading utm param: no dangling &
+      ("https://example.com:443/a/b#frag", "https://example.com/a/b"),
+      ("HTTPS://EXAMPLE.com/a/b/", "https://example.com/a/b"),
+      ("https://example.com/a/b?id=9&utm_campaign=z&utm_medium=m",
+        "https://example.com/a/b?id=9"), // multiple utm params all strip
+      ("https://example.com/A/B?x=1&y=2",
+        "https://example.com/A/B?x=1&y=2"), // path case + real params kept
+      ("https://example.com/only?utm_ref=q", "https://example.com/only"))
+    val got = cases.map(_._1).toDF("u")
+      .select(api.Text.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"want $want got $g")
+    }
+  }
+
+  test("distinctiveTerms ranks by tf desc, rarity asc, term asc") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1: "zeta" twice (tf wins), then ties broken by corpus rarity
+    // ("rare" appears in 1 doc, "common" in both) then alphabetically.
+    val df = Seq(
+      (1L, "zeta zeta rare common alpha"),
+      (2L, "common alpha beta beta")).toDF("id", "body")
+    val kw = api.Text.distinctiveTerms(df, col("id"), col("body"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kw(1L) == "zeta,rare,alpha")
+    assert(kw(2L) == "beta,alpha,common")
+  }
 }
