@@ -320,6 +320,125 @@ package object api {
       df.select(id.as("vid"), vec.cast("array<double>").as("e"))
         .localCheckpoint(true)
 
+    /** Product-quantization codebooks: the vector space is split into `m`
+      * contiguous subspaces of dim/m dims, and each subspace gets its own
+      * `k`-centroid Lloyd-trained codebook. Returns `[m][k][dim/m]`
+      * doubles (driver-resident — m·k·dim/m = dim·k values total, tiny).
+      *
+      * All m subspaces train TOGETHER: the vectors explode once into
+      * (vid, subspace, subvector) rows and every Lloyd round is ONE job
+      * whose assignment indexes the full codebook literal by the
+      * subspace column — m separate k-means loops would pay m× the
+      * per-job overhead for the same arithmetic. Seeds are the first `k`
+      * vectors by id (deterministic, no RNG).
+      */
+    def pqCodebooks(
+        df: DataFrame, id: Column, vec: Column,
+        m: Int = 8, k: Int = 16, iterations: Int = 2): Seq[Seq[Seq[Double]]] = {
+      require(m >= 1 && k >= 1 && iterations >= 1)
+      val v = prepVectors(df, id, vec)
+      val dim = v.select(size(col("e"))).first().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      val sv = v.select(col("vid"), posexplode(
+          transform(sequence(lit(0), lit(m - 1)),
+            i => slice(col("e"), i * lit(sub) + 1, lit(sub)))))
+        .select(col("vid"), (col("pos") + 1).as("s"), col("col").as("sv"))
+        .localCheckpoint(true)
+      val seedVecs = v.orderBy("vid").limit(k).collect()
+        .map(_.getSeq[Double](1)).toSeq
+      var cb: Seq[Seq[Seq[Double]]] = // [m][k][sub]
+        (0 until m).map(s => seedVecs.map(e => e.slice(s * sub, (s + 1) * sub)))
+      var round = 0
+      while (round < iterations) {
+        val cbl = typedlit(cb)
+        val means = sv
+          .withColumn("ds", transform(element_at(cbl, col("s")), c =>
+            aggregate(zip_with(col("sv"), c, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, d) => acc + d)))
+          .withColumn("code",
+            array_position(col("ds"), array_min(col("ds"))).cast("int"))
+          .select(col("s"), col("code"), posexplode(col("sv")))
+          .groupBy("s", "code", "pos").agg(avg("col").as("mn"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case ((sIdx, code), rows) =>
+            ((sIdx, code), rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }
+        // Empty cells keep their previous centroid.
+        cb = cb.zipWithIndex.map { case (cents, sIdx) =>
+          cents.zipWithIndex.map { case (c, ci) =>
+            means.getOrElse((sIdx + 1, ci + 1), c)
+          }
+        }
+        round += 1
+      }
+      cb
+    }
+
+    /** PQ encoding: each vector compresses to `m` small-int codes (its
+      * nearest codebook centroid per subspace) — dim floats become m
+      * bytes-worth of codes, the representation that makes
+      * billion-vector indexes fit in memory. Pure map-side codegen over
+      * one codebook literal. Output: (id, codes array<int>, 1-based).
+      */
+    def pqEncode(
+        df: DataFrame, id: Column, vec: Column,
+        codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+      val m = codebooks.length
+      val sub = codebooks.head.head.length
+      val cbl = typedlit(codebooks)
+      val codes = transform(sequence(lit(1), lit(m)), s => {
+        val ds = transform(element_at(cbl, s), c =>
+          aggregate(
+            zip_with(slice(col("e"), (s - lit(1)) * lit(sub) + 1, lit(sub)),
+              c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d))
+        array_position(ds, array_min(ds)).cast("int")
+      })
+      df.select(id.as("vid"), vec.cast("array<double>").as("e"))
+        .select(col("vid").as("id"), codes.as("codes"))
+    }
+
+    /** Asymmetric-distance (ADC) top-k search over PQ codes: each query
+      * precomputes its m×k lookup table of subspace distances ONCE (on
+      * the tiny query side, before the broadcast), so scoring a
+      * candidate costs m array lookups instead of dim multiplies — the
+      * classic PQ trade. Candidates stream map-side against the
+      * broadcast tabled queries; ties pin on (rounded distance,
+      * cand id). Output: (query_id, cand_id, adc_dist, rank).
+      */
+    def pqTopK(
+        encoded: DataFrame, queries: DataFrame, qid: Column, qvec: Column,
+        codebooks: Seq[Seq[Seq[Double]]], topK: Int = 3,
+        excludeSelf: Boolean = false): DataFrame = {
+      val m = codebooks.length
+      val sub = codebooks.head.head.length
+      val cbl = typedlit(codebooks)
+      val tabbed = queries
+        .select(qid.as("query_id"), qvec.cast("array<double>").as("qe"))
+        .select(col("query_id"),
+          transform(sequence(lit(1), lit(m)), s =>
+            transform(element_at(cbl, s), c =>
+              aggregate(
+                zip_with(c, slice(col("qe"), (s - lit(1)) * lit(sub) + 1,
+                  lit(sub)), (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, d) => acc + d))).as("tab"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(round(col("adc"), 6).asc, col("id"))
+      val cands = encoded.crossJoin(broadcast(tabbed))
+      (if (excludeSelf) cands.filter(col("id") =!= col("query_id")) else cands)
+        .withColumn("adc",
+          aggregate(
+            zip_with(col("codes"), sequence(lit(1), lit(m)),
+              (code, s) => element_at(element_at(col("tab"), s), code)),
+            lit(0.0), (acc, d) => acc + d))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("id").as("cand_id"),
+          col("adc").as("adc_dist"), col("rank"))
+    }
+
     /** Squared-L2 distances from `e` to every centroid, as one array
       * column over a SINGLE k×dim matrix literal with one shared lambda —
       * a per-centroid expression forest (k copies of the HOF tree, each
@@ -430,6 +549,32 @@ package object api {
         .orderBy(col("_graft_rt").desc, col("_graft_tb").desc)
       l.join(r, l("_graft_lk") === r("_graft_rk") &&
           r("_graft_rt") <= l("_graft_lt"), "left")
+        .withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1)
+        .drop("_graft_id", "_graft_lk", "_graft_lt", "_graft_rk",
+          "_graft_rt", "_graft_tb", "_graft_rn")
+    }
+
+    /** Nearest-neighbor as-of join (pandas merge_asof direction='nearest'):
+      * for each left row, the single right row with the same key whose
+      * time is CLOSEST by absolute distance — past or future. Ties at
+      * equal |Δt| break toward the earlier right time, then the smaller
+      * `tieBreak`. Same plan shape as [[asOf]] (equi-join on key + top-1
+      * window on the left id); left rows with no key match survive with
+      * null right columns.
+      */
+    def asOfNearest(
+        left: DataFrame, leftId: Column, leftKey: Column, leftTime: Column,
+        right: DataFrame, rightKey: Column, rightTime: Column,
+        tieBreak: Column): DataFrame = {
+      val l = left.withColumn("_graft_id", leftId)
+        .withColumn("_graft_lk", leftKey).withColumn("_graft_lt", leftTime)
+      val r = right.withColumn("_graft_rk", rightKey)
+        .withColumn("_graft_rt", rightTime).withColumn("_graft_tb", tieBreak)
+      val w = Window.partitionBy("_graft_id")
+        .orderBy(abs(col("_graft_rt") - col("_graft_lt")).asc,
+          col("_graft_rt").asc, col("_graft_tb").asc)
+      l.join(r, l("_graft_lk") === r("_graft_rk"), "left")
         .withColumn("_graft_rn", row_number().over(w))
         .filter(col("_graft_rn") === 1)
         .drop("_graft_id", "_graft_lk", "_graft_lt", "_graft_rk",
@@ -1159,6 +1304,45 @@ package object api {
           col("n_triangles"),
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
             .as("transitivity"))
+    }
+
+    /** Common-neighbor Jaccard similarity between node pairs — the
+      * classic link-prediction feature. For every pair (u < v) with at
+      * least `minCommon` shared neighbors: |N(u)∩N(v)| and
+      * jaccard = common / (deg(u) + deg(v) − common). All counts are
+      * integers; the single division is the only float op.
+      *
+      * The wedge self-join on the shared neighbor costs Σ deg(w)² rows —
+      * unlike the triangle census this cannot be degree-oriented away,
+      * because BOTH endpoints of every wedge are needed. At 100 TB the
+      * standard mitigations are capping hub adjacency lists or minhashing
+      * the neighbor sets (see Dedup.minhashSignatures); `minCommon`
+      * pre-filters the long tail before the degree join.
+      */
+    def neighborJaccard(
+        edges: DataFrame, src: Column, dst: Column,
+        minCommon: Int = 2): DataFrame = {
+      val e = edges
+        .select(least(src, dst).cast("long").as("u"),
+          greatest(src, dst).cast("long").as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull)
+        .distinct()
+        .localCheckpoint(true)
+      val adj = e.select(col("u").as("n"), col("v").as("m"))
+        .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+      val deg = adj.groupBy("n").agg(count(lit(1)).as("d"))
+      val common = adj.as("a")
+        .join(adj.as("b"), col("a.n") === col("b.n") && col("a.m") < col("b.m"))
+        .groupBy(col("a.m").as("u"), col("b.m").as("v"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= minCommon)
+      common
+        .join(deg.as("du"), col("u") === col("du.n"))
+        .join(deg.as("dv"), col("v") === col("dv.n"))
+        .select(col("u"), col("v"), col("common"),
+          (col("common").cast("double") /
+            (col("du.d") + col("dv.d") - col("common")).cast("double"))
+            .as("jaccard"))
     }
   }
 

@@ -459,6 +459,46 @@ object Joins extends QueryModule {
           FROM events WHERE event_type = 'error')
         SELECT s.s_id AS event_id, count(e.e_id) AS n_overlap
         FROM s LEFT JOIN e ON s.slo < e.ehi AND e.elo < s.shi
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Nearest-direction as-of join (merge_asof direction='nearest'): each
+    // signup matched to the same user's CLOSEST purchase by |Δt| — past
+    // or future — vs join_asof's backward-only lookup. Ties pinned
+    // (earlier purchase, then smaller event_id) so the top-1 window is
+    // deterministic in both engines. Users with no purchases survive
+    // with nulls via the left join.
+    Q(
+      "join_asof_nearest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val su = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("s_id"), col("user_id"),
+            unix_micros(col("ts")).as("s_mu"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            unix_micros(col("ts")).as("p_mu"))
+        graft.api.Joins.asOfNearest(
+            su, col("s_id"), col("user_id"), col("s_mu"),
+            pu, col("p_user"), col("p_mu"), col("p_id"))
+          .select(col("s_id").as("event_id"), col("p_id"),
+            abs(col("p_mu") - col("s_mu")).as("dt_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT s_id AS event_id, p_id, dt_us
+        FROM (
+          SELECT s.event_id AS s_id, p.event_id AS p_id,
+                 abs(epoch_us(CAST(p.ts AS TIMESTAMP)) -
+                     epoch_us(CAST(s.ts AS TIMESTAMP))) AS dt_us,
+                 row_number() OVER (PARTITION BY s.event_id
+                   ORDER BY abs(epoch_us(CAST(p.ts AS TIMESTAMP)) -
+                                epoch_us(CAST(s.ts AS TIMESTAMP))) ASC,
+                            epoch_us(CAST(p.ts AS TIMESTAMP)) ASC,
+                            p.event_id ASC) AS rn
+          FROM events s
+          LEFT JOIN events p
+            ON p.user_id = s.user_id AND p.event_type = 'purchase'
+          WHERE s.event_type = 'signup')
+        WHERE rn = 1 ORDER BY s_id"""))
   )
 }

@@ -529,6 +529,58 @@ object Pipeline extends QueryModule {
                regexp_matches(path, 's.*p') AS converted,
                CAST(length(path) - length(replace(path, 'e', '')) AS INTEGER)
                  AS n_errors
-        FROM p ORDER BY user_id"""))
+        FROM p ORDER BY user_id""")),
+
+    // Link prediction: common-neighbor Jaccard over the urgent
+    // co-purchase graph (same edge derivation as graph_triangles). Top-20
+    // most-similar part pairs, ordered by round(jaccard, 6) before the
+    // tie-break columns — the float is computed by the identical single
+    // division in both engines, so the cut is stable.
+    Q(
+      "graph_jaccard",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey")
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        graft.api.Graph.neighborJaccard(pairs, col("u"), col("v"),
+            minCommon = 2)
+          .orderBy(round(col("jaccard"), 6).desc, col("u"), col("v"))
+          .limit(20)
+          .select(col("u"), col("v"), col("common"),
+            round(col("jaccard"), 4).as("jaccard"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+        c AS (
+          SELECT a.m AS u, b.m AS v, count(*) AS common
+          FROM adj a JOIN adj b ON a.n = b.n AND a.m < b.m
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        j AS (
+          SELECT c.u, c.v, c.common,
+                 CAST(c.common AS DOUBLE) /
+                 CAST(du.d + dv.d - c.common AS DOUBLE) AS jac
+          FROM c JOIN deg du ON c.u = du.n JOIN deg dv ON c.v = dv.n)
+        SELECT u, v, common, round(jac, 4) AS jaccard
+        FROM j
+        ORDER BY round(jac, 6) DESC, u, v LIMIT 20"""))
   )
 }

@@ -375,6 +375,36 @@ object Similarity extends QueryModule {
         SELECT query_id, rank, cand_id, dot_q
         FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // Product quantization: unit-normalized vectors → 8 subspace
+    // codebooks of 16 Lloyd-trained centroids (api.Similarity.
+    // pqCodebooks, all subspaces per round in ONE job) → every vector
+    // compressed to 8 small codes → asymmetric-distance top-3 (each
+    // query precomputes its 8×16 lookup table before the broadcast, so
+    // candidates pay 8 lookups, not 64 multiplies). Unit-normalizing
+    // first makes squared-L2 order cosine order (‖a−b‖² = 2−2cos), so
+    // sim_ann_recall can score PQ against the same exact-cosine truth.
+    // This is THE representation that fits a billion-vector index in
+    // memory at 100 TB: 64 floats → 8 bytes per vector.
+    Q(
+      "sim_ann_pq",
+      (s, dir) => {
+        val unit = expr(
+          """transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+               aggregate(zip_with(embedding, embedding,
+                 (a, b) -> CAST(a AS DOUBLE) * b), 0D, (s, v) -> s + v)))""")
+        val emb = Tables.embeddings(s, dir)
+        val cb = graft.api.Similarity.pqCodebooks(
+          emb, col("vec_id"), unit, m = 8, k = 16, iterations = 2)
+        val enc = graft.api.Similarity.pqEncode(emb, col("vec_id"), unit, cb)
+        val q = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), unit.as("qe"))
+        graft.api.Similarity.pqTopK(enc, q, col("qid"), col("qe"), cb,
+            topK = 3, excludeSelf = true)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            round(col("adc_dist"), 4).as("adc_dist"))
+          .orderBy("query_id", "rank")
+      }),
+
     // ANN quality evaluation: recall@3 of the LSH and IVF indexes against
     // the exact brute-force top-3, per query — the measurement loop any
     // production ANN deployment needs. Pure composition of the registry's
@@ -407,11 +437,14 @@ object Similarity extends QueryModule {
         val ivfT = hits(
           all.find(_.name == "sim_ann_ivf_trained").get.run(s, dir))
           .withColumnRenamed("h", "ivf_t_hits")
+        val pq = hits(all.find(_.name == "sim_ann_pq").get.run(s, dir))
+          .withColumnRenamed("h", "pq_hits")
         exact.groupBy("query_id").agg(count(lit(1)).as("k"))
           .join(lsh, Seq("query_id"), "left")
           .join(mp, Seq("query_id"), "left")
           .join(ivf, Seq("query_id"), "left")
           .join(ivfT, Seq("query_id"), "left")
+          .join(pq, Seq("query_id"), "left")
           .select(col("query_id"),
             round(coalesce(col("lsh_hits"), lit(0)) / col("k"), 4)
               .as("lsh_recall_at_3"),
@@ -420,7 +453,9 @@ object Similarity extends QueryModule {
             round(coalesce(col("ivf_hits"), lit(0)) / col("k"), 4)
               .as("ivf_recall_at_3"),
             round(coalesce(col("ivf_t_hits"), lit(0)) / col("k"), 4)
-              .as("ivf_trained_recall_at_3"))
+              .as("ivf_trained_recall_at_3"),
+            round(coalesce(col("pq_hits"), lit(0)) / col("k"), 4)
+              .as("pq_recall_at_3"))
           .orderBy("query_id")
       }),
 

@@ -375,6 +375,41 @@ object Sources extends QueryModule {
             (element_at(col("decoded"), 1) === w &&
               element_at(col("decoded"), 2) === h).as("dims_ok"))
           .orderBy("file")
-      })
+      }),
+
+    // Line-oriented text ingestion — the format LLM corpora actually
+    // arrive in (one record per line). The corpus is round-tripped
+    // through a real text file (distributed write of TSV lines, then
+    // spark.read.text + split parse), and the aggregate over the PARSED
+    // rows must equal the oracle computed on the original parquet —
+    // proving the text path is lossless. Document text is single-line,
+    // tab-free tokens, so TSV is a faithful frame.
+    Q(
+      "scan_text_lines",
+      (s, dir) => {
+        val out = Scratch.fresh("scan_text_lines")
+        Tables.documents(s, dir)
+          .select(concat_ws("\t",
+            col("doc_id"), col("lang"), col("text")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(split(col("value"), "\t").as("f"))
+          .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+            element_at(col("f"), 2).as("lang"),
+            element_at(col("f"), 3).as("text"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"),
+            sum(size(split(col("text"), " "))).as("total_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS total_tokens
+        FROM documents
+        GROUP BY lang ORDER BY lang"""))
   )
 }
