@@ -223,6 +223,50 @@ object Relational extends QueryModule {
         SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // The SQL front door: a TPC-H-Q3-shaped query submitted as ONE SQL
+    // string through spark.sql over registered temp views — proving the
+    // engine's full text-to-plan path (parser → analyzer → Catalyst →
+    // Tungsten), not just the DataFrame DSL. Revenue goes through exact
+    // decimal per the agg_group rounding rule; the top-10 cut orders by
+    // the ROUNDED value with an orderkey pin.
+    Q(
+      "sql_query_surface",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+        Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT l_orderkey,
+                 CAST(o_orderdate AS DATE) AS order_date,
+                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE)
+                   AS revenue
+          FROM g_customer
+          JOIN g_orders ON c_custkey = o_custkey
+          JOIN g_lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY revenue DESC, l_orderkey
+          LIMIT 10""")
+      },
+      oracle = Some("""
+        SELECT l_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE)
+                 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10"""))
   )
 }

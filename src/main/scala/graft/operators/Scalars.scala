@@ -392,6 +392,45 @@ object Scalars extends QueryModule {
                CAST(o_orderdate AS DATE) + 45 AS plus45d,
                strftime(o_orderdate, '%Y-%m') AS ym
         FROM orders
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // Spark 4 collation surface: grouping under the UTF8_LCASE collation
+    // folds deliberately case-noised segment labels without materializing
+    // a lower() key — the collation IS the equality semantics, visible to
+    // Catalyst (vs a lower() wrapper that blocks stats on the original
+    // column). The oracle proves the semantics equal GROUP BY lower().
+    // n_variants counts case-SENSITIVE distinct members inside each
+    // case-insensitive group.
+    Q(
+      "fn_collation",
+      (s, dir) => {
+        val seg = col("c_mktsegment")
+        val cased = when(col("c_custkey") % 3 === 0, upper(seg))
+          .when(col("c_custkey") % 3 === 1, lower(seg))
+          .otherwise(concat(upper(substring(seg, 1, 1)),
+            lower(substring(seg, 2, 100))))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), cased.as("seg"))
+          .groupBy(collate(col("seg"), "UTF8_LCASE").as("k"))
+          .agg(count(lit(1)).as("n_cust"),
+            countDistinct(col("seg")).as("n_variants"))
+          .select(lower(col("k")).cast("string").as("segment"),
+            col("n_cust"), col("n_variants"))
+          .orderBy("segment")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CASE c_custkey % 3
+                   WHEN 0 THEN upper(c_mktsegment)
+                   WHEN 1 THEN lower(c_mktsegment)
+                   ELSE upper(substr(c_mktsegment, 1, 1)) ||
+                        lower(substr(c_mktsegment, 2))
+                 END AS seg
+          FROM customer)
+        SELECT lower(seg) AS segment,
+               count(*) AS n_cust,
+               count(DISTINCT seg) AS n_variants
+        FROM t GROUP BY lower(seg) ORDER BY segment"""))
   )
 }

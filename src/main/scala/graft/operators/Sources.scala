@@ -410,6 +410,25 @@ object Sources extends QueryModule {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                  AS total_tokens
         FROM documents
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // The parquet _metadata hidden column — per-row file lineage (which
+    // file, which position), the hook ingestion pipelines use for
+    // provenance tracking and selective reprocessing. No oracle (file
+    // names are environment paths); the contiguity check self-certifies:
+    // row_index must cover exactly [0, n_rows) within each file.
+    Q(
+      "scan_parquet_metadata",
+      (s, dir) =>
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("_metadata.file_name").as("file"),
+            col("_metadata.row_index").as("ri"))
+          .groupBy("file")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("ri")).as("min_ri"), max(col("ri")).as("max_ri"))
+          .select(col("file"), col("n_rows"),
+            (col("min_ri") === 0 && col("max_ri") === col("n_rows") - 1)
+              .as("idx_contiguous"))
+          .orderBy("file"))
   )
 }

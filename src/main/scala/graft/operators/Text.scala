@@ -346,6 +346,71 @@ object Text extends QueryModule {
               FROM tf JOIN df USING (term))
         SELECT doc_id, string_agg(term, ',' ORDER BY rn) AS keywords
         FROM r WHERE rn <= 3
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Collocation mining: top bigrams by pointwise mutual information —
+    // pairs that co-occur far above chance, the classic phrase detector.
+    // Counts (bigram, unigram, totals) are exact integers; PMI is one
+    // shared-structure double expression; min count 5 kills the
+    // rare-pair PMI explosion. Unigram/bigram count tables broadcast
+    // (vocab-sized); the token stream is map-side exploded only.
+    Q(
+      "text_collocations",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .filter(size(col("ts")) >= 2)
+        val bg = toks.select(explode(
+            transform(sequence(lit(1), size(col("ts")) - 1), i =>
+              struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2")))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val cxy = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val nb = bg.agg(count(lit(1)).as("nb"))
+        val cw = toks.select(explode(col("ts")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val mt = toks.select(explode(col("ts")).as("w"))
+          .agg(count(lit(1)).as("mt"))
+        val pmi = log(
+          (col("c").cast("double") / col("nb")) /
+            ((col("c1").cast("double") / col("mt")) *
+              (col("c2").cast("double") / col("mt"))))
+        cxy.filter(col("c") >= 5)
+          .join(broadcast(cw.withColumnRenamed("cw", "c1")
+            .withColumnRenamed("w", "w1")), "w1")
+          .join(broadcast(cw.withColumnRenamed("cw", "c2")
+            .withColumnRenamed("w", "w2")), "w2")
+          .crossJoin(broadcast(nb)).crossJoin(broadcast(mt))
+          .withColumn("pmi", pmi)
+          .orderBy(round(col("pmi"), 6).desc, col("w1"), col("w2"))
+          .limit(15)
+          .select(col("w1"), col("w2"), col("c").as("n_pair"),
+            round(col("pmi"), 4).as("pmi"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        idx AS (
+          SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t),
+        bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM idx),
+        cxy AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        nb AS (SELECT count(*) AS nb FROM bg),
+        tok AS (SELECT unnest(ts) AS w FROM t),
+        cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+        mt AS (SELECT count(*) AS mt FROM tok),
+        j AS (
+          SELECT cxy.w1, cxy.w2, cxy.c,
+                 ln((CAST(c AS DOUBLE) / nb) /
+                    ((CAST(c1.cw AS DOUBLE) / mt) *
+                     (CAST(c2.cw AS DOUBLE) / mt))) AS pmi
+          FROM cxy
+          JOIN cw c1 ON cxy.w1 = c1.w
+          JOIN cw c2 ON cxy.w2 = c2.w
+          CROSS JOIN nb CROSS JOIN mt
+          WHERE c >= 5)
+        SELECT w1, w2, c AS n_pair, round(pmi, 4) AS pmi
+        FROM j
+        ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 15"""))
   )
 }

@@ -278,6 +278,44 @@ object Windows extends QueryModule {
                count(*) AS n_streaks,
                CAST(max(len) AS BIGINT) AS longest_streak,
                CAST(sum(len) AS BIGINT) AS n_active_days
-        FROM s GROUP BY user_id ORDER BY user_id"""))
+        FROM s GROUP BY user_id ORDER BY user_id""")),
+
+    // Running COUNT(DISTINCT) over a window — which Spark (and most
+    // engines) won't evaluate directly — via the first-occurrence-flag
+    // trick: flag each row that introduces a new (user, event_type), then
+    // a running SUM of flags over the user's timeline IS the distinct
+    // count so far. Two windows, both partitioned on user_id, so one
+    // shuffle; no per-row state blowup at any scale.
+    Q(
+      "win_running_distinct",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("mu"))
+        val wFirst = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type").orderBy("mu")
+        val wRun = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("mu")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("is_first",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .withColumn("n_types_seen", sum(col("is_first")).over(wRun))
+          .select(col("event_id"), col("user_id"), col("n_types_seen"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS mu,
+                 CASE WHEN row_number() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP))) = 1
+                   THEN 1 ELSE 0 END AS is_first
+          FROM events)
+        SELECT event_id, user_id,
+               CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY mu
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_types_seen
+        FROM f ORDER BY event_id"""))
   )
 }

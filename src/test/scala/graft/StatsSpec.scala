@@ -81,6 +81,24 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(!naive.contains((1L, 11L)) && naive.contains((3L, 14L)))
   }
 
+  test("win_running_distinct is monotone and ends at the true distinct count") {
+    val rows = SparkEntry.queries("win_running_distinct")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // event_id order IS time order within this corpus? Not guaranteed —
+    // group by user and check the running count is a permutation-safe
+    // invariant: max == number of distinct types the user actually has.
+    val sp = spark
+    val truth = graft.Tables.events(sp, sf0001)
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (user, rs) =>
+      val counts = rs.map(_._3)
+      assert(counts.max == truth(user))
+      assert(counts.min >= 1)
+    }
+  }
+
   test("pattern_sequence: path length matches event count, flags consistent") {
     val rows = SparkEntry.queries("pattern_sequence")(spark, sf0001).collect()
     assert(rows.nonEmpty)
