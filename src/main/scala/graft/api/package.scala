@@ -1319,6 +1319,47 @@ package object api {
       * the neighbor sets (see Dedup.minhashSignatures); `minCommon`
       * pre-filters the long tail before the degree join.
       */
+    /** Single-source BFS hop distances over an undirected edge list:
+      * (node, dist) for every node within `maxHops` of `source`. Proper
+      * frontier BFS — each round joins ONLY the new frontier against the
+      * adjacency list and anti-joins the visited set, so total work is
+      * O(edges touched), not O(paths) (the exponential blowup a naive
+      * path-enumeration pays). Frontiers localCheckpoint so round N+1's
+      * lineage doesn't re-run rounds 1..N; the loop exits early when a
+      * frontier empties (one cheap limit-1 action per round, bounded by
+      * maxHops).
+      */
+    def bfs(
+        edges: DataFrame, src: Column, dst: Column,
+        source: Long, maxHops: Int = 4): DataFrame = {
+      val e = edges
+        .select(least(src, dst).cast("long").as("u"),
+          greatest(src, dst).cast("long").as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull)
+        .distinct()
+      val adj = e.select(col("u").as("n"), col("v").as("m"))
+        .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+        .localCheckpoint(true)
+      val sp = edges.sparkSession
+      import sp.implicits._
+      var visited = Seq((source, 0)).toDF("node", "dist")
+        .select(col("node").cast("long").as("node"), col("dist"))
+        .localCheckpoint(true)
+      var frontier = visited
+      var hop = 1
+      while (hop <= maxHops && !frontier.isEmpty) {
+        val next = frontier.join(adj, frontier("node") === adj("n"))
+          .select(col("m").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(hop))
+          .localCheckpoint(true)
+        visited = visited.unionAll(next).localCheckpoint(true)
+        frontier = next
+        hop += 1
+      }
+      visited
+    }
+
     def neighborJaccard(
         edges: DataFrame, src: Column, dst: Column,
         minCommon: Int = 2): DataFrame = {

@@ -763,6 +763,96 @@ object Aggregates extends QueryModule {
                  AS close
         FROM events
         GROUP BY 1, 2
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // Exponentially-decayed engagement score per user: fold the user's
+    // time-ordered values through acc·0.5 + v. Sequential semantics are
+    // real (each step halves all history), so this is the one aggregate
+    // expressed as an in-row array fold — order pinned by (ts, event_id)
+    // struct sort; ×0.5 is an exact exponent shift and both engines run
+    // the identical left fold seeded with the first element, so the
+    // doubles match bit-for-bit. Bounded by per-user event count, like
+    // all per-entity-sequence ops here.
+    Q(
+      "agg_ewma",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"),
+            struct(unix_micros(col("ts")).as("mu"),
+              col("event_id").as("i"), col("value").as("v")).as("ste"))
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            transform(array_sort(collect_list(col("ste"))),
+              x => x.getField("v")).as("vs"))
+          .select(col("user_id"), col("n_events"),
+            round(aggregate(
+              slice(col("vs"), lit(2), size(col("vs")) - 1),
+              element_at(col("vs"), 1),
+              (acc, v) => acc * lit(0.5) + v), 4).as("decayed_score"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT user_id,
+                 array_agg(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                           event_id) AS vs,
+                 count(*) AS n_events
+          FROM events GROUP BY user_id)
+        SELECT user_id, n_events,
+               round(list_reduce(vs, (acc, v) -> acc * 0.5 + v), 4)
+                 AS decayed_score
+        FROM o ORDER BY user_id""")),
+
+    // Per-group z-score outlier screen with ENGINE-EXACT boundary
+    // decisions: values quantize to integers (×1000), the group moments
+    // are exact integer sums, and the z² > 9 test is one shared-structure
+    // double expression over those exact inputs — so both engines make
+    // the identical keep/flag call on every row (a double mean/stddev
+    // accumulated in engine order could flip rows sitting on the
+    // boundary). Two passes: tiny moment table broadcasts back.
+    Q(
+      "agg_outliers",
+      (s, dir) => {
+        val vq = round(col("value") * 1000, 0).cast("long")
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), vq.as("vq"))
+        val m = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("vq")).as("s1"), sum(col("vq") * col("vq")).as("s2"))
+        // z² = (v·n − s1)² / (n·s2 − s1²) > 9, computed in double FROM the
+        // exact integer sums (the products would overflow long near SF1).
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val num = (d(col("vq")) * d(col("n")) - d(col("s1"))) *
+          (d(col("vq")) * d(col("n")) - d(col("s1")))
+        val den = d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1"))
+        ev.join(broadcast(m), "event_type")
+          .withColumn("is_out", num > lit(9.0) * den)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("is_out"), lit(1))).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_id, event_type,
+                 CAST(round(value * 1000, 0) AS BIGINT) AS vq
+          FROM events),
+        m AS (
+          SELECT event_type, count(*) AS n,
+                 sum(vq) AS s1, sum(vq * vq) AS s2
+          FROM ev GROUP BY 1)
+        SELECT ev.event_type,
+               count(*) AS n_rows,
+               count(*) FILTER (WHERE
+                 (CAST(vq AS DOUBLE) * CAST(n AS DOUBLE) -
+                  CAST(s1 AS DOUBLE)) *
+                 (CAST(vq AS DOUBLE) * CAST(n AS DOUBLE) -
+                  CAST(s1 AS DOUBLE)) >
+                 9.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+                        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                 AS n_outliers
+        FROM ev JOIN m ON ev.event_type = m.event_type
+        GROUP BY ev.event_type
+        ORDER BY ev.event_type"""))
   )
 }

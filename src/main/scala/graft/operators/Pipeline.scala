@@ -581,6 +581,55 @@ object Pipeline extends QueryModule {
           FROM c JOIN deg du ON c.u = du.n JOIN deg dv ON c.v = dv.n)
         SELECT u, v, common, round(jac, 4) AS jaccard
         FROM j
-        ORDER BY round(jac, 6) DESC, u, v LIMIT 20"""))
+        ORDER BY round(jac, 6) DESC, u, v LIMIT 20""")),
+
+    // Single-source BFS over the urgent co-purchase graph, reported as a
+    // hop-distance histogram from the lowest part id. The Spark side is
+    // frontier BFS (linear in touched edges); the oracle enumerates
+    // paths with a depth-capped recursive CTE and takes min(d) — an
+    // O(paths) strategy that only works at oracle scale, which is
+    // exactly the point: the iterative-join frontier form IS the
+    // 100 TB-capable shape.
+    Q(
+      "graph_bfs",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey")
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .localCheckpoint(true)
+        val source = pairs.agg(min(least(col("u"), col("v")))).first().getLong(0)
+        graft.api.Graph.bfs(pairs, col("u"), col("v"), source, maxHops = 4)
+          .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("dist")
+      },
+      oracle = Some("""
+        WITH RECURSIVE li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        src AS (SELECT min(n) AS s FROM adj),
+        walk(n, d) AS (
+          SELECT s, 0 FROM src
+          UNION ALL
+          SELECT adj.m, w.d + 1 FROM walk w
+          JOIN adj ON adj.n = w.n WHERE w.d < 4),
+        dd AS (SELECT n, min(d) AS dist FROM walk GROUP BY n)
+        SELECT dist, count(*) AS n_nodes
+        FROM dd GROUP BY dist ORDER BY dist"""))
   )
 }

@@ -81,6 +81,39 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(!naive.contains((1L, 11L)) && naive.contains((3L, 14L)))
   }
 
+  test("bfs: hand graph distances, early exit, hop cap") {
+    val sp = spark
+    import sp.implicits._
+    // Path 1-2-3-4-5 with a branch 2-6; node 9 isolated via edge 9-10.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (9L, 10L)).toDF("a", "b")
+    val d = api.Graph.bfs(edges, col("a"), col("b"), source = 1L,
+        maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3, 5L -> 4))
+    // Hop cap truncates the frontier expansion.
+    val capped = api.Graph.bfs(edges, col("a"), col("b"), source = 1L,
+        maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2))
+  }
+
+  test("agg_ewma fold equals the closed-form decayed sum") {
+    val sp = spark
+    import sp.implicits._
+    // One user, values 8, 4, 2 in time order: fold = (8*0.5+4)*0.5+2 = 6.
+    val df = Seq((1L, 10L, 8.0), (1L, 20L, 4.0), (1L, 30L, 2.0))
+      .toDF("u", "mu", "v")
+    val got = df.groupBy("u")
+      .agg(transform(array_sort(collect_list(struct(col("mu"), col("v")))),
+        x => x.getField("v")).as("vs"))
+      .select(aggregate(slice(col("vs"), lit(2), size(col("vs")) - 1),
+        element_at(col("vs"), 1),
+        (acc, v) => acc * lit(0.5) + v))
+      .collect()(0).getDouble(0)
+    assert(got == 6.0)
+  }
+
   test("win_running_distinct is monotone and ends at the true distinct count") {
     val rows = SparkEntry.queries("win_running_distinct")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
