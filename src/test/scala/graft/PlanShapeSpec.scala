@@ -148,6 +148,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"bench gram index should broadcast:\n$p")
   }
 
+  test("agg_bitmap_distinct avoids the count-distinct Expand double-shuffle") {
+    val p = plan("agg_bitmap_distinct")
+    assert(!p.contains("Expand"),
+      "bitmap distinct must not plan the Expand count-distinct rewrite")
+    assert(p.contains("partial") || p.contains("HashAggregate"), p)
+  }
+
+  test("join_range_binned and interval_overlap are equi-joins, not BNLJ") {
+    Seq("join_range_binned", "join_interval_overlap").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$k fell back to an O(n·m) join:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), k)
+    }
+  }
+
+  test("text_keywords broadcasts the vocab-sized df table") {
+    assert(plan("text_keywords").contains("BroadcastHashJoin"))
+  }
+
+  test("sim_ann_pq scores candidates map-side against broadcast tables") {
+    val p = plan("sim_ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("expr_custom stays inside whole-stage codegen") {
     // AQE only materializes WholeStageCodegen spans in the final plan.
     val df = SparkEntry.queries("expr_custom")(spark, sf0001)
