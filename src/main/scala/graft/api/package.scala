@@ -336,8 +336,14 @@ package object api {
         df: DataFrame, id: Column, vec: Column,
         m: Int = 8, k: Int = 16, iterations: Int = 2): Seq[Seq[Seq[Double]]] = {
       require(m >= 1 && k >= 1 && iterations >= 1)
-      val v = prepVectors(df, id, vec)
-      val dim = v.select(size(col("e"))).first().getInt(0)
+      // No checkpoint on v: it feeds exactly one seed collect and the
+      // one-time sv explode below; dim comes free from the seed rows
+      // (a separate size() probe job would double the fixed job count).
+      val v = df.select(id.as("vid"), vec.cast("array<double>").as("e"))
+      val seedVecs = v.orderBy("vid").limit(k).collect()
+        .map(_.getSeq[Double](1)).toSeq
+      require(seedVecs.nonEmpty, "need at least one vector")
+      val dim = seedVecs.head.length
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
       val sub = dim / m
       val sv = v.select(col("vid"), posexplode(
@@ -345,8 +351,6 @@ package object api {
             i => slice(col("e"), i * lit(sub) + 1, lit(sub)))))
         .select(col("vid"), (col("pos") + 1).as("s"), col("col").as("sv"))
         .localCheckpoint(true)
-      val seedVecs = v.orderBy("vid").limit(k).collect()
-        .map(_.getSeq[Double](1)).toSeq
       var cb: Seq[Seq[Seq[Double]]] = // [m][k][sub]
         (0 until m).map(s => seedVecs.map(e => e.slice(s * sub, (s + 1) * sub)))
       var round = 0
@@ -1353,7 +1357,10 @@ package object api {
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(hop))
           .localCheckpoint(true)
-        visited = visited.unionAll(next).localCheckpoint(true)
+        // No checkpoint on visited: it is a union of already-materialized
+        // frontiers, so its lineage is flat — checkpointing it again
+        // would only add a job per round.
+        visited = visited.unionAll(next)
         frontier = next
         hop += 1
       }
