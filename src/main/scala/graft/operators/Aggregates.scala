@@ -853,6 +853,92 @@ object Aggregates extends QueryModule {
                  AS n_outliers
         FROM ev JOIN m ON ev.event_type = m.event_type
         GROUP BY ev.event_type
-        ORDER BY ev.event_type"""))
+        ORDER BY ev.event_type""")),
+
+    // Shannon entropy of each user's event-type mix — the diversity
+    // feature behind bot/spam screens. Counts are exact; each −p·ln p
+    // term quantizes to 1e-15 fixed point so the per-user SUM is an
+    // exact integer in both engines (a raw double sum varies with
+    // partial-aggregation order) — the text_perplexity trick applied to
+    // entropy. Terms per user are bounded by the type-alphabet size.
+    Q(
+      "agg_entropy",
+      (s, dir) => {
+        val c = Tables.events(s, dir)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        val n = c.groupBy("user_id")
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+        val p = col("c").cast("double") / col("n").cast("double")
+        c.join(n, "user_id")
+          .withColumn("tq",
+            round(-p * log(p) * 1e15, 0).cast("long"))
+          .groupBy("user_id")
+          .agg(max(col("n")).as("n_events"), max(col("n_types")).as("n_types"),
+            round(sum(col("tq")).cast("double") / 1e15, 4).as("entropy"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM events GROUP BY 1, 2),
+        n AS (
+          SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                 count(*) AS n_types
+          FROM c GROUP BY 1),
+        t AS (
+          SELECT c.user_id, n.n, n.n_types,
+                 CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                   ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e15, 0)
+                   AS BIGINT) AS tq
+          FROM c JOIN n ON c.user_id = n.user_id)
+        SELECT user_id, max(n) AS n_events, max(n_types) AS n_types,
+               round(CAST(sum(tq) AS DOUBLE) / 1e15, 4) AS entropy
+        FROM t GROUP BY user_id ORDER BY user_id""")),
+
+    // Gini coefficient of order value per priority class — the
+    // inequality summary (0 = uniform spend, →1 = one order dominates).
+    // G = 2·Σ rank·x / (n·Σx) − (n+1)/n over ascending-ranked exact
+    // decimal money; both Σ are exact (rank·x stays inside decimal(38,2)
+    // to ~10^25 rows), so the one double formula is engine-identical.
+    // One window + one group-by, both on the priority key.
+    Q(
+      "agg_gini",
+      (s, dir) => {
+        val price = col("o_totalprice").cast("decimal(12,2)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("x").asc, col("o_orderkey").asc)
+        val ranked = Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            price.as("x"))
+          .withColumn("i", row_number().over(w))
+        val g = ranked.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("i") * col("x")).as("sixi"))
+        g.select(col("o_orderpriority"), col("n"),
+            round(lit(2.0) * col("sixi").cast("double") /
+              (col("n").cast("double") * col("sx").cast("double")) -
+              (col("n").cast("double") + 1.0) / col("n").cast("double"), 4)
+              .as("gini"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT o_orderpriority,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) ASC,
+                            o_orderkey ASC) AS i
+          FROM orders),
+        g AS (
+          SELECT o_orderpriority, count(*) AS n,
+                 sum(x) AS sx, sum(i * x) AS sixi
+          FROM r GROUP BY 1)
+        SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+               round(2.0 * CAST(sixi AS DOUBLE) /
+                 (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
+                 (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 4) AS gini
+        FROM g ORDER BY o_orderpriority"""))
   )
 }

@@ -132,6 +132,21 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("entropy and gini hit their closed-form anchors") {
+    // Entropy must sit in [0, ln(n_types)]; Gini in [0, 1).
+    val ent = SparkEntry.queries("agg_entropy")(spark, sf0001).collect()
+    ent.foreach { r =>
+      val (nTypes, e) = (r.getLong(2), r.getDouble(3))
+      assert(e >= 0.0 && e <= math.log(nTypes.toDouble) + 1e-9,
+        s"entropy $e outside [0, ln $nTypes]")
+    }
+    val gini = SparkEntry.queries("agg_gini")(spark, sf0001).collect()
+    gini.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"gini $g outside [0, 1)")
+    }
+  }
+
   test("pattern_sequence: path length matches event count, flags consistent") {
     val rows = SparkEntry.queries("pattern_sequence")(spark, sf0001).collect()
     assert(rows.nonEmpty)
