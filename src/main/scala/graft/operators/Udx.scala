@@ -283,6 +283,56 @@ object Udx extends QueryModule {
               col("cms_est") <= col("exact_n") +
                 ceil(lit(eps) * col("n_events"))).as("bound_ok"))
           .orderBy("event_type", "user_id")
-      })
+      }),
+
+    // The typed Dataset[T] leg: case-class Encoders, lambda filters, and
+    // groupByKey with a typed Aggregator — the API a Scala user writes
+    // when compile-time row types matter. Lambdas are opaque to Catalyst
+    // (no pushdown past the deserializer — that is the documented cost of
+    // this surface, which is why the rest of the engine is Column-based);
+    // the aggregation state is exact integer cents so the fold is
+    // order-independent and hash-matches the SQL oracle.
+    Q(
+      "typed_dataset_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .as[LineSlim]
+        val centsAgg = new Aggregator[LineSlim, (Long, Long), (Long, Long)] {
+          def zero = (0L, 0L)
+          def reduce(b: (Long, Long), a: LineSlim) =
+            (b._1 + 1, b._2 + math.round(a.l_extendedprice * 100))
+          def merge(x: (Long, Long), y: (Long, Long)) =
+            (x._1 + y._1, x._2 + y._2)
+          def finish(r: (Long, Long)) = r
+          def bufferEncoder: Encoder[(Long, Long)] =
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+          def outputEncoder: Encoder[(Long, Long)] =
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        }
+        ds.filter(l => l.l_quantity > 30.0)
+          .groupByKey(_.l_returnflag)
+          .agg(centsAgg.toColumn)
+          .map { case (flag, (n, cents)) => (flag, n, cents / 100.0) }
+          .toDF("l_returnflag", "n_big", "sum_price")
+          .select(col("l_returnflag"), col("n_big"),
+            round(col("sum_price"), 2).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(*) AS n_big,
+               round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS DOUBLE) / 100.0, 2) AS sum_price
+        FROM lineitem
+        WHERE l_quantity > 30.0
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
+
+/** Narrow typed row for the Dataset[T] pipeline demo. */
+final case class LineSlim(
+    l_orderkey: Long, l_quantity: Double,
+    l_extendedprice: Double, l_returnflag: String)
