@@ -122,6 +122,63 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       rows(0).getString(4) == "solo" && rows(0).getString(5) == "solo")
   }
 
+  test("intervalOverlap: empty side, zero-length and null intervals drop out") {
+    val sp2 = spark
+    import sp2.implicits._
+    val a = Seq((1L, 0L, 100L), (2L, 50L, 50L), (3L, 10L, 20L))
+      .toDF("id", "lo", "hi") // id 2 is zero-length → excluded
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "lo", "hi")
+    assert(api.Joins.intervalOverlap(a, col("id"), col("lo"), col("hi"),
+      empty, col("id"), col("lo"), col("hi"), 64L).count() == 0)
+    val b = Seq((9L, 40L, 60L)).toDF("id", "lo", "hi")
+    val pairs = api.Joins.intervalOverlap(a, col("id"), col("lo"), col("hi"),
+      b, col("id"), col("lo"), col("hi"), 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Only [0,100) overlaps [40,60); the zero-length [50,50) must not.
+    assert(pairs == Set((1L, 9L)))
+  }
+
+  test("bfs from an isolated source returns just the source at dist 0") {
+    val sp2 = spark
+    import sp2.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val d = api.Graph.bfs(edges, col("a"), col("b"), source = 99L,
+        maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(99L -> 0))
+  }
+
+  test("canonicalizeUrl passes null through and leaves non-URLs intact") {
+    val sp2 = spark
+    import sp2.implicits._
+    val out = Seq(Option("not a url at all"), None)
+      .toDF("u")
+      .select(api.Text.canonicalizeUrl(col("u")))
+      .collect()
+    assert(out(0).getString(0) == "not a url at all")
+    assert(out(1).isNullAt(0))
+  }
+
+  test("distinctiveTerms with k beyond vocab returns every term, ranked") {
+    val sp2 = spark
+    import sp2.implicits._
+    val d = Seq((1L, "x y")).toDF("id", "body")
+    val kw = api.Text.distinctiveTerms(d, col("id"), col("body"), k = 10)
+      .collect()(0).getString(1)
+    assert(kw == "x,y")
+  }
+
+  test("pqTopK with an empty query set returns no rows") {
+    val sp2 = spark
+    import sp2.implicits._
+    val vs = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("id", "v")
+    val cb = api.Similarity.pqCodebooks(vs, col("id"), col("v"),
+      m = 2, k = 2, iterations = 1)
+    val enc = api.Similarity.pqEncode(vs, col("id"), col("v"), cb)
+    val noQ = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    assert(api.Similarity.pqTopK(enc, noQ, col("id"), col("v"), cb).count() == 0)
+  }
+
   test("weightedMixture drops sources without weights; empty changes are no-op for scd2") {
     import sp.implicits._
     val d = Seq(("a", 1L), ("a", 2L), ("zzz", 9L)).toDF("s", "id")
