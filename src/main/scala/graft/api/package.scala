@@ -431,12 +431,16 @@ package object api {
       val wr = Window.partitionBy("query_id")
         .orderBy(round(col("adc"), 6).asc, col("id"))
       val cands = encoded.crossJoin(broadcast(tabbed))
+      // The scoring runs once per (candidate × query) row — statically
+      // unrolled element_at sum (m literal-indexed terms) instead of an
+      // aggregate/zip_with lambda chain: higher-order functions evaluate
+      // interpreted per element, and on the hot crossJoin this is the
+      // difference between a codegen'd tight loop and per-row allocation.
+      val adcSum = (1 to m).map(s =>
+        element_at(element_at(col("tab"), s),
+          element_at(col("codes"), s))).reduce(_ + _)
       (if (excludeSelf) cands.filter(col("id") =!= col("query_id")) else cands)
-        .withColumn("adc",
-          aggregate(
-            zip_with(col("codes"), sequence(lit(1), lit(m)),
-              (code, s) => element_at(element_at(col("tab"), s), code)),
-            lit(0.0), (acc, d) => acc + d))
+        .withColumn("adc", adcSum)
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= topK)
         .select(col("query_id"), col("id").as("cand_id"),

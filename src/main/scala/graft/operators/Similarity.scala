@@ -95,6 +95,18 @@ object Similarity extends QueryModule {
       Tables.embeddings(s, dir), col("vec_id"), unitExpr,
       m = 8, k = 16, iterations = 1))
 
+  /** Encoded-table cache alongside the codebooks: codes are a
+    * deterministic function of the (cached) codebooks, and every PQ
+    * consumer scans them in full — materialize once per dir.
+    */
+  private val pqEncCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def pqEnc(s: SparkSession, dir: String): DataFrame =
+    pqEncCache.getOrElseUpdate(dir, graft.api.Similarity.pqEncode(
+        Tables.embeddings(s, dir), col("vec_id"), unitExpr, pqCb(s, dir))
+      .localCheckpoint(true))
+
   def all: Seq[Q] = Seq(
     // Exact brute-force cosine top-5 per query vector (queries: vec_id<10),
     // expressed on the public API's broadcast-BNLJ top-k.
@@ -410,10 +422,10 @@ object Similarity extends QueryModule {
         val emb = Tables.embeddings(s, dir)
         // 1 Lloyd round over deterministic seeds (cached per dir) — the
         // seed-IVF convention; a second round moved recall@3 by 0.007
-        // here while doubling the training job count.
+        // here while doubling the training job count. Codes are cached
+        // and checkpointed too — every PQ consumer full-scans them.
         val cb = pqCb(s, dir)
-        val enc = graft.api.Similarity.pqEncode(
-          emb, col("vec_id"), unitExpr, cb)
+        val enc = pqEnc(s, dir)
         val q = emb.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), unitExpr.as("qe"))
         graft.api.Similarity.pqTopK(enc, q, col("qid"), col("qe"), cb,
@@ -434,8 +446,7 @@ object Similarity extends QueryModule {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val cb = pqCb(s, dir)
-        val enc = graft.api.Similarity.pqEncode(
-          emb, col("vec_id"), unitExpr, cb)
+        val enc = pqEnc(s, dir)
         val q = emb.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), unitExpr.as("qe"))
         val cands = graft.api.Similarity.pqTopK(
