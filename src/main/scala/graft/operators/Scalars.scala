@@ -431,6 +431,78 @@ object Scalars extends QueryModule {
         SELECT lower(seg) AS segment,
                count(*) AS n_cust,
                count(DISTINCT seg) AS n_variants
-        FROM t GROUP BY lower(seg) ORDER BY segment"""))
+        FROM t GROUP BY lower(seg) ORDER BY segment""")),
+
+    // Embedded-XML parsing (from_xml, new in Spark 4): the XML payload is
+    // synthesized from table columns with DECIMAL-rendered numerics so the
+    // text is byte-identical in both engines, then Spark parses it with
+    // the real XML reader while the oracle replays field extraction with
+    // regexes — proving parse fidelity, not just string reassembly.
+    Q(
+      "fn_xml",
+      (s, dir) => {
+        val priceTxt = col("o_totalprice").cast("decimal(12,2)").cast("string")
+        val xml = concat(lit("<o><k>"), col("o_orderkey"),
+          lit("</k><s>"), col("o_orderstatus"),
+          lit("</s><p>"), priceTxt, lit("</p></o>"))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), xml.as("payload"))
+          .select(col("o_orderkey"),
+            from_xml(col("payload"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "k LONG, s STRING, p DOUBLE")).as("x"))
+          .select(col("o_orderkey"), col("x.k").as("k"), col("x.s").as("s"),
+            col("x.p").as("p"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 '<o><k>' || o_orderkey || '</k><s>' || o_orderstatus ||
+                 '</s><p>' ||
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) ||
+                 '</p></o>' AS payload
+          FROM orders)
+        SELECT o_orderkey,
+               CAST(regexp_extract(payload, '<k>([^<]*)</k>', 1) AS BIGINT)
+                 AS k,
+               regexp_extract(payload, '<s>([^<]*)</s>', 1) AS s,
+               CAST(regexp_extract(payload, '<p>([^<]*)</p>', 1) AS DOUBLE)
+                 AS p
+        FROM t ORDER BY o_orderkey""")),
+
+    // Embedded-CSV parsing (from_csv): one csv line per event rendered
+    // with decimal-quantized values, parsed back by Spark's CSV reader;
+    // the oracle splits the identical text. The wire-format pair to
+    // fn_xml — both are the "column holds a serialized record" shape
+    // ingestion pipelines hit constantly.
+    Q(
+      "fn_csv",
+      (s, dir) => {
+        val vTxt = round(col("value"), 2).cast("decimal(8,2)").cast("string")
+        val line = concat_ws(",", col("event_id"), col("event_type"), vTxt)
+        Tables.events(s, dir)
+          .select(col("event_id"), line.as("line"))
+          .select(col("event_id"),
+            from_csv(col("line"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "id LONG, t STRING, v DOUBLE"),
+              Map.empty[String, String]).as("c"))
+          .select(col("event_id"), col("c.id").as("id"), col("c.t").as("t"),
+            col("c.v").as("v"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT event_id,
+                 event_id || ',' || event_type || ',' ||
+                 CAST(CAST(round(value, 2) AS DECIMAL(8,2)) AS VARCHAR)
+                   AS line
+          FROM events)
+        SELECT event_id,
+               CAST(string_split(line, ',')[1] AS BIGINT) AS id,
+               string_split(line, ',')[2] AS t,
+               CAST(string_split(line, ',')[3] AS DOUBLE) AS v
+        FROM t ORDER BY event_id"""))
   )
 }

@@ -412,6 +412,32 @@ object Sources extends QueryModule {
         FROM documents
         GROUP BY lang ORDER BY lang""")),
 
+    // The explicit caching surface: a projected scan pinned with
+    // .cache(), materialized once, then aggregated — the second pass
+    // reads InMemoryTableScan, not parquet (PlanShapeSpec asserts it).
+    // The cached slice is the 2-column projection, NOT the full table:
+    // at 100 TB you cache the working set you re-derive from, never the
+    // raw scan. Result itself is oracle-checked like any aggregate.
+    Q(
+      "scan_cached_reuse",
+      (s, dir) => {
+        val proj = Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_quantity").cache()
+        proj.count() // materialize the cache before the timed reuse
+        proj.groupBy("l_returnflag")
+          .agg(
+            round(sum(col("l_quantity").cast("decimal(12,2)")), 4)
+              .cast("double").as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 4)
+                 AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // The parquet _metadata hidden column — per-row file lineage (which
     // file, which position), the hook ingestion pipelines use for
     // provenance tracking and selective reprocessing. No oracle (file

@@ -176,6 +176,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("scan_cached_reuse reads the in-memory cache, not parquet") {
+    val p = plan("scan_cached_reuse")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"second pass must read the cache:\n$p")
+  }
+
   test("expr_custom stays inside whole-stage codegen") {
     // AQE only materializes WholeStageCodegen spans in the final plan.
     val df = SparkEntry.queries("expr_custom")(spark, sf0001)
