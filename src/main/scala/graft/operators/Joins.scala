@@ -499,6 +499,45 @@ object Joins extends QueryModule {
           LEFT JOIN events p
             ON p.user_id = s.user_id AND p.event_type = 'purchase'
           WHERE s.event_type = 'signup')
-        WHERE rn = 1 ORDER BY s_id"""))
+        WHERE rn = 1 ORDER BY s_id""")),
+
+    // Marketing attribution: every purchase credits the same user's most
+    // recent PRECEDING click (last-touch) — the canonical as-of lookup,
+    // expressed on api.Joins.asOf so the registry demonstrates the
+    // production composition (equi-join on user + backward top-1
+    // window). Purchases with no prior click stay with a null credit.
+    Q(
+      "join_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_mu"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            unix_micros(col("ts")).as("c_mu"))
+        graft.api.Joins.asOf(
+            purchases, col("p_id"), col("user_id"), col("p_mu"),
+            clicks, col("c_user"), col("c_mu"), col("c_id"))
+          .select(col("p_id").as("event_id"), col("c_id").as("credited_click"),
+            (col("p_mu") - col("c_mu")).as("lag_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT p_id AS event_id, c_id AS credited_click, lag_us
+        FROM (
+          SELECT p.event_id AS p_id, c.event_id AS c_id,
+                 epoch_us(CAST(p.ts AS TIMESTAMP)) -
+                 epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY epoch_us(CAST(c.ts AS TIMESTAMP)) DESC,
+                            c.event_id DESC) AS rn
+          FROM events p
+          LEFT JOIN events c
+            ON c.user_id = p.user_id AND c.event_type = 'click'
+           AND epoch_us(CAST(c.ts AS TIMESTAMP)) <=
+               epoch_us(CAST(p.ts AS TIMESTAMP))
+          WHERE p.event_type = 'purchase')
+        WHERE rn = 1 ORDER BY p_id"""))
   )
 }

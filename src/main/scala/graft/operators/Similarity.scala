@@ -551,6 +551,56 @@ object Similarity extends QueryModule {
             round(col("nl") / col("n_points").cast("double"), 4)
               .as("purity"))
           .orderBy("cluster")
-      })
+      }),
+
+    // Feature scaling — the ML-prep projection: min-max to [0,1] and a
+    // z-score per event value WITHIN its type. min/max are
+    // selection-exact (no accumulation), the z uses the agg_outliers
+    // integer-moment recipe, so every scaled value is the same double in
+    // both engines. The per-type stats table broadcasts back; one
+    // shuffle total. Output capped to event_id < 2000 to keep the
+    // hash-checked set small — the projection itself is unbounded.
+    Q(
+      "ml_feature_scale",
+      (s, dir) => {
+        val vq = round(col("value") * 1000, 0).cast("long")
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            vq.as("vq"))
+        val m = ev.groupBy("event_type")
+          .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+            count(lit(1)).as("n"),
+            sum(col("vq")).as("s1"), sum(col("vq") * col("vq")).as("s2"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val mean = d(col("s1")) / d(col("n")) / 1000.0
+        val sd = sqrt((d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1")))) /
+          d(col("n")) / 1000.0
+        ev.filter(col("event_id") < 2000)
+          .join(broadcast(m), "event_type")
+          .select(col("event_id"), col("event_type"),
+            round((col("value") - col("vmin")) /
+              (col("vmax") - col("vmin")), 6).as("minmax"),
+            round((col("value") - mean) / sd, 4).as("z"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_id, event_type, value,
+                 CAST(round(value * 1000, 0) AS BIGINT) AS vq
+          FROM events),
+        m AS (
+          SELECT event_type,
+                 min(value) AS vmin, max(value) AS vmax,
+                 count(*) AS n, sum(vq) AS s1, sum(vq * vq) AS s2
+          FROM ev GROUP BY 1)
+        SELECT event_id, ev.event_type,
+               round((value - vmin) / (vmax - vmin), 6) AS minmax,
+               round((value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0) /
+                 (sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+                       CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+                  CAST(n AS DOUBLE) / 1000.0), 4) AS z
+        FROM ev JOIN m ON ev.event_type = m.event_type
+        WHERE event_id < 2000
+        ORDER BY event_id"""))
   )
 }

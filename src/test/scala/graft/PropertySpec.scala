@@ -66,4 +66,54 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("intervalOverlap matches the naive theta join on random intervals") {
+    import sp.implicits._
+    val iv = for {
+      lo <- Gen.choose(0L, 500L)
+      len <- Gen.choose(0L, 200L) // includes zero-length (must drop out)
+    } yield (lo, lo + len)
+    val sets = Gen.listOfN(12, iv)
+    samples(Gen.zip(sets, sets, Gen.choose(16L, 128L)), 4).foreach {
+      case (as, bs, width) =>
+        val a = as.zipWithIndex.map { case ((l, h), i) => (i.toLong, l, h) }
+          .toDF("id", "lo", "hi")
+        val b = bs.zipWithIndex.map { case ((l, h), i) => (100L + i, l, h) }
+          .toDF("id", "lo", "hi")
+        val got = api.Joins.intervalOverlap(a, col("id"), col("lo"),
+            col("hi"), b, col("id"), col("lo"), col("hi"), width)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val naive = for {
+          ((al, ah), ai) <- as.zipWithIndex if al < ah
+          ((bl, bh), bi) <- bs.zipWithIndex if bl < bh
+          if al < bh && bl < ah
+        } yield (ai.toLong, 100L + bi)
+        assert(got.toSeq.sorted == naive.sorted,
+          s"width=$width got=${got.toSeq.sorted} want=${naive.sorted}")
+    }
+  }
+
+  test("bfs distances satisfy the triangle property on random graphs") {
+    import sp.implicits._
+    val edge = Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L))
+    samples(Gen.listOfN(18, edge), 3).foreach { es =>
+      val real = es.filter { case (u, v) => u != v }
+      if (real.nonEmpty) {
+        val src = real.head._1
+        val d = api.Graph.bfs(real.toDF("a", "b"), col("a"), col("b"),
+            source = src, maxHops = 12)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(d(src) == 0)
+        // Every edge (u,v) with both reachable: |d(u) - d(v)| <= 1.
+        real.foreach { case (u, v) =>
+          (d.get(u), d.get(v)) match {
+            case (Some(du), Some(dv)) => assert(math.abs(du - dv) <= 1)
+            case (Some(_), None) | (None, Some(_)) =>
+              fail(s"edge ($u,$v) half-reachable — BFS missed a node")
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
 }
