@@ -247,6 +247,48 @@ object Streaming extends QueryModule {
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Exactly-once under FULL REPLAY: every micro-batch lands in a
+    // batch_id=<id> partition via dynamic partition overwrite, so
+    // re-processing a batch REPLACES its output instead of appending a
+    // duplicate. The query then replays the entire stream from a fresh
+    // checkpoint into the same sink — the strongest retry scenario an
+    // at-least-once source can produce — and the final aggregate still
+    // equals the batch truth (the oracle). maxFilesPerTrigger=1 pins
+    // batch composition so both runs cover the same partitions.
+    Q(
+      "stream_upsert_idempotent",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_upsert_idempotent")
+        val root = Paths.get(ckpt).getParent.toString
+        val sink = s"$root/sink"
+        val prior = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          def runOnce(ckptDir: String): Unit =
+            drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .writeStream
+              .foreachBatch { (batch: DataFrame, id: Long) =>
+                batch.withColumn("batch_id", lit(id))
+                  .write.mode("overwrite")
+                  .partitionBy("batch_id").parquet(sink)
+              }
+              .option("checkpointLocation", ckptDir)
+              .trigger(Trigger.AvailableNow()).start() }
+          runOnce(ckpt)
+          runOnce(s"$root/ckpt_replay") // full replay: same data, fresh offsets
+        } finally
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Native partitioned streaming file sink: the micro-batch stream writes
     // directly into a Hive-partitioned parquet layout (event_type dirs)
     // with exactly-once tracking via the sink's file manifest log. The
