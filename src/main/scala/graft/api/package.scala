@@ -916,6 +916,23 @@ package object api {
     */
   object Pipeline {
 
+    /** Gaps-and-islands streak summary: given (key, day-number) activity
+      * observations (duplicates fine), returns per key the number of
+      * maximal consecutive-day runs, the longest run, and total active
+      * days — all integer math on the classic `day - row_number()`
+      * island id. Two shuffles, both on the key.
+      */
+    def streaks(df: DataFrame, key: Column, day: Column): DataFrame = {
+      val days = df.select(key.as("k"), day.cast("long").as("d")).distinct()
+      val w = Window.partitionBy("k").orderBy("d")
+      days.withColumn("grp", col("d") - row_number().over(w))
+        .groupBy("k", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"))
+    }
+
     /** Cut each document's token sequence into overlapping context
       * windows of `window` tokens advancing by `stride` (< window ⇒
       * overlap). One output row per (doc, chunk): (id, chunk_id,
@@ -1402,6 +1419,42 @@ package object api {
 
     /** Whitespace token count (pure column expression). */
     def tokenCount(text: Column): Column = size(split(text, " "))
+
+    /** Bigram collocations ranked by pointwise mutual information. Counts
+      * are exact integers; PMI is one shared-structure double expression;
+      * `minCount` kills the rare-pair PMI explosion. Count tables are
+      * vocab-sized and broadcast. Output: (w1, w2, n_pair, pmi) —
+      * unordered; callers rank/cut (round the PMI before ordering on it).
+      */
+    def collocations(
+        df: DataFrame, id: Column, text: Column,
+        minCount: Int = 5): DataFrame = {
+      val toks = df.select(id.as("id"), split(text, " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val bg = toks.select(explode(
+          transform(sequence(lit(1), size(col("ts")) - 1), i =>
+            struct(element_at(col("ts"), i).as("w1"),
+              element_at(col("ts"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cxy = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      val cw = toks.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val mt = toks.select(explode(col("ts")).as("w"))
+        .agg(count(lit(1)).as("mt"))
+      val pmi = log(
+        (col("c").cast("double") / col("nb")) /
+          ((col("c1").cast("double") / col("mt")) *
+            (col("c2").cast("double") / col("mt"))))
+      cxy.filter(col("c") >= minCount)
+        .join(broadcast(cw.withColumnRenamed("cw", "c1")
+          .withColumnRenamed("w", "w1")), "w1")
+        .join(broadcast(cw.withColumnRenamed("cw", "c2")
+          .withColumnRenamed("w", "w2")), "w2")
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(mt))
+        .select(col("w1"), col("w2"), col("c").as("n_pair"),
+          pmi.as("pmi"))
+    }
 
     /** Normalization pass before dedup/tokenization: lowercase, strip
       * non-alphanumerics, collapse whitespace runs, trim. Pure codegen

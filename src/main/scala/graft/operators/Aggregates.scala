@@ -939,6 +939,52 @@ object Aggregates extends QueryModule {
                round(2.0 * CAST(sixi AS DOUBLE) /
                  (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
                  (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 4) AS gini
-        FROM g ORDER BY o_orderpriority"""))
+        FROM g ORDER BY o_orderpriority""")),
+
+    // Wilson 95% score interval on a per-group proportion (share of
+    // high-value orders) — the rate-with-uncertainty summary dashboards
+    // should show instead of a bare ratio. Inputs are two exact integer
+    // counts; the interval is one shared-structure double formula
+    // (z = 1.96 folded in as literal constants), so bounds match
+    // bit-for-bit across engines.
+    Q(
+      "agg_wilson",
+      (s, dir) => {
+        val m = Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("o_totalprice") > 150000.0, lit(1))).as("k"))
+        val nd = col("n").cast("double")
+        val ph = col("k").cast("double") / nd
+        val den = lit(1.0) + lit(3.8416) / nd
+        val ctr = ph + lit(1.9208) / nd
+        val half = lit(1.96) *
+          sqrt((ph * (lit(1.0) - ph) + lit(0.9604) / nd) / nd)
+        m.select(col("o_orderpriority"), col("n"), col("k"),
+            round(ph, 4).as("p_hat"),
+            round((ctr - half) / den, 4).as("wilson_lo"),
+            round((ctr + half) / den, 4).as("wilson_hi"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT o_orderpriority, count(*) AS n,
+                 count(*) FILTER (WHERE o_totalprice > 150000.0) AS k
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority, n, k,
+               round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 4) AS p_hat,
+               round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) +
+                       1.9208 / CAST(n AS DOUBLE)) -
+                      1.96 * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+                        (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) +
+                        0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) /
+                     (1.0 + 3.8416 / CAST(n AS DOUBLE)), 4) AS wilson_lo,
+               round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) +
+                       1.9208 / CAST(n AS DOUBLE)) +
+                      1.96 * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+                        (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) +
+                        0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) /
+                     (1.0 + 3.8416 / CAST(n AS DOUBLE)), 4) AS wilson_hi
+        FROM m ORDER BY o_orderpriority"""))
   )
 }

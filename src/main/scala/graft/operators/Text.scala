@@ -356,37 +356,14 @@ object Text extends QueryModule {
     // (vocab-sized); the token stream is map-side exploded only.
     Q(
       "text_collocations",
-      (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .filter(size(col("ts")) >= 2)
-        val bg = toks.select(explode(
-            transform(sequence(lit(1), size(col("ts")) - 1), i =>
-              struct(element_at(col("ts"), i).as("w1"),
-                element_at(col("ts"), i + 1).as("w2")))).as("p"))
-          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        val cxy = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-        val nb = bg.agg(count(lit(1)).as("nb"))
-        val cw = toks.select(explode(col("ts")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("cw"))
-        val mt = toks.select(explode(col("ts")).as("w"))
-          .agg(count(lit(1)).as("mt"))
-        val pmi = log(
-          (col("c").cast("double") / col("nb")) /
-            ((col("c1").cast("double") / col("mt")) *
-              (col("c2").cast("double") / col("mt"))))
-        cxy.filter(col("c") >= 5)
-          .join(broadcast(cw.withColumnRenamed("cw", "c1")
-            .withColumnRenamed("w", "w1")), "w1")
-          .join(broadcast(cw.withColumnRenamed("cw", "c2")
-            .withColumnRenamed("w", "w2")), "w2")
-          .crossJoin(broadcast(nb)).crossJoin(broadcast(mt))
-          .withColumn("pmi", pmi)
+      (s, dir) =>
+        graft.api.Text.collocations(
+            Tables.documents(s, dir), col("doc_id"), col("text"),
+            minCount = 5)
           .orderBy(round(col("pmi"), 6).desc, col("w1"), col("w2"))
           .limit(15)
-          .select(col("w1"), col("w2"), col("c").as("n_pair"),
-            round(col("pmi"), 4).as("pmi"))
-      },
+          .select(col("w1"), col("w2"), col("n_pair"),
+            round(col("pmi"), 4).as("pmi")),
       oracle = Some("""
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents

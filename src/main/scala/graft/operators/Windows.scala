@@ -246,24 +246,13 @@ object Windows extends QueryModule {
     // any scale.
     Q(
       "win_streak",
-      (s, dir) => {
-        val days = Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"),
-            expr("unix_micros(ts) div 86400000000").as("day"))
-          .distinct()
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("day")
-        val islands = days
-          .withColumn("grp", col("day") - row_number().over(w))
-          .groupBy("user_id", "grp")
-          .agg(count(lit(1)).as("len"))
-        islands.groupBy("user_id")
-          .agg(count(lit(1)).as("n_streaks"),
-            max(col("len")).as("longest_streak"),
-            sum(col("len")).as("n_active_days"))
-          .orderBy("user_id")
-      },
+      (s, dir) =>
+        graft.api.Pipeline.streaks(
+            Tables.events(s, dir).filter(col("event_type") === "purchase"),
+            col("user_id"), expr("unix_micros(ts) div 86400000000"))
+          .select(col("k").as("user_id"), col("n_streaks"),
+            col("longest_streak"), col("n_active_days"))
+          .orderBy("user_id"),
       oracle = Some("""
         WITH d AS (
           SELECT DISTINCT user_id,
