@@ -1331,6 +1331,43 @@ package object api {
             .as("transitivity"))
     }
 
+    /** Single-source shortest paths with integer edge weights —
+      * Bellman-Ford limited to `maxHops` relaxation rounds, so the
+      * result is the exact shortest distance among paths of ≤ maxHops
+      * edges (matching a depth-capped path-enumeration oracle). Each
+      * round is one join + one min-aggregate, both keyed on the node —
+      * the iterative-join shape that scales linearly in edges where
+      * path enumeration explodes.
+      */
+    def sssp(
+        edges: DataFrame, src: Column, dst: Column, weight: Column,
+        source: Long, maxHops: Int = 4): DataFrame = {
+      val e = edges
+        .select(least(src, dst).cast("long").as("u"),
+          greatest(src, dst).cast("long").as("v"),
+          weight.cast("long").as("w"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull)
+        .groupBy("u", "v").agg(min(col("w")).as("w"))
+      val adj = e.select(col("u").as("n"), col("v").as("m"), col("w"))
+        .unionAll(e.select(col("v").as("n"), col("u").as("m"), col("w")))
+        .localCheckpoint(true)
+      val sp = edges.sparkSession
+      import sp.implicits._
+      var dist = Seq((source, 0L)).toDF("node", "dist")
+        .select(col("node").cast("long").as("node"), col("dist"))
+        .localCheckpoint(true)
+      var hop = 0
+      while (hop < maxHops) {
+        val cand = dist.join(adj, dist("node") === adj("n"))
+          .select(col("m").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionAll(cand)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        hop += 1
+      }
+      dist
+    }
+
     /** Common-neighbor Jaccard similarity between node pairs — the
       * classic link-prediction feature. For every pair (u < v) with at
       * least `minCommon` shared neighbors: |N(u)∩N(v)| and

@@ -630,6 +630,90 @@ object Pipeline extends QueryModule {
           JOIN adj ON adj.n = w.n WHERE w.d < 4),
         dd AS (SELECT n, min(d) AS dist FROM walk GROUP BY n)
         SELECT dist, count(*) AS n_nodes
+        FROM dd GROUP BY dist ORDER BY dist""")),
+
+    // Weighted sampling without replacement (A-ES / Efraimidis-Spirakis):
+    // each doc draws a deterministic pseudo-uniform u from the Knuth
+    // multiplicative hash of its id, and the top-k by ln(u)/weight are
+    // the weighted sample — longer documents proportionally likelier.
+    // Engine-portable like sample_stratified: NO engine RNG, both sides
+    // compute identical doubles, and the cut orders on the rounded key.
+    Q(
+      "sample_weighted",
+      (s, dir) => {
+        val u = (((col("doc_id") * 2654435761L) % 1000003L) + 1L)
+          .cast("double") / 1000004.0
+        val score = log(u) / col("n_chars").cast("double")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            round(score, 9).as("es_key"))
+          .orderBy(col("es_key").desc, col("doc_id"))
+          .limit(50)
+      },
+      oracle = Some("""
+        SELECT doc_id, n_chars,
+               round(ln((((doc_id * 2654435761) % 1000003) + 1)
+                        / 1000004.0) /
+                     CAST(n_chars AS DOUBLE), 9) AS es_key
+        FROM documents
+        ORDER BY es_key DESC, doc_id
+        LIMIT 50""")),
+
+    // Weighted shortest paths over the urgent co-purchase graph: edge
+    // weight encodes tie strength (1 = co-bought in ≥3 orders … 3 = once),
+    // distances from the lowest part id, reported as a histogram. Spark
+    // side is 4-round Bellman-Ford (api.Graph.sssp — join + min-agg per
+    // round); the oracle enumerates hop-capped weighted walks and takes
+    // min(total), which is exactly "shortest among ≤4-edge paths" — the
+    // same function the round-capped relaxation computes.
+    Q(
+      "graph_sssp",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey")
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey")
+        val weighted = li.as("a")
+          .join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("u"), col("v"),
+            when(col("cnt") >= 3, 1L).when(col("cnt") === 2, 2L)
+              .otherwise(3L).as("w"))
+          .localCheckpoint(true)
+        val source = weighted.agg(min(col("u"))).first().getLong(0)
+        graft.api.Graph.sssp(weighted, col("u"), col("v"), col("w"),
+            source, maxHops = 4)
+          .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("dist")
+      },
+      oracle = Some("""
+        WITH RECURSIVE li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v,
+                 CASE WHEN count(*) >= 3 THEN 1
+                      WHEN count(*) = 2 THEN 2 ELSE 3 END AS w
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        adj AS (SELECT u AS n, v AS m, w FROM e
+                UNION ALL SELECT v AS n, u AS m, w FROM e),
+        src AS (SELECT min(u) AS s FROM e),
+        walk(n, d, h) AS (
+          SELECT s, CAST(0 AS BIGINT), 0 FROM src
+          UNION ALL
+          SELECT adj.m, w.d + adj.w, w.h + 1 FROM walk w
+          JOIN adj ON adj.n = w.n WHERE w.h < 4),
+        dd AS (SELECT n, min(d) AS dist FROM walk GROUP BY n)
+        SELECT dist, count(*) AS n_nodes
         FROM dd GROUP BY dist ORDER BY dist"""))
   )
 }

@@ -305,6 +305,35 @@ object Windows extends QueryModule {
                CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY mu
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS n_types_seen
-        FROM f ORDER BY event_id"""))
+        FROM f ORDER BY event_id""")),
+
+    // Forward-fill (gap-fill) — the timeseries repair primitive: error
+    // events are treated as missing readings and carry the user's last
+    // good value forward via last(..., ignoreNulls) over a running
+    // frame. Values are copied, never combined, so floats stay
+    // bit-exact; leading gaps (no prior good value) stay null.
+    Q(
+      "win_gap_fill",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("v",
+            when(col("event_type") =!= "error", col("value")))
+          .select(col("event_id"), col("user_id"), col("v"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               CASE WHEN event_type <> 'error' THEN value END AS v,
+               last_value(CASE WHEN event_type <> 'error' THEN value END
+                 IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS v_filled
+        FROM events ORDER BY event_id"""))
   )
 }

@@ -98,6 +98,23 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2))
   }
 
+  test("sssp takes the lighter 2-hop path over the heavy direct edge") {
+    val sp = spark
+    import sp.implicits._
+    // 1-3 direct costs 10; 1-2-3 costs 2+3=5. 3-4 extends to 5+1=6.
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 1L))
+      .toDF("a", "b", "w")
+    val d = api.Graph.sssp(edges, col("a"), col("b"), col("w"),
+        source = 1L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
+    // With a 1-hop cap the heavy direct edge is the best available.
+    val capped = api.Graph.sssp(edges, col("a"), col("b"), col("w"),
+        source = 1L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(3L) == 10L)
+  }
+
   test("agg_ewma fold equals the closed-form decayed sum") {
     val sp = spark
     import sp.implicits._
