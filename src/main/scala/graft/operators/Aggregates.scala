@@ -985,6 +985,33 @@ object Aggregates extends QueryModule {
                         (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) +
                         0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) /
                      (1.0 + 3.8416 / CAST(n AS DOUBLE)), 4) AS wilson_hi
-        FROM m ORDER BY o_orderpriority"""))
+        FROM m ORDER BY o_orderpriority""")),
+
+    // Boolean aggregate surface: bool_and / bool_or / count_if — the
+    // assertion-style aggregates data-quality checks are written in
+    // ("EVERY order cleared X", "ANY order exceeded Y"). Pure predicate
+    // logic, no float anywhere.
+    Q(
+      "agg_boolean",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            bool_and(col("o_totalprice") > 900.0).as("all_above_900"),
+            bool_or(col("o_totalprice") > 500000.0).as("any_above_500k"),
+            count_if(col("o_orderstatus") === "F").as("n_finished"),
+            every(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+              .as("all_after_1995"))
+          .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 900.0) AS all_above_900,
+               bool_or(o_totalprice > 500000.0) AS any_above_500k,
+               count_if(o_orderstatus = 'F') AS n_finished,
+               bool_and(o_orderdate >= TIMESTAMP '1995-01-01')
+                 AS all_after_1995
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""))
   )
 }

@@ -297,6 +297,55 @@ object Dedup extends QueryModule {
                    '^([^&]*)&', '\1?') AS u5
             FROM raw))
         SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc
-        FROM c GROUP BY 1 ORDER BY 1"""))
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Fuzzy clustering — record-linkage end-to-end: blocked levenshtein
+    // pairs (join_fuzzy's machinery) become edges, connected components
+    // collapse them into clusters, one row per multi-member cluster.
+    // The oracle replays the closure with a recursive reachability CTE
+    // (UNION-distinct terminates on cycles) — exact because min-label
+    // CC is deterministic. Spark side: label-doubling CC, O(log D)
+    // rounds, no driver state.
+    Q(
+      "dedup_fuzzy_cluster",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val pairs = graft.api.Joins.fuzzyJoin(
+            p, col("p_partkey"), col("p_name"),
+            Seq(col("p_brand"), col("p_size")),
+            p.select(col("p_partkey").as("pk2"), col("p_name").as("pn2"),
+              col("p_brand").as("pb2"), col("p_size").as("ps2")),
+            col("pk2"), col("pn2"), Seq(col("pb2"), col("ps2")),
+            maxDist = 3)
+          .filter(col("id_l") < col("id_r"))
+          .select(col("id_l"), col("id_r"))
+          .localCheckpoint(true)
+        val nodes = pairs.select(col("id_l").as("n"))
+          .unionAll(pairs.select(col("id_r").as("n"))).distinct()
+        graft.api.Dedup.connectedComponents(
+            nodes, col("n"), pairs, col("id_l"), col("id_r"))
+          .groupBy(col("component").as("cluster_rep"))
+          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+          .orderBy("cluster_rep")
+      },
+      oracle = Some("""
+        WITH RECURSIVE pairs AS (
+          SELECT a.p_partkey AS u, b.p_partkey AS v
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+          WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        nodes AS (SELECT u AS n FROM pairs UNION SELECT v FROM pairs),
+        adj AS (SELECT u AS n, v AS m FROM pairs
+                UNION ALL SELECT v AS n, u AS m FROM pairs),
+        reach(n, r) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT reach.n, adj.m FROM reach JOIN adj ON adj.n = reach.r),
+        cc AS (SELECT n, min(r) AS component FROM reach GROUP BY n)
+        SELECT component AS cluster_rep,
+               count(*) AS n_members,
+               max(n) AS max_member
+        FROM cc GROUP BY 1 ORDER BY 1"""))
   )
 }

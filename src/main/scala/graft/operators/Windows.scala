@@ -334,6 +334,63 @@ object Windows extends QueryModule {
                        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS v_filled
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // Rolling z-score anomaly signal: each reading scored against the
+    // trailing 20-row mean/stddev of ITS OWN user stream — the streaming
+    // alternative to the global screen in agg_outliers. A float window
+    // sum is NOT order-free across engines on SLIDING frames (DuckDB's
+    // segment tree vs Spark's per-frame recompute differ in the last
+    // ulp — measured), so the frame sums run on ×1000-quantized
+    // INTEGERS and mean/z come out of one shared double formula.
+    // Single-row frames yield null z on both sides.
+    Q(
+      "win_rolling_z",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+          .rowsBetween(-19, 0)
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val ev = Tables.events(s, dir)
+          .withColumn("vq", round(col("value") * 1000, 0).cast("long"))
+        val s1 = sum(col("vq")).over(w)
+        val s2 = sum(col("vq") * col("vq")).over(w)
+        val n = count(lit(1)).over(w)
+        ev.select(col("event_id"), col("user_id"),
+            // s1/(n·1000) terminates at 5 decimals (n ≤ 20 ⇒ denominator
+            // 20000 = 2^5·5^4), so round(…,4) would sit exactly on the
+            // half-way knife edge — round at 6 is past the exact width.
+            round(d(s1) / d(n) / 1000.0, 6).as("roll_mean"),
+            round(when(n >= 2,
+              (d(col("vq")) - d(s1) / d(n)) /
+                sqrt((d(s2) - d(s1) * d(s1) / d(n)) / (d(n) - 1.0))),
+              4).as("roll_z"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS mu,
+                 CAST(round(value * 1000, 0) AS BIGINT) AS vq
+          FROM events),
+        f AS (
+          SELECT event_id, user_id, vq,
+                 sum(vq) OVER w AS s1,
+                 sum(vq * vq) OVER w AS s2,
+                 count(*) OVER w AS n
+          FROM q
+          WINDOW w AS (PARTITION BY user_id ORDER BY mu, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id,
+               round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6)
+                 AS roll_mean,
+               round(CASE WHEN n >= 2 THEN
+                 (CAST(vq AS DOUBLE) -
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 sqrt((CAST(s2 AS DOUBLE) -
+                       CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+                       CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                 END, 4) AS roll_z
+        FROM f ORDER BY event_id"""))
   )
 }
