@@ -346,6 +346,39 @@ object Dedup extends QueryModule {
         SELECT component AS cluster_rep,
                count(*) AS n_members,
                max(n) AS max_member
-        FROM cc GROUP BY 1 ORDER BY 1"""))
+        FROM cc GROUP BY 1 ORDER BY 1""")),
+
+    // Embedding-signature candidate buckets: each vector coarse-quantizes
+    // to 3 levels per dimension (round(x·2) on unit-scale components) and
+    // the md5 of that code string is the bucket key — vectors sharing a
+    // bucket are near-duplicate CANDIDATES (the bucket-join stage of
+    // embedding dedup; exact cosine confirms within buckets, as
+    // dedup_embedding does). Signature is 16 bytes regardless of
+    // dimension — the shuffle never carries vectors.
+    Q(
+      "dedup_embedding_quantized",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            md5(concat_ws(",",
+              transform(col("embedding"),
+                x => round(x.cast("double") * 2, 0).cast("int")
+                  .cast("string")))).as("sig"))
+          .groupBy("sig")
+          .agg(count(lit(1)).as("n_candidates"),
+            min(col("vec_id")).as("keep_id"))
+          .filter(col("n_candidates") >= 2)
+          .orderBy("sig"),
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 md5(array_to_string(
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 2, 0) AS INT)),
+                   ',')) AS sig
+          FROM embeddings)
+        SELECT sig, count(*) AS n_candidates, min(vec_id) AS keep_id
+        FROM q GROUP BY sig HAVING count(*) >= 2
+        ORDER BY sig"""))
   )
 }

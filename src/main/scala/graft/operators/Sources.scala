@@ -438,6 +438,73 @@ object Sources extends QueryModule {
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Small-files compaction — the ingestion-maintenance pass every
+    // file-based sink eventually needs: a deliberately over-fragmented
+    // layout (32 shards) is rewritten into 2 files and the row count
+    // re-certified. No oracle (filesystem facts); the file counts and
+    // the row-preservation flag self-certify. At 100 TB this is the
+    // job that keeps scan task counts sane — the rewrite is a plain
+    // repartition(n) write, embarrassingly parallel.
+    Q(
+      "sink_compaction",
+      (s, dir) => {
+        val root = Scratch.fresh("sink_compaction")
+        val frag = s"$root/frag"; val compact = s"$root/compact"
+        val ev = Tables.events(s, dir)
+        ev.repartition(32).write.parquet(frag)
+        val before = s.read.parquet(frag)
+        before.repartition(2).write.parquet(compact)
+        val after = s.read.parquet(compact)
+        val nFiles = (p: String) => java.nio.file.Files.list(
+            java.nio.file.Paths.get(p)).toArray
+          .map(_.toString).count(_.endsWith(".parquet")).toLong
+        val sp2 = s
+        import sp2.implicits._
+        Seq((nFiles(frag), nFiles(compact),
+            before.count() == after.count() && after.count() == ev.count()))
+          .toDF("files_before", "files_after", "rows_preserved")
+      }),
+
+    // Partition-retention (TTL) enforcement: events land in a
+    // day-partitioned sink, partitions older than the cutoff are
+    // dropped, and the surviving data must equal the batch filter — an
+    // ORACLE-verified retention pass. Deleting a partition directory is
+    // the O(1) retention primitive that makes day-partitioned layouts
+    // the right ingest format; no row-level delete scan at any scale.
+    Q(
+      "sink_retention",
+      (s, dir) => {
+        val root = Scratch.fresh("sink_retention")
+        val sink = s"$root/sink"
+        Tables.events(s, dir)
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+          .write.partitionBy("day").parquet(sink)
+        val cutoff = 19735L // 2024-01-13 in epoch days
+        java.nio.file.Files.list(java.nio.file.Paths.get(sink)).toArray
+          .map(_.toString)
+          .filter { p =>
+            val m = "day=(\\d+)".r.findFirstMatchIn(p)
+            m.exists(_.group(1).toLong < cutoff)
+          }
+          .foreach { p =>
+            java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => java.nio.file.Files.delete(f))
+          }
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min(col("day")).cast("long").as("first_day"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                 AS first_day
+        FROM events
+        WHERE epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 >= 19735
+        GROUP BY event_type ORDER BY event_type""")),
+
     // The parquet _metadata hidden column — per-row file lineage (which
     // file, which position), the hook ingestion pipelines use for
     // provenance tracking and selective reprocessing. No oracle (file
