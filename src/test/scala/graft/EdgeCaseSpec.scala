@@ -179,6 +179,18 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(api.Similarity.pqTopK(enc, noQ, col("id"), col("v"), cb).count() == 0)
   }
 
+  test("sssp isolated source and streaks on empty input degrade cleanly") {
+    val sp2 = spark
+    import sp2.implicits._
+    val edges = Seq((1L, 2L, 5L)).toDF("a", "b", "w")
+    val d = api.Graph.sssp(edges, col("a"), col("b"), col("w"),
+        source = 42L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(42L -> 0L))
+    val empty = Seq.empty[(Long, Long)].toDF("k", "d")
+    assert(api.Pipeline.streaks(empty, col("k"), col("d")).count() == 0)
+  }
+
   test("weightedMixture drops sources without weights; empty changes are no-op for scd2") {
     import sp.implicits._
     val d = Seq(("a", 1L), ("a", 2L), ("zzz", 9L)).toDF("s", "id")
