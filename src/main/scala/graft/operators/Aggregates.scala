@@ -1012,6 +1012,62 @@ object Aggregates extends QueryModule {
                  AS all_after_1995
         FROM orders
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority"""))
+        ORDER BY o_orderpriority""")),
+
+    // Weighted quantiles (importance-weighted median/p25/p75 of price,
+    // weighted by quantity): cumulative EXACT-decimal weights along a
+    // pinned total order, quantile = the first row whose scaled
+    // cumulative weight crosses the threshold — `4·cumW ≥ k·W` compares
+    // exact decimals, so the crossing row is engine-exact (no float
+    // boundary). One window + one group-by, both on the group key;
+    // values are selected, never combined.
+    Q(
+      "agg_percentile_weighted",
+      (s, dir) => {
+        val qty = col("l_quantity").cast("decimal(12,2)")
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+        val c = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"), qty.as("qw"))
+          .withColumn("cum", sum(col("qw")).over(wOrd))
+          .withColumn("tot", sum(col("qw")).over(wAll))
+        def crossing(k: Int) = // first value where 4·cum ≥ k·tot
+          min_by(col("l_extendedprice"),
+            when(col("cum") * 4 >= col("tot") * k, col("cum")))
+        c.groupBy("l_returnflag")
+          .agg(crossing(1).as("wp25"), crossing(2).as("wmedian"),
+            crossing(3).as("wp75"),
+            sum(col("qw")).cast("double").as("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT l_returnflag, l_extendedprice,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS qw,
+                 sum(CAST(l_quantity AS DECIMAL(12,2))) OVER
+                   (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(CAST(l_quantity AS DECIMAL(12,2))) OVER
+                   (PARTITION BY l_returnflag) AS tot
+          FROM lineitem)
+        SELECT l_returnflag,
+               arg_min(l_extendedprice,
+                 CASE WHEN 4 * cum >= 1 * tot THEN cum END) AS wp25,
+               arg_min(l_extendedprice,
+                 CASE WHEN 4 * cum >= 2 * tot THEN cum END) AS wmedian,
+               arg_min(l_extendedprice,
+                 CASE WHEN 4 * cum >= 3 * tot THEN cum END) AS wp75,
+               CAST(sum(qw) AS DOUBLE) AS total_weight
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
