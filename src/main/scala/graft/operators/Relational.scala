@@ -267,6 +267,41 @@ object Relational extends QueryModule {
           AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    // Correlated subqueries through the SQL front door: EXISTS / NOT
+    // EXISTS / scalar subquery, all correlated on the outer customer —
+    // exercising Catalyst's decorrelation rewrites (§4 row "subquery
+    // decorrelation"): EXISTS becomes a semi join, NOT EXISTS an anti
+    // join, the scalar aggregate a left outer join — no per-row
+    // re-execution anywhere.
+    Q(
+      "sql_exists_subquery",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+        s.sql("""
+          SELECT c_custkey,
+                 EXISTS (SELECT 1 FROM g_orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000.0) AS has_big_order,
+                 NOT EXISTS (SELECT 1 FROM g_orders o
+                             WHERE o.o_custkey = c.c_custkey) AS never_ordered,
+                 (SELECT count(*) FROM g_orders o
+                  WHERE o.o_custkey = c.c_custkey) AS n_orders
+          FROM g_customer c
+          ORDER BY c_custkey""")
+      },
+      oracle = Some("""
+        SELECT c_custkey,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000.0) AS has_big_order,
+               NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey) AS never_ordered,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        ORDER BY c_custkey"""))
   )
 }

@@ -391,6 +391,71 @@ object Windows extends QueryModule {
                        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
                        CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
                  END, 4) AS roll_z
+        FROM f ORDER BY event_id""")),
+
+    // Linear interpolation of missing readings — win_gap_fill's LOCF
+    // upgraded to time-weighted repair: each error-row reading is
+    // reconstructed from the last good value before and the first good
+    // value after, weighted by microsecond distance. Neighbor values and
+    // times are SELECTED (last/first over directional frames, floats
+    // untouched); the interpolation itself is one shared double formula
+    // over exact integer times. Edges (no neighbor on one side) fall
+    // back to the available side.
+    Q(
+      "win_interpolate",
+      (s, dir) => {
+        val ord = Seq(unix_micros(col("ts")).asc, col("event_id").asc)
+        val wb = Window.partitionBy("user_id").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wf = Window.partitionBy("user_id").orderBy(ord: _*)
+          .rowsBetween(1, Window.unboundedFollowing)
+        val ev = Tables.events(s, dir)
+          .withColumn("mu", unix_micros(col("ts")))
+          .withColumn("good",
+            when(col("event_type") =!= "error", col("value")))
+          .withColumn("gmu",
+            when(col("event_type") =!= "error", col("mu")))
+        val vp = last(col("good"), ignoreNulls = true).over(wb)
+        val tp = last(col("gmu"), ignoreNulls = true).over(wb)
+        val vn = first(col("good"), ignoreNulls = true).over(wf)
+        val tn = first(col("gmu"), ignoreNulls = true).over(wf)
+        val interp = when(col("good").isNotNull, col("good"))
+          .when(vp.isNotNull && vn.isNotNull,
+            vp + (vn - vp) * (col("mu") - tp).cast("double") /
+              (tn - tp).cast("double"))
+          .otherwise(coalesce(vp, vn))
+        ev.select(col("event_id"), col("user_id"),
+            col("good").isNull.as("was_missing"),
+            round(interp, 4).as("v_interp"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS mu,
+                 CASE WHEN event_type <> 'error' THEN value END AS good,
+                 CASE WHEN event_type <> 'error'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS gmu
+          FROM events),
+        f AS (
+          SELECT event_id, user_id, mu, good,
+                 last_value(good IGNORE NULLS) OVER wb AS vp,
+                 last_value(gmu IGNORE NULLS) OVER wb AS tp,
+                 first_value(good IGNORE NULLS) OVER wf AS vn,
+                 first_value(gmu IGNORE NULLS) OVER wf AS tn
+          FROM e
+          WINDOW wb AS (PARTITION BY user_id ORDER BY mu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY mu, event_id
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        SELECT event_id, user_id,
+               good IS NULL AS was_missing,
+               round(CASE
+                 WHEN good IS NOT NULL THEN good
+                 WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+                   vp + (vn - vp) * CAST(mu - tp AS DOUBLE) /
+                        CAST(tn - tp AS DOUBLE)
+                 ELSE coalesce(vp, vn) END, 4) AS v_interp
         FROM f ORDER BY event_id"""))
   )
 }
