@@ -659,6 +659,38 @@ object Pipeline extends QueryModule {
         ORDER BY es_key DESC, doc_id
         LIMIT 50""")),
 
+    // Deterministic train/val/test split — the LAST step every training
+    // corpus takes: the Knuth-hash permille of the id assigns 80/10/10
+    // splits, so membership is engine-portable, reproducible, and stable
+    // under repartitioning (same property as sample_stratified). The
+    // split is a pure projection — at 100 TB it costs one scan, and any
+    // engine (Spark today, something else tomorrow) reproduces the
+    // exact same membership from the ids alone.
+    Q(
+      "sample_split",
+      (s, dir) => {
+        val permille = (col("doc_id") * 2654435761L) % 1000L
+        val split = when(permille < 800, "train")
+          .when(permille < 900, "val").otherwise("test")
+        Tables.documents(s, dir)
+          .select(split.as("split"), col("doc_id"), col("n_chars"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy("split")
+      },
+      oracle = Some("""
+        SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_doc
+        FROM documents
+        GROUP BY 1 ORDER BY split"""))
+  ,
+
     // Weighted shortest paths over the urgent co-purchase graph: edge
     // weight encodes tie strength (1 = co-bought in ≥3 orders … 3 = once),
     // distances from the lowest part id, reported as a histogram. Spark
