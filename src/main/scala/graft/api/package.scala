@@ -476,6 +476,7 @@ package object api {
       var cents: Seq[(Int, Seq[Double])] = v.orderBy("vid").limit(k)
         .collect().zipWithIndex
         .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
+        .toSeq
       var round = 0
       while (round < iterations) {
         val means = v
