@@ -247,6 +247,66 @@ object Streaming extends QueryModule {
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Watermark LATE-DATA DROP — the semantics the in-order
+    // stream_watermark_agg never exercises. Two RUNS against one
+    // checkpoint: run 1 ingests days 1-10 and 21-30 (watermark advances
+    // to max − 24 h ≈ day 29 and persists in the checkpoint); run 2
+    // restarts the query after days 11-20 arrive — every one of those
+    // rows is below the RESTORED watermark and is dropped. Restart-based
+    // sequencing makes the drop deterministic regardless of how the file
+    // source batches within a run (a single-run out-of-order feed can
+    // collapse into one batch and never see a watermark — measured).
+    // Append mode emits only finalized windows; the oracle reproduces
+    // both effects arithmetically.
+    Q(
+      "stream_late_drop",
+      (s, dir) => {
+        val root = Scratch.fresh("stream_late_drop")
+        val in = s"$root/in"
+        Files.createDirectories(Paths.get(in))
+        val ev = Tables.events(s, dir)
+        def writeSlice(name: String,
+            pred: org.apache.spark.sql.Column): Unit = {
+          val tmp = s"$root/tmp_$name"
+          ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Files.list(Paths.get(tmp))
+            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          Files.copy(part, Paths.get(in, s"$name.parquet"))
+        }
+        val ckpt = s"$root/ckpt"; val sink = s"$root/sink"
+        def runOnce(): Unit =
+          drive(s) { s.readStream.schema(ev.schema).parquet(in)
+            .withWatermark("ts", "24 hours")
+            .groupBy(window(col("ts"), "1 day").as("w"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("w.start").cast("timestamp_ntz").as("day_start"),
+              col("n"))
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .trigger(Trigger.AvailableNow()).start() }
+        writeSlice("a_early", col("ts") < lit("2024-01-11").cast("timestamp"))
+        writeSlice("b_jump", col("ts") >= lit("2024-01-21").cast("timestamp"))
+        runOnce()
+        writeSlice("c_late",
+          col("ts") >= lit("2024-01-11").cast("timestamp") &&
+            col("ts") < lit("2024-01-21").cast("timestamp"))
+        runOnce()
+        s.read.parquet(sink).orderBy("day_start")
+      },
+      oracle = Some("""
+        WITH wm AS (
+          SELECT max(ts) - INTERVAL 24 HOURS AS w
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-11'
+             OR ts >= TIMESTAMP '2024-01-21')
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+               count(*) AS n
+        FROM events, wm
+        WHERE (ts < TIMESTAMP '2024-01-11'
+               OR ts >= TIMESTAMP '2024-01-21')
+          AND date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+        GROUP BY 1 ORDER BY day_start""")),
+
     // Exactly-once under FULL REPLAY: every micro-batch lands in a
     // batch_id=<id> partition via dynamic partition overwrite, so
     // re-processing a batch REPLACES its output instead of appending a
