@@ -19,6 +19,7 @@ object Bench {
     // warmup so join_dpp/join_bucketed/stream_* time the QUERY.
     try {
       graft.operators.LayoutCache.partitionedLineitem(spark, sfDir)
+      graft.operators.LayoutCache.zorderedLineitem(spark, sfDir)
       graft.operators.LayoutCache.bucketedTables(spark, sfDir)
       graft.operators.Streaming.prepareInputs(spark, sfDir)
       graft.operators.Similarity.warmIndexes(spark, sfDir)

@@ -12,8 +12,10 @@ object Scratch {
 
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f))
+      }
 
   /** Empty, freshly-created scratch dir for `key`. The root is
     * process-unique so concurrently-running harness JVMs (Verify, Bench,

@@ -524,6 +524,58 @@ package object api {
         .sortWithinPartitions(zcol)
         .drop(zcol)
     }
+
+    /** Versioned publish with an atomic pointer swap — the convention the
+      * mutating sinks (upsert rewrite, compaction, retention) should hand
+      * their output through when no transactional table format is
+      * available. The table root holds immutable version directories
+      * `v<N>` plus a one-line `_CURRENT` pointer file:
+      *
+      *   root/_CURRENT   ← contains "v3"
+      *   root/v2/…       ← previous version, still complete on disk
+      *   root/v3/…       ← current version
+      *
+      * `publish` writes the new version to a fresh `v<N+1>` directory
+      * (readers can't discover it: nothing points there yet), then swaps
+      * `_CURRENT` via write-temp + ATOMIC_MOVE — a same-directory rename,
+      * atomic on POSIX filesystems and on HDFS. A concurrent
+      * `readCurrent` therefore resolves either the old complete version
+      * or the new complete version, never a half-written directory — the
+      * non-atomic visibility window of an in-place `overwrite` is closed.
+      * (On S3-style object stores, swap the pointer through a
+      * conditional-PUT or a real table format instead; the version-dir
+      * layout carries over unchanged.) Old versions are left for
+      * time-travel/rollback; retention of them is the caller's policy.
+      * Returns the published version directory.
+      */
+    def publish(df: DataFrame, tableRoot: String): String = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.createDirectories(Paths.get(tableRoot))
+      val next = 1 + currentVersion(tableRoot).getOrElse(0L)
+      val vdir = s"$tableRoot/v$next"
+      df.write.mode("error").parquet(vdir)
+      val tmp = Paths.get(tableRoot, s"_CURRENT.tmp$next")
+      Files.writeString(tmp, s"v$next")
+      Files.move(tmp, Paths.get(tableRoot, "_CURRENT"),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      vdir
+    }
+
+    /** Resolve the `_CURRENT` pointer and read that version directory.
+      * Returns None when nothing has been published yet.
+      */
+    def readCurrent(
+        s: org.apache.spark.sql.SparkSession,
+        tableRoot: String): Option[DataFrame] =
+      currentVersion(tableRoot).map(v => s.read.parquet(s"$tableRoot/v$v"))
+
+    private def currentVersion(tableRoot: String): Option[Long] = {
+      val p = java.nio.file.Paths.get(tableRoot, "_CURRENT")
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readString(p).trim.stripPrefix("v").toLong)
+      else None
+    }
   }
 
   /** Join strategies Spark lacks as single operators. */
@@ -823,6 +875,49 @@ package object api {
           }
         }
         .toDF("id", "patch", "n_px", "sum_val", "mean_val")
+    }
+
+    /** Decode 24-bpp BMP payloads and emit horizontal-BAND features: row y
+      * belongs to band (y·bands)/h, and each band yields pixel count,
+      * channel-value sum, and channel min/max — the 1-D sibling of
+      * bmpPatchFeatures (bands are what scanline-oriented feature
+      * extractors emit). One output row per (id, band); images shorter
+      * than `bands` rows simply skip the empty band indices.
+      */
+    def bmpBandFeatures(
+        df: DataFrame, id: Column, payload: Column,
+        bands: Int = 8): DataFrame = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val bmp = graft.functions.Codecs.decodeBmp(bytes)
+              val n = new Array[Long](bands)
+              val sum = new Array[Long](bands)
+              val mn = Array.fill(bands)(Long.MaxValue)
+              val mx = Array.fill(bands)(Long.MinValue)
+              var y = 0
+              while (y < bmp.height) {
+                val band = y * bands / bmp.height
+                var x = 0
+                while (x < bmp.width) {
+                  val (b, g, r) = bmp.pixels(y)(x)
+                  n(band) += 1
+                  sum(band) += b + g + r
+                  mn(band) = math.min(mn(band), math.min(b, math.min(g, r)))
+                  mx(band) = math.max(mx(band), math.max(b, math.max(g, r)))
+                  x += 1
+                }
+                y += 1
+              }
+              (0 until bands).filter(n(_) > 0).map(k =>
+                (i, k, n(k), sum(k), mn(k), mx(k)))
+            }.getOrElse(Seq.empty)
+          }
+        }
+        .toDF("id", "band", "n_px", "sum_val", "min_val", "max_val")
     }
 
     /** REAL audio decimation of PCM WAV payloads: decode the actual bytes,
@@ -1369,19 +1464,6 @@ package object api {
       dist
     }
 
-    /** Common-neighbor Jaccard similarity between node pairs — the
-      * classic link-prediction feature. For every pair (u < v) with at
-      * least `minCommon` shared neighbors: |N(u)∩N(v)| and
-      * jaccard = common / (deg(u) + deg(v) − common). All counts are
-      * integers; the single division is the only float op.
-      *
-      * The wedge self-join on the shared neighbor costs Σ deg(w)² rows —
-      * unlike the triangle census this cannot be degree-oriented away,
-      * because BOTH endpoints of every wedge are needed. At 100 TB the
-      * standard mitigations are capping hub adjacency lists or minhashing
-      * the neighbor sets (see Dedup.minhashSignatures); `minCommon`
-      * pre-filters the long tail before the degree join.
-      */
     /** Single-source BFS hop distances over an undirected edge list:
       * (node, dist) for every node within `maxHops` of `source`. Proper
       * frontier BFS — each round joins ONLY the new frontier against the
@@ -1426,6 +1508,19 @@ package object api {
       visited
     }
 
+    /** Common-neighbor Jaccard similarity between node pairs — the
+      * classic link-prediction feature. For every pair (u < v) with at
+      * least `minCommon` shared neighbors: |N(u)∩N(v)| and
+      * jaccard = common / (deg(u) + deg(v) − common). All counts are
+      * integers; the single division is the only float op.
+      *
+      * The wedge self-join on the shared neighbor costs Σ deg(w)² rows —
+      * unlike the triangle census this cannot be degree-oriented away,
+      * because BOTH endpoints of every wedge are needed. At 100 TB the
+      * standard mitigations are capping hub adjacency lists or minhashing
+      * the neighbor sets (see Dedup.minhashSignatures); `minCommon`
+      * pre-filters the long tail before the degree join.
+      */
     def neighborJaccard(
         edges: DataFrame, src: Column, dst: Column,
         minCommon: Int = 2): DataFrame = {
@@ -1590,12 +1685,17 @@ package object api {
     def canonicalizeUrl(url: Column): Column = {
       val noFrag = regexp_replace(url, "#.*$", "")
       val noPort = regexp_replace(noFrag, "^(?i)(https://[^/:?#]*):443", "$1")
-      // Unify '?' to '&' so utm params strip uniformly wherever they sit,
-      // then restore the first separator — avoids a dangling '&param'
-      // when the stripped utm was the leading parameter.
-      val unified = regexp_replace(noPort, "\\?", "&")
-      val noUtm = regexp_replace(unified, "&utm_[A-Za-z_]+=[^&#]*", "")
-      val restored = regexp_replace(noUtm, "^([^&]*)&", "$1?")
+      // utm stripping is scoped to the query part only: a literal '&' in
+      // the PATH is legal and must never be rewritten, so split at the
+      // first '?', clean the query, reassemble. Non-leading utm params
+      // strip with their '&'; a leading one hands '?' to the next param;
+      // a lone one drops the dangling '?'. Still pure codegen regex.
+      val path = regexp_extract(noPort, "^([^?]*)", 1)
+      val query = regexp_replace(noPort, "^[^?]*", "")
+      val qMid = regexp_replace(query, "&utm_[A-Za-z_]+=[^&#]*", "")
+      val qLead = regexp_replace(qMid, "^\\?utm_[A-Za-z_]+=[^&#]*&", "?")
+      val qOnly = regexp_replace(qLead, "^\\?utm_[A-Za-z_]+=[^&#]*$", "")
+      val restored = concat(path, qOnly)
       val hostLower = concat(
         lower(regexp_extract(restored, "^([A-Za-z]+://[^/?#]*)", 1)),
         regexp_replace(restored, "^[A-Za-z]+://[^/?#]*", ""))

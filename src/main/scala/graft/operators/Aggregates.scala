@@ -1007,7 +1007,7 @@ object Aggregates extends QueryModule {
         SELECT o_orderpriority,
                bool_and(o_totalprice > 900.0) AS all_above_900,
                bool_or(o_totalprice > 500000.0) AS any_above_500k,
-               count_if(o_orderstatus = 'F') AS n_finished,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
                bool_and(o_orderdate >= TIMESTAMP '1995-01-01')
                  AS all_after_1995
         FROM orders

@@ -286,16 +286,20 @@ object Dedup extends QueryModule {
                    '/$', '') AS canonical_url
           FROM (
             SELECT doc_id,
+                   regexp_extract(u1, '^([^?]*)', 1) ||
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(
-                         regexp_replace(
-                           regexp_replace(url, '#.*$', ''),
-                         '^(?i)(https://[^/:?#]*):443', '\1'),
-                       '\?', '&', 'g'),
-                     '&utm_[A-Za-z_]+=[^&#]*', '', 'g'),
-                   '^([^&]*)&', '\1?') AS u5
-            FROM raw))
+                         regexp_replace(u1, '^[^?]*', ''),
+                         '&utm_[A-Za-z_]+=[^&#]*', '', 'g'),
+                       '^\?utm_[A-Za-z_]+=[^&#]*&', '?'),
+                     '^\?utm_[A-Za-z_]+=[^&#]*$', '') AS u5
+            FROM (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(url, '#.*$', ''),
+                       '^(?i)(https://[^/:?#]*):443', '\1') AS u1
+              FROM raw)))
         SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS first_doc
         FROM c GROUP BY 1 ORDER BY 1""")),
 

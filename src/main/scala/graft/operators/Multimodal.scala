@@ -86,24 +86,52 @@ object Multimodal extends QueryModule {
                  AS frame_time_s
         FROM v ORDER BY doc_id, frame_idx""")),
 
-    // STUB decode + feature extraction: the payload is cut into 8 fixed-size
-    // chunks and each chunk "decoded" to a feature by crc32 — the
-    // deterministic stand-in for a real patch-embedding call. The chunking,
-    // schema (array<bigint> features), and per-row batch shape are the real
-    // plumbing a decoder would use.
+    // REAL decode + band feature extraction (replaces the retired crc32
+    // chunk stub): a complete BMP is assembled per doc, DECODED
+    // (Codecs.decodeBmp — magic check, header walk, padded bottom-up
+    // rows), and cut into 8 horizontal bands; each band emits count /
+    // sum / min / max over its actual pixel values — the scanline
+    // sibling of mm_patch_features. The oracle recomputes every band
+    // from the pixel formula, so one mis-read pixel hash-mismatches.
     Q(
-      "mm_feature_stub",
-      (s, dir) =>
-        media(s, dir)
-          .filter(col("media_type") === "image" && col("doc_id") < 300)
-          .select(col("doc_id"),
-            transform(sequence(lit(0), lit(7)),
-              i => crc32(col("payload").substr(i * 32 + 1, lit(32))))
-              .as("features"))
-          .select(col("doc_id"),
-            col("features").getItem(0).as("f0"),
-            xxhash64(col("features")).as("feature_sig"))
-          .orderBy("doc_id")),
+      "mm_feature_bands",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            val w = (id % 16 + 4).toInt
+            val h = (id % 12 + 4).toInt
+            (id, graft.functions.Codecs.encodeBmp(w, h, (x, y) => {
+              val v = ((x * 7 + y * 13 + id) % 256).toInt
+              (v, v, v)
+            }))
+          }
+          .toDF("doc_id", "payload")
+        graft.api.Multimodal.bmpBandFeatures(
+          encoded, col("doc_id"), col("payload"), bands = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "band")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+                          CAST(doc_id % 12 + 4 AS INT) AS h
+                   FROM documents WHERE doc_id < 100),
+        px AS (
+          SELECT doc_id, w, h, x, y, (x * 7 + y * 13 + doc_id) % 256 AS v
+          FROM d,
+               LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+               LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y))
+        SELECT doc_id,
+               CAST(y * 8 // h AS INT) AS band,
+               count(*) AS n_px,
+               CAST(sum(v) * 3 AS BIGINT) AS sum_val,
+               CAST(min(v) AS BIGINT) AS min_val,
+               CAST(max(v) AS BIGINT) AS max_val
+        FROM px GROUP BY 1, 2 ORDER BY doc_id, band""")),
 
     // REAL audio decode: each doc gets a complete PCM WAV file assembled
     // byte-for-byte (RIFF/fmt/data chunks, little-endian — Codecs.encodeWav)
@@ -238,8 +266,8 @@ object Multimodal extends QueryModule {
     // REAL patch features from decoded pixels: the BMP is decoded and cut
     // into a 2×2 patch grid; each patch emits count/sum/mean over its
     // actual pixel values — the hand-rolled analogue of the
-    // patch-embedding step (mm_feature_stub stands for the learned model
-    // call; this is the decode-side feature path made real). The oracle
+    // patch-embedding step (the decode-side feature path made real;
+    // mm_feature_bands is the 1-D scanline variant). The oracle
     // recomputes every patch from the pixel formula, so a single
     // mis-assigned pixel (padding, row order, grid boundary) would
     // hash-mismatch.
@@ -289,8 +317,8 @@ object Multimodal extends QueryModule {
     // y·h/outH), re-encode) → re-decode the RESIZED payload with bmpStats.
     // The oracle recomputes the sampled pixel grid arithmetically, so the
     // whole encode→resize→re-encode→decode chain is hash-verified
-    // end-to-end. (mm_resize_stub is retained for the typed-batch shape
-    // it documents; this is the codec path made real.)
+    // end-to-end. (mm_resize_typed runs the same resample through the
+    // typed mapPartitions surface.)
     Q(
       "mm_resize_real",
       (s, dir) => {
@@ -334,30 +362,64 @@ object Multimodal extends QueryModule {
                round(sum(v) * 3 / (3.0 * ow * oh), 4) AS mean_px
         FROM px GROUP BY doc_id, ow, oh ORDER BY doc_id""")),
 
-    // Typed mapPartitions "resize": partition-wise batch processing with a
-    // case-class Encoder — the Scala analogue of mapInPandas batches. The
-    // resize itself is stubbed to halved dimensions + a deterministic
-    // checksum where the pixel resample would run.
+    // Typed mapPartitions resize (replaces the retired checksum stub):
+    // partition-wise batch processing with a tuple Encoder — the Scala
+    // analogue of mapInPandas batches — where the batch body does the
+    // REAL work: decode the BMP bytes, nearest-neighbor resample to half
+    // size, fold the resized red channel. mm_resize_real exercises the
+    // same resample through the DataFrame-API codec chain; this row
+    // exercises it through the typed per-partition surface. The oracle
+    // recomputes the sampled pixel grid arithmetically.
     Q(
-      "mm_resize_stub",
+      "mm_resize_typed",
       (s, dir) => {
         val sp = s
         import sp.implicits._
-        media(s, dir)
-          .filter(col("media_type") === "image" && col("doc_id") < 300)
-          .select(col("doc_id"), col("meta.width").as("width"),
-            col("meta.height").as("height"), col("payload"))
-          .as[(Long, Int, Int, Array[Byte])]
-          .mapPartitions { rows =>
-            rows.map { case (id, w, h, payload) =>
-              // STUB: real pixel resampling would go here; the checksum is a
-              // deterministic stand-in over the bytes a decoder would touch.
-              val checksum = payload.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
-              (id, w / 2, h / 2, checksum)
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"))
+          .as[Long]
+          .mapPartitions { ids =>
+            ids.map { id =>
+              val w = (id % 16 + 4).toInt
+              val h = (id % 12 + 4).toInt
+              val bytes = graft.functions.Codecs.encodeBmp(w, h, (x, y) => {
+                val v = ((x * 7 + y * 13 + id) % 256).toInt
+                (v, v, v)
+              })
+              val bmp = graft.functions.Codecs.decodeBmp(bytes)
+              val ow = bmp.width / 2
+              val oh = bmp.height / 2
+              var sumRed = 0L
+              var y = 0
+              while (y < oh) {
+                var x = 0
+                while (x < ow) {
+                  sumRed +=
+                    bmp.pixels(y * bmp.height / oh)(x * bmp.width / ow)._3
+                  x += 1
+                }
+                y += 1
+              }
+              (id, ow, oh, sumRed)
             }
           }
-          .toDF("doc_id", "out_width", "out_height", "pixel_checksum")
+          .toDF("doc_id", "out_width", "out_height", "sum_red")
           .orderBy("doc_id")
-      })
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+                          CAST(doc_id % 12 + 4 AS INT) AS h
+                   FROM documents WHERE doc_id < 100),
+        dims AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
+        px AS (
+          SELECT doc_id, ow, oh,
+                 ((x * w // ow) * 7 + (y * h // oh) * 13 + doc_id) % 256 AS v
+          FROM dims,
+               LATERAL (SELECT unnest(generate_series(0, ow - 1)) AS x),
+               LATERAL (SELECT unnest(generate_series(0, oh - 1)) AS y))
+        SELECT doc_id, ow AS out_width, oh AS out_height,
+               CAST(sum(v) AS BIGINT) AS sum_red
+        FROM px GROUP BY doc_id, ow, oh ORDER BY doc_id"""))
   )
 }

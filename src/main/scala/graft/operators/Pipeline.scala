@@ -117,9 +117,10 @@ object Pipeline extends QueryModule {
           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         sessed AS (
           SELECT user_id, us,
-                 sum(is_new) OVER (PARTITION BY user_id
-                                   ORDER BY us, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+                 CAST(sum(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_seq
           FROM flagged)
         SELECT user_id, session_seq, count(*) AS n_events,
                make_timestamp(min(us)) AS t_start,
@@ -154,11 +155,12 @@ object Pipeline extends QueryModule {
           SELECT lang, doc_id FROM documents
           WHERE (doc_id * 2654435761) % 1000 < 100),
         t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
-        a AS (SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_checksum
+        a AS (SELECT lang, count(*) AS n_sampled,
+                     CAST(sum(doc_id) AS BIGINT) AS id_checksum
               FROM s GROUP BY 1)
         SELECT lang, n_total,
-               coalesce(n_sampled, 0) AS n_sampled,
-               coalesce(id_checksum, 0) AS id_checksum,
+               coalesce(n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
+               coalesce(id_checksum, CAST(0 AS BIGINT)) AS id_checksum,
                round(coalesce(n_sampled, 0) * 1.0 / n_total, 4) AS rate
         FROM t LEFT JOIN a USING (lang) ORDER BY lang""")),
 
@@ -180,7 +182,8 @@ object Pipeline extends QueryModule {
       },
       oracle = Some("""
         WITH w AS (
-          SELECT * FROM (VALUES ('src0', 500), ('src1', 300), ('src2', 200))
+          SELECT mix_source, CAST(w_pm AS BIGINT) AS w_pm
+          FROM (VALUES ('src0', 500), ('src1', 300), ('src2', 200))
             AS v(mix_source, w_pm)),
         c AS (
           SELECT source AS mix_source, count(*) AS n_avail
@@ -199,7 +202,8 @@ object Pipeline extends QueryModule {
                                     ORDER BY d.doc_id) AS rn
           FROM documents d JOIN q ON d.source = q.mix_source)
         SELECT q.mix_source AS source, q.n_avail, q.w_pm, q.quota,
-               count(*) AS n_selected, sum(r.doc_id) AS id_checksum
+               count(*) AS n_selected,
+               CAST(sum(r.doc_id) AS BIGINT) AS id_checksum
         FROM ranked r JOIN q USING (mix_source)
         WHERE r.rn <= q.quota
         GROUP BY 1, 2, 3, 4 ORDER BY source""")),
@@ -226,9 +230,10 @@ object Pipeline extends QueryModule {
           FROM documents),
         c AS (
           SELECT doc_id, source, tc,
-                 coalesce(sum(tc) OVER (PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS before
+                 CAST(coalesce(sum(tc) OVER (PARTITION BY source
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
           FROM t)
         SELECT doc_id, source, tc AS n_tokens,
                before // 512 AS first_bin,
@@ -354,9 +359,10 @@ object Pipeline extends QueryModule {
           FROM pre p JOIN keep k ON p.pre = k.pre AND p.doc_id = k.doc_id),
         packed AS (
           SELECT doc_id, source, tc,
-                 coalesce(sum(tc) OVER (PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS before
+                 CAST(coalesce(sum(tc) OVER (PARTITION BY source
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
           FROM kept)
         SELECT doc_id, source, tc AS n_tokens,
                before // 512 AS first_bin,

@@ -211,13 +211,22 @@ object Scalars extends QueryModule {
             col("event_id"),
             element_at(col("kv"), "type").as("type_v"),
             element_at(col("kv"), "user").as("user_v"),
-            size(map_keys(col("kv"))).as("n_keys"))
+            size(map_keys(col("kv"))).as("n_keys"),
+            // Key-sorted entries rendered to one string: the DuckDB-
+            // comparable canonical form of a MAP column (map iteration
+            // order is not itself comparable across engines).
+            array_join(
+              transform(array_sort(map_entries(col("kv"))),
+                e => concat(e.getField("key"), lit("="),
+                  e.getField("value"))), ";").as("kv_render"))
           .orderBy("event_id"),
       oracle = Some("""
         SELECT event_id,
                event_type AS type_v,
                CAST(user_id AS VARCHAR) AS user_v,
-               2 AS n_keys
+               2 AS n_keys,
+               'type=' || event_type || ';user=' || CAST(user_id AS VARCHAR)
+                 AS kv_render
         FROM events
         ORDER BY event_id""")),
 

@@ -23,7 +23,11 @@ object Sources extends QueryModule {
     // as union + last-writer-wins per key (version-desc window). Every
     // step is a key-partitioned shuffle; no driver involvement. (With a
     // transactional table format this becomes MERGE INTO; the resolution
-    // semantics verified here are identical.)
+    // semantics verified here are identical.) The staged table lands via
+    // api.Layout.publish — write to a fresh immutable version dir, then
+    // an ATOMIC_MOVE pointer swap — so a concurrent reader resolves the
+    // previous complete version or this one, never a half-written
+    // directory (an in-place `overwrite` has no such guarantee).
     Q(
       "sink_upsert",
       (s, dir) => {
@@ -38,11 +42,11 @@ object Sources extends QueryModule {
           .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"),
             (col("c_acctbal") + 1000.0).as("c_acctbal"))
           .withColumn("version", lit(1))
-        base.unionByName(updates)
-          .write.mode("overwrite").parquet(s"$out/staged")
+        val staged = graft.api.Layout.publish(
+          base.unionByName(updates), s"$out/table")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("c_custkey").orderBy(desc("version"))
-        s.read.parquet(s"$out/staged")
+        s.read.parquet(staged)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("c_custkey"), col("c_mktsegment"),
@@ -444,7 +448,11 @@ object Sources extends QueryModule {
     // re-certified. No oracle (filesystem facts); the file counts and
     // the row-preservation flag self-certify. At 100 TB this is the
     // job that keeps scan task counts sane — the rewrite is a plain
-    // repartition(n) write, embarrassingly parallel.
+    // repartition(n) write, embarrassingly parallel. Visibility: the
+    // compact copy lands in a FRESH directory (never in-place), so the
+    // fragmented table stays complete throughout; production flips
+    // readers to the compact dir via api.Layout.publish's pointer swap
+    // and only then retires the fragments.
     Q(
       "sink_compaction",
       (s, dir) => {
@@ -455,9 +463,10 @@ object Sources extends QueryModule {
         val before = s.read.parquet(frag)
         before.repartition(2).write.parquet(compact)
         val after = s.read.parquet(compact)
-        val nFiles = (p: String) => java.nio.file.Files.list(
-            java.nio.file.Paths.get(p)).toArray
-          .map(_.toString).count(_.endsWith(".parquet")).toLong
+        // Files.list holds a directory handle until closed — Using closes.
+        val nFiles = (p: String) => scala.util.Using.resource(
+            java.nio.file.Files.list(java.nio.file.Paths.get(p)))(
+          _.toArray.map(_.toString).count(_.endsWith(".parquet")).toLong)
         val sp2 = s
         import sp2.implicits._
         Seq((nFiles(frag), nFiles(compact),
@@ -471,6 +480,12 @@ object Sources extends QueryModule {
     // ORACLE-verified retention pass. Deleting a partition directory is
     // the O(1) retention primitive that makes day-partitioned layouts
     // the right ingest format; no row-level delete scan at any scale.
+    // Visibility: each partition-dir delete is all-or-nothing from a
+    // reader's perspective ONLY per partition — a scan started mid-pass
+    // can see some expired days present and others gone (it never sees
+    // torn files: parquet files are deleted before their parent dir).
+    // Where that window matters, snapshot the survivors through
+    // api.Layout.publish instead and drop the old version afterwards.
     Q(
       "sink_retention",
       (s, dir) => {
@@ -480,16 +495,19 @@ object Sources extends QueryModule {
           .withColumn("day", expr("unix_micros(ts) div 86400000000"))
           .write.partitionBy("day").parquet(sink)
         val cutoff = 19735L // 2024-01-13 in epoch days
-        java.nio.file.Files.list(java.nio.file.Paths.get(sink)).toArray
+        scala.util.Using.resource(
+            java.nio.file.Files.list(java.nio.file.Paths.get(sink)))(_.toArray)
           .map(_.toString)
           .filter { p =>
             val m = "day=(\\d+)".r.findFirstMatchIn(p)
             m.exists(_.group(1).toLong < cutoff)
           }
           .foreach { p =>
-            java.nio.file.Files.walk(java.nio.file.Paths.get(p))
-              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(f => java.nio.file.Files.delete(f))
+            scala.util.Using.resource(
+                java.nio.file.Files.walk(java.nio.file.Paths.get(p))) { st =>
+              st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(f => java.nio.file.Files.delete(f))
+            }
           }
         s.read.parquet(sink)
           .groupBy("event_type")

@@ -116,8 +116,8 @@ object Streaming extends QueryModule {
     cuts.zipWithIndex.foreach { case ((name, pred), i) =>
       val tmp = s"$root/tmp_$name"
       ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.filter(_.toString.endsWith(".parquet")).findFirst().get())
       val dst = Paths.get(in, s"$name.parquet")
       Files.copy(part, dst)
       // The file source orders arrivals by modification time; pin distinct,
@@ -269,8 +269,8 @@ object Streaming extends QueryModule {
             pred: org.apache.spark.sql.Column): Unit = {
           val tmp = s"$root/tmp_$name"
           ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = Files.list(Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst().get()
+          val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+            _.filter(_.toString.endsWith(".parquet")).findFirst().get())
           Files.copy(part, Paths.get(in, s"$name.parquet"))
         }
         val ckpt = s"$root/ckpt"; val sink = s"$root/sink"
@@ -425,7 +425,8 @@ object Streaming extends QueryModule {
         val in = s"$root/in"
         val sink = s"$root/sink"
         Files.createDirectories(Paths.get(in))
-        val sliceFiles = Files.list(Paths.get(sharedIn)).sorted().toArray
+        val sliceFiles = scala.util.Using.resource(
+            Files.list(Paths.get(sharedIn)))(_.sorted().toArray)
           .map(_.asInstanceOf[java.nio.file.Path])
         def run(): Unit = drive(s) {
           s.readStream.schema(Tables.events(s, dir).schema)

@@ -278,12 +278,63 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
         "https://example.com/a/b?id=9"), // multiple utm params all strip
       ("https://example.com/A/B?x=1&y=2",
         "https://example.com/A/B?x=1&y=2"), // path case + real params kept
-      ("https://example.com/only?utm_ref=q", "https://example.com/only"))
+      ("https://example.com/only?utm_ref=q", "https://example.com/only"),
+      ("https://x.com/a&b?c=1",
+        "https://x.com/a&b?c=1"), // literal '&' in the PATH stays put
+      ("https://x.com/a&b?utm_s=1",
+        "https://x.com/a&b"), // ...even when the query strips away
+      ("https://example.com/p?utm_a=1&utm_b=2",
+        "https://example.com/p")) // consecutive leading utm params
     val got = cases.map(_._1).toDF("u")
       .select(api.Text.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
     cases.map(_._2).zip(got).foreach { case (want, g) =>
       assert(g == want, s"want $want got $g")
     }
+  }
+
+  test("bmpBandFeatures aggregates the decoded pixels per horizontal band") {
+    val sp = spark
+    import sp.implicits._
+    // 2 wide × 4 tall, pixel value = 10·y (all channels): with bands=2,
+    // band 0 = rows 0-1 (values 0,10), band 1 = rows 2-3 (values 20,30).
+    val bytes = graft.functions.Codecs.encodeBmp(2, 4, (_, y) =>
+      (10 * y, 10 * y, 10 * y))
+    val df = Seq((7L, bytes)).toDF("id", "payload")
+    val out = api.Multimodal.bmpBandFeatures(
+        df, col("id"), col("payload"), bands = 2)
+      .orderBy("band")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0, 4L, 3L * (0 + 0 + 10 + 10), 0L, 10L),
+      (1, 4L, 3L * (20 + 20 + 30 + 30), 20L, 30L)))
+  }
+
+  test("Layout.publish: readers never resolve a partial version") {
+    val sp = spark
+    import sp.implicits._
+    val root = Scratch.fresh("publish_spec")
+    api.Layout.publish(Seq((1L, "one")).toDF("k", "v"), root)
+    def current() = api.Layout.readCurrent(spark, root).get
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(current() == Seq(1L))
+    // Simulate an IN-FLIGHT second publish: the new version's data is on
+    // disk (even fully written) but the pointer has not swapped — readers
+    // must still resolve v1. This is the window where a plain in-place
+    // overwrite would expose partial state.
+    Seq((2L, "two"), (3L, "three")).toDF("k", "v")
+      .write.parquet(s"$root/v2")
+    assert(current() == Seq(1L))
+    // Complete the swap exactly as publish does; readers flip atomically.
+    val tmp = java.nio.file.Paths.get(root, "_CURRENT.tmp2")
+    java.nio.file.Files.writeString(tmp, "v2")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(current() == Seq(2L, 3L))
+    // And a subsequent publish() picks up after the manual v2.
+    val v3 = api.Layout.publish(Seq((4L, "four")).toDF("k", "v"), root)
+    assert(v3.endsWith("/v3") && current() == Seq(4L))
   }
 
   test("distinctiveTerms ranks by tf desc, rarity asc, term asc") {

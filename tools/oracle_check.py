@@ -43,6 +43,51 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def tclass(t: str) -> str:
+    """Collapse a declared DuckDB type to the VALUE CLASS the driver's
+    pandas-level hash actually sees. Calibrated against CORRECTNESS_r05:
+    integer-width drift (rank() BIGINT vs Spark INTEGER, TINYINT popcount)
+    and DECIMAL-vs-DOUBLE were all driver-GREEN (same pandas repr), while
+    HUGEINT (pandas float64 against Spark's int64) was the entire round-5
+    failure set. So: widths collapse, float-ish collapses, HUGEINT is its
+    own always-fatal class."""
+    b = t.split("(")[0]
+    if b in INT_TYPES:
+        return "int"
+    if b in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if b in ("DOUBLE", "FLOAT", "REAL", "DECIMAL"):
+        return "float"
+    return b
+
+
+def type_check(spark_types: dict, oracle_types: dict) -> str:
+    """Declared-type class compare, mirroring the driver's exact hash.
+
+    Both sides are DuckDB logical types (the Spark parquet is read back
+    through read_parquet). The round-1 AND round-5 blind spot: DuckDB
+    widens integer sum()/count_if/windowed sum to HUGEINT; pandas then
+    surfaces it as float64, norm() coerced both sides and isclose passed —
+    while the driver's hash saw 5 vs 5.0. Fail here, before values.
+    """
+    for c in sorted(set(spark_types) & set(oracle_types)):
+        st, ot = spark_types[c], oracle_types[c]
+        sc, oc = tclass(st), tclass(ot)
+        if sc == oc:
+            continue
+        if "hugeint" in (sc, oc):
+            side = "oracle" if oc == "hugeint" else "spark"
+            return (f"ORACLE-TYPE col={c}: {side} side is HUGEINT "
+                    f"(spark={st} oracle={ot}); CAST it AS BIGINT")
+        return (f"ORACLE-TYPE col={c}: value-class mismatch spark={st} "
+                f"oracle={ot}; CAST one side to match")
+    return ""
+
+
 def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
     # The driver compares schemas strictly: a tz-aware Spark timestamp vs
     # DuckDB's naive TIMESTAMP is a schema mismatch even when the instants
@@ -88,14 +133,19 @@ def main() -> int:
             print(f"FAIL {name}: missing spark output")
             fail += 1
             continue
-        got = con.sql(f"SELECT * FROM read_parquet('{files[0]}')").fetchdf()
+        grel = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
+        got = grel.fetchdf()
         try:
-            exp = con.sql(oracle[name]).fetchdf()
+            erel = con.sql(oracle[name])
+            exp = erel.fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0]}")
             fail += 1
             continue
-        msg = compare(name, got, exp)
+        msg = type_check(
+            dict(zip(grel.columns, (str(t) for t in grel.types))),
+            dict(zip(erel.columns, (str(t) for t in erel.types)))
+        ) or compare(name, got, exp)
         if msg:
             print(f"FAIL {name}: {msg}")
             fail += 1
