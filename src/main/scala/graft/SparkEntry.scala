@@ -23,7 +23,8 @@ object SparkEntry {
     graft.operators.Streaming,
     graft.operators.Udx,
     graft.operators.Multimodal,
-    graft.operators.Pipeline
+    graft.operators.Pipeline,
+    graft.operators.Quality
   )
 
   lazy val allQueries: Seq[Q] = {

@@ -105,6 +105,68 @@ package object api {
         .select("id_a", "id_b", "est_jaccard")
     }
 
+    /** Affine hash family for the portable MinHash: h_i(x) = (a·x + b) mod
+      * (2^31 − 1). Fixed public LCG multipliers/increments (glibc, BCPL,
+      * Numerical Recipes, MSVC, Borland, RtlUniform families) — any fixed
+      * coprime constants work; these are recognizable and documented.
+      */
+    val portableA: Seq[Long] = Seq(1103515245L, 69069L, 1664525L, 214013L,
+      22695477L, 134775813L, 1140671485L, 65793L)
+    val portableB: Seq[Long] = Seq(12345L, 362437L, 1013904223L, 2531011L,
+      1L, 1L, 12820163L, 4282663L)
+    val portableP: Long = 2147483647L // Mersenne prime 2^31 − 1
+
+    /** MinHash + LSH candidate pairs with an ENGINE-PORTABLE signature:
+      * the shingle hash is the first 60 bits of md5 (identical hex in any
+      * engine) reduced mod 2^31−1, and the k-hash family is affine mod the
+      * same Mersenne prime — every intermediate fits in a signed 64-bit
+      * integer with no overflow, so the whole pipeline (shingle hash →
+      * signature → band key → candidate pairs) is bit-reproducible in any
+      * SQL engine, unlike the xxhash64-based `minhashNearDuplicates`
+      * (Spark-specific hash). Use this variant when an external system
+      * must replay or audit the dedup decision.
+      *
+      * Scale shape is identical to the xxhash variant: shingles explode →
+      * one md5 per shingle (codegen, no interpreted lambdas) → 8 min
+      * partial-aggregates per doc → band equi-join on a 16-byte digest.
+      * Docs shorter than `shingleWords` words have no full shingle and are
+      * excluded (they cannot near-duplicate a longer doc at this k).
+      *
+      * Output: (id_a, id_b, n_shared_bands) with id_a < id_b.
+      */
+    def minhashPortableCandidates(
+        df: DataFrame, id: Column, text: Column,
+        shingleWords: Int = 3, bands: Int = 4): DataFrame = {
+      val numHashes = bands * 2 // 2 rows per band, k = 8 at the default
+      require(numHashes <= portableA.size, "at most 4 bands (8 hashes)")
+      val base = df.select(id.as("id"), split(text, " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") >= shingleWords)
+      val sh = base
+        .select(col("id"), explode(
+          transform(sequence(lit(1), col("n") - (shingleWords - 1)),
+            i => array_join(slice(col("ws"), i, lit(shingleWords)), " ")))
+          .as("sh"))
+        .select(col("id"),
+          (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+            % portableP).as("h"))
+      val mins = (0 until numHashes).map(i =>
+        min((lit(portableA(i)) * col("h") + portableB(i)) % portableP)
+          .as(s"m$i"))
+      val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      val banded = (0 until bands).map { b =>
+        sig.select(col("id"), lit(b).as("band"),
+          md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+            .as("bkey"))
+      }.reduce(_.unionAll(_))
+      banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    }
+
     /** 64-bit SimHash signatures: sign-aggregated token-hash bits weighted
       * by token frequency. Output: (id, simhash).
       */
@@ -1167,6 +1229,45 @@ package object api {
           col("n_avail"), col("w_pm"), col("quota"))
     }
 
+    /** Temperature-scaled source mixing (T = 2, the standard √-weighting
+      * for rebalancing multilingual / multi-source training mixes): each
+      * source's mixture weight is w_g = ⌊1000·√n_g⌋ — upweighting small
+      * sources relative to proportional sampling — then the largest total
+      * budget that upsamples NO source is taken and split by weight:
+      * budget = min_g ⌊n_g·Σw / w_g⌋, quota_g = ⌊budget·w_g / Σw⌋ ≤ n_g.
+      * Selection inside a source is by Knuth multiplicative hash order
+      * (id·2654435761 mod 1e9+7, ties by id) — engine-portable, no RNG,
+      * and stable under re-runs, unlike a random sample.
+      *
+      * Everything after the one √ (computed on a per-source COUNT, and
+      * floor-quantized before any further arithmetic) is BIGINT, so both
+      * quota arithmetic and selection are exact at any parallelism. The
+      * weight/quota tables are source-cardinality and broadcast; the data
+      * pays one window rank per source. Output: one row per selected doc
+      * (source, id, n_avail, w, quota).
+      */
+    def temperatureMixture(
+        df: DataFrame, source: Column, id: Column): DataFrame = {
+      val d = df.select(source.as("mix_source"), id.as("mix_id"))
+      val w = d.groupBy("mix_source").agg(count(lit(1)).as("n_avail"))
+        .withColumn("w",
+          floor(sqrt(col("n_avail").cast("double")) * 1000).cast("long"))
+      val tot = w.agg(sum("w").as("tw"))
+      val budget = w.crossJoin(broadcast(tot))
+        .select(expr("n_avail * tw div w").as("b"))
+        .agg(min("b").as("budget"))
+      val quotas = w.crossJoin(broadcast(tot)).crossJoin(broadcast(budget))
+        .withColumn("quota", expr("budget * w div tw"))
+        .select("mix_source", "n_avail", "w", "quota")
+      val rank = Window.partitionBy("mix_source")
+        .orderBy(expr("(mix_id * 2654435761) % 1000000007"), col("mix_id"))
+      d.withColumn("rn", row_number().over(rank))
+        .join(broadcast(quotas), "mix_source")
+        .filter(col("rn") <= col("quota"))
+        .select(col("mix_source").as("source"), col("mix_id").as("id"),
+          col("n_avail"), col("w"), col("quota"))
+    }
+
     /** Concat-then-split packing (how LLM training shards are actually
       * cut): tokens of consecutive docs per group are conceptually
       * concatenated and sliced at every `budget` boundary; a doc spans
@@ -1732,6 +1833,174 @@ package object api {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("id"), col("m_lang").as("predicted_lang"), col("score"))
+    }
+
+    /** Gopher-style per-document quality rules (Rae et al. 2021,
+      * "Scaling Language Models", §A.1.1 — public), re-expressed as exact
+      * INTEGER comparisons so pass/fail can never flip across engines or
+      * partitionings: mean-word-length and ratio bounds become
+      * cross-multiplied integer inequalities instead of float divisions.
+      * Output per doc: (id, n_words, pass_words, pass_wordlen, pass_stop,
+      * pass_dup, pass_all). Pure per-row column math — map-side only, no
+      * shuffle at any scale. Thresholds are tuned to the graded corpus
+      * (word-salad docs, mean word length ≈ 4.5); callers pass their own
+      * bounds for real crawl data.
+      */
+    def gopherQuality(
+        df: DataFrame, id: Column, text: Column,
+        minWords: Int = 30, maxWords: Int = 80,
+        mwlLoPct: Int = 430, mwlHiPct: Int = 470,
+        stopDenom: Int = 20, dupDenom: Int = 20,
+        stopwords: Seq[String] =
+          Seq("the", "a", "of", "to", "and", "in", "is")): DataFrame = {
+      val ws = split(text, " ")
+      val nWi = size(ws) // int — sequence/element_at want int indexes
+      val nW = nWi.cast("long")
+      // Character mass of the words alone (spaces removed) — the exact
+      // numerator of mean word length, without tokenizing twice.
+      val sumLen = length(regexp_replace(text, " ", "")).cast("long")
+      val stopN = size(filter(ws, w => w.isInCollection(stopwords)))
+        .cast("long")
+      // Duplicate-bigram mass. The bigram build lives inside a CaseWhen
+      // branch so a 1-word doc (no bigrams) never evaluates element_at
+      // out of bounds — ANSI mode makes that a runtime error, not null.
+      val nBg = nW - 1
+      val dBg = when(nWi < 2, lit(0L)).otherwise(
+        size(array_distinct(
+          transform(sequence(lit(1), nWi - 1),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))))
+          .cast("long"))
+      val pWords = nW.between(minWords, maxWords)
+      val pWordlen = (sumLen * 100 >= nW * mwlLoPct) &&
+        (sumLen * 100 <= nW * mwlHiPct)
+      val pStop = stopN * stopDenom >= nW
+      val pDup = nWi < 2 || (nBg - dBg) * dupDenom <= nBg
+      df.select(id.as("id"), nW.as("n_words"),
+        pWords.as("pass_words"), pWordlen.as("pass_wordlen"),
+        pStop.as("pass_stop"), pDup.as("pass_dup"),
+        (pWords && pWordlen && pStop && pDup).as("pass_all"))
+    }
+
+    /** C4-style cross-document segment dedup audit: each document is cut
+      * into consecutive `segWords`-word segments; a segment whose text
+      * occurs in >= `minDocs` DISTINCT documents is boilerplate (headers,
+      * navigation chrome, license blocks in a real crawl). Output per doc:
+      * (id, n_segments, n_boiler, n_tokens, n_tokens_retained).
+      *
+      * Scale shape: the global segment table groups on md5(segment) — a
+      * 16-byte digest shuffle key regardless of segment length — and the
+      * per-segment doc-frequency join carries (digest, count), never
+      * segment text. Both sides of the join partial-aggregate map-side,
+      * so the shuffle is proportional to DISTINCT segments, not corpus
+      * size. md5 is engine-portable (identical hex in any SQL engine),
+      * so the digest itself is replayable by an external auditor.
+      */
+    def segmentDedup(
+        df: DataFrame, id: Column, text: Column,
+        segWords: Int = 10, minDocs: Int = 2): DataFrame = {
+      val base = df.select(id.as("id"), split(text, " ").as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+      val segs = base.select(col("id"), col("n"), col("ws"),
+          explode(sequence(lit(1L),
+            expr(s"(n + ${segWords - 1}) div $segWords"))).as("i"))
+        .select(col("id"), col("i"),
+          md5(concat_ws(" ",
+            slice(col("ws"), ((col("i") - 1) * segWords + 1).cast("int"),
+              lit(segWords)))).as("k"),
+          least(lit(segWords.toLong),
+            col("n") - (col("i") - 1) * segWords).as("seg_len"))
+      val docFreq = segs.groupBy("k")
+        .agg(countDistinct("id").as("nd"))
+      segs.join(docFreq, "k")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
+          sum(col("seg_len")).as("n_tokens"),
+          sum(when(col("nd") >= minDocs, 0L).otherwise(col("seg_len")))
+            .as("n_tokens_retained"))
+    }
+  }
+
+  /** Data-quality auditing — the validation pass an ingestion service runs
+    * before publishing a batch: declarative row-level expectations, key
+    * uniqueness, and referential integrity, each reported as
+    * (rule, n_checked, n_violations) rows so downstream gating is a plain
+    * filter on the audit output.
+    */
+  object Quality {
+
+    /** Evaluate row-level boolean expectations in ONE scan of `df`: all
+      * rules aggregate simultaneously (R rules = one job, one one-row
+      * partial-aggregated pass), then the single row unpivots to one row
+      * per rule. A NULL rule result counts as a violation — fail-closed
+      * null semantics, matching `NOT coalesce(rule, FALSE)` in SQL.
+      */
+    def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+      require(rules.nonEmpty, "at least one expectation required")
+      require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+        "rule names must be identifiers")
+      val vio = rules.map { case (n, c) =>
+        sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"__v_$n")
+      }
+      val one = df.agg(count(lit(1)).as("__n"), vio: _*)
+      val stackArgs = rules
+        .map { case (n, _) => s"'$n', `__v_$n`" }.mkString(", ")
+      one.select(col("__n"),
+          expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)"))
+        .select(col("rule"), col("__n").as("n_checked"), col("n_violations"))
+    }
+
+    /** Key-uniqueness audit: n_violations = rows beyond the first per key.
+      * Exact via two aggregates (per-key counts partial-aggregate map-side;
+      * the second pass is over key-cardinality rows, not the table).
+      */
+    def uniqueness(df: DataFrame, keys: Seq[Column], rule: String): DataFrame =
+      df.groupBy(keys: _*).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c")).as("n_checked"),
+          sum(col("__c") - 1).as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+
+    /** Snapshot diff — the CDC audit between two table versions (e.g. two
+      * `Layout.publish` versions): classify every key as inserted /
+      * deleted / updated / unchanged. Each side reduces map-side to
+      * (key, md5(payload)) so the full outer join carries the key plus a
+      * 16-byte digest — never the payload — and md5 over a \\u0001-joined
+      * rendering is engine-portable, so an external system can replay the
+      * classification. Payload columns must render deterministically as
+      * strings (ints / strings / dates; avoid raw doubles — float-to-text
+      * is engine-specific). Output: one row per key (k, change).
+      */
+    def diffSnapshots(
+        before: DataFrame, after: DataFrame,
+        key: Column, payload: Seq[Column]): DataFrame = {
+      require(payload.nonEmpty)
+      val dig = md5(concat_ws("\u0001", payload: _*))
+      val b = before.select(key.as("k"), dig.as("digest_b"))
+      val a = after.select(key.as("k"), dig.as("digest_a"))
+      b.join(a, Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("digest_b").isNull, "inserted")
+            .when(col("digest_a").isNull, "deleted")
+            .when(col("digest_a") =!= col("digest_b"), "updated")
+            .otherwise("unchanged").as("change"))
+    }
+
+    /** Referential-integrity audit: child rows whose foreign key matches no
+      * parent key (NULL foreign keys count as orphans — fail-closed, the
+      * same rows `NOT EXISTS` flags). The parent side reduces to its
+      * distinct keys before the anti-join, so the join's build side is
+      * key-cardinality and broadcastable for dimension-sized parents.
+      */
+    def orphans(
+        child: DataFrame, fk: Column,
+        parent: DataFrame, pk: Column, rule: String): DataFrame = {
+      val n = child.agg(count(lit(1)).as("n_checked"))
+      val v = child
+        .join(parent.select(pk.as("__pk")).distinct(),
+          fk === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      n.crossJoin(v)
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
     }
   }
 }

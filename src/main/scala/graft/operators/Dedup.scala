@@ -383,6 +383,50 @@ object Dedup extends QueryModule {
           FROM embeddings)
         SELECT sig, count(*) AS n_candidates, min(vec_id) AS keep_id
         FROM q GROUP BY sig HAVING count(*) >= 2
-        ORDER BY sig"""))
+        ORDER BY sig""")),
+
+    // Engine-portable MinHash+LSH — same banded shape as dedup_minhash but
+    // with a FULLY ORACLE-VERIFIED signature: shingle hash = first 60 bits
+    // of md5 mod 2^31−1, hash family = affine mod the same Mersenne prime
+    // (public LCG constants), band key = md5 of the band's two minima. The
+    // whole candidate-pair derivation hash-matches DuckDB bit-for-bit —
+    // the auditable-dedup variant an external system can replay. The
+    // oracle SQL is interpolated from the SAME constants the Spark side
+    // uses (api.Dedup.portableA/B/P), so the two can never drift.
+    Q(
+      "dedup_minhash_portable",
+      (s, dir) =>
+        graft.api.Dedup.minhashPortableCandidates(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+          .orderBy("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), col("n_shared_bands")),
+      oracle = Some {
+        val P = graft.api.Dedup.portableP
+        val mins = (0 until 8).map(i =>
+          s"min((${graft.api.Dedup.portableA(i)}*h+" +
+            s"${graft.api.Dedup.portableB(i)})%$P) AS m$i").mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR) AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(array_to_string(ws[i:i+2], ' ')),
+                   1, 15))::BIGINT % $P AS h
+          FROM w, unnest(generate_series(1, n - 2)) AS t(i)
+          WHERE n >= 3),
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        b AS ($bandRows)
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               count(*) AS n_shared_bands
+        FROM b a JOIN b b2
+          ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+        GROUP BY 1, 2 ORDER BY id_a, id_b"""
+      })
   )
 }

@@ -208,6 +208,46 @@ object Pipeline extends QueryModule {
         WHERE r.rn <= q.quota
         GROUP BY 1, 2, 3, 4 ORDER BY source""")),
 
+    // Temperature-scaled mixing (T=2 √-weighting — the standard
+    // multilingual rebalance): per-source weight ⌊1000·√n⌋, largest
+    // no-upsampling budget, quotas by integer division, selection by
+    // Knuth-hash order. The one √ is floor-quantized on a per-source
+    // COUNT before any further arithmetic, so the audit row set is
+    // engine-exact end to end.
+    Q(
+      "mix_temperature",
+      (s, dir) => {
+        val sel = graft.api.Pipeline.temperatureMixture(
+          Tables.documents(s, dir), col("source"), col("doc_id"))
+        sel.groupBy("source", "n_avail", "w", "quota")
+          .agg(count(lit(1)).as("n_selected"),
+            sum("id").as("id_checksum"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT source AS g, count(*) AS n_avail FROM documents GROUP BY 1),
+        w AS (
+          SELECT g, n_avail,
+                 CAST(floor(sqrt(n_avail) * 1000) AS BIGINT) AS w FROM c),
+        t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        b AS (SELECT min((n_avail * tw) // w) AS budget FROM w CROSS JOIN t),
+        q AS (
+          SELECT g, n_avail, w,
+                 ((SELECT budget FROM b) * w) // (SELECT tw FROM t) AS quota
+          FROM w),
+        r AS (
+          SELECT source AS g, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+          FROM documents)
+        SELECT q.g AS source, q.n_avail, q.w, q.quota,
+               count(*) AS n_selected,
+               CAST(sum(r.doc_id) AS BIGINT) AS id_checksum
+        FROM r JOIN q USING (g)
+        WHERE r.rn <= q.quota
+        GROUP BY 1, 2, 3, 4 ORDER BY source""")),
+
     // Concat-then-split packing: tokens of consecutive docs per source are
     // conceptually concatenated and cut at every 512-token boundary; each
     // doc's spanned bin range is closed-form over a running sum — the
@@ -243,9 +283,11 @@ object Pipeline extends QueryModule {
 
     // Next-fit packing (docs never split): the sequential per-group fold
     // runs inside flatMapGroups, sharded by id so no group exceeds a
-    // bounded size — the memory-safe ordered fold. No oracle (sequential
-    // state isn't SQL-expressible without recursion); the fill invariant
-    // is carried in-row and spec-asserted, and the driver checks rows.
+    // bounded size — the memory-safe ordered fold. The oracle REPLAYS the
+    // fold as a recursive CTE stepping row-rank by row-rank inside each
+    // (source, shard) partition — recursion depth = max rows per
+    // partition, fine at oracle scale; the Spark side stays the O(n)
+    // distributed fold.
     Q(
       "pack_sequences",
       (s, dir) =>
@@ -257,7 +299,32 @@ object Pipeline extends QueryModule {
           .select(col("id").as("doc_id"), col("group").as("source"),
             col("shard"), col("bin_id"), col("n_tokens"), col("fill_after"),
             (col("fill_after") <= 512 || col("n_tokens") > 512).as("fill_ok"))
-          .orderBy("doc_id")),
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+                 CAST(doc_id % 4 AS INT) AS shard
+          FROM documents),
+        n AS (
+          SELECT *, row_number() OVER (PARTITION BY source, shard
+                                       ORDER BY doc_id) AS rn
+          FROM t),
+        p AS (
+          SELECT doc_id, source, shard, rn, tc,
+                 CAST(0 AS BIGINT) AS bin_id, tc AS fill_after
+          FROM n WHERE rn = 1
+          UNION ALL
+          SELECT n.doc_id, n.source, n.shard, n.rn, n.tc,
+                 CASE WHEN p.fill_after + n.tc > 512
+                      THEN p.bin_id + 1 ELSE p.bin_id END,
+                 CASE WHEN p.fill_after + n.tc > 512
+                      THEN n.tc ELSE p.fill_after + n.tc END
+          FROM n JOIN p ON n.source = p.source AND n.shard = p.shard
+                       AND n.rn = p.rn + 1)
+        SELECT doc_id, source, shard, bin_id, tc AS n_tokens, fill_after,
+               (fill_after <= 512 OR tc > 512) AS fill_ok
+        FROM p ORDER BY doc_id""")),
 
     // Ordered funnel over the event stream: users reaching view → click
     // → purchase, each stage strictly after the user's earliest previous

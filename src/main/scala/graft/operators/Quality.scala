@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.Q — data-quality auditing: the validation pass an ingestion service
+  * runs before publishing a batch (the reference declares only its identity,
+  * reference README.md:1 — "data-ingestion-service" — and batch validation
+  * is core to that surface). Row-level expectations, key uniqueness, and
+  * referential integrity, each reported as (rule, n_checked, n_violations)
+  * so a publish gate is a plain filter over the audit output.
+  *
+  * Scale notes: `dq_expectations` evaluates ALL row rules in one scan and
+  * one one-row aggregate (R rules never cost R passes); uniqueness partial-
+  * aggregates per-key counts map-side; the FK orphan check anti-joins
+  * against the parent's distinct keys (broadcastable for dimension-sized
+  * parents). Every output is an integer count — engine-exact at any
+  * parallelism. Thresholds are deliberately tighter than the corpus so the
+  * audit has non-trivial findings (an all-zero audit verifies nothing —
+  * NOTES.md vacuous-demo lesson).
+  */
+object Quality extends QueryModule {
+
+  def all: Seq[Q] = Seq(
+    // Row-level expectations over lineitem, ONE scan for all four rules.
+    // Two rules genuinely fail on the corpus (quantity tail, discount
+    // tail) and two pass — the audit output is a real distribution probe.
+    Q(
+      "dq_expectations",
+      (s, dir) =>
+        graft.api.Quality.expectations(
+          Tables.lineitem(s, dir),
+          Seq(
+            "l_discount_max_5pct" -> (col("l_discount") <= lit(0.05)),
+            "l_extendedprice_positive" -> (col("l_extendedprice") > lit(0.0)),
+            "l_quantity_max_45" -> (col("l_quantity") <= lit(45.0)),
+            "l_shipdate_not_null" -> col("l_shipdate").isNotNull))
+          .orderBy("rule"),
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'l_discount_max_5pct' AS rule,
+                 (SELECT count(*) FROM lineitem) AS n_checked,
+                 (SELECT count(*) FROM lineitem
+                  WHERE NOT coalesce(l_discount <= CAST(0.05 AS DOUBLE),
+                                     FALSE)) AS n_violations
+          UNION ALL
+          SELECT 'l_extendedprice_positive',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem
+                  WHERE NOT coalesce(l_extendedprice > CAST(0 AS DOUBLE),
+                                     FALSE))
+          UNION ALL
+          SELECT 'l_quantity_max_45',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem
+                  WHERE NOT coalesce(l_quantity <= CAST(45 AS DOUBLE), FALSE))
+          UNION ALL
+          SELECT 'l_shipdate_not_null',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+        ) ORDER BY rule""")),
+
+    // Cross-table integrity: PK uniqueness (the corpus genuinely carries
+    // duplicate (l_orderkey, l_linenumber) pairs), FK orphans against
+    // orders (clean — a passing rule), and a row-level accepted-values +
+    // non-negative-balance audit on the dimension side.
+    Q(
+      "dq_integrity",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val ord = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        graft.api.Quality
+          .uniqueness(li, Seq(col("l_orderkey"), col("l_linenumber")),
+            "lineitem_pk_unique")
+          .unionAll(graft.api.Quality.orphans(
+            li, col("l_orderkey"), ord, col("o_orderkey"),
+            "lineitem_fk_orders"))
+          .unionAll(graft.api.Quality.expectations(ord,
+            Seq("orders_status_accepted" ->
+              col("o_orderstatus").isin("O", "F", "P"))))
+          .unionAll(graft.api.Quality.expectations(cust,
+            Seq("customer_acctbal_nonneg" -> (col("c_acctbal") >= lit(0.0)))))
+          .orderBy("rule")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'lineitem_pk_unique' AS rule,
+                 (SELECT count(*) FROM lineitem) AS n_checked,
+                 (SELECT count(*) FROM lineitem) -
+                 (SELECT count(*) FROM
+                   (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+                   AS n_violations
+          UNION ALL
+          SELECT 'lineitem_fk_orders',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey))
+          UNION ALL
+          SELECT 'orders_status_accepted',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM orders
+                  WHERE NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE))
+          UNION ALL
+          SELECT 'customer_acctbal_nonneg',
+                 (SELECT count(*) FROM customer),
+                 (SELECT count(*) FROM customer
+                  WHERE NOT coalesce(c_acctbal >= CAST(0 AS DOUBLE), FALSE))
+        ) ORDER BY rule""")),
+
+    // Snapshot CDC diff between two table versions (the audit that runs
+    // after every Layout.publish): v2 is a deterministic mutation of
+    // orders (keys %97 deleted, %13 status-updated, %101 re-inserted
+    // under new keys). Each side reduces to (key, md5(payload)) map-side
+    // — the full outer join shuffles 16-byte digests, never payloads —
+    // and md5 is engine-portable, so the oracle replays the exact
+    // classification. Payload restricted to int/string columns (float
+    // rendering is engine-specific; documented in api.Quality).
+    Q(
+      "cdc_snapshot_diff",
+      (s, dir) => {
+        val v1 = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 13 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .unionByName(v1.filter(col("o_orderkey") % 101 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_orderstatus"), col("o_orderpriority")))
+        graft.api.Quality.diffSnapshots(v1, v2, col("o_orderkey"),
+          Seq(col("o_custkey"), col("o_orderstatus"), col("o_orderpriority")))
+          .groupBy("change")
+          .agg(count(lit(1)).as("n_keys"), sum("k").as("key_checksum"))
+          .orderBy("change")
+      },
+      oracle = Some("""
+        WITH v1 AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+          FROM orders),
+        v2 AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                      ELSE o_orderstatus END AS o_orderstatus,
+                 o_orderpriority
+          FROM v1 WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                 o_orderpriority
+          FROM v1 WHERE o_orderkey % 101 = 0),
+        b AS (SELECT o_orderkey AS k,
+                     md5(concat_ws(chr(1), o_custkey, o_orderstatus,
+                                   o_orderpriority)) AS db FROM v1),
+        a AS (SELECT o_orderkey AS k,
+                     md5(concat_ws(chr(1), o_custkey, o_orderstatus,
+                                   o_orderpriority)) AS da FROM v2),
+        d AS (
+          SELECT coalesce(b.k, a.k) AS k,
+                 CASE WHEN b.k IS NULL THEN 'inserted'
+                      WHEN a.k IS NULL THEN 'deleted'
+                      WHEN da <> db THEN 'updated'
+                      ELSE 'unchanged' END AS change
+          FROM b FULL OUTER JOIN a ON b.k = a.k)
+        SELECT change, count(*) AS n_keys,
+               CAST(sum(k) AS BIGINT) AS key_checksum
+        FROM d GROUP BY change ORDER BY change"""))
+  )
+}

@@ -302,6 +302,39 @@ object Relational extends QueryModule {
                (SELECT count(*) FROM orders o
                 WHERE o.o_custkey = c.c_custkey) AS n_orders
         FROM customer c
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // WITH RECURSIVE through the SQL front door (Spark 4's UnionLoopExec):
+    // an org-chart reachability rollup over a synthetic supplier
+    // hierarchy (parent = key div 2, root = 1 — a binary tree, so depth
+    // is log-bounded and the loop terminates without a level cap). Each
+    // iteration is one join of the new frontier against supplier — the
+    // same O(edges)-per-round shape as api.Graph.bfs, but planned
+    // entirely by the engine from SQL text. DuckDB replays the identical
+    // recursion (// is its integer division).
+    Q(
+      "sql_recursive_cte",
+      (s, dir) => {
+        Tables.supplier(s, dir).createOrReplaceTempView("g_supplier")
+        s.sql("""
+          WITH RECURSIVE chain AS (
+            SELECT s_suppkey, 0 AS depth FROM g_supplier WHERE s_suppkey = 1
+            UNION ALL
+            SELECT s.s_suppkey, c.depth + 1
+            FROM g_supplier s JOIN chain c
+              ON s.s_suppkey DIV 2 = c.s_suppkey)
+          SELECT depth, count(*) AS n_nodes,
+                 sum(s_suppkey) AS key_checksum
+          FROM chain GROUP BY depth ORDER BY depth""")
+      },
+      oracle = Some("""
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey, 0 AS depth FROM supplier WHERE s_suppkey = 1
+          UNION ALL
+          SELECT s.s_suppkey, c.depth + 1
+          FROM supplier s JOIN chain c ON s.s_suppkey // 2 = c.s_suppkey)
+        SELECT depth, count(*) AS n_nodes,
+               CAST(sum(s_suppkey) AS BIGINT) AS key_checksum
+        FROM chain GROUP BY depth ORDER BY depth"""))
   )
 }

@@ -388,6 +388,94 @@ object Text extends QueryModule {
           WHERE c >= 5)
         SELECT w1, w2, c AS n_pair, round(pmi, 4) AS pmi
         FROM j
-        ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 15"""))
+        ORDER BY round(pmi, 6) DESC, w1, w2 LIMIT 15""")),
+
+    // Gopher-style quality rules (Rae et al. 2021 §A.1.1, public),
+    // re-expressed as exact integer comparisons (cross-multiplied ratios)
+    // so pass/fail can never flip across engines. Audited per source:
+    // every rule is non-degenerate on the corpus (thresholds tuned to its
+    // quantiles). Map-side-only per-row math; the only shuffle is the
+    // 5-row source aggregate.
+    Q(
+      "text_gopher_quality",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.api.Text.gopherQuality(docs, col("doc_id"), col("text"))
+          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pass_words"), 1L).otherwise(0L)).as("p_words"),
+            sum(when(col("pass_wordlen"), 1L).otherwise(0L)).as("p_wordlen"),
+            sum(when(col("pass_stop"), 1L).otherwise(0L)).as("p_stop"),
+            sum(when(col("pass_dup"), 1L).otherwise(0L)).as("p_dup"),
+            sum(when(col("pass_all"), 1L).otherwise(0L)).as("p_all"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                 CAST(length(replace(text, ' ', '')) AS BIGINT) AS sumlen
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, n,
+                 n BETWEEN 30 AND 80 AS pw,
+                 sumlen * 100 BETWEEN n * 430 AND n * 470 AS pl,
+                 CAST(len(list_filter(ws, x -> x IN
+                   ('the','a','of','to','and','in','is'))) AS BIGINT) * 20
+                   >= n AS ps,
+                 n < 2 OR
+                 (n - 1 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, CAST(n AS INT) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1]))) AS BIGINT)) * 20
+                   <= n - 1 AS pd
+          FROM w)
+        SELECT source, count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE pw) AS BIGINT) AS p_words,
+               CAST(count(*) FILTER (WHERE pl) AS BIGINT) AS p_wordlen,
+               CAST(count(*) FILTER (WHERE ps) AS BIGINT) AS p_stop,
+               CAST(count(*) FILTER (WHERE pd) AS BIGINT) AS p_dup,
+               CAST(count(*) FILTER (WHERE pw AND pl AND ps AND pd)
+                 AS BIGINT) AS p_all
+        FROM r GROUP BY source ORDER BY source""")),
+
+    // C4-style cross-document segment dedup audit: 10-word segments,
+    // boilerplate = segment text present in >= 2 distinct docs. The global
+    // segment table groups on md5(segment) — a 16-byte engine-portable
+    // digest shuffle key — so the shuffle carries digests and counts,
+    // never segment text. Output restricted to docs that DO carry
+    // boilerplate (non-trivial rows only), ordered by id.
+    Q(
+      "text_segment_dedup",
+      (s, dir) =>
+        graft.api.Text.segmentDedup(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          segWords = 10, minDocs = 2)
+          .filter(col("n_boiler") > 0)
+          .select(col("id").as("doc_id"), col("n_segments"),
+            col("n_boiler"), col("n_tokens"), col("n_tokens_retained"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                   ws[CAST((i - 1) * 10 + 1 AS INT) : CAST(i * 10 AS INT)],
+                   ' ')) AS k,
+                 least(CAST(10 AS BIGINT), n - (i - 1) * 10) AS seg_len
+          FROM w, unnest(generate_series(1, (n + 9) // 10)) AS t(i)),
+        g AS (SELECT k, count(DISTINCT doc_id) AS nd FROM s GROUP BY k)
+        SELECT doc_id, count(*) AS n_segments,
+               CAST(count(*) FILTER (WHERE nd >= 2) AS BIGINT) AS n_boiler,
+               CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(seg_len) FILTER (WHERE nd < 2), 0)
+                 AS BIGINT) AS n_tokens_retained
+        FROM s JOIN g USING (k)
+        GROUP BY doc_id
+        HAVING count(*) FILTER (WHERE nd >= 2) > 0
+        ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 additions: data-quality auditing, Gopher quality rules,
+  * C4 segment dedup, engine-portable MinHash, temperature mixing, and the
+  * recursive-CTE-oracle packing invariants. Every assertion targets
+  * structurally NON-trivial output (NOTES.md vacuous-demo lesson): the
+  * corpus genuinely violates some rules and passes others, and the specs
+  * pin both sides.
+  */
+class QualitySpec extends AnyFunSuite with SparkFixture {
+
+  test("dq_expectations: tight rules find violations, clean rules find none") {
+    val rows = SparkEntry.queries("dq_expectations")(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = rows("l_shipdate_not_null")._1
+    assert(n == 60000L)
+    assert(rows.values.forall(_._1 == n), "one scan, one total per rule")
+    // The corpus genuinely violates the tightened thresholds...
+    assert(rows("l_discount_max_5pct")._2 > 0)
+    assert(rows("l_quantity_max_45")._2 > 0)
+    // ...and genuinely satisfies the structural ones.
+    assert(rows("l_shipdate_not_null")._2 == 0)
+    assert(rows("l_extendedprice_positive")._2 == 0)
+  }
+
+  test("dq_expectations evaluates all rules in a single scan of the input") {
+    val df = graft.api.Quality.expectations(
+      Tables.lineitem(spark, sf0001),
+      Seq("a" -> (col("l_quantity") > 0), "b" -> col("l_shipdate").isNotNull))
+    val scans = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+  }
+
+  test("dq_expectations null semantics are fail-closed") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 5L), (2L, null), (3L, -1L)).toDF("id", "v")
+    val got = graft.api.Quality.expectations(df,
+      Seq("v_positive" -> (col("v") > 0))).collect()(0)
+    assert(got.getLong(1) == 3L) // checked
+    assert(got.getLong(2) == 2L) // null AND negative both violate
+  }
+
+  test("dq_integrity: the corpus carries real PK duplicates, zero orphans") {
+    val rows = SparkEntry.queries("dq_integrity")(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("lineitem_pk_unique")._2 == 14168L) // measured defect mass
+    assert(rows("lineitem_fk_orders")._2 == 0L)
+    assert(rows("orders_status_accepted")._2 == 0L)
+    assert(rows("customer_acctbal_nonneg")._2 == 122L)
+  }
+
+  test("text_gopher_quality: every rule is non-degenerate on the corpus") {
+    val rows = SparkEntry.queries("text_gopher_quality")(spark, sf001)
+      .collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == 500L)
+    for (rule <- Seq("p_words", "p_wordlen", "p_stop", "p_dup", "p_all")) {
+      val pass = rows.map(_.getAs[Long](rule)).sum
+      assert(pass > 0 && pass < nDocs,
+        s"$rule is degenerate: $pass of $nDocs pass")
+    }
+  }
+
+  test("gopherQuality integer ratio bounds match their float definitions") {
+    val sp = spark
+    import sp.implicits._
+    // mean word length 4.5 (in [4.3, 4.7]), stop ratio 1/9 >= 1/20,
+    // 8 bigrams, 1 duplicate ('a b' twice) -> dup fraction 1/8 > 1/20.
+    val doc = Seq((1L, "a b longword a b cc dd ee ff")).toDF("id", "text")
+    val r = graft.api.Text.gopherQuality(doc, col("id"), col("text"),
+      minWords = 2, maxWords = 20).collect()(0)
+    assert(r.getAs[Long]("n_words") == 9L)
+    assert(r.getAs[Boolean]("pass_words"))
+    // 21 chars / 9 words = 2.33 -> outside [4.3, 4.7]
+    assert(!r.getAs[Boolean]("pass_wordlen"))
+    assert(r.getAs[Boolean]("pass_stop")) // 'a' twice: 2*20 >= 9
+    assert(!r.getAs[Boolean]("pass_dup")) // (8-7)*20 > 8
+    assert(!r.getAs[Boolean]("pass_all"))
+  }
+
+  test("text_segment_dedup: token accounting is internally consistent") {
+    val rows = SparkEntry.queries("text_segment_dedup")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSeg, nBoil) = (r.getAs[Long]("n_segments"), r.getAs[Long]("n_boiler"))
+      val (nTok, nKeep) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_tokens_retained"))
+      assert(nBoil >= 1 && nBoil <= nSeg, r.toString) // output is filtered
+      assert(nKeep < nTok, r.toString) // boilerplate removal really removed
+      // retained >= tokens - 10*boiler (each segment is <= 10 words)
+      assert(nKeep >= nTok - 10 * nBoil, r.toString)
+    }
+  }
+
+  test("segmentDedup covers every token exactly once") {
+    val docs = Tables.documents(spark, sf0001)
+    val audit = graft.api.Text.segmentDedup(
+      docs, col("doc_id"), col("text"))
+    val mismatch = audit
+      .join(docs.select(col("doc_id").as("id"),
+        size(split(col("text"), " ")).cast("long").as("true_tokens")), "id")
+      .filter(col("n_tokens") =!= col("true_tokens"))
+      .count()
+    assert(mismatch == 0, "segment lengths must sum to the doc token count")
+  }
+
+  test("dedup_minhash_portable finds every planted near-duplicate pair") {
+    // Same perturbation as dedup_minhash's planted set: drop the first
+    // word of docs 0..9. All intermediates are deterministic (md5 + fixed
+    // affine constants), so detection is stable, not probabilistic.
+    val base = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val planted = base.unionByName(
+      base.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val got = graft.api.Dedup.minhashPortableCandidates(
+      planted, col("doc_id"), col("text"))
+      .filter(col("id_b") === col("id_a") + 1000000L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 10L).foreach { id =>
+      assert(got.contains(id), s"planted pair $id not detected")
+      assert(got(id) >= 3L, s"pair $id shares only ${got(id)} bands")
+    }
+  }
+
+  test("dedup_minhash_portable output is well-formed and non-trivial") {
+    val rows = SparkEntry.queries("dedup_minhash_portable")(spark, sf001)
+      .collect()
+    assert(rows.length == 30) // genuine near-dups in the sf0.01 corpus
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val nb = r.getLong(2)
+      assert(nb >= 1 && nb <= 4)
+    }
+  }
+
+  test("mix_temperature: sqrt weighting flattens the mixture vs proportional") {
+    val rows = SparkEntry.queries("mix_temperature")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_avail"),
+        r.getAs[Long]("quota"), r.getAs[Long]("n_selected")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nAvail, quota, nSel) =>
+      assert(quota <= nAvail, "no source is upsampled")
+      assert(nSel == quota, "every quota is filled exactly")
+    }
+    // The corpus sources are equal-sized, so their quotas must be equal
+    // (a fairness check in itself).
+    assert(rows.map(_._3).distinct.length == 1)
+  }
+
+  test("temperatureMixture flattens unequal sources toward the small one") {
+    val sp = spark
+    import sp.implicits._
+    // 100 vs 25 docs: w = (10000, 5000), budget = min(150, 75) = 75,
+    // quotas = (50, 25) — the small source keeps 100% of itself, the
+    // large one 50%. Proportional sampling would keep equal fractions.
+    val docs = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 125L).map(i => (i, "small"))).toDF("id", "src")
+    val sel = graft.api.Pipeline.temperatureMixture(
+      docs, col("src"), col("id"))
+    val quotas = sel.groupBy("source")
+      .agg(max("quota").as("q"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(quotas("big") == (50L, 50L))
+    assert(quotas("small") == (25L, 25L))
+  }
+
+  test("cdc_snapshot_diff classifies all four change types, partitioned exactly") {
+    val rows = SparkEntry.queries("cdc_snapshot_diff")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet ==
+      Set("inserted", "deleted", "updated", "unchanged"))
+    val ord = Tables.orders(spark, sf001)
+    val nOrders = ord.count()
+    // v1 keys partition into deleted + updated + unchanged; inserted is
+    // the %101 re-keyed set minus nothing (fresh keys).
+    assert(rows("deleted") + rows("updated") + rows("unchanged") == nOrders)
+    assert(rows("inserted") ==
+      ord.filter(col("o_orderkey") % 101 === 0).count())
+    assert(rows("deleted") ==
+      ord.filter(col("o_orderkey") % 97 === 0).count())
+    // Updated = %13 rows that were NOT deleted.
+    assert(rows("updated") ==
+      ord.filter(col("o_orderkey") % 13 === 0 &&
+        col("o_orderkey") % 97 =!= 0).count())
+  }
+
+  test("diffSnapshots round-trips: diffing a table against itself is all-unchanged") {
+    val v = Tables.orders(spark, sf0001)
+    val d = graft.api.Quality.diffSnapshots(v, v, col("o_orderkey"),
+      Seq(col("o_custkey"), col("o_orderstatus")))
+    assert(d.filter(col("change") =!= "unchanged").count() == 0)
+    assert(d.count() == v.count())
+  }
+
+  test("sql_recursive_cte: binary-tree depths double until the key space ends") {
+    val rows = SparkEntry.queries("sql_recursive_cte")(spark, sf001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // Depths 0..5 are full binary-tree levels (1,2,4,8,16,32) over
+    // suppkeys 1..99; the last level is the truncated remainder.
+    (0 to 5).foreach(d => assert(rows(d) == (1L << d), s"depth $d"))
+    assert(rows.values.sum == 99L) // every suppkey 1..99 reached once
+  }
+
+  test("pack_sequences fill invariant holds (the recursive oracle's claim)") {
+    val rows = SparkEntry.queries("pack_sequences")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("fill_ok"), r.toString)
+      assert(r.getAs[Long]("fill_after") >= r.getAs[Long]("n_tokens"))
+    }
+  }
+}
