@@ -247,6 +247,73 @@ object Streaming extends QueryModule {
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Per-micro-batch data-quality gate in the ingest path — the
+    // validation pass an ingestion service runs on EVERY arriving batch:
+    // inside foreachBatch each micro-batch is audited in one scan
+    // (api.Quality.expectations), the audit rows append to a parquet
+    // audit log tagged with the batch id, and rows failing the divert
+    // rule (event_type = 'error', 2014 real rows in the corpus at
+    // sf0.01) quarantine to a separate sink while the rest flow on —
+    // bad records never block the pipeline (batch-level record safety,
+    // complementing scan_csv_corrupt's parse-level safety). Row-level
+    // rules are slicing-invariant, so the per-rule SUM over the batch
+    // audit must equal the whole-table audit: the oracle proves every
+    // row was audited exactly once across micro-batches. n_batches
+    // counts only non-empty batches (a finalizing empty batch would
+    // audit 0 rows and must not change the result).
+    Q(
+      "stream_quality_gate",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_quality_gate")
+        val root = Paths.get(ckpt).getParent.toString
+        val audit = s"$root/audit"
+        val good = s"$root/good"
+        val quarantine = s"$root/quarantine"
+        val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "type_not_error" -> (col("event_type") =!= "error"),
+          "user_present" -> col("user_id").isNotNull,
+          "value_max_100" -> (col("value") <= lit(100.0)))
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            graft.api.Quality.expectations(batch, rules)
+              .withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(audit)
+            batch.filter(col("event_type") =!= "error")
+              .write.mode("append").parquet(good)
+            batch.filter(col("event_type") === "error")
+              .write.mode("append").parquet(quarantine)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start() }
+        s.read.parquet(audit)
+          .groupBy("rule")
+          .agg(
+            countDistinct(when(col("n_checked") > 0, col("batch_id")))
+              .as("n_batches"),
+            sum("n_checked").as("n_checked"),
+            sum("n_violations").as("n_violations"))
+          .orderBy("rule")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'type_not_error' AS rule, CAST(3 AS BIGINT) AS n_batches,
+                 (SELECT count(*) FROM events) AS n_checked,
+                 (SELECT count(*) FROM events
+                  WHERE NOT coalesce(event_type <> 'error', FALSE))
+                   AS n_violations
+          UNION ALL
+          SELECT 'user_present', CAST(3 AS BIGINT),
+                 (SELECT count(*) FROM events),
+                 (SELECT count(*) FROM events WHERE user_id IS NULL)
+          UNION ALL
+          SELECT 'value_max_100', CAST(3 AS BIGINT),
+                 (SELECT count(*) FROM events),
+                 (SELECT count(*) FROM events
+                  WHERE NOT coalesce(value <= CAST(100 AS DOUBLE), FALSE))
+        ) ORDER BY rule""")),
+
     // Watermark LATE-DATA DROP — the semantics the in-order
     // stream_watermark_agg never exercises. Two RUNS against one
     // checkpoint: run 1 ingests days 1-10 and 21-30 (watermark advances

@@ -213,6 +213,25 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(rows.values.sum == 99L) // every suppkey 1..99 reached once
   }
 
+  test("stream_quality_gate audits every row exactly once across batches") {
+    val rows = SparkEntry.queries("stream_quality_gate")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf0001)
+    val total = ev.count()
+    val errors = ev.filter(col("event_type") === "error").count()
+    assert(rows.keySet ==
+      Set("type_not_error", "user_present", "value_max_100"))
+    rows.values.foreach { case (nBatches, nChecked, _) =>
+      assert(nBatches == 3L, "one audit row per micro-batch per rule")
+      assert(nChecked == total, "summed batch audits cover the whole table")
+    }
+    assert(rows("type_not_error")._3 == errors)
+    assert(errors > 0, "the divert rule must have real traffic")
+    assert(rows("user_present")._3 == 0L)
+  }
+
   test("pack_sequences fill invariant holds (the recursive oracle's claim)") {
     val rows = SparkEntry.queries("pack_sequences")(spark, sf0001).collect()
     assert(rows.nonEmpty)
