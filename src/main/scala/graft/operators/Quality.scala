@@ -165,6 +165,99 @@ object Quality extends QueryModule {
           FROM b FULL OUTER JOIN a ON b.k = a.k)
         SELECT change, count(*) AS n_keys,
                CAST(sum(k) AS BIGINT) AS key_checksum
-        FROM d GROUP BY change ORDER BY change"""))
+        FROM d GROUP BY change ORDER BY change""")),
+
+    // Volume-drift monitor — the per-partition observability check an
+    // ingestion pipeline runs after each day lands: daily event counts
+    // vs the trailing-7-day mean, flagged at ±5%. The ratio test is
+    // cross-multiplied to integers (20·n·n_prev vs 19·/21·sum_prev), so
+    // flags can never flip across engines; the trailing window is a
+    // cumulative-style ROWS frame over one tiny per-day aggregate (30
+    // rows here; one row per partition-day at any scale — the monitor's
+    // cost is independent of corpus size once the daily counts exist).
+    // 6 low + 3 high flags fire on the corpus — non-degenerate.
+    Q(
+      "dq_volume_drift",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(-7, -1)
+        Tables.events(s, dir)
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+          .groupBy("day").agg(count(lit(1)).as("n"))
+          .withColumn("sum_prev", coalesce(sum("n").over(w), lit(0L)))
+          .withColumn("n_prev", count(lit(1)).over(w))
+          .select(col("day"), col("n"), col("n_prev"), col("sum_prev"),
+            (col("n_prev") > 0 &&
+              col("n") * col("n_prev") * 20 < col("sum_prev") * 19)
+              .as("below_band"),
+            (col("n_prev") > 0 &&
+              col("n") * col("n_prev") * 20 > col("sum_prev") * 21)
+              .as("above_band"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1),
+        w AS (
+          SELECT day, n,
+                 CAST(coalesce(sum(n) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS sum_prev,
+                 count(n) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prev
+          FROM d)
+        SELECT day, n, n_prev, sum_prev,
+               (n_prev > 0 AND n * n_prev * 20 < sum_prev * 19)
+                 AS below_band,
+               (n_prev > 0 AND n * n_prev * 20 > sum_prev * 21)
+                 AS above_band
+        FROM w ORDER BY day""")),
+
+    // Incremental rollup maintenance — merge-partial-aggregates, the
+    // pattern that keeps a running rollup current without recomputing
+    // history: a state aggregate over days < 19749 and a delta aggregate
+    // over the newly-landed days merge by union + re-aggregation, and
+    // the merged rollup must equal the full recompute (the oracle runs
+    // the full recompute). Sums are exact decimal so merge order cannot
+    // perturb a digit; at scale state is a stored table and only the
+    // delta scans new data.
+    Q(
+      "agg_incremental_merge",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+          .withColumn("v", col("value").cast("decimal(12,2)"))
+        def part(pred: org.apache.spark.sql.Column) =
+          ev.filter(pred).groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        val state = part(col("day") < 19749)
+        val delta = part(col("day") >= 19749)
+        state.unionByName(delta)
+          .groupBy("event_type")
+          .agg(sum("n").as("n_events"),
+            round(sum("s"), 4).cast("double").as("sum_value"))
+          .join(state.select(col("event_type"), col("n").as("n_state")),
+            Seq("event_type"), "left")
+          .join(delta.select(col("event_type"), col("n").as("n_delta")),
+            Seq("event_type"), "left")
+          .select(col("event_type"), col("n_events"),
+            coalesce(col("n_state"), lit(0L)).as("n_state"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+            col("sum_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n_events,
+               CAST(count(*) FILTER (WHERE
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 < 19749)
+                 AS BIGINT) AS n_state,
+               CAST(count(*) FILTER (WHERE
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 >= 19749)
+                 AS BIGINT) AS n_delta,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+                 AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -232,6 +232,31 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(rows("user_present")._3 == 0L)
   }
 
+  test("dq_volume_drift: the ±5% band fires on real daily noise, both sides") {
+    val rows = SparkEntry.queries("dq_volume_drift")(spark, sf001).collect()
+    assert(rows.length == 30)
+    val lo = rows.count(_.getAs[Boolean]("below_band"))
+    val hi = rows.count(_.getAs[Boolean]("above_band"))
+    assert(lo == 6 && hi == 3, s"got $lo low / $hi high")
+    // The first day has no trailing window and must never flag.
+    val first = rows.minBy(_.getAs[Long]("day"))
+    assert(first.getAs[Long]("n_prev") == 0L)
+    assert(!first.getAs[Boolean]("below_band"))
+    assert(!first.getAs[Boolean]("above_band"))
+  }
+
+  test("agg_incremental_merge: state + delta partials cover every row once") {
+    val rows = SparkEntry.queries("agg_incremental_merge")(spark, sf001)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, s, d) = (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_state"), r.getAs[Long]("n_delta"))
+      assert(s + d == n, r.toString)
+      assert(s > 0 && d > 0, "the cutoff must split every group")
+    }
+  }
+
   test("pack_sequences fill invariant holds (the recursive oracle's claim)") {
     val rows = SparkEntry.queries("pack_sequences")(spark, sf0001).collect()
     assert(rows.nonEmpty)
