@@ -182,6 +182,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"second pass must read the cache:\n$p")
   }
 
+  test("dedup_minhash_portable pairs via band equi-join, never all-pairs") {
+    val p = plan("dedup_minhash_portable")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the LSH band join must be an equi-join:\n$p")
+    assert(p.contains("md5"), "portable signature must hash with md5")
+  }
+
+  test("cdc_snapshot_diff joins 16-byte digests, not payloads") {
+    val p = plan("cdc_snapshot_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("md5"), "payload must reduce to a digest pre-join")
+    assert(p.contains("FullOuter"), "the diff is a full outer join on key")
+    // The payload columns must be digested BELOW the join: no payload
+    // column name may appear in the join node itself.
+    val joinLine = p.linesIterator
+      .find(_.contains("FullOuter")).getOrElse("")
+    assert(!joinLine.contains("o_orderstatus"),
+      s"payload column leaked into the join: $joinLine")
+  }
+
+  test("mix_temperature broadcasts the source-cardinality quota table") {
+    assert(plan("mix_temperature").contains("BroadcastHashJoin"))
+  }
+
   test("expr_custom stays inside whole-stage codegen") {
     // AQE only materializes WholeStageCodegen spans in the final plan.
     val df = SparkEntry.queries("expr_custom")(spark, sf0001)

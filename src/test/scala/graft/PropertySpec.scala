@@ -116,4 +116,80 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("expectations: violations + satisfactions = checked, per rule") {
+    import sp.implicits._
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(-10L, 10L), Gen.option(Gen.choose(-5L, 5L))))
+    samples(gen, 5).foreach { xs =>
+      val df = xs.toDF("a", "b")
+      val rules = Seq(
+        "a_pos" -> (col("a") > 0),
+        "b_small" -> (col("b") <= 2)) // null b -> violation (fail-closed)
+      val got = graft.api.Quality.expectations(df, rules)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val aViol = xs.count(_._1 <= 0).toLong
+      val bViol = xs.count(x => x._2.forall(_ > 2)).toLong // None violates
+      assert(got("a_pos") == (xs.size.toLong, aViol))
+      assert(got("b_small") == (xs.size.toLong, bViol))
+    }
+  }
+
+  test("diffSnapshots partitions keyspace; diff(a,a) is unchanged; " +
+    "diff(a,b) mirrors diff(b,a)") {
+    import sp.implicits._
+    val gen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 15L), Gen.oneOf("x", "y", "z")))
+    samples(Gen.zip(gen, gen), 5).foreach { case (xs, ys) =>
+      // Last-wins dedup to honest keyed tables.
+      val a = xs.toMap.toSeq.toDF("k0", "v")
+      val b = ys.toMap.toSeq.toDF("k0", "v")
+      val ab = graft.api.Quality
+        .diffSnapshots(a, b, col("k0"), Seq(col("v")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ba = graft.api.Quality
+        .diffSnapshots(b, a, col("k0"), Seq(col("v")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val keys = xs.map(_._1).toSet ++ ys.map(_._1).toSet
+      assert(ab.keySet == keys, "every key classified exactly once")
+      // Mirror symmetry: inserted <-> deleted, updated/unchanged fixed.
+      keys.foreach { k =>
+        val mirrored = ab(k) match {
+          case "inserted" => "deleted"
+          case "deleted" => "inserted"
+          case other => other
+        }
+        assert(ba(k) == mirrored, s"key $k: ${ab(k)} vs ${ba(k)}")
+      }
+      val self = graft.api.Quality
+        .diffSnapshots(a, a, col("k0"), Seq(col("v")))
+      assert(self.filter(col("change") =!= "unchanged").count() == 0)
+    }
+  }
+
+  test("temperatureMixture never upsamples and fills every quota") {
+    import sp.implicits._
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.oneOf("s0", "s1", "s2")))
+    samples(gen, 5).foreach { xs =>
+      val df = xs.toMap.toSeq.toDF("id0", "src") // unique ids
+      val sel = graft.api.Pipeline.temperatureMixture(
+        df, col("src"), col("id0"))
+      val per = sel.groupBy("source")
+        .agg(count(lit(1)).as("n"), max("quota").as("q"),
+          max("n_avail").as("avail"))
+        .collect()
+      per.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2), "quota filled exactly")
+        assert(r.getLong(2) <= r.getLong(3), "never upsampled")
+      }
+      // Selection is deterministic: running it again yields the same ids.
+      val ids1 = sel.select("id").collect().map(_.getLong(0)).sorted
+      val ids2 = graft.api.Pipeline.temperatureMixture(
+        df, col("src"), col("id0"))
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(ids1.sameElements(ids2))
+    }
+  }
 }
