@@ -167,6 +167,53 @@ package object api {
         .agg(count(lit(1)).as("n_shared_bands"))
     }
 
+    /** Duplicated-passage profile — exact repeated k-word span detection
+      * across documents via a gram inverted index (the scalable stand-in
+      * for suffix-array substring dedup à la Lee et al., "Deduplicating
+      * Training Data Makes Language Models Better"): every k-word sliding
+      * window hashes to the first 60 bits of its md5 (engine-portable, same
+      * trick as [[minhashPortableCandidates]]), the inverted index keeps
+      * hashes seen in ≥ 2 distinct docs, and each doc reports how many of
+      * its windows are duplicated elsewhere. Text leaves the pipeline at
+      * the md5 — both shuffles (per-doc gram counts, gram→doc-frequency)
+      * carry an 8-byte hash, never the window string, so the shuffle
+      * volume is O(total windows · 8 B) at any corpus size. 60-bit-prefix
+      * collisions (~n²/2⁶¹) are accepted and documented, exactly as in the
+      * portable MinHash.
+      *
+      * Output: (id, n_windows, n_dup_windows) for every doc with at least
+      * one full window; docs with no duplicated span report 0.
+      */
+    def duplicateSpanProfile(
+        df: DataFrame, id: Column, text: Column,
+        spanWords: Int = 5): DataFrame = {
+      require(spanWords >= 1, "spanWords must be positive")
+      val base = df.select(id.as("id"), split(text, " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") >= spanWords)
+      val grams = base
+        .select(col("id"), explode(
+          transform(sequence(lit(1), col("n") - (spanWords - 1)),
+            i => array_join(slice(col("ws"), i, lit(spanWords)), " ")))
+          .as("gram"))
+        .select(col("id"),
+          conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+      // Per-(doc, gram) counts partial-aggregate map-side; the inverted
+      // index then works on doc-distinct gram rows, not raw occurrences.
+      val perDoc = grams.groupBy("id", "h").agg(count(lit(1)).as("c"))
+      val shared = perDoc.groupBy("h")
+        .agg(count(lit(1)).as("nd"))        // rows are doc-distinct already
+        .filter(col("nd") >= 2)
+        .select("h")
+      val totals = perDoc.groupBy("id").agg(sum("c").as("n_windows"))
+      val dups = perDoc.join(shared, Seq("h"), "left_semi")
+        .groupBy("id").agg(sum("c").as("n_dup"))
+      totals.join(dups, Seq("id"), "left")
+        .select(col("id"), col("n_windows"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"))
+    }
+
     /** 64-bit SimHash signatures: sign-aggregated token-hash bits weighted
       * by token frequency. Output: (id, simhash).
       */
@@ -1062,6 +1109,82 @@ package object api {
         }
         .toDF("id", "width", "height", "n_pixels", "sum_red", "mean_px")
     }
+
+    /** 56-bit difference hash (dHash) over a decoded 24-bpp BMP column —
+      * the classic perceptual image fingerprint: nearest-neighbor-sample
+      * the image to a (gridW × gridH) luma grid and set one bit per
+      * horizontal gradient (left < right). Integer BT.601 luma
+      * ((299·R + 587·G + 114·B) / 1000) keeps the whole computation
+      * integer-exact, so the hash is bit-reproducible on any engine that
+      * can replay the sampling arithmetic. The default 9×7 grid yields
+      * 8·7 = 56 bits — always a non-negative BIGINT, no sign-bit trap.
+      * Undecodable payloads are dropped (same Try contract as
+      * [[bmpStats]]). Output: (id, dhash).
+      */
+    def dHashes(
+        df: DataFrame, id: Column, payload: Column,
+        gridW: Int = 9, gridH: Int = 7): DataFrame = {
+      require((gridW - 1) * gridH <= 63, "grid too large for one BIGINT")
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val bmp = graft.functions.Codecs.decodeBmp(bytes)
+              def luma(gx: Int, gy: Int): Int = {
+                val sx = gx * bmp.width / gridW
+                val sy = gy * bmp.height / gridH
+                val (b, g, r) = bmp.pixels(sy)(sx)
+                (r * 299 + g * 587 + b * 114) / 1000
+              }
+              var hash = 0L
+              var gy = 0
+              while (gy < gridH) {
+                var gx = 0
+                while (gx < gridW - 1) {
+                  if (luma(gx + 1, gy) > luma(gx, gy))
+                    hash |= 1L << (gy * (gridW - 1) + gx)
+                  gx += 1
+                }
+                gy += 1
+              }
+              (i, hash)
+            }.toOption
+          }
+        }
+        .toDF("id", "dhash")
+    }
+
+    /** Near-duplicate image pairs from dHash signatures via multi-index
+      * hashing (Norouzi et al.): split the 56-bit hash into 7 one-byte
+      * bands and equi-join on (band, byte). By pigeonhole, two hashes
+      * within Hamming distance ≤ 6 differ in at most 6 bands, so at least
+      * one band matches — zero false negatives at the default radius, and
+      * the join is a plain shuffle on a 2-byte key instead of an all-pairs
+      * comparison (candidate volume is governed by per-band byte
+      * collisions, the standard MIH trade-off). Candidates then filter on
+      * the exact popcount distance. Output: (id_a, id_b, hamming) with
+      * id_a < id_b, one row per pair.
+      */
+    def dhashNearPairs(sigs: DataFrame, maxDist: Int = 6): DataFrame = {
+      val bands = 7
+      require(maxDist < bands, "pigeonhole needs maxDist < band count")
+      val banded = sigs
+        .select(col("id"), col("dhash"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("bval", expr("shiftright(dhash, band * 8)") % 256)
+      val a = banded.select(col("id").as("id_a"), col("dhash").as("ha"),
+        col("band"), col("bval"))
+      val b = banded.select(col("id").as("id_b"), col("dhash").as("hb"),
+        col("band"), col("bval"))
+      a.join(b, Seq("band", "bval"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .distinct()                    // one row per pair, not per shared band
+        .filter(col("hamming") <= maxDist)
+    }
   }
 
   /** Text analysis primitives. */
@@ -1708,6 +1831,35 @@ package object api {
         lit(0L),
         (acc, c) => (acc * 31 + c) % 1000000007L)
 
+    /** BPE merge-candidate statistics — the counting step of one
+      * byte-pair-encoding training iteration (Sennrich et al.): tokenize,
+      * reduce to per-word frequencies, then count adjacent character
+      * pairs weighted by word frequency and rank the top candidates. The
+      * corpus collapses to its vocabulary BEFORE pair expansion (one
+      * shuffle on the word; pair expansion runs over vocab-cardinality
+      * rows), so the pair count costs O(|vocab| · word length), not
+      * O(corpus tokens) — the shape that makes tokenizer training on
+      * 100 TB feasible. Ranking ties break on the pair string, so the
+      * ladder is deterministic. Output: (rank, pair, n).
+      */
+    def bpePairStats(df: DataFrame, text: Column, topK: Int = 20): DataFrame = {
+      require(topK >= 1)
+      val wf = df.select(explode(split(text, " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val pairs = wf
+        .select(col("c"), explode(
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("c").as("n"))
+      // Global window over pair-cardinality rows (≤ alphabet², tiny), not
+      // the corpus — the single partition is by construction bounded.
+      val w = Window.orderBy(col("n").desc, col("pair"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("rank"), col("pair"), col("n"))
+    }
+
     /** Unigram-LM perplexity per document — the classic corpus-quality
       * signal (low = boilerplate/common tokens, high = rare-token noise).
       * The LM is the corpus itself (every token is in-vocabulary, no
@@ -1983,6 +2135,39 @@ package object api {
             .when(col("digest_a").isNull, "deleted")
             .when(col("digest_a") =!= col("digest_b"), "updated")
             .otherwise("unchanged").as("change"))
+    }
+
+    /** k-anonymity audit over a set of quasi-identifier columns — the
+      * re-identification-risk check a training-data release runs before
+      * publishing records about people: rows grouped by the
+      * quasi-identifiers form equivalence classes, and a class smaller
+      * than k means its members are re-identifiable within a k-sized
+      * crowd (Sweeney, 2002). One row per requested k reports how many
+      * classes fall below it and how many rows those classes expose. One
+      * shuffle on the quasi-identifier tuple builds the class-size table
+      * (partial-aggregated map-side); every threshold then evaluates in
+      * a single one-row aggregate over class-cardinality rows, so adding
+      * thresholds is free. All outputs are exact integers. Output:
+      * (k, n_classes, n_classes_below, n_rows_at_risk), one row per k.
+      */
+    def kAnonymity(
+        df: DataFrame, quasi: Seq[Column], ks: Seq[Int]): DataFrame = {
+      require(quasi.nonEmpty, "at least one quasi-identifier required")
+      require(ks.nonEmpty && ks.forall(_ >= 1), "thresholds must be >= 1")
+      val classes = df.groupBy(quasi: _*).agg(count(lit(1)).as("__c"))
+      val aggs = ks.flatMap { k =>
+        Seq(
+          sum(when(col("__c") < k, 1L).otherwise(0L)).as(s"__cb_$k"),
+          sum(when(col("__c") < k, col("__c")).otherwise(0L)).as(s"__rr_$k"))
+      }
+      val one = classes.agg(count(lit(1)).as("__nc"), aggs: _*)
+      val stackArgs = ks
+        .map(k => s"${k}L, `__cb_$k`, `__rr_$k`").mkString(", ")
+      one.select(col("__nc"),
+          expr(s"stack(${ks.size}, $stackArgs)" +
+            " AS (k, n_classes_below, n_rows_at_risk)"))
+        .select(col("k"), col("__nc").as("n_classes"),
+          col("n_classes_below"), col("n_rows_at_risk"))
     }
 
     /** Referential-integrity audit: child rows whose foreign key matches no

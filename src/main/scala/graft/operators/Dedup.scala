@@ -427,6 +427,43 @@ object Dedup extends QueryModule {
         FROM b a JOIN b b2
           ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
         GROUP BY 1, 2 ORDER BY id_a, id_b"""
-      })
+      }),
+
+    // Exact duplicated-passage detection (the substring-dedup signal of
+    // Lee et al. 2022, expressed as a gram inverted index instead of a
+    // suffix array): every 5-word sliding window hashes to a portable
+    // 60-bit md5 prefix, windows seen in ≥ 2 distinct docs are
+    // "duplicated", and each doc reports its duplicated-window count.
+    // The corpus genuinely carries shared passages (71 docs / 2,266 dup
+    // windows at sf0.01 — planted near-duplicates plus template openers),
+    // so the profile is non-vacuous. Shuffles carry 8-byte hashes only.
+    Q(
+      "dedup_substring_spans",
+      (s, dir) =>
+        graft.api.Dedup.duplicateSpanProfile(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(array_to_string(ws[i:i+4], ' ')),
+                   1, 15))::BIGINT AS h
+          FROM w, unnest(generate_series(1, n - 4)) AS t(i)
+          WHERE n >= 5),
+        pd AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY 1, 2),
+        sh AS (SELECT h FROM pd GROUP BY h HAVING count(*) >= 2),
+        tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows
+                FROM pd GROUP BY 1),
+        dup AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_dup
+                FROM pd JOIN sh USING (h) GROUP BY 1)
+        SELECT t.doc_id, t.n_windows,
+               coalesce(d.n_dup, CAST(0 AS BIGINT)) AS n_dup_windows
+        FROM tot t LEFT JOIN dup d USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

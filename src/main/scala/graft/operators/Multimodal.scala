@@ -421,5 +421,86 @@ object Multimodal extends QueryModule {
         SELECT doc_id, ow AS out_width, oh AS out_height,
                CAST(sum(v) AS BIGINT) AS sum_red
         FROM px GROUP BY doc_id, ow, oh ORDER BY doc_id"""))
+  ) ++ Seq(
+    // Perceptual image dedup: REAL BMP encode → decode → 56-bit dHash →
+    // multi-index-hashing near-pair join (api.Multimodal.dHashes /
+    // dhashNearPairs). 100 thumbnails in 5 pattern classes (quadratic
+    // interference patterns — oscillating gradients, unlike the linear
+    // ramps elsewhere in this module, so the bit planes are non-trivial);
+    // every 4th image carries one corrupted pixel. The hash collapses
+    // each class to 2-3 signatures: 950 pairs, all same-class (819 exact
+    // + 131 near) — demonstrating exactly the robustness-to-noise a
+    // perceptual hash exists for. The oracle replays the sampling
+    // arithmetic, band split, and popcount filter end-to-end; the Spark
+    // side works from the actual decoded bytes.
+    Q(
+      "mm_image_phash",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            val c = (id % 5).toInt
+            val nx = ((id * 7) % 32).toInt
+            val ny = ((id * 11) % 28).toInt
+            val bytes = graft.functions.Codecs.encodeBmp(32, 28, (x, y) => {
+              val base =
+                (x * x * (17 + 3 * c) + y * y * (23 + 5 * c) +
+                  x * y * (7 + c)) % 256
+              val v =
+                if (id % 4 == 0 && x == nx && y == ny) (base + 128) % 256
+                else base
+              (v, v, v)
+            })
+            (id, bytes)
+          }
+          .toDF("doc_id", "payload")
+        val sigs = graft.api.Multimodal.dHashes(
+          encoded, col("doc_id"), col("payload"))
+        graft.api.Multimodal.dhashNearPairs(sigs, maxDist = 6)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS c
+                   FROM documents WHERE doc_id < 100),
+        g AS (
+          SELECT doc_id, c, gy, gx,
+                 (gx * 32 // 9) AS sx, (gy * 28 // 7) AS sy
+          FROM d, unnest(generate_series(0, 8)) AS tx(gx),
+               unnest(generate_series(0, 6)) AS ty(gy)),
+        gv AS (
+          SELECT doc_id, gy, gx,
+                 CASE WHEN doc_id % 4 = 0 AND sx = (doc_id * 7) % 32
+                           AND sy = (doc_id * 11) % 28
+                      THEN (sx*sx*(17 + 3*c) + sy*sy*(23 + 5*c)
+                            + sx*sy*(7 + c) + 128) % 256
+                      ELSE (sx*sx*(17 + 3*c) + sy*sy*(23 + 5*c)
+                            + sx*sy*(7 + c)) % 256 END AS v
+          FROM g),
+        bits AS (
+          SELECT a.doc_id, a.gy, a.gx,
+                 CASE WHEN b.v > a.v THEN 1::BIGINT ELSE 0 END AS bit
+          FROM gv a JOIN gv b
+            ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 8),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(bit * (1::BIGINT << (gy * 8 + gx))) AS BIGINT)
+                   AS dhash
+          FROM bits GROUP BY doc_id),
+        band AS (
+          SELECT doc_id, dhash, b, (dhash >> (b * 8)) & 255 AS bval
+          FROM sig, unnest(generate_series(0, 6)) AS tb(b)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT)
+                   AS hamming
+          FROM band a JOIN band b2
+            ON a.b = b2.b AND a.bval = b2.bval AND a.doc_id < b2.doc_id)
+        SELECT id_a, id_b, hamming
+        FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b"""))
   )
 }

@@ -258,6 +258,37 @@ object Quality extends QueryModule {
                  AS BIGINT) AS n_delta,
                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
                  AS sum_value
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // k-anonymity audit on customer quasi-identifiers (nation, market
+    // segment, account-balance band) — the re-identification check a
+    // person-level training-data release runs before publishing. The
+    // 5,000-wide balance band keeps the class structure non-degenerate at
+    // sf0.01: 325 classes, of which 49 are singletons and 165 fall below
+    // k=5 — every threshold has both passing and failing classes.
+    Q(
+      "dq_k_anonymity",
+      (s, dir) =>
+        graft.api.Quality.kAnonymity(
+          Tables.customer(s, dir),
+          Seq(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 5000).cast("long")),
+          ks = Seq(2, 5, 10))
+          .orderBy("k"),
+      oracle = Some("""
+        WITH c AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 5000) AS BIGINT) AS ab,
+                 count(*) AS n
+          FROM customer GROUP BY 1, 2, 3),
+        t AS (SELECT unnest([2, 5, 10]) AS k)
+        SELECT CAST(k AS BIGINT) AS k,
+               (SELECT count(*) FROM c) AS n_classes,
+               CAST(coalesce(sum(CASE WHEN n < k THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_classes_below,
+               CAST(coalesce(sum(CASE WHEN n < k THEN n ELSE 0 END), 0)
+                 AS BIGINT) AS n_rows_at_risk
+        FROM t, c
+        GROUP BY k ORDER BY k"""))
   )
 }

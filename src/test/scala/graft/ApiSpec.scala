@@ -350,4 +350,91 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(kw(1L) == "zeta,rare,alpha")
     assert(kw(2L) == "beta,alpha,common")
   }
+
+  test("duplicateSpanProfile counts shared windows, not merely shared docs") {
+    val sp = spark
+    import sp.implicits._
+    // Docs 1/2 share the 5-word passage "one two three four five"; doc 1
+    // repeats it twice (both occurrences count as duplicated windows);
+    // doc 3 shares nothing; doc 4 is too short for any 5-word window.
+    val df = Seq(
+      (1L, "one two three four five one two three four five"),
+      (2L, "zz one two three four five yy"),
+      (3L, "aa bb cc dd ee ff gg"),
+      (4L, "too short here")).toDF("id", "body")
+    val out = api.Dedup.duplicateSpanProfile(
+        df, col("id"), col("body"), spanWords = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 6 windows; the shared passage occurs at offsets 1 and 6, and
+    // the straddling windows ("four five one two three" etc.) also repeat
+    // within the doc but not across docs — only cross-doc grams count,
+    // and every window of doc 1 that equals a window of doc 2 is just the
+    // passage itself at its two offsets.
+    assert(out(1L)._1 == 6 && out(1L)._2 == 2, out(1L).toString)
+    assert(out(2L) == ((3L, 1L)))
+    assert(out(3L) == ((3L, 0L)))
+    assert(!out.contains(4L), "short doc must be excluded, not zero-filled")
+  }
+
+  test("bpePairStats weights pairs by word frequency with deterministic rank") {
+    val sp = spark
+    import sp.implicits._
+    // 'ab' appears in "abc" (x3 tokens) and "ab" (x1) = 4; 'bc' in "abc"
+    // (x3) = 3; 'xy'/'yz' in "xyz" (x2) = 2 each, tie broken 'xy' < 'yz'.
+    val df = Seq((1L, "abc abc xyz ab"), (2L, "abc xyz x")).toDF("id", "body")
+    val out = api.Text.bpePairStats(df, col("body"), topK = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1, "ab", 4L), (2, "bc", 3L), (3, "xy", 2L), (4, "yz", 2L)))
+  }
+
+  test("dHash collapses noise but separates patterns; MIH finds the pairs") {
+    val sp = spark
+    import sp.implicits._
+    def bmp(f: (Int, Int) => Int): Array[Byte] =
+      graft.functions.Codecs.encodeBmp(32, 28, (x, y) => {
+        val v = f(x, y); (v, v, v)
+      })
+    val pattern: (Int, Int) => Int = (x, y) => (x * x * 17 + y * y * 23) % 256
+    val df = Seq(
+      (1L, bmp(pattern)),
+      // same pattern, one corrupted pixel OFF the 9x7 sample grid
+      (2L, bmp((x, y) => if (x == 1 && y == 1) 250 else pattern(x, y))),
+      // a genuinely different interference pattern
+      (3L, bmp((x, y) => (x * x * 20 + y * y * 31 + x * y * 9) % 256)),
+      (4L, Array[Byte](1, 2, 3))) // undecodable: dropped, not thrown
+    .toDF("id", "payload")
+    val sigs = api.Multimodal.dHashes(df, col("id"), col("payload"))
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L))
+    assert(byId(1L) == byId(2L), "off-grid noise must not perturb the hash")
+    assert(byId(1L) != byId(3L), "distinct patterns must separate")
+    assert(byId.values.forall(_ >= 0L), "56-bit hash is sign-safe")
+    val pairs = api.Multimodal.dhashNearPairs(sigs, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)),
+      s"expected exactly the noise pair at distance 0, got ${pairs.toSeq}")
+  }
+
+  test("dhashNearPairs at radius 6 equals the exact all-pairs scan") {
+    val sp = spark
+    import sp.implicits._
+    // 40 synthetic 56-bit signatures with planted near-dups: id and
+    // id+100 differ in exactly (id % 8) bits — distances 0..7 straddle
+    // the radius, so both keep and reject cases exercise the bands.
+    val sigs = (0L until 20L).flatMap { i =>
+      val base = (i * 0x9e3779b97f4a7c15L) & ((1L << 56) - 1)
+      val flipped = (0 until (i % 8).toInt)
+        .foldLeft(base)((h, k) => h ^ (1L << (k * 7)))
+      Seq((i, base), (i + 100L, flipped))
+    }.toDF("id", "dhash")
+    val got = api.Multimodal.dhashNearPairs(sigs, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want, "multi-index hashing must match brute force exactly")
+  }
 }

@@ -265,4 +265,41 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("fill_after") >= r.getAs[Long]("n_tokens"))
     }
   }
+
+  test("kAnonymity counts classes and rows below each threshold exactly") {
+    val sp = spark
+    import sp.implicits._
+    // Classes by (city, age band): (a,1)x1, (a,2)x3, (b,1)x5 —
+    // k=2 flags the singleton; k=4 also flags the 3-class; k=6 flags all.
+    val df = Seq(
+      ("a", 1), ("a", 2), ("a", 2), ("a", 2),
+      ("b", 1), ("b", 1), ("b", 1), ("b", 1), ("b", 1)
+    ).toDF("city", "band")
+    val out = graft.api.Quality.kAnonymity(
+        df, Seq(col("city"), col("band")), ks = Seq(2, 4, 6))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (2L, 3L, 1L, 1L), (4L, 3L, 2L, 4L), (6L, 3L, 3L, 9L)))
+  }
+
+  test("dq_k_anonymity: risk is monotone in k and bounded by the table") {
+    val rows = SparkEntry.queries("dq_k_anonymity")(spark, sf001)
+      .orderBy("k").collect()
+    assert(rows.length == 3)
+    val nRows = Tables.customer(spark, sf001).count()
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_classes_below") <=
+        hi.getAs[Long]("n_classes_below"))
+      assert(lo.getAs[Long]("n_rows_at_risk") <=
+        hi.getAs[Long]("n_rows_at_risk"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_classes_below") <= r.getAs[Long]("n_classes"))
+      assert(r.getAs[Long]("n_rows_at_risk") <= nRows)
+      assert(r.getAs[Long]("n_classes_below") > 0,
+        "audit must be non-vacuous on the corpus")
+    }
+  }
 }
