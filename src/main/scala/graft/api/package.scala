@@ -392,6 +392,46 @@ package object api {
         .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
     }
 
+    /** Fused single-pass inner product (custom codegen Catalyst
+      * expression) — the MIPS ranking kernel. Same float→double
+      * sequential-accumulation discipline as [[cosine]].
+      */
+    def dot(a: Column, b: Column): Column =
+      graft.functions.DotProduct(a, b)
+
+    /** Exact maximum-inner-product top-k (MIPS): every query row against
+      * every candidate row, ranked by raw inner product — deliberately NOT
+      * length-normalized (recommendation scores reward magnitude; cosine
+      * would erase it). Same broadcast-BNLJ plan as [[cosineTopK]]: the
+      * tiny query side broadcasts and the candidate table streams once
+      * through whole-stage codegen with no shuffle of the big side.
+      *
+      * The 100 TB note: exact MIPS stays linear per query; the classic
+      * sublinear path is the norm-augmentation reduction (Shrivastava &
+      * Li 2014) — append sqrt(M² − ‖x‖²) to each candidate and 0 to each
+      * query, after which cosine/L2 ANN (the [[lshSignature]] family
+      * here) answers MIPS. This operator is the exact baseline those
+      * approximate variants are audited against, mirroring
+      * `sim_ann_recall`'s role for cosine.
+      *
+      * Output: (query_id, rank, cand_id, ip), rank 1..k per query, ties
+      * broken on round(ip, 6) then cand_id; self-matches excluded.
+      */
+    def mipsTopK(
+        queries: DataFrame, queryId: Column, queryVec: Column,
+        candidates: DataFrame, candId: Column, candVec: Column,
+        topK: Int = 5): DataFrame = {
+      val q = queries.select(queryId.as("query_id"), queryVec.as("qe"))
+      val c = candidates.select(candId.as("cand_id"), candVec.as("e"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(round(col("ip"), 6).desc, col("cand_id"))
+      broadcast(q).join(c, col("cand_id") =!= col("query_id"))
+        .withColumn("ip", dot(col("qe"), col("e")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("rank"), col("cand_id"), col("ip"))
+    }
+
     /** Lloyd's k-means over an embedding column, as iterative DataFrame
       * rounds: assignment = broadcast the k×dim centroid table and argmin
       * squared L2 via min_by (the big side never shuffles for assignment);
@@ -1319,6 +1359,24 @@ package object api {
       df.filter(pmod(key * lit(2654435761L), lit(1000L)) < permille)
     }
 
+    /** Entity-coherent sampling: keep EVERY row of `pct`% of entities
+      * (users, sessions, documents) rather than `pct`% of rows — the only
+      * sampling that preserves per-entity sequences (funnels, sessions,
+      * user histories are meaningless under row sampling). Membership is
+      * a pure function of the entity key — md5-prefix mod 100, the
+      * engine-portable hash family (NOTES.md) — so any engine, any day,
+      * any partition layout selects the same entities; no state, no
+      * coordination, and downstream joins of two coherently-sampled
+      * tables on the same key still line up. Map-side filter only: no
+      * shuffle, no entity list to build or broadcast.
+      */
+    def sampleEntities(df: DataFrame, entity: Column, pct: Int): DataFrame = {
+      require(pct >= 0 && pct <= 100)
+      df.filter(
+        conv(substring(md5(entity.cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100L < pct)
+    }
+
     /** Downsample sources to a target mixture: integer-exact quotas.
       * For weights w_s (permille, summing ≤ 1000), the largest feasible
       * total T respecting the mixture without upsampling satisfies
@@ -2071,6 +2129,36 @@ package object api {
           sum(when(col("nd") >= minDocs, 0L).otherwise(col("seg_len")))
             .as("n_tokens_retained"))
     }
+
+    /** Vocabulary coverage / OOV-rate audit — the tokenizer-fit check run
+      * before committing a vocab: build the top-`vocabSize` terms by
+      * corpus frequency (ties broken lexically so the vocab is unique),
+      * then report per group (e.g. per source) total token occurrences,
+      * how many fall outside the vocab, and the OOV rate in per-mille as
+      * exact integer division. Two shuffles total: the term-count
+      * group-by (map-side partial) and the per-group audit; the vocab
+      * itself is `vocabSize` rows — broadcast to the coverage join, so
+      * the token stream never shuffles for membership. All outputs are
+      * BIGINT — engine-exact at any parallelism.
+      */
+    def vocabCoverage(
+        df: DataFrame, group: Column, text: Column,
+        vocabSize: Int = 500): DataFrame = {
+      require(vocabSize >= 1, "vocabSize must be positive")
+      val toks = df.select(group.as("grp"),
+        explode(split(text, " ")).as("term"))
+      val vocab = toks.groupBy("term")
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), asc("term"))
+        .limit(vocabSize)
+        .select(col("term"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("grp"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000) div n_tokens").as("oov_permille"))
+    }
   }
 
   /** Data-quality auditing — the validation pass an ingestion service runs
@@ -2100,6 +2188,33 @@ package object api {
       one.select(col("__n"),
           expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)"))
         .select(col("rule"), col("__n").as("n_checked"), col("n_violations"))
+    }
+
+    /** Per-stream freshness audit: for each group (e.g. event type or
+      * source feed), the last-seen event time, its lag behind the global
+      * high-water mark, and a staleness flag — the "did feed X stop
+      * sending?" check every ingestion service alarms on. All arithmetic
+      * is exact BIGINT microseconds (`unix_micros`), so the flag can
+      * never flip across engines. One group-by with map-side partial
+      * max/count; the global watermark is a 1-row aggregate joined by
+      * broadcast cross join — nothing scales with data beyond the single
+      * scan.
+      */
+    def freshness(
+        df: DataFrame, group: Column, ts: Column,
+        staleAfterUs: Long): DataFrame = {
+      val g = df.select(group.as("grp"), unix_micros(ts).as("t"))
+      val perGroup = g.groupBy("grp")
+        .agg(count(lit(1)).as("n_events"), max(col("t")).as("last_us"))
+      val wm = g.agg(max(col("t")).as("wm_us"))
+      perGroup.crossJoin(broadcast(wm))
+        .select(col("grp"), col("n_events"),
+          // ntz so the parquet interchange type matches plain TIMESTAMP
+          // (the repo-wide convention for timestamp outputs)
+          timestamp_micros(col("last_us")).cast("timestamp_ntz")
+            .as("last_seen"),
+          (col("wm_us") - col("last_us")).as("lag_us"),
+          (col("wm_us") - col("last_us") >= staleAfterUs).as("stale"))
     }
 
     /** Key-uniqueness audit: n_violations = rows beyond the first per key.

@@ -761,8 +761,34 @@ object Pipeline extends QueryModule {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS min_doc
         FROM documents
-        GROUP BY 1 ORDER BY split"""))
-  ,
+        GROUP BY 1 ORDER BY split""")),
+
+    // Entity-coherent sampling: keep every event of ~10% of USERS (not
+    // 10% of rows), so sampled funnels/sessions/histories stay complete
+    // — row sampling (filter_sample_hash) destroys them. Membership is
+    // the portable md5-prefix hash of user_id alone: any engine selects
+    // the same 12-of-150 users at sf0.01, the filter is map-side only,
+    // and two tables sampled on the same key still join coherently.
+    // The per-type audit aggregates only sampled rows.
+    Q(
+      "sample_users_coherent",
+      (s, dir) =>
+        graft.api.Pipeline.sampleEntities(
+          Tables.events(s, dir), col("user_id"), pct = 10)
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_users"),
+            count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("sum_value"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                ::BIGINT % 100 < 10
+        GROUP BY event_type ORDER BY event_type""")),
 
     // Weighted shortest paths over the urgent co-purchase graph: edge
     // weight encodes tie strength (1 = co-bought in ≥3 orders … 3 = once),

@@ -289,6 +289,29 @@ object Quality extends QueryModule {
                CAST(coalesce(sum(CASE WHEN n < k THEN n ELSE 0 END), 0)
                  AS BIGINT) AS n_rows_at_risk
         FROM t, c
-        GROUP BY k ORDER BY k"""))
+        GROUP BY k ORDER BY k""")),
+
+    // Feed-freshness audit: per event type, last-seen vs the global
+    // high-water mark in exact BIGINT microseconds, with a 20-minute
+    // staleness flag. The threshold is tuned to the corpus's real
+    // arrival noise (lags run 0-33 min at sf0.01), so BOTH flag states
+    // occur — 3 stale, 2 fresh — and the audit is non-vacuous. One scan
+    // + a broadcast 1-row watermark; nothing here grows with data.
+    Q(
+      "dq_freshness",
+      (s, dir) =>
+        graft.api.Quality.freshness(
+          Tables.events(s, dir), col("event_type"), col("ts"),
+          staleAfterUs = 1200000000L) // 20 min
+          .orderBy("grp"),
+      oracle = Some("""
+        WITH m AS (SELECT max(ts) AS wm FROM events)
+        SELECT event_type AS grp, count(*) AS n_events,
+               max(ts) AS last_seen,
+               CAST(epoch_us((SELECT wm FROM m)) - epoch_us(max(ts))
+                 AS BIGINT) AS lag_us,
+               epoch_us((SELECT wm FROM m)) - epoch_us(max(ts))
+                 >= 1200000000 AS stale
+        FROM events GROUP BY event_type ORDER BY grp"""))
   )
 }

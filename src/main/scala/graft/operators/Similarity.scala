@@ -183,6 +183,42 @@ object Similarity extends QueryModule {
         SELECT query_id, rank, cand_id, round(cos, 4) AS cos_sim
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // Exact maximum-inner-product top-k (MIPS) — the recommendation-style
+    // ranking where magnitude matters and cosine would erase it. Same
+    // broadcast-BNLJ single-stream plan as sim_cosine_topk but ranked by
+    // the raw inner product via the codegen graft_dot kernel; scaladoc on
+    // api.Similarity.mipsTopK records the norm-augmentation reduction
+    // (append sqrt(M²−‖x‖²)) that hands the workload to the LSH/IVF
+    // family when queries stop being few. Sequential double accumulation
+    // matches DuckDB list_dot_product bit-for-bit.
+    Q(
+      "sim_mips_topk",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        graft.api.Similarity.mipsTopK(
+          v.filter(col("vec_id") < 10), col("vec_id"), col("e"),
+          v, col("vec_id"), col("e"), topK = 5)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            round(col("ip"), 4).as("ip"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 list_dot_product(q.e, c.e) AS ip
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        ranked AS (
+          SELECT query_id, cand_id, ip,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(ip, 6) DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id, round(ip, 4) AS ip
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // kNN majority-label classification: held-out vectors (vec_id % 53 = 0)
     // classified by the mode label of their 10 nearest training neighbors.
     Q(

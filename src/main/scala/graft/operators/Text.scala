@@ -505,6 +505,42 @@ object Text extends QueryModule {
         r AS (SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank,
                      pair, n
               FROM p)
-        SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank"""))
+        SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank""")),
+
+    // Vocabulary-coverage audit: top-k corpus vocab (ties broken
+    // lexically → unique), then per-source OOV token counts and an
+    // integer per-mille rate. k=20 against this corpus's 31-term
+    // vocabulary so ~1/3 of token mass is genuinely OOV (292-360‰
+    // across sources) — k=500 would cover everything and audit nothing.
+    // The vocab broadcasts to the membership join, so the token stream
+    // never shuffles for lookup; the only data-sized shuffle is the
+    // term-frequency partial aggregate. All-BIGINT output — exact at
+    // any parallelism. The DuckDB sums widen to HUGEINT, so the oracle
+    // CASTs before the integer division (the round-5 gate lesson,
+    // applied at authoring time).
+    Q(
+      "text_vocab_coverage",
+      (s, dir) =>
+        graft.api.Text.vocabCoverage(
+          Tables.documents(s, dir), col("source"), col("text"),
+          vocabSize = 20)
+          .orderBy("grp"),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT source AS grp, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, count(*) AS tf FROM toks
+            GROUP BY term ORDER BY tf DESC, term LIMIT 20)),
+        j AS (
+          SELECT t.grp,
+                 CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+          FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+        SELECT grp, count(*) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               (CAST(sum(oov) AS BIGINT) * 1000) // count(*)
+                 AS oov_permille
+        FROM j GROUP BY grp ORDER BY grp"""))
   )
 }

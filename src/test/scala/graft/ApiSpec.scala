@@ -437,4 +437,83 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     } yield (ia, ib, d.toLong)).toSet
     assert(got == want, "multi-index hashing must match brute force exactly")
   }
+
+  test("freshness flags exactly the groups lagging past the threshold") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 10:00:00"),
+      ("b", "2024-01-01 09:00:00"),
+      ("c", "2024-01-01 09:59:59.999999")) // 1µs inside the threshold
+      .toDF("g", "t").select(col("g"), col("t").cast("timestamp").as("t"))
+    val out = api.Quality.freshness(df, col("g"), col("t"),
+        staleAfterUs = 3600L * 1000000L) // 1h behind the max (a@10:00)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out("a") == ((0L, false)))
+    assert(out("b") == ((3600000000L, true)), "exactly-at-threshold is stale")
+    assert(out("c") == ((1L, false)), "1µs of lag must stay fresh")
+  }
+
+  test("vocabCoverage counts OOV occurrences against a deterministic vocab") {
+    val sp = spark
+    import sp.implicits._
+    // Vocab of size 2 by frequency: 'x' (4), then the 'b'/'y' tie (2
+    // each) breaks lexically to 'b'. OOV mass: 'y' (x2) and 'q' (x1).
+    val df = Seq(
+      ("s1", "x x b y"), ("s2", "x y b x q")).toDF("src", "body")
+    val out = api.Text.vocabCoverage(df, col("src"), col("body"), 2)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("s1") == ((4L, 1L, 250L)))
+    assert(out("s2") == ((5L, 2L, 400L)))
+  }
+
+  test("sampleEntities keeps whole user histories and respects the hash") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 400L).map(i => (i % 40L, i)).toDF("uid", "row_id")
+    val kept = api.Pipeline.sampleEntities(df, col("uid"), pct = 20)
+    val keptUsers = kept.select("uid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // Membership is a pure function of uid: every kept user keeps ALL
+    // 10 of their rows (coherence), and the selected set matches an
+    // independent recomputation of the md5-prefix rule.
+    val perUser = kept.groupBy("uid").count().collect()
+    assert(perUser.forall(_.getLong(1) == 10L), "histories must stay whole")
+    val expect = (0L until 40L).filter { u =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 100L < 20L
+    }.toSet
+    assert(keptUsers == expect)
+    assert(api.Pipeline.sampleEntities(df, col("uid"), 0).count() == 0L)
+    assert(api.Pipeline.sampleEntities(df, col("uid"), 100).count() == 400L)
+  }
+
+  test("mipsTopK ranks by raw inner product, not cosine") {
+    val sp = spark
+    import sp.implicits._
+    // Candidate 11 points the same direction as the query but is tiny;
+    // candidate 12 is less aligned but huge — MIPS must prefer 12,
+    // while cosine prefers 11. Ties (13/14 identical) break on id.
+    val vs = Seq(
+      (1L, Seq(1f, 0f)),
+      (11L, Seq(0.1f, 0f)),
+      (12L, Seq(3f, 3f)),
+      (13L, Seq(1f, 1f)),
+      (14L, Seq(1f, 1f))).toDF("id", "v")
+    val q = vs.filter(col("id") === 1L)
+    val out = api.Similarity.mipsTopK(
+        q, col("id"), col("v"), vs, col("id"), col("v"), topK = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._2).toSeq == Seq(12L, 13L, 14L, 11L))
+    assert(out.head._3 == 3.0)
+    val cos = api.Similarity.cosineTopK(
+        q, col("id"), col("v"), vs, col("id"), col("v"), topK = 1)
+      .collect().map(_.getLong(2))
+    assert(cos.head == 11L, "cosine control: normalization flips the order")
+  }
 }
