@@ -207,6 +207,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan("mix_temperature").contains("BroadcastHashJoin"))
   }
 
+  test("sim_mips_topk keeps graft_dot in codegen and broadcasts queries") {
+    val p = plan("sim_mips_topk")
+    assert(p.contains("graft_dot"), s"custom dot kernel missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast; candidates stream once:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "dot product must not fall back to a black-box UDF")
+  }
+
+  test("text_vocab_coverage broadcasts the vocab to the membership join") {
+    val p = plan("text_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the token stream must never shuffle for vocab membership:\n$p")
+  }
+
+  test("sample_users_coherent is a map-side filter (no pre-agg Exchange)") {
+    // The only Exchange allowed is the one feeding the per-type aggregate;
+    // the sampling filter itself must sit on the scan side of it.
+    val p = plan("sample_users_coherent")
+    assert(p.contains("Filter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"entity sampling must not join against an entity list:\n$p")
+  }
+
+  test("dq_freshness broadcasts the 1-row watermark") {
+    val p = plan("dq_freshness")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the global watermark must broadcast, not shuffle:\n$p")
+  }
+
   test("expr_custom stays inside whole-stage codegen") {
     // AQE only materializes WholeStageCodegen spans in the final plan.
     val df = SparkEntry.queries("expr_custom")(spark, sf0001)
