@@ -2217,6 +2217,31 @@ package object api {
           (col("wm_us") - col("last_us") >= staleAfterUs).as("stale"))
     }
 
+    /** Schema-contract audit: the declared (column, type) contract vs the
+      * DataFrame's actual schema, one row per column from EITHER side —
+      * missing columns, undeclared columns, and type drift all surface as
+      * `ok = false`. Type names are normalized to the portable SQL
+      * spellings (`STRING` → `VARCHAR`) so the same contract validates
+      * across engines. Everything here is schema-cardinality (tens of
+      * rows) — zero data scanned, so the audit is free to run before
+      * every batch publish at any table size.
+      */
+    def schemaContract(
+        df: DataFrame, expected: Seq[(String, String)]): DataFrame = {
+      require(expected.nonEmpty, "contract must declare at least one column")
+      val sp = df.sparkSession
+      import sp.implicits._
+      val norm = (t: String) => if (t == "STRING") "VARCHAR" else t
+      val actual = df.schema.fields.toSeq
+        .map(f => (f.name, norm(f.dataType.sql))).toDF("col", "actual")
+      val exp = expected.toDF("col", "expected")
+      exp.join(actual, Seq("col"), "full_outer")
+        .select(col("col"),
+          coalesce(col("expected"), lit("(undeclared)")).as("expected"),
+          coalesce(col("actual"), lit("(missing)")).as("actual"),
+          coalesce(col("expected") === col("actual"), lit(false)).as("ok"))
+    }
+
     /** Key-uniqueness audit: n_violations = rows beyond the first per key.
       * Exact via two aggregates (per-key counts partial-aggregate map-side;
       * the second pass is over key-cardinality rows, not the table).

@@ -312,6 +312,40 @@ object Quality extends QueryModule {
                  AS BIGINT) AS lag_us,
                epoch_us((SELECT wm FROM m)) - epoch_us(max(ts))
                  >= 1200000000 AS stale
-        FROM events GROUP BY event_type ORDER BY grp"""))
+        FROM events GROUP BY event_type ORDER BY grp""")),
+
+    // Schema-contract validation — the check that runs before any batch
+    // is allowed to land: the declared contract vs the table's actual
+    // parquet schema. The contract here deliberately disagrees with the
+    // corpus twice (props declared JSON but lands VARCHAR; session_id
+    // declared but absent), so all three failure classes — type drift,
+    // missing column, and the clean pass — appear in one audit. Zero
+    // rows scanned: schema-cardinality only, free at any table size.
+    Q(
+      "dq_schema_contract",
+      (s, dir) =>
+        graft.api.Quality.schemaContract(
+          Tables.events(s, dir),
+          Seq("event_id" -> "BIGINT", "ts" -> "TIMESTAMP",
+            "user_id" -> "BIGINT", "event_type" -> "VARCHAR",
+            "value" -> "DOUBLE", "props" -> "JSON",
+            "session_id" -> "VARCHAR"))
+          .orderBy("col"),
+      oracle = Some("""
+        WITH actual AS (
+          SELECT column_name AS col, column_type AS actual
+          FROM (DESCRIBE SELECT * FROM events)),
+        expected AS (
+          SELECT * FROM (VALUES
+            ('event_id','BIGINT'), ('ts','TIMESTAMP'),
+            ('user_id','BIGINT'), ('event_type','VARCHAR'),
+            ('value','DOUBLE'), ('props','JSON'),
+            ('session_id','VARCHAR')) AS t(col, expected))
+        SELECT coalesce(e.col, a.col) AS col,
+               coalesce(e.expected, '(undeclared)') AS expected,
+               coalesce(a.actual, '(missing)') AS actual,
+               coalesce(e.expected = a.actual, FALSE) AS ok
+        FROM expected e FULL OUTER JOIN actual a ON e.col = a.col
+        ORDER BY col"""))
   )
 }

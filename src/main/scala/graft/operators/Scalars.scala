@@ -512,6 +512,44 @@ object Scalars extends QueryModule {
                CAST(string_split(line, ',')[1] AS BIGINT) AS id,
                string_split(line, ',')[2] AS t,
                CAST(string_split(line, ',')[3] AS DOUBLE) AS v
-        FROM t ORDER BY event_id"""))
+        FROM t ORDER BY event_id""")),
+
+    // StructType surface: build structs, compare them (lexicographic by
+    // field order — both engines), aggregate min/max over them, read
+    // fields back out. min(struct(date, price, key)) is the
+    // "earliest-with-deterministic-tie-break" idiom in one aggregate:
+    // the struct ordering resolves date ties by price then key, so the
+    // result is total-order exact with no window pass. Output flattens
+    // every field (a raw struct column is not hash-comparable across
+    // engines; its fields are).
+    Q(
+      "fn_struct",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val sd = struct(col("o_orderdate").as("d"),
+          col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+        o.groupBy("o_orderpriority")
+          .agg(min(sd).as("mn"), max(sd).as("mx"))
+          .select(col("o_orderpriority"),
+            col("mn.d").cast("timestamp_ntz").as("first_date"),
+            col("mn.p").as("first_price"),
+            col("mn.k").as("first_key"),
+            col("mx.d").cast("timestamp_ntz").as("last_date"),
+            col("mx.p").as("last_price"),
+            col("mx.k").as("last_key"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT o_orderpriority,
+                 min(struct_pack(d := o_orderdate, p := o_totalprice,
+                                 k := o_orderkey)) AS mn,
+                 max(struct_pack(d := o_orderdate, p := o_totalprice,
+                                 k := o_orderkey)) AS mx
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority,
+               mn.d AS first_date, mn.p AS first_price, mn.k AS first_key,
+               mx.d AS last_date, mx.p AS last_price, mx.k AS last_key
+        FROM g ORDER BY o_orderpriority"""))
   )
 }

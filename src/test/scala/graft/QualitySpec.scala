@@ -302,4 +302,27 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
         "audit must be non-vacuous on the corpus")
     }
   }
+
+  test("schemaContract surfaces type drift, missing, and undeclared columns") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "x", 0.5)).toDF("id", "name", "score")
+    val out = graft.api.Quality.schemaContract(df, Seq(
+        "id" -> "BIGINT",       // clean pass
+        "name" -> "VARCHAR",    // STRING must normalize to VARCHAR
+        "score" -> "DECIMAL(9,4)", // type drift: actual DOUBLE
+        "ts" -> "TIMESTAMP"))   // declared but missing
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(out("id") == (("BIGINT", "BIGINT", true)))
+    assert(out("name") == (("VARCHAR", "VARCHAR", true)))
+    assert(out("score") == (("DECIMAL(9,4)", "DOUBLE", false)))
+    assert(out("ts") == (("TIMESTAMP", "(missing)", false)))
+    assert(out.size == 4)
+    // An undeclared physical column must surface too, not pass silently.
+    val extra = graft.api.Quality.schemaContract(df, Seq("id" -> "BIGINT"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(extra("name") == false && extra("score") == false)
+  }
 }
