@@ -1504,6 +1504,43 @@ package object api {
         .toDF("id", "group", "shard", "bin_id", "n_tokens", "fill_after")
     }
 
+    /** First-fit-decreasing bin packing per (group, shard): items sort
+      * largest-first (ties by id) and each goes into the FIRST bin with
+      * room, opening a new bin otherwise — the classic offline heuristic
+      * (≤ 11/9·OPT + 1), tighter than next-fit when token counts vary.
+      * Unlike next-fit's single running bin, FFD state is the whole bin
+      * load list, so this is genuinely sequential per shard: shards bound
+      * both the parallelism AND the state (same contract as
+      * [[packNextFit]] — at 100 TB you raise `shards`, keeping per-task
+      * item counts bounded; packing quality degrades only at shard
+      * boundaries). Items larger than the budget get a private bin.
+      * Output: (id, group, shard, bin_id, n_tokens, load_after).
+      */
+    def packFirstFitDecreasing(
+        df: DataFrame, group: Column, id: Column, tokenCount: Column,
+        budget: Int = 512, shards: Int = 4): DataFrame = {
+      require(budget >= 1 && shards >= 1)
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(group.as("g"), id.as("id"), tokenCount.cast("long").as("tc"),
+        pmod(id, lit(shards.toLong)).cast("int").as("shard"))
+        .as[(String, Long, Long, Int)]
+        .groupByKey { case (g, _, _, shard) => (g, shard) }
+        .flatMapGroups { (key: (String, Int), it: Iterator[(String, Long, Long, Int)]) =>
+          val (g, shard) = key
+          val docs = it.toArray
+            .sortBy { case (_, docId, tc, _) => (-tc, docId) }
+          val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+          docs.iterator.map { case (_, docId, tc, _) =>
+            val i = loads.indexWhere(_ + tc <= budget)
+            val bin = if (i >= 0) { loads(i) += tc; i }
+            else { loads += tc; loads.length - 1 }
+            (docId, g, shard, bin.toLong, tc, loads(bin))
+          }
+        }
+        .toDF("id", "group", "shard", "bin_id", "n_tokens", "load_after")
+    }
+
     /** Ordered funnel: how many keys reach each stage, where stage i+1
       * counts only events STRICTLY AFTER the key's earliest stage-i
       * event. Each stage is a filter + per-key min-aggregate joined to

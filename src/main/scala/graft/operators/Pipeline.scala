@@ -326,6 +326,73 @@ object Pipeline extends QueryModule {
                (fill_after <= 512 OR tc > 512) AS fill_ok
         FROM p ORDER BY doc_id""")),
 
+    // First-fit-decreasing packing — the quality-over-simplicity
+    // counterpart to pack_sequences' next-fit: state is the whole bin
+    // load LIST, replayed in the oracle by a recursive CTE carrying a
+    // DuckDB list column (list_position of the first fitting bin =
+    // exactly indexWhere on the Spark side). Cross-checked row-for-row
+    // against an independent FFD simulation before landing. Budget 512,
+    // 4 shards per source bound the sequential state.
+    Q(
+      "pack_ffd",
+      (s, dir) =>
+        graft.api.Pipeline.packFirstFitDecreasing(
+          Tables.documents(s, dir).withColumn("tc",
+            size(split(col("text"), " "))),
+          col("source"), col("doc_id"), col("tc"),
+          budget = 512, shards = 4)
+          .select(col("id").as("doc_id"), col("group").as("source"),
+            col("shard"), col("bin_id"), col("n_tokens"), col("load_after"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+                 CAST(doc_id % 4 AS INT) AS shard
+          FROM documents),
+        n AS (
+          SELECT *, row_number() OVER (PARTITION BY source, shard
+                                       ORDER BY tc DESC, doc_id) AS rn
+          FROM t),
+        p AS (
+          SELECT doc_id, source, shard, rn, tc,
+                 CAST(0 AS BIGINT) AS bin_id, tc AS load_after,
+                 [tc] AS loads
+          FROM n WHERE rn = 1
+          UNION ALL
+          SELECT n.doc_id, n.source, n.shard, n.rn, n.tc,
+                 CAST(CASE WHEN coalesce(list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true), 0) = 0
+                      THEN len(p.loads)
+                      ELSE list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true) - 1
+                      END AS BIGINT),
+                 CASE WHEN coalesce(list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true), 0) = 0
+                      THEN n.tc
+                      ELSE p.loads[list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true)] + n.tc
+                      END,
+                 CASE WHEN coalesce(list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true), 0) = 0
+                      THEN list_append(p.loads, n.tc)
+                      ELSE list_transform(
+                        generate_series(1, CAST(len(p.loads) AS INT)),
+                        i -> CASE WHEN i = list_position(
+                               list_transform(p.loads,
+                                 l -> l + n.tc <= 512), true)
+                             THEN p.loads[i] + n.tc ELSE p.loads[i] END)
+                      END
+          FROM n JOIN p ON n.source = p.source AND n.shard = p.shard
+                       AND n.rn = p.rn + 1)
+        SELECT doc_id, source, shard, bin_id, tc AS n_tokens, load_after
+        FROM p ORDER BY doc_id""")),
+
     // Ordered funnel over the event stream: users reaching view → click
     // → purchase, each stage strictly after the user's earliest previous
     // -stage event. Stage frontiers are per-key min-aggregates that only
@@ -731,6 +798,45 @@ object Pipeline extends QueryModule {
         FROM documents
         ORDER BY es_key DESC, doc_id
         LIMIT 50""")),
+
+    // Per-group weighted reservoir (A-ES per source): the distributed
+    // form of reservoir sampling — each group keeps its top-5 docs by
+    // the Efraimidis-Spirakis key, so quota enforcement runs in ONE
+    // window pass, partition-parallel across groups. Same deterministic
+    // pseudo-uniform as sample_weighted (Knuth hash, no engine RNG);
+    // at 100 TB this is rank-per-partition work with no global sort —
+    // per-group top-k never aggregates across groups.
+    Q(
+      "sample_reservoir_group",
+      (s, dir) => {
+        val u = (((col("doc_id") * 2654435761L) % 1000003L) + 1L)
+          .cast("double") / 1000004.0
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("es_key").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            round(log(u) / col("n_chars").cast("double"), 9).as("es_key"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank"), col("doc_id"),
+            col("n_chars"), col("es_key"))
+          .orderBy("source", "rank")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT source, doc_id, n_chars,
+                 round(ln((((doc_id * 2654435761) % 1000003) + 1)
+                          / 1000004.0) /
+                       CAST(n_chars AS DOUBLE), 9) AS es_key
+          FROM documents),
+        ranked AS (
+          SELECT source, doc_id, n_chars, es_key,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY es_key DESC, doc_id) AS rank
+          FROM scored)
+        SELECT source, rank, doc_id, n_chars, es_key
+        FROM ranked WHERE rank <= 5 ORDER BY source, rank""")),
 
     // Deterministic train/val/test split — the LAST step every training
     // corpus takes: the Knuth-hash permille of the id assigns 80/10/10

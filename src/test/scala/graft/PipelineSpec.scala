@@ -313,6 +313,45 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("packFirstFitDecreasing: replayable, bounded, never worse than next-fit") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 200L).map(i => ("g" + (i % 2), i,
+      if (i == 9L) 900L else 1 + rnd.nextInt(400).toLong))
+    val df = docs.toDF("src", "id", "tc")
+    val got = api.Pipeline.packFirstFitDecreasing(
+      df, col("src"), col("id"), col("tc"), budget = 512, shards = 3)
+      .collect()
+    assert(got.length == 200)
+    got.foreach { r =>
+      assert(r.getLong(5) <= 512 || r.getLong(4) > 512, s"overfull bin: $r")
+    }
+    // Replay FFD independently per (group, shard) and compare bins.
+    got.groupBy(r => (r.getString(1), r.getInt(2))).foreach {
+      case (_, rows) =>
+        val byId = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+        val items = rows.map(r => (r.getLong(0), r.getLong(4)))
+          .sortBy { case (id, tc) => (-tc, id) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.foreach { case (id, tc) =>
+          val i = loads.indexWhere(_ + tc <= 512)
+          val bin = if (i >= 0) { loads(i) += tc; i }
+          else { loads += tc; loads.length - 1 }
+          assert(byId(id) == bin.toLong, s"replay mismatch at doc $id")
+        }
+        // FFD's bin count must never exceed next-fit's on the same items.
+        var nfBins = 1L; var fill = 0L
+        rows.sortBy(_.getLong(0)).foreach { r =>
+          val tc = r.getLong(4)
+          if (fill > 0 && fill + tc > 512) { nfBins += 1; fill = 0 }
+          fill += tc
+        }
+        assert(loads.length <= nfBins,
+          s"FFD used ${loads.length} bins, next-fit $nfBins")
+    }
+  }
+
   test("triangleStats: hand graph census, dup/self-loop/direction immune") {
     val sp = spark
     import sp.implicits._
