@@ -2266,6 +2266,8 @@ package object api {
     def schemaContract(
         df: DataFrame, expected: Seq[(String, String)]): DataFrame = {
       require(expected.nonEmpty, "contract must declare at least one column")
+      require(expected.map(_._1).distinct.size == expected.size,
+        "contract declares a column twice")
       val sp = df.sparkSession
       import sp.implicits._
       val norm = (t: String) => if (t == "STRING") "VARCHAR" else t

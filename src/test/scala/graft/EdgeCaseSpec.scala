@@ -207,4 +207,40 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       col("t"), ch, col("k"), col("nv"), col("ed")).collect()
     assert(out.length == 1 && out(0).getBoolean(4))
   }
+
+  test("round-6 api edge cases: empty inputs, nulls, oversize degrade cleanly") {
+    import sp.implicits._
+    // sampleEntities: a null entity key hashes to null → dropped, never
+    // crashes and never silently admitted.
+    val ents = Seq(Some(1L), Some(2L), None).toDF("uid")
+    val kept = api.Pipeline.sampleEntities(ents, col("uid"), 100)
+    assert(kept.count() == 2, "null entities must drop, non-null all kept")
+    // vocabCoverage on empty input: empty result, no exception.
+    val emptyDocs = Seq.empty[(String, String)].toDF("s", "body")
+    assert(api.Text.vocabCoverage(emptyDocs, col("s"), col("body"), 3)
+      .count() == 0)
+    // packFirstFitDecreasing: a single oversized item gets a private bin.
+    val one = Seq(("g", 1L, 999L)).toDF("s", "id", "tc")
+    val packed = api.Pipeline.packFirstFitDecreasing(
+      one, col("s"), col("id"), col("tc"), budget = 512).collect()
+    assert(packed.length == 1 && packed(0).getLong(3) == 0L &&
+      packed(0).getLong(5) == 999L)
+    // mipsTopK with an empty query side returns no rows.
+    val vecs = Seq((1L, Seq(1f, 2f))).toDF("id", "v")
+    assert(api.Similarity.mipsTopK(
+      vecs.filter(col("id") < 0), col("id"), col("v"),
+      vecs, col("id"), col("v")).count() == 0)
+    // freshness: a group whose timestamps are all null reports null lag
+    // and a null flag rather than crashing or claiming freshness.
+    val ts = Seq(("a", Some("2024-01-01 00:00:00")), ("b", None))
+      .toDF("g", "t").select(col("g"), col("t").cast("timestamp").as("t"))
+    val fr = api.Quality.freshness(ts, col("g"), col("t"), 1L)
+      .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(!fr("a") && fr("b"))
+    // schemaContract refuses a contract that declares a column twice.
+    intercept[IllegalArgumentException] {
+      api.Quality.schemaContract(ents, Seq("uid" -> "BIGINT",
+        "uid" -> "DOUBLE"))
+    }
+  }
 }
