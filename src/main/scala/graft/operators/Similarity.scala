@@ -219,6 +219,65 @@ object Similarity extends QueryModule {
         SELECT query_id, rank, cand_id, round(ip, 4) AS ip
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // Sublinear MIPS via norm augmentation (Shrivastava & Li 2014): append
+    // sqrt(M² − ‖x‖²) to every candidate and 0 to every query, and the
+    // angular LSH index answers maximum-inner-product queries — the scale
+    // path sim_mips_topk's scaladoc promises, demonstrated end to end.
+    // Buckets come from the 65-dim signature (multiprobe radius 1),
+    // candidates rerank by EXACT raw inner product (codegen graft_dot on
+    // the original vectors), and every query reports its recall@3 against
+    // the exact MIPS ground truth inline — the same audit discipline as
+    // sim_ann_recall. M² is one driver scalar (max is order-independent,
+    // so it is deterministic at any parallelism); no oracle (approx by
+    // design), AnnRecallSpec pins the recall floor.
+    Q(
+      "sim_mips_augmented",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val nrm2 = aggregate(transform(col("e"), x => x.cast("double")),
+          lit(0.0), (a, x) => a + x * x)
+        val withN = v.withColumn("n2", nrm2)
+        val m2 = withN.agg(max("n2")).first().getDouble(0)
+        val aug = (tail: Column) => concat(
+          transform(col("e"), x => x.cast("double")), array(tail))
+        val sig65 = (ea: Column) =>
+          graft.api.Similarity.lshSignature(ea, numPlanes = 6, dim = 65)
+        val cand = withN
+          .withColumn("sig", sig65(aug(sqrt(greatest(lit(m2) - col("n2"),
+            lit(0.0))))))
+          .select(col("vec_id").as("cand_id"), col("sig"), col("e"))
+        val probes = {
+          val s0 = sig65(aug(lit(0.0)))
+          array((s0 +: (0 until 6).map(b => s0.bitwiseXOR(lit(1 << b)))): _*)
+        }
+        val q = withN.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            explode(probes).as("sig"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(round(col("ip"), 6).desc, col("cand_id"))
+        val approx = broadcast(q).join(cand, Seq("sig"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"), col("qe"), col("e"))
+          .distinct() // probes can collide into the same bucket
+          .withColumn("ip", graft.api.Similarity.dot(col("qe"), col("e")))
+          .withColumn("rank", row_number().over(w))
+        val exact = graft.api.Similarity.mipsTopK(
+          v.filter(col("vec_id") < 10), col("vec_id"), col("e"),
+          v, col("vec_id"), col("e"), topK = 3)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(
+          approx.filter(col("rank") <= 3)
+            .select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        approx.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_candidates"),
+            round(coalesce(col("h"), lit(0)) / 3.0, 4)
+              .as("mips_recall_at_3"))
+          .orderBy("query_id")
+      }),
+
     // kNN majority-label classification: held-out vectors (vec_id % 53 = 0)
     // classified by the mode label of their 10 nearest training neighbors.
     Q(

@@ -22,4 +22,25 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     val gain = rows.map(r => r.getDouble(2) - r.getDouble(1)).sum
     assert(gain > 0.0, "multi-probe never improved recall — probe set broken?")
   }
+
+  test("norm-augmented LSH answers MIPS sublinearly with non-trivial recall") {
+    val rows = SparkEntry.queries("sim_mips_augmented")(spark, sf001)
+      .collect()
+    assert(rows.length == 10)
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    rows.foreach { r =>
+      val nCand = r.getLong(1); val rec = r.getDouble(2)
+      assert(nCand > 0, s"query ${r.getLong(0)} probed an empty pool")
+      // Sublinearity: the probed pool must be a small fraction of the
+      // corpus, or the index is degenerate (everything in one bucket).
+      assert(nCand * 4 < nVecs,
+        s"query ${r.getLong(0)} scanned $nCand of $nVecs — not sublinear")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // The index must beat random bucketing somewhere: with ~7/64 buckets
+    // probed, random candidate sets give expected recall ≈ 0.11 — demand
+    // the mean clear that bar.
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean > 0.11, f"mean MIPS recall@3 $mean%.3f is no better than chance")
+  }
 }
