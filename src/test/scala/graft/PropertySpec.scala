@@ -192,4 +192,55 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(ids1.sameElements(ids2))
     }
   }
+
+  test("FFD packs within budget, never worse than next-fit, on random loads") {
+    import sp.implicits._
+    val gen = Gen.listOfN(80,
+      Gen.zip(Gen.choose(1L, 2000L), Gen.choose(1L, 700L)))
+    samples(gen, 5).foreach { xs =>
+      val items = xs.toMap.toSeq // unique ids
+      val df = items.map { case (id, tc) => ("g", id, tc) }
+        .toDF("s", "id", "tc")
+      val got = graft.api.Pipeline.packFirstFitDecreasing(
+        df, col("s"), col("id"), col("tc"), budget = 512, shards = 1)
+        .collect()
+      assert(got.length == items.size, "every item packed exactly once")
+      // No bin over budget unless it holds a single oversized item.
+      got.groupBy(_.getLong(3)).foreach { case (bin, rows) =>
+        val loads = rows.map(_.getLong(4))
+        assert(loads.sum <= 512 || rows.length == 1,
+          s"bin $bin overfull with ${rows.length} items")
+      }
+      // Bin count ≤ next-fit's on the same items (FFD quality bound).
+      val ffdBins = got.map(_.getLong(3)).distinct.length
+      var nf = 1; var fill = 0L
+      items.sortBy(_._1).foreach { case (_, tc) =>
+        if (fill > 0 && fill + tc > 512) { nf += 1; fill = 0 }
+        fill += tc
+      }
+      assert(ffdBins <= nf, s"FFD $ffdBins bins > next-fit $nf")
+    }
+  }
+
+  test("sampleEntities membership is invariant under repartitioning") {
+    import sp.implicits._
+    val gen = Gen.listOfN(60, Gen.choose(0L, 40L))
+    samples(gen, 3).foreach { uids =>
+      val df = uids.zipWithIndex
+        .map { case (u, i) => (u, i.toLong) }.toDF("uid", "rid")
+      def ids(d: org.apache.spark.sql.DataFrame) =
+        graft.api.Pipeline.sampleEntities(d, col("uid"), 30)
+          .select("rid").collect().map(_.getLong(0)).sorted.toSeq
+      val base = ids(df)
+      assert(ids(df.repartition(7)) == base,
+        "membership must be a pure function of the key, not layout")
+      assert(ids(df.coalesce(1)) == base)
+      // Monotone in pct: a larger quota keeps a superset of entities.
+      val small = graft.api.Pipeline.sampleEntities(df, col("uid"), 10)
+        .select("uid").distinct().collect().map(_.getLong(0)).toSet
+      val big = graft.api.Pipeline.sampleEntities(df, col("uid"), 60)
+        .select("uid").distinct().collect().map(_.getLong(0)).toSet
+      assert(small.subsetOf(big), "pct must be monotone in membership")
+    }
+  }
 }
