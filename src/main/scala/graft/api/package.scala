@@ -2254,6 +2254,30 @@ package object api {
           (col("wm_us") - col("last_us") >= staleAfterUs).as("stale"))
     }
 
+    /** Apply a [[diffSnapshots]] classification as a patch: drop the
+      * deleted/updated keys from `before`, then union in the
+      * inserted/updated rows from `after` — incremental table
+      * maintenance where ONLY change-data-sized key sets join against
+      * the base (never a full rewrite). `applyPatch(before, after) ≡
+      * after` row-for-row by construction; `cdc_apply_patch` audits that
+      * equality against the oracle. Payload columns must be
+      * deterministic renders (same contract as diffSnapshots).
+      */
+    def applyPatch(
+        before: DataFrame, after: DataFrame,
+        key: Column, payload: Seq[Column]): DataFrame = {
+      require(payload.nonEmpty)
+      val d = diffSnapshots(before, after, key, payload)
+      val bRows = before.select(key.as("k") +: payload: _*)
+      val aRows = after.select(key.as("k") +: payload: _*)
+      val removeKeys = d.filter(col("change").isin("deleted", "updated"))
+        .select("k")
+      val upsertKeys = d.filter(col("change").isin("inserted", "updated"))
+        .select("k")
+      bRows.join(removeKeys, Seq("k"), "left_anti")
+        .unionByName(aRows.join(upsertKeys, Seq("k"), "left_semi"))
+    }
+
     /** Schema-contract audit: the declared (column, type) contract vs the
       * DataFrame's actual schema, one row per column from EITHER side —
       * missing columns, undeclared columns, and type drift all surface as

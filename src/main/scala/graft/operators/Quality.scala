@@ -346,6 +346,66 @@ object Quality extends QueryModule {
                coalesce(a.actual, '(missing)') AS actual,
                coalesce(e.expected = a.actual, FALSE) AS ok
         FROM expected e FULL OUTER JOIN actual a ON e.col = a.col
-        ORDER BY col"""))
+        ORDER BY col""")),
+
+    // CDC round trip: diff two snapshots, apply the diff back to the old
+    // one, and PROVE the reconstruction equals the new snapshot — the
+    // audit that certifies a change feed is lossless before anyone
+    // replays it downstream. Same synthetic v1/v2 as cdc_snapshot_diff
+    // (real deletes, updates, and inserts), patch application joins only
+    // change-data-sized key sets against the base, and equality is two
+    // digest anti-joins — at 100 TB the patch path touches changed keys,
+    // never rewrites the table. Output is a single audit row whose
+    // only_in_* columns must be zero.
+    Q(
+      "cdc_apply_patch",
+      (s, dir) => {
+        val v1 = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 13 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .unionByName(v1.filter(col("o_orderkey") % 101 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_orderstatus"),
+              col("o_orderpriority")))
+        val pay = Seq(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        val recon = graft.api.Quality.applyPatch(
+          v1, v2, col("o_orderkey"), pay)
+        val dig = md5(concat_ws("", col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")))
+        val r = recon.select(col("k"), dig.as("d"))
+        val t = v2.select(col("o_orderkey").as("k"), dig.as("d"))
+        val onlyR = r.join(t, Seq("k", "d"), "left_anti").count()
+        val onlyT = t.join(r, Seq("k", "d"), "left_anti").count()
+        val sp2 = s
+        import sp2.implicits._
+        Seq((recon.count(), v2.count(), onlyR, onlyT,
+            onlyR == 0L && onlyT == 0L))
+          .toDF("n_recon", "n_target", "only_in_recon", "only_in_target",
+            "patch_lossless")
+      },
+      oracle = Some("""
+        WITH v1 AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+          FROM orders),
+        v2 AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                      ELSE o_orderstatus END AS o_orderstatus,
+                 o_orderpriority
+          FROM v1 WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                 o_orderpriority
+          FROM v1 WHERE o_orderkey % 101 = 0)
+        SELECT (SELECT count(*) FROM v2) AS n_recon,
+               (SELECT count(*) FROM v2) AS n_target,
+               CAST(0 AS BIGINT) AS only_in_recon,
+               CAST(0 AS BIGINT) AS only_in_target,
+               TRUE AS patch_lossless"""))
   )
 }

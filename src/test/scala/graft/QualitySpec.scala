@@ -303,6 +303,23 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("applyPatch reconstructs the target snapshot exactly") {
+    val sp = spark
+    import sp.implicits._
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    // 1 unchanged, 2 updated, 3 deleted, 4 inserted.
+    val after = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v")
+    val recon = graft.api.Quality.applyPatch(
+        before, after, col("id"), Seq(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(recon == Map(1L -> "a", 2L -> "B", 4L -> "d"))
+    // Patching a snapshot onto itself is the identity.
+    val self = graft.api.Quality.applyPatch(
+        before, before, col("id"), Seq(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(self == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("schemaContract surfaces type drift, missing, and undeclared columns") {
     val sp = spark
     import sp.implicits._
