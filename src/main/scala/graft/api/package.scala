@@ -2167,6 +2167,37 @@ package object api {
             .as("n_tokens_retained"))
     }
 
+    /** Cross-source contamination matrix: for every pair of sources, how
+      * many distinct `segWords`-word segments they share — the overlap
+      * census a corpus curator reads before mixing feeds (a hot cell
+      * means one feed scraped another, or both scraped a third). The
+      * shuffle carries (16-byte digest, source) pairs — never text — and
+      * the pair fan-out per digest is bounded by sources², which is tiny
+      * regardless of corpus size (a digest present in k sources yields
+      * C(k,2) cells, k ≤ #sources). Output: (src_a, src_b,
+      * n_shared_segments), src_a < src_b.
+      */
+    def contaminationMatrix(
+        df: DataFrame, source: Column, text: Column,
+        segWords: Int = 10): DataFrame = {
+      require(segWords >= 1)
+      val base = df.select(source.as("src"), split(text, " ").as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+      val segs = base.select(col("src"),
+          explode(sequence(lit(1L),
+            expr(s"(n + ${segWords - 1}) div $segWords"))).as("i"),
+          col("ws"))
+        .select(col("src"),
+          md5(concat_ws(" ",
+            slice(col("ws"), ((col("i") - 1) * segWords + 1).cast("int"),
+              lit(segWords)))).as("k"))
+        .distinct()
+      segs.as("a").join(segs.as("b"),
+          col("a.k") === col("b.k") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+        .agg(countDistinct(col("a.k")).as("n_shared_segments"))
+    }
+
     /** Vocabulary coverage / OOV-rate audit — the tokenizer-fit check run
       * before committing a vocab: build the top-`vocabSize` terms by
       * corpus frequency (ties broken lexically so the vocab is unique),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, QueryModule, Tables}
+import graft.{Q, QueryModule, Scratch, Tables}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the documents/events corpus:
@@ -392,6 +392,87 @@ object Pipeline extends QueryModule {
                        AND n.rn = p.rn + 1)
         SELECT doc_id, source, shard, bin_id, tc AS n_tokens, load_after
         FROM p ORDER BY doc_id""")),
+
+    // The LAST mile of a training-data pipeline: pack documents into
+    // bins (FFD), assign each bin to a training shard by the portable
+    // md5 hash of its (source, shard, bin) identity, and MATERIALIZE the
+    // shards as a partitioned parquet sink — then read the sink back and
+    // report per-shard stats. The oracle recomputes the same stats from
+    // the packing replay, so a corrupted write/read round trip (lost
+    // rows, mis-assigned shards) fails the hash gate, not just a row
+    // count. Bin-keyed hashing keeps every bin's docs co-located in one
+    // shard file (the property samplers and loaders rely on); the
+    // honest imbalance it produces at 62 bins is visible in the output.
+    Q(
+      "pipeline_write_shards",
+      (s, dir) => {
+        val packed = graft.api.Pipeline.packFirstFitDecreasing(
+          Tables.documents(s, dir).withColumn("tc",
+            size(split(col("text"), " "))),
+          col("source"), col("doc_id"), col("tc"),
+          budget = 512, shards = 4)
+        val binKey = concat_ws("/", col("group"), col("shard"),
+          col("bin_id"))
+        val assigned = packed.withColumn("training_shard",
+          conv(substring(md5(binKey), 1, 15), 16, 10).cast("long") % 8L)
+        val sink = s"${Scratch.fresh("pipeline_write_shards")}/shards"
+        assigned.write.partitionBy("training_shard").parquet(sink)
+        s.read.parquet(sink)
+          .groupBy("training_shard")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(concat_ws("/", col("group"), col("shard"),
+              col("bin_id"))).as("n_bins"),
+            sum("n_tokens").as("n_tokens"))
+          .orderBy("training_shard")
+      },
+      oracle = Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+                 CAST(doc_id % 4 AS INT) AS shard
+          FROM documents),
+        n AS (
+          SELECT *, row_number() OVER (PARTITION BY source, shard
+                                       ORDER BY tc DESC, doc_id) AS rn
+          FROM t),
+        p AS (
+          SELECT doc_id, source, shard, rn, tc,
+                 CAST(0 AS BIGINT) AS bin_id, [tc] AS loads
+          FROM n WHERE rn = 1
+          UNION ALL
+          SELECT n.doc_id, n.source, n.shard, n.rn, n.tc,
+                 CAST(CASE WHEN coalesce(list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true), 0) = 0
+                      THEN len(p.loads)
+                      ELSE list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true) - 1
+                      END AS BIGINT),
+                 CASE WHEN coalesce(list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true), 0) = 0
+                      THEN list_append(p.loads, n.tc)
+                      ELSE list_transform(
+                        generate_series(1, CAST(len(p.loads) AS INT)),
+                        i -> CASE WHEN i = list_position(
+                               list_transform(p.loads,
+                                 l -> l + n.tc <= 512), true)
+                             THEN p.loads[i] + n.tc ELSE p.loads[i] END)
+                      END
+          FROM n JOIN p ON n.source = p.source AND n.shard = p.shard
+                       AND n.rn = p.rn + 1),
+        sh AS (
+          SELECT *, ('0x' || substring(md5(source || '/' ||
+                     CAST(shard AS VARCHAR) || '/' ||
+                     CAST(bin_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                     AS training_shard
+          FROM p)
+        SELECT training_shard, count(*) AS n_docs,
+               count(DISTINCT source || '/' || CAST(shard AS VARCHAR)
+                     || '/' || CAST(bin_id AS VARCHAR)) AS n_bins,
+               CAST(sum(tc) AS BIGINT) AS n_tokens
+        FROM sh GROUP BY 1 ORDER BY 1""")),
 
     // Ordered funnel over the event stream: users reaching view → click
     // → purchase, each stage strictly after the user's earliest previous

@@ -541,6 +541,35 @@ object Text extends QueryModule {
                CAST(sum(oov) AS BIGINT) AS n_oov,
                (CAST(sum(oov) AS BIGINT) * 1000) // count(*)
                  AS oov_permille
-        FROM j GROUP BY grp ORDER BY grp"""))
+        FROM j GROUP BY grp ORDER BY grp""")),
+
+    // Source-pair contamination census: which feeds share verbatim
+    // 10-word segments, and how many. 57 of the 190 possible source
+    // pairs genuinely overlap at sf0.01 (planted near-dups + template
+    // openers) — the matrix a curator reads before mixing feeds. The
+    // join key is a 16-byte digest; fan-out per digest is ≤ C(20,2)
+    // cells regardless of corpus size.
+    Q(
+      "contamination_matrix",
+      (s, dir) =>
+        graft.api.Text.contaminationMatrix(
+          Tables.documents(s, dir), col("source"), col("text"),
+          segWords = 10)
+          .orderBy("src_a", "src_b"),
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        s AS (
+          SELECT DISTINCT source,
+                 md5(array_to_string(
+                   ws[CAST((i - 1) * 10 + 1 AS INT) : CAST(i * 10 AS INT)],
+                   ' ')) AS k
+          FROM w, unnest(generate_series(1, (n + 9) // 10)) AS t(i))
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(DISTINCT a.k) AS n_shared_segments
+        FROM s a JOIN s b ON a.k = b.k AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
