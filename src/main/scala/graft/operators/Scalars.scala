@@ -514,6 +514,50 @@ object Scalars extends QueryModule {
                CAST(string_split(line, ',')[3] AS DOUBLE) AS v
         FROM t ORDER BY event_id""")),
 
+    // Higher-order MAP functions: transform_keys/values, map_filter,
+    // map_zip_with — each result rendered to the canonical key-sorted
+    // entries string (fn_map's discipline: map iteration order is not
+    // comparable across engines, its sorted render is). The oracle
+    // replays the lambda semantics on the scalar inputs directly; all
+    // values are small exact integers. concat_ws on both sides skips
+    // the NULL branches, so a filtered-empty map renders as ''.
+    Q(
+      "fn_map_higher_order",
+      (s, dir) => {
+        val render = (m: org.apache.spark.sql.Column) => array_join(
+          transform(array_sort(map_entries(m)),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("string"))), ";")
+        val m1 = map_from_arrays(array(lit("q"), lit("u")),
+          array(col("event_id") % 7, col("user_id") % 5))
+        val m2 = map_from_arrays(array(lit("q"), lit("x")),
+          array(lit(10L), lit(1L)))
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            render(transform_values(m1, (_, v) => v * 2)).as("doubled"),
+            render(transform_keys(m1, (k, _) => concat(lit("k_"), k)))
+              .as("prefixed"),
+            render(map_filter(m1, (_, v) => v >= 3)).as("filtered"),
+            render(map_zip_with(m1, m2,
+              (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+              .as("zipped"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id,
+               'q=' || (event_id % 7) * 2 || ';u=' || (user_id % 5) * 2
+                 AS doubled,
+               'k_q=' || event_id % 7 || ';k_u=' || user_id % 5
+                 AS prefixed,
+               concat_ws(';',
+                 CASE WHEN event_id % 7 >= 3
+                      THEN 'q=' || event_id % 7 END,
+                 CASE WHEN user_id % 5 >= 3
+                      THEN 'u=' || user_id % 5 END) AS filtered,
+               'q=' || (event_id % 7 + 10) || ';u=' || user_id % 5
+                 || ';x=1' AS zipped
+        FROM events ORDER BY event_id""")),
+
     // StructType surface: build structs, compare them (lexicographic by
     // field order — both engines), aggregate min/max over them, read
     // fields back out. min(struct(date, price, key)) is the
