@@ -348,6 +348,47 @@ object Quality extends QueryModule {
         FROM expected e FULL OUTER JOIN actual a ON e.col = a.col
         ORDER BY col""")),
 
+    // Order-independent table checksum: XOR of every row's portable
+    // 60-bit digest, plus a sum-mod-prime and the row count — the
+    // attestation two engines (or two replicas, or pre/post-migration
+    // copies) exchange to certify a table is identical WITHOUT moving
+    // it. XOR and modular sum are commutative/associative, so the
+    // checksum is independent of partitioning, ordering, and merge
+    // shape at any parallelism; the count + second checksum close XOR's
+    // pair-cancellation blind spot (dup row + dropped row can cancel in
+    // XOR alone, not in count and mod-sum together). One scan, one
+    // 1-row aggregate per group.
+    Q(
+      "dq_table_checksum",
+      (s, dir) => {
+        val h = conv(substring(md5(concat_ws("",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          // doubles digest as exact cents: float-to-text is engine-
+          // specific (the diffSnapshots contract)
+          round(col("o_totalprice") * 100).cast("long"),
+          col("o_orderpriority"))), 1, 15), 16, 10)
+          .cast("long")
+        Tables.orders(s, dir)
+          .withColumn("h", h)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_checksum"),
+            sum(col("h") % 1000003L).as("modsum_checksum"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT o_orderpriority,
+                 ('0x' || substring(md5(concat_ws(chr(1),
+                    o_orderkey, o_custkey, o_orderstatus,
+                    CAST(round(o_totalprice * 100) AS BIGINT),
+                    o_orderpriority)), 1, 15))::BIGINT AS h
+          FROM orders)
+        SELECT o_orderpriority, count(*) AS n_rows,
+               bit_xor(h) AS xor_checksum,
+               CAST(sum(h % 1000003) AS BIGINT) AS modsum_checksum
+        FROM h GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+  ,
     // CDC round trip: diff two snapshots, apply the diff back to the old
     // one, and PROVE the reconstruction equals the new snapshot — the
     // audit that certifies a change feed is lossless before anyone
