@@ -418,16 +418,26 @@ object Quality extends QueryModule {
           v1, v2, col("o_orderkey"), pay)
         val dig = md5(concat_ws("", col("o_custkey"),
           col("o_orderstatus"), col("o_orderpriority")))
+        // ONE job for the whole audit: tag each side, group by
+        // (key, digest), and fold every measure out of the per-(k,d)
+        // side counts — four separate count() actions would recompute
+        // the diff lineage four times.
         val r = recon.select(col("k"), dig.as("d"))
+          .withColumn("is_r", lit(1L))
         val t = v2.select(col("o_orderkey").as("k"), dig.as("d"))
-        val onlyR = r.join(t, Seq("k", "d"), "left_anti").count()
-        val onlyT = t.join(r, Seq("k", "d"), "left_anti").count()
-        val sp2 = s
-        import sp2.implicits._
-        Seq((recon.count(), v2.count(), onlyR, onlyT,
-            onlyR == 0L && onlyT == 0L))
-          .toDF("n_recon", "n_target", "only_in_recon", "only_in_target",
-            "patch_lossless")
+          .withColumn("is_r", lit(0L))
+        r.unionByName(t)
+          .groupBy("k", "d")
+          .agg(sum(col("is_r")).as("cr"), sum(lit(1L) - col("is_r")).as("ct"))
+          .agg(sum("cr").as("n_recon"), sum("ct").as("n_target"),
+            sum(greatest(col("cr") - col("ct"), lit(0L)))
+              .as("only_in_recon"),
+            sum(greatest(col("ct") - col("cr"), lit(0L)))
+              .as("only_in_target"))
+          .select(col("n_recon"), col("n_target"), col("only_in_recon"),
+            col("only_in_target"),
+            (col("only_in_recon") === 0L && col("only_in_target") === 0L)
+              .as("patch_lossless"))
       },
       oracle = Some("""
         WITH v1 AS (
