@@ -137,6 +137,46 @@ package object api {
     def minhashPortableCandidates(
         df: DataFrame, id: Column, text: Column,
         shingleWords: Int = 3, bands: Int = 4): DataFrame = {
+      val banded = portableBands(df, id, text, shingleWords, bands)
+      banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    }
+
+    /** Incremental dedup — the production mode at scale: the corpus's
+      * band table is the PERSISTED index (built once, appended as
+      * batches land), and each arriving delta batch computes only ITS
+      * OWN signatures and equi-joins the index. Candidate work is
+      * O(delta · bands), independent of corpus size; the corpus is
+      * never re-shingled. Same engine-portable signature as
+      * [[minhashPortableCandidates]], so index rows written today can
+      * be probed — or audited — by any engine tomorrow. Output:
+      * (new_id, corpus_id, n_shared_bands), one row per candidate link
+      * of a new doc into the existing corpus.
+      */
+    def minhashIncrementalCandidates(
+        corpus: DataFrame, delta: DataFrame, id: Column, text: Column,
+        shingleWords: Int = 3, bands: Int = 4): DataFrame = {
+      val idx = portableBands(corpus, id, text, shingleWords, bands)
+        .alias("c")
+      val probe = portableBands(delta, id, text, shingleWords, bands)
+        .alias("d")
+      probe.join(idx,
+          col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
+        .groupBy(col("d.id").as("new_id"), col("c.id").as("corpus_id"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    }
+
+    /** The banded portable-MinHash signature table for `df`:
+      * (id, band, bkey) — the persistable LSH index rows behind both
+      * candidate generators above.
+      */
+    private def portableBands(
+        df: DataFrame, id: Column, text: Column,
+        shingleWords: Int, bands: Int): DataFrame = {
       val numHashes = bands * 2 // 2 rows per band, k = 8 at the default
       require(numHashes <= portableA.size, "at most 4 bands (8 hashes)")
       val base = df.select(id.as("id"), split(text, " ").as("ws"))
@@ -154,17 +194,11 @@ package object api {
         min((lit(portableA(i)) * col("h") + portableB(i)) % portableP)
           .as(s"m$i"))
       val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
-      val banded = (0 until bands).map { b =>
+      (0 until bands).map { b =>
         sig.select(col("id"), lit(b).as("band"),
           md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
             .as("bkey"))
       }.reduce(_.unionAll(_))
-      banded.alias("a")
-        .join(banded.alias("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
     }
 
     /** Duplicated-passage profile — exact repeated k-word span detection

@@ -429,6 +429,53 @@ object Dedup extends QueryModule {
         GROUP BY 1, 2 ORDER BY id_a, id_b"""
       }),
 
+    // Incremental dedup — the operational mode every growing corpus
+    // needs: docs with doc_id % 10 = 0 play the ARRIVING batch, the
+    // rest the EXISTING corpus whose band table is the persisted index.
+    // Only the delta is shingled/probed (O(delta·bands), corpus-size
+    // independent); 7 new docs at sf0.01 genuinely link back into the
+    // corpus (planted near-dups crossing the split). Same interpolated
+    // constants as dedup_minhash_portable, so op and oracle can't drift.
+    Q(
+      "dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.api.Dedup.minhashIncrementalCandidates(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"))
+          .orderBy("new_id", "corpus_id")
+          .select(col("new_id"), col("corpus_id"), col("n_shared_bands"))
+      },
+      oracle = Some {
+        val P = graft.api.Dedup.portableP
+        val mins = (0 until 8).map(i =>
+          s"min((${graft.api.Dedup.portableA(i)}*h+" +
+            s"${graft.api.Dedup.portableB(i)})%$P) AS m$i").mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR) AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(array_to_string(ws[i:i+2], ' ')),
+                   1, 15))::BIGINT % $P AS h
+          FROM w, unnest(generate_series(1, n - 2)) AS t(i)
+          WHERE n >= 3),
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        b AS ($bandRows)
+        SELECT d.doc_id AS new_id, c.doc_id AS corpus_id,
+               count(*) AS n_shared_bands
+        FROM b d JOIN b c ON d.band = c.band AND d.bkey = c.bkey
+        WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        GROUP BY 1, 2 ORDER BY new_id, corpus_id"""
+      }),
+
     // Exact duplicated-passage detection (the substring-dedup signal of
     // Lee et al. 2022, expressed as a gram inverted index instead of a
     // suffix array): every 5-word sliding window hashes to a portable
