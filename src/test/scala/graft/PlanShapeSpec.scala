@@ -238,6 +238,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"the global watermark must broadcast, not shuffle:\n$p")
   }
 
+  test("shuffle budgets: Exchange counts stay at the designed number") {
+    // The shuffle discipline, enforced as a regression guard: each query
+    // declares the maximum shuffle Exchanges its design needs. A new
+    // Exchange appearing in one of these plans is a design regression
+    // (lost broadcast, lost partial-agg, accidental repartition), not a
+    // tuning detail. Counts are on the pre-execution physical plan.
+    // Every registry query ends in an orderBy for oracle determinism —
+    // that range exchange is part of the budget (drop it in production
+    // use and each budget shrinks by one).
+    val budgets = Map(
+      "project_compute" -> 1,   // map-side projection + final sort
+      "filter_compound" -> 1,   // pushdown filter + final sort
+      "join_broadcast" -> 1,    // broadcast join (0) + final sort; a
+                                // lost broadcast would show up as 2
+      "sim_cosine_topk" -> 2,   // per-query rank window + final sort;
+                                // candidates themselves never shuffle
+      "agg_group" -> 2,         // one hash aggregate + final sort
+      "filter_sample_hash" -> 2, // map-side filter, aggregate, sort
+      "sample_users_coherent" -> 3, // countDistinct 2-phase agg + sort;
+                                // the entity filter itself is map-side
+      "dq_table_checksum" -> 2, // one grouped aggregate + final sort
+      "text_tokenize_wordcount" -> 2, // term aggregate + global sort
+      "limit_topk" -> 0)        // TakeOrderedAndProject, no exchange
+    budgets.foreach { case (name, maxEx) =>
+      val p = plan(name)
+      // Shuffle exchanges only: BroadcastExchange moves a dim table to
+      // every executor by design and ReusedExchange is free.
+      val n = "Exchange (hash|range|SinglePartition|roundrobin)".r
+        .findAllIn(p).length
+      assert(n <= maxEx,
+        s"$name: $n shuffle Exchanges, budget $maxEx — regression?\n$p")
+    }
+  }
+
   test("expr_custom stays inside whole-stage codegen") {
     // AQE only materializes WholeStageCodegen spans in the final plan.
     val df = SparkEntry.queries("expr_custom")(spark, sf0001)
