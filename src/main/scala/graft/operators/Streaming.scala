@@ -560,6 +560,50 @@ object Streaming extends QueryModule {
         WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= (SELECT w FROM wm)
         GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // HLL distinct sketch INSIDE a streaming aggregation — the mergeable-
+    // summary payoff made visible: registers merge by element-wise max
+    // (commutative, associative, idempotent), so the estimate is a pure
+    // function of the input SET, independent of micro-batch slicing.
+    // The op proves it in-row: each closed window carries the streamed
+    // estimate, the batch-recomputed estimate, and the exact count — the
+    // sketch_parity flag must be TRUE everywhere (asserted in
+    // StreamingSpec too). No oracle: DuckDB cannot replay the register
+    // algebra; the exact column is the accuracy reference. At 100 TB
+    // this is the shape that gives streaming distinct-counts with O(2^p)
+    // state per group instead of per-user state.
+    Q(
+      "stream_hll_distinct",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_hll_distinct")
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(graft.api.Sketches.hllCountDistinct(col("user_id"), 12)
+            .as("hll_users"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_shd").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start() }
+        val streamed = s.table("graft_shd")
+          .select(col("w.start").cast("timestamp_ntz").as("day_start"),
+            col("event_type"), col("hll_users"))
+        val ev = Tables.events(s, dir)
+        val wm = ev.agg(max("ts")).first().getTimestamp(0).getTime * 1000L
+        val batch = ev
+          .withColumn("day_start",
+            date_trunc("day", col("ts")).cast("timestamp_ntz"))
+          .filter(unix_micros(col("day_start").cast("timestamp")) +
+            86400000000L <= wm - 600000000L)
+          .groupBy("day_start", "event_type")
+          .agg(graft.api.Sketches.hllCountDistinct(col("user_id"), 12)
+            .as("hll_users_batch"),
+            countDistinct("user_id").as("exact_users"))
+        streamed.join(batch, Seq("day_start", "event_type"))
+          .withColumn("sketch_parity",
+            col("hll_users") === col("hll_users_batch"))
+          .orderBy("day_start", "event_type")
+      }),
+
     // Streaming dedup within the watermark: first event per (user_id,
     // event_type) while the key's state lives; counts the survivors.
     Q(

@@ -94,4 +94,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expect)
   }
+
+  test("streamed HLL sketch equals the batch sketch on every closed window") {
+    val rows = SparkEntry.queries("stream_hll_distinct")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sketch_parity"),
+        s"micro-batch slicing changed a register merge: $r")
+      // and the estimate must actually be close to exact (p=12 ⇒ ~1.6%)
+      val est = r.getAs[Long]("hll_users")
+      val exact = r.getAs[Long]("exact_users")
+      assert(math.abs(est - exact) <= math.max(3L, exact / 10),
+        s"estimate $est too far from exact $exact")
+    }
+  }
 }
