@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.DoubleType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.dotDescriptor)
     ext.injectFunction(GraftExtensions.qdotDescriptor)
     ext.injectFunction(GraftExtensions.zorderDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
@@ -36,6 +37,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_cosine takes exactly 2 arguments")
       CosineSimilarity(children.head, children(1))
+    })
+
+  val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_dot takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
     })
 
   val qdotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

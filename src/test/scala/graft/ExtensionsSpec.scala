@@ -38,6 +38,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(0)) < 1e-12)
   }
 
+  test("graft_dot is callable from SQL and unnormalized") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |                 array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d
+        |""".stripMargin).collect()
+    assert(r(0).getDouble(0) == 11.0)
+  }
+
   test("graft_qdot is callable from SQL and exact") {
     val r = spark.sql(
       "SELECT graft_qdot(array(1, 2, 3), array(4, 5, 6)) AS d").collect()
