@@ -208,6 +208,72 @@ object Joins extends QueryModule {
                count(*) AS n, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1 ORDER BY category""")),
 
+    // AQE skew-join — the RUNTIME answer to the same hot-key problem
+    // join_skew_salted solves by hand: a synthetic key sends ~90% of
+    // lineitem to one partition, broadcast is disabled so the join must
+    // shuffle, and adaptive execution detects the oversized partition at
+    // run time and splits it across tasks (skew=true in the final plan,
+    // asserted by PlanShapeSpec). Two preconditions the defaults hide
+    // (measured, NOTES.md): thresholds are lowered in-query because the
+    // defaults target real cluster partition sizes, and the fact side is
+    // repartitioned to 8 map tasks FIRST — a skewed reduce partition is
+    // split along MAPPER boundaries, so a single-mapper shuffle (one
+    // parquet file) is unsplittable no matter how skewed. The dim is a
+    // literal table: a post-shuffle aggregate under the join's other
+    // side breaks the rule's SMJ(Sort(Shuffle), Sort(Shuffle)) pattern.
+    // Results are plain join algebra the oracle replays.
+    Q(
+      "join_skew_aqe",
+      (s, dir) => {
+        val confKeys = Map(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            -> "16KB",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prior = confKeys.keys.map(k =>
+          k -> scala.util.Try(s.conf.get(k)).toOption).toMap
+        confKeys.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val sp2 = s
+          import sp2.implicits._
+          val fact = Tables.lineitem(s, dir).repartition(8)
+            .select(when(col("l_orderkey") % 100 < 90, lit(1L))
+              .otherwise(col("l_orderkey") % 100).as("hot_key"),
+              col("l_quantity"))
+          val dim = (Seq(1L) ++ (90L to 99L))
+            .map(k => (k, s"b${k % 4}")).toDF("hot_key", "bucket")
+          val out = fact.join(dim, Seq("hot_key"))
+            .groupBy("bucket")
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("l_quantity").cast("decimal(12,2)")), 2)
+                .cast("double").as("sum_qty"))
+            .orderBy("bucket")
+          // Materialize NOW, inside the conf scope: the restored confs
+          // must not leak into the lazily-executed plan.
+          out.collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toDF("bucket", "n", "sum_qty")
+        } finally prior.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CASE WHEN l_orderkey % 100 < 90 THEN 1
+                      ELSE l_orderkey % 100 END AS hot_key, l_quantity
+          FROM lineitem),
+        d AS (
+          SELECT k AS hot_key, 'b' || CAST(k % 4 AS VARCHAR) AS bucket
+          FROM (SELECT unnest([1, 90, 91, 92, 93, 94, 95, 96, 97, 98, 99])
+                  AS k))
+        SELECT bucket, count(*) AS n,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                 AS DOUBLE) AS sum_qty
+        FROM f JOIN d USING (hot_key)
+        GROUP BY bucket ORDER BY bucket""")),
+
     // broadcast nested-loop join (5 band rows broadcast to every partition),
     // so the fact side streams through without any shuffle.
     Q(
