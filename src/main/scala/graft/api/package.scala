@@ -137,7 +137,7 @@ package object api {
     def minhashPortableCandidates(
         df: DataFrame, id: Column, text: Column,
         shingleWords: Int = 3, bands: Int = 4): DataFrame = {
-      val banded = portableBands(df, id, text, shingleWords, bands)
+      val banded = minhashBandIndex(df, id, text, shingleWords, bands)
       banded.alias("a")
         .join(banded.alias("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -146,23 +146,25 @@ package object api {
         .agg(count(lit(1)).as("n_shared_bands"))
     }
 
-    /** Incremental dedup — the production mode at scale: the corpus's
-      * band table is the PERSISTED index (built once, appended as
-      * batches land), and each arriving delta batch computes only ITS
-      * OWN signatures and equi-joins the index. Candidate work is
+    /** Incremental dedup — the production mode at scale: `corpusIndex`
+      * is the PERSISTED band table (build it once with
+      * [[minhashBandIndex]], write it out, append each batch's bands as
+      * they land), and each arriving delta batch computes only ITS OWN
+      * signatures and equi-joins the index. Candidate work is
       * O(delta · bands), independent of corpus size; the corpus is
-      * never re-shingled. Same engine-portable signature as
-      * [[minhashPortableCandidates]], so index rows written today can
-      * be probed — or audited — by any engine tomorrow. Output:
-      * (new_id, corpus_id, n_shared_bands), one row per candidate link
-      * of a new doc into the existing corpus.
+      * never re-shingled — the index is taken as an argument precisely
+      * so callers cannot accidentally pay the rebuild. Same
+      * engine-portable signature as [[minhashPortableCandidates]], so
+      * index rows written today can be probed — or audited — by any
+      * engine tomorrow. Output: (new_id, corpus_id, n_shared_bands),
+      * one row per candidate link of a new doc into the existing
+      * corpus.
       */
     def minhashIncrementalCandidates(
-        corpus: DataFrame, delta: DataFrame, id: Column, text: Column,
+        corpusIndex: DataFrame, delta: DataFrame, id: Column, text: Column,
         shingleWords: Int = 3, bands: Int = 4): DataFrame = {
-      val idx = portableBands(corpus, id, text, shingleWords, bands)
-        .alias("c")
-      val probe = portableBands(delta, id, text, shingleWords, bands)
+      val idx = corpusIndex.alias("c")
+      val probe = minhashBandIndex(delta, id, text, shingleWords, bands)
         .alias("d")
       probe.join(idx,
           col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
@@ -172,11 +174,12 @@ package object api {
 
     /** The banded portable-MinHash signature table for `df`:
       * (id, band, bkey) — the persistable LSH index rows behind both
-      * candidate generators above.
+      * candidate generators above. Write THIS table out once and append
+      * to it as batches land; [[minhashIncrementalCandidates]] probes it.
       */
-    private def portableBands(
+    def minhashBandIndex(
         df: DataFrame, id: Column, text: Column,
-        shingleWords: Int, bands: Int): DataFrame = {
+        shingleWords: Int = 3, bands: Int = 4): DataFrame = {
       val numHashes = bands * 2 // 2 rows per band, k = 8 at the default
       require(numHashes <= portableA.size, "at most 4 bands (8 hashes)")
       val base = df.select(id.as("id"), split(text, " ").as("ws"))
@@ -2308,7 +2311,9 @@ package object api {
       val g = df.select(group.as("grp"), unix_micros(ts).as("t"))
       val perGroup = g.groupBy("grp")
         .agg(count(lit(1)).as("n_events"), max(col("t")).as("last_us"))
-      val wm = g.agg(max(col("t")).as("wm_us"))
+      // The global watermark is max of the per-group maxima — derived
+      // from group-cardinality rows, so the table is scanned ONCE.
+      val wm = perGroup.agg(max(col("last_us")).as("wm_us"))
       perGroup.crossJoin(broadcast(wm))
         .select(col("grp"), col("n_events"),
           // ntz so the parquet interchange type matches plain TIMESTAMP

@@ -440,9 +440,12 @@ object Dedup extends QueryModule {
       "dedup_incremental",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // Build the index once (in production: persisted + appended);
+        // the candidate call itself only ever signs the delta.
+        val index = graft.api.Dedup.minhashBandIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"))
         graft.api.Dedup.minhashIncrementalCandidates(
-          docs.filter(col("doc_id") % 10 =!= 0),
-          docs.filter(col("doc_id") % 10 === 0),
+          index, docs.filter(col("doc_id") % 10 === 0),
           col("doc_id"), col("text"))
           .orderBy("new_id", "corpus_id")
           .select(col("new_id"), col("corpus_id"), col("n_shared_bands"))

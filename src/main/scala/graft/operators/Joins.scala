@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +17,50 @@ import org.apache.spark.sql.functions._
   * cardinality and never materializes a cross product.
   */
 object Joins extends QueryModule {
+
+  /** The AQE skew scenario, shared by the join_skew_aqe op and its
+    * PlanShapeSpec skew=true assertion so the two can never drift:
+    * repartition(8) gives the shuffle multiple map tasks (skewed reduce
+    * partitions split along MAPPER boundaries), the literal dim keeps
+    * the rule's SMJ(Sort(Shuffle), Sort(Shuffle)) pattern clean.
+    */
+  private[graft] def skewJoinFrame(
+      s: SparkSession, dir: String): DataFrame = {
+    val sp2 = s
+    import sp2.implicits._
+    val fact = Tables.lineitem(s, dir).repartition(8)
+      .select(when(col("l_orderkey") % 100 < 90, lit(1L))
+        .otherwise(col("l_orderkey") % 100).as("hot_key"),
+        col("l_quantity"))
+    val dim = (Seq(1L) ++ (90L to 99L))
+      .map(k => (k, s"b${k % 4}")).toDF("hot_key", "bucket")
+    fact.join(dim, Seq("hot_key"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy("bucket")
+  }
+
+  /** Run `body` with skew-join thresholds scaled to harness partition
+    * sizes (the defaults target real cluster shuffles), restoring the
+    * prior conf values after.
+    */
+  private[graft] def withSkewConfs[T](s: SparkSession)(body: => T): T = {
+    val confKeys = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confKeys.keys.map(k =>
+      k -> scala.util.Try(s.conf.get(k)).toOption).toMap
+    confKeys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 
   def all: Seq[Q] = Seq(
     Q(
@@ -225,38 +270,14 @@ object Joins extends QueryModule {
     Q(
       "join_skew_aqe",
       (s, dir) => {
-        val confKeys = Map(
-          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
-            -> "16KB",
-          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
-          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-        val prior = confKeys.keys.map(k =>
-          k -> scala.util.Try(s.conf.get(k)).toOption).toMap
-        confKeys.foreach { case (k, v) => s.conf.set(k, v) }
-        try {
-          val sp2 = s
-          import sp2.implicits._
-          val fact = Tables.lineitem(s, dir).repartition(8)
-            .select(when(col("l_orderkey") % 100 < 90, lit(1L))
-              .otherwise(col("l_orderkey") % 100).as("hot_key"),
-              col("l_quantity"))
-          val dim = (Seq(1L) ++ (90L to 99L))
-            .map(k => (k, s"b${k % 4}")).toDF("hot_key", "bucket")
-          val out = fact.join(dim, Seq("hot_key"))
-            .groupBy("bucket")
-            .agg(count(lit(1)).as("n"),
-              round(sum(col("l_quantity").cast("decimal(12,2)")), 2)
-                .cast("double").as("sum_qty"))
-            .orderBy("bucket")
+        val sp2 = s
+        import sp2.implicits._
+        withSkewConfs(s) {
           // Materialize NOW, inside the conf scope: the restored confs
           // must not leak into the lazily-executed plan.
-          out.collect().toSeq
+          skewJoinFrame(s, dir).collect().toSeq
             .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
             .toDF("bucket", "n", "sum_qty")
-        } finally prior.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None) => s.conf.unset(k)
         }
       },
       oracle = Some("""

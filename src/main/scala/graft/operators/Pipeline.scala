@@ -13,6 +13,59 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline extends QueryModule {
 
+  /** The recursive-CTE replay of packFirstFitDecreasing (budget 512,
+    * 4 shards, largest-first with id tie-break): state is the whole bin
+    * load LIST; list_position of the first fitting bin is exactly the
+    * Scala indexWhere. ONE definition shared by the pack_ffd and
+    * pipeline_write_shards oracles so the replay can never drift
+    * between them (the dedup_minhash_portable interpolation rule).
+    */
+  private val ffdReplaySql: String = """        WITH RECURSIVE t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+                 CAST(doc_id % 4 AS INT) AS shard
+          FROM documents),
+        n AS (
+          SELECT *, row_number() OVER (PARTITION BY source, shard
+                                       ORDER BY tc DESC, doc_id) AS rn
+          FROM t),
+        p AS (
+          SELECT doc_id, source, shard, rn, tc,
+                 CAST(0 AS BIGINT) AS bin_id, tc AS load_after,
+                 [tc] AS loads
+          FROM n WHERE rn = 1
+          UNION ALL
+          SELECT n.doc_id, n.source, n.shard, n.rn, n.tc,
+                 CAST(CASE WHEN coalesce(list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true), 0) = 0
+                      THEN len(p.loads)
+                      ELSE list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true) - 1
+                      END AS BIGINT),
+                 CASE WHEN coalesce(list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true), 0) = 0
+                      THEN n.tc
+                      ELSE p.loads[list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true)] + n.tc
+                      END,
+                 CASE WHEN coalesce(list_position(
+                        list_transform(p.loads, l -> l + n.tc <= 512),
+                        true), 0) = 0
+                      THEN list_append(p.loads, n.tc)
+                      ELSE list_transform(
+                        generate_series(1, CAST(len(p.loads) AS INT)),
+                        i -> CASE WHEN i = list_position(
+                               list_transform(p.loads,
+                                 l -> l + n.tc <= 512), true)
+                             THEN p.loads[i] + n.tc ELSE p.loads[i] END)
+                      END
+          FROM n JOIN p ON n.source = p.source AND n.shard = p.shard
+                       AND n.rn = p.rn + 1)"""
+
   def all: Seq[Q] = Seq(
     // Context-window chunking with stride/overlap — the canonical LLM
     // preprocessing cut. Pure map-side column math (sequence + explode):
@@ -344,52 +397,7 @@ object Pipeline extends QueryModule {
           .select(col("id").as("doc_id"), col("group").as("source"),
             col("shard"), col("bin_id"), col("n_tokens"), col("load_after"))
           .orderBy("doc_id"),
-      oracle = Some("""
-        WITH RECURSIVE t AS (
-          SELECT doc_id, source,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
-                 CAST(doc_id % 4 AS INT) AS shard
-          FROM documents),
-        n AS (
-          SELECT *, row_number() OVER (PARTITION BY source, shard
-                                       ORDER BY tc DESC, doc_id) AS rn
-          FROM t),
-        p AS (
-          SELECT doc_id, source, shard, rn, tc,
-                 CAST(0 AS BIGINT) AS bin_id, tc AS load_after,
-                 [tc] AS loads
-          FROM n WHERE rn = 1
-          UNION ALL
-          SELECT n.doc_id, n.source, n.shard, n.rn, n.tc,
-                 CAST(CASE WHEN coalesce(list_position(
-                        list_transform(p.loads, l -> l + n.tc <= 512),
-                        true), 0) = 0
-                      THEN len(p.loads)
-                      ELSE list_position(
-                        list_transform(p.loads, l -> l + n.tc <= 512),
-                        true) - 1
-                      END AS BIGINT),
-                 CASE WHEN coalesce(list_position(
-                        list_transform(p.loads, l -> l + n.tc <= 512),
-                        true), 0) = 0
-                      THEN n.tc
-                      ELSE p.loads[list_position(
-                        list_transform(p.loads, l -> l + n.tc <= 512),
-                        true)] + n.tc
-                      END,
-                 CASE WHEN coalesce(list_position(
-                        list_transform(p.loads, l -> l + n.tc <= 512),
-                        true), 0) = 0
-                      THEN list_append(p.loads, n.tc)
-                      ELSE list_transform(
-                        generate_series(1, CAST(len(p.loads) AS INT)),
-                        i -> CASE WHEN i = list_position(
-                               list_transform(p.loads,
-                                 l -> l + n.tc <= 512), true)
-                             THEN p.loads[i] + n.tc ELSE p.loads[i] END)
-                      END
-          FROM n JOIN p ON n.source = p.source AND n.shard = p.shard
-                       AND n.rn = p.rn + 1)
+      oracle = Some(ffdReplaySql + """
         SELECT doc_id, source, shard, bin_id, tc AS n_tokens, load_after
         FROM p ORDER BY doc_id""")),
 
@@ -425,43 +433,7 @@ object Pipeline extends QueryModule {
             sum("n_tokens").as("n_tokens"))
           .orderBy("training_shard")
       },
-      oracle = Some("""
-        WITH RECURSIVE t AS (
-          SELECT doc_id, source,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
-                 CAST(doc_id % 4 AS INT) AS shard
-          FROM documents),
-        n AS (
-          SELECT *, row_number() OVER (PARTITION BY source, shard
-                                       ORDER BY tc DESC, doc_id) AS rn
-          FROM t),
-        p AS (
-          SELECT doc_id, source, shard, rn, tc,
-                 CAST(0 AS BIGINT) AS bin_id, [tc] AS loads
-          FROM n WHERE rn = 1
-          UNION ALL
-          SELECT n.doc_id, n.source, n.shard, n.rn, n.tc,
-                 CAST(CASE WHEN coalesce(list_position(
-                        list_transform(p.loads, l -> l + n.tc <= 512),
-                        true), 0) = 0
-                      THEN len(p.loads)
-                      ELSE list_position(
-                        list_transform(p.loads, l -> l + n.tc <= 512),
-                        true) - 1
-                      END AS BIGINT),
-                 CASE WHEN coalesce(list_position(
-                        list_transform(p.loads, l -> l + n.tc <= 512),
-                        true), 0) = 0
-                      THEN list_append(p.loads, n.tc)
-                      ELSE list_transform(
-                        generate_series(1, CAST(len(p.loads) AS INT)),
-                        i -> CASE WHEN i = list_position(
-                               list_transform(p.loads,
-                                 l -> l + n.tc <= 512), true)
-                             THEN p.loads[i] + n.tc ELSE p.loads[i] END)
-                      END
-          FROM n JOIN p ON n.source = p.source AND n.shard = p.shard
-                       AND n.rn = p.rn + 1),
+      oracle = Some(ffdReplaySql + """,
         sh AS (
           SELECT *, ('0x' || substring(md5(source || '/' ||
                      CAST(shard AS VARCHAR) || '/' ||

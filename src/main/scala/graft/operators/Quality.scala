@@ -361,7 +361,7 @@ object Quality extends QueryModule {
     Q(
       "dq_table_checksum",
       (s, dir) => {
-        val h = conv(substring(md5(concat_ws("",
+        val h = conv(substring(md5(concat_ws("\u0001",
           col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           // doubles digest as exact cents: float-to-text is engine-
           // specific (the diffSnapshots contract)
@@ -416,7 +416,7 @@ object Quality extends QueryModule {
           col("o_orderpriority"))
         val recon = graft.api.Quality.applyPatch(
           v1, v2, col("o_orderkey"), pay)
-        val dig = md5(concat_ws("", col("o_custkey"),
+        val dig = md5(concat_ws("\u0001", col("o_custkey"),
           col("o_orderstatus"), col("o_orderpriority")))
         // ONE job for the whole audit: tag each side, group by
         // (key, digest), and fold every measure out of the per-(k,d)

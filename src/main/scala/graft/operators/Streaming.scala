@@ -588,7 +588,10 @@ object Streaming extends QueryModule {
           .select(col("w.start").cast("timestamp_ntz").as("day_start"),
             col("event_type"), col("hll_users"))
         val ev = Tables.events(s, dir)
-        val wm = ev.agg(max("ts")).first().getTimestamp(0).getTime * 1000L
+        // unix_micros, NOT getTimestamp.getTime*1000: ts genuinely carries
+        // sub-millisecond precision, and a wm truncated up to 999 µs low
+        // could silently exclude a closed window from the parity audit.
+        val wm = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
         val batch = ev
           .withColumn("day_start",
             date_trunc("day", col("ts")).cast("timestamp_ntz"))

@@ -27,7 +27,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     val rows = SparkEntry.queries("sim_mips_augmented")(spark, sf001)
       .collect()
     assert(rows.length == 10)
-    val nVecs = Tables.embeddings(spark, sf0001).count()
+    val nVecs = Tables.embeddings(spark, sf001).count() // same dir as the run
     rows.foreach { r =>
       val nCand = r.getLong(1); val rec = r.getDouble(2)
       assert(nCand > 0, s"query ${r.getLong(0)} probed an empty pool")

@@ -276,39 +276,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // Reproduce the op's inner join under the same conf scope and check
     // the POST-execution adaptive plan: AQE must have marked the sort-
     // merge join as skew-handled (the hot partition split across tasks).
-    val s = spark
-    import org.apache.spark.sql.functions._
-    val confs = Map(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
-        -> "16KB",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prior = confs.keys.map(k =>
-      k -> scala.util.Try(s.conf.get(k)).toOption).toMap
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      import org.apache.spark.sql.SparkSession
-      val sp2: SparkSession = s
-      import sp2.implicits._
-      // Multiple map tasks are a precondition: a skewed reduce partition
-      // splits along MAPPER boundaries, so a 1-file scan can't split.
-      val fact = Tables.lineitem(s, sf001).repartition(8)
-        .select(when(col("l_orderkey") % 100 < 90, lit(1L))
-          .otherwise(col("l_orderkey") % 100).as("hot_key"),
-          col("l_quantity"))
-      val dim = (Seq(1L) ++ (90L to 99L))
-        .map(k => (k, s"b${k % 4}")).toDF("hot_key", "bucket")
-      val joined = fact.join(dim, Seq("hot_key"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sq"))
+    // Same scenario and conf scope as the op itself (shared helpers in
+    // operators.Joins), so this assertion exercises the shipped plan.
+    graft.operators.Joins.withSkewConfs(spark) {
+      val joined = graft.operators.Joins.skewJoinFrame(spark, sf001)
       joined.collect()
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"),
         s"AQE never split the hot partition:\n$p")
-    } finally prior.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
     }
   }
 
