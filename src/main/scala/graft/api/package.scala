@@ -25,10 +25,12 @@ package object api {
       */
     def shingles(text: Column, k: Int = 3): Column = {
       val w = split(text, " ")
+      // slice clamps at the array end (element_at past it is an ANSI
+      // error), so a doc shorter than k words yields its one partial
+      // shingle instead of failing.
       array_distinct(
         transform(sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
-          i => concat_ws(" ",
-            (0 until k).map(j => element_at(w, i + j)): _*)))
+          i => array_join(slice(w, i, lit(k)), " ")))
     }
 
     /** MinHash signatures over k-shingles: one row per input id with a
@@ -285,6 +287,42 @@ package object api {
           (size(array_intersect(col("sh_a"), col("sh_b"))) /
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
             .as("jaccard"))
+    }
+
+    /** EXACT near-duplicate ground truth: every pair whose k-word shingle
+      * Jaccard clears `minPermille` — found through the shingle inverted
+      * index, so only pairs sharing at least one shingle are ever scored
+      * (a zero-overlap pair cannot clear any positive threshold, so
+      * nothing is missed). All integer arithmetic: jaccard_pm =
+      * 1000·|∩| div |∪|, engine-exact; the pair shuffle carries 8-byte
+      * shingle digests, never text. Cost is Σ df(g)² over shingle doc
+      * frequencies — quadratic in hot shingles — so this is the AUDIT
+      * tool you run on a sample to certify an LSH index (see the
+      * dedup_lsh_audit op), not the production dedup path; the LSH ops
+      * exist precisely to avoid this join. Output: (id_a, id_b,
+      * jaccard_pm) with id_a < id_b.
+      */
+    def exactJaccardPairs(
+        df: DataFrame, id: Column, text: Column,
+        k: Int = 3, minPermille: Int = 350): DataFrame = {
+      val sh = df
+        .select(id.as("id"), array_distinct(shingles(text, k)).as("shs"))
+        .withColumn("nsh", size(col("shs")).cast("long"))
+        .filter(col("nsh") > 0)
+      val inv = sh
+        .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
+        .select(col("id"), col("nsh"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+      inv.alias("a")
+        .join(inv.alias("b"),
+          col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.nsh").as("na"), col("b.nsh").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard_pm",
+          expr("1000 * inter div (na + nb - inter)"))
+        .filter(col("jaccard_pm") >= minPermille)
+        .select("id_a", "id_b", "jaccard_pm")
     }
 
     /** Distributed connected components over an undirected edge list — the
@@ -1484,6 +1522,95 @@ package object api {
         .filter(col("rn") <= col("quota"))
         .select(col("mix_source").as("source"), col("mix_id").as("id"),
           col("n_avail"), col("w"), col("quota"))
+    }
+
+    /** Deterministic epoch shuffle — the global corpus reorder a training
+      * run needs between epochs, without randomness or coordination: each
+      * row's sort key is the engine-portable 60-bit md5 hash (NOTES.md) of
+      * "epoch:id", its shard is that key mod `numShards`, and its position
+      * is the rank within the shard. Changing `epoch` permutes the whole
+      * corpus; the same (epoch, corpus) yields the same order on any
+      * engine, any day, any partition layout. At scale this is ONE shuffle
+      * on the shard key plus a per-shard local sort (the rank window
+      * partitions by shard) — no global total-order bottleneck and no
+      * driver state, unlike a naive orderBy(rand()) whose row_number
+      * needs a single partition. Output: (id, shard, pos, sort_key).
+      */
+    def epochShuffle(
+        df: DataFrame, id: Column, epoch: Int,
+        numShards: Int = 8): DataFrame = {
+      require(numShards >= 1)
+      val d = df.select(id.as("id"))
+        .withColumn("sort_key",
+          conv(substring(md5(concat_ws(":", lit(epoch.toString),
+            col("id").cast("string"))), 1, 15), 16, 10).cast("long"))
+        .withColumn("shard", pmod(col("sort_key"), lit(numShards.toLong)))
+      val w = Window.partitionBy("shard")
+        .orderBy(col("sort_key"), col("id"))
+      d.withColumn("pos", row_number().over(w))
+        .select("id", "shard", "pos", "sort_key")
+    }
+
+    /** Fractional repeat factors per source — the up/down-sampling mixture
+      * that weights pretraining corpora (wiki 2.5 epochs, web 0.3, …): a
+      * doc in source s with factor f permille receives ⌊f/1000⌋ full
+      * copies, plus one more iff hash60(id) mod 1000 < f mod 1000 — so
+      * exactly the f mod 1000 permille of docs carry the fractional copy,
+      * and WHICH docs is a pure function of (id, f): engine-portable,
+      * seedless, stable as the corpus grows (a doc's copy count never
+      * changes when neighbors arrive). Sources absent from the map default
+      * to 1000 (one copy); factor 0 drops the source. Broadcast factor
+      * join + generator explode: map-side only, no shuffle at all.
+      * Output: (id, source, f_pm, n_copies, copy), one row per emitted
+      * copy with copy in 1..n_copies.
+      */
+    def repeatMixture(
+        df: DataFrame, source: Column, id: Column,
+        factorsPermille: Map[String, Long]): DataFrame = {
+      require(factorsPermille.values.forall(_ >= 0L))
+      val sp = df.sparkSession
+      val factors = {
+        import sp.implicits._
+        factorsPermille.toSeq.toDF("source", "f_pm_raw")
+      }
+      df.select(id.as("id"), source.as("source"))
+        .join(broadcast(factors), Seq("source"), "left")
+        .withColumn("f_pm", coalesce(col("f_pm_raw"), lit(1000L)))
+        .withColumn("n_copies",
+          expr("f_pm div 1000") +
+            when(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+              .cast("long") % 1000L < col("f_pm") % 1000L, 1L).otherwise(0L))
+        // sequence up to max(n,1) then filter: CASE-to-empty-array needs a
+        // type annotation either way, and the one dropped row is free.
+        .withColumn("copy",
+          explode(sequence(lit(1L), greatest(col("n_copies"), lit(1L)))))
+        .filter(col("copy") <= col("n_copies"))
+        .select("id", "source", "f_pm", "n_copies", "copy")
+    }
+
+    /** Balance groups to at most `cap` rows each: within every group rows
+      * are ranked by the engine-portable 60-bit id hash — a seedless
+      * uniform draw — and only the first `cap` survive. This is the
+      * language/source balancing cut of corpus prep (equalize group
+      * sizes), distinct from [[stratifiedHashSample]]'s uniform RATE: a
+      * rate leaves skew intact, a cap removes it. ONE shuffle on the
+      * group key; the rank window is per-group, so no global sort, and
+      * groups already at or under the cap pass through complete. Output:
+      * the input rows of survivors plus (bal_group, bal_id, bal_rank).
+      */
+    def balanceCap(
+        df: DataFrame, group: Column, id: Column, cap: Int): DataFrame = {
+      require(cap >= 1)
+      val w = Window.partitionBy("bal_group")
+        .orderBy(col("bal_h"), col("bal_id"))
+      df.withColumn("bal_group", group)
+        .withColumn("bal_id", id)
+        .withColumn("bal_h",
+          conv(substring(md5(col("bal_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+        .withColumn("bal_rank", row_number().over(w))
+        .filter(col("bal_rank") <= cap)
+        .drop("bal_h")
     }
 
     /** Concat-then-split packing (how LLM training shards are actually

@@ -515,5 +515,121 @@ object Dedup extends QueryModule {
                coalesce(d.n_dup, CAST(0 AS BIGINT)) AS n_dup_windows
         FROM tot t LEFT JOIN dup d USING (doc_id)
         ORDER BY doc_id"""))
+  ) ++ Seq(
+    // Precision/recall certification of the LSH index against EXACT
+    // shingle Jaccard — the measurement loop sim_ann_recall runs for
+    // vectors, here for text dedup: ground truth is every pair at true
+    // jaccard ≥ 350‰ (inverted-index exact join — the audit-only
+    // quadratic tool), prediction is the portable-MinHash band index at
+    // each candidate threshold 1..4 shared bands. Raising the threshold
+    // trades recall for precision — the S-curve a production dedup tunes
+    // against, and the whole chain (both sides!) is integer/md5 exact,
+    // so even this AUDIT is engine-replayable. Division guards: a
+    // threshold with zero candidates or an empty truth set reports NULL
+    // rather than tripping integer division (the sf0.001 smoke corpus).
+    Q(
+      "dedup_lsh_audit",
+      (s, dir) => {
+        val sp2 = s
+        import sp2.implicits._
+        val docs = Tables.documents(s, dir)
+        val cand = graft.api.Dedup.minhashPortableCandidates(
+          docs, col("doc_id"), col("text"))
+        val truth = graft.api.Dedup.exactJaccardPairs(
+          docs, col("doc_id"), col("text"), k = 3, minPermille = 350)
+        val joined = cand
+          .join(truth, Seq("id_a", "id_b"), "full_outer")
+          .select(coalesce(col("n_shared_bands"), lit(0L)).as("nsb"),
+            col("jaccard_pm").isNotNull.as("is_true"))
+        Seq(1L, 2L, 3L, 4L).toDF("min_bands")
+          .crossJoin(joined)
+          .groupBy("min_bands")
+          .agg(
+            sum(when(col("nsb") >= col("min_bands"), 1L).otherwise(0L))
+              .as("n_candidates"),
+            sum(when(col("nsb") >= col("min_bands") && col("is_true"), 1L)
+              .otherwise(0L)).as("n_hits"),
+            sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"))
+          .withColumn("precision_pm", expr(
+            "CASE WHEN n_candidates = 0 THEN NULL" +
+              " ELSE 1000 * n_hits div n_candidates END"))
+          .withColumn("recall_pm", expr(
+            "CASE WHEN n_true = 0 THEN NULL" +
+              " ELSE 1000 * n_hits div n_true END"))
+          .orderBy("min_bands")
+      },
+      oracle = Some {
+        val P = graft.api.Dedup.portableP
+        val mins = (0 until 8).map(i =>
+          s"min((${graft.api.Dedup.portableA(i)}*h+" +
+            s"${graft.api.Dedup.portableB(i)})%$P) AS m$i").mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR) AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(array_to_string(ws[i:i+2], ' ')),
+                   1, 15))::BIGINT % $P AS h
+          FROM w, unnest(generate_series(1, n - 2)) AS t(i)
+          WHERE n >= 3),
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        b AS ($bandRows),
+        cand AS (
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 count(*) AS nsb
+          FROM b a JOIN b b2
+            ON a.band = b2.band AND a.bkey = b2.bkey
+           AND a.doc_id < b2.doc_id
+          GROUP BY 1, 2),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substring(md5(
+                   array_to_string(ws[i : i + 2], ' ')), 1, 15))::BIGINT AS gh
+          FROM w, unnest(generate_series(1, greatest(n - 2, 1))) AS t(i)),
+        cnt AS (SELECT doc_id, count(*) AS nsh FROM dg GROUP BY 1),
+        ip AS (
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 count(*) AS inter
+          FROM dg a JOIN dg b2
+            ON a.gh = b2.gh AND a.doc_id < b2.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id_a, id_b
+          FROM ip
+          JOIN cnt ca ON ip.id_a = ca.doc_id
+          JOIN cnt cb ON ip.id_b = cb.doc_id
+          WHERE 1000 * inter // (ca.nsh + cb.nsh - inter) >= 350),
+        fo AS (
+          SELECT coalesce(c.nsb, 0) AS nsb,
+                 t.id_a IS NOT NULL AS is_true
+          FROM cand c FULL OUTER JOIN truth t
+            ON c.id_a = t.id_a AND c.id_b = t.id_b)
+        SELECT CAST(mb.min_bands AS BIGINT) AS min_bands,
+               CAST(count(*) FILTER (WHERE nsb >= mb.min_bands)
+                 AS BIGINT) AS n_candidates,
+               CAST(count(*) FILTER (WHERE nsb >= mb.min_bands AND is_true)
+                 AS BIGINT) AS n_hits,
+               CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_true,
+               CASE WHEN count(*) FILTER (WHERE nsb >= mb.min_bands) = 0
+                    THEN NULL
+                    ELSE CAST(1000 * count(*) FILTER
+                           (WHERE nsb >= mb.min_bands AND is_true)
+                         // count(*) FILTER (WHERE nsb >= mb.min_bands)
+                         AS BIGINT) END AS precision_pm,
+               CASE WHEN count(*) FILTER (WHERE is_true) = 0 THEN NULL
+                    ELSE CAST(1000 * count(*) FILTER
+                           (WHERE nsb >= mb.min_bands AND is_true)
+                         // count(*) FILTER (WHERE is_true)
+                         AS BIGINT) END AS recall_pm
+        FROM fo CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS min_bands) mb
+        GROUP BY mb.min_bands
+        ORDER BY min_bands"""
+      })
   )
 }

@@ -301,6 +301,111 @@ object Pipeline extends QueryModule {
         WHERE r.rn <= q.quota
         GROUP BY 1, 2, 3, 4 ORDER BY source""")),
 
+    // Fractional repeat factors (wiki 2.5 epochs, web 0.3, one source
+    // dropped outright, unlisted sources defaulting to 1.0): copy counts
+    // are a pure function of (id, factor) via the portable 60-bit hash,
+    // so the SAME docs carry the fractional extra copy on any engine.
+    // Broadcast factor join + generator explode — zero shuffles; the
+    // orderBy is presentation-only.
+    Q(
+      "mix_epoch_repeat",
+      (s, dir) =>
+        graft.api.Pipeline.repeatMixture(
+          Tables.documents(s, dir), col("source"), col("doc_id"),
+          Map("src0" -> 2500L, "src1" -> 300L, "src2" -> 1700L,
+            "src3" -> 0L))
+          .select(col("id").as("doc_id"), col("source"), col("f_pm"),
+            col("n_copies"), col("copy"))
+          .orderBy("doc_id", "copy"),
+      oracle = Some("""
+        WITH f AS (
+          SELECT * FROM (VALUES
+            ('src0', CAST(2500 AS BIGINT)), ('src1', CAST(300 AS BIGINT)),
+            ('src2', CAST(1700 AS BIGINT)), ('src3', CAST(0 AS BIGINT)))
+            AS t(source, f_pm_raw)),
+        d AS (
+          SELECT doc_id, source,
+                 CAST(coalesce(f.f_pm_raw, 1000) AS BIGINT) AS f_pm,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 1000 AS hfrac
+          FROM documents LEFT JOIN f USING (source)),
+        c AS (
+          SELECT doc_id, source, f_pm,
+                 CAST(f_pm // 1000 +
+                      CASE WHEN hfrac < f_pm % 1000 THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_copies
+          FROM d)
+        SELECT doc_id, source, f_pm, n_copies, CAST(copy AS BIGINT) AS copy
+        FROM c, unnest(generate_series(1, CAST(n_copies AS INT)))
+               AS t(copy)
+        WHERE n_copies > 0
+        ORDER BY doc_id, copy""")),
+
+    // Deterministic epoch shuffle: sort key = portable hash of
+    // "epoch:id", shard = key mod 8, position = rank within shard. Two
+    // epochs side by side prove the permutation actually changes. ONE
+    // shuffle on the shard key + per-shard local sort — no global
+    // total-order (an orderBy(rand()) + row_number would funnel 100 TB
+    // through one partition), no seed to distribute.
+    Q(
+      "pipeline_epoch_shuffle",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val e0 = graft.api.Pipeline.epochShuffle(docs, col("doc_id"), 0)
+          .withColumn("epoch", lit(0))
+        val e1 = graft.api.Pipeline.epochShuffle(docs, col("doc_id"), 1)
+          .withColumn("epoch", lit(1))
+        e0.unionByName(e1)
+          .select(col("epoch"), col("shard"), col("pos"),
+            col("id").as("doc_id"), col("sort_key"))
+          .orderBy("epoch", "shard", "pos")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT unnest([0, 1]) AS epoch),
+        h AS (
+          SELECT e.epoch, doc_id,
+                 ('0x' || substring(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sort_key
+          FROM documents CROSS JOIN e)
+        SELECT epoch, sort_key % 8 AS shard,
+               row_number() OVER (PARTITION BY epoch, sort_key % 8
+                 ORDER BY sort_key, doc_id) AS pos,
+               doc_id, sort_key
+        FROM h ORDER BY epoch, shard, pos""")),
+
+    // Balance-to-cap: every language capped at 70 docs, survivors chosen
+    // by portable-hash rank — the skew-REMOVING cut (sample_stratified's
+    // uniform rate leaves skew intact). One shuffle on the group key;
+    // under-cap groups pass through complete (fr keeps all 64).
+    Q(
+      "sample_balance_cap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val kept = graft.api.Pipeline.balanceCap(
+          docs, col("lang"), col("doc_id"), cap = 70)
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("bal_id").as("id_checksum"))
+          .join(docs.groupBy("lang").agg(count(lit(1)).as("n_total")),
+            "lang")
+          .select(col("lang"), col("n_total"), col("n_kept"),
+            col("id_checksum"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT, doc_id) AS rn
+          FROM documents)
+        SELECT lang,
+               count(*) AS n_total,
+               CAST(count(*) FILTER (WHERE rn <= 70) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) FILTER (WHERE rn <= 70) AS BIGINT)
+                 AS id_checksum
+        FROM r GROUP BY lang ORDER BY lang""")),
+
     // Concat-then-split packing: tokens of consecutive docs per source are
     // conceptually concatenated and cut at every 512-token boundary; each
     // doc's spanned bin range is closed-form over a running sum — the

@@ -523,6 +523,57 @@ object Sources extends QueryModule {
         WHERE epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 >= 19735
         GROUP BY event_type ORDER BY event_type""")),
 
+    // Dynamic partition overwrite — THE idempotent backfill primitive:
+    // recompute one day and write mode("overwrite") with
+    // partitionOverwriteMode=dynamic, and only the partitions PRESENT in
+    // the written frame are replaced; the other 29 days are untouched
+    // (static mode would truncate the whole table). Re-running the same
+    // backfill lands the same bytes — at-least-once orchestration is
+    // safe. Visibility: the swap is atomic PER PARTITION directory only;
+    // a reader mid-backfill can see day A corrected and day B not yet —
+    // where cross-partition consistency matters, publish a full snapshot
+    // via api.Layout.publish instead. Oracle: the read-back equals
+    // events with day 19733 doubled, cents-exact.
+    Q(
+      "sink_dynamic_overwrite",
+      (s, dir) => {
+        val root = Scratch.fresh("sink_dynamic_overwrite")
+        val sink = s"$root/sink"
+        val ev = Tables.events(s, dir)
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        ev.write.partitionBy("day").parquet(sink)
+        // The backfill: day 19733 re-derived with corrected values (2x).
+        val fixed = ev.filter(col("day") === 19733L)
+          .withColumn("value", col("value") * 2)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prior = scala.util.Try(s.conf.get(key)).toOption
+        s.conf.set(key, "dynamic")
+        // The write is eager, so restoring the conf after it is safe.
+        try fixed.write.mode("overwrite").partitionBy("day").parquet(sink)
+        finally prior match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            // cents-exact double digest (the diffSnapshots contract):
+            // float sums are order-sensitive, integer sums are not
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+            countDistinct(col("day")).as("n_days"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                                // 86400000000 = 19733
+                             THEN CAST(round(value * 2 * 100) AS BIGINT)
+                             ELSE CAST(round(value * 100) AS BIGINT)
+                        END) AS BIGINT) AS sum_cents,
+               CAST(count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP))
+                 // 86400000000) AS BIGINT) AS n_days
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // The parquet _metadata hidden column — per-row file lineage (which
     // file, which position), the hook ingestion pipelines use for
     // provenance tracking and selective reprocessing. No oracle (file

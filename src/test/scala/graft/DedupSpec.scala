@@ -80,4 +80,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == 20)
     assert(rows.sliding(2).forall(w => w(0) >= w(1) - 1e-4))
   }
+
+  test("exactJaccardPairs: hand corpus, integer permille, short docs") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d e"), // shingles {abc,bcd,cde}
+      (2L, "a b c d x"), // shares {abc,bcd} → 2/4 = 500‰
+      (3L, "p q r s t"), // disjoint — must not appear at all
+      (4L, "a b"),       // short doc: one partial shingle "a b"
+      (5L, "a b")        // identical short doc → 1000‰
+    ).toDF("id", "t")
+    val got = api.Dedup.exactJaccardPairs(
+      docs, col("id"), col("t"), k = 3, minPermille = 350)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 2L, 500L), (4L, 5L, 1000L)))
+    // below-threshold pair visible when the bar drops
+    val loose = api.Dedup.exactJaccardPairs(
+      docs, col("id"), col("t"), k = 3, minPermille = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 2L), (4L, 5L))) // overlap pairs only
+  }
 }

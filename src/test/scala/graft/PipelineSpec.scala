@@ -431,4 +431,83 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect()(0).getLong(1)
     assert(got == 8)
   }
+
+  test("epochShuffle: bijective positions, shard law, epochs permute") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 200L).toDF("id")
+    val e0 = api.Pipeline.epochShuffle(df, col("id"), epoch = 0,
+      numShards = 4).collect()
+    assert(e0.length == 200)
+    // (shard, pos) is a bijection: within each shard, pos is 1..n_shard.
+    e0.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length))
+    }
+    // Shard law: shard == sort_key mod numShards.
+    e0.foreach(r => assert(r.getLong(1) == ((r.getLong(3) % 4) + 4) % 4))
+    // Deterministic: a second run is bit-identical.
+    val again = api.Pipeline.epochShuffle(df, col("id"), 0, 4).collect()
+    assert(e0.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // A different epoch genuinely permutes: the id sequence read off in
+    // (shard, pos) order must differ.
+    val order = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.sortBy(r => (r.getLong(1), r.getInt(2))).map(_.getLong(0)).toSeq
+    val e1 = api.Pipeline.epochShuffle(df, col("id"), 1, 4).collect()
+    assert(order(e0) != order(e1))
+    assert(order(e0).toSet == order(e1).toSet) // same corpus either way
+  }
+
+  test("repeatMixture: copy counts honor factors, default, drop, growth") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 100L).map { i =>
+      (i, Seq("a", "b", "c", "d")((i % 4).toInt))
+    }.toDF("id", "src")
+    val out = api.Pipeline.repeatMixture(docs, col("src"), col("id"),
+      Map("a" -> 2500L, "b" -> 300L, "c" -> 0L)).collect()
+    val byId = out.groupBy(_.getLong(0))
+    byId.foreach { case (_, rows) =>
+      val n = rows.head.getLong(3)
+      // one row per copy, numbered 1..n_copies
+      assert(rows.map(_.getLong(4)).sorted.toSeq == (1L to n))
+      rows.head.getString(1) match {
+        case "a" => assert(n == 2L || n == 3L) // 2500‰ → 2 or 3 copies
+        case "b" => assert(n == 1L)            // 300‰ → present iff 1
+        case "c" => fail("factor 0 source must emit nothing")
+        case "d" => assert(n == 1L)            // unlisted → default 1000‰
+      }
+    }
+    assert(!out.exists(_.getString(1) == "c"))
+    // Stability: a doc's copy count is a pure function of (id, factor) —
+    // running on a subset yields the same counts for the subset's ids.
+    val sub = api.Pipeline.repeatMixture(
+      docs.filter(col("id") <= 50), col("src"), col("id"),
+      Map("a" -> 2500L, "b" -> 300L, "c" -> 0L)).collect()
+    val full = byId.map { case (id, rows) => id -> rows.head.getLong(3) }
+    sub.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      assert(rows.head.getLong(3) == full(id))
+    }
+  }
+
+  test("balanceCap: over-cap groups cut to cap, under-cap pass complete") {
+    val sp = spark
+    import sp.implicits._
+    val df = ((1L to 50L).map((_, "big")) ++ (51L to 53L).map((_, "small")))
+      .toDF("id", "grp")
+    val kept = api.Pipeline.balanceCap(df, col("grp"), col("id"), cap = 10)
+      .collect()
+    val byGrp = kept.groupBy(_.getString(1))
+    assert(byGrp("big").length == 10)
+    assert(byGrp("small").map(_.getLong(0)).sorted.toSeq ==
+      Seq(51L, 52L, 53L)) // under cap: every row survives
+    // ranks are 1..k within each surviving group
+    byGrp.values.foreach { rows =>
+      assert(rows.map(_.getInt(rows.head.length - 1)).sorted.toSeq ==
+        (1 to rows.length))
+    }
+    // survivor set is deterministic
+    val again = api.Pipeline.balanceCap(df, col("grp"), col("id"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+  }
 }

@@ -260,6 +260,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
                                 // the entity filter itself is map-side
       "dq_table_checksum" -> 2, // one grouped aggregate + final sort
       "text_tokenize_wordcount" -> 2, // term aggregate + global sort
+      "mix_epoch_repeat" -> 1,  // broadcast factors + explode; ONLY the
+                                // presentation sort shuffles
+      "pipeline_epoch_shuffle" -> 3, // one hash Exchange per epoch's
+                                // shard window + final sort; a global
+                                // total-order would also show up here
+      "sample_balance_cap" -> 5, // rank window + two aggs + join + sort
       "limit_topk" -> 0)        // TakeOrderedAndProject, no exchange
     budgets.foreach { case (name, maxEx) =>
       val p = plan(name)
