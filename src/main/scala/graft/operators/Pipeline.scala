@@ -406,6 +406,93 @@ object Pipeline extends QueryModule {
                  AS id_checksum
         FROM r GROUP BY lang ORDER BY lang""")),
 
+    // The per-source data card ("datasheets for datasets"): docs, token
+    // mass, mean length, language census + dominant language, duplicate
+    // incidence (200-char prefix digest — the corpus plants near-dups,
+    // not byte dups, so whole-text md5 would read 0 everywhere; the
+    // prefix digest is corpus_prep's dedup key and flags 31 docs at
+    // sf0.01), Gopher quality pass rate — ONE declarative plan a
+    // release pipeline materializes next to every shipped corpus. All
+    // measures are integers (mean length is ×100 integer division), so
+    // the card is engine-exact; the text columns collapse to digests and
+    // token counts at the first projection, so at 100 TB the shuffles
+    // carry per-source partials, never documents.
+    Q(
+      "pipeline_dataset_card",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          md5(substring(col("text"), 1, 200)).as("dig"))
+        val dupDigs = base.groupBy("dig").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("dig"), lit(1L).as("is_dup"))
+        val q = graft.api.Text.gopherQuality(docs, col("doc_id"),
+          col("text")).select(col("id").as("doc_id"), col("pass_all"))
+        val per = base
+          .join(dupDigs, Seq("dig"), "left")
+          .join(q, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("toks").as("n_tokens"),
+            expr("100 * sum(toks) div count(1)").as("avg_tokens_x100"),
+            countDistinct("lang").as("n_langs"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_prefix_dup_docs"),
+            sum(when(col("pass_all"), 1L).otherwise(0L))
+              .as("n_quality_pass"))
+        val topLang = base.groupBy("source", "lang")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("source").orderBy(desc("c"), col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        per.join(topLang, "source").orderBy("source")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, source, lang,
+                 string_split(text, ' ') AS ws,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                 CAST(length(replace(text, ' ', ''))
+                   AS BIGINT) AS sumlen,
+                 md5(substring(text, 1, 200)) AS dig
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, lang, n, dig,
+                 (n BETWEEN 30 AND 80) AND
+                 (sumlen * 100 BETWEEN n * 430 AND n * 470) AND
+                 (CAST(len(list_filter(ws, x -> x IN
+                    ('the','a','of','to','and','in','is')))
+                    AS BIGINT) * 20 >= n) AND
+                 (n < 2 OR
+                  (n - 1 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, CAST(n AS INT) - 1),
+                     i -> ws[i] || ' ' || ws[i + 1]))) AS BIGINT)) * 20
+                    <= n - 1) AS pass_all
+          FROM w),
+        d AS (SELECT dig FROM w GROUP BY dig HAVING count(*) >= 2),
+        per AS (
+          SELECT r.source,
+                 count(*) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS n_tokens,
+                 CAST(100 * sum(n) // count(*) AS BIGINT)
+                   AS avg_tokens_x100,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(*) FILTER (WHERE d.dig IS NOT NULL)
+                   AS BIGINT) AS n_prefix_dup_docs,
+                 CAST(count(*) FILTER (WHERE pass_all) AS BIGINT)
+                   AS n_quality_pass
+          FROM r LEFT JOIN d ON r.dig = d.dig GROUP BY 1),
+        tl AS (
+          SELECT source, lang,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY count(*) DESC, lang) AS rn
+          FROM w GROUP BY source, lang)
+        SELECT per.source, n_docs, n_tokens, avg_tokens_x100, n_langs,
+               n_prefix_dup_docs, n_quality_pass, tl.lang AS top_lang
+        FROM per JOIN tl ON per.source = tl.source AND tl.rn = 1
+        ORDER BY per.source""")),
+
     // Concat-then-split packing: tokens of consecutive docs per source are
     // conceptually concatenated and cut at every 512-token boundary; each
     // doc's spanned bin range is closed-form over a running sum — the
