@@ -458,5 +458,47 @@ object Quality extends QueryModule {
                CAST(0 AS BIGINT) AS only_in_recon,
                CAST(0 AS BIGINT) AS only_in_target,
                TRUE AS patch_lossless"""))
+  ) ++ Seq(
+    // Dataset.observe — in-flight metrics that RIDE the job's own action
+    // instead of costing a second scan: the production observability
+    // hook (batch here; the same named-metric surface feeds
+    // StreamingQueryListener per micro-batch). The observed aggregates
+    // travel with the count() action over events; Observation.get then
+    // yields them without any further job. At 100 TB the difference is
+    // one pass vs two — audit metrics on a table you were already
+    // reading are free. Values are integers (cents / µs), engine-exact.
+    Q(
+      "dq_observe_metrics",
+      (s, dir) => {
+        val sp2 = s
+        import sp2.implicits._
+        val obs = org.apache.spark.sql.Observation("ingest_metrics")
+        val ev = Tables.events(s, dir).observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("props").isNull, 1L).otherwise(0L))
+            .as("n_null_props"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+          min(unix_micros(col("ts"))).as("min_ts_us"),
+          max(unix_micros(col("ts"))).as("max_ts_us"))
+        // The job's REAL action; metrics piggyback on this single pass.
+        ev.count()
+        val m = obs.get
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("n_null_props").asInstanceOf[Long],
+          m("sum_cents").asInstanceOf[Long],
+          m("min_ts_us").asInstanceOf[Long],
+          m("max_ts_us").asInstanceOf[Long]))
+          .toDF("n_rows", "n_null_props", "sum_cents", "min_ts_us",
+            "max_ts_us")
+      },
+      oracle = Some("""
+        SELECT count(*) AS n_rows,
+               CAST(coalesce(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+                 0) AS BIGINT) AS n_null_props,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_ts_us,
+               max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
+        FROM events"""))
   )
 }

@@ -591,6 +591,39 @@ object Sources extends QueryModule {
           .select(col("file"), col("n_rows"),
             (col("min_ri") === 0 && col("max_ri") === col("n_rows") - 1)
               .as("idx_contiguous"))
-          .orderBy("file"))
+          .orderBy("file")),
+
+    // In-plan schema drift: two producer generations of one feed — the
+    // old one missing a column, the new one carrying an extra — unioned
+    // with unionByName(allowMissingColumns = true), which aligns by NAME
+    // and null-fills the gaps (positional union would misalign or
+    // reject). This is the read-side complement of
+    // scan_schema_evolution's mergeSchema: evolution inside one plan,
+    // no rewrite of either batch. The audit columns count the null fill
+    // exactly, so the oracle certifies the alignment.
+    Q(
+      "scan_union_schema_drift",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val oldGen = orders.filter(col("o_orderkey") % 2 === 0)
+          .drop("o_orderpriority") // produced before the column existed
+        val newGen = orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("ingest_v", lit(2)) // carries a new lineage column
+        oldGen.unionByName(newGen, allowMissingColumns = true)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+              .as("n_missing_priority"),
+            sum(coalesce(col("ingest_v"), lit(0)).cast("long"))
+              .as("v_checksum"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT)
+                 AS n_missing_priority,
+               CAST(2 * count(*) FILTER (WHERE o_orderkey % 2 = 1)
+                 AS BIGINT) AS v_checksum
+        FROM orders GROUP BY 1 ORDER BY 1"""))
   )
 }
