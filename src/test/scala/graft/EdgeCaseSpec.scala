@@ -243,4 +243,38 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
         "uid" -> "DOUBLE"))
     }
   }
+
+  test("dynamic partition overwrite leaves other partitions untouched") {
+    // The sink_dynamic_overwrite guarantee, checked at the FILE level:
+    // after backfilling day A, every file of day B is the same path,
+    // size, and mtime — not merely the same rows re-written.
+    import java.nio.file.{Files, Paths}
+    val root = Scratch.fresh("dynover_spec")
+    val sink = s"$root/sink"
+    val ev = Tables.events(sp, sf001)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    ev.write.partitionBy("day").parquet(sink)
+    def fileState(day: Long): Set[(String, Long, Long)] =
+      scala.util.Using.resource(
+          Files.list(Paths.get(s"$sink/day=$day")))(_.toArray)
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)).toSet
+    val before19734 = fileState(19734L)
+    val before19733 = fileState(19733L)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    sp.conf.set(key, "dynamic")
+    try ev.filter(col("day") === 19733L)
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite").partitionBy("day").parquet(sink)
+    finally sp.conf.unset(key)
+    assert(fileState(19734L) == before19734,
+      "untouched partition was rewritten")
+    assert(fileState(19733L) != before19733,
+      "backfilled partition should have new files")
+    // and the read-back table still covers every original day
+    assert(sp.read.parquet(sink).select("day").distinct().count() ==
+      ev.select("day").distinct().count())
+  }
 }
