@@ -336,5 +336,41 @@ object Relational extends QueryModule {
         SELECT depth, count(*) AS n_nodes,
                CAST(sum(s_suppkey) AS BIGINT) AS key_checksum
         FROM chain GROUP BY depth ORDER BY depth"""))
+  ) ++ Seq(
+    // SQL join hints — the knob a user turns when statistics mislead the
+    // planner: the SAME aggregate runs once under /*+ BROADCAST */ and
+    // once under /*+ SHUFFLE_MERGE */, and the union proves the contract
+    // that hints steer the PHYSICAL join, never the result (PlanShapeSpec
+    // asserts the BroadcastHashJoin/SortMergeJoin split; identical value
+    // rows here assert the semantics). Cents-exact revenue so the two
+    // plans' different addition orders cannot differ in the last bit.
+    Q(
+      "sql_join_hints",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("gh_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("gh_customer")
+        def q(hint: String, label: String) = s.sql(s"""
+          SELECT /*+ $hint(c) */ '$label' AS hint, c.c_mktsegment,
+                 count(*) AS n,
+                 sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS rev_cents
+          FROM gh_orders o JOIN gh_customer c
+            ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment""")
+        q("BROADCAST", "broadcast")
+          .unionByName(q("SHUFFLE_MERGE", "merge"))
+          .orderBy("hint", "c_mktsegment")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT c.c_mktsegment, count(*) AS n,
+                 CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment)
+        SELECT 'broadcast' AS hint, c_mktsegment, n, rev_cents FROM base
+        UNION ALL
+        SELECT 'merge' AS hint, c_mktsegment, n, rev_cents FROM base
+        ORDER BY hint, c_mktsegment"""))
   )
 }

@@ -303,4 +303,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert("""\*\(\d+\) Project \[[^\n]*graft_cosine""".r
       .findFirstIn(p).isDefined, p)
   }
+
+  test("sql_join_hints: BROADCAST and SHUFFLE_MERGE steer the join") {
+    Tables.orders(spark, sf001).createOrReplaceTempView("gh_orders")
+    Tables.customer(spark, sf001).createOrReplaceTempView("gh_customer")
+    def hinted(hint: String): String = {
+      val df = spark.sql(s"""
+        SELECT /*+ $hint(c) */ count(*) FROM gh_orders o
+        JOIN gh_customer c ON o.o_custkey = c.c_custkey""")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(hinted("BROADCAST").contains("BroadcastHashJoin"))
+    val merged = hinted("SHUFFLE_MERGE")
+    assert(merged.contains("SortMergeJoin") &&
+      !merged.contains("BroadcastHashJoin"),
+      s"SHUFFLE_MERGE hint ignored:\n$merged")
+  }
+
+  test("AQE coalesces a small aggregate's shuffle reads") {
+    import org.apache.spark.sql.functions._
+    // 32 shuffle partitions (session conf) over a 5-group aggregate:
+    // the runtime must coalesce the tiny reduce partitions rather than
+    // schedule 32 near-empty tasks — the other AQE pillar next to
+    // join_skew_aqe's skew split. POST-execution adaptive plan only.
+    val df = Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"AQE did not coalesce the shuffle read:\n$p")
+  }
 }
