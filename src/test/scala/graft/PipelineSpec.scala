@@ -489,6 +489,49 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("epochShuffle: numShards=1 degenerates to one global permutation") {
+    val sp = spark
+    import sp.implicits._
+    val one = api.Pipeline.epochShuffle(
+      (1L to 50L).toDF("id"), col("id"), epoch = 7, numShards = 1)
+      .collect()
+    assert(one.forall(_.getLong(1) == 0L)) // single shard 0
+    assert(one.map(_.getInt(2)).sorted.toSeq == (1 to 50)) // pos = 1..n
+    // position order must follow the hash key, not the id
+    val byPos = one.sortBy(_.getInt(2)).map(_.getLong(0)).toSeq
+    assert(byPos != (1L to 50L).toSeq)
+  }
+
+  test("repeatMixture: factor above 3 epochs and factor exactly 1000") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 60L).map(i => (i, if (i % 2 == 0) "hi" else "flat"))
+      .toDF("id", "src")
+    val out = api.Pipeline.repeatMixture(docs, col("src"), col("id"),
+      Map("hi" -> 3400L, "flat" -> 1000L)).collect()
+    val byId = out.groupBy(_.getLong(0)).map { case (id, rs) =>
+      id -> rs.head.getLong(3)
+    }
+    // hi: 3 or 4 copies; flat: exactly 1 (the fractional part is 0,
+    // so NO doc may get a second copy — hash < 0 is impossible)
+    (1L to 60L).foreach { id =>
+      if (id % 2 == 0) assert(byId(id) == 3L || byId(id) == 4L)
+      else assert(byId(id) == 1L)
+    }
+    // emitted row count equals the sum of copy counts
+    assert(out.length == byId.values.sum)
+  }
+
+  test("balanceCap: cap above every group size is the identity") {
+    val sp = spark
+    import sp.implicits._
+    val df = ((1L to 9L).map((_, "x")) ++ (10L to 12L).map((_, "y")))
+      .toDF("id", "grp")
+    val kept = api.Pipeline.balanceCap(df, col("grp"), col("id"), cap = 100)
+      .collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq == (1L to 12L))
+  }
+
   test("balanceCap: over-cap groups cut to cap, under-cap pass complete") {
     val sp = spark
     import sp.implicits._
