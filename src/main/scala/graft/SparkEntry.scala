@@ -24,7 +24,8 @@ object SparkEntry {
     graft.operators.Udx,
     graft.operators.Multimodal,
     graft.operators.Pipeline,
-    graft.operators.Quality
+    graft.operators.Quality,
+    graft.operators.DsV2
   )
 
   lazy val allQueries: Seq[Q] = {

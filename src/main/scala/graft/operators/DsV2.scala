@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Scratch, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** §2.A — the `graft-log` DataSource V2 surface (graft.sources.GraftLog):
+  * the engine's Kafka-shaped ingestion front door, exercised end-to-end
+  * through the registry.
+  *
+  * Everything here flows through the connector's own V2 commit protocol:
+  * the fixture topic is MATERIALIZED by the V2 writer (staged segments →
+  * driver rename → atomic `_meta` swap), then read back through the V2
+  * batch scan (`scan_dsv2_log`), the V2 micro-batch stream with admission
+  * control (`stream_dsv2_source`), and an out-of-order two-batch append
+  * (`sink_dsv2_log`) whose per-record (offset, key) assignment is
+  * certified by an order-independent XOR digest — the dq_table_checksum
+  * attestation pattern applied to a connector.
+  *
+  * Offset determinism (what makes a custom source ORACLE-able at all):
+  * the fixture repartitions by the log partition column — every log
+  * partition lands wholly in one writer task — and sorts within tasks by
+  * numeric key, so the committed offset of a record is exactly
+  * `row_number() OVER (PARTITION BY p ORDER BY key)` − 1, which DuckDB
+  * replays. The stream and batch scans must then agree with that closed
+  * form record-for-record.
+  */
+object DsV2 extends QueryModule {
+
+  /** Topic fixture cache: one committed graft-log topic per (JVM, sfDir) —
+    * events re-keyed as (partition = user_id mod 4, key = event_id,
+    * value = event_type, ts = epoch µs), written once via the V2 writer.
+    */
+  private val topicCache = scala.collection.mutable.Map[String, String]()
+
+  private[graft] def topic(s: SparkSession, dir: String): String =
+    topicCache.synchronized {
+      topicCache.getOrElseUpdate(dir, {
+        val out = s"${Scratch.fresh(
+          "dsv2_topic_" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))}/log"
+        logFrame(s, dir).write.format("graft-log").mode("append").save(out)
+        out
+      })
+    }
+
+  /** The events table in log shape, one-task-per-partition and key-sorted
+    * (see class doc: this is what pins committed offsets to the oracle's
+    * row_number closed form).
+    */
+  private def logFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+        col("event_id").cast("string").as("key"),
+        col("event_type").as("value"),
+        unix_micros(col("ts")).as("ts"))
+      .repartition(4, col("partition"))
+      .sortWithinPartitions(col("partition"), col("key").cast("long"))
+
+  /** Streaming state sizing, as in Streaming.drive (4-partition state). */
+  private def drive(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.get(key)
+    s.conf.set(key, "4")
+    try start.awaitTermination() finally s.conf.set(key, prior)
+  }
+
+  /** Engine-portable 60-bit record fingerprint (md5 prefix), XOR-foldable. */
+  private def recHash(off: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(off.cast("string"), lit(":"), key)), 1, 15),
+      16, 10).cast("long")
+
+  def all: Seq[Q] = Seq(
+    // V2 batch scan over the committed topic: per (partition, event_type)
+    // the count, distinct keys, offset span, and last event time. min/max
+    // offsets certify the connector's offset assignment (dense from 0 per
+    // partition, ordered by numeric key) against the oracle's row_number
+    // closed form — not just row contents.
+    Q(
+      "scan_dsv2_log",
+      (s, dir) => {
+        val t = topic(s, dir)
+        s.read.format("graft-log").load(t)
+          .groupBy(col("partition"), col("value").as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("key")).as("n_keys"),
+            min("offset").as("min_off"), max("offset").as("max_off"),
+            max("ts").as("max_ts_us"))
+          .orderBy("partition", "event_type")
+      },
+      oracle = Some("""
+        WITH log AS (
+          SELECT user_id % 4 AS partition,
+                 row_number() OVER (PARTITION BY user_id % 4
+                                    ORDER BY event_id) - 1 AS off,
+                 CAST(event_id AS VARCHAR) AS key,
+                 event_type AS value, epoch_us(ts) AS ts
+          FROM events)
+        SELECT partition, value AS event_type, count(*) AS n,
+               count(DISTINCT key) AS n_keys,
+               min(off) AS min_off, max(off) AS max_off,
+               max(ts) AS max_ts_us
+        FROM log GROUP BY 1, 2 ORDER BY partition, event_type""")),
+
+    // V2 micro-batch stream with admission control: maxRecordsPerTrigger
+    // splits the drain into several proportional-to-lag batches (DsV2Spec
+    // asserts >1 batches and exact allocation); the complete-mode result
+    // must equal the batch aggregate no matter how the batches were cut —
+    // the exactly-once contract for a custom source. The XOR digest over
+    // (offset:key) fingerprints certifies per-record offsets survive
+    // batching unchanged.
+    Q(
+      "stream_dsv2_source",
+      (s, dir) => {
+        val t = topic(s, dir)
+        val ckpt = s"${Scratch.fresh("stream_dsv2_source")}/ckpt"
+        drive(s) {
+          s.readStream.format("graft-log")
+            .option("maxRecordsPerTrigger", 2048)
+            .load(t)
+            .groupBy("partition")
+            // no countDistinct in streaming agg — the XOR digest already
+            // certifies the exact (offset, key) multiset per partition
+            .agg(count(lit(1)).as("n"), max("offset").as("max_off"),
+              bit_xor(recHash(col("offset"), col("key"))).as("xor_digest"))
+            .writeStream.outputMode("complete").format("memory")
+            .queryName("graft_dsv2_stream").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        s.table("graft_dsv2_stream").orderBy("partition")
+      },
+      oracle = Some("""
+        WITH log AS (
+          SELECT user_id % 4 AS partition,
+                 row_number() OVER (PARTITION BY user_id % 4
+                                    ORDER BY event_id) - 1 AS off,
+                 CAST(event_id AS VARCHAR) AS key
+          FROM events)
+        SELECT partition, count(*) AS n, max(off) AS max_off,
+               bit_xor(('0x' || substring(md5(off || ':' || key), 1, 15))::BIGINT)
+                 AS xor_digest
+        FROM log GROUP BY 1 ORDER BY partition""")),
+
+    // Two-batch V2 append (evens land first, then odds): the second commit
+    // must CONTINUE each partition's offsets after the first (segment
+    // numbering from the republished _meta), so a record's offset is the
+    // row_number under (parity, key) order. The XOR digest over every
+    // (offset:key) makes the check record-exact without shipping 10k rows
+    // through the gate.
+    Q(
+      "sink_dsv2_log",
+      (s, dir) => {
+        val out = s"${Scratch.fresh("sink_dsv2_log")}/log"
+        val lf = logFrame(s, dir)
+        lf.filter(col("key").cast("long") % 2 === 0)
+          .write.format("graft-log").mode("append").save(out)
+        lf.filter(col("key").cast("long") % 2 === 1)
+          .write.format("graft-log").mode("append").save(out)
+        s.read.format("graft-log").load(out)
+          .groupBy("partition")
+          .agg(count(lit(1)).as("n"), max("offset").as("max_off"),
+            bit_xor(recHash(col("offset"), col("key"))).as("xor_digest"))
+          .orderBy("partition")
+      },
+      oracle = Some("""
+        WITH log AS (
+          SELECT user_id % 4 AS partition,
+                 row_number() OVER (PARTITION BY user_id % 4
+                                    ORDER BY event_id % 2, event_id) - 1 AS off,
+                 CAST(event_id AS VARCHAR) AS key
+          FROM events)
+        SELECT partition, count(*) AS n, max(off) AS max_off,
+               bit_xor(('0x' || substring(md5(off || ':' || key), 1, 15))::BIGINT)
+                 AS xor_digest
+        FROM log GROUP BY 1 ORDER BY partition"""))
+  )
+}
