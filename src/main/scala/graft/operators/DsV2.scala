@@ -174,6 +174,48 @@ object DsV2 extends QueryModule {
         SELECT partition, count(*) AS n, max(off) AS max_off,
                bit_xor(('0x' || substring(md5(off || ':' || key), 1, 15))::BIGINT)
                  AS xor_digest
+        FROM log GROUP BY 1 ORDER BY partition""")),
+
+    // Log→log replication (the MirrorMaker shape): a micro-batch stream
+    // over the source topic, cut into several epochs by admission control,
+    // PRODUCED into a destination topic through the native streaming write
+    // (per-epoch staged commit + epoch ledger). No shuffle anywhere: rows
+    // stay in their reader partition from source segment to destination
+    // segment, so destination offsets equal source offsets record-for-
+    // record — certified by the same XOR digest closed form. With the
+    // source's checkpointed offsets + the sink's idempotent epoch commit,
+    // the pipeline is end-to-end exactly-once.
+    Q(
+      "stream_dsv2_mirror",
+      (s, dir) => {
+        val src = topic(s, dir)
+        val root = Scratch.fresh("stream_dsv2_mirror")
+        val (dst, ckpt) = (s"$root/dst", s"$root/ckpt")
+        drive(s) {
+          s.readStream.format("graft-log")
+            .option("maxRecordsPerTrigger", 2048)
+            .load(src)
+            .select("partition", "key", "value", "ts")
+            .writeStream.format("graft-log")
+            .option("path", dst).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        s.read.format("graft-log").load(dst)
+          .groupBy("partition")
+          .agg(count(lit(1)).as("n"), max("offset").as("max_off"),
+            bit_xor(recHash(col("offset"), col("key"))).as("xor_digest"))
+          .orderBy("partition")
+      },
+      oracle = Some("""
+        WITH log AS (
+          SELECT user_id % 4 AS partition,
+                 row_number() OVER (PARTITION BY user_id % 4
+                                    ORDER BY event_id) - 1 AS off,
+                 CAST(event_id AS VARCHAR) AS key
+          FROM events)
+        SELECT partition, count(*) AS n, max(off) AS max_off,
+               bit_xor(('0x' || substring(md5(off || ':' || key), 1, 15))::BIGINT)
+                 AS xor_digest
         FROM log GROUP BY 1 ORDER BY partition"""))
   )
 }

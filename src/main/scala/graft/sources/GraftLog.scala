@@ -23,6 +23,8 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write,
   WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -157,7 +159,7 @@ class LogTable(path: String) extends Table with SupportsRead with SupportsWrite 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -466,22 +468,30 @@ class LogMicroBatchStream(path: String, required: StructType, scan: LogScan,
   * ts LONG) — `offset` is assigned by the log, never by the writer.
   */
 class LogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  private def indexes(): (Int, Int, Int, Int) = {
+    val in = info.schema()
+    def idx(n: String, expected: DataType): Int = {
+      require(in.fieldNames.contains(n),
+        s"graft-log write requires column `$n` " +
+          s"(got ${in.fieldNames.mkString(", ")})")
+      val i = in.fieldIndex(n)
+      require(in.fields(i).dataType == expected,
+        s"graft-log write column `$n` must be $expected, " +
+          s"got ${in.fields(i).dataType}")
+      i
+    }
+    (idx("partition", IntegerType), idx("key", StringType),
+      idx("value", StringType), idx("ts", LongType))
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val in = info.schema()
-      def idx(n: String, expected: DataType): Int = {
-        require(in.fieldNames.contains(n),
-          s"graft-log write requires column `$n` " +
-            s"(got ${in.fieldNames.mkString(", ")})")
-        val i = in.fieldIndex(n)
-        require(in.fields(i).dataType == expected,
-          s"graft-log write column `$n` must be $expected, " +
-            s"got ${in.fields(i).dataType}")
-        i
-      }
-      new LogBatchWrite(path, idx("partition", IntegerType),
-        idx("key", StringType), idx("value", StringType),
-        idx("ts", LongType), info.queryId())
+      val (p, k, v, t) = indexes()
+      new LogBatchWrite(path, p, k, v, t, info.queryId())
+    }
+    override def toStreaming: StreamingWrite = {
+      val (p, k, v, t) = indexes()
+      new LogStreamingWrite(path, p, k, v, t, info.queryId())
     }
   }
 }
@@ -489,20 +499,15 @@ class LogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
 final case class LogSegMsg(taskPartition: Int,
     segs: Seq[(Int, String, Long)]) extends WriterCommitMessage // (p, staged, rows)
 
-class LogBatchWrite(path: String, pIdx: Int, kIdx: Int, vIdx: Int, tIdx: Int,
-    queryId: String) extends BatchWrite {
+/** Driver-side commit mechanics shared by the batch and streaming writes. */
+private[sources] object LogCommit {
 
-  private val stagingDir = s"$path/_staging/$queryId"
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LogWriterFactory(stagingDir, pIdx, kIdx, vIdx, tIdx)
-
-  /** Driver-side commit: move staged segments into their partition dirs in
-    * (partition, task) order — deterministic segment numbering — then swap
-    * each partition's `_meta` atomically. Readers see a partition's batch
-    * all-or-nothing (per-partition atomicity, the Kafka guarantee).
+  /** Move staged segments into their partition dirs in (partition, task)
+    * order — deterministic segment numbering — then swap each partition's
+    * `_meta` atomically. Readers see a partition's batch all-or-nothing
+    * (per-partition atomicity, the Kafka guarantee).
     */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  def commitStaged(path: String, messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case m: LogSegMsg => m }
       .flatMap(m => m.segs.map { case (p, f, n) => (p, m.taskPartition, f, n) })
       .sortBy(t => (t._1, t._2))
@@ -520,13 +525,9 @@ class LogBatchWrite(path: String, pIdx: Int, kIdx: Int, vIdx: Int, tIdx: Int,
       }
       GraftLog.writeMeta(pDir, existing ++ added)
     }
-    cleanupStaging()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    cleanupStaging()
-
-  private def cleanupStaging(): Unit = {
+  def cleanupStaging(path: String, stagingDir: String): Unit = {
     val st = Paths.get(stagingDir)
     if (Files.exists(st))
       scala.util.Using.resource(Files.walk(st)) { w =>
@@ -538,6 +539,87 @@ class LogBatchWrite(path: String, pIdx: Int, kIdx: Int, vIdx: Int, tIdx: Int,
       scala.util.Using.resource(Files.list(parent))(_.count()) == 0L)
       Files.deleteIfExists(parent)
   }
+
+  /** Epoch ledger for the streaming write: `<topic>/_epochs` lines
+    * `<queryId>:<epochId>`. Consulted before a streaming commit so a
+    * RETRIED epoch commit (driver recovery re-offers the same epoch) is a
+    * no-op — the log never double-appends: exactly-once on the produce
+    * side, which file-ledger Kafka can offer and real Kafka cannot
+    * without transactions.
+    */
+  def epochCommitted(path: String, queryId: String, epochId: Long): Boolean = {
+    val f = Paths.get(path, "_epochs")
+    Files.exists(f) && Files.readAllLines(f, StandardCharsets.UTF_8)
+      .asScala.contains(s"$queryId:$epochId")
+  }
+
+  def recordEpoch(path: String, queryId: String, epochId: Long): Unit = {
+    val f = Paths.get(path, "_epochs")
+    val lines = if (Files.exists(f))
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+    else Seq.empty
+    val tmp = Paths.get(path, "_epochs.tmp")
+    // bounded ledger: an epoch retry can only reach back a few batches, so
+    // keeping the most recent entries is safe (Kafka's retention analogue)
+    Files.write(tmp, (lines :+ s"$queryId:$epochId").takeRight(10000)
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+class LogBatchWrite(path: String, pIdx: Int, kIdx: Int, vIdx: Int, tIdx: Int,
+    queryId: String) extends BatchWrite {
+
+  private val stagingDir = s"$path/_staging/$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LogWriterFactory(stagingDir, pIdx, kIdx, vIdx, tIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    LogCommit.commitStaged(path, messages)
+    LogCommit.cleanupStaging(path, stagingDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    LogCommit.cleanupStaging(path, stagingDir)
+}
+
+/** Streaming produce path: per-epoch staged segments, committed through the
+  * same rename + `_meta`-swap protocol, with an epoch ledger making commit
+  * retries idempotent (see [[LogCommit.epochCommitted]]). Paired with the
+  * micro-batch source's checkpointed offsets this gives end-to-end
+  * exactly-once log→log pipelines.
+  */
+class LogStreamingWrite(path: String, pIdx: Int, kIdx: Int, vIdx: Int,
+    tIdx: Int, queryId: String) extends StreamingWrite {
+
+  private def stagingDir(epochId: Long) = s"$path/_staging/$queryId-e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    LogStreamingWriterFactory(s"$path/_staging/$queryId", pIdx, kIdx, vIdx, tIdx)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (!LogCommit.epochCommitted(path, queryId, epochId)) {
+      LogCommit.commitStaged(path, messages)
+      LogCommit.recordEpoch(path, queryId, epochId)
+    }
+    LogCommit.cleanupStaging(path, stagingDir(epochId))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    LogCommit.cleanupStaging(path, stagingDir(epochId))
+}
+
+final case class LogStreamingWriterFactory(stagingBase: String, pIdx: Int,
+    kIdx: Int, vIdx: Int, tIdx: Int) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LogDataWriter(s"$stagingBase-e$epochId", partitionId,
+      pIdx, kIdx, vIdx, tIdx)
 }
 
 class LogWriterFactory(stagingDir: String, pIdx: Int, kIdx: Int, vIdx: Int,

@@ -160,6 +160,50 @@ class DsV2Spec extends AnyFunSuite with SparkFixture {
     assert(back.count() == 60L)
     assert(back.select("key").distinct().count() == 60L)
   }
+
+  test("streaming produce mirrors a topic offset-for-offset across epochs") {
+    val src = freshTopic("dsv2_mirror_src")
+    tinyFrame.write.format("graft-log").mode("append").save(src)
+    val root = Scratch.fresh("dsv2_mirror")
+    val (dst, ckpt) = (s"$root/dst", s"$root/ckpt")
+    val q = spark.readStream.format("graft-log")
+      .option("maxRecordsPerTrigger", 9).load(src)
+      .select("partition", "key", "value", "ts")
+      .writeStream.format("graft-log")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val a = spark.read.format("graft-log").load(src)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    val b = spark.read.format("graft-log").load(dst)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    assert(a.toSeq == b.toSeq) // identical rows INCLUDING offsets
+    // several epochs committed (admission control cut the drain), each in
+    // the ledger; per-partition meta shows one segment per data epoch
+    val epochs = Files.readAllLines(Paths.get(dst, "_epochs"))
+    assert(epochs.size() >= 4, s"expected >=4 epochs, got ${epochs.size()}")
+    assert(GraftLogMeta.segs(dst, 0).size >= 2)
+  }
+
+  test("a retried epoch commit is a no-op (exactly-once produce)") {
+    val t = freshTopic("dsv2_epoch_retry")
+    tinyFrame.write.format("graft-log").mode("append").save(t) // 30 rows
+    val w = new graft.sources.LogStreamingWrite(t, 0, 1, 2, 3, "qretry")
+    val factory = w.createStreamingWriterFactory(null)
+    val dw = factory.createWriter(0, 0L, 42L)
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    dw.write(new GenericInternalRow(Array[Any](0,
+      UTF8String.fromString("rk"), UTF8String.fromString("rv"), 7L)))
+    val msgs = Array(dw.commit())
+    w.commit(42L, msgs)
+    assert(spark.read.format("graft-log").load(t).count() == 31)
+    // driver recovery re-offers the same epoch: ledger makes it a no-op
+    w.commit(42L, msgs)
+    assert(spark.read.format("graft-log").load(t).count() == 31)
+  }
 }
 
 /** Test-side meta reader (keeps the production object's API surface small). */
