@@ -17,6 +17,7 @@ object Verify {
       // µs-precision timestamps in output parquet (not INT96) so the
       // driver's reader sees the same logical type DuckDB produces.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

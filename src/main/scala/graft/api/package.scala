@@ -797,8 +797,52 @@ package object api {
     private def currentVersion(tableRoot: String): Option[Long] = {
       val p = java.nio.file.Paths.get(tableRoot, "_CURRENT")
       if (java.nio.file.Files.exists(p))
-        Some(java.nio.file.Files.readString(p).trim.stripPrefix("v").toLong)
+        Some(java.nio.file.Files.readString(p).trim.stripPrefix("v")
+          .stripPrefix("m").toLong)
       else None
+    }
+
+    /** Manifest-based generations for PARTITIONED layouts: a generation is
+      * a manifest file `m<N>` at the table root listing the generation's
+      * data directories (one per line), and `_CURRENT` points at it.
+      * Mutations that only add or drop whole partition directories —
+      * retention, partition-level compaction — then become METADATA
+      * operations: write any new data dirs, write `m<N+1>`, swap
+      * `_CURRENT` (write-temp + ATOMIC_MOVE, as [[publish]]). A reader
+      * that resolves the pointer sees one complete generation's directory
+      * list — never a mid-delete mixture of days. Dropped directories are
+      * physically deleted only AFTER the swap (they stop being
+      * discoverable first); a reader holding the old manifest during the
+      * grace window still sees a complete old generation.
+      */
+    def publishManifest(tableRoot: String, dataDirs: Seq[String]): Long = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.createDirectories(Paths.get(tableRoot))
+      val next = 1 + currentVersion(tableRoot).getOrElse(0L)
+      Files.writeString(Paths.get(tableRoot, s"m$next"),
+        dataDirs.mkString("\n"))
+      val tmp = Paths.get(tableRoot, s"_CURRENT.tmp$next")
+      Files.writeString(tmp, s"m$next")
+      Files.move(tmp, Paths.get(tableRoot, "_CURRENT"),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      next
+    }
+
+    /** Directory list of the current manifest generation (empty if none
+      * published). Pair with `spark.read.option("basePath", tableRoot)
+      * .parquet(dirs: _*)` so partition columns still parse.
+      */
+    def currentManifest(tableRoot: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(tableRoot, "_CURRENT")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        val ptr = java.nio.file.Files.readString(p).trim
+        if (!ptr.startsWith("m")) Seq.empty
+        else java.nio.file.Files
+          .readString(java.nio.file.Paths.get(tableRoot, ptr))
+          .split("\n").toSeq.filter(_.nonEmpty)
+      }
     }
   }
 

@@ -32,14 +32,59 @@ object DsV2 extends QueryModule {
     * events re-keyed as (partition = user_id mod 4, key = event_id,
     * value = event_type, ts = epoch µs), written once via the V2 writer.
     */
-  private val topicCache = scala.collection.mutable.Map[String, String]()
+  private val topicCache = scala.collection.mutable.Map[String, (String, Long)]()
 
   private[graft] def topic(s: SparkSession, dir: String): String =
+    topicMeta(s, dir)._1
+
+  /** Topic path plus its committed row count. The count sizes the bench-path
+    * admission control (`triggerFor`) so the AvailableNow drain costs a
+    * bounded number of micro-batches at any sf, instead of O(rows/2048)
+    * checkpoint+state rewrites (11.5 s at sf0.1 under the old constant).
+    */
+  private[graft] def topicMeta(s: SparkSession, dir: String): (String, Long) =
     topicCache.synchronized {
       topicCache.getOrElseUpdate(dir, {
         val out = s"${Scratch.fresh(
           "dsv2_topic_" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))}/log"
-        logFrame(s, dir).write.format("graft-log").mode("append").save(out)
+        val lf = logFrame(s, dir)
+        lf.write.format("graft-log").mode("append").save(out)
+        (out, s.read.format("graft-log").load(out).count())
+      })
+    }
+
+  /** Registry-path trigger size: ~4 micro-batches over the whole topic
+    * (floor 2048 keeps the multi-batch admission-control path exercised at
+    * the smallest sf). DsV2Spec keeps the fixed 2048 constant where
+    * exact-allocation splitting is the assertion itself.
+    */
+  private def triggerFor(rows: Long): Long =
+    math.max(2048L, (rows + 3) / 4)
+
+  /** Seek fixture: the same log, committed as FOUR chunked appends (keys by
+    * `event_id mod 4`, in chunk order) → 4 segments per partition, so an
+    * offset-range predicate can prove whole segments irrelevant from
+    * `_meta` row counts alone. Offsets follow `row_number OVER (PARTITION
+    * BY p ORDER BY event_id % 4, event_id) − 1`.
+    */
+  private val seekTopicCache = scala.collection.mutable.Map[String, String]()
+
+  private[graft] def seekTopic(s: SparkSession, dir: String): String =
+    seekTopicCache.synchronized {
+      seekTopicCache.getOrElseUpdate(dir, {
+        val out = s"${Scratch.fresh(
+          "dsv2_seek_" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))}/log"
+        (0 until 4).foreach { m =>
+          Tables.events(s, dir)
+            .filter(col("event_id") % 4 === m)
+            .select(pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+              col("event_id").cast("string").as("key"),
+              col("event_type").as("value"),
+              unix_micros(col("ts")).as("ts"))
+            .repartition(4, col("partition"))
+            .sortWithinPartitions(col("partition"), col("key").cast("long"))
+            .write.format("graft-log").mode("append").save(out)
+        }
         out
       })
     }
@@ -104,6 +149,39 @@ object DsV2 extends QueryModule {
                max(ts) AS max_ts_us
         FROM log GROUP BY 1, 2 ORDER BY partition, event_type""")),
 
+    // Kafka's seek-by-offset idiom through V2 filter pushdown: the range
+    // predicate on `offset` reaches LogScanBuilder, which skips every
+    // segment whose `_meta`-derived offset span misses [100, 600) — the
+    // scan reads O(selected) segments, not O(topic) (DsV2Spec asserts
+    // segmentsOpened < total via the seek fixture's 16 segments). Spark
+    // still re-applies the predicate post-scan, so pruning can only skip
+    // provably-empty files, never change the answer.
+    Q(
+      "scan_dsv2_seek",
+      (s, dir) => {
+        val t = seekTopic(s, dir)
+        s.read.format("graft-log").load(t)
+          .filter(col("offset") >= 100 && col("offset") < 600)
+          .groupBy("partition")
+          .agg(count(lit(1)).as("n"),
+            min("offset").as("min_off"), max("offset").as("max_off"),
+            bit_xor(recHash(col("offset"), col("key"))).as("xor_digest"))
+          .orderBy("partition")
+      },
+      oracle = Some("""
+        WITH log AS (
+          SELECT user_id % 4 AS partition,
+                 row_number() OVER (PARTITION BY user_id % 4
+                                    ORDER BY event_id % 4, event_id) - 1 AS off,
+                 CAST(event_id AS VARCHAR) AS key
+          FROM events)
+        SELECT partition, count(*) AS n,
+               min(off) AS min_off, max(off) AS max_off,
+               bit_xor(('0x' || substring(md5(off || ':' || key), 1, 15))::BIGINT)
+                 AS xor_digest
+        FROM log WHERE off >= 100 AND off < 600
+        GROUP BY 1 ORDER BY partition""")),
+
     // V2 micro-batch stream with admission control: maxRecordsPerTrigger
     // splits the drain into several proportional-to-lag batches (DsV2Spec
     // asserts >1 batches and exact allocation); the complete-mode result
@@ -114,11 +192,11 @@ object DsV2 extends QueryModule {
     Q(
       "stream_dsv2_source",
       (s, dir) => {
-        val t = topic(s, dir)
+        val (t, rows) = topicMeta(s, dir)
         val ckpt = s"${Scratch.fresh("stream_dsv2_source")}/ckpt"
         drive(s) {
           s.readStream.format("graft-log")
-            .option("maxRecordsPerTrigger", 2048)
+            .option("maxRecordsPerTrigger", triggerFor(rows))
             .load(t)
             .groupBy("partition")
             // no countDistinct in streaming agg — the XOR digest already
@@ -188,12 +266,12 @@ object DsV2 extends QueryModule {
     Q(
       "stream_dsv2_mirror",
       (s, dir) => {
-        val src = topic(s, dir)
+        val (src, rows) = topicMeta(s, dir)
         val root = Scratch.fresh("stream_dsv2_mirror")
         val (dst, ckpt) = (s"$root/dst", s"$root/ckpt")
         drive(s) {
           s.readStream.format("graft-log")
-            .option("maxRecordsPerTrigger", 2048)
+            .option("maxRecordsPerTrigger", triggerFor(rows))
             .load(src)
             .select("partition", "key", "value", "ts")
             .writeStream.format("graft-log")

@@ -297,6 +297,17 @@ object Joins extends QueryModule {
 
     // broadcast nested-loop join (5 band rows broadcast to every partition),
     // so the fact side streams through without any shuffle.
+    //
+    // SCALE NOTE: BNLJ is the declared surface demo for arbitrary theta
+    // predicates and is only safe because one side is a literal handful of
+    // rows under an explicit broadcast — per fact row it costs O(bands).
+    // For two LARGE sides a theta join must not be expressed this way: use
+    // the bin-explode equi-join shapes instead — `join_range_binned`
+    // (point-in-range via shared bin keys) or `join_interval_overlap`
+    // (interval×interval via overlapping bin keys) — which shuffle on bin
+    // hashes and never enumerate the cross space. PlanShapeSpec pins this
+    // query to BroadcastNestedLoopJoin (never a cartesian of two big
+    // sides).
     Q(
       "join_theta_range",
       (s, dir) => {

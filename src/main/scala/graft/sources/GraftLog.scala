@@ -13,10 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
+  InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns,
-  SupportsReportStatistics, Statistics}
+  SupportsReportPartitioning, SupportsReportStatistics, Statistics}
+import org.apache.spark.sql.connector.read.partitioning.{
+  KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl,
   SupportsTriggerAvailableNow}
@@ -36,8 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * On-disk layout (one directory per topic):
   * {{{
-  *   <root>/p=<k>/_meta           # committed segment index: "<name>\t<rows>"
+  *   <root>/p=<k>/_meta           # committed segment index:
+  *                                #   "<name>\t<rows>\t<tsMin>\t<tsMax>"
+  *                                # plus "#e\t<queryId>:<epochId>" epoch tags
   *   <root>/p=<k>/seg-<nnnnnn>    # text segments: "key\tvalue\tts" per line
+  *                                # (fields escape \ \t \n \r; NULL = "\N")
   *   <root>/_staging/<uuid>/      # in-flight writer output (never read)
   * }}}
   *
@@ -95,27 +101,109 @@ object GraftLog {
     */
   val segmentsOpened = new AtomicLong(0L)
 
-  final case class Seg(name: String, rows: Long)
+  /** A committed segment: name, row count, and the min/max `ts` it holds
+    * (written since round 8 — older metas parse with unbounded ts, so a
+    * ts-range pushdown simply cannot skip them; never a wrong answer).
+    */
+  final case class Seg(name: String, rows: Long,
+      tsMin: Long = Long.MinValue, tsMax: Long = Long.MaxValue)
 
-  /** Committed segments of one partition dir, in offset order. */
-  def readMeta(pDir: Path): Seq[Seg] = {
+  /** Committed segments of one partition dir, in offset order. Lines
+    * starting with `#` are epoch-commit markers (see [[readMetaTags]]).
+    */
+  def readMeta(pDir: Path): Seq[Seg] = metaLines(pDir)
+    .filterNot(_.startsWith("#")).map { l =>
+      l.split("\t") match {
+        case Array(n, c) => Seg(n, c.toLong)
+        case Array(n, c, lo, hi) => Seg(n, c.toLong, lo.toLong, hi.toLong)
+        case other => sys.error(s"bad _meta line: ${other.mkString("\t")}")
+      }
+    }
+
+  /** Epoch tags (`queryId:epochId`) folded into this partition's `_meta` by
+    * the streaming commit — the same atomic swap that publishes the
+    * epoch's segments also records that the epoch landed, so a retried
+    * commit skips exactly the partitions that already committed (no crash
+    * window between data visibility and the dedup record).
+    */
+  def readMetaTags(pDir: Path): Seq[String] = metaLines(pDir)
+    .filter(_.startsWith("#e\t")).map(_.stripPrefix("#e\t"))
+
+  private def metaLines(pDir: Path): Seq[String] = {
     val meta = pDir.resolve("_meta")
     if (!Files.exists(meta)) Seq.empty
     else Files.readAllLines(meta, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty).map { l =>
-        val Array(n, c) = l.split("\t", 2); Seg(n, c.toLong)
-      }
+      .filter(_.nonEmpty)
   }
 
-  /** Atomically replace a partition's `_meta` (write temp + ATOMIC_MOVE). */
-  def writeMeta(pDir: Path, segs: Seq[Seg]): Unit = {
+  /** Atomically replace a partition's `_meta` (write temp + ATOMIC_MOVE).
+    * Tags ride in the same swap; the ledger is bounded (a commit retry can
+    * only reach back a few epochs — Kafka's retention analogue).
+    */
+  def writeMeta(pDir: Path, segs: Seq[Seg], tags: Seq[String] = Seq.empty): Unit = {
     val tmp = pDir.resolve(s"_meta.tmp")
+    val body = tags.takeRight(1000).map(t => s"#e\t$t") ++
+      segs.map(s => s"${s.name}\t${s.rows}\t${s.tsMin}\t${s.tsMax}")
     Files.write(tmp,
-      segs.map(s => s"${s.name}\t${s.rows}").mkString("\n")
-        .getBytes(StandardCharsets.UTF_8))
+      body.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pDir.resolve("_meta"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Segment text encoding: fields are `\t`-separated, records `\n`-
+    * separated, so field values escape `\` `\t` `\n` `\r` and a SQL NULL
+    * is the 2-char sentinel `\N` (a literal "\N" value escapes its
+    * backslash, so the two are unambiguous). A value with an embedded tab
+    * or newline can therefore never shift fields or desync reader offsets
+    * from `_meta` row counts.
+    */
+  def encodeField(s: UTF8String): String =
+    if (s == null) "\\N"
+    else {
+      val str = s.toString
+      var needs = false
+      var i = 0
+      while (i < str.length && !needs) {
+        val c = str.charAt(i)
+        needs = c == '\\' || c == '\t' || c == '\n' || c == '\r'
+        i += 1
+      }
+      if (!needs) str
+      else {
+        val sb = new java.lang.StringBuilder(str.length + 8)
+        str.foreach {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c => sb.append(c)
+        }
+        sb.toString
+      }
+    }
+
+  def decodeField(f: String): UTF8String =
+    if (f == "\\N") null
+    else if (f.indexOf('\\') < 0) UTF8String.fromString(f)
+    else {
+      val sb = new java.lang.StringBuilder(f.length)
+      var i = 0
+      while (i < f.length) {
+        val c = f.charAt(i)
+        if (c == '\\' && i + 1 < f.length) {
+          f.charAt(i + 1) match {
+            case '\\' => sb.append('\\')
+            case 't' => sb.append('\t')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 'N' => sb.append('\\').append('N') // escaped literal "\N"
+            case o => sb.append(o)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      UTF8String.fromString(sb.toString)
+    }
 
   /** Partition dirs of a topic, sorted by partition id. */
   def partitionDirs(root: String): Seq[(Int, Path)] = {
@@ -166,44 +254,59 @@ class LogTable(path: String) extends Table with SupportsRead with SupportsWrite 
     new LogWriteBuilder(path, info)
 }
 
-/** Column pruning + partition-predicate pushdown. Only predicates on the
-  * `partition` column prune I/O (they select whole directories); everything
-  * else is left for Spark to re-apply after the scan (`pushFilters` returns
-  * all filters as post-scan residuals — correctness never depends on the
-  * connector's filter reasoning).
+/** Column pruning + predicate pushdown. Predicates on `partition` prune
+  * whole directories; range predicates on `offset` and `ts` prune whole
+  * SEGMENTS (the Kafka seek-by-offset / seek-by-timestamp idiom): offsets
+  * are dense per partition so `_meta` row counts give each segment's exact
+  * offset range, and `_meta` carries each segment's min/max ts. Everything
+  * is still left for Spark to re-apply after the scan (`pushFilters`
+  * returns all filters as post-scan residuals — correctness never depends
+  * on the connector's filter reasoning; pushdown only skips files that
+  * provably hold no qualifying rows).
   */
 class LogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
   private var required: StructType = GraftLog.SCHEMA
-  private var pushedParts: Array[Filter] = Array.empty
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private def rangeCol(c: String): Boolean = c == "offset" || c == "ts"
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushedParts = filters.filter {
+    pushed = filters.filter {
       case EqualTo("partition", _) | In("partition", _) |
            GreaterThan("partition", _) | GreaterThanOrEqual("partition", _) |
            LessThan("partition", _) | LessThanOrEqual("partition", _) => true
+      case EqualTo(c, _) if rangeCol(c) => true
+      case GreaterThan(c, _) if rangeCol(c) => true
+      case GreaterThanOrEqual(c, _) if rangeCol(c) => true
+      case LessThan(c, _) if rangeCol(c) => true
+      case LessThanOrEqual(c, _) if rangeCol(c) => true
       case _ => false
     }
     filters // all residual: Spark re-applies every predicate post-scan
   }
-  override def pushedFilters(): Array[Filter] = pushedParts
+  override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LogScan(path, required, pushedParts,
+  override def build(): Scan = new LogScan(path, required, pushed,
     Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
 }
 
 class LogScan(path: String, required: StructType, pushed: Array[Filter],
     maxRecordsPerTrigger: Option[Long])
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics with SupportsReportPartitioning {
 
   private def asInt(v: Any): Int = v match {
     case i: Int => i; case l: Long => l.toInt; case other =>
       other.toString.toInt
+  }
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l; case i: Int => i.toLong; case other =>
+      other.toString.toLong
   }
 
   /** Evaluate the pushed partition predicates against a partition id. */
@@ -217,7 +320,50 @@ class LogScan(path: String, required: StructType, pushed: Array[Filter],
     case _ => true
   }
 
+  /** Inclusive [lo, hi] bound the pushed range predicates allow on `col`. */
+  private def bounds(col: String): (Long, Long) = {
+    var lo = Long.MinValue; var hi = Long.MaxValue
+    pushed.foreach {
+      case EqualTo(`col`, v) =>
+        lo = math.max(lo, asLong(v)); hi = math.min(hi, asLong(v))
+      case GreaterThan(`col`, v) => lo = math.max(lo, asLong(v) + 1)
+      case GreaterThanOrEqual(`col`, v) => lo = math.max(lo, asLong(v))
+      case LessThan(`col`, v) => hi = math.min(hi, asLong(v) - 1)
+      case LessThanOrEqual(`col`, v) => hi = math.min(hi, asLong(v))
+      case _ =>
+    }
+    (lo, hi)
+  }
+
+  /** Can a segment spanning offsets [base, base+rows) with ts range
+    * [tsMin, tsMax] hold a qualifying row? False → the file is never
+    * opened (the seek: reader work is O(selected), not O(topic)).
+    */
+  private[sources] def segmentSurvives(base: Long, rows: Long,
+      tsMin: Long, tsMax: Long): Boolean = {
+    val (offLo, offHi) = bounds("offset")
+    val (tsLo, tsHi) = bounds("ts")
+    base + rows > offLo && base <= offHi && tsMax >= tsLo && tsMin <= tsHi
+  }
+
   override def readSchema(): StructType = required
+
+  /** Rows are clustered by the log partition (a segment holds exactly one
+    * partition's records), reported as a key-grouped layout so a
+    * `groupBy("partition")` — or a co-partitioned log-log join — skips its
+    * Exchange entirely (exploited when
+    * `spark.sql.sources.v2.bucketing.enabled` is on). Reported only when
+    * the projection retains `partition`; otherwise the clustering key is
+    * not in the output and the layout is opaque to Catalyst.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (required.fieldNames.contains("partition")) {
+      val n = GraftLog.partitionDirs(path).count { case (p, _) =>
+        partitionSurvives(p)
+      }
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("partition")), math.max(n, 1))
+    } else new UnknownPartitioning(0)
 
   override def description(): String =
     s"GraftLogScan path=$path cols=${required.fieldNames.mkString(",")} " +
@@ -258,9 +404,12 @@ class LogBatch(path: String, required: StructType, scan: LogScan) extends Batch 
       if (!scan.partitionSurvives(p)) Seq.empty
       else {
         var base = 0L
-        GraftLog.readMeta(dir).map { seg =>
-          val ip = LogInputPartition(p,
-            Seq(dir.resolve(seg.name).toString), base, 0L, seg.rows)
+        GraftLog.readMeta(dir).flatMap { seg =>
+          val ip =
+            if (scan.segmentSurvives(base, seg.rows, seg.tsMin, seg.tsMax))
+              Some(LogInputPartition(p,
+                Seq(dir.resolve(seg.name).toString), base, 0L, seg.rows))
+            else None // pushed offset/ts range proves it empty: seek past it
           base += seg.rows
           ip
         }
@@ -273,9 +422,15 @@ class LogBatch(path: String, required: StructType, scan: LogScan) extends Batch 
 /** files: segment paths in offset order; firstOffset: offset of the first
   * line of files.head; skip: lines to discard before emitting; limit: rows
   * to emit (the reader emits offsets firstOffset+skip .. +skip+limit-1).
+  * `partitionKey` backs the scan's [[KeyGroupedPartitioning]] report: all
+  * of a split's rows carry log partition `p`.
   */
 final case class LogInputPartition(p: Int, files: Seq[String],
-    firstOffset: Long, skip: Long, limit: Long) extends InputPartition
+    firstOffset: Long, skip: Long, limit: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](p))
+}
 
 class LogReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -321,8 +476,8 @@ class LogPartitionReader(part: LogInputPartition, required: StructType)
     val vals = fieldIdx.map {
       case "partition" => Integer.valueOf(part.p)
       case "offset" => java.lang.Long.valueOf(offset)
-      case "key" => UTF8String.fromString(f(0))
-      case "value" => UTF8String.fromString(if (f.length > 1) f(1) else "")
+      case "key" => GraftLog.decodeField(f(0))
+      case "value" => GraftLog.decodeField(if (f.length > 1) f(1) else "")
       case "ts" => java.lang.Long.valueOf(if (f.length > 2) f(2).toLong else 0L)
     }
     current = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
@@ -496,8 +651,12 @@ class LogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
   }
 }
 
+/** One staged segment: (log partition, staged path, rows, tsMin, tsMax). */
+final case class StagedSeg(p: Int, file: String, rows: Long,
+    tsMin: Long, tsMax: Long)
+
 final case class LogSegMsg(taskPartition: Int,
-    segs: Seq[(Int, String, Long)]) extends WriterCommitMessage // (p, staged, rows)
+    segs: Seq[StagedSeg]) extends WriterCommitMessage
 
 /** Driver-side commit mechanics shared by the batch and streaming writes. */
 private[sources] object LogCommit {
@@ -506,24 +665,36 @@ private[sources] object LogCommit {
     * order — deterministic segment numbering — then swap each partition's
     * `_meta` atomically. Readers see a partition's batch all-or-nothing
     * (per-partition atomicity, the Kafka guarantee).
+    *
+    * `epochTag` (streaming): the tag is folded into each partition's
+    * `_meta` in the SAME atomic swap that publishes its segments, and a
+    * partition whose `_meta` already carries the tag is skipped — so a
+    * commit retried after a mid-commit driver crash completes exactly the
+    * partitions that had not landed, never double-appending the ones that
+    * had. Exactly-once needs no ordering between a data swap and a
+    * separate ledger write because there is no separate ledger write.
     */
-  def commitStaged(path: String, messages: Array[WriterCommitMessage]): Unit = {
+  def commitStaged(path: String, messages: Array[WriterCommitMessage],
+      epochTag: Option[String] = None): Unit = {
     val staged = messages.collect { case m: LogSegMsg => m }
-      .flatMap(m => m.segs.map { case (p, f, n) => (p, m.taskPartition, f, n) })
-      .sortBy(t => (t._1, t._2))
-    staged.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (p, ss) =>
+      .flatMap(m => m.segs.map(s => (s, m.taskPartition)))
+      .sortBy { case (s, task) => (s.p, task) }
+    staged.groupBy(_._1.p).toSeq.sortBy(_._1).foreach { case (p, ss) =>
       val pDir = Paths.get(path, s"p=$p")
       Files.createDirectories(pDir)
-      val existing = GraftLog.readMeta(pDir)
-      var n = existing.size
-      val added = ss.map { case (_, _, stagedFile, rows) =>
-        val name = f"seg-$n%06d"
-        Files.move(Paths.get(stagedFile), pDir.resolve(name),
-          StandardCopyOption.ATOMIC_MOVE)
-        n += 1
-        GraftLog.Seg(name, rows)
+      val tags = GraftLog.readMetaTags(pDir)
+      if (!epochTag.exists(tags.contains)) {
+        val existing = GraftLog.readMeta(pDir)
+        var n = existing.size
+        val added = ss.map { case (s, _) =>
+          val name = f"seg-$n%06d"
+          Files.move(Paths.get(s.file), pDir.resolve(name),
+            StandardCopyOption.ATOMIC_MOVE)
+          n += 1
+          GraftLog.Seg(name, s.rows, s.tsMin, s.tsMax)
+        }
+        GraftLog.writeMeta(pDir, existing ++ added, tags ++ epochTag)
       }
-      GraftLog.writeMeta(pDir, existing ++ added)
     }
   }
 
@@ -540,31 +711,26 @@ private[sources] object LogCommit {
       Files.deleteIfExists(parent)
   }
 
-  /** Epoch ledger for the streaming write: `<topic>/_epochs` lines
-    * `<queryId>:<epochId>`. Consulted before a streaming commit so a
-    * RETRIED epoch commit (driver recovery re-offers the same epoch) is a
-    * no-op — the log never double-appends: exactly-once on the produce
-    * side, which file-ledger Kafka can offer and real Kafka cannot
-    * without transactions.
+  /** Topic-level epoch ledger `<topic>/_epochs` (`<queryId>:<epochId>`
+    * lines) — OBSERVABILITY only (which epochs a query produced, in
+    * order); the exactly-once dedup record is the per-partition `_meta`
+    * tag written atomically with the data (see [[commitStaged]]). A
+    * duplicate record (commit retried after the ledger write) is skipped.
     */
-  def epochCommitted(path: String, queryId: String, epochId: Long): Boolean = {
-    val f = Paths.get(path, "_epochs")
-    Files.exists(f) && Files.readAllLines(f, StandardCharsets.UTF_8)
-      .asScala.contains(s"$queryId:$epochId")
-  }
-
   def recordEpoch(path: String, queryId: String, epochId: Long): Unit = {
     val f = Paths.get(path, "_epochs")
     val lines = if (Files.exists(f))
       Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
     else Seq.empty
-    val tmp = Paths.get(path, "_epochs.tmp")
-    // bounded ledger: an epoch retry can only reach back a few batches, so
-    // keeping the most recent entries is safe (Kafka's retention analogue)
-    Files.write(tmp, (lines :+ s"$queryId:$epochId").takeRight(10000)
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    if (!lines.contains(s"$queryId:$epochId")) {
+      val tmp = Paths.get(path, "_epochs.tmp")
+      // bounded ledger: an epoch retry can only reach back a few batches,
+      // so keeping recent entries is safe (Kafka's retention analogue)
+      Files.write(tmp, (lines :+ s"$queryId:$epochId").takeRight(10000)
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 }
 
@@ -586,10 +752,12 @@ class LogBatchWrite(path: String, pIdx: Int, kIdx: Int, vIdx: Int, tIdx: Int,
 }
 
 /** Streaming produce path: per-epoch staged segments, committed through the
-  * same rename + `_meta`-swap protocol, with an epoch ledger making commit
-  * retries idempotent (see [[LogCommit.epochCommitted]]). Paired with the
-  * micro-batch source's checkpointed offsets this gives end-to-end
-  * exactly-once log→log pipelines.
+  * same rename + `_meta`-swap protocol, with the `queryId:epochId` tag
+  * folded into each partition's `_meta` swap so a retried epoch commit is
+  * a per-partition no-op with NO crash window (see
+  * [[LogCommit.commitStaged]]) — exactly-once on the produce side. Paired
+  * with the micro-batch source's checkpointed offsets this gives
+  * end-to-end exactly-once log→log pipelines.
   */
 class LogStreamingWrite(path: String, pIdx: Int, kIdx: Int, vIdx: Int,
     tIdx: Int, queryId: String) extends StreamingWrite {
@@ -602,10 +770,8 @@ class LogStreamingWrite(path: String, pIdx: Int, kIdx: Int, vIdx: Int,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    if (!LogCommit.epochCommitted(path, queryId, epochId)) {
-      LogCommit.commitStaged(path, messages)
-      LogCommit.recordEpoch(path, queryId, epochId)
-    }
+    LogCommit.commitStaged(path, messages, Some(s"$queryId:$epochId"))
+    LogCommit.recordEpoch(path, queryId, epochId)
     LogCommit.cleanupStaging(path, stagingDir(epochId))
   }
 
@@ -618,51 +784,61 @@ final case class LogStreamingWriterFactory(stagingBase: String, pIdx: Int,
     kIdx: Int, vIdx: Int, tIdx: Int) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LogDataWriter(s"$stagingBase-e$epochId", partitionId,
+    new LogDataWriter(s"$stagingBase-e$epochId", partitionId, taskId,
       pIdx, kIdx, vIdx, tIdx)
 }
 
 class LogWriterFactory(stagingDir: String, pIdx: Int, kIdx: Int, vIdx: Int,
     tIdx: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LogDataWriter(stagingDir, partitionId, pIdx, kIdx, vIdx, tIdx)
+    new LogDataWriter(stagingDir, partitionId, taskId, pIdx, kIdx, vIdx, tIdx)
 }
 
 /** Task-side writer: one staged segment per log partition encountered.
   * Nothing it writes is visible until the driver's commit renames it out of
-  * `_staging/` and republishes `_meta`.
+  * `_staging/` and republishes `_meta`. Staged names include the task
+  * ATTEMPT id (`taskId`), so a speculative/retried attempt of the same
+  * partition stages distinct files and its `abort()` can only delete its
+  * own — never the committing attempt's.
   */
-class LogDataWriter(stagingDir: String, taskPartition: Int, pIdx: Int,
-    kIdx: Int, vIdx: Int, tIdx: Int) extends DataWriter[InternalRow] {
+class LogDataWriter(stagingDir: String, taskPartition: Int, taskId: Long,
+    pIdx: Int, kIdx: Int, vIdx: Int, tIdx: Int) extends DataWriter[InternalRow] {
 
   private val writers = mutable.Map.empty[Int, (Path, BufferedWriter)]
   private val counts = mutable.Map.empty[Int, Long].withDefaultValue(0L)
+  private val tsMin = mutable.Map.empty[Int, Long].withDefaultValue(Long.MaxValue)
+  private val tsMax = mutable.Map.empty[Int, Long].withDefaultValue(Long.MinValue)
 
   private def writerFor(p: Int): BufferedWriter =
     writers.getOrElseUpdate(p, {
       val dir = Paths.get(stagingDir)
       Files.createDirectories(dir)
-      val f = dir.resolve(f"t$taskPartition%05d-p$p")
+      val f = dir.resolve(f"t$taskPartition%05d-a$taskId-p$p")
       (f, Files.newBufferedWriter(f, StandardCharsets.UTF_8))
     })._2
 
   override def write(row: InternalRow): Unit = {
     val p = row.getInt(pIdx)
     val w = writerFor(p)
-    w.write(row.getUTF8String(kIdx).toString)
+    val k = if (row.isNullAt(kIdx)) null else row.getUTF8String(kIdx)
+    val v = if (row.isNullAt(vIdx)) null else row.getUTF8String(vIdx)
+    val ts = row.getLong(tIdx)
+    w.write(GraftLog.encodeField(k))
     w.write('\t')
-    w.write(row.getUTF8String(vIdx).toString)
+    w.write(GraftLog.encodeField(v))
     w.write('\t')
-    w.write(row.getLong(tIdx).toString)
+    w.write(ts.toString)
     w.write('\n')
     counts(p) += 1L
+    if (ts < tsMin(p)) tsMin(p) = ts
+    if (ts > tsMax(p)) tsMax(p) = ts
   }
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_._2.close())
     LogSegMsg(taskPartition,
       writers.toSeq.sortBy(_._1).map { case (p, (f, _)) =>
-        (p, f.toString, counts(p))
+        StagedSeg(p, f.toString, counts(p), tsMin(p), tsMax(p))
       })
   }
 

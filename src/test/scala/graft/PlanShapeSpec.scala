@@ -75,6 +75,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!plan("join_asof").contains("CartesianProduct"))
   }
 
+  test("join_theta_range is a BROADCAST nested loop, never cartesian-both-large") {
+    val p = plan("join_theta_range")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"theta demo must broadcast its literal band table:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text_langid broadcasts the trained model to the token stream") {
     assert(plan("text_langid").contains("BroadcastHashJoin"))
   }
