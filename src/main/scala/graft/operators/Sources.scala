@@ -448,21 +448,23 @@ object Sources extends QueryModule {
     // re-certified. No oracle (filesystem facts); the file counts and
     // the row-preservation flag self-certify. At 100 TB this is the
     // job that keeps scan task counts sane — the rewrite is a plain
-    // repartition(n) write, embarrassingly parallel. Visibility: the
-    // compact copy lands in a FRESH directory (never in-place), so the
-    // fragmented table stays complete throughout; production flips
-    // readers to the compact dir via api.Layout.publish's pointer swap
-    // and only then retires the fragments.
+    // repartition(n) write, embarrassingly parallel. Visibility is
+    // TRANSACTIONAL end-to-end: both generations land through
+    // api.Layout.publish (fresh immutable version dir + atomic _CURRENT
+    // swap), so a reader resolving the table mid-compaction gets the
+    // complete fragmented v1 or the complete compact v2, never an
+    // in-progress directory; v1 is retired only after the swap
+    // (ApiSpec pins the before/after-only property).
     Q(
       "sink_compaction",
       (s, dir) => {
         val root = Scratch.fresh("sink_compaction")
-        val frag = s"$root/frag"; val compact = s"$root/compact"
+        val table = s"$root/table"
         val ev = Tables.events(s, dir)
-        ev.repartition(32).write.parquet(frag)
+        val frag = graft.api.Layout.publish(ev.repartition(32), table)
         val before = s.read.parquet(frag)
-        before.repartition(2).write.parquet(compact)
-        val after = s.read.parquet(compact)
+        val compact = graft.api.Layout.publish(before.repartition(2), table)
+        val after = graft.api.Layout.readCurrent(s, table).get
         // Files.list holds a directory handle until closed — Using closes.
         val nFiles = (p: String) => scala.util.Using.resource(
             java.nio.file.Files.list(java.nio.file.Paths.get(p)))(
@@ -477,15 +479,17 @@ object Sources extends QueryModule {
     // Partition-retention (TTL) enforcement: events land in a
     // day-partitioned sink, partitions older than the cutoff are
     // dropped, and the surviving data must equal the batch filter — an
-    // ORACLE-verified retention pass. Deleting a partition directory is
-    // the O(1) retention primitive that makes day-partitioned layouts
-    // the right ingest format; no row-level delete scan at any scale.
-    // Visibility: each partition-dir delete is all-or-nothing from a
-    // reader's perspective ONLY per partition — a scan started mid-pass
-    // can see some expired days present and others gone (it never sees
-    // torn files: parquet files are deleted before their parent dir).
-    // Where that window matters, snapshot the survivors through
-    // api.Layout.publish instead and drop the old version afterwards.
+    // ORACLE-verified retention pass. Dropping whole partition
+    // directories is the O(1) retention primitive that makes
+    // day-partitioned layouts the right ingest format; no row-level
+    // delete scan at any scale. Visibility is ATOMIC at table
+    // granularity via api.Layout.publishManifest: retention writes a new
+    // manifest generation listing only the surviving day dirs and swaps
+    // the _CURRENT pointer — a metadata-only commit, zero data moved —
+    // and physically deletes the expired dirs only AFTER the swap. A
+    // reader resolving the pointer mid-pass sees the complete old
+    // generation or the complete new one, never a mixture of days
+    // (ApiSpec pins the property).
     Q(
       "sink_retention",
       (s, dir) => {
@@ -495,21 +499,24 @@ object Sources extends QueryModule {
           .withColumn("day", expr("unix_micros(ts) div 86400000000"))
           .write.partitionBy("day").parquet(sink)
         val cutoff = 19735L // 2024-01-13 in epoch days
-        scala.util.Using.resource(
+        val dayDirs = scala.util.Using.resource(
             java.nio.file.Files.list(java.nio.file.Paths.get(sink)))(_.toArray)
-          .map(_.toString)
-          .filter { p =>
-            val m = "day=(\\d+)".r.findFirstMatchIn(p)
-            m.exists(_.group(1).toLong < cutoff)
+          .map(_.toString).filter(_.contains("day=")).sorted.toSeq
+        def expired(p: String) = "day=(\\d+)".r.findFirstMatchIn(p)
+          .exists(_.group(1).toLong < cutoff)
+        graft.api.Layout.publishManifest(sink, dayDirs) // generation 1: all
+        // retention = metadata-only generation swap ...
+        graft.api.Layout.publishManifest(sink, dayDirs.filterNot(expired))
+        // ... and the physical delete happens strictly AFTER the swap
+        dayDirs.filter(expired).foreach { p =>
+          scala.util.Using.resource(
+              java.nio.file.Files.walk(java.nio.file.Paths.get(p))) { st =>
+            st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => java.nio.file.Files.delete(f))
           }
-          .foreach { p =>
-            scala.util.Using.resource(
-                java.nio.file.Files.walk(java.nio.file.Paths.get(p))) { st =>
-              st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .forEach(f => java.nio.file.Files.delete(f))
-            }
-          }
-        s.read.parquet(sink)
+        }
+        s.read.option("basePath", sink)
+          .parquet(graft.api.Layout.currentManifest(sink): _*)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             min(col("day")).cast("long").as("first_day"))

@@ -337,6 +337,30 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(v3.endsWith("/v3") && current() == Seq(4L))
   }
 
+  test("Layout.publishManifest: retention swaps complete generations, never a mixture") {
+    val sp = spark
+    import sp.implicits._
+    val root = s"${Scratch.fresh("manifest_spec")}/table"
+    Seq((19730L, "a"), (19731L, "b"), (19740L, "c")).toDF("day", "v")
+      .write.partitionBy("day").parquet(root)
+    val dirs = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(root)))(_.toArray)
+      .map(_.toString).filter(_.contains("day=")).sorted.toSeq
+    api.Layout.publishManifest(root, dirs)
+    assert(api.Layout.currentManifest(root) == dirs)
+    // Retention pass: generation 2 lists only the surviving day. The swap
+    // is metadata-only; the dropped days are still complete on disk, so a
+    // reader that resolved the OLD pointer mid-pass reads generation 1
+    // whole — never a partially-deleted mixture.
+    api.Layout.publishManifest(root, dirs.filter(_.contains("day=19740")))
+    val oldGen = spark.read.option("basePath", root).parquet(dirs: _*)
+    assert(oldGen.count() == 3)
+    val cur = api.Layout.currentManifest(root)
+    assert(cur.size == 1)
+    val newGen = spark.read.option("basePath", root).parquet(cur: _*)
+    assert(newGen.select("v").collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
   test("distinctiveTerms ranks by tf desc, rarity asc, term asc") {
     val sp = spark
     import sp.implicits._
