@@ -1685,8 +1685,12 @@ package object api {
       * sequential per group, so the fold runs inside flatMapGroups — and
       * the group key is (group, id mod shards) so no single group ever
       * exceeds a bounded shard: the memory-safe way to run an ordered
-      * fold at 100 TB. Oversized docs (tc > budget) get a bin of their
-      * own. Output: (id, group, shard, bin_id, n_tokens, fill_after).
+      * fold at 100 TB. Per-task memory is O(|group| / shards) items
+      * (dense ids spread uniformly) plus one running (bin, fill) pair —
+      * a skewed group only ever costs its shard slice, never the whole
+      * group (PropertySpec pins the bound under 50%-skew). Oversized
+      * docs (tc > budget) get a bin of their own.
+      * Output: (id, group, shard, bin_id, n_tokens, fill_after).
       */
     def packNextFit(
         df: DataFrame, group: Column, id: Column, tokenCount: Column,
@@ -1721,7 +1725,12 @@ package object api {
       * both the parallelism AND the state (same contract as
       * [[packNextFit]] — at 100 TB you raise `shards`, keeping per-task
       * item counts bounded; packing quality degrades only at shard
-      * boundaries). Items larger than the budget get a private bin.
+      * boundaries). Per-task memory is O(|group| / shards) items plus
+      * O(tokens / budget) bin loads — FFD keeps all bins at least half
+      * full except possibly one, so the load list can never grow past
+      * 2·tokens/budget + 1 entries regardless of skew (PropertySpec pins
+      * both bounds under 50%-skew). Items larger than the budget get a
+      * private bin.
       * Output: (id, group, shard, bin_id, n_tokens, load_after).
       */
     def packFirstFitDecreasing(

@@ -150,6 +150,28 @@ object Similarity extends QueryModule {
     pqEnc(s, dir); exactTop3(s, dir); ()
   }
 
+  /** The 6 LSH hyperplanes as DuckDB array literals — generated from the
+    * SAME `java.util.Random(42)` draw as api.Similarity.lshSignature, so
+    * the oracle SQL carries bit-identical constants without hand-copying
+    * 384 doubles (Double.toString is shortest-round-trip and DuckDB's
+    * parser is correctly rounded, so the literals parse back to the exact
+    * planes the Spark plan inlines).
+    */
+  private lazy val lshPlanesSql: IndexedSeq[String] = {
+    val rnd = new java.util.Random(42L)
+    IndexedSeq.fill(6)(IndexedSeq.fill(64)(rnd.nextGaussian()))
+      .map(p => p.mkString("[", ", ", "]"))
+  }
+
+  /** `sig` column SQL: sum of per-plane sign bits, weight 2^j — the exact
+    * arithmetic of api.Similarity.lshSignature over a DOUBLE[] vector.
+    */
+  private lazy val lshSigSql: String =
+    (0 until 6).map(j =>
+      s"CASE WHEN list_dot_product(e, ${lshPlanesSql(j)}) > 0" +
+        s" THEN ${1 << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
   def all: Seq[Q] = Seq(
     // Exact brute-force cosine top-5 per query vector (queries: vec_id<10),
     // expressed on the public API's broadcast-BNLJ top-k.
@@ -650,6 +672,85 @@ object Similarity extends QueryModule {
               .as("pq_recall_at_3"))
           .orderBy("query_id")
       }),
+
+    // The ORACLE-bearing leg of the ANN audit: recall hit counts of the
+    // two LSH indexes (single-probe + hamming-1 multiprobe) against the
+    // exact top-3, replayed end-to-end in DuckDB from the same portable
+    // constants — the hyperplanes are re-generated from the identical
+    // Random(42) draw and inlined into the oracle SQL as array literals,
+    // so bucket assignment, candidate ranking, and the hit-count joins
+    // are all engine-checked. The IVF/PQ legs stay in sim_ann_recall
+    // (no-oracle): their centroids/codebooks are TRAINED from the data at
+    // runtime and cannot be embedded in a static SQL string (NOTES.md).
+    // Counts, not ratios: integer hits hash-match with no rounding
+    // discipline.
+    Q(
+      "sim_ann_recall_lsh",
+      (s, dir) => {
+        val exact = exactTop3(s, dir)
+        val lsh = all.find(_.name == "sim_ann_lsh").get.run(s, dir)
+          .select(col("query_id"), col("cand_id"), lit(1).as("lhit"))
+        val mp = all.find(_.name == "sim_ann_lsh_multiprobe").get.run(s, dir)
+          .select(col("query_id"), col("cand_id"), lit(1).as("mhit"))
+        exact
+          .join(lsh, Seq("query_id", "cand_id"), "left")
+          .join(mp, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("k"),
+            count(col("lhit")).as("lsh_hits"),
+            count(col("mhit")).as("mp_hits"))
+          .orderBy("query_id")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        sig AS (
+          SELECT vec_id, e, nrm, $lshSigSql AS sig FROM v),
+        ex AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50) WHERE rn <= 3),
+        lsh AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM sig q JOIN sig c
+              ON c.sig = q.sig AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50) WHERE rn <= 3),
+        mp AS (
+          SELECT query_id, cand_id FROM (
+            SELECT p.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY round(list_dot_product(p.qe, c.e)
+                                    / (p.qnrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm,
+                         unnest([q.sig, xor(q.sig, 1), xor(q.sig, 2),
+                                 xor(q.sig, 4), xor(q.sig, 8),
+                                 xor(q.sig, 16), xor(q.sig, 32)]) AS probe
+                  FROM sig q WHERE q.vec_id < 50) p
+            JOIN sig c ON c.sig = p.probe AND c.vec_id <> p.query_id)
+          WHERE rn <= 3)
+        SELECT e.query_id, count(*) AS k,
+               count(l.cand_id) AS lsh_hits,
+               count(m.cand_id) AS mp_hits
+        FROM ex e
+        LEFT JOIN lsh l
+          ON l.query_id = e.query_id AND l.cand_id = e.cand_id
+        LEFT JOIN mp m
+          ON m.query_id = e.query_id AND m.cand_id = e.cand_id
+        GROUP BY e.query_id ORDER BY e.query_id""")),
 
     // Lloyd's k-means over the embedding table (api.Similarity.kMeans):
     // assignment is map-side codegen against literal centroids, update is

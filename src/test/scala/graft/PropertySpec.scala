@@ -243,4 +243,50 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(small.subsetOf(big), "pct must be monotone in membership")
     }
   }
+
+  test("packers bound per-task state under heavy group skew (one group = half the corpus)") {
+    import sp.implicits._
+    // The 100 TB memory contract of the sequential packers (pack_ffd /
+    // pack_sequences): flatMapGroups materializes ONE (group, shard)
+    // at a time, so the id-mod-shard sub-key — not the group — bounds
+    // task state. A pathologically skewed corpus (one source holding
+    // 50% of all docs) must therefore still fold in |group|/shards-item
+    // tasks, with FFD's extra state (the bin-load list) proportional to
+    // tokens/budget, never to item count.
+    val n = 8000
+    val shards = 8
+    val budget = 512
+    val rows = (0 until n).map { i =>
+      val g = if (i < n / 2) "big" else s"g${i % 37}"
+      (g, i.toLong, 1L + (i.toLong * 37L) % 400L)
+    }
+    val df = rows.toDF("src", "doc_id", "tc")
+    val packed = api.Pipeline.packFirstFitDecreasing(
+      df, col("src"), col("doc_id"), col("tc"), budget, shards)
+    val perTask = packed.groupBy("group", "shard")
+      .agg(count(lit(1)).as("m"), (max("bin_id") + 1).as("bins"),
+        sum("n_tokens").as("tok"))
+      .collect()
+    // 1) the skewed group split into `shards` independent folds: no task
+    //    ever materialized more than |big|/shards items
+    assert(perTask.map(_.getLong(2)).max <= n / 2 / shards,
+      "a single fold saw more items than the shard bound allows")
+    // 2) FFD's sequential state is the bin-load list: every fold's bin
+    //    count stays within the half-full guarantee (≤ 2·tokens/budget
+    //    + 1), orders below the item count
+    perTask.foreach { r =>
+      val (bins, tok) = (r.getLong(3), r.getLong(4))
+      assert(bins <= 2 * tok / budget + 1,
+        s"bin list grew past the packing bound: $bins bins for $tok tokens")
+    }
+    // 3) no bin overfills (oversized docs excepted — none generated here)
+    assert(packed.filter(col("load_after") > budget).count() == 0)
+    // Same contract for the next-fit packer behind pack_sequences.
+    val nf = api.Pipeline.packNextFit(
+      df, col("src"), col("doc_id"), col("tc"), budget, shards)
+    assert(nf.filter(col("fill_after") > budget).count() == 0)
+    val nfMax = nf.groupBy("group", "shard").count()
+      .agg(max("count")).first().getLong(0)
+    assert(nfMax <= n / 2 / shards)
+  }
 }
