@@ -273,6 +273,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
                                 // shard window + final sort; a global
                                 // total-order would also show up here
       "sample_balance_cap" -> 5, // rank window + two aggs + join + sort
+      "scan_dsv2_log" -> 1,     // key-grouped V2 scan: the (partition,
+                                // event_type) aggregate rides the
+                                // connector-reported clustering with NO
+                                // hash Exchange; only the final sort
+                                // shuffles (was 2 before
+                                // SupportsReportPartitioning)
       "limit_topk" -> 0)        // TakeOrderedAndProject, no exchange
     budgets.foreach { case (name, maxEx) =>
       val p = plan(name)
