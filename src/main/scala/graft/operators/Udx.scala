@@ -100,6 +100,40 @@ object Udx extends QueryModule {
                concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
         FROM p ORDER BY doc_id, pos""")),
 
+    // The FOREIGN-code boundary — Spark's process-isolation primitive
+    // (RDD.pipe), the one registry op that deliberately leaves the JVM.
+    // One external process per TASK (never per row): each partition's
+    // rows stream through the child's stdin/stdout as TSV lines, so an
+    // arbitrary-language UDF (here POSIX awk, computing upper-case +
+    // word count) plugs in with zero JVM bindings — the shape that
+    // carries any native scorer/tokenizer binary at 100 TB. Parallelism
+    // tracks partitions, the pipe is OS-backpressured (no row buffering
+    // beyond the pipe window), and the schema is re-asserted on the way
+    // back in; a sandboxed runner would wrap the argv, nothing else
+    // changes. The corpus is tab/newline-free by construction (asserted
+    // by the oracle itself: any framing slip hash-mismatches).
+    Q(
+      "udf_foreign_pipe",
+      (s, dir) => {
+        import s.implicits._
+        val lines = Tables.documents(s, dir)
+          .select(concat_ws("\t", col("doc_id"), col("source"), col("text")))
+          .as[String].rdd
+          .pipe(Seq("/usr/bin/awk", "-F\t",
+            "{ n = split($3, w, \" \"); print $1 \"\\t\" toupper($2) \"\\t\" n }"))
+        s.createDataset(lines)
+          .map { l =>
+            val f = l.split("\t", 3)
+            (f(0).toLong, f(1), f(2).toLong)
+          }
+          .toDF("doc_id", "source_upper", "n_words")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, upper(source) AS source_upper,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents ORDER BY doc_id""")),
+
     // From-scratch HyperLogLog sketch (graft.functions.HyperLogLog) as a
     // typed Aggregator: approximate distinct users per event type, with the
     // exact count alongside for error inspection. Approximate by design →
