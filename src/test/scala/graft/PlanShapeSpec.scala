@@ -279,6 +279,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
                                 // hash Exchange; only the final sort
                                 // shuffles (was 2 before
                                 // SupportsReportPartitioning)
+      "scan_dsv2_seek" -> 1,    // same key-grouped scan through the
+                                // offset-range seek; sort only
+      "udf_foreign_pipe" -> 1,  // the pipe is map-side per task: only
+                                // the presentation sort shuffles — an
+                                // Exchange before the pipe would mean
+                                // the foreign process stopped streaming
+      "dedup_exact" -> 2,       // digest groupBy + final sort: shuffle
+                                // keys are 64-byte hashes, never text
+      "dedup_minhash" -> 4,     // band explode agg, pair agg, dedup,
+                                // sort — candidates from band buckets,
+                                // never an all-pairs join
+      "sim_mips_topk" -> 2,     // per-query rank window + final sort;
+                                // candidates stream, never shuffle
+      "join_semi" -> 1,         // broadcast semi (0) + final sort
+      "join_anti" -> 1,         // broadcast anti (0) + final sort
+      "sessionize_gap" -> 2,    // one user-key window shuffle + sort
+      "win_rank" -> 2,          // one partitionBy shuffle + final sort
+      "pack_concat_split" -> 2, // one group-key window (running token
+                                // sum) + final sort — the closed-form
+                                // packer never folds sequentially
+      "sample_split" -> 2,      // portable-hash split is map-side; agg
+                                // + sort only
+      "text_token_count" -> 2,  // one aggregate + final sort
       "limit_topk" -> 0)        // TakeOrderedAndProject, no exchange
     budgets.foreach { case (name, maxEx) =>
       val p = plan(name)
