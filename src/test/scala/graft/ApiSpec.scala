@@ -359,6 +359,10 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(cur.size == 1)
     val newGen = spark.read.option("basePath", root).parquet(cur: _*)
     assert(newGen.select("v").collect().map(_.getString(0)).toSeq == Seq("c"))
+    // full-expiry edge: a generation that drops EVERY partition is a
+    // valid (empty) manifest, not an error — readers see zero dirs
+    api.Layout.publishManifest(root, Seq.empty)
+    assert(api.Layout.currentManifest(root).isEmpty)
   }
 
   test("distinctiveTerms ranks by tf desc, rarity asc, term asc") {

@@ -310,6 +310,29 @@ class DsV2Spec extends AnyFunSuite with SparkFixture {
     assert(opened < 32, s"offset seek opened all segments ($opened opens)")
   }
 
+  test("an impossible offset range reads nothing and opens no segments") {
+    val t = freshTopic("dsv2_empty_range")
+    tinyFrame.write.format("graft-log").mode("append").save(t)
+    graft.sources.GraftLog.segmentsOpened.set(0L)
+    val n = spark.read.format("graft-log").load(t)
+      .filter(col("offset") >= 1000000L).count()
+    assert(n == 0L)
+    assert(graft.sources.GraftLog.segmentsOpened.get() == 0L,
+      "a provably-empty seek must not open any file")
+  }
+
+  test("key-grouped aggregate composes with partition pruning (still no Exchange)") {
+    val t = freshTopic("dsv2_keygrouped_pruned")
+    tinyFrame.write.format("graft-log").mode("append").save(t)
+    val df = spark.read.format("graft-log").load(t)
+      .filter(col("partition") =!= 1)
+      .groupBy("partition").agg(sum("offset").as("s"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .toSeq == Seq((0, 45L), (2, 45L)))
+  }
+
   test("reported partition clustering lets groupBy(partition) skip the Exchange") {
     val t = freshTopic("dsv2_keygrouped")
     tinyFrame.write.format("graft-log").mode("append").save(t)
