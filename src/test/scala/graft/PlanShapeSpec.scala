@@ -287,9 +287,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
                                 // the foreign process stopped streaming
       "dedup_exact" -> 2,       // digest groupBy + final sort: shuffle
                                 // keys are 64-byte hashes, never text
-      "dedup_minhash" -> 4,     // band explode agg, pair agg, dedup,
-                                // sort — candidates from band buckets,
-                                // never an all-pairs join
+      // (dedup_minhash is NOT budgeted: its Exchange count legitimately
+      // changes with the signature cache's materialization state —
+      // broadcast vs shuffle band join; the no-cartesian test above is
+      // its plan guard)
       "sim_mips_topk" -> 2,     // per-query rank window + final sort;
                                 // candidates stream, never shuffle
       "join_semi" -> 1,         // broadcast semi (0) + final sort
