@@ -13,11 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
   InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns,
-  SupportsReportPartitioning, SupportsReportStatistics, Statistics}
+  SupportsReportPartitioning, SupportsReportStatistics,
+  SupportsRuntimeFiltering, Statistics}
 import org.apache.spark.sql.connector.read.partitioning.{
   KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
@@ -70,7 +71,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    connector ([[LogScanBuilder]]): a `WHERE partition = 2` never opens
   *    the other partitions' files (asserted via [[GraftLog.segmentsOpened]]
   *    in DsV2Spec), and a projection to (partition, value) never
-  *    materializes key/ts fields.
+  *    materializes key/ts fields. Partition pruning also fires at RUNTIME
+  *    ([[SupportsRuntimeFiltering]]): a join to a filtered dim on
+  *    `partition` delivers the build side's values to the scan before the
+  *    fact side plans its splits — DPP for the log.
   *  - The scan reports exact statistics from `_meta` + file sizes
   *    ([[SupportsReportStatistics]]), so Catalyst can pick a broadcast
   *    join for a small log table without a size guess.
@@ -298,7 +302,21 @@ class LogScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
 class LogScan(path: String, required: StructType, pushed: Array[Filter],
     maxRecordsPerTrigger: Option[Long])
-    extends Scan with SupportsReportStatistics with SupportsReportPartitioning {
+    extends Scan with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) partition filters, delivered by Spark AFTER the
+    * build side of a join has executed — the dynamic sibling of the
+    * planning-time pushdown. A log-topic fact scan joined to a filtered
+    * dim on `partition` then opens only the joined partitions' segments.
+    */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("partition"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters
 
   private def asInt(v: Any): Int = v match {
     case i: Int => i; case l: Long => l.toInt; case other =>
@@ -309,16 +327,20 @@ class LogScan(path: String, required: StructType, pushed: Array[Filter],
       other.toString.toLong
   }
 
-  /** Evaluate the pushed partition predicates against a partition id. */
-  private[sources] def partitionSurvives(p: Int): Boolean = pushed.forall {
-    case EqualTo("partition", v) => p == asInt(v)
-    case In("partition", vs) => vs.exists(v => asInt(v) == p)
-    case GreaterThan("partition", v) => p > asInt(v)
-    case GreaterThanOrEqual("partition", v) => p >= asInt(v)
-    case LessThan("partition", v) => p < asInt(v)
-    case LessThanOrEqual("partition", v) => p <= asInt(v)
-    case _ => true
-  }
+  /** Evaluate the pushed + runtime partition predicates against a
+    * partition id (unknown predicate shapes keep the partition —
+    * pruning is only ever a proof of emptiness).
+    */
+  private[sources] def partitionSurvives(p: Int): Boolean =
+    (pushed ++ runtime).forall {
+      case EqualTo("partition", v) => p == asInt(v)
+      case In("partition", vs) => vs.exists(v => asInt(v) == p)
+      case GreaterThan("partition", v) => p > asInt(v)
+      case GreaterThanOrEqual("partition", v) => p >= asInt(v)
+      case LessThan("partition", v) => p < asInt(v)
+      case LessThanOrEqual("partition", v) => p <= asInt(v)
+      case _ => true
+    }
 
   /** Inclusive [lo, hi] bound the pushed range predicates allow on `col`. */
   private def bounds(col: String): (Long, Long) = {

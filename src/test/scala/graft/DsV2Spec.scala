@@ -310,6 +310,29 @@ class DsV2Spec extends AnyFunSuite with SparkFixture {
     assert(opened < 32, s"offset seek opened all segments ($opened opens)")
   }
 
+  test("runtime filtering prunes log partitions from a joined dim (DPP for the log)") {
+    val sp = spark
+    import sp.implicits._
+    val t = freshTopic("dsv2_runtime_prune")
+    tinyFrame.write.format("graft-log").mode("append").save(t)
+    // the dim must be a FILE-backed scan with a selective predicate: a
+    // local Seq would constant-fold the filter away before the pruning
+    // rule looks for one (the DPP-benefit precondition)
+    val dimPath = s"${Scratch.fresh("dsv2_runtime_dim")}/dim"
+    Seq((0, "drop"), (1, "drop"), (2, "keep"))
+      .toDF("p", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    graft.sources.GraftLog.segmentsOpened.set(0L)
+    val out = spark.read.format("graft-log").load(t)
+      .join(broadcast(dim), col("partition") === col("p"))
+      .collect()
+    assert(out.length == 10 && out.forall(_.getInt(0) == 2))
+    // the dim executed first; its single partition value reached the scan
+    // via SupportsRuntimeFiltering, so only p=2's segment was opened
+    assert(graft.sources.GraftLog.segmentsOpened.get() == 1L,
+      s"runtime filter did not prune (opened ${graft.sources.GraftLog.segmentsOpened.get()})")
+  }
+
   test("an impossible offset range reads nothing and opens no segments") {
     val t = freshTopic("dsv2_empty_range")
     tinyFrame.write.format("graft-log").mode("append").save(t)
