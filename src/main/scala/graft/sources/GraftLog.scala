@@ -389,7 +389,7 @@ class LogScan(path: String, required: StructType, pushed: Array[Filter],
 
   override def description(): String =
     s"GraftLogScan path=$path cols=${required.fieldNames.mkString(",")} " +
-      s"pushedPartitionFilters=[${pushed.mkString(", ")}]"
+      s"pushedFilters=[${pushed.mkString(", ")}]"
 
   override def toBatch: Batch = new LogBatch(path, required, this)
 

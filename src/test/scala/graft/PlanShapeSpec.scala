@@ -44,6 +44,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("scan_dsv2_seek shows the offset range in the V2 scan's pushed filters") {
+    val p = plan("scan_dsv2_seek")
+    assert(p.contains("GreaterThanOrEqual(offset,100)") &&
+      p.contains("LessThan(offset,600)"),
+      s"offset seek range missing from the scan description:\n$p")
+  }
+
   test("limit_topk plans TakeOrderedAndProject (no full global sort)") {
     assert(plan("limit_topk").contains("TakeOrderedAndProject"))
   }
