@@ -1069,6 +1069,21 @@ package object api {
         c: Column, fractions: Seq[Double],
         universeBits: Int = 20, k: Int = 2048): Column =
       udaf(new graft.functions.QDigest(fractions, universeBits, k)).apply(c)
+
+    /** KMV (bottom-k) distinct-value sketch of a LONG column: the k
+      * smallest splitmix64 hash values as a sorted array<long>. Unlike
+      * HLL this supports SET ALGEBRA after aggregation — intersection /
+      * overlap estimates between groups from the sketches alone (exact
+      * while a group's distinct count stays < k). Hash range is
+      * [0, 2^53); see [[graft.functions.KmvSketch]].
+      */
+    def kmvSketch(c: Column, k: Int = 256): Column =
+      udaf(new graft.functions.KmvSketch(k)).apply(c)
+
+    /** Full hash range of [[kmvSketch]] values (2^53) — the θ of a
+      * complete (non-truncated) sketch, for intersection estimators.
+      */
+    val KmvRange: Long = 1L << 53
   }
 
   /** Multimodal decode: real pure-JVM codecs (graft.functions.Codecs) over

@@ -500,5 +500,91 @@ object Quality extends QueryModule {
                min(epoch_us(CAST(ts AS TIMESTAMP))) AS min_ts_us,
                max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
         FROM events"""))
+  ) ++ Seq(
+    // Pre-join skew diagnosis: the report you run BEFORE choosing
+    // broadcast / salting / AQE-skew on a 100 TB join (join_skew_salted
+    // and join_skew_aqe are the treatments; this is the diagnosis). One
+    // hash agg builds the per-key counts; every later step runs on the
+    // bounded-cardinality group-SIZE histogram (≤ max-group-size rows),
+    // so the exact p50/p90/p99 of group sizes never globally sort the
+    // key set — the cumulative window scans the size histogram, not the
+    // keys. Output is long-format (metric, value), all BIGINT, so the
+    // report is engine-exact and trivially unioned across tables.
+    // skew_pm floors twice (max/avg via avg_x1000) to stay in 64 bits
+    // at any corpus size; both engines truncate identically.
+    Q(
+      "dq_skew_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnts = Tables.events(s, dir)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        val tot = cnts.agg(count(lit(1)).as("k"),
+          sum("n").as("r"), max("n").as("mx"))
+        val cum = cnts.groupBy("n").agg(count(lit(1)).as("f"))
+          .withColumn("cum", sum("f").over(Window.orderBy("n")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+        def pctRow(label: String, num: Int, den: Int) =
+          cum.filter(col("cum") >= expr(s"(k * $num + ${den - 1}) div $den"))
+            .agg(min("n").as("value"))
+            .select(lit(label).as("metric"), col("value"))
+        val summary = tot.select(explode(array(
+            struct(lit("n_keys").as("metric"), col("k").as("value")),
+            struct(lit("n_rows").as("metric"), col("r").as("value")),
+            struct(lit("max_group").as("metric"), col("mx").as("value")),
+            struct(lit("avg_x1000").as("metric"),
+              expr("1000 * r div k").as("value")),
+            struct(lit("skew_pm").as("metric"),
+              expr("1000000 * mx div (1000 * r div k)").as("value"))))
+            .as("mv"))
+          .select(col("mv.metric").as("metric"), col("mv.value").as("value"))
+        val top = cnts.orderBy(desc("n"), asc("user_id")).limit(3)
+          .withColumn("rk",
+            row_number().over(Window.orderBy(desc("n"), asc("user_id"))))
+          .select(explode(array(
+            struct(concat(lit("top"), col("rk").cast("string"), lit("_key"))
+              .as("metric"), col("user_id").as("value")),
+            struct(concat(lit("top"), col("rk").cast("string"), lit("_n"))
+              .as("metric"), col("n").as("value")))).as("mv"))
+          .select(col("mv.metric").as("metric"), col("mv.value").as("value"))
+        summary
+          .unionAll(pctRow("p50_group", 1, 2))
+          .unionAll(pctRow("p90_group", 9, 10))
+          .unionAll(pctRow("p99_group", 99, 100))
+          .unionAll(top)
+          .orderBy("metric")
+      },
+      oracle = Some("""
+        WITH cnts AS (
+          SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        tot AS (
+          SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS r, max(n) AS mx
+          FROM cnts),
+        cum AS (
+          SELECT n, sum(f) OVER (ORDER BY n) AS cum
+          FROM (SELECT n, count(*) AS f FROM cnts GROUP BY 1)),
+        top AS (
+          SELECT user_id, n,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS rk
+          FROM cnts ORDER BY n DESC, user_id LIMIT 3)
+        SELECT metric, value FROM (
+          SELECT 'n_keys' AS metric, CAST(k AS BIGINT) AS value FROM tot
+          UNION ALL SELECT 'n_rows', r FROM tot
+          UNION ALL SELECT 'max_group', CAST(mx AS BIGINT) FROM tot
+          UNION ALL SELECT 'avg_x1000', 1000 * r // k FROM tot
+          UNION ALL SELECT 'skew_pm', 1000000 * mx // (1000 * r // k)
+            FROM tot
+          UNION ALL SELECT 'p50_group',
+            (SELECT CAST(min(n) AS BIGINT) FROM cum, tot
+             WHERE cum >= (k * 1 + 1) // 2)
+          UNION ALL SELECT 'p90_group',
+            (SELECT CAST(min(n) AS BIGINT) FROM cum, tot
+             WHERE cum >= (k * 9 + 9) // 10)
+          UNION ALL SELECT 'p99_group',
+            (SELECT CAST(min(n) AS BIGINT) FROM cum, tot
+             WHERE cum >= (k * 99 + 99) // 100)
+          UNION ALL SELECT 'top' || rk || '_key', user_id FROM top
+          UNION ALL SELECT 'top' || rk || '_n', CAST(n AS BIGINT) FROM top
+        ) ORDER BY metric"""))
   )
 }

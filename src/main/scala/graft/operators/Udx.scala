@@ -363,6 +363,70 @@ object Udx extends QueryModule {
         FROM lineitem
         WHERE l_quantity > 30.0
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  ) ++ Seq(
+    // KMV set algebra ACROSS groups — the audience-overlap / train-test-
+    // leakage estimator: distinct-user intersection between every
+    // event-type pair, computed from per-type bottom-k sketches alone.
+    // The data is touched ONCE (one map-side-combined sketch agg); the
+    // pair join runs on 5 sketch rows, so N sources cost N sketch rows
+    // and C(N,2) array intersections, independent of corpus size — at
+    // 100 TB the alternative (pairwise DISTINCT self-joins) is C(N,2)
+    // full shuffles. θ = min(k-th min of either side); shared hashes
+    // below θ scale by range/θ (integer-exact: range 2^53, shared·2^53
+    // fits a long for k ≤ 512). While per-group distinct counts stay
+    // < k the sketch is the complete hashed set — θ = full range, the
+    // estimate IS exact, and the DuckDB oracle certifies it (sf0.01:
+    // 150 distinct users < k=256; sf0.1's 1500 exercises the real
+    // truncated-estimate regime, bounded by KmvSpec).
+    Q(
+      "udaf_kmv_intersect",
+      (s, dir) => {
+        val K = 256
+        val M = graft.api.Sketches.KmvRange
+        val sk = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(graft.api.Sketches.kmvSketch(col("user_id"), K).as("sk"))
+        sk.as("a")
+          .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+          .select(
+            col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"),
+            size(col("a.sk")).cast("long").as("sk_a_n"),
+            size(col("b.sk")).cast("long").as("sk_b_n"),
+            least(
+              when(size(col("a.sk")) < K, M)
+                .otherwise(element_at(col("a.sk"), K)),
+              when(size(col("b.sk")) < K, M)
+                .otherwise(element_at(col("b.sk"), K))).as("theta"),
+            array_intersect(col("a.sk"), col("b.sk")).as("both"))
+          .select(col("type_a"), col("type_b"), col("sk_a_n"),
+            col("sk_b_n"),
+            size(filter(col("both"), h => h < col("theta")))
+              .cast("long").as("shared"),
+            col("theta"))
+          .select(col("type_a"), col("type_b"), col("sk_a_n"),
+            col("sk_b_n"),
+            expr(s"shared * ${M}L div theta").as("est_common"),
+            (col("sk_a_n") < K && col("sk_b_n") < K).as("exact_mode"))
+          .orderBy("type_a", "type_b")
+      },
+      oracle = Some("""
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        n AS (SELECT event_type, count(*) AS c FROM du GROUP BY 1),
+        co AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+                 count(*) AS common
+          FROM du a JOIN du b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT na.event_type AS type_a, nb.event_type AS type_b,
+               CAST(na.c AS BIGINT) AS sk_a_n,
+               CAST(nb.c AS BIGINT) AS sk_b_n,
+               CAST(coalesce(co.common, 0) AS BIGINT) AS est_common,
+               TRUE AS exact_mode
+        FROM n na JOIN n nb ON na.event_type < nb.event_type
+        LEFT JOIN co ON co.ta = na.event_type AND co.tb = nb.event_type
+        ORDER BY type_a, type_b"""))
   )
 }
 

@@ -342,4 +342,19 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
     assert(extra("name") == false && extra("score") == false)
   }
+
+  test("dq_skew_report: percentiles monotone, top1 = max, totals consistent") {
+    val m = SparkEntry.queries("dq_skew_report")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.size == 14)
+    assert(m("p50_group") <= m("p90_group") &&
+      m("p90_group") <= m("p99_group") &&
+      m("p99_group") <= m("max_group"))
+    assert(m("top1_n") == m("max_group"))
+    assert(m("top1_n") >= m("top2_n") && m("top2_n") >= m("top3_n"))
+    // avg_x1000 = 1000·rows/keys (floored); skew ratio ≥ 1000 permille.
+    assert(m("avg_x1000") == 1000 * m("n_rows") / m("n_keys"))
+    assert(m("skew_pm") >= 1000,
+      "max group can never be below the mean group size")
+  }
 }
