@@ -814,5 +814,79 @@ object Streaming extends QueryModule {
          AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '24 hours'
         WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
         GROUP BY s.user_id ORDER BY user_id"""))
+  ) ++ Seq(
+    // Stream–stream LEFT OUTER join: signups with-or-WITHOUT a purchase
+    // in the following 24 h — the no-conversion detector, and the join
+    // whose semantics are genuinely streaming-specific: a null-padded
+    // row can only be emitted once the WATERMARK proves the window
+    // closed (inner matches emit eagerly; absence needs a proof). Two
+    // consequences shape the query:
+    //   1. withWatermark sits BEFORE the event-type filter on each
+    //      side, so both watermark nodes see every event and the global
+    //      watermark reaches max(ts) − 1 h; filtering first would pin
+    //      the signup side's watermark to the last SIGNUP, stalling
+    //      eviction (measured: the final watermark is the MIN across
+    //      watermark nodes).
+    //   2. The left side keeps only signups whose 24 h window is
+    //      provably closed at end-of-stream (ts ≤ max − 30 h, a 5 h
+    //      margin past window + delay): for anything younger, "no
+    //      purchase yet" is not yet a fact — exactly the region a
+    //      production job leaves for the next run. The cutoff makes
+    //      streamed = batch left join (the oracle) on the closed region.
+    // State: both sides evict once the opposite watermark passes the
+    // range bound, so join state is bounded by 25 h of arrivals at any
+    // scale.
+    Q(
+      "stream_stream_left_join",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_stream_left_join")
+        val maxTs = Tables.events(s, dir)
+          .agg(max("ts")).first().getTimestamp(0)
+        val cutoff = new java.sql.Timestamp(
+          maxTs.getTime - 30L * 3600 * 1000)
+        def side(tpe: String, pfx: String) =
+          s.readStream.schema(Tables.events(s, dir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .withWatermark("ts", "1 hour")
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(s"${pfx}_user"),
+              col("ts").as(s"${pfx}_ts"), col("value").as(s"${pfx}_value"))
+        val joined = side("signup", "s")
+          .filter(col("s_ts") <= lit(cutoff))
+          .join(side("purchase", "p"),
+            col("s_user") === col("p_user") &&
+              col("p_ts") >= col("s_ts") &&
+              col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"),
+            "left_outer")
+        val root = Paths.get(ckpt).getParent.toString
+        val sink = s"$root/sink"
+        drive(s) { joined.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start() }
+        s.read.parquet(sink)
+          .groupBy(col("s_user").as("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("p_value")).as("n_matched"),
+            round(coalesce(sum("p_value"), lit(0.0)), 4)
+              .as("sum_purchase_value"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH mx AS (SELECT max(ts) AS mts FROM events),
+        s AS (SELECT user_id, ts FROM events, mx
+              WHERE event_type = 'signup'
+                AND ts <= mts - INTERVAL '30 hours'),
+        p AS (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase'),
+        j AS (SELECT s.user_id, p.value AS pv
+              FROM s LEFT JOIN p ON s.user_id = p.user_id
+               AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '24 hours')
+        SELECT user_id, count(*) AS n_rows,
+               CAST(count(pv) AS BIGINT) AS n_matched,
+               round(coalesce(sum(pv), 0), 4) AS sum_purchase_value
+        FROM j GROUP BY user_id ORDER BY user_id"""))
   )
 }

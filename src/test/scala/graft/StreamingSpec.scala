@@ -109,4 +109,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"estimate $est too far from exact $exact")
     }
   }
+
+  test("stream-stream left join emits the null-padded no-purchase rows") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("stream_stream_left_join")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    // The outer half is the point: users whose signup window closed with
+    // no purchase must appear with n_matched < n_rows (a null-padded row
+    // needs a watermark proof — an inner join could never produce it).
+    assert(out.exists(r => r.getAs[Long]("n_matched") <
+      r.getAs[Long]("n_rows")), "no outer rows emitted")
+    // Streamed totals equal the batch left join on the closed region.
+    val ev = Tables.events(spark, sf0001)
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 30L * 3600 * 1000)
+    val s = ev.filter(col("event_type") === "signup" &&
+      col("ts") <= lit(cutoff)).select(col("user_id").as("su"), col("ts").as("st"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"))
+    val batch = s.join(p, col("su") === col("pu") &&
+        col("pt") >= col("st") &&
+        col("pt") <= col("st") + expr("INTERVAL 24 HOURS"), "left_outer")
+      .agg(count(lit(1)), count(col("pu"))).first()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == batch.getLong(0))
+    assert(out.map(_.getAs[Long]("n_matched")).sum == batch.getLong(1))
+  }
 }
