@@ -516,18 +516,15 @@ object Quality extends QueryModule {
       "dq_skew_report",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // The ONLY data-sized pass: one scan + one key shuffle, then the
+        // counts table is materialized once — every report branch below
+        // reads it, never the raw table again (18 Exchanges → 7, and 6
+        // full scans → 1, before this cut; PlanShapeSpec budgets it).
         val cnts = Tables.events(s, dir)
           .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
         val tot = cnts.agg(count(lit(1)).as("k"),
           sum("n").as("r"), max("n").as("mx"))
-        val cum = cnts.groupBy("n").agg(count(lit(1)).as("f"))
-          .withColumn("cum", sum("f").over(Window.orderBy("n")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .crossJoin(broadcast(tot))
-        def pctRow(label: String, num: Int, den: Int) =
-          cum.filter(col("cum") >= expr(s"(k * $num + ${den - 1}) div $den"))
-            .agg(min("n").as("value"))
-            .select(lit(label).as("metric"), col("value"))
         val summary = tot.select(explode(array(
             struct(lit("n_keys").as("metric"), col("k").as("value")),
             struct(lit("n_rows").as("metric"), col("r").as("value")),
@@ -536,6 +533,25 @@ object Quality extends QueryModule {
               expr("1000 * r div k").as("value")),
             struct(lit("skew_pm").as("metric"),
               expr("1000000 * mx div (1000 * r div k)").as("value"))))
+            .as("mv"))
+          .select(col("mv.metric").as("metric"), col("mv.value").as("value"))
+        // All three rank thresholds resolve in ONE conditional aggregate
+        // over the cumulative size histogram — not a branch per quantile.
+        val pcts = cnts.groupBy("n").agg(count(lit(1)).as("f"))
+          .withColumn("cum", sum("f").over(Window.orderBy("n")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+          .agg(
+            min(when(col("cum") >= expr("(k * 1 + 1) div 2"), col("n")))
+              .as("p50_group"),
+            min(when(col("cum") >= expr("(k * 9 + 9) div 10"), col("n")))
+              .as("p90_group"),
+            min(when(col("cum") >= expr("(k * 99 + 99) div 100"), col("n")))
+              .as("p99_group"))
+          .select(explode(array(
+            struct(lit("p50_group").as("metric"), col("p50_group").as("value")),
+            struct(lit("p90_group").as("metric"), col("p90_group").as("value")),
+            struct(lit("p99_group").as("metric"), col("p99_group").as("value"))))
             .as("mv"))
           .select(col("mv.metric").as("metric"), col("mv.value").as("value"))
         val top = cnts.orderBy(desc("n"), asc("user_id")).limit(3)
@@ -547,12 +563,7 @@ object Quality extends QueryModule {
             struct(concat(lit("top"), col("rk").cast("string"), lit("_n"))
               .as("metric"), col("n").as("value")))).as("mv"))
           .select(col("mv.metric").as("metric"), col("mv.value").as("value"))
-        summary
-          .unionAll(pctRow("p50_group", 1, 2))
-          .unionAll(pctRow("p90_group", 9, 10))
-          .unionAll(pctRow("p99_group", 99, 100))
-          .unionAll(top)
-          .orderBy("metric")
+        summary.unionAll(pcts).unionAll(top).orderBy("metric")
       },
       oracle = Some("""
         WITH cnts AS (

@@ -51,6 +51,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"offset seek range missing from the scan description:\n$p")
   }
 
+  test("udaf_kmv_intersect: the pair join broadcasts sketch rows (BNLJ)") {
+    // The non-equi (a.type < b.type) self-join must be a broadcast
+    // nested-loop over the N-row sketch table — a cartesian of the raw
+    // data would mean set algebra stopped running on sketches.
+    val p = plan("udaf_kmv_intersect")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast pair join over sketch rows:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "pair join must never cartesian two unbroadcast sides")
+  }
+
   test("limit_topk plans TakeOrderedAndProject (no full global sort)") {
     assert(plan("limit_topk").contains("TakeOrderedAndProject"))
   }
@@ -310,7 +321,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "sample_split" -> 2,      // portable-hash split is map-side; agg
                                 // + sort only
       "text_token_count" -> 2,  // one aggregate + final sort
-      "limit_topk" -> 0)        // TakeOrderedAndProject, no exchange
+      "limit_topk" -> 0,        // TakeOrderedAndProject, no exchange
+      "dq_skew_report" -> 4)    // ONE key shuffle (counts materialize
+                                // once); size-histogram agg + two
+                                // 1-row/3-row SinglePartition steps +
+                                // final sort — never a key-set sort
     budgets.foreach { case (name, maxEx) =>
       val p = plan(name)
       // Shuffle exchanges only: BroadcastExchange moves a dim table to
