@@ -530,6 +530,55 @@ object Sources extends QueryModule {
         WHERE epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 >= 19735
         GROUP BY event_type ORDER BY event_type""")),
 
+    // Quarantine ROUTING — the step after the dq_* audits: violating
+    // rows don't just get counted, they get routed OUT of the publish
+    // path into a quarantine sink that carries the rejection reason,
+    // while clean rows land with their original schema. Rules are an
+    // ordered CASE (first match wins: PK duplicates, then range), so a
+    // row lands in exactly one sink and clean + quarantined = input —
+    // certified from the SINKS (both re-read for the report), not from
+    // the routing plan. Cost shape at 100 TB: ONE window shuffle on the
+    // PK for duplicate detection (the routed frame materializes once),
+    // then both writes are map-side filters of it; the quarantine sink
+    // is re-ingestable by construction (original columns + reason).
+    // The corpus's REAL defect mass routes: ~26k duplicate-PK rows and
+    // ~3.4k quantity-tail rows at sf0.01 (NOTES.md) — non-vacuous.
+    Q(
+      "sink_quarantine_route",
+      (s, dir) => {
+        val root = Scratch.fresh("sink_quarantine_route")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey", "l_linenumber")
+        val routed = Tables.lineitem(s, dir)
+          .withColumn("reason",
+            when(count(lit(1)).over(w) > 1, "duplicate_pk")
+              .when(col("l_quantity") > 45, "quantity_range")
+              .otherwise("clean"))
+          .localCheckpoint(true)
+        routed.filter(col("reason") === "clean").drop("reason")
+          .write.parquet(s"$root/clean")
+        routed.filter(col("reason") =!= "clean")
+          .write.parquet(s"$root/quarantine")
+        val sp2 = s
+        import sp2.implicits._
+        s.read.parquet(s"$root/clean")
+          .select(lit("clean").as("reason"))
+          .unionAll(s.read.parquet(s"$root/quarantine").select(col("reason")))
+          .groupBy("reason").agg(count(lit(1)).as("n_rows"))
+          .orderBy("reason")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT l_quantity,
+                 count(*) OVER (PARTITION BY l_orderkey, l_linenumber)
+                   AS pkc
+          FROM lineitem)
+        SELECT CASE WHEN pkc > 1 THEN 'duplicate_pk'
+                    WHEN l_quantity > 45 THEN 'quantity_range'
+                    ELSE 'clean' END AS reason,
+               count(*) AS n_rows
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
     // Dynamic partition overwrite — THE idempotent backfill primitive:
     // recompute one day and write mode("overwrite") with
     // partitionOverwriteMode=dynamic, and only the partitions PRESENT in

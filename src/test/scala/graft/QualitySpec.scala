@@ -357,4 +357,16 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(m("skew_pm") >= 1000,
       "max group can never be below the mean group size")
   }
+
+  test("quarantine routing conserves rows and the sink is re-ingestable") {
+    val out = SparkEntry.queries("sink_quarantine_route")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Conservation: every input row lands in exactly one sink.
+    val total = Tables.lineitem(spark, sf001).count()
+    assert(out.values.sum == total,
+      s"clean + quarantined (${out.values.sum}) must equal input ($total)")
+    // The corpus's planted defect mass must actually route (non-vacuous).
+    assert(out("duplicate_pk") > 0 && out("quantity_range") > 0)
+    assert(out("clean") > out("quantity_range"))
+  }
 }
