@@ -1849,14 +1849,18 @@ package object api {
       require(iterations >= 1 && damping > 0 && damping < 1)
       val raw = edges.select(src.as("src"), dst.as("dst"))
       // Symmetrize FIRST, distinct ONCE: two separate distincts would pay
-      // two full edge shuffles for one deduplicated result.
+      // two full edge shuffles for one deduplicated result. Repartition
+      // BEFORE distinct: HashPartitioning(src) satisfies the distinct
+      // aggregate's ClusteredDistribution(src, dst) (subset rule), so the
+      // dedup runs in-partition and the edge set shuffles exactly ONCE.
       // The checkpoint captures the physical layout (hash-partitioned and
       // sorted on src), so every round's share join reuses it: only the
       // node-sized shares side moves per iteration, never the edges.
       val e = (if (undirected)
         raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      else raw).distinct()
-        .repartition(col("src")).sortWithinPartitions("src")
+      else raw)
+        .repartition(col("src")).distinct()
+        .sortWithinPartitions("src")
         .localCheckpoint(true)
       val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       // The iterated frame carries (id, deg, rank): deg is static, so
