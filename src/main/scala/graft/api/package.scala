@@ -2093,9 +2093,14 @@ package object api {
         .groupBy(col("a.m").as("u"), col("b.m").as("v"))
         .agg(count(lit(1)).as("common"))
         .filter(col("common") >= minCommon)
+      // deg is node-cardinality (one row per vertex) while `common` is
+      // wedge-pair-cardinality (Σ deg(w)² at worst) — broadcasting deg
+      // spares the pair table two full shuffles. When the vertex set
+      // itself outgrows broadcast, drop the hint and both joins fall
+      // back to sort-merge on the already-clustered keys.
       common
-        .join(deg.as("du"), col("u") === col("du.n"))
-        .join(deg.as("dv"), col("v") === col("dv.n"))
+        .join(broadcast(deg.as("du")), col("u") === col("du.n"))
+        .join(broadcast(deg.as("dv")), col("v") === col("dv.n"))
         .select(col("u"), col("v"), col("common"),
           (col("common").cast("double") /
             (col("du.d") + col("dv.d") - col("common")).cast("double"))
