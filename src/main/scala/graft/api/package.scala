@@ -643,8 +643,16 @@ package object api {
       val m = codebooks.length
       val sub = codebooks.head.head.length
       val cbl = typedlit(codebooks)
+      // The checkpoint is a CollapseProject barrier, not a perf cache:
+      // without it the caller's qvec expression (typically the
+      // unit-normalize transform, whose lambda re-derives the norm per
+      // element) is inlined into every one of the m·k table lambdas
+      // below and interpreted per (subspace × centroid) — ~2 s of
+      // driver-side broadcast build for 50 queries. Materializing qe
+      // once per query row first makes the table build O(m·k·sub).
       val tabbed = queries
         .select(qid.as("query_id"), qvec.cast("array<double>").as("qe"))
+        .localCheckpoint(true)
         .select(col("query_id"),
           transform(sequence(lit(1), lit(m)), s =>
             transform(element_at(cbl, s), c =>
