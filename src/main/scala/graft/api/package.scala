@@ -23,15 +23,14 @@ package object api {
       * (pure column expression; k ≥ 1). Short texts yield their single
       * truncated shingle rather than an empty set.
       */
-    def shingles(text: Column, k: Int = 3): Column = {
-      val w = split(text, " ")
-      // slice clamps at the array end (element_at past it is an ANSI
-      // error), so a doc shorter than k words yields its one partial
-      // shingle instead of failing.
-      array_distinct(
-        transform(sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
-          i => array_join(slice(w, i, lit(k)), " ")))
-    }
+    def shingles(text: Column, k: Int = 3): Column =
+      // The positional window clamps at the array end, so a doc shorter
+      // than k words yields its one partial shingle instead of failing.
+      // ShingleArray is the codegen form of transform(sequence(1, n−k+1),
+      // i -> array_join(slice(w, i, k), ' ')) — the lambda version
+      // evaluates interpreted per position and dominated every
+      // shingle-heavy audit it appeared in.
+      array_distinct(graft.functions.ShingleArray(split(text, " "), k))
 
     /** MinHash signatures over k-shingles: one row per input id with a
       * `sig` array of `numHashes` 64-bit minimums.
@@ -305,29 +304,17 @@ package object api {
     def exactJaccardPairs(
         df: DataFrame, id: Column, text: Column,
         k: Int = 3, minPermille: Int = 350): DataFrame = {
-      // Shingle in codegen, not through the `shingles` transform-lambda:
-      // higher-order functions evaluate interpreted per element, and the
-      // lambda form cost ~1.1 s per leg of the sf0.1 audit vs ~0.1 s for
-      // explode(sequence) + slice/array_join/md5, which all stay in
-      // whole-stage codegen. Positions replicate `shingles` exactly:
-      // 1..max(n−k+1, 1), slice clamping at the array end so a short doc
-      // yields its one partial shingle.
-      val ws = df.select(id.as("id"), split(text, " ").as("ws"))
-      val dg = ws
-        .select(col("id"),
-          explode(sequence(lit(1),
-            greatest(size(col("ws")) - (k - 1), lit(1)))).as("i"),
-          col("ws"))
-        .select(col("id"),
-          conv(substring(
-            md5(array_join(slice(col("ws"), col("i"), lit(k)), " ")),
-            1, 15), 16, 10).cast("long").as("gh"))
-        .distinct()
-      // Per-doc distinct-shingle counts are doc-cardinality — broadcast
-      // at audit-sample scale (this is the certification tool, run on a
-      // sample); drop the hint and the join falls back to sort-merge.
-      val cnt = dg.groupBy("id").agg(count(lit(1)).as("nsh"))
-      val inv = dg.join(broadcast(cnt), "id")
+      // shingles() is codegen (ShingleArray) with the per-doc distinct
+      // done in-row, so the inverted index needs no extra shuffle for
+      // dedup or per-doc counts — nsh rides along from size().
+      val sh = df
+        .select(id.as("id"), shingles(text, k).as("shs"))
+        .withColumn("nsh", size(col("shs")).cast("long"))
+        .filter(col("nsh") > 0)
+      val inv = sh
+        .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
+        .select(col("id"), col("nsh"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
       inv.alias("a")
         .join(inv.alias("b"),
           col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
@@ -1455,13 +1442,14 @@ package object api {
         bench: DataFrame, benchId: Column, benchText: Column,
         n: Int = 8, minOverlap: Double = 0.5): DataFrame = {
       require(n >= 1)
+      // Codegen shingling (ShingleArray) with the per-doc distinct done
+      // in-row — the corpus gram stream explodes straight into the
+      // broadcast join below with no shuffle anywhere on the big side.
       def grams(df: DataFrame, id: Column, text: Column): DataFrame =
         df.select(id.as("_id"), split(text, " ").as("toks"))
           .filter(size(col("toks")) >= n)
           .select(col("_id"), explode(array_distinct(
-            expr(s"""transform(sequence(1, size(toks) - ${n - 1}),
-                     i -> array_join(slice(toks, i, $n), ' '))""")))
-            .as("gram"))
+            graft.functions.ShingleArray(col("toks"), n))).as("gram"))
       val cg = grams(corpus, corpusId, corpusText)
         .toDF("corpus_id", "gram")
       val bg = grams(bench, benchId, benchText)

@@ -103,4 +103,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(loose == Set((1L, 2L), (4L, 5L))) // overlap pairs only
   }
+
+  test("ShingleArray matches the transform-lambda formulation bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // Edge rows on purpose: empty text, single word, exactly k words,
+    // k−1 words, repeated tokens (distinct NOT applied here — raw
+    // positional output must match), long doc.
+    val docs = Seq("", "solo", "a b c", "a b", "x x x x x",
+      (1 to 40).map(i => s"w$i").mkString(" ")).toDF("t")
+    Seq(1, 2, 3, 5).foreach { k =>
+      val w = split(col("t"), " ")
+      val lambdaForm = transform(
+        sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
+        i => array_join(slice(w, i, lit(k)), " "))
+      val diff = docs.select(
+        graft.functions.ShingleArray(w, k).as("fast"),
+        lambdaForm.as("ref"))
+        .filter(not(col("fast") === col("ref"))).count()
+      assert(diff == 0, s"ShingleArray diverges from lambda form at k=$k")
+    }
+  }
 }
