@@ -327,6 +327,39 @@ package object api {
         .select("id_a", "id_b", "jaccard_pm")
     }
 
+    /** ASYMMETRIC shingle containment — the quote/subset detector that
+      * symmetric Jaccard structurally misses: a 50-shingle doc fully
+      * embedded in a 5000-shingle doc scores J ≈ 1% but containment
+      * C(A⊂B) = |S_A∩S_B| / |S_A| = 100%. Emits ORDERED pairs
+      * (contained_id, container_id, containment_pm ≥ minPermille) in
+      * both directions when both clear the bar. Same inverted-index
+      * shape, determinism discipline (integer permille, 8-byte digests
+      * in the shuffle), and quadratic-in-hot-shingles cost profile as
+      * [[exactJaccardPairs]] — run it on a sample or on LSH candidates,
+      * not the raw corpus.
+      */
+    def containmentPairs(
+        df: DataFrame, id: Column, text: Column,
+        k: Int = 3, minPermille: Int = 500): DataFrame = {
+      val sh = df
+        .select(id.as("id"), shingles(text, k).as("shs"))
+        .withColumn("nsh", size(col("shs")).cast("long"))
+        .filter(col("nsh") > 0)
+      val inv = sh
+        .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
+        .select(col("id"), col("nsh"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+      inv.alias("a")
+        .join(inv.alias("b"),
+          col("a.gh") === col("b.gh") && col("a.id") =!= col("b.id"))
+        .groupBy(col("a.id").as("contained_id"),
+          col("b.id").as("container_id"), col("a.nsh").as("na"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("containment_pm", expr("1000 * inter div na"))
+        .filter(col("containment_pm") >= minPermille)
+        .select("contained_id", "container_id", "containment_pm")
+    }
+
     /** Distributed connected components over an undirected edge list — the
       * closure step that turns near-duplicate PAIRS into dedup CLUSTERS
       * (one keeper per component). Min-label propagation with a

@@ -638,6 +638,98 @@ object Dedup extends QueryModule {
         FROM fo CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS min_bands) mb
         GROUP BY mb.min_bands
         ORDER BY min_bands"""
-      })
+      }),
+
+    // Asymmetric shingle containment — the quote/subset detector
+    // symmetric Jaccard structurally misses (a short doc fully embedded
+    // in a long one scores J ≈ |A|/|B| but containment 100%). Ordered
+    // pairs, both directions, integer permille. Runs on the same 40%
+    // doc-coherent slice as dedup_lsh_audit and for the same reason:
+    // the inverted-index join is Σ df(g)² — at 100 TB you certify
+    // containment on a sample (or on LSH candidates), never the raw
+    // corpus. Shuffles carry 8-byte shingle digests only.
+    Q(
+      "dedup_containment",
+      (s, dir) => {
+        val docs = graft.api.Pipeline.sampleEntities(
+          Tables.documents(s, dir), col("doc_id"), pct = 40)
+        graft.api.Dedup.containmentPairs(
+          docs, col("doc_id"), col("text"), k = 3, minPermille = 500)
+          .orderBy("contained_id", "container_id")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+          WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 100 < 40),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substring(md5(
+                   array_to_string(ws[i : i + 2], ' ')), 1, 15))
+                   ::BIGINT AS gh
+          FROM w, unnest(generate_series(1, greatest(n - 2, 1))) AS t(i)),
+        cnt AS (SELECT doc_id, count(*) AS nsh FROM dg GROUP BY 1),
+        ip AS (
+          SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                 count(*) AS inter
+          FROM dg a JOIN dg b
+            ON a.gh = b.gh AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT contained_id, container_id,
+               CAST(1000 * inter // nsh AS BIGINT) AS containment_pm
+        FROM ip JOIN cnt ON ip.contained_id = cnt.doc_id
+        WHERE 1000 * inter // nsh >= 500
+        ORDER BY contained_id, container_id""")),
+
+    // Cross-source precedence dedup — the curation pass that picks WHICH
+    // copy survives: docs sharing a 10-word-prefix fingerprint collapse
+    // to the copy from the most-trusted source tier (tie-break lowest
+    // doc_id). One map-side digest + one shuffle on the 16-byte prefix
+    // hash; the keeper is a single lexicographic min over a
+    // (priority, id, source) struct — no window over the data, no
+    // second pass. At 100 TB this is the shape of "prefer curated over
+    // crawl on boilerplate-prefix collisions": the shuffle moves
+    // digests and 3-field structs, never text. Source tier here is a
+    // deterministic stand-in (source number mod 3) so both engines
+    // derive identical priorities from the data alone.
+    Q(
+      "dedup_source_priority",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            md5(array_join(slice(toks, 1, 10), " ")).as("prefix_md5"),
+            (substring(col("source"), 4, 10).cast("long") % 3).as("prio"))
+          .groupBy("prefix_md5")
+          .agg(
+            min(struct(col("prio"), col("doc_id"), col("source"))).as("m"),
+            count(lit(1)).as("n_copies"),
+            countDistinct(col("source")).as("n_sources"))
+          .select(col("prefix_md5"), col("m.prio").as("keep_priority"),
+            col("m.doc_id").as("keep_id"), col("m.source").as("keep_source"),
+            col("n_copies"), col("n_sources"))
+          .orderBy("keep_id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id, source,
+                 CAST(substring(source, 4) AS BIGINT) % 3 AS prio,
+                 md5(array_to_string((string_split(text, ' '))[1:10], ' '))
+                   AS prefix_md5
+          FROM documents),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY prefix_md5
+                    ORDER BY prio, doc_id) AS rn
+          FROM p),
+        g AS (
+          SELECT prefix_md5, count(*) AS n_copies,
+                 count(DISTINCT source) AS n_sources
+          FROM p GROUP BY 1)
+        SELECT g.prefix_md5, r.prio AS keep_priority, r.doc_id AS keep_id,
+               r.source AS keep_source, g.n_copies, g.n_sources
+        FROM r JOIN g USING (prefix_md5) WHERE r.rn = 1
+        ORDER BY keep_id"""))
   )
 }

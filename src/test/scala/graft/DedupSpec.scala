@@ -104,6 +104,41 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(loose == Set((1L, 2L), (4L, 5L))) // overlap pairs only
   }
 
+  test("containmentPairs: asymmetric — quote detected, reverse below bar") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // B contains all of A's text plus a long tail: C(A⊂B) = 1000‰,
+    // C(B⊂A) well under the 500‰ bar. C is a disjoint bystander.
+    val quote = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, quote),
+      (2L, quote + " " + (1 to 20).map(i => s"tail$i").mkString(" ")),
+      (3L, "zeta eta theta iota kappa")
+    ).toDF("id", "t")
+    val got = api.Dedup.containmentPairs(docs, col("id"), col("t"),
+        k = 3, minPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1000L)),
+      s"expected only the A-in-B direction at 1000‰, got $got")
+  }
+
+  test("dedup_source_priority: keeper is min (priority, doc_id) per group") {
+    val rows = SparkEntry.queries("dedup_source_priority")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    // multi-copy groups exist in the corpus and every keeper's priority
+    // is a valid tier
+    assert(rows.exists(_.getAs[Long]("n_copies") > 1L),
+      "expected at least one multi-copy prefix group")
+    assert(rows.forall { r =>
+      val p = r.getAs[Long]("keep_priority"); p >= 0L && p <= 2L
+    })
+    // group count equals distinct prefix count; keepers are unique docs
+    val ids = rows.map(_.getAs[Long]("keep_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("ShingleArray matches the transform-lambda formulation bit-for-bit") {
     val sp = spark
     import sp.implicits._
