@@ -62,7 +62,7 @@ object Tables {
       "l_shipdate" -> TimestampType),
     "events" -> st(
       "event_id" -> LongType,
-      "ts" -> LongType, // TIMESTAMP(NANOS) in the footer — see events() below
+      "ts" -> TimestampType, // footer-dependent — see events() below
       "user_id" -> LongType,
       "event_type" -> StringType,
       "value" -> DoubleType,
@@ -82,19 +82,75 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark 4 has
-    * no timestamp type for. Read it as raw nanos (legacy nanosAsLong) and
-    * floor-divide to µs — exactly the ns→µs truncation DuckDB applies when
-    * it reads the same file, so both engines see identical instants.
+  /** The driver has shipped events.ts with two different parquet footers
+    * across corpus regenerations: TIMESTAMP(NANOS) (no Spark 4 type — must
+    * be read as raw nanos via legacy nanosAsLong and floor-divided to µs,
+    * matching DuckDB's ns→µs truncation) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (reads directly as TimestampType; with the
+    * UTC session timezone both engines see identical instants). Sniff the
+    * footer once per directory and pick the matching read path, so a
+    * corpus regeneration never silently rescales event time again.
     */
+  private val eventsFooterNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def tsFooterIsNanos(spark: SparkSession, dir: String): Boolean =
+    eventsFooterNanos.computeIfAbsent(dir, _ => {
+      // Session-level flag, set once per session (guarded: repeated sets
+      // from concurrent query builds would race on the shared conf). With
+      // it on, a NANOS footer infers ts as LongType; MICROS/MILLIS footers
+      // infer a timestamp type — that distinction is the sniff.
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val inferred = spark.read.parquet(s"$dir/events.parquet").schema
+      java.lang.Boolean.valueOf(inferred("ts").dataType == LongType)
+    }).booleanValue()
+
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    // Session-level flag, set once per session (guarded: repeated sets from
-    // concurrent query builds would race on the shared conf).
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{timestamp_micros, expr}
+    val df =
+      if (tsFooterIsNanos(spark, dir)) {
+        val nanosSchema = StructType(schemas("events").map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f => f
+        })
+        spark.read.schema(nanosSchema).parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else apply(spark, dir, "events")
+    // Boundary validation, once per (JVM, dir): a decoded time domain
+    // outside any plausible event horizon means the fixture's time unit
+    // drifted under us — fail the FIRST read loudly instead of shipping
+    // silently-rescaled event time to every downstream operator (round-8
+    // post-mortem: a µs footer read as ns compressed 30 days into 43
+    // minutes and 28 oracle rows went red without one assertion firing).
+    eventsTsValidated.computeIfAbsent(dir, _ => {
+      assertEventTimeSane(df, s"$dir/events.parquet")
+      java.lang.Boolean.TRUE
+    })
+    df
+  }
+
+  private val eventsTsValidated =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Require the decoded `ts` domain to land in a plausible window
+    * (year 2000–2100). One narrow min/max column scan; cached per dir by
+    * the caller. Package-visible so the drift spec can exercise the
+    * rejection path directly.
+    */
+  private[graft] def assertEventTimeSane(df: DataFrame, where: String): Unit = {
+    import org.apache.spark.sql.functions.{min, max, col}
+    val r = df.agg(min(col("ts")), max(col("ts"))).head()
+    if (!r.isNullAt(0)) {
+      val utc = java.time.ZoneOffset.UTC
+      val lo = r.getTimestamp(0).toInstant.atZone(utc).getYear
+      val hi = r.getTimestamp(1).toInstant.atZone(utc).getYear
+      require(lo >= 2000 && hi <= 2100,
+        s"events.ts decoded to years [$lo, $hi] at $where — outside the " +
+          "plausible event horizon [2000, 2100]; the parquet footer's time " +
+          "unit has probably drifted (ns vs µs). Refusing to serve " +
+          "rescaled event time.")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

@@ -337,18 +337,37 @@ package object api {
       * in the shuffle), and quadratic-in-hot-shingles cost profile as
       * [[exactJaccardPairs]] — run it on a sample or on LSH candidates,
       * not the raw corpus.
+      *
+      * `maxDf` bounds that quadratic: the join fan-out is Σ df(g)² over
+      * shingle document frequencies, and a single boilerplate shingle
+      * ("all rights reserved") appearing in df docs alone contributes
+      * df² candidate pairs. Dropping shingles with df > maxDf from the
+      * index caps the per-shingle term at maxDf² — the standard
+      * stop-shingle valve. A dropped shingle can only LOWER a pair's
+      * measured containment (the intersection loses a member both sides
+      * shared), so the cap is conservative for detection and, chosen
+      * above the corpus's observed max df (16 at sf0.1 on this corpus
+      * vs the 256 default), changes nothing at all.
       */
     def containmentPairs(
         df: DataFrame, id: Column, text: Column,
-        k: Int = 3, minPermille: Int = 500): DataFrame = {
+        k: Int = 3, minPermille: Int = 500, maxDf: Int = 256): DataFrame = {
       val sh = df
         .select(id.as("id"), shingles(text, k).as("shs"))
         .withColumn("nsh", size(col("shs")).cast("long"))
         .filter(col("nsh") > 0)
-      val inv = sh
+      val inv0 = sh
         .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
         .select(col("id"), col("nsh"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+      // df valve: one window count over gh — it shuffles on gh, the SAME
+      // key the self-join below hashes on, so the exchange is reused and
+      // the valve costs no extra shuffle of the index.
+      val inv = inv0
+        .withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+        .filter(col("_df") <= maxDf)
+        .drop("_df")
       inv.alias("a")
         .join(inv.alias("b"),
           col("a.gh") === col("b.gh") && col("a.id") =!= col("b.id"))

@@ -647,14 +647,21 @@ object Dedup extends QueryModule {
     // doc-coherent slice as dedup_lsh_audit and for the same reason:
     // the inverted-index join is Σ df(g)² — at 100 TB you certify
     // containment on a sample (or on LSH candidates), never the raw
-    // corpus. Shuffles carry 8-byte shingle digests only.
+    // corpus. Two valves bound the quadratic: the sample slice bounds N,
+    // and the maxDf=256 stop-shingle cap (see containmentPairs) bounds
+    // the per-shingle df² term, so one boilerplate shingle can never
+    // fan out the join — the cap sits ~16× above this corpus's observed
+    // max df (16 at sf0.1), so it changes no results here, and the
+    // oracle applies the identical rule so the contract is
+    // engine-verified, not assumed. Shuffles carry 8-byte digests only.
     Q(
       "dedup_containment",
       (s, dir) => {
         val docs = graft.api.Pipeline.sampleEntities(
           Tables.documents(s, dir), col("doc_id"), pct = 40)
         graft.api.Dedup.containmentPairs(
-          docs, col("doc_id"), col("text"), k = 3, minPermille = 500)
+          docs, col("doc_id"), col("text"), k = 3, minPermille = 500,
+          maxDf = 256)
           .orderBy("contained_id", "container_id")
       },
       oracle = Some("""
@@ -671,10 +678,11 @@ object Dedup extends QueryModule {
                    ::BIGINT AS gh
           FROM w, unnest(generate_series(1, greatest(n - 2, 1))) AS t(i)),
         cnt AS (SELECT doc_id, count(*) AS nsh FROM dg GROUP BY 1),
+        keep AS (SELECT gh FROM dg GROUP BY gh HAVING count(*) <= 256),
         ip AS (
           SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
                  count(*) AS inter
-          FROM dg a JOIN dg b
+          FROM dg a JOIN keep USING (gh) JOIN dg b
             ON a.gh = b.gh AND a.doc_id <> b.doc_id
           GROUP BY 1, 2)
         SELECT contained_id, container_id,

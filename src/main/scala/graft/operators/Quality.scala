@@ -217,8 +217,10 @@ object Quality extends QueryModule {
 
     // Incremental rollup maintenance — merge-partial-aggregates, the
     // pattern that keeps a running rollup current without recomputing
-    // history: a state aggregate over days < 19749 and a delta aggregate
-    // over the newly-landed days merge by union + re-aggregation, and
+    // history: a state aggregate over all but the newest 3 days and a
+    // delta aggregate over the newly-landed days (the cutoff is anchored
+    // to the data's own horizon, max(day) - 3, so a date-shifted corpus
+    // regeneration moves it too) merge by union + re-aggregation, and
     // the merged rollup must equal the full recompute (the oracle runs
     // the full recompute). Sums are exact decimal so merge order cannot
     // perturb a digit; at scale state is a stored table and only the
@@ -232,8 +234,9 @@ object Quality extends QueryModule {
         def part(pred: org.apache.spark.sql.Column) =
           ev.filter(pred).groupBy("event_type")
             .agg(count(lit(1)).as("n"), sum("v").as("s"))
-        val state = part(col("day") < 19749)
-        val delta = part(col("day") >= 19749)
+        val cutoff = ev.agg(max(col("day"))).head.getLong(0) - 3L
+        val state = part(col("day") < cutoff)
+        val delta = part(col("day") >= cutoff)
         state.unionByName(delta)
           .groupBy("event_type")
           .agg(sum("n").as("n_events"),
@@ -249,16 +252,20 @@ object Quality extends QueryModule {
           .orderBy("event_type")
       },
       oracle = Some("""
+        WITH d AS (
+          SELECT event_type, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events)
         SELECT event_type, count(*) AS n_events,
                CAST(count(*) FILTER (WHERE
-                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 < 19749)
+                 day < (SELECT max(day) - 3 FROM d))
                  AS BIGINT) AS n_state,
                CAST(count(*) FILTER (WHERE
-                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 >= 19749)
+                 day >= (SELECT max(day) - 3 FROM d))
                  AS BIGINT) AS n_delta,
                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
                  AS sum_value
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM d GROUP BY event_type ORDER BY event_type""")),
 
     // k-anonymity audit on customer quasi-identifiers (nation, market
     // segment, account-balance band) — the re-identification check a

@@ -495,10 +495,14 @@ object Sources extends QueryModule {
       (s, dir) => {
         val root = Scratch.fresh("sink_retention")
         val sink = s"$root/sink"
-        Tables.events(s, dir)
+        val batch = Tables.events(s, dir)
           .withColumn("day", expr("unix_micros(ts) div 86400000000"))
-          .write.partitionBy("day").parquet(sink)
-        val cutoff = 19735L // 2024-01-13 in epoch days
+        batch.write.partitionBy("day").parquet(sink)
+        // TTL anchored to the data's own horizon (keep the newest 17 days),
+        // not a wall-clock literal — a date-shifted corpus regeneration
+        // moves the cutoff with it. One scalar aggregate, driver-side.
+        val cutoff =
+          batch.agg(max(col("day"))).head.getLong(0) - 17L
         val dayDirs = scala.util.Using.resource(
             java.nio.file.Files.list(java.nio.file.Paths.get(sink)))(_.toArray)
           .map(_.toString).filter(_.contains("day=")).sorted.toSeq
@@ -515,32 +519,48 @@ object Sources extends QueryModule {
               .forEach(f => java.nio.file.Files.delete(f))
           }
         }
-        s.read.option("basePath", sink)
-          .parquet(graft.api.Layout.currentManifest(sink): _*)
+        // All-partitions-expired is a legal retention outcome: the new
+        // generation lists zero dirs, and `parquet()` with zero paths
+        // throws — surface it as an empty result with the batch schema
+        // instead (the oracle's WHERE produces zero rows in that case too).
+        val surviving = graft.api.Layout.currentManifest(sink)
+        val kept =
+          if (surviving.nonEmpty) s.read.option("basePath", sink).parquet(surviving: _*)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        kept
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             min(col("day")).cast("long").as("first_day"))
           .orderBy("event_type")
       },
       oracle = Some("""
-        SELECT event_type, count(*) AS n,
-               min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
-                 AS first_day
-        FROM events
-        WHERE epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 >= 19735
+        WITH d AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events)
+        SELECT event_type, count(*) AS n, min(day) AS first_day
+        FROM d
+        WHERE day >= (SELECT max(day) - 17 FROM d)
         GROUP BY event_type ORDER BY event_type""")),
 
     // Quarantine ROUTING — the step after the dq_* audits: violating
     // rows don't just get counted, they get routed OUT of the publish
-    // path into a quarantine sink that carries the rejection reason,
+    // path into a quarantine branch that carries the rejection reason,
     // while clean rows land with their original schema. Rules are an
     // ordered CASE (first match wins: PK duplicates, then range), so a
-    // row lands in exactly one sink and clean + quarantined = input —
-    // certified from the SINKS (both re-read for the report), not from
-    // the routing plan. Cost shape at 100 TB: ONE window shuffle on the
-    // PK for duplicate detection (the routed frame materializes once),
-    // then both writes are map-side filters of it; the quarantine sink
-    // is re-ingestable by construction (original columns + reason).
+    // row lands in exactly one branch and clean + quarantined = input —
+    // certified from the SINK (re-read for the report), not from the
+    // routing plan. Cost shape at 100 TB: ONE window shuffle on the PK
+    // for duplicate detection, then ONE write pass with
+    // partitionBy(reason) — the reason becomes a partition directory, so
+    // the clean branch (reason=clean/) carries exactly the original
+    // columns in its data files and the quarantine branches are
+    // re-ingestable by construction. No localCheckpoint, no second scan:
+    // the round-8 shape eagerly materialized the whole routed corpus in
+    // executor storage to feed two filtered writes — a storage-resident
+    // copy of the input at scale (VERDICT r8 task 5); the partitioned
+    // single write routes every row in the same pass that computes it.
     // The corpus's REAL defect mass routes: ~26k duplicate-PK rows and
     // ~3.4k quantity-tail rows at sf0.01 (NOTES.md) — non-vacuous.
     Q(
@@ -549,21 +569,13 @@ object Sources extends QueryModule {
         val root = Scratch.fresh("sink_quarantine_route")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("l_orderkey", "l_linenumber")
-        val routed = Tables.lineitem(s, dir)
+        Tables.lineitem(s, dir)
           .withColumn("reason",
             when(count(lit(1)).over(w) > 1, "duplicate_pk")
               .when(col("l_quantity") > 45, "quantity_range")
               .otherwise("clean"))
-          .localCheckpoint(true)
-        routed.filter(col("reason") === "clean").drop("reason")
-          .write.parquet(s"$root/clean")
-        routed.filter(col("reason") =!= "clean")
-          .write.parquet(s"$root/quarantine")
-        val sp2 = s
-        import sp2.implicits._
-        s.read.parquet(s"$root/clean")
-          .select(lit("clean").as("reason"))
-          .unionAll(s.read.parquet(s"$root/quarantine").select(col("reason")))
+          .write.partitionBy("reason").parquet(s"$root/routed")
+        s.read.parquet(s"$root/routed")
           .groupBy("reason").agg(count(lit(1)).as("n_rows"))
           .orderBy("reason")
       },
@@ -589,7 +601,7 @@ object Sources extends QueryModule {
     // a reader mid-backfill can see day A corrected and day B not yet —
     // where cross-partition consistency matters, publish a full snapshot
     // via api.Layout.publish instead. Oracle: the read-back equals
-    // events with day 19733 doubled, cents-exact.
+    // events with the backfilled day (max - 19) doubled, cents-exact.
     Q(
       "sink_dynamic_overwrite",
       (s, dir) => {
@@ -598,8 +610,12 @@ object Sources extends QueryModule {
         val ev = Tables.events(s, dir)
           .withColumn("day", expr("unix_micros(ts) div 86400000000"))
         ev.write.partitionBy("day").parquet(sink)
-        // The backfill: day 19733 re-derived with corrected values (2x).
-        val fixed = ev.filter(col("day") === 19733L)
+        // The backfill day is anchored to the data's own horizon
+        // (max - 19), not a wall-clock literal, so a date-shifted corpus
+        // regeneration moves the target with it. One scalar aggregate.
+        val backfillDay = ev.agg(max(col("day"))).head.getLong(0) - 19L
+        // The backfill: that day re-derived with corrected values (2x).
+        val fixed = ev.filter(col("day") === backfillDay)
           .withColumn("value", col("value") * 2)
         val key = "spark.sql.sources.partitionOverwriteMode"
         val prior = scala.util.Try(s.conf.get(key)).toOption
@@ -620,15 +636,17 @@ object Sources extends QueryModule {
           .orderBy("event_type")
       },
       oracle = Some("""
+        WITH d AS (
+          SELECT event_type, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          FROM events)
         SELECT event_type, count(*) AS n,
-               CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                                // 86400000000 = 19733
+               CAST(sum(CASE WHEN day = (SELECT max(day) - 19 FROM d)
                              THEN CAST(round(value * 2 * 100) AS BIGINT)
                              ELSE CAST(round(value * 100) AS BIGINT)
                         END) AS BIGINT) AS sum_cents,
-               CAST(count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP))
-                 // 86400000000) AS BIGINT) AS n_days
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+               CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        FROM d GROUP BY event_type ORDER BY event_type""")),
 
     // The parquet _metadata hidden column — per-row file lineage (which
     // file, which position), the hook ingestion pipelines use for

@@ -261,17 +261,22 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
         .filter(_.toString.endsWith(".parquet"))
         .map(p => (p.getFileName.toString, Files.size(p),
           Files.getLastModifiedTime(p).toMillis)).toSet
-    val before19734 = fileState(19734L)
-    val before19733 = fileState(19733L)
+    // Days derived from the data's own horizon (the corpus has been
+    // date-shifted across driver regenerations — never hard-code days).
+    val maxDay = ev.agg(max(col("day"))).head.getLong(0)
+    val backfillDay = maxDay - 19L
+    val untouchedDay = maxDay - 18L
+    val beforeUntouched = fileState(untouchedDay)
+    val beforeBackfill = fileState(backfillDay)
     val key = "spark.sql.sources.partitionOverwriteMode"
     sp.conf.set(key, "dynamic")
-    try ev.filter(col("day") === 19733L)
+    try ev.filter(col("day") === backfillDay)
       .withColumn("value", col("value") * 2)
       .write.mode("overwrite").partitionBy("day").parquet(sink)
     finally sp.conf.unset(key)
-    assert(fileState(19734L) == before19734,
+    assert(fileState(untouchedDay) == beforeUntouched,
       "untouched partition was rewritten")
-    assert(fileState(19733L) != before19733,
+    assert(fileState(backfillDay) != beforeBackfill,
       "backfilled partition should have new files")
     // and the read-back table still covers every original day
     assert(sp.read.parquet(sink).select("day").distinct().count() ==
