@@ -303,7 +303,7 @@ package object api {
       */
     def exactJaccardPairs(
         df: DataFrame, id: Column, text: Column,
-        k: Int = 3, minPermille: Int = 350): DataFrame = {
+        k: Int = 3, minPermille: Int = 350, maxDf: Int = 256): DataFrame = {
       // shingles() is codegen (ShingleArray) with the per-doc distinct
       // done in-row, so the inverted index needs no extra shuffle for
       // dedup or per-doc counts — nsh rides along from size().
@@ -311,10 +311,21 @@ package object api {
         .select(id.as("id"), shingles(text, k).as("shs"))
         .withColumn("nsh", size(col("shs")).cast("long"))
         .filter(col("nsh") > 0)
-      val inv = sh
+      val inv0 = sh
         .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
         .select(col("id"), col("nsh"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+      // Same maxDf stop-shingle valve as [[containmentPairs]] (see there):
+      // caps the Σ df(g)² join fan-out at maxDf² per shingle; the window
+      // count shuffles on gh, the self-join's own key, so the exchange is
+      // reused. nsh stays the FULL per-doc cardinality, so a dropped
+      // stop-shingle can only lower a pair's measured Jaccard —
+      // conservative, and a no-op when maxDf exceeds the corpus max df.
+      val inv = inv0
+        .withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+        .filter(col("_df") <= maxDf)
+        .drop("_df")
       inv.alias("a")
         .join(inv.alias("b"),
           col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))

@@ -601,10 +601,11 @@ object Dedup extends QueryModule {
                    array_to_string(ws[i : i + 2], ' ')), 1, 15))::BIGINT AS gh
           FROM w, unnest(generate_series(1, greatest(n - 2, 1))) AS t(i)),
         cnt AS (SELECT doc_id, count(*) AS nsh FROM dg GROUP BY 1),
+        keep AS (SELECT gh FROM dg GROUP BY gh HAVING count(*) <= 256),
         ip AS (
           SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
                  count(*) AS inter
-          FROM dg a JOIN dg b2
+          FROM dg a JOIN keep USING (gh) JOIN dg b2
             ON a.gh = b2.gh AND a.doc_id < b2.doc_id
           GROUP BY 1, 2),
         truth AS (

@@ -371,6 +371,52 @@ object Relational extends QueryModule {
         SELECT 'broadcast' AS hint, c_mktsegment, n, rev_cents FROM base
         UNION ALL
         SELECT 'merge' AS hint, c_mktsegment, n, rev_cents FROM base
-        ORDER BY hint, c_mktsegment"""))
+        ORDER BY hint, c_mktsegment""")),
+
+    // Catalog/DDL surface — a real ingestion service REGISTERS its corpus
+    // as named tables and resolves queries by name, not by path. EXTERNAL
+    // registration (`CREATE TABLE ... USING parquet LOCATION`) is a
+    // metadata-only commit: zero data copied, the files stay where the
+    // ingest landed them, and DROP TABLE un-registers without deleting a
+    // byte (CatalogSpec pins both properties plus listTables/listColumns
+    // introspection). The query itself then runs through the catalog's
+    // name resolution — parser → analyzer (catalog lookup) → Catalyst —
+    // and must equal the same join over direct path reads, which is what
+    // the oracle checks. Decimal-exact balance sum so the two engines'
+    // addition orders cannot differ in the last bit. At 100 TB the
+    // catalog IS the product surface: external-location registration is
+    // how a lakehouse mounts petabytes without moving them.
+    Q(
+      "sql_catalog_ddl",
+      (s, dir) => {
+        // One database per scale dir (dir-keyed name) so sf0.001 smoke
+        // tests and sf0.01 verify runs never collide in the shared
+        // session catalog.
+        val db = "graft_cat_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        Seq("customer", "nation", "region").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $db.$t")
+          s.sql(
+            s"CREATE TABLE $db.$t USING parquet LOCATION '$dir/$t.parquet'")
+        }
+        s.sql(s"""
+          SELECT r.r_name AS region_name,
+                 count(*) AS n_customers,
+                 CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(14,2))), 2)
+                   AS DOUBLE) AS sum_bal
+          FROM $db.customer c
+          JOIN $db.nation n ON c.c_nationkey = n.n_nationkey
+          JOIN $db.region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name ORDER BY r.r_name""")
+      },
+      oracle = Some("""
+        SELECT r.r_name AS region_name,
+               count(*) AS n_customers,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(14,2))), 2)
+                 AS DOUBLE) AS sum_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name"""))
   )
 }
