@@ -316,16 +316,17 @@ package object api {
         .select(col("id"), col("nsh"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
       // Same maxDf stop-shingle valve as [[containmentPairs]] (see there):
-      // caps the Σ df(g)² join fan-out at maxDf² per shingle; the window
-      // count shuffles on gh, the self-join's own key, so the exchange is
-      // reused. nsh stays the FULL per-doc cardinality, so a dropped
-      // stop-shingle can only lower a pair's measured Jaccard —
-      // conservative, and a no-op when maxDf exceeds the corpus max df.
-      val inv = inv0
-        .withColumn("_df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("gh")))
-        .filter(col("_df") <= maxDf)
-        .drop("_df")
+      // caps the Σ df(g)² join fan-out at maxDf² per shingle. The valve is
+      // a broadcast ANTI-join against the df>maxDf shingle list — that
+      // list is boilerplate-sized by construction (only shingles hotter
+      // than the cap), so it broadcasts at any corpus scale and the index
+      // pipeline stays sort-free. nsh stays the FULL per-doc cardinality,
+      // so a dropped stop-shingle can only lower a pair's measured
+      // Jaccard — conservative, and a no-op when maxDf exceeds the
+      // corpus max df.
+      val hot = inv0.groupBy("gh").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select("gh")
+      val inv = inv0.join(broadcast(hot), Seq("gh"), "left_anti")
       inv.alias("a")
         .join(inv.alias("b"),
           col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
@@ -371,14 +372,14 @@ package object api {
         .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
         .select(col("id"), col("nsh"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
-      // df valve: one window count over gh — it shuffles on gh, the SAME
-      // key the self-join below hashes on, so the exchange is reused and
-      // the valve costs no extra shuffle of the index.
-      val inv = inv0
-        .withColumn("_df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("gh")))
-        .filter(col("_df") <= maxDf)
-        .drop("_df")
+      // df valve: broadcast ANTI-join against the df>maxDf stop-shingle
+      // list. The list holds only shingles HOTTER than the cap —
+      // boilerplate-sized by construction — so it broadcasts at any
+      // corpus scale; the index pipeline stays sort-free (a window-count
+      // valve was measured to add an Exchange+Sort+Window per join side).
+      val hot = inv0.groupBy("gh").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select("gh")
+      val inv = inv0.join(broadcast(hot), Seq("gh"), "left_anti")
       inv.alias("a")
         .join(inv.alias("b"),
           col("a.gh") === col("b.gh") && col("a.id") =!= col("b.id"))
