@@ -848,6 +848,64 @@ object Similarity extends QueryModule {
                   CAST(n AS DOUBLE) / 1000.0), 4) AS z
         FROM ev JOIN m ON ev.event_type = m.event_type
         WHERE event_id < 2000
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // SEMANTIC train/eval contamination — the embedding-space leakage
+    // audit that complements the lexical legs (contamination_ngram
+    // catches verbatim overlap, contamination_matrix cross-source
+    // n-grams; neither sees a paraphrase). Holdout = every 50th vector
+    // (pure id arithmetic, both engines derive it identically); for each
+    // eval vector, one pass over the train side reports how many train
+    // vectors sit above the leak threshold, the closest train cosine,
+    // and WHICH train vector it is — the row a curation pass would pull
+    // for review. Cost shape at 100 TB: eval sets are small by nature,
+    // so the eval side BROADCASTS and the train corpus streams ONCE
+    // through the fused codegen cosine with no shuffle of the big side
+    // (same plan family as sim_cosine_topk); the aggregate is
+    // per-eval-id, i.e. tiny. Ties on the closest-train pick break by
+    // round(cos,6) then smallest id — the cosineTopK determinism rule.
+    Q(
+      "contamination_embedding",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val eval_ = v.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("eval_id"), col("e").as("qe"))
+        val train = v.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id").as("train_id"), col("e"))
+        broadcast(eval_).join(train)
+          .withColumn("cos6", round(cosine(col("qe"), col("e")), 6))
+          .groupBy("eval_id")
+          .agg(
+            sum(when(col("cos6") >= 0.35, 1L).otherwise(0L)).as("n_leaky"),
+            round(max(col("cos6")), 4).as("max_cos"),
+            // argmax as ONE lexicographic struct-min (cos desc via
+            // negation, then smallest id) — partial-aggregates map-side,
+            // no window over the cross product.
+            min(struct((-col("cos6")).as("nc"), col("train_id").as("tid")))
+              .getField("tid").as("top_train_id"))
+          .orderBy("eval_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        x AS (
+          SELECT q.vec_id AS eval_id, t.vec_id AS train_id,
+                 round(list_dot_product(q.e, t.e) / (q.nrm * t.nrm), 6)
+                   AS cos6
+          FROM e q JOIN e t ON t.vec_id % 50 <> 0
+          WHERE q.vec_id % 50 = 0),
+        x2 AS (
+          SELECT *, row_number() OVER (PARTITION BY eval_id
+                      ORDER BY cos6 DESC, train_id) AS rn
+          FROM x)
+        SELECT eval_id,
+               CAST(count(*) FILTER (WHERE cos6 >= 0.35) AS BIGINT)
+                 AS n_leaky,
+               round(max(cos6), 4) AS max_cos,
+               min(train_id) FILTER (WHERE rn = 1) AS top_train_id
+        FROM x2 GROUP BY eval_id ORDER BY eval_id"""))
   )
 }
