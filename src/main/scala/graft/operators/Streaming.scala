@@ -560,6 +560,69 @@ object Streaming extends QueryModule {
         WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= (SELECT w FROM wm)
         GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // Watermarked SESSION windows in append mode — the streaming
+    // counterpart of window_session, and the state-merge mechanism the
+    // tumbling agg never exercises: a session's state is an OPEN
+    // interval that extends (or merges with a neighbor session) every
+    // time an in-gap event arrives, and it only emits once the
+    // watermark proves no future event can extend it (watermark ≥ last
+    // event + gap). Time-ordered slices ⇒ nothing is late ⇒ the emitted
+    // set is exactly the batch sessionization restricted to sessions
+    // CLOSED by the final watermark (max ts − 10 min) — which is what
+    // the oracle computes via gaps-and-islands. At 100 TB state is one
+    // (start, end, agg) triple per OPEN session per user — bounded by
+    // the gap × arrival rate, evicted at emission — not per-event
+    // state; this is the canonical "user activity feed → session facts"
+    // ingest shape.
+    Q(
+      "stream_session_window",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_session_window")
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("sum_value"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_ssw").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start() }
+        s.table("graft_ssw")
+          .select(col("user_id"),
+            col("sw.start").cast("timestamp_ntz").as("session_start"),
+            col("sw.end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start")
+      },
+      // Same closed-region doctrine as stream_watermark_agg: append mode
+      // emits a session only once the final watermark (max ts − 10 min)
+      // is at or past its end (last event + 30-min gap); later sessions
+      // remain open in state. The oracle rebuilds batch sessions with
+      // the >=-gap islands rule and keeps the closed ones.
+      oracle = Some("""
+        WITH x AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        y AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess
+          FROM x),
+        s AS (
+          SELECT user_id, min(ts) AS session_start,
+                 max(ts) + INTERVAL '30 minutes' AS session_end,
+                 count(*) AS n_events, round(sum(value), 4) AS sum_value
+          FROM y GROUP BY user_id, sess)
+        SELECT user_id, session_start, session_end, n_events, sum_value
+        FROM s
+        WHERE session_end <=
+          (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+        ORDER BY user_id, session_start""")),
+
     // HLL distinct sketch INSIDE a streaming aggregation — the mergeable-
     // summary payoff made visible: registers merge by element-wise max
     // (commutative, associative, idempotent), so the estimate is a pure
