@@ -322,6 +322,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
                                 // + sort only
       "text_token_count" -> 2,  // one aggregate + final sort
       "limit_topk" -> 0,        // TakeOrderedAndProject, no exchange
+      "sql_catalog_ddl" -> 2,   // catalog-resolved 3-table join is all
+                                // broadcasts; one agg hash Exchange +
+                                // final sort — name resolution must
+                                // not change the physical plan
+      "contamination_embedding" -> 2, // eval side broadcasts, train
+                                // streams once; per-eval agg + sort —
+                                // a window over the cross product
+                                // would show up as a third Exchange
       "dq_skew_report" -> 4)    // ONE key shuffle (counts materialize
                                 // once); size-histogram agg + two
                                 // 1-row/3-row SinglePartition steps +
