@@ -79,8 +79,36 @@ object Tables {
       "label" -> IntegerType)
   )
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Boundary contract, once per (JVM, dir, table): a pinned schema over
+    // a footer that lost or renamed a column yields silent NULLs, not an
+    // error — the column-level cousin of the events time-unit drift. One
+    // cheap footer read certifies every pinned field still exists (type
+    // compatibility stays the vectorized reader's job, which DOES throw).
+    columnsValidated.computeIfAbsent(s"$dir/$name", _ => {
+      val actual = spark.read.parquet(s"$dir/$name.parquet")
+        .schema.fieldNames.toSet
+      assertPinnedColumnsPresent(actual, schemas(name).fieldNames,
+        s"$dir/$name.parquet")
+      java.lang.Boolean.TRUE
+    })
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+  }
+
+  private val columnsValidated =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Package-visible core of the column-presence contract (the drift spec
+    * exercises the rejection path directly).
+    */
+  private[graft] def assertPinnedColumnsPresent(
+      actual: Set[String], pinned: Seq[String], where: String): Unit = {
+    val missing = pinned.filterNot(actual)
+    require(missing.isEmpty,
+      s"$where footer lacks pinned column(s) ${missing.mkString(", ")} " +
+        s"(footer has: ${actual.mkString(", ")}) — the fixture schema " +
+        "drifted; refusing to serve silent NULLs.")
+  }
 
   /** The driver has shipped events.ts with two different parquet footers
     * across corpus regenerations: TIMESTAMP(NANOS) (no Spark 4 type — must

@@ -42,4 +42,21 @@ class FixtureSanitySpec extends AnyFunSuite with SparkFixture {
       Tables.assertEventTimeSane(wrong, "FixtureSanitySpec")
     }
   }
+
+  test("every pinned table's columns are present in its footer") {
+    // Exercises the column-presence contract on the REAL corpus: reading
+    // any table through Tables trips the cached footer check; a rename or
+    // drop in a regenerated fixture fails here instead of yielding NULLs.
+    Tables.schemas.keys.foreach { t =>
+      assert(Tables(spark, sf001, t).columns.nonEmpty)
+    }
+  }
+
+  test("a footer missing a pinned column is rejected, not NULL-padded") {
+    val ex = intercept[IllegalArgumentException] {
+      Tables.assertPinnedColumnsPresent(
+        Set("doc_id", "text"), Seq("doc_id", "text", "lang"), "spec")
+    }
+    assert(ex.getMessage.contains("lang"))
+  }
 }
