@@ -256,9 +256,27 @@ package object api {
       * by token frequency. Output: (id, simhash).
       */
     def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame =
+      simhashWith(df, id, text, xxhash64(col("token")))
+
+    /** SimHash over the PORTABLE md5-60-bit token digest instead of
+      * xxhash64 — bit-for-bit replayable as SQL in any engine with md5
+      * (same digest convention as the portable MinHash family: top 4 of
+      * the 64 sign-bits come from zero hash bits and aggregate to 0 on
+      * every doc, leaving 60 effective planes — inert for Hamming/band
+      * comparisons since they never differ). Slower per token than the
+      * native hash; use [[simhashSignatures]] when cross-engine
+      * replayability is not required.
+      */
+    def simhashSignaturesPortable(
+        df: DataFrame, id: Column, text: Column): DataFrame =
+      simhashWith(df, id, text,
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+
+    private def simhashWith(
+        df: DataFrame, id: Column, text: Column, tokenHash: Column): DataFrame =
       df.select(id.as("id"), explode(split(text, " ")).as("token"))
         .groupBy("id", "token").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", xxhash64(col("token")))
+        .withColumn("h", tokenHash)
         .select(col("id"), posexplode(expr(
           """transform(sequence(0, 63),
              k -> CASE WHEN (shiftright(h, k) & 1) = 1

@@ -101,6 +101,74 @@ object Dedup extends QueryModule {
           .orderBy("doc_a")
       }),
 
+    // SimHash over the PORTABLE md5-60-bit token digest — the same
+    // harness as dedup_simhash (planted first-word-dropped near-dups,
+    // Hamming + byte-band candidacy) but every bit is ORACLE-verified:
+    // DuckDB replays tokenization, digest, weighted sign aggregation,
+    // per-bit Hamming, and the 8-bit band probe from the raw documents.
+    // The oracle compares per-bit SIGNS instead of packing the 64-bit
+    // word (a packed sum with bit 63 set wraps negative in Int64 but
+    // widens to Int128 in DuckDB — signs sidestep the representation
+    // entirely). Portable-vs-native tradeoff documented on the API;
+    // same pattern as dedup_minhash_portable.
+    Q(
+      "dedup_simhash_portable",
+      (s, dir) => {
+        val sim = graft.api.Dedup.simhashSignaturesPortable(
+          withPlanted(s, dir), col("doc_id"), col("text"))
+          .withColumnRenamed("id", "doc_id")
+        val a = sim.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+        val b = sim.filter(col("doc_id") >= 1000000L)
+          .select((col("doc_id") - 1000000L).as("doc_a"),
+            col("simhash").as("sh_b"))
+        a.join(b, "doc_a")
+          .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+          .withColumn("lsh_candidate", expr(
+            """exists(sequence(0, 7),
+               j -> (shiftright(sh_a, j * 8) & 255) =
+                    (shiftright(sh_b, j * 8) & 255))"""))
+          .select(col("doc_a"), (col("doc_a") + 1000000L).as("doc_b"),
+            col("hamming"), col("lsh_candidate"))
+          .orderBy("doc_a")
+      },
+      oracle = Some("""
+        WITH alld AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 substring(text, instr(text, ' ') + 1)
+          FROM documents WHERE doc_id < 10),
+        tok AS (
+          SELECT doc_id, t.token, count(*) AS cnt
+          FROM alld, unnest(string_split(text, ' ')) AS t(token)
+          GROUP BY 1, 2),
+        h AS (
+          SELECT doc_id, cnt,
+                 ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+          FROM tok),
+        bits AS (
+          SELECT doc_id, k,
+                 CASE WHEN sum(CASE WHEN (h >> k) & 1 = 1
+                                    THEN cnt ELSE -cnt END) > 0
+                      THEN 1 ELSE 0 END AS bit
+          FROM h, unnest(generate_series(0, 63)) AS t(k)
+          GROUP BY 1, 2),
+        pb AS (
+          SELECT a.doc_id AS doc_a, a.k, a.bit AS bit_a, b.bit AS bit_b
+          FROM bits a JOIN bits b
+            ON b.doc_id = a.doc_id + 1000000 AND b.k = a.k
+          WHERE a.doc_id < 10),
+        band AS (
+          SELECT doc_a, k // 8 AS band,
+                 CAST(sum(CASE WHEN bit_a <> bit_b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS band_diff
+          FROM pb GROUP BY 1, 2)
+        SELECT doc_a, doc_a + 1000000 AS doc_b,
+               CAST(sum(band_diff) AS BIGINT) AS hamming,
+               bool_or(band_diff = 0) AS lsh_candidate
+        FROM band GROUP BY doc_a ORDER BY doc_a""")),
+
     // Exact n-gram Jaccard on bounded candidate pairs (same source, id
     // within 40): |shingles∩| / |shingles∪|. The candidate predicate is the
     // scale bound — at 100 TB you'd get candidates from LSH (above); here
