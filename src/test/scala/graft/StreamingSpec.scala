@@ -135,4 +135,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getAs[Long]("n_rows")).sum == batch.getLong(0))
     assert(out.map(_.getAs[Long]("n_matched")).sum == batch.getLong(1))
   }
+
+  test("stream_session_window emits only watermark-closed sessions") {
+    val emitted = SparkEntry.queries("stream_session_window")(spark, sf0001)
+    val batchSessions =
+      SparkEntry.queries("window_session")(spark, sf0001).count()
+    val n = emitted.count()
+    // The append-mode boundary must be non-vacuous: the user owning the
+    // max-ts event ALWAYS has an open session at the horizon (its end =
+    // last event + 30 min > final watermark = max ts − 10 min), so the
+    // emitted set is a strict subset of the batch sessionization…
+    assert(n < batchSessions, s"no open tail: $n vs $batchSessions")
+    assert(n > 0, "no sessions emitted at all")
+    // …and every emitted session is genuinely closed: its end is at or
+    // before the final watermark.
+    val ev = Tables.events(spark, sf0001)
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    val wm = new java.sql.Timestamp(maxTs.getTime - 10L * 60 * 1000)
+    assert(emitted.filter(
+        col("session_end").cast("timestamp") > lit(wm)).count() == 0,
+      "emitted a session the watermark had not closed")
+  }
 }
