@@ -261,6 +261,70 @@ object Pipeline extends QueryModule {
         WHERE r.rn <= q.quota
         GROUP BY 1, 2, 3, 4 ORDER BY source""")),
 
+    // Curriculum schedule — the staged-difficulty plan a training run
+    // consumes: docs tier by a deterministic quality score (stopword
+    // permille, integer division — natural prose scores high on this
+    // corpus), and epoch e admits tiers 1..e, so training starts on the
+    // cleanest slice and widens. Tiers come from FIXED score thresholds,
+    // not a global ntile: at 100 TB a rank-based tiering is a
+    // single-partition total sort, while threshold tiering is a map-side
+    // projection (and if the thresholds must be data-derived, compute
+    // them from the ≤1001-row score histogram — the score domain is
+    // bounded permille — and broadcast). The 3-row epoch table
+    // broadcast-joins the tiered stats; the schedule aggregate is tiny.
+    // Writing the corpus partitionBy(tier) makes each epoch's read a
+    // partition-pruned scan — the same O(1) layout primitive as the
+    // day-partitioned sinks.
+    Q(
+      "mix_curriculum",
+      (s, dir) => {
+        val sp2 = s
+        import sp2.implicits._
+        val stops = Seq("the", "a", "of", "to", "and", "in", "is")
+        val ws = split(col("text"), " ")
+        val tiered = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(ws).cast("long").as("n_words"),
+            size(filter(ws, w => w.isInCollection(stops)))
+              .cast("long").as("n_stop"))
+          .withColumn("score_pm",
+            expr("1000 * n_stop div greatest(n_words, 1)"))
+          .withColumn("tier",
+            when(col("score_pm") >= 70, 1L)
+              .when(col("score_pm") >= 45, 2L).otherwise(3L))
+        Seq(1L, 2L, 3L).toDF("epoch")
+          .crossJoin(tiered)
+          .filter(col("tier") <= col("epoch"))
+          .groupBy("epoch", "tier")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_words").as("sum_tokens"))
+          .orderBy("epoch", "tier")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the','a','of','to','and','in','is')))
+                   AS BIGINT) AS n_stop
+          FROM documents),
+        t AS (
+          SELECT doc_id, n_words,
+                 1000 * n_stop // greatest(n_words, 1) AS score_pm
+          FROM d),
+        tt AS (
+          SELECT doc_id, n_words,
+                 CASE WHEN score_pm >= 70 THEN 1
+                      WHEN score_pm >= 45 THEN 2 ELSE 3 END AS tier
+          FROM t)
+        SELECT CAST(e.epoch AS BIGINT) AS epoch,
+               CAST(tt.tier AS BIGINT) AS tier,
+               count(*) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS sum_tokens
+        FROM tt CROSS JOIN (SELECT unnest([1, 2, 3]) AS epoch) e
+        WHERE tt.tier <= e.epoch
+        GROUP BY 1, 2 ORDER BY epoch, tier""")),
+
     // Temperature-scaled mixing (T=2 √-weighting — the standard
     // multilingual rebalance): per-source weight ⌊1000·√n⌋, largest
     // no-upsampling budget, quotas by integer division, selection by
