@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object Bench {
+
+  /** Fixed-work CPU+shuffle calibration probe: a deterministic in-memory
+    * sort+agg over spark.range — no I/O, no fixture dependence — so every
+    * bench artifact carries an environment yardstick. Quoting totals as
+    * `total / calibration` normalizes driver-vs-local and
+    * round-over-round ambient drift mechanically instead of by
+    * archaeology (VERDICT r9 task 1). Median of 3 runs after 1 warmup.
+    */
+  private[graft] def calibrate(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 4000000L, 1, 8)
+        .withColumn("k", pmod(hash(col("id")), lit(4096)))
+        .withColumn("v", sin(col("id").cast("double")))
+        .groupBy("k")
+        .agg(sum("v").as("s"), avg("v").as("a"), count(lit(1)).as("n"))
+        .orderBy(desc("s"))
+        .limit(64)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup: JIT + codegen cache for the probe's expressions
+    val runs = Seq(once(), once(), once()).sorted
+    runs(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,20 +56,37 @@ object Bench {
       graft.operators.Similarity.warmIndexes(spark, sfDir)
       graft.operators.DsV2.topic(spark, sfDir)
     } catch { case _: Throwable => () }
+    val calibration = calibrate(spark)
     // Stable timing order (map iteration order is hash-dependent).
+    // Per key: seconds AND row count; a crashing key records rows=-1 and
+    // lands in `errors` instead of wearing a fast-looking number (the r8
+    // sink_retention artifact confusion — VERDICT r9 task 7). Zero rows
+    // from an oracle-bearing key is equally suspect: the oracle WILL have
+    // rows, so the driver compare would fail — surface it in the artifact.
+    val oracleKeys = SparkEntry.oracleSql.keySet
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      (name, (System.nanoTime() - t0) / 1e9, rows)
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errors = results.collect { case (n, _, -1L) => n }
+    val suspectZero = results.collect {
+      case (n, _, 0L) if oracleKeys(n) => n }
+    (errors ++ suspectZero).foreach { n =>
+      System.err.println(s"[bench] SUSPECT key $n: " +
+        (if (errors.contains(n)) "crashed (rows=-1)"
+         else "0 rows but oracle-bearing")) }
+    val total = results.map(_._2).sum
     // Detail line first, compact total line LAST: the driver's output tail
     // keeps the end of stdout, so the parseable summary must be the final
     // line (round 1's single giant line was truncated mid-line → unparsed).
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    val rws = results.map { case (k, _, r) => s""""$k":$r""" }
+      .mkString("{", ",", "}")
+    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"queries":$qs,"rows":$rws,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
     spark.stop()
   }
 }

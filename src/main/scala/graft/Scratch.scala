@@ -17,28 +17,49 @@ object Scratch {
           .forEach(f => Files.delete(f))
       }
 
-  /** Scratch root: GRAFT_SCRATCH_ROOT if set, else a RAM-backed tmpfs
-    * (/dev/shm) when one exists, else java.io.tmpdir. Scratch contents
-    * are ephemeral BY CONTRACT (every invocation recreates its dir from
-    * a clean slate), so RAM backing changes no semantics; it removes
-    * disk-latency noise from the single-node harness — measured 10-17%
-    * on streaming keys, whose per-micro-batch checkpoint fsyncs are
-    * pure harness overhead here. In production the same paths are
-    * config-pointed at durable storage (a checkpoint that must survive
-    * the process does not belong in Scratch).
+  /** Minimum tmpfs headroom (bytes) below which scratch falls back to
+    * disk: tmpfs ENOSPC/OOMs far below disk capacity, so a nearly-full
+    * /dev/shm must not receive whole materialized corpora.
     */
+  private val MinShmFreeBytes = 8L << 30
+
+  /** Scratch root: GRAFT_SCRATCH_ROOT if set, else a RAM-backed tmpfs
+    * (/dev/shm) when one exists WITH >=8 GiB usable, else java.io.tmpdir.
+    * Scratch contents are ephemeral BY CONTRACT (every invocation
+    * recreates its dir from a clean slate), so RAM backing changes no
+    * semantics; it removes disk-latency noise from the single-node
+    * harness — measured 10-17% on streaming keys, whose per-micro-batch
+    * checkpoint fsyncs are pure harness overhead here. In production the
+    * same paths are config-pointed at durable storage (a checkpoint that
+    * must survive the process does not belong in Scratch). Bench
+    * artifacts are labeled with the backing (NOTES.md) since it shifts
+    * the I/O baseline vs disk-backed rounds.
+    */
+  private def shmUsable(d: String): Boolean = {
+    val p = Paths.get(d)
+    Files.isDirectory(p) && Files.isWritable(p) &&
+      p.toFile.getUsableSpace >= MinShmFreeBytes
+  }
+
   private val root: String =
     sys.env.get("GRAFT_SCRATCH_ROOT")
-      .orElse(Some("/dev/shm").filter(d =>
-        Files.isDirectory(Paths.get(d)) && Files.isWritable(Paths.get(d))))
+      .orElse(Some("/dev/shm").filter(shmUsable))
       .getOrElse(sys.props("java.io.tmpdir"))
 
   /** Empty, freshly-created scratch dir for `key`. The root is
     * process-unique so concurrently-running harness JVMs (Verify, Bench,
     * sbt test) can never clobber each other's side-effect directories.
+    * Per-call guard: if the chosen root was tmpfs and its headroom has
+    * since dropped below 2 GiB (a long run filled it), new scratch dirs
+    * divert to java.io.tmpdir rather than driving tmpfs into ENOSPC.
     */
   def fresh(key: String): String = {
-    val p = Paths.get(root,
+    val base =
+      if (root.startsWith("/dev/shm") &&
+          Paths.get(root).toFile.getUsableSpace < (2L << 30))
+        sys.props("java.io.tmpdir")
+      else root
+    val p = Paths.get(base,
       s"graft_scratch_${ProcessHandle.current().pid()}", key)
     deleteRec(p)
     Files.createDirectories(p)

@@ -85,14 +85,36 @@ object Tables {
     // error — the column-level cousin of the events time-unit drift. One
     // cheap footer read certifies every pinned field still exists (type
     // compatibility stays the vectorized reader's job, which DOES throw).
+    // The inference runs with nanosAsLong scoped ON so a TIMESTAMP(NANOS)
+    // footer (a legal events variant) reaches the drift-guard message
+    // instead of dying in schema inference with Spark's opaque
+    // "Illegal Parquet type" error.
     columnsValidated.computeIfAbsent(s"$dir/$name", _ => {
-      val actual = spark.read.parquet(s"$dir/$name.parquet")
-        .schema.fieldNames.toSet
+      val actual = withNanosAsLong(spark) {
+        spark.read.parquet(s"$dir/$name.parquet").schema.fieldNames.toSet
+      }
       assertPinnedColumnsPresent(actual, schemas(name).fieldNames,
         s"$dir/$name.parquet")
       java.lang.Boolean.TRUE
     })
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+  }
+
+  /** Run `body` with spark.sql.legacy.parquet.nanosAsLong=true, restoring
+    * the prior setting after. The flag changes schema INFERENCE only (a
+    * NANOS column infers as LongType instead of erroring); inference is
+    * eager inside `body`, so scoping is safe — unlike execution-time
+    * confs, nothing lazy escapes the scope.
+    */
+  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private val columnsValidated =
@@ -124,14 +146,21 @@ object Tables {
 
   private def tsFooterIsNanos(spark: SparkSession, dir: String): Boolean =
     eventsFooterNanos.computeIfAbsent(dir, _ => {
-      // Session-level flag, set once per session (guarded: repeated sets
-      // from concurrent query builds would race on the shared conf). With
-      // it on, a NANOS footer infers ts as LongType; MICROS/MILLIS footers
-      // infer a timestamp type — that distinction is the sniff.
-      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      // Sniff with nanosAsLong scoped ON: a NANOS footer infers ts as
+      // LongType; MICROS/MILLIS footers infer a timestamp type — that
+      // distinction is the sniff. The scope restores the prior value on
+      // exit, so a MICROS corpus leaves the session's inference behavior
+      // untouched for unrelated parquet reads. For a NANOS corpus the
+      // flag is then set PERSISTENTLY (below): unlike inference, the
+      // events SCAN resolves the footer at execution time, which may be
+      // long after this sniff returns.
+      val isNanos = withNanosAsLong(spark) {
+        spark.read.parquet(s"$dir/events.parquet")
+          .schema("ts").dataType == LongType
+      }
+      if (isNanos)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val inferred = spark.read.parquet(s"$dir/events.parquet").schema
-      java.lang.Boolean.valueOf(inferred("ts").dataType == LongType)
+      java.lang.Boolean.valueOf(isNanos)
     }).booleanValue()
 
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
