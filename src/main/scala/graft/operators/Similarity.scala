@@ -770,6 +770,100 @@ object Similarity extends QueryModule {
           ON m.query_id = e.query_id AND m.cand_id = e.cand_id
         GROUP BY e.query_id ORDER BY e.query_id""")),
 
+    // The IVF leg of the oracle-bearing ANN audit: recall hit counts of
+    // the seed-IVF index (16 seeds, one Lloyd refinement, nprobe=2)
+    // against the exact top-3, with the ENTIRE index construction
+    // replayed in the oracle SQL — seeds, the refinement's per-dimension
+    // double means cast to float (CAST AS REAL quantizes away the
+    // engines' summation-order ulps), re-assignment of every vector, and
+    // the probe-restricted ranking. What sim_ann_recall_lsh did for
+    // portable hyperplanes, this does for a TRAINED coarse quantizer:
+    // training is deterministic SQL-expressible arithmetic over the data,
+    // so it does not need to live in static literals at all (VERDICT r9
+    // task 3; NOTES.md r10). The 5-iteration spherical variant and PQ
+    // stay no-oracle: 5 unrolled Lloyd rounds of float-cast means would
+    // be the same proof at 5x the SQL, and PQ's per-subspace codebooks
+    // add nothing the IVF replay doesn't already certify.
+    Q(
+      "sim_ann_recall_ivf",
+      (s, dir) => {
+        val exact = exactTop3(s, dir)
+        val ivf = all.find(_.name == "sim_ann_ivf").get.run(s, dir)
+          .select(col("query_id"), col("cand_id"), lit(1).as("ihit"))
+        exact
+          .join(ivf, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("k"), count(col("ihit")).as("ivf_hits"))
+          .orderBy("query_id")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        seeds AS (
+          SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
+          WHERE vec_id < 16),
+        a1 AS (
+          SELECT vec_id, e, cid FROM (
+            SELECT q.vec_id, q.e, s.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, s.ce)
+                                    / (q.nrm * s.cnrm), 6) DESC,
+                              s.cid) AS rn
+            FROM v q CROSS JOIN seeds s) WHERE rn = 1),
+        cents AS (
+          SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS cer FROM (
+            SELECT cid, pos, avg(val) AS m FROM (
+              SELECT cid, unnest(e) AS val,
+                     generate_subscripts(e, 1) AS pos
+              FROM a1) GROUP BY cid, pos) GROUP BY cid),
+        cd AS (
+          SELECT cid, CAST(cer AS DOUBLE[]) AS ce,
+                 sqrt(list_dot_product(CAST(cer AS DOUBLE[]),
+                                       CAST(cer AS DOUBLE[]))) AS cnrm
+          FROM cents),
+        assigned AS (
+          SELECT vec_id, e, nrm, cid FROM (
+            SELECT q.vec_id, q.e, q.nrm, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.ce)
+                                    / (q.nrm * c.cnrm), 6) DESC,
+                              c.cid) AS rn
+            FROM v q CROSS JOIN cd c) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid FROM (
+            SELECT q.vec_id, q.e, q.nrm, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.ce)
+                                    / (q.nrm * c.cnrm), 6) DESC,
+                              c.cid) AS rn
+            FROM v q CROSS JOIN cd c WHERE q.vec_id < 50) WHERE rn <= 2),
+        ivf AS (
+          SELECT query_id, cand_id FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY round(list_dot_product(p.qe, a.e)
+                                    / (p.qnrm * a.nrm), 6) DESC,
+                              a.vec_id) AS rn
+            FROM probes p JOIN assigned a
+              ON a.cid = p.cid AND a.vec_id <> p.query_id) WHERE rn <= 3),
+        ex AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50) WHERE rn <= 3)
+        SELECT e.query_id, count(*) AS k, count(i.cand_id) AS ivf_hits
+        FROM ex e
+        LEFT JOIN ivf i
+          ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+        GROUP BY e.query_id ORDER BY e.query_id""")),
+
     // Lloyd's k-means over the embedding table (api.Similarity.kMeans):
     // assignment is map-side codegen against literal centroids, update is
     // the one per-round shuffle. The embeddings carry ground-truth labels,

@@ -381,6 +381,58 @@ object Sources extends QueryModule {
           .orderBy("file")
       }),
 
+    // Avro object-container ingestion (round 10). The sandbox ships avro
+    // core jars (avro-1.12.1) but NOT the spark-avro DataSource module,
+    // so this is the zero-dependency path a locked-down deployment would
+    // use: a distributed mapPartitions write of real Avro container
+    // files (deflate codec, timestamp-micros logical type), then a
+    // binaryFile scan + per-file DataFileStream decode back to rows.
+    // Each task writes/parses exactly one container file, so both
+    // directions scale file-parallel with no driver involvement; on a
+    // cluster the scratch dir is shared storage and commit goes through
+    // a DSv2 protocol (graft-log precedent). The aggregate over the
+    // ROUND-TRIPPED rows must equal the oracle computed on the original
+    // parquet — the same lossless-path proof as scan_text_lines.
+    Q(
+      "scan_avro",
+      (s, dir) => {
+        import s.implicits._
+        val out = Scratch.fresh("scan_avro")
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"),
+            unix_micros(col("l_shipdate")).as("ship_us"))
+          .repartition(4, col("l_orderkey"))
+          .as[(Long, Int, Double, Double, String, Long)]
+          .mapPartitions { it =>
+            if (it.isEmpty) Iterator.empty
+            else Iterator.single(graft.functions.AvroCodec.writePartition(out, it))
+          }
+          .collect() // forces the distributed write; 4 path strings
+        s.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+          .load(out)
+          .select(col("content"))
+          .as[Array[Byte]]
+          .flatMap(graft.functions.AvroCodec.readContainer _)
+          .toDF("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag", "ship_us")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            round(sum("l_quantity"), 4).as("sum_qty"),
+            round(sum("l_extendedprice"), 4).as("sum_ext"),
+            min(year(timestamp_micros(col("ship_us")))).as("min_year"),
+            max(year(timestamp_micros(col("ship_us")))).as("max_year"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n_rows,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_ext,
+               CAST(min(year(l_shipdate)) AS INT) AS min_year,
+               CAST(max(year(l_shipdate)) AS INT) AS max_year
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Line-oriented text ingestion — the format LLM corpora actually
     // arrive in (one record per line). The corpus is round-tripped
     // through a real text file (distributed write of TSV lines, then

@@ -43,4 +43,24 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     val mean = rows.map(_.getDouble(2)).sum / rows.length
     assert(mean > 0.11, f"mean MIPS recall@3 $mean%.3f is no better than chance")
   }
+
+  test("oracle-bearing IVF audit agrees with the recall report") {
+    // sim_ann_recall_ivf counts hits of the SAME seed-IVF index that
+    // sim_ann_recall reports as a ratio — the two views must agree per
+    // query, and hit counts must be valid (0 <= hits <= k = 3).
+    val audit = SparkEntry.queries("sim_ann_recall_ivf")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.size == 50)
+    audit.foreach { case (q, (k, hits)) =>
+      assert(k == 3, s"query $q: exact top-k had $k rows")
+      assert(hits >= 0 && hits <= k, s"query $q: $hits hits of $k")
+    }
+    val report = SparkEntry.queries("sim_ann_recall")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    audit.foreach { case (q, (k, hits)) =>
+      val ratio = math.round(hits.toDouble / k * 10000) / 10000.0
+      assert(math.abs(report(q) - ratio) < 1e-9,
+        s"query $q: audit $ratio vs report ${report(q)}")
+    }
+  }
 }
