@@ -102,14 +102,12 @@ object DsV2 extends QueryModule {
       .repartition(4, col("partition"))
       .sortWithinPartitions(col("partition"), col("key").cast("long"))
 
-  /** Streaming state sizing, as in Streaming.drive (4-partition state). */
+  /** Shared harness drive: 4-partition state + fast local checkpoint
+    * manager (see Streaming.drive's scaladoc for the measurements).
+    */
   private def drive(s: SparkSession)(
-      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val key = "spark.sql.shuffle.partitions"
-    val prior = s.conf.get(key)
-    s.conf.set(key, "4")
-    try start.awaitTermination() finally s.conf.set(key, prior)
-  }
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    Streaming.drive(s)(start)
 
   /** Engine-portable 60-bit record fingerprint (md5 prefix), XOR-foldable. */
   private def recHash(off: org.apache.spark.sql.Column,

@@ -83,7 +83,8 @@ object Streaming extends QueryModule {
   }
 
   /** Start a streaming query and drive it to completion with shuffle
-    * partitions sized for the harness, restoring the prior setting after.
+    * partitions and checkpoint I/O sized for the harness, restoring the
+    * prior settings after.
     *
     * Stateful operators fix their state-partition count from
     * spark.sql.shuffle.partitions at the first checkpoint, and every state
@@ -92,14 +93,39 @@ object Streaming extends QueryModule {
     * default. Measured at sf0.1: 32 partitions ≈ 3× slower than 8 for the
     * stream-stream join; 4 (= harness cores) beats 8 again (5.3 s vs
     * 7.0 s) by halving per-batch checkpoint files with zero parallelism
-    * loss. On a real cluster this scales with executor count.
+    * loss; 2 is WORSE than 4 (parallelism loss overtakes the file
+    * savings). On a real cluster this scales with executor count.
+    *
+    * Checkpoint file manager: the default FileContext-based manager
+    * costs ~45 ms per offset/commit-log write on LOCAL filesystems
+    * (FileContext init + CRC side files), i.e. ~130 ms of pure log
+    * overhead per micro-batch before any data moves. The
+    * FileSystemBased manager does the identical write-temp-then-rename
+    * protocol through the plain FileSystem API at ~12 ms, and the same
+    * conf feeds the state-store delta writers, so addBatch drops too
+    * (StreamProfile r10: stream_dedup 3.4→1.8 s, stream_watermark_agg
+    * 3.3→2.1 s). Local-fs rename is atomic for a single driver, which a
+    * harness JVM is BY CONSTRUCTION; production deployments on HDFS/S3
+    * keep Spark's default manager (this scope never touches cluster
+    * conf — it restores on exit).
     */
-  private def drive(s: SparkSession)(
+  private[operators] def drive(s: SparkSession)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val key = "spark.sql.shuffle.partitions"
+    val mgrKey = "spark.sql.streaming.checkpointFileManagerClass"
     val prior = s.conf.get(key)
+    val priorMgr = s.conf.getOption(mgrKey)
     s.conf.set(key, "4")
-    try start.awaitTermination() finally s.conf.set(key, prior)
+    s.conf.set(mgrKey, "org.apache.spark.sql.execution.streaming." +
+      "checkpointing.FileSystemBasedCheckpointFileManager")
+    try start.awaitTermination()
+    finally {
+      s.conf.set(key, prior)
+      priorMgr match {
+        case Some(v) => s.conf.set(mgrKey, v)
+        case None => s.conf.unset(mgrKey)
+      }
+    }
   }
 
   private def cutSlices(s: SparkSession, dir: String): String = {
