@@ -64,9 +64,18 @@ object Bench {
     // from an oracle-bearing key is equally suspect: the oracle WILL have
     // rows, so the driver compare would fail — surface it in the artifact.
     val oracleKeys = SparkEntry.oracleSql.keySet
+    // Test hook for the marker path itself: GRAFT_BENCH_BREAK_KEY=<key>
+    // makes that key throw, so a scratch run can prove a crashing key
+    // lands in `errors` (not a fast-looking number) without a code edit.
+    val breakKey = sys.env.get("GRAFT_BENCH_BREAK_KEY")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val rows =
+        try {
+          if (breakKey.contains(name))
+            throw new RuntimeException("deliberately broken for marker test")
+          fn(spark, sfDir).count()
+        } catch { case _: Throwable => -1L }
       (name, (System.nanoTime() - t0) / 1e9, rows)
     }
     val errors = results.collect { case (n, _, -1L) => n }

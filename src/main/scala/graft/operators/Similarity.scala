@@ -220,6 +220,60 @@ object Similarity extends QueryModule {
         s" THEN ${1 << j} ELSE 0 END")
       .mkString("(", " + ", ")")
 
+  /** Shared CTE chain replaying the seed-IVF index build in DuckDB —
+    * seeds (vec_id<16), one Lloyd refinement (per-dimension double means
+    * CAST AS REAL, quantizing away the engines' summation-order ulps),
+    * re-assignment of every vector, and the nprobe=2 probe table. Used
+    * by both sim_ann_ivf (ranked output) and sim_ann_recall_ivf (hit
+    * counts): deterministic TRAINING is itself SQL-expressible
+    * arithmetic over the data, so a trained quantizer needs no static
+    * literals in the oracle at all (NOTES.md round 10).
+    */
+  private val ivfSeedCtesSql: String = """
+        v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        seeds AS (
+          SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
+          WHERE vec_id < 16),
+        a1 AS (
+          SELECT vec_id, e, cid FROM (
+            SELECT q.vec_id, q.e, s.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, s.ce)
+                                    / (q.nrm * s.cnrm), 6) DESC,
+                              s.cid) AS rn
+            FROM v q CROSS JOIN seeds s) WHERE rn = 1),
+        cents AS (
+          SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS cer FROM (
+            SELECT cid, pos, avg(val) AS m FROM (
+              SELECT cid, unnest(e) AS val,
+                     generate_subscripts(e, 1) AS pos
+              FROM a1) GROUP BY cid, pos) GROUP BY cid),
+        cd AS (
+          SELECT cid, CAST(cer AS DOUBLE[]) AS ce,
+                 sqrt(list_dot_product(CAST(cer AS DOUBLE[]),
+                                       CAST(cer AS DOUBLE[]))) AS cnrm
+          FROM cents),
+        assigned AS (
+          SELECT vec_id, e, nrm, cid FROM (
+            SELECT q.vec_id, q.e, q.nrm, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.ce)
+                                    / (q.nrm * c.cnrm), 6) DESC,
+                              c.cid) AS rn
+            FROM v q CROSS JOIN cd c) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid FROM (
+            SELECT q.vec_id, q.e, q.nrm, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.ce)
+                                    / (q.nrm * c.cnrm), 6) DESC,
+                              c.cid) AS rn
+            FROM v q CROSS JOIN cd c WHERE q.vec_id < 50) WHERE rn <= 2)"""
+
   def all: Seq[Q] = Seq(
     // Exact brute-force cosine top-5 per query vector (queries: vec_id<10),
     // expressed on the public API's broadcast-BNLJ top-k.
@@ -407,6 +461,10 @@ object Similarity extends QueryModule {
     // ANN via signed-random-projection LSH: bucket on the 6-bit signature,
     // then exact top-3 within the query's bucket only. Equi-join on `sig`
     // replaces the cross join — the 100 TB path (per-bucket work ≈ n/64).
+    // Oracle (round 10): the full ranked output is replayed in DuckDB
+    // from the same Random(42) hyperplane literals sim_ann_recall_lsh
+    // uses — an "approximate" index is still a DETERMINISTIC function of
+    // its portable constants, so the whole result set hash-matches.
     Q(
       "sim_ann_lsh",
       (s, dir) => {
@@ -426,7 +484,29 @@ object Similarity extends QueryModule {
           .select(col("query_id"), col("sig").as("bucket"), col("rank"),
             col("cand_id"), round(col("cos"), 4).as("cos_sim"))
           .orderBy("query_id", "rank")
-      }),
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        sig AS (
+          SELECT vec_id, e, nrm, $lshSigSql AS sig FROM v)
+        SELECT query_id, bucket, CAST(rank AS INT) AS rank, cand_id, cos_sim
+        FROM (
+          SELECT q.vec_id AS query_id, q.sig AS bucket,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.e, c.e)
+                                  / (q.nrm * c.nrm), 6) DESC,
+                            c.vec_id) AS rank,
+                 c.vec_id AS cand_id,
+                 round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4)
+                   AS cos_sim
+          FROM sig q JOIN sig c
+            ON c.sig = q.sig AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 50)
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // Multi-probe LSH: same signed-random-projection index as sim_ann_lsh,
     // but each query also probes the 6 buckets at hamming distance 1 from
@@ -456,7 +536,36 @@ object Similarity extends QueryModule {
           .select(col("query_id"), col("rank"), col("cand_id"),
             round(col("cos"), 4).as("cos_sim"))
           .orderBy("query_id", "rank")
-      }),
+      },
+      // Oracle (round 10): same portable-hyperplane replay as
+      // sim_ann_lsh; each candidate has exactly ONE signature and the 7
+      // probe values are distinct, so the probe join introduces no
+      // duplicates on either engine.
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        sig AS (
+          SELECT vec_id, e, nrm, $lshSigSql AS sig FROM v)
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id, cos_sim
+        FROM (
+          SELECT p.query_id,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY round(list_dot_product(p.qe, c.e)
+                                  / (p.qnrm * c.nrm), 6) DESC,
+                            c.vec_id) AS rank,
+                 c.vec_id AS cand_id,
+                 round(list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm), 4)
+                   AS cos_sim
+          FROM (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm,
+                       unnest([q.sig, xor(q.sig, 1), xor(q.sig, 2),
+                               xor(q.sig, 4), xor(q.sig, 8),
+                               xor(q.sig, 16), xor(q.sig, 32)]) AS probe
+                FROM sig q WHERE q.vec_id < 50) p
+          JOIN sig c ON c.sig = p.probe AND c.vec_id <> p.query_id)
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // ANN via an IVF coarse quantizer: 16 seed centroids (vec_id < 16),
     // one Lloyd refinement (mean per assigned cluster), every vector
@@ -470,7 +579,25 @@ object Similarity extends QueryModule {
     // index-build-once/query-many lifecycle.
     Q(
       "sim_ann_ivf",
-      (s, dir) => ivfProbeSearch(vecs(s, dir), ivfSeedCents(s, dir))),
+      (s, dir) => ivfProbeSearch(vecs(s, dir), ivfSeedCents(s, dir)),
+      // Oracle (round 10): full ranked output replayed from the shared
+      // training CTE chain — see ivfSeedCtesSql.
+      oracle = Some(s"""
+        WITH $ivfSeedCtesSql
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+               cluster, cos_sim
+        FROM (
+          SELECT p.query_id,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY round(list_dot_product(p.qe, a.e)
+                                  / (p.qnrm * a.nrm), 6) DESC,
+                            a.vec_id) AS rank,
+                 a.vec_id AS cand_id, a.cid AS cluster,
+                 round(list_dot_product(p.qe, a.e) / (p.qnrm * a.nrm), 4)
+                   AS cos_sim
+          FROM probes p JOIN assigned a
+            ON a.cid = p.cid AND a.vec_id <> p.query_id)
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // IVF with a FULLY-TRAINED coarse quantizer: 16 SPHERICAL k-means
     // centroids (vectors unit-normalized before Lloyd, so L2 clustering
@@ -697,11 +824,11 @@ object Similarity extends QueryModule {
     // constants — the hyperplanes are re-generated from the identical
     // Random(42) draw and inlined into the oracle SQL as array literals,
     // so bucket assignment, candidate ranking, and the hit-count joins
-    // are all engine-checked. The IVF/PQ legs stay in sim_ann_recall
-    // (no-oracle): their centroids/codebooks are TRAINED from the data at
-    // runtime and cannot be embedded in a static SQL string (NOTES.md).
-    // Counts, not ratios: integer hits hash-match with no rounding
-    // discipline.
+    // are all engine-checked. The IVF leg got the same treatment in
+    // round 10 (sim_ann_recall_ivf replays the TRAINING too); only the
+    // 5-iteration spherical and PQ legs remain no-oracle, by cost not
+    // impossibility (NOTES.md round 10). Counts, not ratios: integer
+    // hits hash-match with no rounding discipline.
     Q(
       "sim_ann_recall_lsh",
       (s, dir) => {
@@ -796,50 +923,8 @@ object Similarity extends QueryModule {
           .agg(count(lit(1)).as("k"), count(col("ihit")).as("ivf_hits"))
           .orderBy("query_id")
       },
-      oracle = Some("""
-        WITH v AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm
-          FROM embeddings),
-        seeds AS (
-          SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
-          WHERE vec_id < 16),
-        a1 AS (
-          SELECT vec_id, e, cid FROM (
-            SELECT q.vec_id, q.e, s.cid,
-                   row_number() OVER (PARTITION BY q.vec_id
-                     ORDER BY round(list_dot_product(q.e, s.ce)
-                                    / (q.nrm * s.cnrm), 6) DESC,
-                              s.cid) AS rn
-            FROM v q CROSS JOIN seeds s) WHERE rn = 1),
-        cents AS (
-          SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS cer FROM (
-            SELECT cid, pos, avg(val) AS m FROM (
-              SELECT cid, unnest(e) AS val,
-                     generate_subscripts(e, 1) AS pos
-              FROM a1) GROUP BY cid, pos) GROUP BY cid),
-        cd AS (
-          SELECT cid, CAST(cer AS DOUBLE[]) AS ce,
-                 sqrt(list_dot_product(CAST(cer AS DOUBLE[]),
-                                       CAST(cer AS DOUBLE[]))) AS cnrm
-          FROM cents),
-        assigned AS (
-          SELECT vec_id, e, nrm, cid FROM (
-            SELECT q.vec_id, q.e, q.nrm, c.cid,
-                   row_number() OVER (PARTITION BY q.vec_id
-                     ORDER BY round(list_dot_product(q.e, c.ce)
-                                    / (q.nrm * c.cnrm), 6) DESC,
-                              c.cid) AS rn
-            FROM v q CROSS JOIN cd c) WHERE rn = 1),
-        probes AS (
-          SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid FROM (
-            SELECT q.vec_id, q.e, q.nrm, c.cid,
-                   row_number() OVER (PARTITION BY q.vec_id
-                     ORDER BY round(list_dot_product(q.e, c.ce)
-                                    / (q.nrm * c.cnrm), 6) DESC,
-                              c.cid) AS rn
-            FROM v q CROSS JOIN cd c WHERE q.vec_id < 50) WHERE rn <= 2),
+      oracle = Some(s"""
+        WITH $ivfSeedCtesSql,
         ivf AS (
           SELECT query_id, cand_id FROM (
             SELECT p.query_id, a.vec_id AS cand_id,
