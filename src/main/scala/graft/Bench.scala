@@ -70,32 +70,60 @@ object Bench {
     val breakKey = sys.env.get("GRAFT_BENCH_BREAK_KEY")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val rows =
+      // Keep the built frame so the plan-class census below can read its
+      // physical plan WITHOUT re-invoking fn (side-effecting keys run
+      // their pipelines during frame construction; a second call would
+      // double the bench). Planning for the census happens after the
+      // timing loop, so it never pollutes a key's seconds.
+      val (df, rows) =
         try {
           if (breakKey.contains(name))
             throw new RuntimeException("deliberately broken for marker test")
-          fn(spark, sfDir).count()
-        } catch { case _: Throwable => -1L }
-      (name, (System.nanoTime() - t0) / 1e9, rows)
+          val frame = fn(spark, sfDir)
+          (Some(frame), frame.count())
+        } catch { case _: Throwable => (None, -1L) }
+      (name, (System.nanoTime() - t0) / 1e9, rows, df)
     }
-    val errors = results.collect { case (n, _, -1L) => n }
+    val errors = results.collect { case (n, _, -1L, _) => n }
     val suspectZero = results.collect {
-      case (n, _, 0L) if oracleKeys(n) => n }
+      case (n, _, 0L, _) if oracleKeys(n) => n }
     (errors ++ suspectZero).foreach { n =>
       System.err.println(s"[bench] SUSPECT key $n: " +
         (if (errors.contains(n)) "crashed (rows=-1)"
          else "0 rows but oracle-bearing")) }
+    // Per-key plan-class tags (Exchange count + cartesian/BNLJ flags) so
+    // accepted-demo plan shapes are machine-readable in the artifact
+    // (VERDICT r10 task 8). Untimed: runs after the loop, planning only.
+    val planClasses = results.map { case (n, _, _, df) =>
+      val tag =
+        try df.map(f => PlanAudit.planClass(
+          f.queryExecution.executedPlan.toString)).getOrElse("error")
+        catch { case _: Throwable => "unplannable" }
+      (n, tag)
+    }
     val total = results.map(_._2).sum
-    // Detail line first, compact total line LAST: the driver's output tail
-    // keeps the end of stdout, so the parseable summary must be the final
-    // line (round 1's single giant line was truncated mid-line → unparsed).
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    // Errored keys keep their partial elapsed in `queries` for triage but
+    // are excluded from `total_ok`, the cross-round comparable headline
+    // (ADVICE r10: mixing error sets silently skews `total`).
+    val totalOk = results.collect { case (_, s, r, _) if r != -1L => s }.sum
+    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val rws = results.map { case (k, _, r) => s""""$k":$r""" }
+    val rws = results.map { case (k, _, r, _) => s""""$k":$r""" }
+      .mkString("{", ",", "}")
+    val pcs = planClasses.map { case (k, t) => s""""$k":"$t"""" }
       .mkString("{", ",", "}")
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"queries":$qs,"rows":$rws,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibration%.3f,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
+    // Line order is a contract with the driver's stdout-TAIL capture:
+    // most-droppable detail first, per-key SECONDS on their own line
+    // immediately before the final summary (r10 lost the seconds map
+    // because it sat at the FRONT of a truncated detail line — VERDICT
+    // r10 task 1), and the final line repeats the seconds map so even a
+    // one-line tail carries timings + totals (≈7 KB, well inside any
+    // sane tail window).
+    println(s"""{"metric":"rows","rows":$rws,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"scratch_diverted":${strArr(Scratch.divertedKeys)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"plan_class","plan_class":$pcs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"calibration_sec":$calibration%.3f,"queries":$qs,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
     spark.stop()
   }
 }

@@ -10,6 +10,23 @@ import org.apache.spark.sql.SparkSession
   * final frame; run on sf0.001 where that costs seconds.
   */
 object PlanAudit {
+  private val ex = "Exchange (hash|range|SinglePartition|roundrobin)".r
+
+  /** Compact plan-class tag for one physical plan string: shuffle-Exchange
+    * count plus cartesian / nested-loop flags (`"e3"`, `"e1,bnlj"`,
+    * `"e0,cart"`). Bench embeds this per key in its artifact so
+    * accepted-demo status (e.g. join_theta_range's by-design BNLJ) is
+    * machine-readable instead of verdict folklore (VERDICT r10 task 8).
+    */
+  def planClass(plan: String): String = {
+    val n = ex.findAllIn(plan).length
+    val flags = Seq(
+      if (plan.contains("CartesianProduct")) Some("cart") else None,
+      if (plan.contains("BroadcastNestedLoopJoin")) Some("bnlj") else None
+    ).flatten
+    (s"e$n" +: flags).mkString(",")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,7 +38,6 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ex = "Exchange (hash|range|SinglePartition|roundrobin)".r
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

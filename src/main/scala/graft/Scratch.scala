@@ -41,24 +41,47 @@ object Scratch {
       p.toFile.getUsableSpace >= MinShmFreeBytes
   }
 
+  /** True when the root came from GRAFT_SCRATCH_ROOT: explicit config is
+    * honored verbatim — the headroom divert below never overrides it,
+    * even if the user pointed it at /dev/shm (ADVICE r10).
+    */
+  private val rootExplicit: Boolean = sys.env.contains("GRAFT_SCRATCH_ROOT")
+
   private val root: String =
     sys.env.get("GRAFT_SCRATCH_ROOT")
       .orElse(Some("/dev/shm").filter(shmUsable))
       .getOrElse(sys.props("java.io.tmpdir"))
 
+  /** Keys whose scratch was diverted off tmpfs mid-run (headroom guard).
+    * Surfaced so artifacts can record that the run's scratch backing was
+    * not uniform — without this, a diverted key silently wears the shm
+    * label the run started with (ADVICE r10).
+    */
+  private val diverted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def divertedKeys: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    diverted.asScala.toSeq.sorted
+  }
+
   /** Empty, freshly-created scratch dir for `key`. The root is
     * process-unique so concurrently-running harness JVMs (Verify, Bench,
     * sbt test) can never clobber each other's side-effect directories.
-    * Per-call guard: if the chosen root was tmpfs and its headroom has
-    * since dropped below 2 GiB (a long run filled it), new scratch dirs
-    * divert to java.io.tmpdir rather than driving tmpfs into ENOSPC.
+    * Per-call guard (AUTO-selected tmpfs root only — an explicit
+    * GRAFT_SCRATCH_ROOT is always honored): if headroom has since dropped
+    * below 2 GiB (a long run filled it), new scratch dirs divert to
+    * java.io.tmpdir rather than driving tmpfs into ENOSPC; the diversion
+    * is recorded in [[divertedKeys]] and logged, so artifacts labeled
+    * with the scratch backing stay accurate.
     */
   def fresh(key: String): String = {
-    val base =
-      if (root.startsWith("/dev/shm") &&
-          Paths.get(root).toFile.getUsableSpace < (2L << 30))
-        sys.props("java.io.tmpdir")
-      else root
+    val divert = !rootExplicit && root.startsWith("/dev/shm") &&
+      Paths.get(root).toFile.getUsableSpace < (2L << 30)
+    val base = if (divert) sys.props("java.io.tmpdir") else root
+    if (divert && diverted.add(key))
+      System.err.println(
+        s"[scratch] tmpfs headroom <2GiB; diverting key $key to $base")
     val p = Paths.get(base,
       s"graft_scratch_${ProcessHandle.current().pid()}", key)
     deleteRec(p)

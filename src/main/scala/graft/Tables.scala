@@ -100,22 +100,37 @@ object Tables {
     spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
   }
 
+  private val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Serializes every toggle of the shared-session nanosAsLong conf. The
+    * scoped restore in [[withNanosAsLong]] and the set-and-leave in
+    * [[tsFooterIsNanos]] both mutate one SparkSession conf; without the
+    * lock, an interleaved scope could capture a stale prior and its
+    * finally-restore would clobber the persistent set a NANOS corpus
+    * relies on at execution time (ADVICE r10). Harness is single-threaded
+    * today; the lock makes the ConcurrentHashMap-implied multi-thread
+    * expectation actually safe.
+    */
+  private val nanosConfLock = new Object
+
   /** Run `body` with spark.sql.legacy.parquet.nanosAsLong=true, restoring
     * the prior setting after. The flag changes schema INFERENCE only (a
     * NANOS column infers as LongType instead of erroring); inference is
     * eager inside `body`, so scoping is safe — unlike execution-time
-    * confs, nothing lazy escapes the scope.
+    * confs, nothing lazy escapes the scope. Holds [[nanosConfLock]] for
+    * the whole scope so the restore can never clobber a concurrent
+    * persistent set.
     */
-  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T =
+    nanosConfLock.synchronized {
+      val prior = spark.conf.getOption(nanosKey)
+      spark.conf.set(nanosKey, "true")
+      try body
+      finally prior match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None => spark.conf.unset(nanosKey)
+      }
     }
-  }
 
   private val columnsValidated =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -146,21 +161,35 @@ object Tables {
 
   private def tsFooterIsNanos(spark: SparkSession, dir: String): Boolean =
     eventsFooterNanos.computeIfAbsent(dir, _ => {
-      // Sniff with nanosAsLong scoped ON: a NANOS footer infers ts as
-      // LongType; MICROS/MILLIS footers infer a timestamp type — that
-      // distinction is the sniff. The scope restores the prior value on
-      // exit, so a MICROS corpus leaves the session's inference behavior
-      // untouched for unrelated parquet reads. For a NANOS corpus the
-      // flag is then set PERSISTENTLY (below): unlike inference, the
-      // events SCAN resolves the footer at execution time, which may be
-      // long after this sniff returns.
-      val isNanos = withNanosAsLong(spark) {
-        spark.read.parquet(s"$dir/events.parquet")
-          .schema("ts").dataType == LongType
+      // Sniff with nanosAsLong ON: a NANOS footer infers ts as LongType;
+      // MICROS/MILLIS footers infer a timestamp type — that distinction
+      // is the sniff. MICROS path: restore the prior value, leaving the
+      // session's inference behavior untouched for unrelated reads.
+      // NANOS path: set-and-LEAVE — unlike inference, the events SCAN
+      // resolves the footer at execution time, which may be long after
+      // this sniff returns, so the flag must outlive the scope. The whole
+      // sniff-then-decide runs under nanosConfLock so no concurrent
+      // scoped restore can interleave with the persistent set (ADVICE
+      // r10).
+      nanosConfLock.synchronized {
+        val prior = spark.conf.getOption(nanosKey)
+        spark.conf.set(nanosKey, "true")
+        val isNanos =
+          try spark.read.parquet(s"$dir/events.parquet")
+            .schema("ts").dataType == LongType
+          catch { case e: Throwable =>
+            prior match {
+              case Some(v) => spark.conf.set(nanosKey, v)
+              case None => spark.conf.unset(nanosKey)
+            }
+            throw e
+          }
+        if (!isNanos) prior match {
+          case Some(v) => spark.conf.set(nanosKey, v)
+          case None => spark.conf.unset(nanosKey)
+        }
+        java.lang.Boolean.valueOf(isNanos)
       }
-      if (isNanos)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      java.lang.Boolean.valueOf(isNanos)
     }).booleanValue()
 
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {

@@ -38,17 +38,26 @@ object AvroCodec {
   type Line = (Long, Int, Double, Double, String, Long)
 
   /** Write one Avro container file for this task's rows; returns the
-    * path. File name keys on the task's partition id, so a deterministic
-    * repartition yields a deterministic file set.
+    * path. The canonical file name keys on the task's partition id, so a
+    * deterministic repartition yields a deterministic file set — but the
+    * bytes land first in an attempt-suffixed temp file and are committed
+    * via atomic rename. Two attempts of the same partition (task retry,
+    * or speculative execution if ever enabled) then race only on the
+    * rename, and either winner is a COMPLETE container; the pre-r11 code
+    * created the canonical path directly, so concurrent attempts could
+    * interleave writes into one corrupt file (ADVICE r10).
     */
   def writePartition(outDir: String, rows: Iterator[Line]): String = {
-    val pid = org.apache.spark.TaskContext.getPartitionId()
+    val tc = org.apache.spark.TaskContext.get()
+    val pid = tc.partitionId()
     val sch = schema
     val path = Paths.get(outDir, f"part_$pid%04d.avro")
+    val tmp = Paths.get(outDir,
+      f".part_$pid%04d.attempt${tc.taskAttemptId()}.avro.tmp")
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](sch))
     w.setCodec(CodecFactory.deflateCodec(6))
-    w.create(sch, path.toFile)
+    w.create(sch, tmp.toFile)
     try rows.foreach { case (ok, ln, qty, ext, rf, us) =>
       val r = new GenericData.Record(sch)
       r.put("l_orderkey", ok)
@@ -59,6 +68,9 @@ object AvroCodec {
       r.put("l_shipdate", us)
       w.append(r)
     } finally w.close()
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     path.toString
   }
 
