@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-slope certification for the registry's heaviest keys
+  * (VERDICT r10 task 3): the 100× design grade was a plan-reading
+  * argument; this makes it measured. `runMain graft.ScaleSlope [outBase]
+  * [keys...]` generates a deterministic spark.range-derived synthetic
+  * corpus (documents/embeddings/events/lineitem shapes at the sf0.1 row
+  * counts) at 1× and 10×, runs each key 3 times per scale, and prints
+  * one JSON line per key with cold (run 1: includes any per-dir index
+  * build) and warm (min of runs 2-3) seconds plus the warm slope
+  * t10/t1. A key whose warm slope is clearly superlinear in data size
+  * (≫10 on this fixed-parallelism box) needs a diagnosis; results land
+  * in NOTES.md round 11.
+  *
+  * The corpus is synthetic BY DESIGN — no fixture dependence, so the
+  * tool runs anywhere and the 10× shape can't drift from the 1× shape.
+  * Near-dup structure: every 10th document is a one-token-appended copy
+  * of its predecessor, so dedup candidate generation has real work at
+  * both scales. All content derives from md5/hash arithmetic on ids —
+  * no RNG, repartition-stable, identical across runs.
+  */
+object ScaleSlope {
+
+  private val tokens: Seq[String] = Seq(
+    "spark", "query", "column", "vector", "batch", "scan", "sort",
+    "agg", "join", "shard", "merge", "filter", "order", "line", "part",
+    "fast", "small", "cache", "index", "probe", "hash", "range", "tune",
+    "plan", "push", "prune", "skew", "salt", "broadcast", "stream",
+    "window", "state", "event", "token", "model", "train", "data",
+    "corpus", "slice", "chunk", "score", "rank", "label", "fetch",
+    "write", "read", "codec", "block", "page", "group")
+
+  /** Deterministic documents table: ~90 tokens/doc drawn by hash; every
+    * id ≡ 9 (mod 10) re-derives its predecessor's text plus one token
+    * (a planted near-duplicate pair per 10 docs).
+    */
+  private def documents(s: SparkSession, n: Long): DataFrame = {
+    val tok = typedlit(tokens)
+    def textOf(seed: org.apache.spark.sql.Column,
+        extra: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(
+        sequence(lit(0), lit(20) + pmod(hash(seed), lit(70)) + extra),
+        i => element_at(tok,
+          pmod(hash(seed * 31 + i), lit(tokens.size)) + 1)))
+    s.range(0, n, 1, 32)
+      .withColumn("base",
+        when(pmod(col("id"), lit(10)) === 9, col("id") - 1)
+          .otherwise(col("id")))
+      .select(
+        col("id").as("doc_id"),
+        textOf(col("base"),
+          when(pmod(col("id"), lit(10)) === 9, lit(1)).otherwise(lit(0)))
+          .as("text"),
+        element_at(typedlit(Seq("en", "de", "fr", "es")),
+          pmod(hash(col("id") * 7), lit(4)).cast("int") + 1).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(5))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def embeddings(s: SparkSession, n: Long): DataFrame =
+    s.range(0, n, 1, 32)
+      .select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => sin((col("id") * 64 + d).cast("double")).cast("float"))
+          .as("embedding"),
+        pmod(col("id"), lit(10)).cast("int").as("label"))
+
+  private def events(s: SparkSession, n: Long): DataFrame =
+    s.range(0, n, 1, 32)
+      .select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1704067200L) + col("id") % 2592000)
+          .as("ts"),
+        pmod(hash(col("id")), lit(n / 20 + 1)).cast("long").as("user_id"),
+        element_at(typedlit(Seq("view", "click", "buy", "scroll", "exit")),
+          pmod(hash(col("id") * 3), lit(5)).cast("int") + 1)
+          .as("event_type"),
+        (pmod(hash(col("id") * 5), lit(10000)).cast("double") / 100)
+          .as("value"),
+        concat(lit("""{"k":"""), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+
+  private def lineitem(s: SparkSession, n: Long, scale: Long): DataFrame =
+    s.range(0, n, 1, 32)
+      .select(
+        (col("id") / 4).cast("long").as("l_orderkey"),
+        pmod(hash(col("id")), lit(2000 * scale)).cast("long")
+          .as("l_partkey"),
+        pmod(hash(col("id") * 7), lit(100 * scale)).cast("long")
+          .as("l_suppkey"),
+        (pmod(col("id"), lit(4)) + 1).cast("int").as("l_linenumber"),
+        (pmod(hash(col("id") * 11), lit(50)).cast("double") + 1)
+          .as("l_quantity"),
+        (pmod(hash(col("id") * 13), lit(100000)).cast("double") / 100)
+          .as("l_extendedprice"),
+        (pmod(hash(col("id") * 17), lit(11)).cast("double") / 100)
+          .as("l_discount"),
+        (pmod(hash(col("id") * 19), lit(9)).cast("double") / 100)
+          .as("l_tax"),
+        element_at(typedlit(Seq("A", "N", "R")),
+          pmod(hash(col("id") * 23), lit(3)).cast("int") + 1)
+          .as("l_returnflag"),
+        element_at(typedlit(Seq("O", "F")),
+          pmod(hash(col("id") * 29), lit(2)).cast("int") + 1)
+          .as("l_linestatus"),
+        timestamp_seconds(lit(1672531200L) +
+          pmod(hash(col("id") * 31), lit(31536000)).cast("long"))
+          .as("l_shipdate"))
+
+  private def generate(s: SparkSession, dir: String, scale: Long): Unit = {
+    documents(s, 5000L * scale).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    embeddings(s, 2000L * scale).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    events(s, 100000L * scale).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    lineitem(s, 600000L * scale, scale).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+  }
+
+  /** Heaviest families per VERDICT r10's plan audit: candidate-generating
+    * dedup, iterative graph, ANN index builds, n-gram contamination,
+    * segment dedup.
+    */
+  private val defaultKeys = Seq(
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_lsh_audit",
+    "dedup_connected_components", "dedup_fuzzy_cluster",
+    "contamination_matrix", "text_segment_dedup",
+    "graph_pagerank", "graph_jaccard", "graph_triangles", "graph_bfs",
+    "graph_sssp", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq")
+
+  def main(args: Array[String]): Unit = {
+    val outBase = args.headOption.getOrElse("/tmp/graft_scale")
+    val keys = if (args.length > 1) args.drop(1).toSeq else defaultKeys
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = Seq(1L, 10L).map { sc =>
+      val d = s"$outBase/x$sc"
+      generate(spark, d, sc)
+      sc -> d
+    }
+    val results = keys.map { key =>
+      val fn = SparkEntry.queries(key)
+      val per = dirs.map { case (sc, d) =>
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        sc -> (runs.head, runs.tail.min)
+      }.toMap
+      val slope = per(10L)._2 / per(1L)._2
+      val coldSlope = per(10L)._1 / per(1L)._1
+      println(f"""{"key":"$key","t1_cold":${per(1L)._1}%.2f,"t1_warm":${per(1L)._2}%.2f,"t10_cold":${per(10L)._1}%.2f,"t10_warm":${per(10L)._2}%.2f,"warm_slope":$slope%.1f,"cold_slope":$coldSlope%.1f}""")
+      (key, slope)
+    }
+    val worst = results.sortBy(-_._2).take(3)
+      .map { case (k, sl) => f"$k=$sl%.1f" }.mkString(", ")
+    println(s"""{"metric":"scale_slope_done","keys":${results.size},"worst":"$worst"}""")
+    spark.stop()
+  }
+}

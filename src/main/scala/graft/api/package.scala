@@ -639,6 +639,14 @@ package object api {
       * subspace column — m separate k-means loops would pay m× the
       * per-job overhead for the same arithmetic. Seeds are the first `k`
       * vectors by id (deterministic, no RNG).
+      *
+      * Cross-engine replayability (round 11, the IVF-oracle convention):
+      * trained means are quantized through FLOAT (double mean → float →
+      * double), and assignment ranks on round(dist, 6) with ties to the
+      * lowest code — so an independent engine replaying the same
+      * arithmetic (DuckDB: avg CAST AS REAL, row_number over rounded
+      * distance) reproduces the codebooks bit-exactly despite
+      * summation-order ulps. See sim_ann_pq's oracle SQL.
       */
     def pqCodebooks(
         df: DataFrame, id: Column, vec: Column,
@@ -668,14 +676,18 @@ package object api {
           .withColumn("ds", transform(element_at(cbl, col("s")), c =>
             aggregate(zip_with(col("sv"), c, (x, y) => (x - y) * (x - y)),
               lit(0.0), (acc, d) => acc + d)))
+          .withColumn("rds", transform(col("ds"), d =>
+            org.apache.spark.sql.functions.round(d, 6)))
           .withColumn("code",
-            array_position(col("ds"), array_min(col("ds"))).cast("int"))
+            array_position(col("rds"), array_min(col("rds"))).cast("int"))
           .select(col("s"), col("code"), posexplode(col("sv")))
           .groupBy("s", "code", "pos").agg(avg("col").as("mn"))
           .collect()
           .groupBy(r => (r.getInt(0), r.getInt(1)))
           .map { case ((sIdx, code), rows) =>
-            ((sIdx, code), rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+            ((sIdx, code),
+              rows.sortBy(_.getInt(2))
+                .map(_.getDouble(3).toFloat.toDouble).toSeq)
           }
         // Empty cells keep their previous centroid.
         cb = cb.zipWithIndex.map { case (cents, sIdx) =>
@@ -693,6 +705,9 @@ package object api {
       * bytes-worth of codes, the representation that makes
       * billion-vector indexes fit in memory. Pure map-side codegen over
       * one codebook literal. Output: (id, codes array<int>, 1-based).
+      * Assignment ranks on round(dist, 6) with ties to the lowest code —
+      * the same rounding discipline as training, so an oracle replay
+      * picks identical codes despite summation-order ulps.
       */
     def pqEncode(
         df: DataFrame, id: Column, vec: Column,
@@ -702,10 +717,10 @@ package object api {
       val cbl = typedlit(codebooks)
       val codes = transform(sequence(lit(1), lit(m)), s => {
         val ds = transform(element_at(cbl, s), c =>
-          aggregate(
+          round(aggregate(
             zip_with(slice(col("e"), (s - lit(1)) * lit(sub) + 1, lit(sub)),
               c, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d) => acc + d))
+            lit(0.0), (acc, d) => acc + d), 6))
         array_position(ds, array_min(ds)).cast("int")
       })
       df.select(id.as("vid"), vec.cast("array<double>").as("e"))

@@ -82,6 +82,21 @@ object Similarity extends QueryModule {
          aggregate(zip_with(embedding, embedding,
            (a, b) -> CAST(a AS DOUBLE) * b), 0D, (s, v) -> s + v)))""")
 
+  /** Float-quantized unit normalization for the PQ path (round 11): the
+    * division's double result is rounded through FLOAT before any
+    * training/encoding math, so the norm's summation-order ulps (Spark's
+    * sequential fold vs DuckDB's list_dot_product) are quantized away and
+    * both engines train/encode from bit-identical inputs — the same
+    * CAST-AS-REAL trick the IVF oracle uses for its refined means. PQ
+    * quantizes to 8 codes anyway; a float-rounded input moves nothing.
+    */
+  private val unitExprQ = expr(
+    """transform(embedding, x -> CAST(CAST(
+         CAST(x AS DOUBLE) / sqrt(
+           aggregate(zip_with(embedding, embedding,
+             (a, b) -> CAST(a AS DOUBLE) * b), 0D, (s, v) -> s + v))
+       AS FLOAT) AS DOUBLE))""")
+
   /** Per-directory PQ codebook cache: training is deterministic (fixed
     * seeds, fixed round count), so sim_ann_pq, sim_pq_rerank, and
     * sim_ann_recall's re-run all share ONE training pass per JVM — the
@@ -92,7 +107,7 @@ object Similarity extends QueryModule {
 
   private def pqCb(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
     pqCbCache.getOrElseUpdate(dir, graft.api.Similarity.pqCodebooks(
-      Tables.embeddings(s, dir), col("vec_id"), unitExpr,
+      Tables.embeddings(s, dir), col("vec_id"), unitExprQ,
       m = 8, k = 16, iterations = 1))
 
   /** Encoded-table cache alongside the codebooks: codes are a
@@ -112,7 +127,7 @@ object Similarity extends QueryModule {
 
   private def pqEnc(s: SparkSession, dir: String): DataFrame =
     pqEncCache.getOrElseUpdate((s, dir), graft.api.Similarity.pqEncode(
-        Tables.embeddings(s, dir), col("vec_id"), unitExpr, pqCb(s, dir))
+        Tables.embeddings(s, dir), col("vec_id"), unitExprQ, pqCb(s, dir))
       .localCheckpoint(true))
 
   /** Exact brute-force cosine top-3 ground truth for the vec_id<50 query
@@ -273,6 +288,83 @@ object Similarity extends QueryModule {
                                     / (q.nrm * c.cnrm), 6) DESC,
                               c.cid) AS rn
             FROM v q CROSS JOIN cd c WHERE q.vec_id < 50) WHERE rn <= 2)"""
+
+  /** Shared CTE chain replaying the ENTIRE PQ index lifecycle in DuckDB
+    * (round 11): float-quantized unit vectors (`u` — the cross-engine
+    * input contract, see [[unitExprQ]]), the m=8/sub=8 subvector explode,
+    * seed codebooks from the first 16 vectors, ONE Lloyd refinement with
+    * rounded-distance assignment and CAST-AS-REAL cell means (empty cells
+    * keep their seed via the LEFT JOIN coalesce, mirroring
+    * api.Similarity.pqCodebooks' getOrElse), rounded-distance re-encoding
+    * of every vector, per-query ADC lookup tables, and the summed ADC
+    * ranking `pqr`. What sim_ann_recall_ivf proved for a trained coarse
+    * quantizer, this proves for per-subspace PRODUCT quantization: 8
+    * trained codebooks and the ADC arithmetic are plain SQL over the
+    * data. Consumers: sim_ann_pq (rank<=3 output), sim_pq_rerank
+    * (rank<=20 candidates, exact-cosine rerank), sim_ann_recall_pq (hit
+    * counts vs the exact top-3).
+    */
+  private val pqCtesSql: String = """
+        v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        u AS (
+          SELECT vec_id,
+                 CAST(CAST(list_transform(e, x -> x / nrm) AS REAL[])
+                      AS DOUBLE[]) AS ue
+          FROM v),
+        sv AS (
+          SELECT vec_id, s, list_slice(ue, (s - 1) * 8 + 1, s * 8) AS sv
+          FROM u CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS s)),
+        seeds AS (
+          SELECT s, CAST(vec_id + 1 AS INT) AS code, sv AS c
+          FROM sv WHERE vec_id < 16),
+        a1 AS (
+          SELECT vec_id, s, sv, code FROM (
+            SELECT q.vec_id, q.s, q.sv, d.code,
+                   row_number() OVER (PARTITION BY q.vec_id, q.s
+                     ORDER BY round(list_sum(list_transform(
+                       generate_series(1, 8),
+                       i -> (q.sv[i] - d.c[i]) * (q.sv[i] - d.c[i]))), 6),
+                       d.code) AS rn
+            FROM sv q JOIN seeds d ON d.s = q.s) WHERE rn = 1),
+        cm AS (
+          SELECT s, code, list(CAST(mn AS REAL) ORDER BY pos) AS cmr FROM (
+            SELECT s, code, pos, avg(val) AS mn FROM (
+              SELECT s, code, unnest(sv) AS val,
+                     generate_subscripts(sv, 1) AS pos
+              FROM a1) GROUP BY s, code, pos) GROUP BY s, code),
+        cb AS (
+          SELECT se.s, se.code,
+                 coalesce(CAST(cm.cmr AS DOUBLE[]), se.c) AS c
+          FROM seeds se LEFT JOIN cm
+            ON cm.s = se.s AND cm.code = se.code),
+        enc AS (
+          SELECT vec_id, s, code FROM (
+            SELECT q.vec_id, q.s, c.code,
+                   row_number() OVER (PARTITION BY q.vec_id, q.s
+                     ORDER BY round(list_sum(list_transform(
+                       generate_series(1, 8),
+                       i -> (q.sv[i] - c.c[i]) * (q.sv[i] - c.c[i]))), 6),
+                       c.code) AS rn
+            FROM sv q JOIN cb c ON c.s = q.s) WHERE rn = 1),
+        tab AS (
+          SELECT q.vec_id AS query_id, q.s, c.code,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> (q.sv[i] - c.c[i]) * (q.sv[i] - c.c[i]))) AS d
+          FROM sv q JOIN cb c ON c.s = q.s WHERE q.vec_id < 50),
+        adcs AS (
+          SELECT t.query_id, e.vec_id AS cand_id, sum(t.d) AS adc
+          FROM tab t JOIN enc e ON e.s = t.s AND e.code = t.code
+          WHERE e.vec_id <> t.query_id
+          GROUP BY t.query_id, e.vec_id),
+        pqr AS (
+          SELECT query_id, cand_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(adc, 6), cand_id) AS rank
+          FROM adcs)"""
 
   def all: Seq[Q] = Seq(
     // Exact brute-force cosine top-5 per query vector (queries: vec_id<10),
@@ -732,13 +824,20 @@ object Similarity extends QueryModule {
         val cb = pqCb(s, dir)
         val enc = pqEnc(s, dir)
         val q = emb.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), unitExpr.as("qe"))
+          .select(col("vec_id").as("qid"), unitExprQ.as("qe"))
         graft.api.Similarity.pqTopK(enc, q, col("qid"), col("qe"), cb,
             topK = 3, excludeSelf = true)
           .select(col("query_id"), col("rank"), col("cand_id"),
             round(col("adc_dist"), 4).as("adc_dist"))
           .orderBy("query_id", "rank")
-      }),
+      },
+      // Oracle (round 11): full ranked ADC output replayed from the
+      // shared PQ training chain — see pqCtesSql.
+      oracle = Some(s"""
+        WITH $pqCtesSql
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+               round(adc, 4) AS adc_dist
+        FROM pqr WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // Two-stage retrieval — the production PQ flow: a WIDE approximate
     // candidate pull (ADC top-20 over 8-byte codes, cheap) feeds an
@@ -753,7 +852,7 @@ object Similarity extends QueryModule {
         val cb = pqCb(s, dir)
         val enc = pqEnc(s, dir)
         val q = emb.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), unitExpr.as("qe"))
+          .select(col("vec_id").as("qid"), unitExprQ.as("qe"))
         val cands = graft.api.Similarity.pqTopK(
             enc, q, col("qid"), col("qe"), cb, topK = 20,
             excludeSelf = true)
@@ -772,7 +871,27 @@ object Similarity extends QueryModule {
           .select(col("query_id"), col("rank"), col("cand_id"),
             round(col("cos"), 4).as("cos_sim"))
           .orderBy("query_id", "rank")
-      }),
+      },
+      // Oracle (round 11): the ADC top-20 candidate pull comes from the
+      // shared PQ chain; the exact-cosine rerank over those 20 is plain
+      // ranked arithmetic on the raw vectors.
+      oracle = Some(s"""
+        WITH $pqCtesSql,
+        rr AS (
+          SELECT p.query_id, p.cand_id,
+                 list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) AS cos
+          FROM pqr p
+          JOIN v qv ON qv.vec_id = p.query_id
+          JOIN v cv ON cv.vec_id = p.cand_id
+          WHERE p.rank <= 20)
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+               round(cos, 4) AS cos_sim
+        FROM (
+          SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(cos, 6) DESC, cand_id) AS rank
+          FROM rr)
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // ANN quality evaluation: recall@3 of the LSH and IVF indexes against
     // the exact brute-force top-3, per query — the measurement loop any
@@ -825,10 +944,13 @@ object Similarity extends QueryModule {
     // Random(42) draw and inlined into the oracle SQL as array literals,
     // so bucket assignment, candidate ranking, and the hit-count joins
     // are all engine-checked. The IVF leg got the same treatment in
-    // round 10 (sim_ann_recall_ivf replays the TRAINING too); only the
-    // 5-iteration spherical and PQ legs remain no-oracle, by cost not
-    // impossibility (NOTES.md round 10). Counts, not ratios: integer
-    // hits hash-match with no rounding discipline.
+    // round 10 (sim_ann_recall_ivf replays the TRAINING too) and the PQ
+    // leg in round 11 (sim_ann_recall_pq / sim_ann_pq replay codebook
+    // training AND the ADC ranking); only the 5-iteration spherical leg
+    // remains no-oracle, by cost not impossibility (5 unrolled
+    // Lloyd rounds of float-cast means would be the same proof at 5x the
+    // SQL). Counts, not ratios: integer hits hash-match with no rounding
+    // discipline.
     Q(
       "sim_ann_recall_lsh",
       (s, dir) => {
@@ -907,10 +1029,11 @@ object Similarity extends QueryModule {
     // portable hyperplanes, this does for a TRAINED coarse quantizer:
     // training is deterministic SQL-expressible arithmetic over the data,
     // so it does not need to live in static literals at all (VERDICT r9
-    // task 3; NOTES.md r10). The 5-iteration spherical variant and PQ
-    // stay no-oracle: 5 unrolled Lloyd rounds of float-cast means would
-    // be the same proof at 5x the SQL, and PQ's per-subspace codebooks
-    // add nothing the IVF replay doesn't already certify.
+    // task 3; NOTES.md r10). Round 11 extended the proof to PQ
+    // (pqCtesSql: per-subspace codebook training + ADC ranking); only
+    // the 5-iteration spherical variant stays no-oracle — 5 unrolled
+    // Lloyd rounds of float-cast means would be the same proof at 5x
+    // the SQL.
     Q(
       "sim_ann_recall_ivf",
       (s, dir) => {
@@ -947,6 +1070,44 @@ object Similarity extends QueryModule {
         FROM ex e
         LEFT JOIN ivf i
           ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+        GROUP BY e.query_id ORDER BY e.query_id""")),
+
+    // The PQ leg of the oracle-bearing ANN audit (round 11): recall hit
+    // counts of the ADC top-3 against the exact top-3, with the full PQ
+    // lifecycle — float-quantized unit inputs, 8 per-subspace codebooks
+    // (seed + one REAL-cast Lloyd refinement), rounded-distance
+    // encoding, ADC table ranking — replayed in the oracle SQL
+    // (pqCtesSql). Closes the one index path whose ranking arithmetic
+    // the oracle had never checked (VERDICT r10 task 4); engine-side it
+    // is pure composition of the shared warmed index, so the timed cost
+    // is the scoring joins.
+    Q(
+      "sim_ann_recall_pq",
+      (s, dir) => {
+        val exact = exactTop3(s, dir)
+        val pq = all.find(_.name == "sim_ann_pq").get.run(s, dir)
+          .select(col("query_id"), col("cand_id"), lit(1).as("phit"))
+        exact
+          .join(pq, Seq("query_id", "cand_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("k"), count(col("phit")).as("pq_hits"))
+          .orderBy("query_id")
+      },
+      oracle = Some(s"""
+        WITH $pqCtesSql,
+        ex AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50) WHERE rn <= 3)
+        SELECT e.query_id, count(*) AS k, count(p.cand_id) AS pq_hits
+        FROM ex e
+        LEFT JOIN (SELECT query_id, cand_id FROM pqr WHERE rank <= 3) p
+          ON p.query_id = e.query_id AND p.cand_id = e.cand_id
         GROUP BY e.query_id ORDER BY e.query_id""")),
 
     // Lloyd's k-means over the embedding table (api.Similarity.kMeans):

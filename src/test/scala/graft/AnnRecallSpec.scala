@@ -63,4 +63,49 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
         s"query $q: audit $ratio vs report ${report(q)}")
     }
   }
+
+  test("oracle-bearing PQ audit agrees with the recall report; rerank " +
+      "recall dominates plain ADC per query") {
+    import org.apache.spark.sql.functions.col
+    // sim_ann_recall_pq counts hits of the SAME ADC index that
+    // sim_ann_recall reports as a ratio (pq_recall_at_3) — per-query
+    // agreement pins the shared warmed index.
+    val audit = SparkEntry.queries("sim_ann_recall_pq")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.size == 50)
+    audit.foreach { case (q, (k, hits)) =>
+      assert(k == 3, s"query $q: exact top-k had $k rows")
+      assert(hits >= 0 && hits <= k, s"query $q: $hits hits of $k")
+    }
+    val report = SparkEntry.queries("sim_ann_recall")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    audit.foreach { case (q, (k, hits)) =>
+      val ratio = math.round(hits.toDouble / k * 10000) / 10000.0
+      assert(math.abs(report(q) - ratio) < 1e-9,
+        s"query $q: audit $ratio vs report ${report(q)}")
+    }
+    // Rerank dominance: the exact-cosine rerank picks the 3 highest-true-
+    // cosine members of the ADC top-20 pool, and exact-top-3 members are
+    // by definition the globally highest cosines — so every exact-top-3
+    // member that reaches the pool survives the rerank, and per-query
+    // rerank hits >= plain ADC-top-3 hits.
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").as("e"))
+    val exact = api.Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 50), col("vec_id"), col("e"),
+        emb, col("vec_id"), col("e"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rerank = SparkEntry.queries("sim_pq_rerank")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rerank.groupBy(_._1).values.forall(_.size == 3))
+    val rerankHits = rerank.count(exact)
+    val pqHits = audit.values.map(_._2).sum
+    assert(rerankHits >= pqHits,
+      s"rerank hits $rerankHits < plain ADC hits $pqHits")
+    (0L until 50L).foreach { q =>
+      val rh = rerank.count(p => p._1 == q && exact(p))
+      val ph = audit(q)._2
+      assert(rh >= ph, s"query $q: rerank $rh < adc $ph")
+    }
+  }
 }
