@@ -39,13 +39,14 @@ class RepeatabilitySpec extends AnyFunSuite with SparkFixture {
 
   private val eligible = SparkEntry.queries.keys.toSeq.filterNot(excluded).sorted
 
-  private val sample: Seq[String] = {
-    val start = sys.env.get("GRAFT_REPEAT_START").map(_.toInt).getOrElse {
+  private val windowStart: Int =
+    (sys.env.get("GRAFT_REPEAT_START").map(_.toInt).getOrElse {
       val day = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toEpochDay
       ((day * 20) % eligible.size).toInt
-    } % eligible.size
-    (0 until 20).map(i => eligible((start + i) % eligible.size))
-  }
+    } % eligible.size + eligible.size) % eligible.size
+
+  private val sample: Seq[String] =
+    (0 until 20).map(i => eligible((windowStart + i) % eligible.size))
 
   /** Canonical digest + its input lines: sorted toJSON lines md5'd. JSON
     * rendering is a deterministic function of row VALUES (map/array
@@ -61,10 +62,9 @@ class RepeatabilitySpec extends AnyFunSuite with SparkFixture {
     (md.digest().map("%02x".format(_)).mkString, lines.toSeq)
   }
 
-  test(s"20-key rotation window is bit-identical across two runs " +
-      s"[${sample.head}..${sample.last}]" +
-      sys.env.get("GRAFT_REPEAT_START").map(s => s" (pinned start=$s)")
-        .getOrElse("")) {
+  test(s"20-key rotation window (start=$windowStart) is bit-identical " +
+      s"across two runs [${sample.head}..${sample.last}]" +
+      (if (sys.env.contains("GRAFT_REPEAT_START")) " (pinned)" else "")) {
     val bad = sample.flatMap { k =>
       val (a, la) = digest(k)
       val (b, lb) = digest(k)
