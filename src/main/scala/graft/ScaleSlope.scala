@@ -111,6 +111,62 @@ object ScaleSlope {
           pmod(hash(col("id") * 31), lit(31536000)).cast("long"))
           .as("l_shipdate"))
 
+  /** Part table for the fuzzy-dedup key. Blocking-key cardinality
+    * (p_brand) scales WITH the corpus so candidate blocks stay
+    * constant-size — the choice a production fuzzy dedup makes (fixed
+    * 25-brand blocking would grow pairs quadratically BY SEMANTICS and
+    * the slope would measure the workload config, not the engine).
+    * Every id ≡ 9 (mod 10) re-derives its predecessor's name plus one
+    * appended char (levenshtein 1 ≤ the operator's maxDist 3) in the
+    * SAME brand/size block — a planted fuzzy pair per 10 parts.
+    */
+  private def part(s: SparkSession, n: Long, scale: Long): DataFrame = {
+    val tok = typedlit(tokens)
+    def nameOf(seed: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(sequence(lit(0), lit(2)),
+        i => element_at(tok,
+          pmod(hash(seed * 37 + i), lit(tokens.size)) + 1)))
+    s.range(0, n, 1, 32)
+      .withColumn("base",
+        when(pmod(col("id"), lit(10)) === 9, col("id") - 1)
+          .otherwise(col("id")))
+      .select(
+        col("id").as("p_partkey"),
+        when(pmod(col("id"), lit(10)) === 9,
+          concat(nameOf(col("base")), lit("x")))
+          .otherwise(nameOf(col("base"))).as("p_name"),
+        concat(lit("Brand#"), pmod(hash(col("base") * 41), lit(25 * scale)))
+          .as("p_brand"),
+        element_at(typedlit(Seq("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")),
+          pmod(hash(col("id") * 47), lit(5)).cast("int") + 1).as("p_type"),
+        (pmod(hash(col("base") * 43), lit(50)).cast("int") + 1).as("p_size"),
+        (pmod(hash(col("id") * 53), lit(100000)).cast("double") / 100)
+          .as("p_retailprice"))
+  }
+
+  /** Orders keyed to the lineitem generator's l_orderkey = id/4; ~20% of
+    * orders are 1-URGENT (the graph family's filter), so graph edge
+    * volume scales linearly with the corpus.
+    */
+  private def orders(s: SparkSession, nLineitem: Long): DataFrame =
+    s.range(0, nLineitem / 4 + 1, 1, 32)
+      .select(
+        col("id").as("o_orderkey"),
+        pmod(hash(col("id") * 3), lit(nLineitem / 40 + 1)).cast("long")
+          .as("o_custkey"),
+        element_at(typedlit(Seq("O", "F", "P")),
+          pmod(hash(col("id") * 5), lit(3)).cast("int") + 1)
+          .as("o_orderstatus"),
+        (pmod(hash(col("id") * 7), lit(10000000)).cast("double") / 100)
+          .as("o_totalprice"),
+        timestamp_seconds(lit(1672531200L) +
+          pmod(hash(col("id") * 11), lit(31536000)).cast("long"))
+          .as("o_orderdate"),
+        element_at(typedlit(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW")),
+          pmod(hash(col("id") * 13), lit(5)).cast("int") + 1)
+          .as("o_orderpriority"))
+
   private def generate(s: SparkSession, dir: String, scale: Long): Unit = {
     documents(s, 5000L * scale).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
@@ -120,6 +176,10 @@ object ScaleSlope {
       .parquet(s"$dir/events.parquet")
     lineitem(s, 600000L * scale, scale).write.mode("overwrite")
       .parquet(s"$dir/lineitem.parquet")
+    part(s, 10000L * scale, scale).write.mode("overwrite")
+      .parquet(s"$dir/part.parquet")
+    orders(s, 600000L * scale).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
   }
 
   /** Heaviest families per VERDICT r10's plan audit: candidate-generating
@@ -149,20 +209,28 @@ object ScaleSlope {
       generate(spark, d, sc)
       sc -> d
     }
-    val results = keys.map { key =>
+    val results = keys.flatMap { key =>
       val fn = SparkEntry.queries(key)
-      val per = dirs.map { case (sc, d) =>
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, d).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        sc -> (runs.head, runs.tail.min)
-      }.toMap
-      val slope = per(10L)._2 / per(1L)._2
-      val coldSlope = per(10L)._1 / per(1L)._1
-      println(f"""{"key":"$key","t1_cold":${per(1L)._1}%.2f,"t1_warm":${per(1L)._2}%.2f,"t10_cold":${per(10L)._1}%.2f,"t10_warm":${per(10L)._2}%.2f,"warm_slope":$slope%.1f,"cold_slope":$coldSlope%.1f}""")
-      (key, slope)
+      try {
+        val per = dirs.map { case (sc, d) =>
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, d).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          sc -> (runs.head, runs.tail.min)
+        }.toMap
+        val slope = per(10L)._2 / per(1L)._2
+        val coldSlope = per(10L)._1 / per(1L)._1
+        println(f"""{"key":"$key","t1_cold":${per(1L)._1}%.2f,"t1_warm":${per(1L)._2}%.2f,"t10_cold":${per(10L)._1}%.2f,"t10_warm":${per(10L)._2}%.2f,"warm_slope":$slope%.1f,"cold_slope":$coldSlope%.1f}""")
+        Some((key, slope))
+      } catch {
+        case e: Throwable =>
+          println(s"""{"key":"$key","error":"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(120)
+              .replace("\\", "\\\\").replace("\"", "'")}"}""")
+          None
+      }
     }
     val worst = results.sortBy(-_._2).take(3)
       .map { case (k, sl) => f"$k=$sl%.1f" }.mkString(", ")
