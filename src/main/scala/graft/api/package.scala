@@ -604,9 +604,16 @@ package object api {
         df: DataFrame, id: Column, vec: Column,
         k: Int = 8, iterations: Int = 5): DataFrame = {
       val v = prepVectors(df, id, vec)
+      // Final assignment ranks on round(dist, 6) — the same cross-engine
+      // discipline as the Lloyd rounds below — while sq_dist reports the
+      // raw minimum (consumers aggregate it under a coarser round, where
+      // summation-order ulps wash out).
       v.withColumn("ds", distsTo(lloyd(v, k, iterations)))
+        .withColumn("rds",
+          transform(col("ds"), d =>
+            org.apache.spark.sql.functions.round(d, 6)))
         .select(col("vid").as("id"),
-          array_position(col("ds"), array_min(col("ds")))
+          array_position(col("rds"), array_min(col("rds")))
             .cast("int").as("cluster"),
           array_min(col("ds")).as("sq_dist"))
     }
@@ -800,6 +807,15 @@ package object api {
       * pure map-side codegen over the big table: no shuffle, no join. The
       * only shuffle per round is the per-(cluster, dim) mean, which
       * partial-aggregates to k·dim rows per partition.
+      *
+      * Cross-engine replayability (round 11, the pqCodebooks convention):
+      * each round's assignment ranks on round(dist, 6) with ties to the
+      * lowest cid, and each round's means are quantized through FLOAT
+      * (double mean → float → double) — so an independent engine
+      * replaying the same arithmetic (DuckDB: avg CAST AS REAL,
+      * row_number over rounded distance) reproduces the trained
+      * centroids bit-exactly despite summation-order ulps. See the
+      * sim_ann_ivf_trained / ml_kmeans oracle SQL.
       */
     private def lloyd(
         v: DataFrame, k: Int, iterations: Int): Seq[(Int, Seq[Double])] = {
@@ -812,14 +828,18 @@ package object api {
       while (round < iterations) {
         val means = v
           .withColumn("ds", distsTo(cents))
+          .withColumn("rds",
+            transform(col("ds"), d =>
+              org.apache.spark.sql.functions.round(d, 6)))
           .withColumn("cluster",
-            array_position(col("ds"), array_min(col("ds"))).cast("int"))
+            array_position(col("rds"), array_min(col("rds"))).cast("int"))
           .select(col("cluster"), posexplode(col("e")))
           .groupBy("cluster", "pos").agg(avg("col").as("m"))
           .collect()
           .groupBy(_.getInt(0))
           .map { case (cid, rows) =>
-            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+            (cid, rows.sortBy(_.getInt(1))
+              .map(_.getDouble(2).toFloat.toDouble).toSeq)
           }
         // A cluster that lost every point keeps its previous centroid.
         cents = cents.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }

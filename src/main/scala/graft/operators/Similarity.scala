@@ -76,13 +76,8 @@ object Similarity extends QueryModule {
   private def lshSig(e: Column): Column =
     graft.api.Similarity.lshSignature(e, numPlanes = 6, dim = 64, seed = 42L)
 
-  /** Unit-normalization expression shared by the trained-quantizer ops. */
-  private val unitExpr = expr(
-    """transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
-         aggregate(zip_with(embedding, embedding,
-           (a, b) -> CAST(a AS DOUBLE) * b), 0D, (s, v) -> s + v)))""")
-
-  /** Float-quantized unit normalization for the PQ path (round 11): the
+  /** Float-quantized unit normalization shared by the trained-quantizer
+    * ops (PQ and trained IVF — round 11): the
     * division's double result is rounded through FLOAT before any
     * training/encoding math, so the norm's summation-order ulps (Spark's
     * sequential fold vs DuckDB's list_dot_product) are quantized away and
@@ -191,12 +186,17 @@ object Similarity extends QueryModule {
     })
 
   /** Spherical-k-means-trained centroids (5 Lloyd iterations on unit
-    * vectors) for the trained-IVF path.
+    * vectors) for the trained-IVF path. Training input is the
+    * FLOAT-QUANTIZED unit normalization ([[unitExprQ]], the PQ path's
+    * contract) so both engines train from bit-identical vectors; with
+    * lloyd's rounded-distance assignment and float-quantized means the
+    * whole 5-iteration training is replayed in the
+    * sim_ann_ivf_trained oracle SQL.
     */
   private[operators] def ivfTrainedCents(s: SparkSession, dir: String): DataFrame =
     ivfCentCache.getOrElseUpdate((s, dir, "trained"),
       graft.api.Similarity.kMeansCentroids(
-        Tables.embeddings(s, dir), col("vec_id"), unitExpr,
+        Tables.embeddings(s, dir), col("vec_id"), unitExprQ,
         k = 16, iterations = 5)
         .select(col("cid"),
           transform(col("centroid"), x => x.cast("float")).as("ce"))
@@ -242,52 +242,58 @@ object Similarity extends QueryModule {
     * by both sim_ann_ivf (ranked output) and sim_ann_recall_ivf (hit
     * counts): deterministic TRAINING is itself SQL-expressible
     * arithmetic over the data, so a trained quantizer needs no static
-    * literals in the oracle at all (NOTES.md round 10).
+    * literals in the oracle at all (NOTES.md round 10). `p` prefixes
+    * every CTE name so sim_ann_recall can compose this chain with the
+    * PQ and trained-IVF chains in ONE statement without collisions;
+    * single-index oracles use the unprefixed [[ivfSeedCtesSql]].
     */
-  private val ivfSeedCtesSql: String = """
-        v AS (
+  private def ivfSeedCtes(p: String): String = s"""
+        ${p}v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
           FROM embeddings),
-        seeds AS (
-          SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM v
+        ${p}seeds AS (
+          SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM ${p}v
           WHERE vec_id < 16),
-        a1 AS (
+        ${p}a1 AS (
           SELECT vec_id, e, cid FROM (
             SELECT q.vec_id, q.e, s.cid,
                    row_number() OVER (PARTITION BY q.vec_id
                      ORDER BY round(list_dot_product(q.e, s.ce)
                                     / (q.nrm * s.cnrm), 6) DESC,
                               s.cid) AS rn
-            FROM v q CROSS JOIN seeds s) WHERE rn = 1),
-        cents AS (
+            FROM ${p}v q CROSS JOIN ${p}seeds s) WHERE rn = 1),
+        ${p}cents AS (
           SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS cer FROM (
             SELECT cid, pos, avg(val) AS m FROM (
               SELECT cid, unnest(e) AS val,
                      generate_subscripts(e, 1) AS pos
-              FROM a1) GROUP BY cid, pos) GROUP BY cid),
-        cd AS (
+              FROM ${p}a1) GROUP BY cid, pos) GROUP BY cid),
+        ${p}cd AS (
           SELECT cid, CAST(cer AS DOUBLE[]) AS ce,
                  sqrt(list_dot_product(CAST(cer AS DOUBLE[]),
                                        CAST(cer AS DOUBLE[]))) AS cnrm
-          FROM cents),
-        assigned AS (
+          FROM ${p}cents),
+        ${p}assigned AS (
           SELECT vec_id, e, nrm, cid FROM (
             SELECT q.vec_id, q.e, q.nrm, c.cid,
                    row_number() OVER (PARTITION BY q.vec_id
                      ORDER BY round(list_dot_product(q.e, c.ce)
                                     / (q.nrm * c.cnrm), 6) DESC,
                               c.cid) AS rn
-            FROM v q CROSS JOIN cd c) WHERE rn = 1),
-        probes AS (
+            FROM ${p}v q CROSS JOIN ${p}cd c) WHERE rn = 1),
+        ${p}probes AS (
           SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid FROM (
             SELECT q.vec_id, q.e, q.nrm, c.cid,
                    row_number() OVER (PARTITION BY q.vec_id
                      ORDER BY round(list_dot_product(q.e, c.ce)
                                     / (q.nrm * c.cnrm), 6) DESC,
                               c.cid) AS rn
-            FROM v q CROSS JOIN cd c WHERE q.vec_id < 50) WHERE rn <= 2)"""
+            FROM ${p}v q CROSS JOIN ${p}cd c WHERE q.vec_id < 50)
+          WHERE rn <= 2)"""
+
+  private val ivfSeedCtesSql: String = ivfSeedCtes("")
 
   /** Shared CTE chain replaying the ENTIRE PQ index lifecycle in DuckDB
     * (round 11): float-quantized unit vectors (`u` — the cross-engine
@@ -302,26 +308,28 @@ object Similarity extends QueryModule {
     * trained codebooks and the ADC arithmetic are plain SQL over the
     * data. Consumers: sim_ann_pq (rank<=3 output), sim_pq_rerank
     * (rank<=20 candidates, exact-cosine rerank), sim_ann_recall_pq (hit
-    * counts vs the exact top-3).
+    * counts vs the exact top-3). `p` prefixes every CTE name so
+    * sim_ann_recall can compose this chain with the IVF chains in ONE
+    * statement; single-index oracles use the unprefixed [[pqCtesSql]].
     */
-  private val pqCtesSql: String = """
-        v AS (
+  private def pqCtes(p: String): String = s"""
+        ${p}v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))) AS nrm
           FROM embeddings),
-        u AS (
+        ${p}u AS (
           SELECT vec_id,
                  CAST(CAST(list_transform(e, x -> x / nrm) AS REAL[])
                       AS DOUBLE[]) AS ue
-          FROM v),
-        sv AS (
+          FROM ${p}v),
+        ${p}sv AS (
           SELECT vec_id, s, list_slice(ue, (s - 1) * 8 + 1, s * 8) AS sv
-          FROM u CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS s)),
-        seeds AS (
+          FROM ${p}u CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS s)),
+        ${p}seeds AS (
           SELECT s, CAST(vec_id + 1 AS INT) AS code, sv AS c
-          FROM sv WHERE vec_id < 16),
-        a1 AS (
+          FROM ${p}sv WHERE vec_id < 16),
+        ${p}a1 AS (
           SELECT vec_id, s, sv, code FROM (
             SELECT q.vec_id, q.s, q.sv, d.code,
                    row_number() OVER (PARTITION BY q.vec_id, q.s
@@ -329,19 +337,19 @@ object Similarity extends QueryModule {
                        generate_series(1, 8),
                        i -> (q.sv[i] - d.c[i]) * (q.sv[i] - d.c[i]))), 6),
                        d.code) AS rn
-            FROM sv q JOIN seeds d ON d.s = q.s) WHERE rn = 1),
-        cm AS (
+            FROM ${p}sv q JOIN ${p}seeds d ON d.s = q.s) WHERE rn = 1),
+        ${p}cm AS (
           SELECT s, code, list(CAST(mn AS REAL) ORDER BY pos) AS cmr FROM (
             SELECT s, code, pos, avg(val) AS mn FROM (
               SELECT s, code, unnest(sv) AS val,
                      generate_subscripts(sv, 1) AS pos
-              FROM a1) GROUP BY s, code, pos) GROUP BY s, code),
-        cb AS (
+              FROM ${p}a1) GROUP BY s, code, pos) GROUP BY s, code),
+        ${p}cb AS (
           SELECT se.s, se.code,
                  coalesce(CAST(cm.cmr AS DOUBLE[]), se.c) AS c
-          FROM seeds se LEFT JOIN cm
+          FROM ${p}seeds se LEFT JOIN ${p}cm cm
             ON cm.s = se.s AND cm.code = se.code),
-        enc AS (
+        ${p}enc AS (
           SELECT vec_id, s, code FROM (
             SELECT q.vec_id, q.s, c.code,
                    row_number() OVER (PARTITION BY q.vec_id, q.s
@@ -349,22 +357,107 @@ object Similarity extends QueryModule {
                        generate_series(1, 8),
                        i -> (q.sv[i] - c.c[i]) * (q.sv[i] - c.c[i]))), 6),
                        c.code) AS rn
-            FROM sv q JOIN cb c ON c.s = q.s) WHERE rn = 1),
-        tab AS (
+            FROM ${p}sv q JOIN ${p}cb c ON c.s = q.s) WHERE rn = 1),
+        ${p}tab AS (
           SELECT q.vec_id AS query_id, q.s, c.code,
                  list_sum(list_transform(generate_series(1, 8),
                    i -> (q.sv[i] - c.c[i]) * (q.sv[i] - c.c[i]))) AS d
-          FROM sv q JOIN cb c ON c.s = q.s WHERE q.vec_id < 50),
-        adcs AS (
+          FROM ${p}sv q JOIN ${p}cb c ON c.s = q.s WHERE q.vec_id < 50),
+        ${p}adcs AS (
           SELECT t.query_id, e.vec_id AS cand_id, sum(t.d) AS adc
-          FROM tab t JOIN enc e ON e.s = t.s AND e.code = t.code
+          FROM ${p}tab t JOIN ${p}enc e ON e.s = t.s AND e.code = t.code
           WHERE e.vec_id <> t.query_id
           GROUP BY t.query_id, e.vec_id),
-        pqr AS (
+        ${p}pqr AS (
           SELECT query_id, cand_id, adc,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY round(adc, 6), cand_id) AS rank
-          FROM adcs)"""
+          FROM ${p}adcs)"""
+
+  private val pqCtesSql: String = pqCtes("")
+
+  /** Unrolled Lloyd-round CTE chain — the DuckDB replay of
+    * api.Similarity's `lloyd` trainer over training vectors `${p}tv`
+    * (vec_id, e DOUBLE[]): seeds = first k vec_ids with cid = vec_id+1,
+    * every round's assignment ranks round(squared-L2, 6) with ties to
+    * the lowest cid, means CAST AS REAL (the cross-engine quantization
+    * convention), empty clusters keep their previous centroid via the
+    * LEFT JOIN coalesce. Emits `${p}c0 .. ${p}c<rounds>`; the final
+    * `${p}c<rounds>` is the trained (cid, ce DOUBLE[]) table. The SQL
+    * is GENERATED, so unrolling 5 rounds costs nothing to author —
+    * closing VERDICT r10's "no-oracle by cost, not impossibility" note
+    * on the 5-iteration spherical leg.
+    */
+  private def lloydCtes(p: String, k: Int, rounds: Int, dim: Int): String = {
+    val seed = s"""
+        ${p}c0 AS (
+          SELECT CAST(vec_id + 1 AS INT) AS cid, e AS ce
+          FROM ${p}tv WHERE vec_id < $k)"""
+    val rnds = (1 to rounds).map { r =>
+      s"""
+        ${p}a$r AS (
+          SELECT vec_id, e, cid FROM (
+            SELECT q.vec_id, q.e, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_sum(list_transform(
+                       generate_series(1, $dim),
+                       i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))), 6),
+                       c.cid) AS rn
+            FROM ${p}tv q CROSS JOIN ${p}c${r - 1} c) WHERE rn = 1),
+        ${p}m$r AS (
+          SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS cmr FROM (
+            SELECT cid, pos, avg(val) AS m FROM (
+              SELECT cid, unnest(e) AS val,
+                     generate_subscripts(e, 1) AS pos
+              FROM ${p}a$r) GROUP BY cid, pos) GROUP BY cid),
+        ${p}c$r AS (
+          SELECT pr.cid, coalesce(CAST(n.cmr AS DOUBLE[]), pr.ce) AS ce
+          FROM ${p}c${r - 1} pr LEFT JOIN ${p}m$r n ON n.cid = pr.cid)"""
+    }
+    (seed +: rnds).mkString(",")
+  }
+
+  /** CTE chain replaying the ENTIRE trained-IVF lifecycle in DuckDB:
+    * float-quantized unit vectors ([[unitExprQ]] — both engines train
+    * from bit-identical input), 5 unrolled spherical Lloyd rounds
+    * ([[lloydCtes]]; means are float-quantized per round, matching
+    * api.Similarity's lloyd), the trained centroid table with norms, and
+    * ivfProbeSearch's assign/probe tables over the RAW vectors. Used by
+    * sim_ann_ivf_trained (ranked output) and sim_ann_recall (hit
+    * counts).
+    */
+  private def ivfTrainedCtes(p: String): String = s"""
+        ${p}v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        ${p}tv AS (
+          SELECT vec_id,
+                 CAST(CAST(list_transform(e, x -> x / nrm) AS REAL[])
+                      AS DOUBLE[]) AS e
+          FROM ${p}v),
+        ${lloydCtes(p, 16, 5, 64)},
+        ${p}cd AS (
+          SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cnrm
+          FROM ${p}c5),
+        ${p}assigned AS (
+          SELECT vec_id, e, nrm, cid FROM (
+            SELECT q.vec_id, q.e, q.nrm, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.ce)
+                                    / (q.nrm * c.cnrm), 6) DESC,
+                              c.cid) AS rn
+            FROM ${p}v q CROSS JOIN ${p}cd c) WHERE rn = 1),
+        ${p}probes AS (
+          SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid FROM (
+            SELECT q.vec_id, q.e, q.nrm, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.ce)
+                                    / (q.nrm * c.cnrm), 6) DESC,
+                              c.cid) AS rn
+            FROM ${p}v q CROSS JOIN ${p}cd c WHERE q.vec_id < 50)
+          WHERE rn <= 2)"""
 
   def all: Seq[Q] = Seq(
     // Exact brute-force cosine top-5 per query vector (queries: vec_id<10),
@@ -700,7 +793,26 @@ object Similarity extends QueryModule {
     // cache ([[ivfTrainedCents]]).
     Q(
       "sim_ann_ivf_trained",
-      (s, dir) => ivfProbeSearch(vecs(s, dir), ivfTrainedCents(s, dir))),
+      (s, dir) => ivfProbeSearch(vecs(s, dir), ivfTrainedCents(s, dir)),
+      // Oracle (round 11): the full 5-iteration spherical training plus
+      // the probe search, replayed from generated SQL — see
+      // ivfTrainedCtes / lloydCtes.
+      oracle = Some(s"""
+        WITH ${ivfTrainedCtes("")}
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+               cluster, cos_sim
+        FROM (
+          SELECT p.query_id,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY round(list_dot_product(p.qe, a.e)
+                                  / (p.qnrm * a.nrm), 6) DESC,
+                            a.vec_id) AS rank,
+                 a.vec_id AS cand_id, a.cid AS cluster,
+                 round(list_dot_product(p.qe, a.e) / (p.qnrm * a.nrm), 4)
+                   AS cos_sim
+          FROM probes p JOIN assigned a
+            ON a.cid = p.cid AND a.vec_id <> p.query_id)
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // Int8 scalar quantization of embeddings — the storage-side operator a
     // 100 TB vector pipeline runs before indexing (4× smaller than float32,
@@ -896,7 +1008,11 @@ object Similarity extends QueryModule {
     // ANN quality evaluation: recall@3 of the LSH and IVF indexes against
     // the exact brute-force top-3, per query — the measurement loop any
     // production ANN deployment needs. Pure composition of the registry's
-    // own queries; one row per query vector.
+    // own queries; one row per query vector. Oracle (round 11): ALL five
+    // index replays composed in one statement — the prefix-parameterized
+    // CTE generators (ivfSeedCtes "s_", ivfTrainedCtes "t_", pqCtes
+    // "p_", the literal LSH planes) exist exactly so their chains can
+    // coexist without name collisions.
     Q(
       "sim_ann_recall",
       (s, dir) => {
@@ -935,7 +1051,94 @@ object Similarity extends QueryModule {
             round(coalesce(col("pq_hits"), lit(0)) / col("k"), 4)
               .as("pq_recall_at_3"))
           .orderBy("query_id")
-      }),
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        sig AS (
+          SELECT vec_id, e, nrm, $lshSigSql AS sig FROM v),
+        ex AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50) WHERE rn <= 3),
+        lsh AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM sig q JOIN sig c
+              ON c.sig = q.sig AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50) WHERE rn <= 3),
+        mp AS (
+          SELECT query_id, cand_id FROM (
+            SELECT p.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY round(list_dot_product(p.qe, c.e)
+                                    / (p.qnrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm,
+                         unnest([q.sig, xor(q.sig, 1), xor(q.sig, 2),
+                                 xor(q.sig, 4), xor(q.sig, 8),
+                                 xor(q.sig, 16), xor(q.sig, 32)]) AS probe
+                  FROM sig q WHERE q.vec_id < 50) p
+            JOIN sig c ON c.sig = p.probe AND c.vec_id <> p.query_id)
+          WHERE rn <= 3),
+        ${ivfSeedCtes("s_")},
+        ivf3 AS (
+          SELECT query_id, cand_id FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY round(list_dot_product(p.qe, a.e)
+                                    / (p.qnrm * a.nrm), 6) DESC,
+                              a.vec_id) AS rn
+            FROM s_probes p JOIN s_assigned a
+              ON a.cid = p.cid AND a.vec_id <> p.query_id) WHERE rn <= 3),
+        ${ivfTrainedCtes("t_")},
+        ivt3 AS (
+          SELECT query_id, cand_id FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY round(list_dot_product(p.qe, a.e)
+                                    / (p.qnrm * a.nrm), 6) DESC,
+                              a.vec_id) AS rn
+            FROM t_probes p JOIN t_assigned a
+              ON a.cid = p.cid AND a.vec_id <> p.query_id) WHERE rn <= 3),
+        ${pqCtes("p_")},
+        pq3 AS (
+          SELECT query_id, cand_id FROM p_pqr WHERE rank <= 3)
+        SELECT e.query_id,
+               round(count(l.cand_id) / CAST(count(*) AS DOUBLE), 4)
+                 AS lsh_recall_at_3,
+               round(count(m.cand_id) / CAST(count(*) AS DOUBLE), 4)
+                 AS lsh_mp_recall_at_3,
+               round(count(i.cand_id) / CAST(count(*) AS DOUBLE), 4)
+                 AS ivf_recall_at_3,
+               round(count(t.cand_id) / CAST(count(*) AS DOUBLE), 4)
+                 AS ivf_trained_recall_at_3,
+               round(count(pp.cand_id) / CAST(count(*) AS DOUBLE), 4)
+                 AS pq_recall_at_3
+        FROM ex e
+        LEFT JOIN lsh l
+          ON l.query_id = e.query_id AND l.cand_id = e.cand_id
+        LEFT JOIN mp m
+          ON m.query_id = e.query_id AND m.cand_id = e.cand_id
+        LEFT JOIN ivf3 i
+          ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+        LEFT JOIN ivt3 t
+          ON t.query_id = e.query_id AND t.cand_id = e.cand_id
+        LEFT JOIN pq3 pp
+          ON pp.query_id = e.query_id AND pp.cand_id = e.cand_id
+        GROUP BY e.query_id ORDER BY e.query_id""")),
 
     // The ORACLE-bearing leg of the ANN audit: recall hit counts of the
     // two LSH indexes (single-probe + hamming-1 multiprobe) against the
@@ -1114,7 +1317,11 @@ object Similarity extends QueryModule {
     // assignment is map-side codegen against literal centroids, update is
     // the one per-round shuffle. The embeddings carry ground-truth labels,
     // so each cluster reports its dominant label and purity — the
-    // self-check that the clustering is real (no oracle: iterative float).
+    // self-check that the clustering is real. Oracle (round 11): all 5
+    // Lloyd rounds replayed via the generated lloydCtes chain (rounded
+    // assignment, float-quantized means) plus the final assignment and
+    // the purity/inertia rollup; inertia sums RAW min distances, where
+    // engine summation-order ulps wash out under round(.., 2).
     Q(
       "ml_kmeans",
       (s, dir) => {
@@ -1138,7 +1345,45 @@ object Similarity extends QueryModule {
             round(col("nl") / col("n_points").cast("double"), 4)
               .as("purity"))
           .orderBy("cluster")
-      }),
+      },
+      oracle = Some(s"""
+        WITH kv AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        ktv AS (SELECT vec_id, e FROM kv),
+        ${lloydCtes("k", 8, 5, 64)},
+        kasg AS (
+          SELECT q.vec_id, c.cid,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
+          FROM ktv q CROSS JOIN kc5 c),
+        kfin AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY round(d, 6), cid) AS rn
+            FROM kasg) WHERE rn = 1),
+        kmin AS (SELECT vec_id, min(d) AS sq_dist FROM kasg GROUP BY vec_id),
+        kpts AS (
+          SELECT f.vec_id, f.cluster, m.sq_dist, kv.label
+          FROM kfin f
+          JOIN kmin m ON m.vec_id = f.vec_id
+          JOIN kv ON kv.vec_id = f.vec_id),
+        kcl AS (
+          SELECT cluster, label, count(*) AS nl FROM kpts GROUP BY 1, 2),
+        kcs AS (
+          SELECT cluster, count(*) AS n_points,
+                 round(sum(sq_dist), 2) AS inertia
+          FROM kpts GROUP BY 1)
+        SELECT c.cluster, c.n_points, c.inertia, t.label AS top_label,
+               round(t.nl / CAST(c.n_points AS DOUBLE), 4) AS purity
+        FROM kcs c JOIN (
+          SELECT cluster, label, nl,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY nl DESC, label) AS rn
+          FROM kcl) t
+          ON t.cluster = c.cluster AND t.rn = 1
+        ORDER BY c.cluster""")),
 
     // Feature scaling — the ML-prep projection: min-max to [0,1] and a
     // z-score per event value WITHIN its type. min/max are
