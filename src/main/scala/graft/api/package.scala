@@ -1968,13 +1968,27 @@ package object api {
       * aggregate per dst, dangling mass (no-out-edge nodes) and the
       * teleport term are folded in via a broadcast 1-row aggregate — no
       * driver-side loop over data, one shuffle per round, lineage cut per
-      * round so plan size stays bounded. Output: (id, rank), summing to 1.
+      * round so plan size stays bounded.
+      *
+      * All rank arithmetic is FIXED-POINT: ranks are longs scaled by
+      * 1e15, shares and the damping factor use floor division, so every
+      * round is order-independent integer math — bit-identical at any
+      * parallelism AND replayable in a DuckDB oracle (round 11; the
+      * float form's summation-order ulps made the iteration
+      * engine-specific). Truncation loses < Σdeg + 2n units (≈1e-9 of
+      * total mass) per round, far inside the mass certificate's 1e-6.
+      * `damping` must be a multiple of 0.01 (it becomes the integer
+      * percentage dNum/100). Output: (id, rank DOUBLE, rank_fp LONG);
+      * rank = rank_fp/1e15 exactly (rank_fp < 2^53), summing to ~1.
       */
     def pageRank(
         edges: DataFrame, src: Column, dst: Column,
         iterations: Int = 6, damping: Double = 0.85,
         undirected: Boolean = false): DataFrame = {
       require(iterations >= 1 && damping > 0 && damping < 1)
+      val dNum = math.round(damping * 100).toInt
+      require(dNum / 100.0 == damping,
+        s"damping $damping must be a multiple of 0.01 for fixed-point")
       val raw = edges.select(src.as("src"), dst.as("dst"))
       // Symmetrize FIRST, distinct ONCE: two separate distincts would pay
       // two full edge shuffles for one deduplicated result. Repartition
@@ -2007,15 +2021,19 @@ package object api {
         ).localCheckpoint(true)
       // One scalar job up front (same budget as the CC convergence
       // probe); N parameterizes the teleport term.
-      val n = nodesDeg.count().toDouble
+      val n = nodesDeg.count()
+      val S = 1000000000000000L // 1e15 fixed-point scale
+      // Teleport term (1-d)/n in fixed point: a driver-side integer
+      // floor, identical to the oracle's (100-dNum)*S // (100*n).
+      val teleport = (100L - dNum) * S / (100L * n)
       val hasDangling = !undirected &&
         nodesDeg.filter(col("deg").isNull).limit(1).count() > 0
-      var ranks = nodesDeg.withColumn("rank", lit(1.0 / n))
+      var ranks = nodesDeg.withColumn("rank_fp", lit(S / n))
       var round = 0
       while (round < iterations) {
         val shares = ranks.filter(col("deg").isNotNull)
           .select(col("id").as("share_src"),
-            (col("rank") / col("deg")).as("share"))
+            expr("rank_fp div deg").as("share"))
         // The shares side is node-sized — broadcast it so the edge list
         // never moves. (For graphs whose rank vector outgrows broadcast,
         // drop the hint: the edge layout above already hash-partitions on
@@ -2030,24 +2048,26 @@ package object api {
           // must be materialized per round — otherwise round k's scalar
           // re-executes rounds 1..k-1 (quadratic blowup).
           val dangling = ranks.filter(col("deg").isNull)
-            .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+            .agg(coalesce(sum("rank_fp"), lit(0L)).as("dm"))
           base.crossJoin(broadcast(dangling))
             .select(col("id"), col("deg"),
-              (lit((1 - damping) / n) + lit(damping) *
-                (coalesce(col("in_share"), lit(0.0)) + col("dm") / n))
-                .as("rank"))
+              (lit(teleport) + expr(
+                s"($dNum * (coalesce(in_share, 0L) + (dm div $n))) div 100"))
+                .as("rank_fp"))
             .localCheckpoint(true)
         } else {
           // No dangling mass ⇒ each round references the previous exactly
           // once ⇒ the whole iteration chains into ONE fused job with no
           // per-round materialization.
           base.select(col("id"), col("deg"),
-            (lit((1 - damping) / n) + lit(damping) *
-              coalesce(col("in_share"), lit(0.0))).as("rank"))
+            (lit(teleport) +
+              expr(s"($dNum * coalesce(in_share, 0L)) div 100"))
+              .as("rank_fp"))
         }
         round += 1
       }
-      ranks.select(col("id"), col("rank"))
+      ranks.select(col("id"),
+        (col("rank_fp").cast("double") / S).as("rank"), col("rank_fp"))
     }
 
     /** Exact triangle/wedge census of an undirected graph given as an

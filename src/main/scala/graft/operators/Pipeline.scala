@@ -13,6 +13,46 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline extends QueryModule {
 
+  /** Unrolled fixed-point PageRank rounds for the graph_pagerank oracle —
+    * the DuckDB replay of api.Graph.pageRank over the bipartite
+    * part↔supplier graph (undirected ⇒ no dangling mass). Every round is
+    * BIGINT floor arithmetic on ranks scaled by 1e15 (share = rank //
+    * deg, damp = (85·Σshares) // 100, teleport = 15·S // (100·n)), so
+    * summation order cannot move a single unit and the 5-round fixpoint
+    * hash-matches across engines. Emits pr_r0 .. pr_r<rounds>, each
+    * (id, deg, rank).
+    */
+  private def pagerankCtes(rounds: Int): String = {
+    val S = "CAST(1000000000000000 AS BIGINT)"
+    val head = s"""pr_re AS (
+          SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+                          CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+          FROM lineitem),
+        pr_e AS (
+          SELECT src, dst FROM pr_re
+          UNION
+          SELECT dst AS src, src AS dst FROM pr_re),
+        pr_deg AS (SELECT src AS id, count(*) AS deg FROM pr_e GROUP BY 1),
+        pr_nn AS (SELECT count(*) AS n FROM pr_deg),
+        pr_r0 AS (
+          SELECT id, deg, $S // n AS rank
+          FROM pr_deg CROSS JOIN pr_nn)"""
+    val rnds = (1 to rounds).map { r =>
+      s"""
+        pr_sh$r AS (SELECT id, rank // deg AS share FROM pr_r${r - 1}),
+        pr_ib$r AS (
+          SELECT e.dst AS id, CAST(sum(s.share) AS BIGINT) AS ins
+          FROM pr_e e JOIN pr_sh$r s ON s.id = e.src GROUP BY 1),
+        pr_r$r AS (
+          SELECT d.id, d.deg,
+                 (15 * $S) // (100 * nn.n)
+                 + (85 * coalesce(i.ins, 0)) // 100 AS rank
+          FROM pr_deg d CROSS JOIN pr_nn nn
+          LEFT JOIN pr_ib$r i ON i.id = d.id)"""
+    }
+    (head +: rnds).mkString(",")
+  }
+
   /** The recursive-CTE replay of packFirstFitDecreasing (budget 512,
     * 4 shards, largest-first with id tie-break): state is the whole bin
     * load LIST; list_position of the first fitting bin is exactly the
@@ -860,9 +900,11 @@ object Pipeline extends QueryModule {
 
     // PageRank over the bipartite part↔supplier graph from lineitem
     // (distinct edges, symmetrized). Iterative join+agg rounds with
-    // per-round lineage cuts; no oracle (iterative float fixpoint isn't
-    // DuckDB-hashable) — PipelineSpec checks a hand-computed graph and
-    // the in-row mass_ok column certifies ranks sum to 1 in-query.
+    // per-round lineage cuts. Oracle (round 11): api.Graph.pageRank is
+    // fixed-point integer arithmetic, so the whole 5-round fixpoint is
+    // order-independent and replayed unrolled in generated DuckDB SQL
+    // ([[pagerankCtes]]); the mass certificate compares integers.
+    // PipelineSpec additionally checks a hand-computed graph.
     Q(
       "graph_pagerank",
       (s, dir) => {
@@ -879,16 +921,29 @@ object Pipeline extends QueryModule {
         val ranks = graft.api.Graph.pageRank(
           edges, col("src"), col("dst"), iterations = 5, undirected = true)
           .localCheckpoint(true)
-        val mass = ranks.agg(sum("rank").as("total_mass"))
-        ranks.orderBy(desc("rank"), asc("id")).limit(20)
+        val mass = ranks.agg(sum("rank_fp").as("total_fp"))
+        ranks.orderBy(desc("rank_fp"), asc("id")).limit(20)
           .crossJoin(broadcast(mass))
           .select(
             when(col("id") % 2 === 0, concat(lit("p"), expr("id div 2")))
               .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),
-            round(col("rank") * 1e6, 4).as("rank_ppm"),
-            (abs(col("total_mass") - 1.0) < 1e-6).as("mass_ok"))
+            round(col("rank_fp") / lit(1e9), 4).as("rank_ppm"),
+            (abs(lit(1000000000000000L) - col("total_fp"))
+              < lit(1000000000L)).as("mass_ok"))
           .orderBy(desc("rank_ppm"), asc("id"))
-      }),
+      },
+      oracle = Some(s"""
+        WITH ${pagerankCtes(5)},
+        pr_top AS (
+          SELECT id, rank FROM pr_r5 ORDER BY rank DESC, id LIMIT 20),
+        pr_tm AS (SELECT CAST(sum(rank) AS BIGINT) AS total FROM pr_r5)
+        SELECT CASE WHEN t.id % 2 = 0 THEN 'p' || CAST(t.id // 2 AS VARCHAR)
+                    ELSE 's' || CAST((t.id - 1) // 2 AS VARCHAR) END AS id,
+               round(t.rank / 1e9, 4) AS rank_ppm,
+               abs(CAST(1000000000000000 AS BIGINT) - m.total)
+                 < 1000000000 AS mass_ok
+        FROM pr_top t CROSS JOIN pr_tm m
+        ORDER BY rank_ppm DESC, id""")),
 
     // Triangle census of the co-purchase graph (parts co-occurring in a
     // 1-URGENT order). The Spark side orients edges by (degree, id) —

@@ -226,6 +226,23 @@ object Similarity extends QueryModule {
       .map(p => p.mkString("[", ", ", "]"))
   }
 
+  /** The 65-dim hyperplanes of the MIPS-augmented index (same draw
+    * discipline as [[lshPlanesSql]], dim 65 for the norm-augmentation
+    * coordinate).
+    */
+  private lazy val lshPlanes65Sql: IndexedSeq[String] = {
+    val rnd = new java.util.Random(42L)
+    IndexedSeq.fill(6)(IndexedSeq.fill(65)(rnd.nextGaussian()))
+      .map(p => p.mkString("[", ", ", "]"))
+  }
+
+  /** 65-dim signature SQL over an augmented-vector expression. */
+  private def lshSig65Sql(ecol: String): String =
+    (0 until 6).map(j =>
+      s"CASE WHEN list_dot_product($ecol, ${lshPlanes65Sql(j)}) > 0" +
+        s" THEN ${1 << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
   /** `sig` column SQL: sum of per-plane sign bits, weight 2^j — the exact
     * arithmetic of api.Similarity.lshSignature over a DOUBLE[] vector.
     */
@@ -537,8 +554,13 @@ object Similarity extends QueryModule {
     // the original vectors), and every query reports its recall@3 against
     // the exact MIPS ground truth inline — the same audit discipline as
     // sim_ann_recall. M² is one driver scalar (max is order-independent,
-    // so it is deterministic at any parallelism); no oracle (approx by
-    // design), AnnRecallSpec pins the recall floor.
+    // so it is deterministic at any parallelism); the augmentation
+    // coordinate sqrt(M²−‖x‖²) is quantized through FLOAT so both
+    // engines bucket from bit-identical tails (the unitExprQ
+    // convention), which is what lets the oracle (round 11) replay the
+    // whole index: 65-dim plane literals, probe fan-out, candidate
+    // dedup, exact-IP ranking, and the inline recall audit.
+    // AnnRecallSpec pins the recall floor.
     Q(
       "sim_mips_augmented",
       (s, dir) => {
@@ -552,8 +574,9 @@ object Similarity extends QueryModule {
         val sig65 = (ea: Column) =>
           graft.api.Similarity.lshSignature(ea, numPlanes = 6, dim = 65)
         val cand = withN
-          .withColumn("sig", sig65(aug(sqrt(greatest(lit(m2) - col("n2"),
-            lit(0.0))))))
+          .withColumn("sig", sig65(aug(
+            sqrt(greatest(lit(m2) - col("n2"), lit(0.0)))
+              .cast("float").cast("double"))))
           .select(col("vec_id").as("cand_id"), col("sig"), col("e"))
         val probes = {
           val s0 = sig65(aug(lit(0.0)))
@@ -585,7 +608,64 @@ object Similarity extends QueryModule {
             round(coalesce(col("h"), lit(0)) / 3.0, 4)
               .as("mips_recall_at_3"))
           .orderBy("query_id")
-      }),
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) AS n2
+          FROM embeddings),
+        mm AS (SELECT max(n2) AS m2 FROM v),
+        cand AS (
+          SELECT vec_id AS cand_id,
+                 ${lshSig65Sql(
+                   """list_append(e, CAST(CAST(sqrt(greatest(m2 - n2, 0))
+                      AS REAL) AS DOUBLE))""")} AS sig
+          FROM v CROSS JOIN mm),
+        q0 AS (
+          SELECT vec_id AS query_id,
+                 ${lshSig65Sql("list_append(e, 0.0)")} AS s0
+          FROM v WHERE vec_id < 10),
+        qp AS (
+          SELECT query_id,
+                 unnest([s0, xor(s0, 1), xor(s0, 2), xor(s0, 4),
+                         xor(s0, 8), xor(s0, 16), xor(s0, 32)]) AS sig
+          FROM q0),
+        ap AS (
+          SELECT DISTINCT q.query_id, c.cand_id
+          FROM qp q JOIN cand c
+            ON c.sig = q.sig AND c.cand_id <> q.query_id),
+        scored AS (
+          SELECT a.query_id, a.cand_id,
+                 list_dot_product(qv.e, cv.e) AS ip
+          FROM ap a
+          JOIN v qv ON qv.vec_id = a.query_id
+          JOIN v cv ON cv.vec_id = a.cand_id),
+        ranked AS (
+          SELECT query_id, cand_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(ip, 6) DESC, cand_id) AS rank
+          FROM scored),
+        ex AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e), 6) DESC,
+                              c.vec_id) AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10) WHERE rn <= 3),
+        hits AS (
+          SELECT e.query_id, count(r.cand_id) AS h
+          FROM ex e
+          LEFT JOIN (SELECT query_id, cand_id FROM ranked WHERE rank <= 3) r
+            ON r.query_id = e.query_id AND r.cand_id = e.cand_id
+          GROUP BY e.query_id),
+        nc AS (
+          SELECT query_id, count(*) AS n_candidates FROM ap GROUP BY 1)
+        SELECT n.query_id, n.n_candidates,
+               round(coalesce(h.h, 0) / 3.0, 4) AS mips_recall_at_3
+        FROM nc n LEFT JOIN hits h ON h.query_id = n.query_id
+        ORDER BY n.query_id""")),
 
     // kNN majority-label classification: held-out vectors (vec_id % 53 = 0)
     // classified by the mode label of their 10 nearest training neighbors.
