@@ -191,6 +191,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageRank fixed-point is partition-invariant, bit-exact") {
+    val sp = spark
+    import sp.implicits._
+    // A messy-enough synthetic graph (hash-derived, ~200 nodes, skewed
+    // degrees) where float summation order WOULD diverge across
+    // partitionings; fixed-point must not move a single unit.
+    val edges = (0 until 800).map { i =>
+      (math.abs((i * 2654435761L) % 200), math.abs((i * 40503L + 7) % 200))
+    }.filter { case (s, d) => s != d }.toDF("s", "d")
+    def run(parts: Int): Map[Long, Long] =
+      api.Graph.pageRank(edges.repartition(parts), col("s"), col("d"),
+        iterations = 8, undirected = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = run(1)
+    val b = run(13)
+    assert(a == b, "rank_fp must be identical at any parallelism")
+    // Mass conservation in integer units: truncation loses < Σdeg + 2n
+    // units per round — far inside the 1e-6 certificate.
+    val total = a.values.sum
+    assert(math.abs(1000000000000000L - total) < 1000000000L)
+  }
+
   test("perplexity matches the closed form on a tiny corpus") {
     val sp = spark
     import sp.implicits._
