@@ -2056,13 +2056,18 @@ package object api {
                 .as("rank_fp"))
             .localCheckpoint(true)
         } else {
-          // No dangling mass ⇒ each round references the previous exactly
-          // once ⇒ the whole iteration chains into ONE fused job with no
-          // per-round materialization.
+          // No dangling scalar here, but STILL materialize per round:
+          // each round's broadcast(shares) runs as its own job, and an
+          // unmaterialized chain makes round k's broadcast subtree
+          // re-execute rounds 1..k-1 — O(k²/2) round-units instead of k
+          // (measured: 5 rounds at sf0.1 dropped ~4.2 s → ~2.7 s with
+          // the cut; the pre-r11 "one fused job" reading missed the
+          // broadcast-side re-execution).
           base.select(col("id"), col("deg"),
             (lit(teleport) +
               expr(s"($dNum * coalesce(in_share, 0L)) div 100"))
               .as("rank_fp"))
+            .localCheckpoint(true)
         }
         round += 1
       }
