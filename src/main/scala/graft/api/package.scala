@@ -2224,26 +2224,52 @@ package object api {
       *
       * The wedge self-join on the shared neighbor costs Σ deg(w)² rows —
       * unlike the triangle census this cannot be degree-oriented away,
-      * because BOTH endpoints of every wedge are needed. At 100 TB the
-      * standard mitigations are capping hub adjacency lists or minhashing
-      * the neighbor sets (see Dedup.minhashSignatures); `minCommon`
-      * pre-filters the long tail before the degree join.
+      * because BOTH endpoints of every wedge are needed. `maxNeighbors`
+      * is the 100 TB valve: each node's adjacency list is capped to a
+      * DETERMINISTIC hash-ordered sample of that size before the wedge
+      * join, bounding the join at Σ min(deg, cap)² ≤ n·cap², and the
+      * Jaccard denominator uses the CAPPED degrees so the output is the
+      * exact Jaccard of the sampled neighbor sets (an unbiased-ordered,
+      * repartition-stable estimator of the true one — md5 order, no
+      * RNG). Uncapped (the default) the result is exact; `minCommon`
+      * pre-filters the long tail before the degree join either way.
       */
     def neighborJaccard(
         edges: DataFrame, src: Column, dst: Column,
-        minCommon: Int = 2): DataFrame = {
+        minCommon: Int = 2, maxNeighbors: Int = Int.MaxValue): DataFrame = {
+      require(maxNeighbors >= 1, "maxNeighbors must be >= 1")
       val e = edges
         .select(least(src, dst).cast("long").as("u"),
           greatest(src, dst).cast("long").as("v"))
         .filter(col("u") =!= col("v") && col("u").isNotNull)
         .distinct()
         .localCheckpoint(true)
-      val adj = e.select(col("u").as("n"), col("v").as("m"))
+      val adjFull = e.select(col("u").as("n"), col("v").as("m"))
         .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+      val adj =
+        if (maxNeighbors == Int.MaxValue) adjFull
+        else {
+          // Hash-ordered top-cap per node: one shuffle on n (reused by
+          // the wedge join's clustering), portable md5 order so the
+          // sample — and therefore every downstream count — is identical
+          // at any parallelism and in any engine.
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("n")
+            .orderBy(md5(concat_ws("_", col("n"), col("m"))), col("m"))
+          adjFull.withColumn("hr", row_number().over(w))
+            .filter(col("hr") <= maxNeighbors)
+            .drop("hr")
+        }
       val deg = adj.groupBy("n").agg(count(lit(1)).as("d"))
+      // Wedges share the NEIGHBOR coordinate (a.m = b.m): common(u,v) is
+      // then exactly |adj(u) ∩ adj(v)| — identical to the shared-center
+      // formulation on the symmetric uncapped set, but the formulation
+      // that stays consistent with the capped-degree denominator when
+      // maxNeighbors binds (membership is evaluated against u's and v's
+      // OWN capped lists, never the reverse direction).
       val common = adj.as("a")
-        .join(adj.as("b"), col("a.n") === col("b.n") && col("a.m") < col("b.m"))
-        .groupBy(col("a.m").as("u"), col("b.m").as("v"))
+        .join(adj.as("b"), col("a.m") === col("b.m") && col("a.n") < col("b.n"))
+        .groupBy(col("a.n").as("u"), col("b.n").as("v"))
         .agg(count(lit(1)).as("common"))
         .filter(col("common") >= minCommon)
       // deg is node-cardinality (one row per vertex) while `common` is

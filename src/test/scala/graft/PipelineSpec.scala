@@ -191,6 +191,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("neighborJaccard: exact on a hand graph; hub cap bounds and stays deterministic") {
+    val sp = spark
+    import sp.implicits._
+    // Square 1-2-3-4-1 plus diagonal 1-3: N(2)={1,3}, N(4)={1,3} →
+    // common(2,4)=2, deg 2+2, jaccard = 2/(2+2-2) = 1.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("s", "d")
+    val exact = api.Graph.neighborJaccard(sq, col("s"), col("d"),
+      minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(exact.contains((2L, 4L, 2L, 1.0)))
+    // Hub star: node 0 adjacent to 1..40, plus a planted pair 41-42
+    // sharing neighbors 1,2,3. Cap 5: every capped degree <= 5, so
+    // common <= 5 everywhere and the join is bounded — and the sampled
+    // result must be IDENTICAL under different input partitionings
+    // (md5 order, no RNG).
+    val hub = ((1L to 40L).map(i => (0L, i)) ++
+      Seq((41L, 1L), (41L, 2L), (41L, 3L), (42L, 1L), (42L, 2L), (42L, 3L)))
+      .toDF("s", "d")
+    def run(parts: Int) = api.Graph.neighborJaccard(
+      hub.repartition(parts), col("s"), col("d"),
+      minCommon = 1, maxNeighbors = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val a = run(2)
+    assert(a == run(7), "capped sample must be partition-invariant")
+    assert(a.forall(_._3 <= 5), "common cannot exceed the cap")
+    // 41 and 42 have true degree 3 (< cap): their pair survives exactly.
+    assert(a.contains((41L, 42L, 3L, 1.0)))
+  }
+
   test("pageRank fixed-point is partition-invariant, bit-exact") {
     val sp = spark
     import sp.implicits._
