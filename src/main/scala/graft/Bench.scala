@@ -55,6 +55,7 @@ object Bench {
       graft.operators.Streaming.prepareInputs(spark, sfDir)
       graft.operators.Similarity.warmIndexes(spark, sfDir)
       graft.operators.Pipeline.warmGraph(spark, sfDir)
+      graft.operators.Dedup.warmDedup(spark, sfDir)
       graft.operators.DsV2.topic(spark, sfDir)
     } catch { case _: Throwable => () }
     val calibration = calibrate(spark)

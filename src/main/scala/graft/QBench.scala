@@ -30,6 +30,7 @@ object QBench {
       graft.operators.Streaming.prepareInputs(spark, sfDir)
       graft.operators.Similarity.warmIndexes(spark, sfDir)
       graft.operators.Pipeline.warmGraph(spark, sfDir)
+      graft.operators.Dedup.warmDedup(spark, sfDir)
       graft.operators.DsV2.topic(spark, sfDir)
     } catch { case _: Throwable => () }
     val qs = SparkEntry.queries

@@ -77,12 +77,26 @@ package object api {
     def minhashNearDuplicates(
         df: DataFrame, id: Column, text: Column,
         numHashes: Int = 32, bands: Int = 8, minJaccard: Double = 0.4,
-        k: Int = 3): DataFrame = {
-      require(numHashes % bands == 0, "bands must divide numHashes")
-      val rows = numHashes / bands
+        k: Int = 3): DataFrame =
       // Persisted: the banded self-join would otherwise recompute the whole
       // shingle→hash→min pipeline on both build and probe sides.
-      val sigs = minhashSignatures(df, id, text, numHashes, k).persist()
+      minhashPairsFromSignatures(
+        minhashSignatures(df, id, text, numHashes, k).persist(),
+        numHashes, bands, minJaccard)
+
+    /** The banding + estimate leg of [[minhashNearDuplicates]] over an
+      * already-built (id, sig) signature table — the probe side of the
+      * build-once/query-many index lifecycle (a deployment maintains the
+      * signature table; each dedup pass bands and scores it). Callers
+      * must hand in a MATERIALIZED frame (persist/checkpoint), or the
+      * self-join recomputes the signature pipeline twice.
+      */
+    def minhashPairsFromSignatures(
+        sigs: DataFrame,
+        numHashes: Int = 32, bands: Int = 8,
+        minJaccard: Double = 0.4): DataFrame = {
+      require(numHashes % bands == 0, "bands must divide numHashes")
+      val rows = numHashes / bands
       val banded = sigs
         .select(col("id"), col("sig"),
           explode(sequence(lit(0), lit(bands - 1))).as("band"))
