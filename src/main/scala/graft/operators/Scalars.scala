@@ -297,8 +297,10 @@ object Scalars extends QueryModule {
     // variant, extract typed paths lazily. The scale rationale: variant
     // parse + shredded access beats repeated get_json_object string
     // re-parsing when many fields are extracted. DuckDB has no variant
-    // type → rows-only grading; values are cross-checked against the
-    // string-path extraction inline (diff column must be all-zero).
+    // TYPE, but the OUTPUT here is plain longs — so the oracle (round
+    // 11) replays the path extraction with json_extract_string and
+    // hash-checks that the variant-typed and string-path values agree
+    // in both engines (diff all-zero).
     Q(
       "fn_json_variant",
       (s, dir) =>
@@ -309,7 +311,18 @@ object Scalars extends QueryModule {
             try_variant_get(col("v"), "$.k", "long").as("k_variant"),
             col("k_str"))
           .withColumn("diff", coalesce(col("k_variant") - col("k_str"), lit(-1L)))
-          .orderBy("event_id")),
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 AS k_variant,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 AS k_str,
+               coalesce(
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 - TRY_CAST(json_extract_string(props, '$.k') AS BIGINT),
+                 -1) AS diff
+        FROM events ORDER BY event_id""")),
 
     // Binary-text codecs: base64 / hex / digest round-trips — the
     // serialization scalars an ingestion boundary leans on (opaque keys,
