@@ -497,8 +497,13 @@ object Sources extends QueryModule {
     // Small-files compaction — the ingestion-maintenance pass every
     // file-based sink eventually needs: a deliberately over-fragmented
     // layout (32 shards) is rewritten into 2 files and the row count
-    // re-certified. No oracle (filesystem facts); the file counts and
-    // the row-preservation flag self-certify. At 100 TB this is the
+    // re-certified. The oracle (round 11) is the CONTRACT CONSTANT,
+    // not a replay — DuckDB cannot observe the scratch filesystem, but
+    // the observable outcome of a correct compaction is fully
+    // determined (32 non-empty round-robin shards in, 2 files out,
+    // rows preserved), so hash-checking against the constant turns a
+    // publish/compaction regression into a correctness failure instead
+    // of a spec-only failure. At 100 TB this is the
     // job that keeps scan task counts sane — the rewrite is a plain
     // repartition(n) write, embarrassingly parallel. Visibility is
     // TRANSACTIONAL end-to-end: both generations land through
@@ -526,7 +531,11 @@ object Sources extends QueryModule {
         Seq((nFiles(frag), nFiles(compact),
             before.count() == after.count() && after.count() == ev.count()))
           .toDF("files_before", "files_after", "rows_preserved")
-      }),
+      },
+      oracle = Some("""
+        SELECT CAST(32 AS BIGINT) AS files_before,
+               CAST(2 AS BIGINT) AS files_after,
+               true AS rows_preserved""")),
 
     // Partition-retention (TTL) enforcement: events land in a
     // day-partitioned sink, partitions older than the cutoff are
