@@ -717,7 +717,63 @@ object Streaming extends QueryModule {
         s.read.parquet(sink)
           .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
           .orderBy("event_type")
-      }),
+      },
+      // Oracle (round 11): the 3-batch watermark state machine replayed
+      // unrolled — the last streaming-state key to gain one. The replay
+      // encodes Spark 4.1's dropDuplicatesWithinWatermark lifecycle
+      // exactly as driven here (AvailableNow, one slice file per batch
+      // in pinned mtime order):
+      //   * batch assignment = cutSlices' fixed ts ranges;
+      //   * kept-per-(key, batch) = the FIRST row in file order (a
+      //     single-file batch through a hash exchange preserves per-key
+      //     file order, and events parquet is event_id-ordered);
+      //   * state lookup does NOT check expiry (the executor drops on
+      //     bare key existence); eviction runs at the END of each batch
+      //     with that batch's one-batch-lagged watermark, so ALL
+      //     batch-0 keys block batch 1, and batch 2 is blocked by k1
+      //     plus the k0 tail with ts + 1h >= wm1 = max(ts, batch 0)
+      //     - 1h;
+      //   * a dropped duplicate never refreshes state.
+      // Verified against the engine at sf0.001 AND sf0.01 (the 0.01
+      // counts 296/295 discriminate: naive per-batch distinct or
+      // expiry-checked lookup both give different totals).
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                      WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                      ELSE 2 END AS b
+          FROM events),
+        f AS (
+          SELECT user_id, event_type, ts, b FROM (
+            SELECT user_id, event_type, ts, b,
+                   row_number() OVER (PARTITION BY user_id, event_type, b
+                     ORDER BY event_id) AS rn
+            FROM e) WHERE rn = 1),
+        wm AS (SELECT
+          (SELECT max(ts) FROM e WHERE b = 0) - INTERVAL 1 HOUR AS wm1),
+        k0 AS (SELECT user_id, event_type, ts FROM f WHERE b = 0),
+        k1 AS (
+          SELECT f.user_id, f.event_type, f.ts
+          FROM f LEFT JOIN k0
+            ON k0.user_id = f.user_id AND k0.event_type = f.event_type
+          WHERE f.b = 1 AND k0.user_id IS NULL),
+        s2 AS (
+          SELECT user_id, event_type FROM k1
+          UNION
+          SELECT k0.user_id, k0.event_type FROM k0 CROSS JOIN wm
+          WHERE k0.ts + INTERVAL 1 HOUR >= wm.wm1),
+        k2 AS (
+          SELECT f.user_id, f.event_type, f.ts
+          FROM f LEFT JOIN s2
+            ON s2.user_id = f.user_id AND s2.event_type = f.event_type
+          WHERE f.b = 2 AND s2.user_id IS NULL),
+        kept AS (
+          SELECT event_type FROM k0
+          UNION ALL SELECT event_type FROM k1
+          UNION ALL SELECT event_type FROM k2)
+        SELECT event_type, count(*) AS n_kept
+        FROM kept GROUP BY 1 ORDER BY 1""")),
 
     // Stream ⋈ static-dimension enrichment: the static side is planned as a
     // broadcast per micro-batch (no state), the canonical cheap enrich.
