@@ -694,7 +694,33 @@ object Streaming extends QueryModule {
           .withColumn("sketch_parity",
             col("hll_users") === col("hll_users_batch"))
           .orderBy("day_start", "event_type")
-      }),
+      },
+      // Oracle (round 11): the owned HLL is portable (SplitMix64), so
+      // the per-closed-window estimates replay through Udx.hllCtes; the
+      // closed-window set is the same watermark arithmetic the query's
+      // own batch leg uses (window end ≤ max ts − 10 min), and
+      // streamed-vs-batch parity is the engine-checked TRUE.
+      oracle = Some(s"""
+        WITH ${Udx.hllCtes("",
+          """SELECT DISTINCT
+                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+                    event_type, user_id AS v FROM events""",
+          "day_start, event_type")},
+        wm AS (SELECT max(epoch_us(ts)) AS wm FROM events),
+        ex AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+                 event_type, count(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY 1, 2)
+        SELECT h.day_start, h.event_type, h.hll_users,
+               h.hll_users AS hll_users_batch,
+               CAST(ex.exact_users AS BIGINT) AS exact_users,
+               true AS sketch_parity
+        FROM hll h
+        JOIN ex ON ex.day_start = h.day_start
+          AND ex.event_type = h.event_type
+        CROSS JOIN wm
+        WHERE epoch_us(h.day_start) + 86400000000 <= wm.wm - 600000000
+        ORDER BY h.day_start, h.event_type""")),
 
     // Streaming dedup within the watermark: first event per (user_id,
     // event_type) while the key's state lives; counts the survivors.

@@ -18,6 +18,83 @@ import org.apache.spark.sql.functions._
   */
 object Udx extends QueryModule {
 
+  /** CTE chain replaying graft.functions.Hll in DuckDB (round 11):
+    * SplitMix64 over the distinct values (64-bit modular multiplies via
+    * 32-bit-half decomposition — INT128 cannot hold a full 64×64
+    * product), p=12 register index/rank, register max, and the
+    * linear-counting/harmonic estimate. At the corpus NDVs the estimate
+    * sits in the LINEAR-COUNTING branch, a function of the integer
+    * zero-register count alone — no float-summation-order exposure
+    * (the harmonic branch is replayed too, with the usual dyadic-sum
+    * caveat). The register-max union is lossless, so ONE chain serves
+    * direct, merged, and windowed consumers (udaf_hll, udaf_hll_merge,
+    * stream_hll_distinct).
+    *
+    * `duSql` must yield ($grpCols, v) with v the value to sketch;
+    * emits `${p}du .. ${p}hll`, the latter ($grpCols, hll_users BIGINT).
+    */
+  private[operators] def hllCtes(
+      p: String, duSql: String, grpCols: String): String = {
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val m32 = "CAST('4294967296' AS HUGEINT)"
+    def mulmod(a: String, c: Long): String = {
+      val lo = c & 0xffffffffL
+      val hi = c >>> 32
+      s"""CAST(((CAST($a AS HUGEINT) % $m32) * $lo
+               + (((CAST($a AS HUGEINT) % $m32) * $hi
+                   + (CAST($a AS HUGEINT) // $m32) * $lo) % $m32) * $m32)
+              % $m64 AS UBIGINT)"""
+    }
+    s"""
+        ${p}du AS ($duSql),
+        ${p}h0 AS (
+          SELECT $grpCols,
+                 CAST((CAST(CAST(v AS UBIGINT) AS HUGEINT)
+                       + CAST('11400714819323198485' AS HUGEINT)) % $m64
+                   AS UBIGINT) AS z
+          FROM ${p}du),
+        ${p}h1 AS (
+          SELECT $grpCols,
+                 ${mulmod("xor(z, z >> 30)", 0xbf58476d1ce4e5b9L)} AS z
+          FROM ${p}h0),
+        ${p}h2 AS (
+          SELECT $grpCols,
+                 ${mulmod("xor(z, z >> 27)", 0x94d049bb133111ebL)} AS z
+          FROM ${p}h1),
+        ${p}hh AS (SELECT $grpCols, xor(z, z >> 31) AS h FROM ${p}h2),
+        ${p}ir AS (
+          SELECT $grpCols, CAST(h >> 52 AS INT) AS idx,
+                 CAST((CAST(h AS HUGEINT) * 4096) % $m64 AS UBIGINT) | 1
+                   AS rest
+          FROM ${p}hh),
+        ${p}rk AS (
+          SELECT $grpCols, idx,
+                 CAST(64 - (list_max(list_transform(generate_series(0, 63),
+                   i -> CASE WHEN (rest >> i) >= 1 THEN i ELSE -1 END)) + 1)
+                   + 1 AS INT) AS rank
+          FROM ${p}ir),
+        ${p}regs AS (
+          SELECT $grpCols, idx, max(rank) AS reg
+          FROM ${p}rk GROUP BY ALL),
+        ${p}est AS (
+          SELECT $grpCols,
+                 sum(1.0 / CAST(CAST(1 AS UBIGINT) << reg AS DOUBLE))
+                   AS inv_nz,
+                 count(*) AS m_nz
+          FROM ${p}regs GROUP BY ALL),
+        ${p}hll AS (
+          SELECT $grpCols,
+                 CAST(round(CASE
+                   WHEN (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+                        / (inv_nz + (4096 - m_nz) * 1.0) <= 2.5 * 4096
+                        AND m_nz < 4096
+                     THEN 4096.0 * ln(4096.0 / (4096 - m_nz))
+                   ELSE (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+                        / (inv_nz + (4096 - m_nz) * 1.0)
+                 END) AS BIGINT) AS hll_users
+          FROM ${p}est)"""
+  }
+
   /** Exact weighted mean as a typed Aggregator: IN = (value, weight). */
   private object WeightedMean
       extends Aggregator[(Double, Double), (Double, Double), Double] {
@@ -136,8 +213,10 @@ object Udx extends QueryModule {
 
     // From-scratch HyperLogLog sketch (graft.functions.HyperLogLog) as a
     // typed Aggregator: approximate distinct users per event type, with the
-    // exact count alongside for error inspection. Approximate by design →
-    // no oracle; HllSpec bounds the relative error.
+    // exact count alongside for error inspection. Approximate — but OWNED
+    // and portable (SplitMix64, no RNG), so the oracle (round 11) replays
+    // the whole sketch in SQL ([[hllCtes]]) and hash-matches the estimate
+    // itself; HllSpec still bounds the relative error.
     Q(
       "udaf_hll",
       (s, dir) =>
@@ -147,7 +226,18 @@ object Udx extends QueryModule {
             graft.api.Sketches.hllCountDistinct(col("user_id"), 12)
               .as("hll_users"),
             countDistinct("user_id").as("exact_users"))
-          .orderBy("event_type")),
+          .orderBy("event_type"),
+      oracle = Some(s"""
+        WITH ${hllCtes("",
+          "SELECT DISTINCT event_type, user_id AS v FROM events",
+          "event_type")},
+        ex AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY 1)
+        SELECT h.event_type, h.hll_users,
+               CAST(ex.exact_users AS BIGINT) AS exact_users
+        FROM hll h JOIN ex ON ex.event_type = h.event_type
+        ORDER BY h.event_type""")),
 
     // q-digest quantile sketch (graft.functions.QDigest): the third owned
     // mergeable summary (distinct=HLL, heavy hitters=MG, quantiles=this).
@@ -259,7 +349,23 @@ object Udx extends QueryModule {
             (col("merged_users") - col("direct_users"))
               .as("merged_minus_direct"))
           .orderBy("event_type")
-      }),
+      },
+      // Oracle (round 11): register-max union is lossless, so the merged
+      // registers equal the direct single-pass registers — ONE hllCtes
+      // replay serves both sides, and merged_minus_direct is the
+      // engine-checked zero.
+      oracle = Some(s"""
+        WITH ${hllCtes("",
+          "SELECT DISTINCT event_type, user_id AS v FROM events",
+          "event_type")},
+        ex AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY 1)
+        SELECT h.event_type, h.hll_users AS merged_users,
+               CAST(ex.exact_users AS BIGINT) AS exact_users,
+               CAST(0 AS BIGINT) AS merged_minus_direct
+        FROM hll h JOIN ex ON ex.event_type = h.event_type
+        ORDER BY h.event_type""")),
 
     // The custom codegen Expression (graft.functions.CosineSimilarity):
     // similarity of every embedding to the vec_id=0 reference vector,
