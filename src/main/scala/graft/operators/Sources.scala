@@ -500,10 +500,12 @@ object Sources extends QueryModule {
     // re-certified. The oracle (round 11) is the CONTRACT CONSTANT,
     // not a replay — DuckDB cannot observe the scratch filesystem, but
     // the observable outcome of a correct compaction is fully
-    // determined (32 non-empty round-robin shards in, 2 files out,
-    // rows preserved), so hash-checking against the constant turns a
-    // publish/compaction regression into a correctness failure instead
-    // of a spec-only failure. At 100 TB this is the
+    // determined (fragmented input, output within the 2-file budget,
+    // rows preserved — asserted as booleans so a benign writer-behavior
+    // change can't masquerade as a failure, ADVICE r11), so hash-checking
+    // against the constant turns a publish/compaction regression into a
+    // correctness failure instead of a spec-only failure. At 100 TB this
+    // is the
     // job that keeps scan task counts sane — the rewrite is a plain
     // repartition(n) write, embarrassingly parallel. Visibility is
     // TRANSACTIONAL end-to-end: both generations land through
@@ -528,13 +530,20 @@ object Sources extends QueryModule {
           _.toArray.map(_.toString).count(_.endsWith(".parquet")).toLong)
         val sp2 = s
         import sp2.implicits._
-        Seq((nFiles(frag), nFiles(compact),
+        // Report SEMANTIC facts, not raw file counts: a benign writer
+        // change (maxRecordsPerFile, empty-partition elision, commit
+        // protocol splitting a task's output) would shift exact counts
+        // while the compaction itself stays correct (ADVICE r11). The
+        // contract is: input genuinely fragmented (>= 2x the target),
+        // output within the requested file budget, rows preserved.
+        Seq((nFiles(frag) >= 4L,
+            nFiles(compact) <= 2L && nFiles(compact) >= 1L,
             before.count() == after.count() && after.count() == ev.count()))
-          .toDF("files_before", "files_after", "rows_preserved")
+          .toDF("fragmented_in", "within_budget_out", "rows_preserved")
       },
       oracle = Some("""
-        SELECT CAST(32 AS BIGINT) AS files_before,
-               CAST(2 AS BIGINT) AS files_after,
+        SELECT true AS fragmented_in,
+               true AS within_budget_out,
                true AS rows_preserved""")),
 
     // Partition-retention (TTL) enforcement: events land in a
