@@ -22,7 +22,7 @@ class QDigestSpec extends AnyFunSuite with SparkFixture {
   }
 
   private def assertBounds(
-      d: QDigest, buf: scala.collection.mutable.LongMap[Long],
+      d: QDigest, buf: graft.functions.QDigestBuf,
       data: IndexedSeq[Long], fractions: Seq[Double]): Unit = {
     val sorted = data.sorted
     val n = data.length
@@ -52,8 +52,9 @@ class QDigestSpec extends AnyFunSuite with SparkFixture {
     val merged = d.merge(l.foldLeft(d.zero)(d.reduce),
       r.foldLeft(d.zero)(d.reduce))
     assertBounds(d, merged, data, fr)
-    // merge() compresses: the kept map is O(k), not O(distinct).
-    assert(merged.size <= 3 * 256, s"digest size ${merged.size} not O(k)")
+    // merge() compacts: the kept digest is O(k), not O(distinct).
+    assert(merged.len <= 3 * 256, s"digest size ${merged.len} not O(k)")
+    assert(merged.fLen == 0, "merge must leave the raw log empty")
   }
 
   test("out-of-universe values clamp to the edges, not crash") {
