@@ -113,14 +113,28 @@ object Streaming extends QueryModule {
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val key = "spark.sql.shuffle.partitions"
     val mgrKey = "spark.sql.streaming.checkpointFileManagerClass"
+    val wscgKey = "spark.sql.codegen.wholeStage"
     val prior = s.conf.get(key)
     val priorMgr = s.conf.getOption(mgrKey)
+    val priorWscg = s.conf.get(wscgKey)
     s.conf.set(key, "4")
     s.conf.set(mgrKey, "org.apache.spark.sql.execution.streaming." +
       "checkpointing.FileSystemBasedCheckpointFileManager")
+    // Whole-stage codegen RECOMPILES per micro-batch here: event-time
+    // plans embed per-batch literals (the current watermark,
+    // CurrentBatchTimestamp) inside codegen'd filters, so the generated-
+    // class cache misses every batch and janino pays ~100-300 ms per
+    // batch — more than the batch's entire data work at micro-batch row
+    // counts. Interpreted mode is strictly faster until a batch is
+    // ~millions of rows (StreamProfile r12: stream_watermark_agg
+    // 1.86→1.19 s, stream_session_window 2.09→1.62 s warm). Production
+    // jobs with large batches amortize the compile and keep the default;
+    // this scope restores the conf on exit.
+    s.conf.set(wscgKey, "false")
     try start.awaitTermination()
     finally {
       s.conf.set(key, prior)
+      s.conf.set(wscgKey, priorWscg)
       priorMgr match {
         case Some(v) => s.conf.set(mgrKey, v)
         case None => s.conf.unset(mgrKey)
