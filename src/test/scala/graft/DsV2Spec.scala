@@ -230,6 +230,48 @@ class DsV2Spec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq((0, "k0"), (1, "k1")))
   }
 
+  test("a REAL killed-and-retried writer task neither loses nor duplicates " +
+    "records (scheduler-level fault injection)") {
+    // Not a simulation: the map function fused into the write task throws
+    // on its FIRST attempt (TaskContext.attemptNumber == 0) after the
+    // DataWriter has already consumed part of the stream, so Spark aborts
+    // that attempt's writer mid-file and reschedules (SparkFixture runs
+    // local[4, 2]). The commit must carry ONLY the surviving attempt's
+    // segments: same rows, same dense offsets, no strays in _staging, no
+    // extra segments in _meta — byte-for-byte the digest of an uninjected
+    // write of the same frame.
+    val t = freshTopic("dsv2_task_retry")
+    val clean = freshTopic("dsv2_task_retry_clean")
+    val failOnce = udf((k: String) => {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 && k == "k016")
+        throw new RuntimeException("injected first-attempt task kill")
+      k
+    })
+    // withColumn AFTER the partition-local sort: no exchange between the
+    // udf and the DataWriter, so the throw happens INSIDE the write task.
+    tinyFrame.withColumn("key", failOnce(col("key")))
+      .write.format("graft-log").mode("append").save(t)
+    tinyFrame.write.format("graft-log").mode("append").save(clean)
+    def digest(topic: String) = spark.read.format("graft-log").load(topic)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n"), max("offset").as("max_off"),
+        bit_xor(hash(col("offset"), col("key"), col("value"), col("ts"))
+          .cast("long")).as("xor"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(digest(t) == digest(clean),
+      "retried write must equal the uninjected write record-for-record")
+    assert(!Files.exists(Paths.get(t, "_staging")),
+      "no staged files may survive the commit")
+    // exactly one committed segment per partition — the failed attempt's
+    // partial file must not appear as a segment
+    (0 until 3).foreach { p =>
+      assert(GraftLogMeta.segs(t, p).size == GraftLogMeta.segs(clean, p).size,
+        s"p=$p segment count differs from the clean write")
+    }
+  }
+
   test("a losing speculative attempt's abort leaves the winner's staged file") {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.unsafe.types.UTF8String

@@ -10,7 +10,12 @@ import org.scalatest.Suite
 object SparkFixture {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow ONE task retry so fault-injection specs
+      // (GraftLog commit protocol under a killed writer attempt) can
+      // exercise the retry path; plain local[4] fails the job on the
+      // first task failure. Specs that assert job failure still pass —
+      // the injected error just throws once more before surfacing.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
