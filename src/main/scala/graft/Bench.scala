@@ -103,30 +103,57 @@ object Bench {
         catch { case _: Throwable => "unplannable" }
       (n, tag)
     }
+    val lines = artifactLines(
+      results.map { case (k, s, r, _) => (k, s, r) },
+      planClasses, calibration, sfDir, Scratch.divertedKeys)
+    lines.foreach(println)
+    // The stdout tail is a 2000-char window, so the FULL per-key map can
+    // never be guaranteed to survive it — persist the complete artifact
+    // to a file as well (cwd = repo root under the driver), so per-key
+    // cross-round comparisons never depend on the tail.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL_LAST.json"),
+      lines.mkString("", "\n", "\n"))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+
+  /** The four stdout artifact lines — factored out so ArtifactContractSpec
+    * can pin the format against tools/artifact_check.py without running a
+    * bench. Line order is a contract with the driver's stdout-TAIL
+    * capture (last 2000 chars, `parsed` = json.loads of the LAST line):
+    * most-droppable detail first, per-key SECONDS on their own line, and
+    * the LAST line carries ONLY scalar headline totals — no embedded
+    * maps — so the tail always parses it. (r10 lost the seconds map
+    * because it led a truncated detail line; r11 lost the TOTAL because
+    * it led the ~7 KB combined final line — VERDICT r11 task 1.
+    * Scalars-only-last makes both truncation classes impossible at once.)
+    */
+  private[graft] def artifactLines(
+      results: Seq[(String, Double, Long)],
+      planClasses: Seq[(String, String)],
+      calibration: Double,
+      sfDir: String,
+      diverted: Seq[String]): Seq[String] = {
+    val errors = results.collect { case (n, _, -1L) => n }
+    val suspectZero = results.collect {
+      case (n, _, 0L) if SparkEntry.oracleSql.contains(n) => n }
     val total = results.map(_._2).sum
     // Errored keys keep their partial elapsed in `queries` for triage but
     // are excluded from `total_ok`, the cross-round comparable headline
     // (ADVICE r10: mixing error sets silently skews `total`).
-    val totalOk = results.collect { case (_, s, r, _) if r != -1L => s }.sum
-    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
+    val totalOk = results.collect { case (_, s, r) if r != -1L => s }.sum
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val rws = results.map { case (k, _, r, _) => s""""$k":$r""" }
+    val rws = results.map { case (k, _, r) => s""""$k":$r""" }
       .mkString("{", ",", "}")
     val pcs = planClasses.map { case (k, t) => s""""$k":"$t"""" }
       .mkString("{", ",", "}")
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Line order is a contract with the driver's stdout-TAIL capture:
-    // most-droppable detail first, per-key SECONDS on their own line, and
-    // the LAST line carries ONLY scalar headline totals — no embedded
-    // maps — so even a sub-200-char tail keeps `value`/`total_ok`/
-    // `calibration_sec` intact. (r10 lost the seconds map because it led
-    // a truncated detail line; r11 lost the TOTAL because it led the ~7 KB
-    // combined final line — VERDICT r11 task 1. Scalars-only-last makes
-    // both truncation classes impossible at once.)
-    println(s"""{"metric":"rows","rows":$rws,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"scratch_diverted":${strArr(Scratch.divertedKeys)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"plan_class","plan_class":$pcs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"calibration_sec":$calibration%.3f,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
-    spark.stop()
+    Seq(
+      s"""{"metric":"rows","rows":$rws,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"scratch_diverted":${strArr(diverted)},"sf":"$sfDir"}""",
+      s"""{"metric":"plan_class","plan_class":$pcs,"sf":"$sfDir"}""",
+      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"calibration_sec":$calibration%.3f,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Bench stdout artifact format against the driver's consumption
+  * shape (2000-char tail, json.loads of the last line) WITHOUT running a
+  * bench: Bench.artifactLines formats synthetic results, and
+  * tools/artifact_check.py — the executable statement of the contract —
+  * validates them. A format drift (the r10 seconds-map and r11
+  * headline-total truncation classes) now fails `sbt test` instead of
+  * blinding a future round's verdict. The negative case proves the
+  * checker actually discriminates.
+  */
+class ArtifactContractSpec extends AnyFunSuite {
+
+  /** Synthetic per-key results shaped like a real run: one normal key per
+    * registry entry (reusing the REAL key names so suspect-zero logic sees
+    * real oracle membership), plus one crashed key (rows = -1).
+    */
+  private def syntheticLines(breakOne: Boolean): Seq[String] = {
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+    val results = keys.zipWithIndex.map { case (k, i) =>
+      (k, 0.1 + (i % 7) * 0.01, if (breakOne && i == 3) -1L else 10L + i)
+    }
+    val plans = keys.map(k => (k, "ok"))
+    Bench.artifactLines(results, plans, calibration = 0.2,
+      sfDir = "/root/testdata/sf0.1", diverted = Seq.empty)
+  }
+
+  private def runChecker(lines: Seq[String]): (Int, String) = {
+    val f = Files.createTempFile("bench_stdout", ".txt")
+    Files.writeString(f, lines.mkString("", "\n", "\n"))
+    val pb = new ProcessBuilder("python3", "tools/artifact_check.py",
+      f.toString)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val rc = p.waitFor()
+    Files.deleteIfExists(f)
+    (rc, out)
+  }
+
+  test("the emitted artifact lines satisfy the driver-tail contract") {
+    val (rc, out) = runChecker(syntheticLines(breakOne = false))
+    assert(rc == 0, s"checker rejected a well-formed artifact:\n$out")
+    assert(out.contains("artifact contract OK"), out)
+  }
+
+  test("a crashed key still yields a contract-conforming artifact " +
+    "(errors listed, excluded from total_ok)") {
+    val lines = syntheticLines(breakOne = true)
+    val (rc, out) = runChecker(lines)
+    assert(rc == 0, s"checker rejected the crashed-key artifact:\n$out")
+    // the crashed key must appear in the last line's errors array
+    assert(lines.last.contains("\"errors\":[\""), lines.last)
+  }
+
+  test("a deliberately mangled artifact fails the check (truncation class)") {
+    // Reproduce the r11 failure mode: fold the queries map INTO the final
+    // line so the tail window cuts its head off.
+    val good = syntheticLines(breakOne = false)
+    val mangled = good.dropRight(2) :+
+      good.last.dropRight(1) + ",\"queries\":" +
+        good(2).drop(good(2).indexOf("{\"") + 0) // splice a map back in
+    val (rc, _) = runChecker(mangled)
+    assert(rc != 0, "checker must reject a map-bearing final line")
+  }
+
+  test("a reordered artifact (total not last) fails the check") {
+    val good = syntheticLines(breakOne = false)
+    val (rc, _) = runChecker(Seq(good(0), good(3), good(1), good(2)))
+    assert(rc != 0, "checker must reject total-not-last ordering")
+  }
+
+  test("BENCH_LOCAL_LAST.json written by the last real bench run (if any) " +
+    "also satisfies the contract") {
+    val f = Paths.get("BENCH_LOCAL_LAST.json")
+    assume(Files.exists(f), "no local bench artifact yet — run graft.Bench")
+    val (rc, out) = runChecker(
+      Files.readString(f).split("\n").toSeq)
+    assert(rc == 0, s"persisted bench artifact violates the contract:\n$out")
+  }
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Bench stdout artifact contract check.
+
+Usage: python3 tools/artifact_check.py <bench_stdout_file>
+
+Validates the four-line stdout contract Bench.artifactLines emits, the way
+the DRIVER consumes it (2000-char stdout tail, json.loads of the last
+line) — so a format drift fails `sbt test` (ArtifactContractSpec drives
+this script) instead of silently blinding a future round's verdict:
+
+ 1. every artifact line is standalone-parseable JSON with a `metric` tag;
+ 2. line order is rows, plan_class, queries, total (most-droppable first);
+ 3. the LAST line is scalars-only (no dict values), well under the tail
+    window, and carries value/total_ok/calibration_sec/n_queries/n_errors;
+ 4. a simulated 2000-char tail still parses that last line intact;
+ 5. the queries/rows/plan_class maps agree on the key set and its size
+    equals n_queries.
+
+Exit 0 = contract holds; exit 1 with a reason otherwise.
+"""
+import json
+import sys
+
+TAIL_WINDOW = 2000
+
+
+def fail(msg: str) -> None:
+    print(f"ARTIFACT CONTRACT VIOLATION: {msg}")
+    sys.exit(1)
+
+
+def main() -> None:
+    if len(sys.argv) != 2:
+        fail("usage: artifact_check.py <bench_stdout_file>")
+    raw = open(sys.argv[1], encoding="utf-8").read()
+    lines = [ln for ln in raw.splitlines() if ln.strip().startswith("{")]
+    if len(lines) < 4:
+        fail(f"expected >= 4 JSON artifact lines, got {len(lines)}")
+    lines = lines[-4:]
+    parsed = []
+    for i, ln in enumerate(lines):
+        try:
+            parsed.append(json.loads(ln))
+        except json.JSONDecodeError as e:
+            fail(f"line {i} is not standalone JSON: {e}")
+    metrics = [p.get("metric") for p in parsed]
+    if metrics != ["rows", "plan_class", "queries", "total"]:
+        fail(f"line order must be rows,plan_class,queries,total; got {metrics}")
+    rows, plan, queries, total = parsed
+
+    # Last line: scalars only, parseable from a bare tail window.
+    if any(isinstance(v, dict) for v in total.values()):
+        fail("total line must not embed any map (tail-truncation class)")
+    if len(lines[-1]) > 1000:
+        fail(f"total line is {len(lines[-1])} chars; must stay far below "
+             f"the {TAIL_WINDOW}-char tail window")
+    for field in ("value", "total_ok", "calibration_sec",
+                  "n_queries", "n_errors", "sf", "errors", "suspect_zero"):
+        if field not in total:
+            fail(f"total line missing `{field}`")
+    tail = raw[-TAIL_WINDOW:]
+    last_in_tail = [ln for ln in tail.splitlines()
+                    if ln.strip().startswith("{")]
+    try:
+        re = json.loads(last_in_tail[-1])
+    except Exception as e:
+        fail(f"2000-char tail does not re-parse the total line: {e}")
+    if re.get("metric") != "total" or re.get("value") != total["value"]:
+        fail("tail-parsed total line disagrees with the full one")
+
+    # Map lines agree on keys; count matches the headline.
+    qkeys = set(queries["queries"])
+    if set(rows["rows"]) != qkeys or set(plan["plan_class"]) != qkeys:
+        fail("rows/plan_class/queries key sets disagree")
+    if total["n_queries"] != len(qkeys):
+        fail(f"n_queries={total['n_queries']} but queries map has "
+             f"{len(qkeys)} keys")
+    if abs(sum(queries["queries"].values()) - total["value"]) > 0.01 * len(qkeys):
+        fail("sum(queries) disagrees with total value beyond rounding")
+    print(f"artifact contract OK: {len(qkeys)} keys, "
+          f"total={total['value']}s, last line {len(lines[-1])} chars")
+
+
+if __name__ == "__main__":
+    main()
