@@ -365,6 +365,51 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(api.Layout.currentManifest(root).isEmpty)
   }
 
+  test("Layout.publishManifest: concurrent writers never share a " +
+    "generation and never lose one") {
+    val root = s"${Scratch.fresh("manifest_race")}/table"
+    // 8 threads race 5 publishes each through the claim protocol. Every
+    // publish must win a DISTINCT generation (the r11 verdict's
+    // generation-race gap), and the final pointer must resolve the
+    // highest one.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gens = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val futures = (0 until 8).map { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = (0 until 5).foreach { i =>
+          val g = api.Layout.publishManifest(root, Seq(s"d-$w-$i"))
+          assert(gens.add(g), s"generation $g was published TWICE")
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(gens.size == 40, s"expected 40 distinct generations, ${gens.size}")
+    assert((1L to 40L).forall(gens.contains), "generations must be dense")
+    // the pointer resolves the last swap, and its manifest content is the
+    // winner's list (claim content written before the swap)
+    val cur = api.Layout.currentManifest(root)
+    assert(cur.size == 1 && cur.head.startsWith("d-"))
+  }
+
+  test("Layout.publishManifestIf: stale expected generation is rejected, " +
+    "fresh one wins (optimistic CAS)") {
+    val root = s"${Scratch.fresh("manifest_cas")}/table"
+    val g1 = api.Layout.publishManifest(root, Seq("a"))
+    assert(g1 == 1L)
+    // read-modify-write from generation 1 succeeds...
+    assert(api.Layout.publishManifestIf(root, Seq("a", "b"), 1L)
+      .contains(2L))
+    // ...but a writer still holding the generation-1 view must NOT be
+    // able to clobber generation 2's list (lost-update prevention)
+    assert(api.Layout.publishManifestIf(root, Seq("stale"), 1L).isEmpty)
+    assert(api.Layout.currentManifest(root) == Seq("a", "b"))
+    // and the CAS loser can retry from the fresh generation
+    assert(api.Layout.publishManifestIf(root, Seq("a", "b", "c"), 2L)
+      .contains(3L))
+    assert(api.Layout.currentManifest(root) == Seq("a", "b", "c"))
+  }
+
   test("distinctiveTerms ranks by tf desc, rarity asc, term asc") {
     val sp = spark
     import sp.implicits._
