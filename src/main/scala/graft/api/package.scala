@@ -2174,10 +2174,15 @@ package object api {
       * order keys pack (degree, id) into one long so every join/compare
       * runs on 8-byte keys.
       */
-    def triangleStats(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    def triangleStats(edges: DataFrame, src: Column, dst: Column,
+        assumeCanonical: Boolean = false): DataFrame = {
       // Canonical undirected edge set; materialized once — degrees read
-      // it twice and the oriented set derives from it.
-      val e = edges
+      // it twice and the oriented set derives from it. assumeCanonical:
+      // caller guarantees distinct, self-loop-free, long-typed u < v
+      // (a shared checkpointed graph index) — skip the shuffle.
+      val e = if (assumeCanonical)
+        edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+      else edges
         .select(least(src, dst).cast("long").as("u"),
           greatest(src, dst).cast("long").as("v"))
         .filter(col("u") =!= col("v") && col("u").isNotNull)
@@ -2267,8 +2272,11 @@ package object api {
       */
     def bfs(
         edges: DataFrame, src: Column, dst: Column,
-        source: Long, maxHops: Int = 4): DataFrame = {
-      val e = edges
+        source: Long, maxHops: Int = 4,
+        assumeCanonical: Boolean = false): DataFrame = {
+      val e = if (assumeCanonical)
+        edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+      else edges
         .select(least(src, dst).cast("long").as("u"),
           greatest(src, dst).cast("long").as("v"))
         .filter(col("u") =!= col("v") && col("u").isNotNull)
@@ -2319,9 +2327,15 @@ package object api {
       */
     def neighborJaccard(
         edges: DataFrame, src: Column, dst: Column,
-        minCommon: Int = 2, maxNeighbors: Int = Int.MaxValue): DataFrame = {
+        minCommon: Int = 2, maxNeighbors: Int = Int.MaxValue,
+        assumeCanonical: Boolean = false): DataFrame = {
       require(maxNeighbors >= 1, "maxNeighbors must be >= 1")
-      val e = edges
+      // assumeCanonical: the caller guarantees a long-typed, distinct,
+      // self-loop-free u < v edge set (typically a cached/checkpointed
+      // shared graph index) — skip the canonicalization shuffle.
+      val e = if (assumeCanonical)
+        edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+      else edges
         .select(least(src, dst).cast("long").as("u"),
           greatest(src, dst).cast("long").as("v"))
         .filter(col("u") =!= col("v") && col("u").isNotNull)
