@@ -2111,10 +2111,14 @@ package object api {
           .select(col("id").as("share_src"),
             expr("rank_fp div deg").as("share"))
         // The shares side is node-sized — broadcast it so the edge list
-        // never moves. (For graphs whose rank vector outgrows broadcast,
-        // drop the hint: the edge layout above already hash-partitions on
-        // src, so the planner falls back to a co-partitioned merge join.)
-        val inbound = e.join(broadcast(shares), col("src") === col("share_src"))
+        // never moves. SELF-TUNING at scale: n is already counted above,
+        // and a rank vector beyond ~50M nodes (~1.2 GB of (long, long)
+        // rows) outgrows a sane broadcast — past that, drop the hint and
+        // the planner joins against the checkpointed edge layout, which
+        // is already hash-partitioned on src (co-partitioned merge join,
+        // only the node-sized side shuffles per round).
+        val sharesSide = if (n <= 50000000L) broadcast(shares) else shares
+        val inbound = e.join(sharesSide, col("src") === col("share_src"))
           .groupBy(col("dst").as("in_id"))
           .agg(sum("share").as("in_share"))
         val base = nodesDeg.join(inbound, col("id") === col("in_id"), "left")

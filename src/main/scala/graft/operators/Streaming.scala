@@ -109,14 +109,27 @@ object Streaming extends QueryModule {
     * keep Spark's default manager (this scope never touches cluster
     * conf — it restores on exit).
     */
-  private[operators] def drive(s: SparkSession)(
+  /** `finalFlush = false` skips the trailing no-data micro-batch
+    * (spark.sql.streaming.noDataMicroBatches.enabled=false for the
+    * query's lifetime). ONLY valid for queries whose OUTPUT does not
+    * depend on the watermark-driven flush: emit-on-arrival shapes
+    * (dropDuplicates*, inner stream-stream joins) where the no-data
+    * batch performs state EVICTION but emits nothing. Append-mode
+    * watermark aggregations, session windows, and OUTER stream-stream
+    * joins (the flush emits closed windows / null-padded rows) MUST
+    * keep the default. The DuckDB oracle is the gate either way.
+    */
+  private[operators] def drive(s: SparkSession, finalFlush: Boolean = true)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val key = "spark.sql.shuffle.partitions"
     val mgrKey = "spark.sql.streaming.checkpointFileManagerClass"
     val wscgKey = "spark.sql.codegen.wholeStage"
+    val flushKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prior = s.conf.get(key)
     val priorMgr = s.conf.getOption(mgrKey)
     val priorWscg = s.conf.get(wscgKey)
+    val priorFlush = s.conf.get(flushKey)
+    s.conf.set(flushKey, finalFlush.toString)
     s.conf.set(key, "4")
     s.conf.set(mgrKey, "org.apache.spark.sql.execution.streaming." +
       "checkpointing.FileSystemBasedCheckpointFileManager")
@@ -135,6 +148,7 @@ object Streaming extends QueryModule {
     finally {
       s.conf.set(key, prior)
       s.conf.set(wscgKey, priorWscg)
+      s.conf.set(flushKey, priorFlush)
       priorMgr match {
         case Some(v) => s.conf.set(mgrKey, v)
         case None => s.conf.unset(mgrKey)
@@ -744,7 +758,10 @@ object Streaming extends QueryModule {
         val (in, ckpt) = slices(s, dir, "stream_dedup")
         val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
-        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+        // Emit-on-arrival: the trailing no-data batch only EVICTS state
+        // here (dropDuplicates emits survivors as they arrive), so skip
+        // it - the oracle's 3-batch replay stays hash-identical.
+        drive(s, finalFlush = false) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -979,7 +996,11 @@ object Streaming extends QueryModule {
             col("p_ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
         val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
-        drive(s) { joined.writeStream
+        // INNER stream-stream join: matches emit as rows arrive; the
+        // no-data flush only evicts watermark-expired buffers and emits
+        // nothing (the LEFT join below MUST keep it - its flush emits
+        // the null-padded unmatched rows).
+        drive(s, finalFlush = false) { joined.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.write.mode("append").parquet(sink)
           }
@@ -1045,6 +1066,9 @@ object Streaming extends QueryModule {
             "left_outer")
         val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
+        // OUTER join: the watermark-driven flush EMITS the null-padded
+        // unmatched signups — the trailing no-data batch is load-bearing
+        // here, so keep the default finalFlush (unlike the inner join).
         drive(s) { joined.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.write.mode("append").parquet(sink)

@@ -74,6 +74,23 @@ class ArtifactContractSpec extends AnyFunSuite {
     assert(rc != 0, "checker must reject total-not-last ordering")
   }
 
+  test("the committed CORRECTNESS round artifacts satisfy the shape contract") {
+    import scala.jdk.CollectionConverters._
+    val arts = Files.list(Paths.get(".")).iterator().asScala
+      .filter(_.getFileName.toString.matches("CORRECTNESS_r\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    assume(arts.nonEmpty, "no committed correctness artifacts")
+    // the latest artifact is the binding one; older rounds predate fields
+    val latest = arts.last
+    val pb = new ProcessBuilder("python3", "tools/artifact_check.py",
+      "--correctness", latest.toString)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    assert(p.waitFor() == 0, s"$latest violates the shape contract:\n$out")
+    assert(out.contains("correctness artifact OK"), out)
+  }
+
   test("BENCH_LOCAL_LAST.json written by the last real bench run (if any) " +
     "also satisfies the contract") {
     val f = Paths.get("BENCH_LOCAL_LAST.json")

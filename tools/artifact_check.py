@@ -29,9 +29,38 @@ def fail(msg: str) -> None:
     sys.exit(1)
 
 
+def check_correctness(path: str) -> None:
+    """CORRECTNESS_r{N}.json shape: {key: {rows_match, schema_match,
+    hash_match, spark_rows, oracle_rows, err}} — every field present and
+    correctly typed, so a driver-side format drift is caught by the spec
+    that feeds this the committed artifacts."""
+    d = json.load(open(path, encoding="utf-8"))
+    if not isinstance(d, dict) or not d:
+        fail("correctness artifact must be a non-empty key->result dict")
+    for k, v in d.items():
+        no_oracle = v.get("err") == "no_oracle"
+        for b in ("rows_match", "schema_match", "hash_match"):
+            ok = isinstance(v.get(b), bool) or (no_oracle and v.get(b) is None)
+            if not ok:
+                fail(f"{k}.{b} missing or not a bool")
+        if not isinstance(v.get("spark_rows"), int):
+            fail(f"{k}.spark_rows missing or not an int")
+        orows = v.get("oracle_rows")
+        if not (isinstance(orows, int) or (no_oracle and orows is None)):
+            fail(f"{k}.oracle_rows missing or not an int")
+        if "err" not in v:
+            fail(f"{k}.err missing")
+    n_pass = sum(1 for v in d.values()
+                 if v["rows_match"] and v["schema_match"] and v["hash_match"])
+    print(f"correctness artifact OK: {len(d)} keys, {n_pass} full passes")
+
+
 def main() -> None:
+    if len(sys.argv) == 3 and sys.argv[1] == "--correctness":
+        check_correctness(sys.argv[2])
+        return
     if len(sys.argv) != 2:
-        fail("usage: artifact_check.py <bench_stdout_file>")
+        fail("usage: artifact_check.py [--correctness] <file>")
     raw = open(sys.argv[1], encoding="utf-8").read()
     lines = [ln for ln in raw.splitlines() if ln.strip().startswith("{")]
     if len(lines) < 4:
