@@ -57,6 +57,39 @@ class QDigestSpec extends AnyFunSuite with SparkFixture {
     assert(merged.fLen == 0, "merge must leave the raw log empty")
   }
 
+  test("buffer survives java serialization mid-stream (the shuffle path)") {
+    // The partial -> final shuffle java-serializes a live buffer (raw log
+    // included, possibly uncompacted); the deserialized twin must carry
+    // the identical digest forward. Round-trip after an odd number of
+    // values so the log is non-empty and unaligned, keep reducing, merge
+    // with another shard, and check the eps envelope end-to-end.
+    val fr = Seq(0.25, 0.5, 0.9)
+    val d = new QDigest(fr, universeBits = 16, k = 256)
+    val data = (0 until 20000).map(i => ((i.toLong * 48271) % 65536))
+    val (a, b) = data.splitAt(7777)
+    var buf = a.foldLeft(d.zero)(d.reduce)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(buf)
+    buf = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.functions.QDigestBuf]
+    val other = b.foldLeft(d.zero)(d.reduce)
+    assertBounds(d, d.merge(buf, other), data, fr)
+  }
+
+  test("merging an empty shard is the identity") {
+    val fr = Seq(0.5)
+    val d = new QDigest(fr, universeBits = 12, k = 128)
+    val data = (0 until 5000).map(i => (i.toLong * 7919) % 4096)
+    val full = data.foldLeft(d.zero)(d.reduce)
+    val before = d.finish(full)
+    // finish() compacts in place; rebuild and merge with empties each way
+    val rebuilt = data.foldLeft(d.zero)(d.reduce)
+    assert(d.finish(d.merge(rebuilt, d.zero)) == before)
+    val rebuilt2 = data.foldLeft(d.zero)(d.reduce)
+    assert(d.finish(d.merge(d.zero, rebuilt2)) == before)
+  }
+
   test("out-of-universe values clamp to the edges, not crash") {
     val d = new QDigest(Seq(0.5), universeBits = 8, k = 64)
     val buf = Seq(-5L, 1000L, 10L, 10L, 10L).foldLeft(d.zero)(d.reduce)
