@@ -1031,6 +1031,62 @@ package object api {
       true
     }
 
+    /** Time travel: read a specific published version directory (the
+      * `v<N>` convention of [[publish]]). Immutable version dirs + the
+      * monotone pointer make every historical version readable until
+      * [[vacuum]] retires it — the rollback/debug/repro accessor every
+      * versioned table format exposes.
+      */
+    def readVersion(
+        s: org.apache.spark.sql.SparkSession,
+        tableRoot: String, version: Long): Option[DataFrame] = {
+      val d = java.nio.file.Paths.get(tableRoot, s"v$version")
+      if (java.nio.file.Files.isDirectory(d))
+        Some(s.read.parquet(d.toString))
+      else None
+    }
+
+    /** Manifest time travel: the directory list of generation `gen`
+      * (empty if that generation was never published or was vacuumed).
+      */
+    def manifestAt(tableRoot: String, gen: Long): Seq[String] = {
+      val p = java.nio.file.Paths.get(tableRoot, s"m$gen")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else java.nio.file.Files.readString(p)
+        .split("\n").toSeq.filter(_.nonEmpty)
+    }
+
+    /** Retire old VERSION directories (the `v<N>` layout), keeping the
+      * newest `keepLast` versions AND always the one `_CURRENT` points at.
+      * Deletion order is safety-first: a version stops being listable
+      * only after strictly newer versions exist, and the current pointer
+      * target is never touched — a reader holding an older version during
+      * the grace window should be drained before vacuuming that deep
+      * (same contract as every table format's VACUUM horizon). Returns
+      * the deleted version numbers.
+      */
+    def vacuum(tableRoot: String, keepLast: Int = 2): Seq[Long] = {
+      require(keepLast >= 1, "keepLast must be >= 1")
+      import java.nio.file.{Files, Paths}
+      val root = Paths.get(tableRoot)
+      if (!Files.isDirectory(root)) return Seq.empty
+      val cur = currentVersion(tableRoot).getOrElse(return Seq.empty)
+      import scala.jdk.CollectionConverters._
+      val versions = scala.util.Using.resource(Files.list(root))(
+          _.iterator().asScala.map(_.getFileName.toString).toSeq)
+        .collect { case n if n.matches("v\\d+") => n.stripPrefix("v").toLong }
+        .sorted
+      val drop = versions.dropRight(keepLast).filter(_ != cur)
+      drop.foreach { v =>
+        val d = Paths.get(tableRoot, s"v$v")
+        scala.util.Using.resource(Files.walk(d)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { Files.deleteIfExists(f); () })
+        }
+      }
+      drop
+    }
+
     /** Directory list of the current manifest generation (empty if none
       * published). Pair with `spark.read.option("basePath", tableRoot)
       * .parquet(dirs: _*)` so partition columns still parse.

@@ -392,6 +392,36 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(cur.size == 1 && cur.head.startsWith("d-"))
   }
 
+  test("Layout time travel + vacuum: old versions readable until retired, " +
+    "current never deleted") {
+    val sp = spark
+    import sp.implicits._
+    val root = s"${Scratch.fresh("layout_vacuum")}/table"
+    (1 to 4).foreach { i =>
+      api.Layout.publish(Seq((i.toLong, s"gen$i")).toDF("k", "v"), root)
+    }
+    // time travel: every published version readable, content intact
+    (1 to 4).foreach { i =>
+      val df = api.Layout.readVersion(spark, root, i.toLong)
+      assert(df.isDefined, s"v$i missing before vacuum")
+      assert(df.get.select("v").first().getString(0) == s"gen$i")
+    }
+    assert(api.Layout.readVersion(spark, root, 99L).isEmpty)
+    // vacuum keeps the newest 2 (v3, v4) and deletes v1, v2
+    assert(api.Layout.vacuum(root, keepLast = 2) == Seq(1L, 2L))
+    assert(api.Layout.readVersion(spark, root, 1L).isEmpty)
+    assert(api.Layout.readVersion(spark, root, 2L).isEmpty)
+    assert(api.Layout.readVersion(spark, root, 3L).isDefined)
+    assert(api.Layout.readCurrent(spark, root).get
+      .select("v").first().getString(0) == "gen4")
+    // the current pointer target survives even a keepLast=1 vacuum that
+    // would otherwise be tempted past it
+    assert(api.Layout.vacuum(root, keepLast = 1) == Seq(3L))
+    assert(api.Layout.readCurrent(spark, root).get.count() == 1)
+    // idempotent: nothing left to retire
+    assert(api.Layout.vacuum(root, keepLast = 1).isEmpty)
+  }
+
   test("Layout.publishManifestIf: stale expected generation is rejected, " +
     "fresh one wins (optimistic CAS)") {
     val root = s"${Scratch.fresh("manifest_cas")}/table"
