@@ -546,6 +546,61 @@ object Sources extends QueryModule {
                true AS within_budget_out,
                true AS rows_preserved""")),
 
+    // Time travel + vacuum over the versioned-publish layout (round 12):
+    // three successive publishes (full table, then two progressively
+    // tighter filters), every version read back BY VERSION NUMBER and
+    // aggregated — the oracle replays each version's filter directly, so
+    // the whole history is hash-checked, not just the head. A
+    // vacuum(keepLast=2) then retires v1 and the readability flags prove
+    // the retention horizon: retired versions disappear, the kept tail
+    // and the current pointer survive. At 100 TB this is the
+    // rollback/repro accessor (train on LAST week's snapshot) plus the
+    // storage-reclaim pass; both are metadata-speed — no data is copied
+    // to time-travel, only retired dirs are deleted to vacuum. Exact
+    // decimal sums keep the aggregate engine-portable.
+    Q(
+      "sink_time_travel",
+      (s, dir) => {
+        val root = Scratch.fresh("sink_time_travel")
+        val table = s"$root/table"
+        val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+        graft.api.Layout.publish(ev, table) // v1
+        graft.api.Layout.publish(ev.filter(col("value") >= 10), table) // v2
+        graft.api.Layout.publish(ev.filter(col("value") >= 50), table) // v3
+        val aggs = (1L to 3L).map { v =>
+          val df = graft.api.Layout.readVersion(s, table, v).get
+          val r = df.agg(count(lit(1)),
+            round(sum(col("value").cast("decimal(12,2)")), 4)
+              .cast("double")).first()
+          (v, r.getLong(0), r.getDouble(1))
+        }
+        val dropped = graft.api.Layout.vacuum(table, keepLast = 2)
+        require(dropped == Seq(1L), s"vacuum retired $dropped, expected v1")
+        val sp2 = s
+        import sp2.implicits._
+        aggs.map { case (v, n, sv) =>
+          (v, n, sv, graft.api.Layout.readVersion(s, table, v).isDefined)
+        }.toDF("version", "n", "sum_value", "readable_after_vacuum")
+          .orderBy("version")
+      },
+      oracle = Some("""
+        SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE)
+                 AS sum_value,
+               false AS readable_after_vacuum
+        FROM events
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE),
+               true
+        FROM events WHERE value >= 10
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*),
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE),
+               true
+        FROM events WHERE value >= 50
+        ORDER BY version""")),
+
     // Partition-retention (TTL) enforcement: events land in a
     // day-partitioned sink, partitions older than the cutoff are
     // dropped, and the surviving data must equal the batch filter — an
