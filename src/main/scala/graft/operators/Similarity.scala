@@ -723,6 +723,56 @@ object Similarity extends QueryModule {
         SELECT query_id, true_label, label AS pred_label, votes
         FROM best WHERE vr = 1 ORDER BY query_id""")),
 
+    // Hard-negative mining for contrastive training (round 12): for each
+    // query vector, the top-5 most-similar candidates whose label DIFFERS
+    // — the examples a retrieval/embedding trainer wants as negatives
+    // precisely because they are nearly indistinguishable from positives.
+    // Brute-force exact over the broadcast query set (the baseline the
+    // family's doctrine prescribes); at corpus scale the same mining runs
+    // through the IVF/LSH indexes (sim_ann_*) with a label filter in the
+    // rerank. Ranked on round(cos, 6) with id tie-breaks, so the whole
+    // ranked output hash-matches the DuckDB replay.
+    Q(
+      "sim_hard_negatives",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val q = v.filter(col("vec_id") % 53 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+            col("e").as("qe"))
+        val c = v.select(col("vec_id").as("cand_id"),
+          col("label").as("neg_label"), col("e"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        broadcast(q).join(c, col("neg_label") =!= col("q_label"))
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"),
+            col("cand_id").as("neg_id"), col("neg_label"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 c.label AS neg_label,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+          FROM e q JOIN e c ON c.label <> q.label
+          WHERE q.vec_id % 53 = 0),
+        ranked AS (
+          SELECT query_id, cand_id, neg_label, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(cos, 6) DESC, cand_id) AS rank
+          FROM scored)
+        SELECT query_id, rank, cand_id AS neg_id, neg_label,
+               round(cos, 4) AS cos
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ANN via signed-random-projection LSH: bucket on the 6-bit signature,
     // then exact top-3 within the query's bucket only. Equi-join on `sig`
     // replaces the cross join — the 100 TB path (per-bucket work ≈ n/64).
