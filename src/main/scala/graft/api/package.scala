@@ -2406,16 +2406,33 @@ package object api {
       val adj =
         if (maxNeighbors == Int.MaxValue) adjFull
         else {
-          // Hash-ordered top-cap per node: one shuffle on n (reused by
-          // the wedge join's clustering), portable md5 order so the
-          // sample — and therefore every downstream count — is identical
-          // at any parallelism and in any engine.
+          // Hash-ordered top-cap per node, hub-only: taking the top-cap
+          // of a ≤cap-row partition is the identity, so only SUPER-cap
+          // nodes pay the window sort. The wedge join downstream
+          // clusters on m (the shared neighbor), not n, so a full
+          // window shuffle on n buys nothing — instead one map-combined
+          // degree aggregate finds the hubs (≤ 2E/cap of them by
+          // counting), their rows split off via semi/anti joins (AQE
+          // broadcasts the hub set while it is small, falls back to
+          // shuffle when a pathological graph makes most nodes hubs),
+          // and the md5-rank sort touches only Σ deg(hub) rows. The
+          // portable md5 order keeps the sample — and every downstream
+          // count — identical at any parallelism and in any engine.
+          val hubs = adjFull.groupBy("n").agg(count(lit(1)).as("d0"))
+            .filter(col("d0") > maxNeighbors)
+            .select(col("n"))
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("n")
             .orderBy(md5(concat_ws("_", col("n"), col("m"))), col("m"))
-          adjFull.withColumn("hr", row_number().over(w))
+          val capped = adjFull.join(hubs, Seq("n"), "left_semi")
+            .withColumn("hr", row_number().over(w))
             .filter(col("hr") <= maxNeighbors)
             .drop("hr")
+          // The capped adjacency feeds three consumers (deg + both wedge
+          // sides); materialize once so the split/sort isn't re-derived
+          // per consumer. Size is bounded by min(2E, n·cap) 16-byte rows.
+          adjFull.join(hubs, Seq("n"), "left_anti").unionAll(capped)
+            .localCheckpoint(true)
         }
       val deg = adj.groupBy("n").agg(count(lit(1)).as("d"))
       // Wedges share the NEIGHBOR coordinate (a.m = b.m): common(u,v) is
