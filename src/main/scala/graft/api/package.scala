@@ -2549,6 +2549,80 @@ package object api {
         .select(col("rank"), col("pair"), col("n"))
     }
 
+    /** Full iterative BPE merge training (Sennrich et al.): `rounds`
+      * greedy merges, each round counting adjacent symbol pairs weighted
+      * by word frequency, merging the winner everywhere, and recounting.
+      * Output is the merge table — (merge_round, lft, rgt, merged, n) —
+      * the artifact a tokenizer ships.
+      *
+      * Scale shape mirrors [[bpePairStats]]: the corpus collapses to its
+      * vocabulary before any symbol work, so every round is O(|vocab| ·
+      * word length) distributed work plus a ONE-ROW driver collect (the
+      * winning pair — the Lloyd-trainer convention: per-round driver
+      * state is O(1), never corpus-sized). Rounds are lineage-cut per
+      * iteration; ties break on (count desc, left, right) so the ladder
+      * is deterministic in any engine at any parallelism.
+      *
+      * Symbol sequences are encoded as strings — each symbol wrapped in
+      * US separators (U+001F flanking each symbol, doubled between neighbours) —
+      * so one literal `replace` of `␟l␟␟r␟` with `␟lr␟` is EXACTLY the
+      * leftmost-first non-overlapping merge (adjacent occurrences keep
+      * their own flanks: `y y y y` → `yy yy`, never `yy y y`), codegen'd
+      * end-to-end and replayable verbatim in ANSI SQL. Assumes the
+      * corpus contains no U+001F (control chars are stripped by any sane
+      * text-normalize stage upstream).
+      */
+    def bpeTrain(df: DataFrame, text: Column, rounds: Int = 8): DataFrame = {
+      require(rounds >= 1)
+      val S = "\u001F"
+      val SS = S + S
+      var wf = df.select(explode(split(text, " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(
+          regexp_replace(col("w"), "([\\s\\S])", S + "$1" + S).as("seq"),
+          col("c"))
+        .localCheckpoint(true)
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        // Pair extraction over vocab-cardinality rows: the HOF lambda is
+        // interpreted, but the frame is |vocab|-sized by construction —
+        // bounded, never corpus-sized.
+        val top = wf
+          .select(col("c"), split(trim(col("seq"), S), SS).as("li"))
+          // Words that merged down to ONE symbol contribute no pairs —
+          // and sequence(1, 0) runs DESCENDING in Spark, so without this
+          // guard element_at(li, 0) would throw on them.
+          .filter(size(col("li")) >= 2)
+          .select(col("c"), explode(transform(
+            sequence(lit(1), size(col("li")) - 1),
+            i => struct(element_at(col("li"), i).as("l"),
+              element_at(col("li"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("c").as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val row = top(0)
+          val (l, rt, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((r, l, rt, l + rt, n))
+          wf = wf.select(
+              replace(col("seq"), lit(S + l + SS + rt + S), lit(S + l + rt + S))
+                .as("seq"), col("c"))
+            .localCheckpoint(true)
+          r += 1
+        }
+      }
+      val sp = df.sparkSession
+      import sp.implicits._
+      merges.toSeq.toDF("merge_round", "lft", "rgt", "merged", "n")
+    }
+
     /** Unigram-LM perplexity per document — the classic corpus-quality
       * signal (low = boilerplate/common tokens, high = rare-token noise).
       * The LM is the corpus itself (every token is in-vocabulary, no

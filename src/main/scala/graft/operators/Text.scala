@@ -20,6 +20,39 @@ object Text extends QueryModule {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("term"))
 
+  /** Unrolled-BPE-training CTE chain for the text_bpe_train oracle —
+    * the lloydCtes convention: the ORACLE re-runs the training loop.
+    * Round r: p{r} counts adjacent symbol pairs over the US-separator
+    * encoding, t{r} picks the (n desc, l, r) winner, w{r} applies the
+    * literal-replace merge. chr(31) is U+001F.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val sep = "chr(31)"
+    val w0 =
+      s"""w0 AS (
+         |  SELECT regexp_replace(w, '([\\s\\S])',
+         |           $sep || '\\1' || $sep, 'g') AS seq, c
+         |  FROM (SELECT w, count(*) AS c
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |              FROM documents)
+         |        WHERE len(w) >= 2 GROUP BY w))""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT li[CAST(i AS INT)] AS l, li[CAST(i + 1 AS INT)] AS r,
+         |         CAST(sum(c) AS BIGINT) AS n
+         |  FROM (SELECT c, string_split(trim(seq, $sep), $sep || $sep) AS li
+         |        FROM w${r - 1}),
+         |       unnest(generate_series(1, len(li) - 1)) AS ix(i)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(seq, $sep || l || $sep || $sep || r || $sep,
+         |                 $sep || l || r || $sep) AS seq, c
+         |  FROM w${r - 1} CROSS JOIN t$r)""".stripMargin
+    }
+    (w0 +: steps).mkString(",\n")
+  }
+
   def all: Seq[Q] = Seq(
     // Corpus term frequencies (the classic wordcount, explode + hash agg).
     Q(
@@ -506,6 +539,28 @@ object Text extends QueryModule {
                      pair, n
               FROM p)
         SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank""")),
+
+    // FULL iterative BPE training — 8 greedy merge rounds, each recounting
+    // pairs after the previous merge rewrites the vocabulary (the step
+    // text_bpe_pairs only counts once). The merge table is the artifact a
+    // tokenizer ships; the oracle REPLAYS THE WHOLE TRAINING LOOP unrolled
+    // (the lloydCtes discipline): per round, the same pair count, the same
+    // (n desc, l, r) winner, the same leftmost non-overlapping merge via a
+    // literal replace over the US-separator symbol encoding. Every round is
+    // vocab-sized distributed work + a 1-row driver collect — the
+    // 100 TB-feasible tokenizer-training shape.
+    Q(
+      "text_bpe_train",
+      (s, dir) =>
+        graft.api.Text.bpeTrain(
+          Tables.documents(s, dir), col("text"), rounds = 8)
+          .orderBy("merge_round"),
+      oracle = Some(s"""
+        WITH ${bpeCtes(8)}
+        ${(1 to 8).map(r =>
+          s"SELECT $r AS merge_round, l AS lft, r AS rgt, l || r AS merged, n FROM t$r")
+          .mkString("\n        UNION ALL ")}
+        ORDER BY merge_round""")),
 
     // Vocabulary-coverage audit: top-k corpus vocab (ties broken
     // lexically → unique), then per-source OOV token counts and an

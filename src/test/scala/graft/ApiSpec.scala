@@ -491,6 +491,39 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
       (1, "ab", 4L), (2, "bc", 3L), (3, "xy", 2L), (4, "yz", 2L)))
   }
 
+  test("bpeTrain merges leftmost non-overlapping and builds on prior rounds") {
+    val sp = spark
+    import sp.implicits._
+    // Round 1 on {aaaa x3, aab x2, bb x1}: pairs aa=3·3+2=11 (leftmost
+    // scan of aaaa yields 3 aa-adjacencies... weighted by word freq),
+    // merge 'aa'. CRITICALLY 'aaaa' must become [aa, aa] (leftmost
+    // non-overlap), NOT [aa, a, a] — round 2's count of (aa, aa) proves
+    // which one happened: 3 if correct, 0 if the shared-flank bug bit.
+    val df = Seq((1L, "aaaa aaaa aaaa aab aab bb")).toDF("id", "body")
+    val out = api.Text.bpeTrain(df, col("body"), rounds = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // Round 1: aa (from aaaa: 3 adjacent pairs each, aab: 1 each) = 11.
+    assert(out(0) == ((1, "a", "a", "aa", 11L)), out(0).toString)
+    // Round 2 pair counts over {[aa,aa] x3, [aa,b] x2, [b,b] x1}:
+    // (aa,aa)=3, (aa,b)=2, (b,b)=1 → merge aaaa with n=3. A
+    // shared-flank replace bug would have left [aa,a,a] and merged
+    // (aa,a) or (a,a) instead.
+    assert(out(1) == ((2, "aa", "aa", "aaaa", 3L)), out(1).toString)
+    // Round 3: (aa,b)=2 beats (b,b)=1 — merged symbol built on round 1.
+    assert(out(2) == ((3, "aa", "b", "aab", 2L)), out(2).toString)
+  }
+
+  test("bpeTrain is stable under repartitioning") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val a = api.Text.bpeTrain(docs, col("text"), rounds = 4).collect()
+    val b = api.Text.bpeTrain(docs.repartition(7), col("text"), rounds = 4)
+      .collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 4)
+  }
+
   test("dHash collapses noise but separates patterns; MIH finds the pairs") {
     val sp = spark
     import sp.implicits._
