@@ -2573,13 +2573,58 @@ package object api {
       * text-normalize stage upstream).
       */
     def bpeTrain(df: DataFrame, text: Column, rounds: Int = 8): DataFrame = {
+      val (merges, _) = bpeTrainCore(df, text, rounds)
+      val sp = df.sparkSession
+      import sp.implicits._
+      merges.toDF("merge_round", "lft", "rgt", "merged", "n")
+    }
+
+    /** The trained BPE applied back to the corpus: per source, whitespace
+      * token / character / BPE token totals and the BPE tokens-per-100-chars
+      * rate — the tokens-per-byte economics a corpus curator reads before
+      * mixing sources. The final vocabulary encoding comes straight out of
+      * the training loop (vocab-sized); corpus words aggregate to
+      * (source, word) counts FIRST and the vocab joins broadcast, so the
+      * token stream never shuffles for lookup. Single-char words (excluded
+      * from training, ≤1 symbol by construction) count as one token.
+      */
+    def bpeTokenStats(
+        df: DataFrame, source: Column, text: Column,
+        rounds: Int = 8): DataFrame = {
+      val (_, finalWf) = bpeTrainCore(df, text, rounds)
+      val S = "\u001F"
+      val SS = S + S
+      val tokc = finalWf.select(col("w"),
+        size(split(trim(col("seq"), S), SS)).as("tc"))
+      val words = df.select(source.as("grp"),
+          explode(split(text, " ")).as("w"))
+        .groupBy("grp", "w").agg(count(lit(1)).as("nw"))
+      words.join(broadcast(tokc), Seq("w"), "left")
+        .groupBy("grp")
+        .agg(
+          sum(col("nw")).as("n_tokens_ws"),
+          sum(col("nw") * length(col("w"))).as("n_chars"),
+          sum(col("nw") * coalesce(col("tc"), lit(1))).as("n_tokens_bpe"))
+        .select(col("grp"), col("n_tokens_ws"), col("n_chars"),
+          col("n_tokens_bpe"),
+          expr("n_tokens_bpe * 100 div n_chars").as("bpe_per_100chars"))
+    }
+
+    /** Shared BPE training loop: greedy merges over the US-separator word
+      * encoding; returns the merge ladder AND the final (w, seq, c)
+      * vocabulary frame (checkpointed, vocab-sized). See [[bpeTrain]] for
+      * the encoding/determinism contract.
+      */
+    private def bpeTrainCore(
+        df: DataFrame, text: Column, rounds: Int)
+        : (Seq[(Int, String, String, String, Long)], DataFrame) = {
       require(rounds >= 1)
       val S = "\u001F"
       val SS = S + S
       var wf = df.select(explode(split(text, " ")).as("w"))
         .filter(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("c"))
-        .select(
+        .select(col("w"),
           regexp_replace(col("w"), "([\\s\\S])", S + "$1" + S).as("seq"),
           col("c"))
         .localCheckpoint(true)
@@ -2611,16 +2656,14 @@ package object api {
           val row = top(0)
           val (l, rt, n) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((r, l, rt, l + rt, n))
-          wf = wf.select(
+          wf = wf.select(col("w"),
               replace(col("seq"), lit(S + l + SS + rt + S), lit(S + l + rt + S))
                 .as("seq"), col("c"))
             .localCheckpoint(true)
           r += 1
         }
       }
-      val sp = df.sparkSession
-      import sp.implicits._
-      merges.toSeq.toDF("merge_round", "lft", "rgt", "merged", "n")
+      (merges.toSeq, wf)
     }
 
     /** Unigram-LM perplexity per document — the classic corpus-quality

@@ -30,7 +30,7 @@ object Text extends QueryModule {
     val sep = "chr(31)"
     val w0 =
       s"""w0 AS (
-         |  SELECT regexp_replace(w, '([\\s\\S])',
+         |  SELECT w, regexp_replace(w, '([\\s\\S])',
          |           $sep || '\\1' || $sep, 'g') AS seq, c
          |  FROM (SELECT w, count(*) AS c
          |        FROM (SELECT unnest(string_split(text, ' ')) AS w
@@ -46,7 +46,7 @@ object Text extends QueryModule {
          |  GROUP BY 1, 2),
          |t$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
          |w$r AS (
-         |  SELECT replace(seq, $sep || l || $sep || $sep || r || $sep,
+         |  SELECT w, replace(seq, $sep || l || $sep || $sep || r || $sep,
          |                 $sep || l || r || $sep) AS seq, c
          |  FROM w${r - 1} CROSS JOIN t$r)""".stripMargin
     }
@@ -561,6 +561,40 @@ object Text extends QueryModule {
           s"SELECT $r AS merge_round, l AS lft, r AS rgt, l || r AS merged, n FROM t$r")
           .mkString("\n        UNION ALL ")}
         ORDER BY merge_round""")),
+
+    // The trained tokenizer applied back to its corpus: per source, the
+    // whitespace-token / character / BPE-token totals and BPE tokens per
+    // 100 chars — the tokens-per-byte economics a curator reads before
+    // mixing sources (a source that tokenizes badly costs more compute
+    // per char of signal). The oracle re-trains the tokenizer (same
+    // unrolled bpeCtes chain) and re-tokenizes — training AND inference
+    // both replay. Vocab-sized join broadcasts; the corpus shuffles once
+    // on (source, word).
+    Q(
+      "text_bpe_tokenize",
+      (s, dir) =>
+        graft.api.Text.bpeTokenStats(
+          Tables.documents(s, dir), col("source"), col("text"), rounds = 8)
+          .orderBy("grp"),
+      oracle = Some(s"""
+        WITH ${bpeCtes(8)},
+        tokc AS (
+          SELECT w, len(string_split(trim(seq, chr(31)),
+                        chr(31) || chr(31))) AS tc
+          FROM w8),
+        gw AS (
+          SELECT source AS grp, w, count(*) AS nw
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY 1, 2)
+        SELECT grp,
+               CAST(sum(nw) AS BIGINT) AS n_tokens_ws,
+               CAST(sum(nw * len(w)) AS BIGINT) AS n_chars,
+               CAST(sum(nw * coalesce(tc, 1)) AS BIGINT) AS n_tokens_bpe,
+               CAST(sum(nw * coalesce(tc, 1)) AS BIGINT) * 100
+                 // CAST(sum(nw * len(w)) AS BIGINT) AS bpe_per_100chars
+        FROM gw LEFT JOIN tokc USING (w)
+        GROUP BY grp ORDER BY grp""")),
 
     // Vocabulary-coverage audit: top-k corpus vocab (ties broken
     // lexically → unique), then per-source OOV token counts and an

@@ -515,6 +515,25 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(out(2) == ((3, "aa", "b", "aab", 2L)), out(2).toString)
   }
 
+  test("bpeTokenStats counts merged symbols, single-char words count one") {
+    val sp = spark
+    import sp.implicits._
+    // Same ladder as the bpeTrain spec (aa, aaaa, aab after 3 rounds).
+    // Final vocab: aaaa→1 token, aab→1, bb→[b,b]→2; 'x' is excluded from
+    // training (len 1) and must count as ONE token via the coalesce.
+    val df = Seq(
+      ("s1", "aaaa aaaa aaaa aab aab bb"),
+      ("s2", "x aaaa")).toDF("src", "body")
+    val out = api.Text.bpeTokenStats(df, col("src"), col("body"), rounds = 3)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // s1: ws=6, chars=3·4+2·3+2=20, bpe=3·1+2·1+2=7, rate=700 div 20=35.
+    assert(out(0) == (("s1", 6L, 20L, 7L, 35L)), out(0).toString)
+    // s2: ws=2, chars=1+4=5, bpe=1+1=2, rate=200 div 5=40.
+    assert(out(1) == (("s2", 2L, 5L, 2L, 40L)), out(1).toString)
+  }
+
   test("bpeTrain is stable under repartitioning") {
     val docs = graft.Tables.documents(spark, sf0001)
     val a = api.Text.bpeTrain(docs, col("text"), rounds = 4).collect()
