@@ -289,4 +289,65 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       .agg(max("count")).first().getLong(0)
     assert(nfMax <= n / 2 / shards)
   }
+
+  test("bpeTrain ladder equals an array-fold reference on random corpora") {
+    import sp.implicits._
+    // Reference BPE in plain Scala: per-word symbol lists, pair counts
+    // weighted by word freq, (n desc, l, r) winner, leftmost
+    // non-overlapping merge via an explicit index scan — no string
+    // encoding anywhere, so it cannot share the engine's separator
+    // trick (what this property actually certifies).
+    def refTrain(words: Seq[String], rounds: Int)
+        : Seq[(Int, String, String, String, Long)] = {
+      var wf: Map[Vector[String], Long] = words.filter(_.length >= 2)
+        .groupBy(identity).map { case (w, ws) =>
+          (w.map(_.toString).toVector, ws.size.toLong) }
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        wf.foreach { case (syms, c) =>
+          syms.sliding(2).foreach {
+            case Vector(a, b) =>
+              counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+            case _ => ()
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rt), n) = counts.toSeq
+            .sortBy { case ((a, b), m) => (-m, a, b) }.head
+          out += ((r, l, rt, l + rt, n))
+          wf = wf.toSeq.map { case (syms, c) =>
+            val merged = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
+                merged += (l + rt); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            (merged.result(), c)
+          }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val word: Gen[String] = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpus: Gen[List[String]] = Gen.choose(5, 40)
+      .flatMap(n => Gen.listOfN(n, word))
+    samples(corpus, 6).foreach { words =>
+      val df = Seq((1L, words.mkString(" "))).toDF("id", "body")
+      val engine = api.Text.bpeTrain(df, col("body"), rounds = 4)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val expected = refTrain(words, 4)
+      assert(engine == expected,
+        s"corpus=${words.mkString(" ")} engine=$engine ref=$expected")
+    }
+  }
 }
