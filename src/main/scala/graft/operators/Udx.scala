@@ -211,6 +211,43 @@ object Udx extends QueryModule {
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
         FROM documents ORDER BY doc_id""")),
 
+    // The COLUMNAR foreign boundary (round 12) — udf_foreign_pipe's
+    // batch-shaped twin and the executable half of the Arrow design
+    // note: partitions cross a bytes→bytes hop as Arrow IPC stream
+    // batches (128 rows here), the hop's stand-in scoring them straight
+    // off the VarChar buffers (functions.ArrowScorer — public Arrow API
+    // + raw bytes only, exactly what a pyarrow subprocess would run).
+    // Batch size bounds peak task memory; re-entry schema is asserted
+    // against the stream's own; the fingerprint is the repo's 31-ary
+    // rolling hash over UTF-8 bytes, which the oracle replays
+    // per-character — byte==char on this printable-ASCII corpus, and
+    // the hash gate asserts exactly that.
+    Q(
+      "udf_foreign_arrow",
+      (s, dir) => {
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_bytes",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        graft.functions.ArrowPipe.pipe(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          outSchema, maxRecordsPerBatch = 128)(
+          graft.functions.ArrowScorer.score)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               strlen(text) AS n_bytes,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(text)),
+                     i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                 (a, c) -> (a * 31 + c) % 1000000007) AS fp
+        FROM documents ORDER BY doc_id""")),
+
     // From-scratch HyperLogLog sketch (graft.functions.HyperLogLog) as a
     // typed Aggregator: approximate distinct users per event type, with the
     // exact count alongside for error inspection. Approximate — but OWNED
