@@ -142,8 +142,14 @@ object Streaming extends QueryModule {
     // ~millions of rows (StreamProfile r12: stream_watermark_agg
     // 1.86→1.19 s, stream_session_window 2.09→1.62 s warm). Production
     // jobs with large batches amortize the compile and keep the default;
-    // this scope restores the conf on exit.
-    s.conf.set(wscgKey, "false")
+    // this scope restores the conf on exit. GRAFT_STREAM_WSCG=true is a
+    // profiling hook to re-enable codegen for A/B runs — a round-12
+    // cold-run A/B over the five biggest-batch keys (33k-100k rows per
+    // batch) confirmed interpreted still wins or ties on first
+    // execution; codegen only looked better on warm KeyTime reps, where
+    // the generated-class cache hits because re-drives repeat identical
+    // watermark literals — a warmth the one-shot driver bench never has.
+    s.conf.set(wscgKey, sys.env.getOrElse("GRAFT_STREAM_WSCG", "false"))
     try start.awaitTermination()
     finally {
       s.conf.set(key, prior)
