@@ -2969,6 +2969,59 @@ package object api {
         .select(col("rule"), col("__n").as("n_checked"), col("n_violations"))
     }
 
+    /** Population-stability-index drift between a reference and a current
+      * slice of a numeric feature — the standard ML-platform "did this
+      * feature's distribution move?" alarm. PSI = Σ_buckets (p−q)·ln(p/q)
+      * over FIXED-width value buckets (portable: no quantile estimation,
+      * so both engines and any partitioning bucket identically) with
+      * Laplace-smoothed shares p=(ref_cnt+1)/(ref_total+B),
+      * q=(cur_cnt+1)/(cur_total+B) so empty buckets are defined. Every
+      * term is ≥ 0 and is quantized to 1e-12 fixed point BEFORE the
+      * order-sensitive sum (the perplexity discipline): the per-group
+      * total is an exact integer, engine- and partition-independent, and
+      * the conventional PSI ≥ 0.2 "investigate" flag compares integers.
+      * One scan per slice collapsing to group×bucket cardinality;
+      * the bucket spine and totals are group-cardinality broadcasts.
+      * Null values are excluded (they are a volume question —
+      * dq_volume_drift's job — not a distribution one).
+      */
+    def driftPsi(
+        ref: DataFrame, cur: DataFrame, group: Column, value: Column,
+        bucketWidth: Double, nBuckets: Int): DataFrame = {
+      require(nBuckets >= 2 && bucketWidth > 0)
+      def counts(df: DataFrame, as: String) = df
+        .filter(value.isNotNull)
+        .select(group.as("grp"),
+          greatest(least(floor(value / bucketWidth), lit(nBuckets - 1L)),
+            lit(0L)).cast("int").as("b"))
+        .groupBy("grp", "b").agg(count(lit(1)).as(as))
+      val rc = counts(ref, "rcn")
+      val cc = counts(cur, "ccn")
+      val spine = rc.select(col("grp")).unionAll(cc.select(col("grp")))
+        .distinct()
+        .select(col("grp"),
+          explode(sequence(lit(0), lit(nBuckets - 1))).as("b"))
+      val j = spine
+        .join(rc, Seq("grp", "b"), "left")
+        .join(cc, Seq("grp", "b"), "left")
+        .select(col("grp"), col("b"),
+          coalesce(col("rcn"), lit(0L)).as("rcn"),
+          coalesce(col("ccn"), lit(0L)).as("ccn"))
+      val tot = j.groupBy("grp")
+        .agg(sum("rcn").as("rt"), sum("ccn").as("ct"))
+      val B = nBuckets.toDouble
+      val p = (col("rcn") + 1.0) / (col("rt") + B)
+      val q = (col("ccn") + 1.0) / (col("ct") + B)
+      j.join(broadcast(tot), "grp")
+        .select(col("grp"), col("rt"), col("ct"),
+          round((p - q) * log(p / q) * 1e12, 0).cast("long").as("f"))
+        .groupBy(col("grp"), col("rt").as("n_ref"), col("ct").as("n_cur"))
+        .agg(sum("f").as("sf"))
+        .select(col("grp"), col("n_ref"), col("n_cur"),
+          round(col("sf") / 1e12, 4).as("psi"),
+          (col("sf") >= 200000000000L).as("drifted"))
+    }
+
     /** Per-stream freshness audit: for each group (e.g. event type or
       * source feed), the last-seen event time, its lag behind the global
       * high-water mark, and a staleness flag — the "did feed X stop

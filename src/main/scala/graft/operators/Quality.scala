@@ -167,6 +167,63 @@ object Quality extends QueryModule {
                CAST(sum(k) AS BIGINT) AS key_checksum
         FROM d GROUP BY change ORDER BY change""")),
 
+    // DISTRIBUTION drift (round 12) — PSI per event type between the
+    // first and second half-month of the corpus, fixed 50-wide value
+    // buckets, Laplace smoothing, every term 1e-12-fixed-point before
+    // the sum so the ≥0.2 "investigate" flag compares integers (see
+    // api.Quality.driftPsi). Complements dq_volume_drift: that one
+    // alarms on HOW MUCH arrived, this one on WHAT the values look
+    // like. Two scans collapsing to type×bucket counts.
+    Q(
+      "dq_drift_psi",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cut = lit("2024-01-16").cast("timestamp")
+        graft.api.Quality.driftPsi(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          col("event_type"), col("value"),
+          bucketWidth = 50.0, nBuckets = 10)
+          .orderBy("grp")
+      },
+      oracle = Some("""
+        WITH rs AS (
+          SELECT event_type AS grp,
+                 CAST(greatest(least(floor(value / 50.0), 9), 0) AS INT) AS b
+          FROM events
+          WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'),
+        cs AS (
+          SELECT event_type AS grp,
+                 CAST(greatest(least(floor(value / 50.0), 9), 0) AS INT) AS b
+          FROM events
+          WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'),
+        rc AS (SELECT grp, b, count(*) AS rcn FROM rs GROUP BY 1, 2),
+        cc AS (SELECT grp, b, count(*) AS ccn FROM cs GROUP BY 1, 2),
+        gs AS (SELECT DISTINCT grp FROM (
+                 SELECT grp FROM rc UNION ALL SELECT grp FROM cc)),
+        spine AS (SELECT grp, CAST(i AS INT) AS b
+                  FROM gs, unnest(generate_series(0, 9)) AS t(i)),
+        j AS (
+          SELECT s.grp, s.b,
+                 CAST(coalesce(rcn, 0) AS BIGINT) AS rcn,
+                 CAST(coalesce(ccn, 0) AS BIGINT) AS ccn
+          FROM spine s
+          LEFT JOIN rc ON rc.grp = s.grp AND rc.b = s.b
+          LEFT JOIN cc ON cc.grp = s.grp AND cc.b = s.b),
+        tot AS (SELECT grp, CAST(sum(rcn) AS BIGINT) AS rt,
+                       CAST(sum(ccn) AS BIGINT) AS ct
+                FROM j GROUP BY 1),
+        terms AS (
+          SELECT j.grp, rt, ct,
+                 CAST(round(
+                   ((rcn + 1.0) / (rt + 10.0) - (ccn + 1.0) / (ct + 10.0)) *
+                   ln(((rcn + 1.0) / (rt + 10.0)) /
+                      ((ccn + 1.0) / (ct + 10.0))) * 1e12) AS BIGINT) AS f
+          FROM j JOIN tot USING (grp))
+        SELECT grp, rt AS n_ref, ct AS n_cur,
+               round(CAST(sum(f) AS BIGINT) / 1e12, 4) AS psi,
+               CAST(sum(f) AS BIGINT) >= 200000000000 AS drifted
+        FROM terms GROUP BY grp, rt, ct ORDER BY grp""")),
+
     // Volume-drift monitor — the per-partition observability check an
     // ingestion pipeline runs after each day lands: daily event counts
     // vs the trailing-7-day mean, flagged at ±5%. The ratio test is

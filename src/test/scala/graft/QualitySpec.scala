@@ -369,4 +369,31 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(out("duplicate_pk") > 0 && out("quantity_range") > 0)
     assert(out("clean") > out("quantity_range"))
   }
+
+  test("driftPsi: zero on identical slices, flags a planted shift, stable") {
+    val sp = spark
+    import sp.implicits._
+    def slice(offset: Double) = (0 until 1000)
+      .map(i => ("t", offset + (i % 10) * 50.0 + 1.0)).toDF("g", "v")
+    val same = graft.api.Quality.driftPsi(
+      slice(0), slice(0), col("g"), col("v"), 50.0, 10).collect()(0)
+    // Identical distributions: every bucket term is exactly 0.
+    assert(same.getDouble(3) == 0.0 && !same.getBoolean(4), same.toString)
+    // Shift the current slice up 5 buckets: mass moves from buckets 0-9
+    // uniform to 5-9-heavy (clamped) — a gross drift the 0.2 line must
+    // catch.
+    val shifted = graft.api.Quality.driftPsi(
+      slice(0), slice(250.0), col("g"), col("v"), 50.0, 10).collect()(0)
+    assert(shifted.getDouble(3) > 0.2 && shifted.getBoolean(4),
+      shifted.toString)
+    // Mild drift scores strictly below gross drift (monotone in shift).
+    val mild = graft.api.Quality.driftPsi(
+      slice(0), slice(50.0), col("g"), col("v"), 50.0, 10).collect()(0)
+    assert(mild.getDouble(3) > 0.0 && mild.getDouble(3) < shifted.getDouble(3))
+    // Fixed-point terms: repartitioning cannot move the sum.
+    val a = graft.api.Quality.driftPsi(
+      slice(0).repartition(7), slice(250.0).repartition(3),
+      col("g"), col("v"), 50.0, 10).collect()(0)
+    assert(a.getDouble(3) == shifted.getDouble(3))
+  }
 }
