@@ -3022,6 +3022,61 @@ package object api {
           (col("sf") >= 200000000000L).as("drifted"))
     }
 
+    /** CUSUM change-point detection over daily means — the temporal
+      * complement to [[driftPsi]]: PSI says a distribution moved,
+      * CUSUM says WHEN. Per group: daily mean value (2-decimal inputs
+      * become exact cent integers; the mean quantizes to 1e-6 units —
+      * identical IEEE division then round in any engine), an in-control
+      * baseline μ0 from the whole window, and the reflected walk
+      * S_t = max(0, S_{t-1} + (m_t − μ0)) with its max and the FIRST day
+      * S_t exceeds `thresholdMicro` (−1 if never). All state arithmetic
+      * is integer, so the alarm can never flip across engines or
+      * partitionings.
+      *
+      * Scale: the corpus collapses to group×day aggregates in one scan
+      * (map-side partial); the recurrence runs over a per-group
+      * day-ARRAY — bounded by the time span (30 here), one row per
+      * partition-day at any corpus size, so the interpreted HOF fold is
+      * over calendar-cardinality data, never events.
+      */
+    def driftCusum(
+        df: DataFrame, group: Column, ts: Column, value: Column,
+        thresholdMicro: Long): DataFrame = {
+      val daily = df.filter(value.isNotNull)
+        .select(group.as("grp"), ts.as("__ts"),
+          round(value * 100, 0).cast("long").as("cents"))
+        .select(col("grp"),
+          expr("unix_micros(__ts) div 86400000000").as("dy"), col("cents"))
+        .groupBy("grp", "dy")
+        .agg(sum("cents").as("sc"), count(lit(1)).as("n"))
+        .select(col("grp"), col("dy"),
+          round(col("sc").cast("double") / col("n") * 1e4, 0)
+            .cast("long").as("m"), col("sc"), col("n"))
+      val mu = daily.groupBy("grp")
+        .agg(round(sum("sc").cast("double") / sum("n") * 1e4, 0)
+          .cast("long").as("mu0"))
+      val series = daily.groupBy("grp")
+        .agg(sort_array(collect_list(struct(col("dy"), col("m"))))
+          .as("days"))
+        .join(broadcast(mu), "grp")
+      val folded = series.select(col("grp"), size(col("days")).as("n_days"),
+        col("mu0"),
+        aggregate(col("days"),
+          struct(lit(0L).as("s"), lit(0L).as("mx"), lit(-1L).as("ad")),
+          (acc, e) => {
+            val s2 = greatest(acc("s") + e("m") - col("mu0"), lit(0L))
+            struct(s2.as("s"), greatest(acc("mx"), s2).as("mx"),
+              when(acc("ad") >= 0L, acc("ad"))
+                .otherwise(when(s2 > thresholdMicro, e("dy"))
+                  .otherwise(lit(-1L))).as("ad"))
+          }).as("st"))
+      folded.select(col("grp"), col("n_days"),
+        round(col("mu0") / 1e6, 2).as("mu0"),
+        round(col("st")("mx") / 1e6, 2).as("max_cusum"),
+        col("st")("ad").as("alarm_day"),
+        (col("st")("ad") >= 0L).as("alarmed"))
+    }
+
     /** Per-stream freshness audit: for each group (e.g. event type or
       * source feed), the last-seen event time, its lag behind the global
       * high-water mark, and a staleness flag — the "did feed X stop

@@ -167,6 +167,60 @@ object Quality extends QueryModule {
                CAST(sum(k) AS BIGINT) AS key_checksum
         FROM d GROUP BY change ORDER BY change""")),
 
+    // TEMPORAL drift locator (round 12) — CUSUM over daily mean values
+    // per event type: the reflected walk S_t = max(0, S_{t-1} + m_t − μ0)
+    // with threshold 100 value-units (the stationary corpus peaks at 36
+    // at sf0.01 / 12 at sf0.1 — measured noise floor, same doctrine as
+    // dq_volume_drift's ±5% band). All walk state is integer 1e-6 units,
+    // so the alarm day can never flip across engines; the oracle replays
+    // the recurrence with a recursive CTE over the per-day rows. The
+    // fold runs over calendar-cardinality arrays (30 days), never events.
+    Q(
+      "dq_drift_cusum",
+      (s, dir) =>
+        graft.api.Quality.driftCusum(
+          Tables.events(s, dir), col("event_type"), col("ts"), col("value"),
+          thresholdMicro = 100000000L)
+          .orderBy("grp"),
+      oracle = Some("""
+        WITH RECURSIVE d AS (
+          SELECT event_type AS grp,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dy,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sc,
+                 count(*) AS n
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        m AS (
+          SELECT grp, dy,
+                 CAST(round(CAST(sc AS DOUBLE) / n * 1e4) AS BIGINT) AS m,
+                 row_number() OVER (PARTITION BY grp ORDER BY dy) AS rn
+          FROM d),
+        mu AS (
+          SELECT grp,
+                 CAST(round(CAST(sum(sc) AS DOUBLE) / sum(n) * 1e4)
+                   AS BIGINT) AS mu0
+          FROM d GROUP BY 1),
+        walk(grp, rn, dy, s) AS (
+          SELECT m.grp, rn, dy, greatest(0, m - mu0)
+          FROM m JOIN mu USING (grp) WHERE rn = 1
+          UNION ALL
+          SELECT m.grp, m.rn, m.dy, greatest(0, walk.s + m.m - mu.mu0)
+          FROM walk
+          JOIN m ON m.grp = walk.grp AND m.rn = walk.rn + 1
+          JOIN mu ON mu.grp = m.grp),
+        agg AS (
+          SELECT w.grp, count(*) AS n_days,
+                 CAST(max(s) AS BIGINT) AS mx,
+                 coalesce(min(dy) FILTER (WHERE s > 100000000),
+                   CAST(-1 AS BIGINT)) AS alarm_day
+          FROM walk w GROUP BY 1)
+        SELECT agg.grp AS grp, n_days,
+               round(mu0 / 1e6, 2) AS mu0,
+               round(mx / 1e6, 2) AS max_cusum,
+               alarm_day, alarm_day >= 0 AS alarmed
+        FROM agg JOIN mu ON mu.grp = agg.grp
+        ORDER BY agg.grp""")),
+
     // DISTRIBUTION drift (round 12) — PSI per event type between the
     // first and second half-month of the corpus, fixed 50-wide value
     // buckets, Laplace smoothing, every term 1e-12-fixed-point before

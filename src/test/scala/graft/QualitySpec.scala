@@ -396,4 +396,35 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       col("g"), col("v"), 50.0, 10).collect()(0)
     assert(a.getDouble(3) == shifted.getDouble(3))
   }
+
+  test("driftCusum: stationary stays quiet, a level shift alarms on day one") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-02-${d + 1}%02d 12:00:00")
+    // 20 days x 10 events: flat mean 50 for 10 days, then +200 shift.
+    val rows = for (d <- 0 until 20; i <- 0 until 10) yield {
+      val base = 45.0 + i // mean 49.5
+      val v = if (d >= 10) base + 200.0 else base
+      ("t", day(d), v)
+    }
+    val df = rows.toDF("g", "ts", "v")
+    val out = graft.api.Quality.driftCusum(
+      df, col("g"), col("ts"), col("v"), thresholdMicro = 100000000L)
+      .collect()(0)
+    // mu0 = (10*49.5 + 10*249.5)/20 = 149.5; pre-shift days drift the
+    // walk DOWN (reflected at 0), post-shift days add +100/day — the
+    // first shifted day pushes S to 100.0, NOT > threshold 100; day two
+    // reaches 200 and alarms. Alarm day = shift day + 1.
+    val shiftDay = df.select(expr("unix_micros(ts) div 86400000000"))
+      .collect().map(_.getLong(0)).sorted.apply(10 * 10 + 1)
+    assert(out.getBoolean(5), out.toString)
+    assert(out.getLong(4) == shiftDay + 1, s"$out vs shift=$shiftDay")
+    assert(out.getDouble(3) > 900.0, out.toString) // 10 days x ~100
+    // Repartitioning cannot move integer walk state.
+    val b = graft.api.Quality.driftCusum(
+      df.repartition(7), col("g"), col("ts"), col("v"), 100000000L)
+      .collect()(0)
+    assert(b == out)
+  }
 }
