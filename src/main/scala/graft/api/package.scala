@@ -565,6 +565,89 @@ package object api {
         .select(col("query_id"), col("rank"), col("cand_id"), col("cos"))
     }
 
+    /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein) —
+      * the diversity pass a retrieval/RAG stack runs AFTER cosine top-k:
+      * from each query's `poolK`-candidate pool, greedily select
+      * `selectK` items maximizing
+      * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s),
+      * so near-duplicate hits stop crowding out coverage. First pick is
+      * pure relevance (empty-set penalty 0); λ = lambdaPct/100.
+      *
+      * Determinism: rel and pairwise sims quantize to round(cos, 6),
+      * every round's score re-rounds to 6, ties break on cand_id — the
+      * greedy trajectory is engine- and partitioning-exact, so the whole
+      * selection replays unrolled in SQL. Scale: pools are poolK rows
+      * and pair sims poolK² rows PER QUERY (bounded, independent of
+      * corpus size once the pool exists); each of the selectK rounds is
+      * one bounded join + argmax — at corpus scale the pool itself comes
+      * from the sim_ann_* indexes, and this pass costs the same either
+      * way. Output: (query_id, rank, cand_id, score).
+      */
+    def mmrRerank(
+        queries: DataFrame, queryId: Column, queryVec: Column,
+        candidates: DataFrame, candId: Column, candVec: Column,
+        poolK: Int = 16, selectK: Int = 5, lambdaPct: Int = 70): DataFrame = {
+      require(selectK >= 1 && poolK >= selectK)
+      require(lambdaPct >= 0 && lambdaPct <= 100)
+      val lam = lambdaPct / 100.0
+      // The complement must be the same IEEE double the oracle's literal
+      // parses to: 1.0 - 0.7 is 0.30000000000000004, but "0.3" is not.
+      val inv = (100 - lambdaPct) / 100.0
+      val c = candidates.select(candId.as("cand_id"), candVec.as("e"))
+      val pool = cosineTopK(queries, queryId, queryVec,
+          candidates, candId, candVec, topK = poolK)
+        .select(col("query_id"), col("cand_id"),
+          round(col("cos"), 6).as("rel"))
+        .join(c, "cand_id")
+        .localCheckpoint(true)
+      val ps = pool.select(col("query_id"), col("cand_id").as("a"),
+          col("e").as("ea"))
+        .join(pool.select(col("query_id"), col("cand_id").as("b"),
+          col("e").as("eb")), "query_id")
+        .filter(col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          round(cosine(col("ea"), col("eb")), 6).as("s"))
+        .localCheckpoint(true)
+      val rel = pool.select(col("query_id"), col("cand_id"), col("rel"))
+      def argmax(scored: DataFrame, rank: Int): DataFrame = {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), lit(rank).as("rank"), col("cand_id"),
+            col("score"))
+      }
+      var selected = argmax(
+        rel.select(col("query_id"), col("cand_id"),
+          round(col("rel") * lam, 6).as("score")), 1)
+        .localCheckpoint(true)
+      var r = 2
+      while (r <= selectK) {
+        val remaining = rel.join(
+          selected.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        val expanded = remaining.join(
+          selected.select(col("query_id"), col("cand_id").as("sb")),
+          "query_id")
+        // Fresh attribute ids for the pair-sim side: expanded and ps both
+        // descend from pool, and Spark's self-join disambiguation cannot
+        // tell their lineages apart without a re-alias.
+        val psr = ps.select(col("query_id").as("ps_qid"),
+          col("a").as("ps_a"), col("b").as("ps_b"), col("s").as("ps_s"))
+        val pen = expanded.join(psr,
+            col("query_id") === col("ps_qid") &&
+              col("ps_a") === col("cand_id") && col("ps_b") === col("sb"))
+          .groupBy(col("query_id"), col("cand_id"), col("rel"))
+          .agg(max(col("ps_s")).as("pen"))
+        val scored = pen.select(col("query_id"), col("cand_id"),
+          round(col("rel") * lam - col("pen") * inv, 6).as("score"))
+        selected = selected.unionAll(argmax(scored, r)).localCheckpoint(true)
+        r += 1
+      }
+      selected.select(col("query_id"), col("rank"), col("cand_id"),
+        col("score"))
+    }
+
     /** Fused single-pass inner product (custom codegen Catalyst
       * expression) — the MIPS ranking kernel. Same float→double
       * sequential-accumulation discipline as [[cosine]].

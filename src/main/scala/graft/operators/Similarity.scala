@@ -405,6 +405,79 @@ object Similarity extends QueryModule {
     * closing VERDICT r10's "no-oracle by cost, not impossibility" note
     * on the 5-iteration spherical leg.
     */
+  /** Unrolled MMR greedy-selection CTE chain (sim_mmr_rerank oracle —
+    * the lloydCtes convention applied to retrieval re-ranking). Emits
+    * `mpool` (top-`poolK` per query with round-6 rel), `mps` (round-6
+    * pairwise candidate sims), then `msel1..msel<selectK>`: each round
+    * the previous selections union into `mprev{r}`, penalties are
+    * max-sim against them, scores re-round to 6, ties break on cand_id.
+    * λ literals are generated from the SAME integer pct the engine
+    * divides, so both sides multiply by identical IEEE doubles.
+    */
+  private def mmrCtes(
+      nQueries: Int, poolK: Int, selectK: Int, lambdaPct: Int): String = {
+    val lam = s"${lambdaPct / 100.0}"
+    val inv = s"${(100 - lambdaPct) / 100.0}"
+    val head = s"""
+        me AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        mpool AS (
+          SELECT query_id, cand_id, round(cos, 6) AS rel FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e) /
+                       (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+            FROM me q JOIN me c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < $nQueries)
+          WHERE rk <= $poolK),
+        mps AS (
+          SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
+                 round(list_dot_product(ea.e, eb.e) /
+                   (ea.nrm * eb.nrm), 6) AS s
+          FROM mpool p1
+          JOIN mpool p2 ON p1.query_id = p2.query_id
+                       AND p1.cand_id <> p2.cand_id
+          JOIN me ea ON ea.vec_id = p1.cand_id
+          JOIN me eb ON eb.vec_id = p2.cand_id),
+        msel1 AS (
+          SELECT query_id, cand_id, score FROM (
+            SELECT query_id, cand_id, round(rel * $lam, 6) AS score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(rel * $lam, 6) DESC, cand_id) AS rk
+            FROM mpool)
+          WHERE rk = 1)"""
+    val rounds = (2 to selectK).map { r =>
+      val prev = (1 until r).map(i => s"SELECT query_id, cand_id FROM msel$i")
+        .mkString("\n          UNION ALL ")
+      s"""mprev$r AS (
+         |          $prev),
+         |        mpen$r AS (
+         |          SELECT p.query_id, p.cand_id, p.rel, max(mps.s) AS pen
+         |          FROM mpool p
+         |          LEFT JOIN mprev$r px ON px.query_id = p.query_id
+         |                              AND px.cand_id = p.cand_id
+         |          JOIN mprev$r pr ON pr.query_id = p.query_id
+         |          JOIN mps ON mps.query_id = p.query_id
+         |                  AND mps.a = p.cand_id AND mps.b = pr.cand_id
+         |          WHERE px.cand_id IS NULL
+         |          GROUP BY 1, 2, 3),
+         |        msel$r AS (
+         |          SELECT query_id, cand_id, score FROM (
+         |            SELECT query_id, cand_id,
+         |                   round(rel * $lam - pen * $inv, 6) AS score,
+         |                   row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY round(rel * $lam - pen * $inv, 6)
+         |                       DESC, cand_id) AS rk
+         |            FROM mpen$r)
+         |          WHERE rk = 1)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n        ")
+  }
+
   private def lloydCtes(p: String, k: Int, rounds: Int, dim: Int): String = {
     val seed = s"""
         ${p}c0 AS (
@@ -772,6 +845,36 @@ object Similarity extends QueryModule {
         SELECT query_id, rank, cand_id AS neg_id, neg_label,
                round(cos, 4) AS cos
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // MMR diversified re-ranking (round 12) — the pass a RAG stack runs
+    // AFTER top-k so near-duplicate hits stop crowding out coverage:
+    // from each query's 16-candidate pool, 5 greedy picks maximizing
+    // 0.7·rel − 0.3·max-sim-to-already-picked. Every rel/sim/score
+    // quantizes to round(·,6) with cand_id ties, so the greedy
+    // TRAJECTORY is engine-exact and the whole selection replays
+    // unrolled in SQL (mmrCtes — the lloydCtes convention applied to
+    // retrieval). Pools and pair-sims are poolK/poolK² rows per query,
+    // independent of corpus size; at scale the pool comes from the
+    // sim_ann_* indexes and this pass costs the same either way.
+    Q(
+      "sim_mmr_rerank",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        graft.api.Similarity.mmrRerank(
+          v.filter(col("vec_id") < 8), col("vec_id"), col("e"),
+          v, col("vec_id"), col("e"),
+          poolK = 16, selectK = 5, lambdaPct = 70)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            round(col("score"), 4).as("score"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH ${mmrCtes(nQueries = 8, poolK = 16, selectK = 5,
+          lambdaPct = 70)}
+        ${(1 to 5).map(r =>
+          s"SELECT query_id, $r AS rank, cand_id, round(score, 4) AS score FROM msel$r")
+          .mkString("\n        UNION ALL ")}
+        ORDER BY query_id, rank""")),
 
     // ANN via signed-random-projection LSH: bucket on the 6-bit signature,
     // then exact top-3 within the query's bucket only. Equi-join on `sig`

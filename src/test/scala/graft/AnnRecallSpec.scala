@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ANN quality invariants on the recall-evaluation operator: multi-probe
@@ -107,5 +108,43 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       val ph = audit(q)._2
       assert(rh >= ph, s"query $q: rerank $rh < adc $ph")
     }
+  }
+
+  test("mmrRerank demotes near-duplicates that plain cosine ranks ahead") {
+    val sp = spark
+    import sp.implicits._
+    // Query along x. A1/A2 are near-duplicates ~26 degrees off-axis
+    // (rel 0.900/0.899, sim(A1,A2) ~0.9996); B sits BELOW the axis with
+    // rel 0.870 and sim(A1,B) ~0.568. Plain cosine: A1, A2, B. MMR
+    // (lambda .7) after picking A1: score(B) = 0.609 - 0.3*0.568 = 0.44
+    // beats score(A2) = 0.629 - 0.3*0.9996 = 0.33 — diversity wins.
+    // Expected pick order: A1, B, A2, then the filler.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),           // query
+      (1L, Array(0.9f, 0.436f, 0f)),     // A1 (rel highest)
+      (2L, Array(0.9f, 0.437f, 0.03f)),  // A2 (near-dup, rel just below)
+      (3L, Array(0.87f, -0.493f, 0f)),   // B  (diverse, rel 0.870)
+      (4L, Array(0.5f, 0f, 0.866f))      // filler (rel 0.5)
+    ).toDF("vec_id", "e")
+    val out = graft.api.Similarity.mmrRerank(
+      vecs.filter(col("vec_id") === 0L), col("vec_id"), col("e"),
+      vecs, col("vec_id"), col("e"),
+      poolK = 4, selectK = 4, lambdaPct = 70)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 3L), (3, 2L), (4, 4L)),
+      out.mkString(","))
+    // Plain cosine keeps the duplicate adjacent — the thing MMR fixes.
+    val plain = graft.api.Similarity.cosineTopK(
+      vecs.filter(col("vec_id") === 0L), col("vec_id"), col("e"),
+      vecs, col("vec_id"), col("e"), topK = 4)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(plain.toSeq == Seq(1L, 2L, 3L, 4L), plain.mkString(","))
+    // Trajectory is partitioning-independent.
+    val rep = graft.api.Similarity.mmrRerank(
+      vecs.filter(col("vec_id") === 0L), col("vec_id"), col("e"),
+      vecs.repartition(5), col("vec_id"), col("e"),
+      poolK = 4, selectK = 4, lambdaPct = 70)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(rep.toSeq == out.toSeq)
   }
 }
