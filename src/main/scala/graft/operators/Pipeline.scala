@@ -513,6 +513,58 @@ object Pipeline extends QueryModule {
         WHERE n_copies > 0
         ORDER BY doc_id, copy""")),
 
+    // The data-recipe PLANNER whose output mix_epoch_repeat executes
+    // (round 12): given per-source token inventories, integer mix
+    // weights, and a total token budget, solve for each source's target
+    // tokens (budget·w div Σw), full epochs over its inventory, and the
+    // residual sampling rate in permille — exactly the (epochs,
+    // f_pm) pair the repeat-mixture operator consumes. ALL integer
+    // division, so the recipe is engine-exact; the corpus collapses to
+    // per-source token sums in one map-side aggregate and the solver
+    // runs on source-cardinality rows. Weights derive from the source
+    // number (1..4 cycling) so both engines compute them, not read them.
+    Q(
+      "mix_budget_solver",
+      (s, dir) => {
+        val budget = 2000000L
+        val inv = Tables.documents(s, dir)
+          .select(col("source"),
+            regexp_extract(col("source"), "src(\\d+)", 1)
+              .cast("long").as("srcnum"),
+            size(split(col("text"), " ")).cast("long").as("tc"))
+          .groupBy("source", "srcnum")
+          .agg(sum("tc").as("n_tokens"))
+          .withColumn("w", pmod(col("srcnum"), lit(4L)) + 1L)
+        val tw = inv.agg(sum("w").as("sw"))
+        inv.crossJoin(broadcast(tw))
+          .withColumn("target_tokens", expr(s"$budget * w div sw"))
+          .select(col("source"), col("w"), col("n_tokens"),
+            col("target_tokens"),
+            expr("target_tokens div n_tokens").as("epochs"),
+            expr("(target_tokens % n_tokens) * 1000 div n_tokens")
+              .as("residual_pm"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH inv AS (
+          SELECT source,
+                 CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT)
+                   AS srcnum,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1, 2),
+        iw AS (SELECT source, srcnum % 4 + 1 AS w, n_tokens FROM inv),
+        tw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM iw),
+        t AS (
+          SELECT source, w, n_tokens,
+                 CAST(2000000 * w // sw AS BIGINT) AS target_tokens
+          FROM iw CROSS JOIN tw)
+        SELECT source, w, n_tokens, target_tokens,
+               target_tokens // n_tokens AS epochs,
+               (target_tokens % n_tokens) * 1000 // n_tokens
+                 AS residual_pm
+        FROM t ORDER BY source""")),
+
     // Deterministic epoch shuffle: sort key = portable hash of
     // "epoch:id", shard = key mod 8, position = rank within shard. Two
     // epochs side by side prove the permutation actually changes. ONE

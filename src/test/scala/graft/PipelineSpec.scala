@@ -607,4 +607,34 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(0)).toSet
     assert(again == kept.map(_.getLong(0)).toSet)
   }
+
+  test("mix_budget_solver output is executable by repeatMixture") {
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    val solved = SparkEntry.queries("mix_budget_solver")(sp, sf001)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // Feed the planner's (epochs, residual) straight into the executor
+    // as f_pm = epochs*1000 + residual_pm for two sources.
+    val pick = Seq("src0", "src7")
+    val fpm = pick.map { src =>
+      val (_, _, ep, res) = solved(src); src -> (ep * 1000 + res)
+    }.toMap
+    val docs = graft.Tables.documents(sp, sf001)
+      .filter(col("source").isin(pick: _*))
+    val copies = graft.api.Pipeline.repeatMixture(
+        docs, col("source"), col("doc_id"), fpm)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    pick.foreach { src =>
+      val (_, _, ep, _) = solved(src)
+      val nDocs = docs.filter(col("source") === src).count()
+      // Every doc repeats `epochs` times plus a hash-sampled residual
+      // copy: the count must land inside [n·ep, n·(ep+1)] with the
+      // residual actually sampling (strictly inside unless res is 0).
+      assert(copies(src) >= nDocs * ep && copies(src) <= nDocs * (ep + 1),
+        s"$src: ${copies(src)} vs ep=$ep n=$nDocs")
+    }
+  }
 }
