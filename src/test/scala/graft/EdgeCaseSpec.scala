@@ -321,4 +321,42 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       .collect()(0)
     assert(r.getLong(0) == 1000L)
   }
+
+  test("round-12 operators survive empty and degenerate inputs") {
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // BPE on an empty corpus: no pairs, zero merge rows, no throw.
+    val empty = Seq.empty[(Long, String)].toDF("id", "body")
+    assert(graft.api.Text.bpeTrain(empty, col("body"), rounds = 3)
+      .count() == 0)
+    // BPE that EXHAUSTS before the round budget: one word, one possible
+    // merge, then every word is a single symbol — stops at 1 row.
+    val one = Seq((1L, "ab ab")).toDF("id", "body")
+    assert(graft.api.Text.bpeTrain(one, col("body"), rounds = 5)
+      .count() == 1)
+    // PSI with an EMPTY current slice: smoothing keeps every term
+    // defined; gross drift flagged (all current mass is imaginary).
+    val ref = Seq(("t", 10.0), ("t", 60.0)).toDF("g", "v")
+    val cur = ref.filter(col("v") < 0)
+    val psi = graft.api.Quality.driftPsi(
+      ref, cur, col("g"), col("v"), 50.0, 10).collect()(0)
+    assert(psi.getLong(2) == 0L && psi.getDouble(3) >= 0.0)
+    // ArrowPipe over a frame with empty partitions: grouped() emits no
+    // batch for them, rows survive exactly once.
+    val sparse = (0L until 5L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .repartition(8)
+    val inSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val echoed = graft.functions.ArrowPipe.pipe(
+      sparse, inSchema, maxRecordsPerBatch = 3)(identity)
+    assert(echoed.count() == 5)
+    // MMR with a pool smaller than selectK is a caller error.
+    intercept[IllegalArgumentException] {
+      graft.api.Similarity.mmrRerank(sparse, col("doc_id"), col("text"),
+        sparse, col("doc_id"), col("text"), poolK = 2, selectK = 5)
+    }
+  }
 }
