@@ -3105,6 +3105,47 @@ package object api {
           (col("sf") >= 200000000000L).as("drifted"))
     }
 
+    /** Welch's two-sample t-test between two slices of a numeric
+      * feature, per group — the slice-comparison primitive behind every
+      * A/B readout. `inA` labels the A side; values quantize to exact
+      * cent integers, ONE scan produces both sides' (n, Σc, Σc²) via
+      * conditional aggregation, and the t statistic and
+      * Welch–Satterthwaite dof are shared-structure double expressions
+      * over those exact sums (the agg_moments discipline) — engine- and
+      * partitioning-exact after the round. Output: (grp, na, nb, mean_a,
+      * mean_b, t_stat, dof); t's sign is A − B.
+      */
+    def welchTTest(
+        df: DataFrame, group: Column, inA: Column,
+        value: Column): DataFrame = {
+      val c = round(value * 100, 0).cast("long")
+      val m = df.filter(value.isNotNull)
+        .groupBy(group.as("grp"))
+        .agg(
+          sum(when(inA, 1L).otherwise(0L)).as("na"),
+          sum(when(inA, c).otherwise(0L)).cast("double").as("s1a"),
+          sum(when(inA, c * c).otherwise(0L)).cast("double").as("s2a"),
+          sum(when(!inA, 1L).otherwise(0L)).as("nb"),
+          sum(when(!inA, c).otherwise(0L)).cast("double").as("s1b"),
+          sum(when(!inA, c * c).otherwise(0L)).cast("double").as("s2b"))
+      val ma = col("s1a") / col("na")
+      val mb = col("s1b") / col("nb")
+      val va = (col("s2a") - col("s1a") * col("s1a") / col("na")) /
+        (col("na") - 1)
+      val vb = (col("s2b") - col("s1b") * col("s1b") / col("nb")) /
+        (col("nb") - 1)
+      val sea = va / col("na")
+      val seb = vb / col("nb")
+      val se2 = sea + seb
+      m.select(col("grp"), col("na"), col("nb"),
+        round(ma / 100.0, 4).as("mean_a"),
+        round(mb / 100.0, 4).as("mean_b"),
+        round((ma - mb) / sqrt(se2), 4).as("t_stat"),
+        round(se2 * se2 /
+          (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)),
+          1).as("dof"))
+    }
+
     /** CUSUM change-point detection over daily means — the temporal
       * complement to [[driftPsi]]: PSI says a distribution moved,
       * CUSUM says WHEN. Per group: daily mean value (2-decimal inputs

@@ -638,6 +638,51 @@ object Aggregates extends QueryModule {
     // double op correctly-rounded IEEE — pow is the one libm call whose
     // last ulp differs across runtimes.
     Q(
+      "agg_welch_ttest",
+      (s, dir) =>
+        // Welch's two-sample t between the corpus half-months, per event
+        // type — api.Quality.welchTTest (exact cent sums, one scan,
+        // shared-structure double expressions, round 4).
+        graft.api.Quality.welchTTest(
+          Tables.events(s, dir), col("event_type"),
+          col("ts") < lit("2024-01-16").cast("timestamp"), col("value"))
+          .orderBy("grp"),
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type AS grp,
+                 ts < TIMESTAMP '2024-01-16' AS in_a,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+        m AS (
+          SELECT grp,
+                 CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+                 CAST(sum(CASE WHEN in_a THEN c ELSE 0 END) AS DOUBLE)
+                   AS s1a,
+                 CAST(sum(CASE WHEN in_a THEN c*c ELSE 0 END) AS DOUBLE)
+                   AS s2a,
+                 CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+                 CAST(sum(CASE WHEN NOT in_a THEN c ELSE 0 END) AS DOUBLE)
+                   AS s1b,
+                 CAST(sum(CASE WHEN NOT in_a THEN c*c ELSE 0 END) AS DOUBLE)
+                   AS s2b
+          FROM b GROUP BY 1),
+        t AS (
+          SELECT grp, na, nb,
+                 s1a / na AS ma, s1b / nb AS mb,
+                 (s2a - s1a * s1a / na) / (na - 1) / na AS sea,
+                 (s2b - s1b * s1b / nb) / (nb - 1) / nb AS seb
+          FROM m)
+        SELECT grp, na, nb,
+               round(ma / 100.0, 4) AS mean_a,
+               round(mb / 100.0, 4) AS mean_b,
+               round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+               round((sea + seb) * (sea + seb) /
+                 (sea * sea / (na - 1) + seb * seb / (nb - 1)), 1) AS dof
+        FROM t ORDER BY grp""")),
+
+    Q(
       "agg_moments",
       (s, dir) => {
         val x  = col("l_quantity").cast("decimal(8,2)")

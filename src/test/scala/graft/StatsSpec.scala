@@ -174,4 +174,28 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getInt(4) == path.count(_ == 'e'))
     }
   }
+
+  test("agg_welch_ttest: zero on re-labeled identical samples, catches a shift") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00")
+    // Slice A (days 1-15) and B (16-30) carry the SAME value multiset:
+    // t must be exactly 0. A second group shifts B by +10: |t| large,
+    // sign negative (a - b).
+    val rows =
+      (0 until 100).map(i => ("same", t(1 + i % 15), 10.0 + (i % 7))) ++
+      (0 until 100).map(i => ("same", t(16 + i % 15), 10.0 + (i % 7))) ++
+      (0 until 100).map(i => ("shift", t(1 + i % 15), 10.0 + (i % 7))) ++
+      (0 until 100).map(i => ("shift", t(16 + i % 15), 20.0 + (i % 7)))
+    val df = rows.toDF("event_type", "ts", "value")
+    val out = graft.api.Quality.welchTTest(df, col("event_type"),
+      col("ts") < java.sql.Timestamp.valueOf("2024-01-16 00:00:00"),
+      col("value"))
+    val m = out.collect().map(r => r.getString(0) ->
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m("same")._3 == 0.0, m.toString)
+    assert(m("shift")._3 < -20.0, m.toString) // +10 shift on sd~2: huge t
+    assert(m("shift")._2 - m("shift")._1 == 10.0, m.toString)
+  }
 }
