@@ -16,6 +16,103 @@ import org.apache.spark.sql.functions._
 object Windows extends QueryModule {
 
   def all: Seq[Q] = Seq(
+    // Sweep-line concurrency census (round 12): peak simultaneous
+    // 30-minute-gap sessions per day — the capacity question ("how many
+    // users at once?") interval analytics answers. Each session emits
+    // +1/−1 endpoints; the running sum is a window PARTITIONED BY DAY
+    // (ordered us, +1 before −1 at an instant — inclusive overlap), and
+    // sessions spanning midnight contribute an integer CARRY-IN to each
+    // later day they touch (≤2-day spans for gap sessions, bounded
+    // fan-out) — so no global sort exists at any scale. Tied endpoints
+    // are interchangeable within a delta group (the day-max is invariant
+    // under their order), and all state is integer: engine-exact.
+    Q(
+      "win_concurrency",
+      (s, dir) => {
+        val D = 86400000000L
+        val sess = graft.api.Pipeline.sessionize(
+            Tables.events(s, dir), col("user_id"), col("ts"),
+            col("event_id"), gapMinutes = 30)
+          .groupBy(col("sess_key"), col("session_seq"))
+          .agg(min("sess_us").as("st"), max("sess_us").as("en"))
+          .select(col("st"), col("en"),
+            expr(s"st div ${D}L").as("st_day"),
+            expr(s"en div ${D}L").as("en_day"))
+        val pts = sess.select(col("st_day").as("day"), col("st").as("us"),
+            lit(1L).as("delta"))
+          .unionAll(sess.select(col("en_day").as("day"), col("en").as("us"),
+            lit(-1L).as("delta")))
+        // sequence() runs DESCENDING when start > stop in Spark — guard
+        // the no-carry (single-day) sessions out before the explode.
+        val carry = sess.filter(col("en_day") > col("st_day"))
+          .select(explode(sequence(col("st_day") + 1, col("en_day")))
+            .as("day"))
+          .groupBy("day").agg(count(lit(1)).as("carry_in"))
+        val w = Window.partitionBy("day")
+          .orderBy(col("us"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("run", sum("delta").over(w))
+          .groupBy("day")
+          .agg(max("run").as("peak"),
+            sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+          .join(carry, Seq("day"), "left")
+          .select(col("day"), col("n_starts"),
+            coalesce(col("carry_in"), lit(0L)).as("carry_in"),
+            (coalesce(col("carry_in"), lit(0L)) + col("peak"))
+              .as("max_concurrent"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                        OR lag(us) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sessed AS (
+          SELECT user_id, us,
+                 CAST(sum(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_seq
+          FROM flagged),
+        sess AS (
+          SELECT user_id, session_seq, min(us) AS st, max(us) AS en
+          FROM sessed GROUP BY 1, 2),
+        pts AS (
+          SELECT st // 86400000000 AS day, st AS us,
+                 CAST(1 AS BIGINT) AS delta FROM sess
+          UNION ALL
+          SELECT en // 86400000000, en, CAST(-1 AS BIGINT) FROM sess),
+        carry AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS carry_in FROM (
+            SELECT unnest(generate_series(st // 86400000000 + 1,
+                                          en // 86400000000)) AS day
+            FROM sess WHERE en // 86400000000 > st // 86400000000)
+          GROUP BY 1),
+        runs AS (
+          SELECT day, delta,
+                 sum(delta) OVER (PARTITION BY day
+                                  ORDER BY us, delta DESC
+                                  ROWS UNBOUNDED PRECEDING) AS run
+          FROM pts),
+        agg AS (
+          SELECT day, CAST(max(run) AS BIGINT) AS peak,
+                 CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_starts
+          FROM runs GROUP BY 1)
+        SELECT agg.day AS day, n_starts,
+               CAST(coalesce(carry_in, 0) AS BIGINT) AS carry_in,
+               CAST(coalesce(carry_in, 0) + peak AS BIGINT)
+                 AS max_concurrent
+        FROM agg LEFT JOIN carry ON carry.day = agg.day
+        ORDER BY agg.day""")),
+
     // row_number / rank / dense_rank / ntile per customer. row_number and
     // ntile order by a total order (tie-break on o_orderkey) so they're
     // deterministic; rank/dense_rank use the value order alone, which is

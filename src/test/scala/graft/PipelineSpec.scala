@@ -637,4 +637,37 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         s"$src: ${copies(src)} vs ep=$ep n=$nDocs")
     }
   }
+
+  test("win_concurrency carries midnight-spanning sessions into the next day") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // u1's session spans midnight (23:50 -> 00:10, gap 20m < 30m); u2
+    // opens a second concurrent session at 00:05 the next day. Day 2's
+    // peak must be carry(1) + its own sweep(+1) = 2 — a day-local window
+    // alone would report 1.
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-03-01 23:50:00"), 100L),
+      (1L, Timestamp.valueOf("2024-03-02 00:10:00"), 101L),
+      (2L, Timestamp.valueOf("2024-03-02 00:05:00"), 102L))
+    val ev = rows.toDF("user_id", "ts", "event_id")
+    val D = 86400000000L
+    val sess = graft.api.Pipeline.sessionize(
+        ev, col("user_id"), col("ts"), col("event_id"), gapMinutes = 30)
+      .groupBy(col("sess_key"), col("session_seq"))
+      .agg(min("sess_us").as("st"), max("sess_us").as("en"))
+    assert(sess.count() == 2) // midnight did NOT split u1's session
+    // Drive the registry key's exact pipeline on this frame via a temp
+    // parquet dir shaped like the events table.
+    val dir = graft.Scratch.fresh("win_conc_spec")
+    ev.withColumn("event_type", lit("t")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("win_concurrency")(sp, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val d1 = Timestamp.valueOf("2024-03-01 23:50:00").getTime * 1000L / D
+    assert(out.toSeq == Seq((d1, 1L, 0L, 1L), (d1 + 1, 1L, 1L, 2L)),
+      out.mkString(","))
+  }
 }
