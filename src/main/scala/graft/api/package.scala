@@ -1368,6 +1368,47 @@ package object api {
             col("_gl_lo") < col("_gr_hi") && col("_gr_lo") < col("_gl_hi"))
         .select(col("_gl_id").as("left_id"), col("_gr_id").as("right_id"))
     }
+
+    /** Grid-bucketed spatial proximity join over integer microdegree
+      * point frames: points land in `cellMicro`-wide grid cells,
+      * candidates come from the probe side's 3×3 cell neighborhood (a
+      * broadcast 9-row offset frame — bounded fan-out, never a cross
+      * join), and the refine predicate is INTEGER squared distance ≤
+      * cellMicro² (no trig: a libm sin/cos ulp could flip a boundary
+      * pair across engines; sqrt alone is IEEE correctly-rounded, so
+      * the reported distance is exact). Complete by construction under
+      * EITHER integer-division convention: the cell map is monotone
+      * with interval width ≥ cellMicro, so two points within one radius
+      * differ by ≤ 1 cell index per axis. Output: (id_a, id_b,
+      * dist_micro). At scale the join clusters on the cell key and
+      * density bounds per-cell work.
+      */
+    def geoCellJoin(
+        a: DataFrame, idA: Column, latA: Column, lonA: Column,
+        b: DataFrame, idB: Column, latB: Column, lonB: Column,
+        cellMicro: Long): DataFrame = {
+      require(cellMicro >= 1)
+      val sp = a.sparkSession
+      import sp.implicits._
+      val offsets = Seq(-1L, 0L, 1L)
+        .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
+        .toDF("dx", "dy")
+      val pa = a.select(idA.as("id_a"), latA.as("a_lat"), lonA.as("a_lon"))
+        .crossJoin(broadcast(offsets))
+        .select(col("id_a"), col("a_lat"), col("a_lon"),
+          (expr(s"a_lat div ${cellMicro}L") + col("dx")).as("clat"),
+          (expr(s"a_lon div ${cellMicro}L") + col("dy")).as("clon"))
+      val pb = b.select(idB.as("id_b"), latB.as("b_lat"), lonB.as("b_lon"))
+        .select(col("id_b"), col("b_lat"), col("b_lon"),
+          expr(s"b_lat div ${cellMicro}L").as("clat"),
+          expr(s"b_lon div ${cellMicro}L").as("clon"))
+      val d2 = (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat")) +
+        (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon"))
+      pa.join(pb, Seq("clat", "clon"))
+        .filter(d2 <= lit(cellMicro * cellMicro))
+        .select(col("id_a"), col("id_b"),
+          round(sqrt(d2), 0).cast("long").as("dist_micro"))
+    }
   }
 
   /** Approximate sketch aggregates. */

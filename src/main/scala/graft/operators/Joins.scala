@@ -207,6 +207,74 @@ object Joins extends QueryModule {
     // this is the difference between a join that reshuffles both tables and
     // one that only streams co-located files. The merge hint pins SMJ so
     // the demo doesn't degrade to a broadcast at small SF.
+    // Grid-bucketed spatial proximity join (round 12) — the Sedona-style
+    // point-join shape: coordinates derive portably from md5 (integer
+    // microdegrees, so both engines place every point identically), each
+    // point lands in a 2°-grid cell, and candidates come from a 9-cell
+    // neighborhood equi-join (3×3 explode on the probe side — bounded
+    // fan-out, never a cross join). The refine predicate is INTEGER
+    // squared microdegree distance (no trig — a libm sin/cos ulp can
+    // flip a boundary pair across engines; sqrt alone is IEEE
+    // correctly-rounded, so the reported distance is exact). At scale
+    // this is O(points per cell-neighborhood): the join clusters on the
+    // cell key and density bounds per-cell work.
+    Q(
+      "join_geo_cell",
+      (s, dir) => {
+        val CELL = 2000000L // 2° in microdegrees; radius = one cell
+        // Portable md5-derived integer microdegree coordinates; the
+        // table-name salt keeps customer k and supplier k from hashing
+        // to the SAME point (dist-0 self-pairs would dominate). The
+        // join mechanics live in api.Joins.geoCellJoin.
+        def pts(df: org.apache.spark.sql.DataFrame,
+            id: org.apache.spark.sql.Column,
+            salt: String) = df.select(
+          id.as("id"),
+          (conv(substring(md5(concat(lit(salt), id.cast("string"),
+            lit("lat"))), 1, 15), 16, 10).cast("long")
+            % 120000000L - 60000000L).as("lat"),
+          (conv(substring(md5(concat(lit(salt), id.cast("string"),
+            lit("lon"))), 1, 15), 16, 10).cast("long")
+            % 340000000L - 170000000L).as("lon"))
+        graft.api.Joins.geoCellJoin(
+          pts(Tables.customer(s, dir), col("c_custkey"), "ck"),
+          col("id"), col("lat"), col("lon"),
+          pts(Tables.supplier(s, dir), col("s_suppkey"), "sk"),
+          col("id"), col("lat"), col("lon"),
+          cellMicro = CELL)
+          .select(col("id_a").as("c_custkey"), col("id_b").as("s_suppkey"),
+            col("dist_micro").as("dist_microdeg"))
+          .orderBy("c_custkey", "s_suppkey")
+      },
+      oracle = Some("""
+        WITH cp AS (
+          SELECT c_custkey AS ck,
+                 ('0x' || substring(md5('ck' || CAST(c_custkey AS VARCHAR) || 'lat'),
+                   1, 15))::BIGINT % 120000000 - 60000000 AS lat,
+                 ('0x' || substring(md5('ck' || CAST(c_custkey AS VARCHAR) || 'lon'),
+                   1, 15))::BIGINT % 340000000 - 170000000 AS lon
+          FROM customer),
+        sp AS (
+          SELECT s_suppkey AS sk,
+                 ('0x' || substring(md5('sk' || CAST(s_suppkey AS VARCHAR) || 'lat'),
+                   1, 15))::BIGINT % 120000000 - 60000000 AS lat,
+                 ('0x' || substring(md5('sk' || CAST(s_suppkey AS VARCHAR) || 'lon'),
+                   1, 15))::BIGINT % 340000000 - 170000000 AS lon
+          FROM supplier),
+        j AS (
+          SELECT ck, sk,
+                 (cp.lat - sp.lat) * (cp.lat - sp.lat) +
+                 (cp.lon - sp.lon) * (cp.lon - sp.lon) AS d2
+          FROM cp JOIN sp
+            ON sp.lat // 2000000 BETWEEN cp.lat // 2000000 - 1
+                                     AND cp.lat // 2000000 + 1
+           AND sp.lon // 2000000 BETWEEN cp.lon // 2000000 - 1
+                                     AND cp.lon // 2000000 + 1)
+        SELECT ck AS c_custkey, sk AS s_suppkey,
+               CAST(round(sqrt(d2)) AS BIGINT) AS dist_microdeg
+        FROM j WHERE d2 <= 4000000000000
+        ORDER BY c_custkey, s_suppkey""")),
+
     Q(
       "join_bucketed",
       (s, dir) => {

@@ -534,6 +534,33 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(out(1) == (("s2", 2L, 5L, 2L, 40L)), out(1).toString)
   }
 
+
+  test("geoCellJoin finds boundary pairs across cells and respects the radius") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // Pairs planted around lat 0 — where Spark's TRUNCATING `div` makes
+    // cell 0 twice as wide as DuckDB's floor cells, the worst case for
+    // a completeness bug. cell = 1000 micro.
+    val a = Seq(
+      (1L, -100L, 0L),   // near the 0-boundary from below
+      (2L, 900L, 900L),  // inside cell (0,0)
+      (3L, -5000L, 0L)   // far from everything
+    ).toDF("id", "lat", "lon")
+    val b = Seq(
+      (10L, 100L, 0L),   // 200 micro from a1, across the boundary
+      (20L, 1500L, 900L), // 600 micro from a2, next cell up
+      (30L, 2500L, 900L)  // 1600 micro from a2: outside radius 1000
+    ).toDF("id", "lat", "lon")
+    val out = graft.api.Joins.geoCellJoin(
+        a, col("id"), col("lat"), col("lon"),
+        b, col("id"), col("lat"), col("lon"), cellMicro = 1000L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L, 200L), (2L, 20L, 600L)),
+      out.mkString(","))
+  }
+
   test("bpeTrain is stable under repartitioning") {
     val docs = graft.Tables.documents(spark, sf0001)
     val a = api.Text.bpeTrain(docs, col("text"), rounds = 4).collect()
