@@ -4,6 +4,30 @@ import org.apache.spark.sql.functions._
 
 object Bench {
 
+  /** JIT + one-time layout warmup shared by Bench, KeyTime, and any other
+    * timing tool: runs the flagship query once, then builds the amortized
+    * layout artifacts (partitioned/bucketed copies, streaming slice cut,
+    * ANN indexes, graph edge cache, dedup signature index, DSv2 topic) so
+    * the first timed query measures the QUERY. Single source of truth —
+    * a tool with its own copy of this list goes cold the next time a
+    * warm cache is added.
+    */
+  def warmup(spark: SparkSession, sfDir: String): Unit = {
+    try { SparkEntry.entry(spark).count(); () }
+    catch { case _: Throwable => () }
+    try {
+      graft.operators.LayoutCache.partitionedLineitem(spark, sfDir)
+      graft.operators.LayoutCache.zorderedLineitem(spark, sfDir)
+      graft.operators.LayoutCache.bucketedTables(spark, sfDir)
+      graft.operators.Streaming.prepareInputs(spark, sfDir)
+      graft.operators.Similarity.warmIndexes(spark, sfDir)
+      graft.operators.Pipeline.warmGraph(spark, sfDir)
+      graft.operators.Dedup.warmDedup(spark, sfDir)
+      graft.operators.DsV2.topic(spark, sfDir)
+      ()
+    } catch { case _: Throwable => () }
+  }
+
   /** Fixed-work CPU+shuffle calibration probe: a deterministic in-memory
     * sort+agg over spark.range — no I/O, no fixture dependence — so every
     * bench artifact carries an environment yardstick. Quoting totals as
@@ -44,20 +68,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen + file-listing caches on the tiniest SF so the
     // first timed query doesn't absorb one-time session costs.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // One-time layout builds (partitioned/bucketed copies, streaming slice
-    // cut) are amortized layout decisions, not query work — build them in
-    // warmup so join_dpp/join_bucketed/stream_* time the QUERY.
-    try {
-      graft.operators.LayoutCache.partitionedLineitem(spark, sfDir)
-      graft.operators.LayoutCache.zorderedLineitem(spark, sfDir)
-      graft.operators.LayoutCache.bucketedTables(spark, sfDir)
-      graft.operators.Streaming.prepareInputs(spark, sfDir)
-      graft.operators.Similarity.warmIndexes(spark, sfDir)
-      graft.operators.Pipeline.warmGraph(spark, sfDir)
-      graft.operators.Dedup.warmDedup(spark, sfDir)
-      graft.operators.DsV2.topic(spark, sfDir)
-    } catch { case _: Throwable => () }
+    warmup(spark, sfDir)
     val calibration = calibrate(spark)
     // Stable timing order (map iteration order is hash-dependent).
     // Per key: seconds AND row count; a crashing key records rows=-1 and

@@ -22,17 +22,7 @@ object KeyTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    try {
-      graft.operators.LayoutCache.partitionedLineitem(spark, sfDir)
-      graft.operators.LayoutCache.zorderedLineitem(spark, sfDir)
-      graft.operators.LayoutCache.bucketedTables(spark, sfDir)
-      graft.operators.Streaming.prepareInputs(spark, sfDir)
-      graft.operators.Similarity.warmIndexes(spark, sfDir)
-      graft.operators.Pipeline.warmGraph(spark, sfDir)
-      graft.operators.Dedup.warmDedup(spark, sfDir)
-      graft.operators.DsV2.topic(spark, sfDir)
-    } catch { case _: Throwable => () }
+    Bench.warmup(spark, sfDir)
     keys.foreach { key =>
       SparkEntry.queries.get(key) match {
         case None => System.err.println(s"[keytime] unknown key: $key")

@@ -3160,15 +3160,27 @@ package object api {
         df: DataFrame, group: Column, inA: Column,
         value: Column): DataFrame = {
       val c = round(value * 100, 0).cast("long")
+      // Power sums accumulate in DECIMAL(38,0) (the agg_moments overflow
+      // discipline): a long sum of c² (~1e10/row) wraps silently near
+      // 1e9 rows per group — exactly the claimed 100 TB shape — while
+      // the DuckDB oracle's HUGEINT sum stays exact.
+      val cd = c.cast("decimal(19,0)")
+      val zero = lit(0).cast("decimal(38,0)")
       val m = df.filter(value.isNotNull)
         .groupBy(group.as("grp"))
         .agg(
           sum(when(inA, 1L).otherwise(0L)).as("na"),
-          sum(when(inA, c).otherwise(0L)).cast("double").as("s1a"),
-          sum(when(inA, c * c).otherwise(0L)).cast("double").as("s2a"),
+          sum(when(inA, cd).otherwise(zero)).cast("double").as("s1a"),
+          sum(when(inA, (cd * cd).cast("decimal(38,0)")).otherwise(zero))
+            .cast("double").as("s2a"),
           sum(when(!inA, 1L).otherwise(0L)).as("nb"),
-          sum(when(!inA, c).otherwise(0L)).cast("double").as("s1b"),
-          sum(when(!inA, c * c).otherwise(0L)).cast("double").as("s2b"))
+          sum(when(!inA, cd).otherwise(zero)).cast("double").as("s1b"),
+          sum(when(!inA, (cd * cd).cast("decimal(38,0)")).otherwise(zero))
+            .cast("double").as("s2b"))
+        // Degenerate groups (a side empty or a single sample) have no
+        // defined variance/t: exclude them rather than emit
+        // engine-dependent null/inf rows.
+        .filter(col("na") >= 2 && col("nb") >= 2)
       val ma = col("s1a") / col("na")
       val mb = col("s1b") / col("nb")
       val va = (col("s2a") - col("s1a") * col("s1a") / col("na")) /

@@ -629,14 +629,10 @@ object Aggregates extends QueryModule {
         GROUP BY c_nationkey
         ORDER BY c_nationkey""")),
 
-    // Higher central moments (variance/skewness/excess kurtosis) from
-    // exact decimal power sums: the built-in skewness()/kurtosis() do
-    // streaming double accumulation whose order differs per engine; exact
-    // s1..s4 (decimal, overflow-checked: |x|<=10^6 scale 2 keeps x^4 sums
-    // inside decimal(38,8) to ~10^13 rows) make the downstream double
-    // math bit-identical. sqrt(m2)*m2 instead of pow(m2,1.5) keeps every
-    // double op correctly-rounded IEEE — pow is the one libm call whose
-    // last ulp differs across runtimes.
+    // Welch two-sample t between the corpus half-months per event type —
+    // the A/B slice readout, built on the same exact-power-sum discipline
+    // as agg_moments below (decimal accumulation; double math only over
+    // the exact sums).
     Q(
       "agg_welch_ttest",
       (s, dir) =>
@@ -667,7 +663,9 @@ object Aggregates extends QueryModule {
                    AS s1b,
                  CAST(sum(CASE WHEN NOT in_a THEN c*c ELSE 0 END) AS DOUBLE)
                    AS s2b
-          FROM b GROUP BY 1),
+          FROM b GROUP BY 1
+          HAVING sum(CASE WHEN in_a THEN 1 ELSE 0 END) >= 2
+             AND sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) >= 2),
         t AS (
           SELECT grp, na, nb,
                  s1a / na AS ma, s1b / nb AS mb,
@@ -682,6 +680,14 @@ object Aggregates extends QueryModule {
                  (sea * sea / (na - 1) + seb * seb / (nb - 1)), 1) AS dof
         FROM t ORDER BY grp""")),
 
+    // Higher central moments (variance/skewness/excess kurtosis) from
+    // exact decimal power sums: the built-in skewness()/kurtosis() do
+    // streaming double accumulation whose order differs per engine; exact
+    // s1..s4 (decimal, overflow-checked: |x|<=10^6 scale 2 keeps x^4 sums
+    // inside decimal(38,8) to ~10^13 rows) make the downstream double
+    // math bit-identical. sqrt(m2)*m2 instead of pow(m2,1.5) keeps every
+    // double op correctly-rounded IEEE — pow is the one libm call whose
+    // last ulp differs across runtimes.
     Q(
       "agg_moments",
       (s, dir) => {

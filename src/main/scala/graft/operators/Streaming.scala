@@ -149,7 +149,12 @@ object Streaming extends QueryModule {
     // execution; codegen only looked better on warm KeyTime reps, where
     // the generated-class cache hits because re-drives repeat identical
     // watermark literals — a warmth the one-shot driver bench never has.
-    s.conf.set(wscgKey, sys.env.getOrElse("GRAFT_STREAM_WSCG", "false"))
+    // Normalize rather than pass through: GRAFT_STREAM_WSCG=1 (the
+    // shell idiom) would otherwise reach Spark's boolean conf parser as
+    // the string "1" and throw far from the env var.
+    s.conf.set(wscgKey,
+      (sys.env.get("GRAFT_STREAM_WSCG").exists(v =>
+        v.equalsIgnoreCase("true") || v == "1")).toString)
     try start.awaitTermination()
     finally {
       s.conf.set(key, prior)

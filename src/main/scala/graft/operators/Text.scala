@@ -24,7 +24,12 @@ object Text extends QueryModule {
     * the lloydCtes convention: the ORACLE re-runs the training loop.
     * Round r: p{r} counts adjacent symbol pairs over the US-separator
     * encoding, t{r} picks the (n desc, l, r) winner, w{r} applies the
-    * literal-replace merge. chr(31) is U+001F.
+    * literal-replace merge. chr(31) is U+001F. When training EXHAUSTS
+    * before the round budget (no pairs left), t{r} is empty — w{r}
+    * must then carry w{r-1} through unchanged (LEFT JOIN ON TRUE +
+    * coalesce; a CROSS JOIN would empty every later w and silently
+    * re-count all words as one token in text_bpe_tokenize's tokc),
+    * matching the engine loop's early exit.
     */
   private def bpeCtes(rounds: Int): String = {
     val sep = "chr(31)"
@@ -46,9 +51,11 @@ object Text extends QueryModule {
          |  GROUP BY 1, 2),
          |t$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
          |w$r AS (
-         |  SELECT w, replace(seq, $sep || l || $sep || $sep || r || $sep,
-         |                 $sep || l || r || $sep) AS seq, c
-         |  FROM w${r - 1} CROSS JOIN t$r)""".stripMargin
+         |  SELECT w,
+         |         coalesce(replace(seq,
+         |                    $sep || l || $sep || $sep || r || $sep,
+         |                    $sep || l || r || $sep), seq) AS seq, c
+         |  FROM w${r - 1} LEFT JOIN t$r ON TRUE)""".stripMargin
     }
     (w0 +: steps).mkString(",\n")
   }

@@ -51,14 +51,21 @@ object Windows extends QueryModule {
         val w = Window.partitionBy("day")
           .orderBy(col("us"), col("delta").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // FULL outer join + greatest(peak, 0): a day whose only
+        // endpoints are carried-session ENDS has a negative running-sum
+        // peak (true peak = the day-start baseline, carry_in itself),
+        // and a ≥3-day session's middle days have carry but no
+        // endpoints at all — both day classes must still report.
         pts.withColumn("run", sum("delta").over(w))
           .groupBy("day")
           .agg(max("run").as("peak"),
             sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
-          .join(carry, Seq("day"), "left")
-          .select(col("day"), col("n_starts"),
+          .join(carry, Seq("day"), "full_outer")
+          .select(col("day"),
+            coalesce(col("n_starts"), lit(0L)).as("n_starts"),
             coalesce(col("carry_in"), lit(0L)).as("carry_in"),
-            (coalesce(col("carry_in"), lit(0L)) + col("peak"))
+            (coalesce(col("carry_in"), lit(0L)) +
+              greatest(coalesce(col("peak"), lit(0L)), lit(0L)))
               .as("max_concurrent"))
           .orderBy("day")
       },
@@ -106,12 +113,14 @@ object Windows extends QueryModule {
                  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_starts
           FROM runs GROUP BY 1)
-        SELECT agg.day AS day, n_starts,
+        SELECT coalesce(agg.day, carry.day) AS day,
+               CAST(coalesce(n_starts, 0) AS BIGINT) AS n_starts,
                CAST(coalesce(carry_in, 0) AS BIGINT) AS carry_in,
-               CAST(coalesce(carry_in, 0) + peak AS BIGINT)
+               CAST(coalesce(carry_in, 0) +
+                    greatest(coalesce(peak, 0), 0) AS BIGINT)
                  AS max_concurrent
-        FROM agg LEFT JOIN carry ON carry.day = agg.day
-        ORDER BY agg.day""")),
+        FROM agg FULL OUTER JOIN carry ON carry.day = agg.day
+        ORDER BY coalesce(agg.day, carry.day)""")),
 
     // row_number / rank / dense_rank / ntile per customer. row_number and
     // ntile order by a total order (tie-break on o_orderkey) so they're

@@ -649,14 +649,19 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val rows = Seq(
       (1L, Timestamp.valueOf("2024-03-01 23:50:00"), 100L),
       (1L, Timestamp.valueOf("2024-03-02 00:10:00"), 101L),
-      (2L, Timestamp.valueOf("2024-03-02 00:05:00"), 102L))
+      (2L, Timestamp.valueOf("2024-03-02 00:05:00"), 102L),
+      // u3 spans into day 3, which has NO other activity: its only
+      // day-3 endpoint is a -1, so the naive carry+peak would report
+      // 1 + (-1) = 0 — the true peak is the day-start baseline, 1.
+      (3L, Timestamp.valueOf("2024-03-02 23:55:00"), 103L),
+      (3L, Timestamp.valueOf("2024-03-03 00:05:00"), 104L))
     val ev = rows.toDF("user_id", "ts", "event_id")
     val D = 86400000000L
     val sess = graft.api.Pipeline.sessionize(
         ev, col("user_id"), col("ts"), col("event_id"), gapMinutes = 30)
       .groupBy(col("sess_key"), col("session_seq"))
       .agg(min("sess_us").as("st"), max("sess_us").as("en"))
-    assert(sess.count() == 2) // midnight did NOT split u1's session
+    assert(sess.count() == 3) // midnight split neither spanning session
     // Drive the registry key's exact pipeline on this frame via a temp
     // parquet dir shaped like the events table.
     val dir = graft.Scratch.fresh("win_conc_spec")
@@ -667,7 +672,10 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
     val d1 = Timestamp.valueOf("2024-03-01 23:50:00").getTime * 1000L / D
-    assert(out.toSeq == Seq((d1, 1L, 0L, 1L), (d1 + 1, 1L, 1L, 2L)),
+    assert(out.toSeq == Seq(
+      (d1, 1L, 0L, 1L),
+      (d1 + 1, 2L, 1L, 2L),
+      (d1 + 2, 0L, 1L, 1L)), // end-only day: baseline, not carry-1
       out.mkString(","))
   }
 }
