@@ -97,9 +97,8 @@ object Bench {
         } catch { case _: Throwable => (None, -1L) }
       (name, (System.nanoTime() - t0) / 1e9, rows, df)
     }
-    val errors = results.collect { case (n, _, -1L, _) => n }
-    val suspectZero = results.collect {
-      case (n, _, 0L, _) if oracleKeys(n) => n }
+    val (errors, suspectZero) =
+      issues(results.map { case (k, sec, r, _) => (k, sec, r) })
     (errors ++ suspectZero).foreach { n =>
       System.err.println(s"[bench] SUSPECT key $n: " +
         (if (errors.contains(n)) "crashed (rows=-1)"
@@ -140,15 +139,23 @@ object Bench {
     * it led the ~7 KB combined final line — VERDICT r11 task 1.
     * Scalars-only-last makes both truncation classes impossible at once.)
     */
+  /** (crashed keys, oracle-bearing zero-row keys) — the single deriver
+    * both the stderr SUSPECT log and the artifact lines share, so the
+    * two can never disagree on what counts as an error.
+    */
+  private[graft] def issues(
+      results: Seq[(String, Double, Long)]): (Seq[String], Seq[String]) = (
+    results.collect { case (n, _, -1L) => n },
+    results.collect {
+      case (n, _, 0L) if SparkEntry.oracleSql.contains(n) => n })
+
   private[graft] def artifactLines(
       results: Seq[(String, Double, Long)],
       planClasses: Seq[(String, String)],
       calibration: Double,
       sfDir: String,
       diverted: Seq[String]): Seq[String] = {
-    val errors = results.collect { case (n, _, -1L) => n }
-    val suspectZero = results.collect {
-      case (n, _, 0L) if SparkEntry.oracleSql.contains(n) => n }
+    val (errors, suspectZero) = issues(results)
     val total = results.map(_._2).sum
     // Errored keys keep their partial elapsed in `queries` for triage but
     // are excluded from `total_ok`, the cross-round comparable headline
@@ -165,6 +172,11 @@ object Bench {
       s"""{"metric":"rows","rows":$rws,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"scratch_diverted":${strArr(diverted)},"sf":"$sfDir"}""",
       s"""{"metric":"plan_class","plan_class":$pcs,"sf":"$sfDir"}""",
       s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""",
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"calibration_sec":$calibration%.3f,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}}""")
+      // SCALARS ONLY on the final line: the error/suspect arrays are
+      // unbounded (a mass-failure run would push this line past the
+      // driver's 2000-char tail — the r11 truncation class all over
+      // again); they already live on the rows line, the headline only
+      // needs the counts.
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"calibration_sec":$calibration%.3f,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_suspect_zero":${suspectZero.size}}""")
   }
 }

@@ -209,10 +209,16 @@ object ScaleSlope {
     "stream_dsv2_mirror")
 
   def main(args: Array[String]): Unit = {
-    val outBase = args.headOption.getOrElse("/tmp/graft_scale")
+    // Recognize --streaming ANYWHERE (a lone `--streaming` used to become
+    // the output DIRECTORY and silently benchmark the batch keys); any
+    // other dash-argument is a typo'd flag — fail fast, not mis-measure.
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    flags.filterNot(_ == "--streaming").foreach { f =>
+      sys.error(s"ScaleSlope: unknown flag $f (only --streaming)") }
+    val outBase = positional.headOption.getOrElse("/tmp/graft_scale")
     val keys =
-      if (args.length > 1 && args(1) == "--streaming") streamingKeys
-      else if (args.length > 1) args.drop(1).toSeq
+      if (flags.contains("--streaming")) streamingKeys
+      else if (positional.length > 1) positional.drop(1).toSeq
       else defaultKeys
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -225,17 +231,25 @@ object ScaleSlope {
     // Max state-store rows seen across a key's runs at one scale — the
     // number that certifies "state is keyed by users/windows, not raw
     // events" when the 10×/1× state ratio tracks key cardinality.
+    // Attribution is by QUERY ID, not arrival time: the listener bus is
+    // async, and a straggler progress event landing after stateRows was
+    // reset for the next (key, scale) block would credit the wrong row —
+    // so each block registers the query ids it started and the counter
+    // only accepts events from them.
     val stateRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val liveQueries = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryStartedEvent): Unit = ()
+              .QueryStartedEvent): Unit = { liveQueries.add(e.id); () }
         override def onQueryProgress(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
               .QueryProgressEvent): Unit = {
-          val t = e.progress.stateOperators.map(_.numRowsTotal).sum
-          stateRows.getAndUpdate(c => math.max(c, t)); ()
+          if (liveQueries.contains(e.progress.id)) {
+            val t = e.progress.stateOperators.map(_.numRowsTotal).sum
+            stateRows.getAndUpdate(c => math.max(c, t)); ()
+          }
         }
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
@@ -251,6 +265,7 @@ object ScaleSlope {
       try {
         val per = dirs.map { case (sc, d) =>
           stateRows.set(0)
+          liveQueries.clear()
           val runs = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, d).count()

@@ -1100,11 +1100,20 @@ package object api {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       Files.createDirectories(Paths.get(tableRoot))
       val claim = Paths.get(tableRoot, s"m$next")
+      // Check BEFORE claiming: creating the claim first and then failing
+      // the require would strand an empty m<next> that every later
+      // publish spins on — the failed consistency check would have
+      // BRICKED the generation instead of reporting it. (The re-check
+      // after claiming below stays: only it is race-free.)
+      require(currentVersion(tableRoot).getOrElse(0L) < next,
+        s"generation pointer at or past m$next while unclaimed — " +
+          "mixed manual edits?")
       try Files.createFile(claim)
       catch { case _: java.nio.file.FileAlreadyExistsException => return false }
-      require(currentVersion(tableRoot).getOrElse(0L) < next,
+      try require(currentVersion(tableRoot).getOrElse(0L) < next,
         s"generation pointer moved past m$next while unclaimed — " +
           "mixed manual edits?")
+      catch { case e: Throwable => Files.deleteIfExists(claim); throw e }
       Files.writeString(claim, dataDirs.mkString("\n"))
       val tmp = Paths.get(tableRoot, s"_CURRENT.tmp$next")
       Files.writeString(tmp, s"m$next")

@@ -90,6 +90,12 @@ object Pipeline extends QueryModule {
     * hash-matches across engines. Emits pr_r0 .. pr_r<rounds>, each
     * (id, deg, rank).
     */
+  /** Round count shared by graph_pagerank's engine call, its tolerance
+    * arithmetic, and the oracle CTE chain + tolerance literal — one
+    * binding so a round-count change can't leave any of the four stale.
+    */
+  private val PagerankRounds = 5
+
   private def pagerankCtes(rounds: Int): String = {
     val S = "CAST(1000000000000000 AS BIGINT)"
     val head = s"""pr_re AS (
@@ -1038,8 +1044,11 @@ object Pipeline extends QueryModule {
         // Materialize the fixpoint once: both the top-20 sort and the
         // mass certificate read it, and without the cut the whole
         // 5-round chain would execute twice.
+        // PagerankRounds binds engine call, tolerance, and oracle at once.
+        val iters = PagerankRounds
         val ranks = graft.api.Graph.pageRank(
-          edges, col("src"), col("dst"), iterations = 5, undirected = true)
+          edges, col("src"), col("dst"), iterations = iters,
+          undirected = true)
           .localCheckpoint(true)
         // Mass certificate with a CORPUS-SCALED tolerance: floor division
         // loses < Σdeg + 2n units per round, so the bound is
@@ -1048,7 +1057,7 @@ object Pipeline extends QueryModule {
         // false at ~1e9 edges even though the algorithm is correct
         // (ADVICE r11).
         val mass = ranks.agg(sum("rank_fp").as("total_fp"),
-          (lit(5L) * (sum(coalesce(col("deg"), lit(0L)))
+          (lit(iters.toLong) * (sum(coalesce(col("deg"), lit(0L)))
             + lit(2L) * count(lit(1)))).as("tol_fp"))
         ranks.orderBy(desc("rank_fp"), asc("id")).limit(20)
           .crossJoin(broadcast(mass))
@@ -1061,12 +1070,13 @@ object Pipeline extends QueryModule {
           .orderBy(desc("rank_ppm"), asc("id"))
       },
       oracle = Some(s"""
-        WITH ${pagerankCtes(5)},
+        WITH ${pagerankCtes(PagerankRounds)},
         pr_top AS (
-          SELECT id, rank FROM pr_r5 ORDER BY rank DESC, id LIMIT 20),
+          SELECT id, rank FROM pr_r$PagerankRounds
+          ORDER BY rank DESC, id LIMIT 20),
         pr_tm AS (SELECT CAST(sum(rank) AS BIGINT) AS total,
-                         CAST(5 * (sum(deg) + 2 * count(*)) AS BIGINT)
-                           AS tol FROM pr_r5)
+                         CAST($PagerankRounds * (sum(deg) + 2 * count(*))
+                           AS BIGINT) AS tol FROM pr_r$PagerankRounds)
         SELECT CASE WHEN t.id % 2 = 0 THEN 'p' || CAST(t.id // 2 AS VARCHAR)
                     ELSE 's' || CAST((t.id - 1) // 2 AS VARCHAR) END AS id,
                round(t.rank / 1e9, 4) AS rank_ppm,

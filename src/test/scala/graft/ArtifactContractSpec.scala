@@ -53,19 +53,41 @@ class ArtifactContractSpec extends AnyFunSuite {
     val lines = syntheticLines(breakOne = true)
     val (rc, out) = runChecker(lines)
     assert(rc == 0, s"checker rejected the crashed-key artifact:\n$out")
-    // the crashed key must appear in the last line's errors array
-    assert(lines.last.contains("\"errors\":[\""), lines.last)
+    // the crashed key appears in the ROWS line's errors array; the final
+    // line carries only the COUNT (unbounded arrays there are the
+    // truncation class the contract exists to prevent)
+    assert(lines.head.contains("\"errors\":[\""), lines.head)
+    assert(lines.last.contains("\"n_errors\":1"), lines.last)
   }
 
   test("a deliberately mangled artifact fails the check (truncation class)") {
-    // Reproduce the r11 failure mode: fold the queries map INTO the final
-    // line so the tail window cuts its head off.
+    // Reproduce the r11 failure mode: fold a map INTO the final line.
+    // The splice must stay VALID standalone JSON and keep all four
+    // lines, or the checker rejects it for an unrelated reason (line
+    // count / parse error) and the map-bearing rule — the actual r11
+    // truncation guard — never executes.
     val good = syntheticLines(breakOne = false)
-    val mangled = good.dropRight(2) :+
-      good.last.dropRight(1) + ",\"queries\":" +
-        good(2).drop(good(2).indexOf("{\"") + 0) // splice a map back in
-    val (rc, _) = runChecker(mangled)
+    val mangledLast =
+      good.last.dropRight(1) + ",\"queries\":{\"agg_group\":0.1}}"
+    assert(mangledLast.contains("\"metric\":\"total\""))
+    val mangled = good.dropRight(1) :+ mangledLast
+    assert(mangled.size == 4)
+    val (rc, out) = runChecker(mangled)
     assert(rc != 0, "checker must reject a map-bearing final line")
+    assert(out.contains("must not embed any map"), out)
+  }
+
+  test("an error-ARRAY-bearing final line fails the check (mass-failure " +
+    "truncation class)") {
+    // The r12 second review's finding: an unbounded errors array on the
+    // final line recreates the truncation class under mass failure.
+    val good = syntheticLines(breakOne = false)
+    val mangledLast =
+      good.last.dropRight(1) + ",\"errors\":[\"a\",\"b\"]}"
+    val mangled = good.dropRight(1) :+ mangledLast
+    val (rc, out) = runChecker(mangled)
+    assert(rc != 0, "checker must reject an array-bearing final line")
+    assert(out.contains("must not embed any map/array"), out)
   }
 
   test("a reordered artifact (total not last) fails the check") {

@@ -51,7 +51,8 @@ def check_correctness(path: str) -> None:
         if "err" not in v:
             fail(f"{k}.err missing")
     n_pass = sum(1 for v in d.values()
-                 if v["rows_match"] and v["schema_match"] and v["hash_match"])
+                 if v.get("rows_match") and v.get("schema_match")
+                 and v.get("hash_match"))
     print(f"correctness artifact OK: {len(d)} keys, {n_pass} full passes")
 
 
@@ -77,14 +78,16 @@ def main() -> None:
         fail(f"line order must be rows,plan_class,queries,total; got {metrics}")
     rows, plan, queries, total = parsed
 
-    # Last line: scalars only, parseable from a bare tail window.
-    if any(isinstance(v, dict) for v in total.values()):
-        fail("total line must not embed any map (tail-truncation class)")
+    # Last line: scalars only (a dict OR list value is the truncation
+    # class — the error arrays are unbounded under mass failure), and
+    # parseable from a bare tail window.
+    if any(isinstance(v, (dict, list)) for v in total.values()):
+        fail("total line must not embed any map/array (tail-truncation class)")
     if len(lines[-1]) > 1000:
         fail(f"total line is {len(lines[-1])} chars; must stay far below "
              f"the {TAIL_WINDOW}-char tail window")
     for field in ("value", "total_ok", "calibration_sec",
-                  "n_queries", "n_errors", "sf", "errors", "suspect_zero"):
+                  "n_queries", "n_errors", "n_suspect_zero", "sf"):
         if field not in total:
             fail(f"total line missing `{field}`")
     tail = raw[-TAIL_WINDOW:]
