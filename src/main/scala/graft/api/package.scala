@@ -1101,13 +1101,16 @@ package object api {
       Files.createDirectories(Paths.get(tableRoot))
       val claim = Paths.get(tableRoot, s"m$next")
       // Check BEFORE claiming: creating the claim first and then failing
-      // the require would strand an empty m<next> that every later
-      // publish spins on — the failed consistency check would have
-      // BRICKED the generation instead of reporting it. (The re-check
-      // after claiming below stays: only it is race-free.)
-      require(currentVersion(tableRoot).getOrElse(0L) < next,
-        s"generation pointer at or past m$next while unclaimed — " +
-          "mixed manual edits?")
+      // would strand an empty m<next> that every later publish spins on.
+      // A pointer already at/past `next` here is NOT corruption — it is
+      // the normal interleaving where other writers advanced the table
+      // between the caller computing `next` and this check
+      // (publishManifest's retry loop recomputes; publishManifestIf
+      // reports the CAS conflict), so it reports an ordinary failed
+      // claim. Only the post-claim re-check below is race-free — the
+      // held claim blocks any writer from reaching `next` — so only IT
+      // may diagnose manual edits.
+      if (currentVersion(tableRoot).getOrElse(0L) >= next) return false
       try Files.createFile(claim)
       catch { case _: java.nio.file.FileAlreadyExistsException => return false }
       try require(currentVersion(tableRoot).getOrElse(0L) < next,
@@ -2498,6 +2501,97 @@ package object api {
         hop += 1
       }
       visited
+    }
+
+    /** Synchronous label-propagation communities (LPA): labels start as
+      * node ids; each round every node adopts the most frequent label
+      * among its NEIGHBORS, ties broken toward the smallest label. The
+      * frequency rule (not min-label) is what separates this from
+      * connected components: dense clusters converge to one label even
+      * when a thin bridge keeps the whole graph connected. Fully
+      * deterministic — integer counts, total tie order, synchronous
+      * rounds — so a fixed round count replays bit-identically in any
+      * engine. Per round: one shuffle join (adjacency × labels, both
+      * clustered on the node key), one map-combined (node, label)
+      * count, one per-node window argmax whose partitions are bounded
+      * by distinct neighbor labels ≤ degree. State is one row per node.
+      */
+    def labelPropagation(
+        edges: DataFrame, src: Column, dst: Column, rounds: Int = 3,
+        assumeCanonical: Boolean = false): DataFrame = {
+      val e = if (assumeCanonical)
+        edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+      else edges
+        .select(least(src, dst).cast("long").as("u"),
+          greatest(src, dst).cast("long").as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull)
+        .distinct()
+      val adj = e.select(col("u").as("n"), col("v").as("m"))
+        .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+        .localCheckpoint(true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n").orderBy(col("cnt").desc, col("label"))
+      var lab = adj.select(col("n")).distinct()
+        .select(col("n"), col("n").as("label"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        // Checkpoint per round: cuts the lineage so round r+1's plan
+        // does not re-derive rounds 1..r, and lets round r's shuffle
+        // output be GC'd.
+        lab = adj.join(lab.withColumnRenamed("n", "m"), "m")
+          .groupBy("n", "label").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("n"), col("label"))
+          .localCheckpoint(true)
+      }
+      lab
+    }
+
+    /** Bounded-round k-core peel: each synchronous round deletes every
+      * node whose degree in the CURRENT surviving subgraph is < k, then
+      * drops edges touching deleted nodes. Enough rounds converge to
+      * the exact k-core; a FIXED round count keeps the trajectory
+      * deterministic and replayable — the census after round r ("nodes
+      * not yet peeled after r sweeps") is a well-defined object, the
+      * same round-count-is-the-contract doctrine as pageRank and
+      * labelPropagation. Returns (round, n_nodes, n_edges) of the
+      * surviving edge set for rounds 0..rounds. Per round: one
+      * map-combined degree count + two semi-joins clustered on the
+      * endpoint keys; localCheckpoint cuts lineage so round r+1 never
+      * re-derives rounds 1..r. O(rounds·|E|) worst case, and E shrinks
+      * monotonically — at 100 TB the first sweep already discards the
+      * long degree-1 tail that dominates real co-occurrence graphs.
+      */
+    def kCorePeel(
+        edges: DataFrame, src: Column, dst: Column, k: Int, rounds: Int,
+        assumeCanonical: Boolean = false): DataFrame = {
+      var e = (if (assumeCanonical)
+        edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+      else edges
+        .select(least(src, dst).cast("long").as("u"),
+          greatest(src, dst).cast("long").as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull)
+        .distinct()).localCheckpoint(true)
+      def census(r: Int, ef: DataFrame): DataFrame =
+        ef.select(col("u").as("n")).unionAll(ef.select(col("v").as("n")))
+          .agg(countDistinct("n").as("n_nodes"),
+            (count(lit(1)) / 2).cast("long").as("n_edges"))
+          .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      var out = census(0, e)
+      for (r <- 1 to rounds) {
+        val keep = e.select(col("u").as("n"))
+          .unionAll(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("n")
+          .localCheckpoint(true)
+        e = e.join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint(true)
+        out = out.unionAll(census(r, e))
+      }
+      out
     }
 
     /** Common-neighbor Jaccard similarity between node pairs — the

@@ -680,6 +680,221 @@ object Aggregates extends QueryModule {
                  (sea * sea / (na - 1) + seb * seb / (nb - 1)), 1) AS dof
         FROM t ORDER BY grp""")),
 
+    // Two-sample Kolmogorov-Smirnov D between the 'view' and 'click'
+    // value distributions — the nonparametric drift readout (is the
+    // metric distribution the same in both slices?). Exact integer
+    // discipline end to end: values become cents, the sup runs over the
+    // VALUE HISTOGRAM (one map-combined groupBy; the windowed CDF scan
+    // touches distinct-cents rows, bounded by the value domain, never
+    // the event count), and the CDF gap is the cross-multiplied integer
+    // |cumA·nB − cumB·nA| so the argmax cannot be moved by float
+    // summation order. Valid while nA·nB < 2^63 (≈3e9 rows per side);
+    // past that the gap switches to double CDFs and the certificate
+    // becomes approximate. Doubles appear only in the final one-row
+    // D = gap/(nA·nB) and the ks_lambda normalization.
+    Q(
+      "agg_ks_test",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = Tables.events(s, dir)
+          .filter(col("value").isNotNull &&
+            col("event_type").isin("view", "click"))
+          .select((col("event_type") === lit("view")).as("in_a"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+        val h = b.groupBy("c").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+        val wc = Window.orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy()
+        val k = h.select(col("c"),
+          sum("ca").over(wc).as("cum_a"),
+          sum("cb").over(wc).as("cum_b"),
+          sum("ca").over(wt).as("na"),
+          sum("cb").over(wt).as("nb"))
+        val dn = abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))
+        val dd = dn.cast("double") /
+          (col("na") * col("nb")).cast("double")
+        k.select(col("na"), col("nb"), col("c"),
+            dn.as("dn"), dd.as("dd"))
+          .orderBy(col("dn").desc, col("c"))
+          .limit(1)
+          .select(col("na"), col("nb"),
+            round(col("c") / 100.0, 2).as("x_at_max"),
+            round(col("dd"), 4).as("d_stat"),
+            round(col("dd") *
+              sqrt(col("na").cast("double") * col("nb") /
+                (col("na") + col("nb")).cast("double")), 4)
+              .as("ks_lambda"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type = 'view' AS in_a,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('view', 'click')),
+        h AS (
+          SELECT c,
+                 CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM b GROUP BY c),
+        k AS (
+          SELECT c,
+                 CAST(sum(ca) OVER (ORDER BY c) AS BIGINT) AS cum_a,
+                 CAST(sum(cb) OVER (ORDER BY c) AS BIGINT) AS cum_b,
+                 CAST(sum(ca) OVER () AS BIGINT) AS na,
+                 CAST(sum(cb) OVER () AS BIGINT) AS nb
+          FROM h),
+        d AS (
+          SELECT c, na, nb,
+                 abs(cum_a * nb - cum_b * na) AS dn,
+                 CAST(abs(cum_a * nb - cum_b * na) AS DOUBLE)
+                   / CAST(na * nb AS DOUBLE) AS dd
+          FROM k)
+        SELECT na, nb,
+               round(c / 100.0, 2) AS x_at_max,
+               round(dd, 4) AS d_stat,
+               round(dd * sqrt(CAST(na AS DOUBLE) * nb
+                 / CAST(na + nb AS DOUBLE)), 4) AS ks_lambda
+        FROM d ORDER BY dn DESC, c LIMIT 1""")),
+
+    // Mann-Whitney U (rank-sum) between the same view/click slices as
+    // agg_ks_test — the nonparametric LOCATION test completing the
+    // two-sample triad (Welch = parametric mean, KS = whole
+    // distribution, U = stochastic dominance). No per-row ranks are ever
+    // materialized: over the cent-value histogram, U_A = Σ_c ca·(#B<c +
+    // tiesB/2), carried doubled (2U = Σ ca·(2·blt + cb)) so the whole
+    // statistic is ONE exact integer; the tie-corrected normal sigma
+    // uses Σ(t³−t), also integer. Doubles appear only in the final
+    // one-row z. The cumulative window scans distinct-cents rows
+    // (bounded by the value domain), never the event count; overflow
+    // bound na·nb < 2^63 as agg_ks_test.
+    Q(
+      "agg_mannwhitney",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = Tables.events(s, dir)
+          .filter(col("value").isNotNull &&
+            col("event_type").isin("view", "click"))
+          .select((col("event_type") === lit("view")).as("in_a"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+        val h = b.groupBy("c").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+        val wlt = Window.orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = col("ca") + col("cb")
+        val k = h.select(col("ca"), col("cb"),
+          coalesce(sum("cb").over(wlt), lit(0L)).as("blt"),
+          (t * t * t - t).as("t3"))
+        val g = k.agg(
+          sum("ca").as("na"), sum("cb").as("nb"),
+          sum(col("ca") * (lit(2L) * col("blt") + col("cb"))).as("u2"),
+          sum("t3").as("tie3"))
+        val na = col("na").cast("double")
+        val nb = col("nb").cast("double")
+        val n = na + nb
+        val sig2 = na * nb / 12.0 *
+          ((n + 1.0) - col("tie3").cast("double") / (n * (n - 1.0)))
+        val z = (col("u2") - col("na") * col("nb")).cast("double") /
+          (lit(2.0) * sqrt(sig2))
+        g.select(col("na"), col("nb"),
+          round(col("u2") / 2.0, 1).as("u_a"),
+          round(z, 4).as("z"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type = 'view' AS in_a,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('view', 'click')),
+        h AS (
+          SELECT c,
+                 CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM b GROUP BY c),
+        k AS (
+          SELECT ca, cb,
+                 CAST(coalesce(sum(cb) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS blt,
+                 (ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) AS t3
+          FROM h),
+        g AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb,
+                 CAST(sum(ca * (2 * blt + cb)) AS BIGINT) AS u2,
+                 CAST(sum(t3) AS BIGINT) AS tie3
+          FROM k)
+        SELECT na, nb, round(u2 / 2.0, 1) AS u_a,
+               round(CAST(u2 - na * nb AS DOUBLE) /
+                 (2.0 * sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
+                   ((CAST(na AS DOUBLE) + nb + 1.0)
+                    - CAST(tie3 AS DOUBLE)
+                      / (CAST(na + nb AS DOUBLE)
+                         * (CAST(na AS DOUBLE) + nb - 1.0))))), 4) AS z
+        FROM g""")),
+
+    // Chi-squared independence test of event_type × day-of-week — the
+    // categorical-association readout (is traffic mix stable across the
+    // week?). The contingency table is ONE map-combined groupBy whose
+    // output is bounded by |types|·7 cells regardless of row count;
+    // row/column/grand totals come from windows over that cell frame
+    // (no second scan). Each cell's (obs−exp)²/exp is an
+    // identically-structured IEEE expression over exact integers on
+    // both engines, quantized to 1e-9 fixed point per cell and summed
+    // as integers — so the Σ over cells is order-free and the 4-decimal
+    // χ² cannot be moved by summation order (the perplexity trick).
+    Q(
+      "agg_chi2",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables.events(s, dir)
+          .select(col("event_type").as("et"),
+            expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+          .groupBy("et", "dow").agg(count(lit(1)).as("obs"))
+        val k = cells.select(col("et"), col("dow"), col("obs"),
+          sum("obs").over(Window.partitionBy("et")).as("rt"),
+          sum("obs").over(Window.partitionBy("dow")).as("ct"),
+          sum("obs").over(Window.partitionBy()).as("n"))
+        val e = col("rt").cast("double") * col("ct") / col("n")
+        val term = (col("obs") - e) * (col("obs") - e) / e
+        k.select(col("et"), col("dow"), col("n"),
+            round(term * 1e9, 0).cast("long").as("tq"))
+          .agg(max("n").as("n"), count(lit(1)).as("n_cells"),
+            ((countDistinct("et") - 1) * (countDistinct("dow") - 1))
+              .as("dof"),
+            round(sum("tq") / 1e9, 4).as("chi2"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type AS et,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7
+                   AS dow
+          FROM events),
+        cells AS (SELECT et, dow, count(*) AS obs FROM b GROUP BY et, dow),
+        k AS (
+          SELECT et, dow, CAST(obs AS BIGINT) AS obs,
+                 CAST(sum(obs) OVER (PARTITION BY et) AS BIGINT) AS rt,
+                 CAST(sum(obs) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+                 CAST(sum(obs) OVER () AS BIGINT) AS n
+          FROM cells),
+        q AS (
+          SELECT et, dow, n,
+                 CAST(round((obs - CAST(rt AS DOUBLE) * ct / n)
+                   * (obs - CAST(rt AS DOUBLE) * ct / n)
+                   / (CAST(rt AS DOUBLE) * ct / n) * 1e9) AS BIGINT) AS tq
+          FROM k)
+        SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS n_cells,
+               CAST((count(DISTINCT et) - 1) * (count(DISTINCT dow) - 1)
+                 AS BIGINT) AS dof,
+               round(CAST(sum(tq) AS BIGINT) / 1e9, 4) AS chi2
+        FROM q""")),
+
     // Higher central moments (variance/skewness/excess kurtosis) from
     // exact decimal power sums: the built-in skewness()/kurtosis() do
     // streaming double accumulation whose order differs per engine; exact

@@ -127,6 +127,76 @@ object Pipeline extends QueryModule {
     (head +: rnds).mkString(",")
   }
 
+  /** Round count shared by graph_label_propagation's engine call and its
+    * unrolled oracle CTE chain (the PagerankRounds doctrine).
+    */
+  private val LpaRounds = 3
+
+  /** Unrolled synchronous label-propagation rounds for the
+    * graph_label_propagation oracle — expects an `adj` CTE with the
+    * symmetric (n, m) adjacency in scope. Each round is the windowed
+    * argmax of neighbor-label counts (ties to the smallest label),
+    * exactly api.Graph.labelPropagation's update. Emits lp_r0 ..
+    * lp_r<rounds>, each (n, label).
+    */
+  private def lpaCtes(rounds: Int): String = {
+    val head = """lp_r0 AS (SELECT DISTINCT n, n AS label FROM adj)"""
+    val steps = (1 to rounds).map { r =>
+      s"""lp_r$r AS (
+          SELECT n, label FROM (
+            SELECT a.n AS n, l.label AS label,
+                   row_number() OVER (PARTITION BY a.n
+                     ORDER BY count(*) DESC, l.label) AS rk
+            FROM adj a JOIN lp_r${r - 1} l ON l.n = a.m
+            GROUP BY a.n, l.label) WHERE rk = 1)"""
+    }
+    (head +: steps).mkString(",\n        ")
+  }
+
+  /** k and round count shared by graph_kcore's engine call and its
+    * unrolled oracle chain (the PagerankRounds doctrine).
+    */
+  // k chosen against the corpus degree distribution (mean urgent
+  // co-purchase degree ~23 at sf0.01): k=16 keeps the peel moving every
+  // round (1995 → 1503 → 1343 → 1247 → 1180 nodes), where k=3 would
+  // freeze after one sweep — a vacuous trajectory (NOTES vacuous-demo
+  // lesson).
+  private val KcoreK = 16
+  private val KcoreRounds = 4
+
+  /** Unrolled k-core peel rounds for the graph_kcore oracle — expects an
+    * `e` CTE with the canonical (u, v) edge set in scope. Each round:
+    * degree census of the surviving subgraph, keep nodes with d >= k,
+    * keep edges whose BOTH endpoints survive — exactly
+    * api.Graph.kCorePeel's sweep. Emits kc_e0 .. kc_e<rounds>.
+    */
+  private def kcoreCtes(k: Int, rounds: Int): String = {
+    val head = """kc_e0 AS (SELECT u, v FROM e)"""
+    val steps = (1 to rounds).map { r =>
+      s"""kc_d$r AS (
+          SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM kc_e${r - 1}
+            UNION ALL SELECT v AS n FROM kc_e${r - 1}) GROUP BY n),
+        kc_k$r AS (SELECT n FROM kc_d$r WHERE d >= $k),
+        kc_e$r AS (
+          SELECT u, v FROM kc_e${r - 1}
+          WHERE u IN (SELECT n FROM kc_k$r)
+            AND v IN (SELECT n FROM kc_k$r))"""
+    }
+    (head +: steps).mkString(",\n        ")
+  }
+
+  /** Per-round (round, n_nodes, n_edges) census union over kc_e0..kc_eR
+    * (each round's endpoint frame doubled, so n_edges = count // 2).
+    */
+  private def kcoreCensus(rounds: Int): String =
+    (0 to rounds).map { r =>
+      s"""SELECT $r AS round, count(DISTINCT n) AS n_nodes,
+            count(*) // 2 AS n_edges
+          FROM (SELECT u AS n FROM kc_e$r
+                UNION ALL SELECT v AS n FROM kc_e$r)"""
+    }.mkString("\n          UNION ALL\n          ")
+
   /** The recursive-CTE replay of packFirstFitDecreasing (budget 512,
     * 4 shards, largest-first with id tie-break): state is the whole bin
     * load LIST; list_position of the first fitting bin is exactly the
@@ -1295,6 +1365,68 @@ object Pipeline extends QueryModule {
         dd AS (SELECT n, min(d) AS dist FROM walk GROUP BY n)
         SELECT dist, count(*) AS n_nodes
         FROM dd GROUP BY dist ORDER BY dist""")),
+
+    // Community detection by synchronous label propagation over the
+    // co-purchase graph: 3 rounds of most-frequent-neighbor-label with
+    // ties to the smallest label (api.Graph.labelPropagation). Unlike
+    // connected components (the whole urgent graph is one component),
+    // LPA's FREQUENCY rule lets dense order-clusters keep their own
+    // label across thin bridges — the community census below is the
+    // readout. Fully deterministic (integer counts, total tie order,
+    // synchronous rounds), so the oracle replays the exact fixpoint
+    // prefix unrolled ([[lpaCtes]], the pagerankCtes doctrine): no
+    // convergence handwave, the round count IS the contract. Top-20 cut
+    // is total-ordered (label unique per community row).
+    Q(
+      "graph_label_propagation",
+      (s, dir) => graft.api.Graph.labelPropagation(
+          urgentCoPurchaseEdges(s, dir), col("u"), col("v"),
+          rounds = LpaRounds, assumeCanonical = true)
+        .groupBy("label").agg(count(lit(1)).as("n_members"))
+        .orderBy(desc("n_members"), asc("label"))
+        .limit(20),
+      oracle = Some(s"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        ${lpaCtes(LpaRounds)}
+        SELECT label, count(*) AS n_members
+        FROM lp_r$LpaRounds
+        GROUP BY label ORDER BY n_members DESC, label LIMIT 20""")),
+
+    // Bounded-round k-core peel of the co-purchase graph: the census
+    // (round, n_nodes, n_edges) of what survives each synchronous
+    // degree-<k sweep — the standard dense-subgraph extraction before
+    // any community or motif work, and the cheapest way to discard the
+    // degree-1 tail that dominates co-occurrence graphs at scale. Fixed
+    // round count = deterministic trajectory = full unrolled SQL replay
+    // (api.Graph.kCorePeel; pagerankCtes doctrine).
+    Q(
+      "graph_kcore",
+      (s, dir) => graft.api.Graph.kCorePeel(
+          urgentCoPurchaseEdges(s, dir), col("u"), col("v"),
+          k = KcoreK, rounds = KcoreRounds, assumeCanonical = true)
+        .orderBy("round"),
+      oracle = Some(s"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        ${kcoreCtes(KcoreK, KcoreRounds)}
+        SELECT round, n_nodes, n_edges FROM (
+          ${kcoreCensus(KcoreRounds)})
+        ORDER BY round""")),
 
     // Weighted sampling without replacement (A-ES / Efraimidis-Spirakis):
     // each doc draws a deterministic pseudo-uniform u from the Knuth

@@ -167,6 +167,52 @@ object Quality extends QueryModule {
                CAST(sum(k) AS BIGINT) AS key_checksum
         FROM d GROUP BY change ORDER BY change""")),
 
+    // Benford first-significant-digit census over extended prices — the
+    // classic fabricated-data screen (synthetic or truncated numeric
+    // columns bend the leading-digit curve long before summary stats
+    // move). One map-combined groupBy collapses any row count to a
+    // 9-row digit histogram; the total comes from a window over that
+    // 9-row frame, so no second scan and no driver round-trip. The
+    // expected share log10(1+1/d) is libm on both engines, but every
+    // one of the nine values sits ≥3e-5 from a 4-decimal rounding
+    // boundary, so a last-ulp libm difference cannot flip the rounded
+    // output (same argument as the Wilson/Welch keys).
+    Q(
+      "dq_benford",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = round(col("l_extendedprice") * 100, 0).cast("long")
+        val h = Tables.lineitem(s, dir)
+          .filter(c > 0)
+          .groupBy(substring(c.cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .agg(count(lit(1)).as("n_obs"))
+        val obs = col("n_obs").cast("double") / col("n_total")
+        val exp = log10(lit(1.0) + lit(1.0) / col("digit"))
+        h.select(col("digit"), col("n_obs"),
+            sum("n_obs").over(Window.partitionBy()).as("n_total"))
+          .select(col("digit"), col("n_obs"),
+            round(obs, 4).as("obs_share"),
+            round(exp, 4).as("benford_share"),
+            round(obs - exp, 4).as("dev"))
+          .orderBy("digit")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+          FROM lineitem WHERE round(l_extendedprice * 100) > 0),
+        h AS (
+          SELECT CAST(left(CAST(c AS VARCHAR), 1) AS INTEGER) AS digit,
+                 count(*) AS n_obs
+          FROM c GROUP BY 1),
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM h)
+        SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+               round(CAST(n_obs AS DOUBLE) / n_total, 4) AS obs_share,
+               round(log10(1.0 + 1.0 / digit), 4) AS benford_share,
+               round(CAST(n_obs AS DOUBLE) / n_total
+                     - log10(1.0 + 1.0 / digit), 4) AS dev
+        FROM h, t ORDER BY digit""")),
+
     // TEMPORAL drift locator (round 12) — CUSUM over daily mean values
     // per event type: the reflected walk S_t = max(0, S_{t-1} + m_t − μ0)
     // with threshold 100 value-units (the stationary corpus peaks at 36

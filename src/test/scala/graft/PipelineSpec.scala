@@ -678,4 +678,45 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (d1 + 2, 0L, 1L, 1L)), // end-only day: baseline, not carry-1
       out.mkString(","))
   }
+
+  test("labelPropagation: frequency rule splits bridged triangles") {
+    val sp = spark
+    import sp.implicits._
+    // Two triangles {1,2,3} and {4,5,6} joined by bridge 3–4: the whole
+    // graph is ONE connected component, but LPA's most-frequent rule
+    // (ties to the smallest label) converges each triangle to its own
+    // label by round 3 — hand-simulated: r1 = (2,1,1,3,4,4),
+    // r2 = (1,1,1,4,3,3), r3 = (1,1,1,3,3,3).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("s", "d")
+    val got = api.Graph.labelPropagation(edges, col("s"), col("d"),
+        rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), got.toString)
+    // Canonicalization: reversed duplicates and self-loops must not
+    // change the fixpoint (counts are per DISTINCT undirected edge).
+    val messy = edges.unionAll(Seq((2L, 1L), (5L, 5L), (4L, 3L))
+      .toDF("s", "d"))
+    val got2 = api.Graph.labelPropagation(messy, col("s"), col("d"),
+        rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got, got2.toString)
+  }
+
+  test("kCorePeel: path tail peels in two sweeps, triangle survives") {
+    val sp = spark
+    import sp.implicits._
+    // Path 1-2-3-4 + triangle 5-6-7, k=2: sweep 1 peels the path ends
+    // (deg 1), sweep 2 peels the stranded 2-3 edge, and the triangle is
+    // the 2-core — the census must freeze at (3, 3) from round 2 on.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L),
+      (6L, 7L)).toDF("s", "d")
+    val got = api.Graph.kCorePeel(edges, col("s"), col("d"), k = 2,
+        rounds = 3)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0, 7L, 6L), (1, 5L, 4L), (2, 3L, 3L),
+      (3, 3L, 3L)), got.mkString(","))
+  }
 }

@@ -427,4 +427,29 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       .collect()(0)
     assert(b == out)
   }
+
+  test("dq_benford: hand histogram; zero/negative prices dropped") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Cents 100,150,1999,200,300,3000,999 → digit census 1:3, 2:1,
+    // 3:2, 9:1, n=7; the 0.00 and -5.00 rows must not count.
+    val prices = Seq(1.0, 1.5, 19.99, 2.0, 3.0, 30.0, 9.99, 0.0, -5.0)
+    val li = prices.zipWithIndex.map { case (p, i) =>
+      (i.toLong, i.toLong, i.toLong, i, 1.0, p, 0.0, 0.0, "N", "O",
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = graft.Scratch.fresh("benford_spec")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("dq_benford")(sp, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(1, 2, 3, 9))
+    assert(out(1) == ((3L, 0.4286, 0.3010, 0.1275)), out(1).toString)
+    assert(out(2) == ((1L, 0.1429, 0.1761, -0.0332)), out(2).toString)
+    assert(out(3) == ((2L, 0.2857, 0.1249, 0.1608)), out(3).toString)
+    assert(out(9) == ((1L, 0.1429, 0.0458, 0.0971)), out(9).toString)
+  }
 }

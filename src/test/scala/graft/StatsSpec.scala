@@ -198,4 +198,77 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(m("shift")._3 < -20.0, m.toString) // +10 shift on sd~2: huge t
     assert(m("shift")._2 - m("shift")._1 == 10.0, m.toString)
   }
+
+  test("agg_ks_test: hand-computed D; argmax tie broken to smallest value") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // view {1,2,3} vs click {2,3,4}: integer gap |cumA·nB − cumB·nA|
+    // is 3 at c=100, 200, 300 and 0 at 400 — the tie must land on the
+    // SMALLEST cent, so x_at_max = 1.0. D = 3/9; λ = D·√(9/6). The
+    // purchase row and the null value must not count on either side.
+    val rows = Seq(("view", Some(1.0)), ("view", Some(2.0)),
+      ("view", Some(3.0)), ("click", Some(2.0)), ("click", Some(3.0)),
+      ("click", Some(4.0)), ("purchase", Some(99.0)), ("view", None))
+    val ev = rows.zipWithIndex.map { case ((et, v), i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("ks_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("agg_ks_test")(sp, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)), r.toString)
+    assert(r.getDouble(2) == 1.0, r.toString) // x_at_max
+    assert(r.getDouble(3) == 0.3333, r.toString) // D = 1/3
+    assert(r.getDouble(4) == 0.4082, r.toString) // (1/3)·√1.5
+  }
+
+  test("agg_mannwhitney: hand U via midranks; tie-corrected z") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // view {1,2,3} vs click {2,3,4}: combined midranks 1, 2.5, 2.5,
+    // 4.5, 4.5, 6 → R_A = 8, U_A = 8 − 3·4/2 = 2 (so 2U = 4). Ties
+    // t = (1,2,2,1) → Σ(t³−t) = 12; σ² = (9/12)·(7 − 12/30) = 4.95;
+    // z = (2 − 4.5)/√4.95 = −1.1237 at 4 decimals.
+    val rows = Seq(("view", 1.0), ("view", 2.0), ("view", 3.0),
+      ("click", 2.0), ("click", 3.0), ("click", 4.0))
+    val ev = rows.zipWithIndex.map { case ((et, v), i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("mwu_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("agg_mannwhitney")(sp, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)), r.toString)
+    assert(r.getDouble(2) == 2.0, r.toString) // U_A
+    assert(r.getDouble(3) == -1.1237, r.toString)
+  }
+
+  test("agg_chi2: hand 2x2 contingency — chi2 = 20, dof = 1") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Two types over two weekdays, obs (30,10;10,30): every expected
+    // cell is 20, every term (±10)²/20 = 5 → χ² = 20 exactly, dof 1.
+    val d1 = Timestamp.valueOf("2024-01-01 12:00:00") // epoch-day dow 4
+    val d2 = Timestamp.valueOf("2024-01-02 12:00:00") // dow 5
+    val cells = Seq(("X", d1, 30), ("X", d2, 10),
+      ("Y", d1, 10), ("Y", d2, 30))
+    val rows = cells.flatMap { case (et, ts, k) =>
+      (0 until k).map(_ => (et, ts))
+    }
+    val ev = rows.zipWithIndex.map { case ((et, ts), i) =>
+      (i.toLong, ts, i.toLong, et, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("chi2_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("agg_chi2")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 80L, r.toString)
+    assert(r.getLong(1) == 4L, r.toString)
+    assert(r.getLong(2) == 1L, r.toString)
+    assert(r.getDouble(3) == 20.0, r.toString)
+  }
 }
