@@ -895,6 +895,85 @@ object Aggregates extends QueryModule {
                round(CAST(sum(tq) AS BIGINT) / 1e9, 4) AS chi2
         FROM q""")),
 
+    // Lag-1 autocorrelation of the ZERO-FILLED daily event-count series
+    // per event type — the periodicity/burstiness readout behind every
+    // ingest-seasonality dashboard. Absent days matter (a gap is a zero,
+    // not a missing pair), so each type's day span is densified with
+    // sequence+explode BEFORE pairing — per-type fan-out bounded by the
+    // calendar span, never the event count. Pairs come from one lead()
+    // window per type; the Pearson moments Σx, Σy, Σxy, Σx², Σy² are
+    // exact decimal sums (agg_moments discipline — daily counts are
+    // integers, so the sums are order-free), and r is one
+    // shared-structure double expression over them.
+    Q(
+      "agg_autocorr",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("et"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x0"))
+        val filled = daily.groupBy("et")
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .select(col("et"),
+            explode(sequence(col("lo"), col("hi"))).as("day"))
+          .join(daily, Seq("et", "day"), "left")
+          .select(col("et"), col("day"),
+            coalesce(col("x0"), lit(0L)).as("x"))
+        val wl = Window.partitionBy("et").orderBy("day")
+        val d = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(18,0)")
+        val p = filled
+          .select(col("et"), col("x"), lead("x", 1).over(wl).as("y"))
+          .filter(col("y").isNotNull)
+        val m = p.groupBy("et").agg(
+          count(lit(1)).as("n"),
+          sum(d(col("x"))).cast("double").as("sx"),
+          sum(d(col("y"))).cast("double").as("sy"),
+          sum(d(col("x")) * d(col("y"))).cast("double").as("sxy"),
+          sum(d(col("x")) * d(col("x"))).cast("double").as("sxx"),
+          sum(d(col("y")) * d(col("y"))).cast("double").as("syy"))
+        val nd = col("n").cast("double")
+        m.select(col("et"), col("n").as("n_pairs"),
+            round((nd * col("sxy") - col("sx") * col("sy")) /
+              sqrt((nd * col("sxx") - col("sx") * col("sx")) *
+                (nd * col("syy") - col("sy") * col("sy"))), 4)
+              .as("r_lag1"))
+          .orderBy("et")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type AS et,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS x0
+          FROM events GROUP BY 1, 2),
+        alld AS (
+          SELECT et, unnest(generate_series(lo, hi)) AS day
+          FROM (SELECT et, min(day) AS lo, max(day) AS hi
+                FROM daily GROUP BY et)),
+        filled AS (
+          SELECT a.et, a.day, CAST(coalesce(d.x0, 0) AS BIGINT) AS x
+          FROM alld a LEFT JOIN daily d
+            ON a.et = d.et AND a.day = d.day),
+        p AS (
+          SELECT et, x, y FROM (
+            SELECT et, x,
+                   lead(x) OVER (PARTITION BY et ORDER BY day) AS y
+            FROM filled) WHERE y IS NOT NULL),
+        m AS (
+          SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(y * y) AS DOUBLE) AS syy
+          FROM p GROUP BY et)
+        SELECT et, n AS n_pairs,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                 sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+                   (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r_lag1
+        FROM m ORDER BY et""")),
+
     // Higher central moments (variance/skewness/excess kurtosis) from
     // exact decimal power sums: the built-in skewness()/kurtosis() do
     // streaming double accumulation whose order differs per engine; exact

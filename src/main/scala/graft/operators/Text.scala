@@ -74,6 +74,88 @@ object Text extends QueryModule {
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         GROUP BY w ORDER BY n DESC, term""")),
 
+    // Zipf-law fit of the corpus token-frequency curve: OLS of ln(freq)
+    // on ln(rank) over the top-50 terms — slope ≈ −1 is the natural-text
+    // signature, and a bent curve is the synthetic/boilerplate-corpus
+    // screen (the token-level sibling of dq_benford). The heavy global
+    // groupBy is map-combined and the top-50 cut is the only global
+    // sort; the regression then runs on a 50-row frame. Each ln is
+    // quantized to 1e-6 fixed point so the moment sums are order-free
+    // integers (perplexity trick); the slope/intercept/r² come out of
+    // one shared-structure double expression over those exact sums (the
+    // 1e-6 scale cancels in slope and r²).
+    Q(
+      "text_zipf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val top = toks(s, dir).groupBy("term")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("term")).limit(50)
+        val rk = top.select(row_number()
+            .over(Window.orderBy(desc("n"), asc("term"))).as("rank"),
+          col("n"))
+        val q = rk.select(
+          round(log(col("rank").cast("double")) * 1e6, 0).cast("long")
+            .as("xq"),
+          round(log(col("n").cast("double")) * 1e6, 0).cast("long")
+            .as("yq"))
+        val m = q.agg(count(lit(1)).as("k"),
+          sum("xq").as("sx"), sum("yq").as("sy"),
+          sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"),
+          sum(col("yq") * col("yq")).as("syy"))
+        val num = (col("k") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+        val dx = (col("k") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+        val dy = (col("k") * col("syy") - col("sy") * col("sy"))
+          .cast("double")
+        val slope = num / dx
+        m.select(col("k").as("n_terms"),
+          round(slope, 4).as("slope"),
+          round((col("sy").cast("double") - slope *
+            col("sx").cast("double")) /
+            (col("k").cast("double") * 1e6), 4).as("intercept"),
+          round(num * num / (dx * dy), 4).as("r2"))
+      },
+      oracle = Some("""
+        WITH tf AS (
+          SELECT w AS term, count(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY w),
+        top AS (SELECT term, CAST(n AS BIGINT) AS n FROM tf
+                ORDER BY n DESC, term LIMIT 50),
+        rk AS (SELECT row_number() OVER (ORDER BY n DESC, term) AS rank,
+                      n FROM top),
+        q AS (
+          SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS xq,
+                 CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS yq
+          FROM rk),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(xq) AS BIGINT) AS sx,
+                 CAST(sum(yq) AS BIGINT) AS sy,
+                 CAST(sum(xq * yq) AS BIGINT) AS sxy,
+                 CAST(sum(xq * xq) AS BIGINT) AS sxx,
+                 CAST(sum(yq * yq) AS BIGINT) AS syy
+          FROM q)
+        SELECT k AS n_terms,
+               round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 4) AS slope,
+               round((CAST(sy AS DOUBLE)
+                 - CAST(k * sxy - sx * sy AS DOUBLE)
+                   / CAST(k * sxx - sx * sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * 1e6), 4) AS intercept,
+               round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 * CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (CAST(k * sxx - sx * sx AS DOUBLE)
+                    * CAST(k * syy - sy * sy AS DOUBLE)), 4) AS r2
+        FROM m""")),
+
     // Per (lang, source) document-length statistics.
     Q(
       "text_stats",

@@ -452,4 +452,26 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(out(3) == ((2L, 0.2857, 0.1249, 0.1608)), out(3).toString)
     assert(out(9) == ((1L, 0.1429, 0.0458, 0.0971)), out(9).toString)
   }
+
+  test("text_zipf: exact power-law corpus fits slope -1, r2 = 1") {
+    val sp = spark
+    import sp.implicits._
+    // Term counts 12/6/4/3 = 12/rank exactly, so ln(freq) on ln(rank)
+    // is a perfect line: slope -1, intercept ln(12) = 2.4849, r² = 1
+    // (1e-6 quantization moves each moment < 1 unit — far inside the
+    // 4-decimal rounding).
+    val text1 = (Seq.fill(8)("a") ++ Seq.fill(4)("b")).mkString(" ")
+    val text2 = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val docs = Seq((1L, text1, "en", "s1", text1.length.toLong),
+      (2L, text2, "en", "s1", text2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("zipf_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_zipf")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 4L, r.toString)
+    assert(r.getDouble(1) == -1.0, r.toString)
+    assert(r.getDouble(2) == 2.4849, r.toString)
+    assert(r.getDouble(3) == 1.0, r.toString)
+  }
 }

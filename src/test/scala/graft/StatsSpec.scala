@@ -271,4 +271,29 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) == 1L, r.toString)
     assert(r.getDouble(3) == 20.0, r.toString)
   }
+
+  test("agg_autocorr: alternation gives r = -1; absent days zero-fill") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    // 'alt' alternates daily counts 2,4,2,4 → perfectly anticorrelated
+    // lag-1 pairs, r = -1 exactly. 'gap' has events only on days 1/3/5
+    // (counts 5,1,3): the filled series [5,0,1,0,3] gives 4 pairs with
+    // Σxy = 0 → r = -24/√1632 = -0.5941. Without the zero-fill the
+    // 'gap' pairs would be (5,1),(1,3) — a different (and wrong) r.
+    val alt = Seq(1 -> 2, 2 -> 4, 3 -> 2, 4 -> 4)
+      .flatMap { case (d, k) => Seq.fill(k)("alt" -> t(d)) }
+    val gap = Seq(1 -> 5, 3 -> 1, 5 -> 3)
+      .flatMap { case (d, k) => Seq.fill(k)("gap" -> t(d)) }
+    val ev = (alt ++ gap).zipWithIndex.map { case ((et, ts), i) =>
+      (i.toLong, ts, i.toLong, et, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("autocorr_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("agg_autocorr")(sp, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("alt") == ((3L, -1.0)), out.toString)
+    assert(out("gap") == ((4L, -0.5941)), out.toString)
+  }
 }
