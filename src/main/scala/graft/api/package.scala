@@ -2515,6 +2515,15 @@ package object api {
       * clustered on the node key), one map-combined (node, label)
       * count, one per-node window argmax whose partitions are bounded
       * by distinct neighbor labels ≤ degree. State is one row per node.
+      * Only the adjacency is checkpointed: the label chain has exactly
+      * ONE consumer (whatever action the caller runs), so the whole
+      * fixed-round fixpoint executes as one job with each round's
+      * shuffle running once — a per-round localCheckpoint would add a
+      * driver round-trip and a materialization per round (wall-clock
+      * neutral at sf0.1 where windows dominate, but each checkpoint is
+      * a full label-frame write+read that a 1000-executor run would pay
+      * per round). For large round counts (plan-depth concerns) a
+      * caller can checkpoint the RESULT.
       */
     def labelPropagation(
         edges: DataFrame, src: Column, dst: Column, rounds: Int = 3,
@@ -2535,15 +2544,11 @@ package object api {
         .select(col("n"), col("n").as("label"))
         .localCheckpoint(true)
       for (_ <- 1 to rounds) {
-        // Checkpoint per round: cuts the lineage so round r+1's plan
-        // does not re-derive rounds 1..r, and lets round r's shuffle
-        // output be GC'd.
         lab = adj.join(lab.withColumnRenamed("n", "m"), "m")
           .groupBy("n", "label").agg(count(lit(1)).as("cnt"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("n"), col("label"))
-          .localCheckpoint(true)
       }
       lab
     }
@@ -2573,25 +2578,32 @@ package object api {
           greatest(src, dst).cast("long").as("v"))
         .filter(col("u") =!= col("v") && col("u").isNotNull)
         .distinct()).localCheckpoint(true)
-      def census(r: Int, ef: DataFrame): DataFrame =
+      // The degree frame serves double duty: round r's census IS an
+      // aggregate of deg(e_{r-1}) — n_nodes = rows with an edge,
+      // n_edges = Σd/2 — so the census never rescans the edge set or
+      // pays its own countDistinct shuffle, and `keep` is a free filter
+      // over the same (node-sized, checkpointed) frame. coalesce: a
+      // fully peeled graph has an EMPTY degree frame, whose global agg
+      // yields sum=NULL — the census must read 0, not null.
+      def degrees(ef: DataFrame): DataFrame =
         ef.select(col("u").as("n")).unionAll(ef.select(col("v").as("n")))
-          .agg(countDistinct("n").as("n_nodes"),
-            (count(lit(1)) / 2).cast("long").as("n_edges"))
-          .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
-      var out = census(0, e)
-      for (r <- 1 to rounds) {
-        val keep = e.select(col("u").as("n"))
-          .unionAll(e.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k).select("n")
-          .localCheckpoint(true)
+      def census(r: Int, deg: DataFrame): DataFrame =
+        deg.agg(count(lit(1)).as("n_nodes"),
+            (coalesce(sum("d"), lit(0L)) / 2).cast("long").as("n_edges"))
+          .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      var out: DataFrame = null
+      for (r <- 1 to rounds) {
+        val deg = degrees(e).localCheckpoint(true)
+        val cen = census(r - 1, deg)
+        out = if (out == null) cen else out.unionAll(cen)
+        val keep = deg.filter(col("d") >= k).select("n")
         e = e.join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
           .select("u", "v")
           .localCheckpoint(true)
-        out = out.unionAll(census(r, e))
       }
-      out
+      out.unionAll(census(rounds, degrees(e)))
     }
 
     /** Common-neighbor Jaccard similarity between node pairs — the
