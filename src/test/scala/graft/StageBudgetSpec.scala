@@ -67,7 +67,12 @@ class StageBudgetSpec extends AnyFunSuite with SparkFixture {
     ("graph_bfs", 55, 55), // measured 41/41 (frontier + exit probes)
     ("graph_sssp", 42, 42), // measured 31/31 (maxHops relaxations)
     ("dedup_connected_components", 98, 98), // measured 73/73
-    ("ml_kmeans", 29, 29) // measured 21/21 (5 Lloyd rounds)
+    ("ml_kmeans", 29, 29), // measured 21/21 (5 Lloyd rounds)
+    ("graph_label_propagation", 19, 19), // measured 14/14 (adj build +
+    // one single-job 3-round fixpoint — the no-per-round-checkpoint
+    // signature; a jump toward ~40 means rounds re-materialized)
+    ("graph_kcore", 53, 53) // measured 39/39 (4 × (deg + edge
+    // checkpoint) + final census union)
   )
 
   budgets.foreach { case (key, maxJobs, maxStages) =>
