@@ -1428,6 +1428,66 @@ object Pipeline extends QueryModule {
           ${kcoreCensus(KcoreRounds)})
         ORDER BY round""")),
 
+    // Degree assortativity (Newman's r) of the co-purchase graph: the
+    // Pearson correlation of endpoint degrees over the symmetrized edge
+    // list — positive = hubs attach to hubs (social shape), negative =
+    // hub-and-spoke (star shape). One map-combined degree count, then
+    // the node-sized degree table joins the edge stream twice on its
+    // clustered endpoint keys; the symmetric orientation makes
+    // Σx = Σy and Σx² = Σy², so three exact decimal moment sums feed
+    // one shared-structure double r (agg_moments discipline — no float
+    // accumulation order anywhere).
+    Q(
+      "graph_assortativity",
+      (s, dir) => {
+        val e = urgentCoPurchaseEdges(s, dir)
+        val adj = e.select(col("u").as("n"), col("v").as("m"))
+          .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+        val deg = adj.groupBy("n").agg(count(lit(1)).as("d"))
+        val d = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(18,0)")
+        val p = adj
+          .join(deg.select(col("n"), col("d").as("dn")), "n")
+          .join(deg.select(col("n").as("m"), col("d").as("dm")), "m")
+        val mo = p.agg(count(lit(1)).as("ne"),
+          sum(d(col("dn"))).cast("double").as("sx"),
+          sum(d(col("dn")) * d(col("dm"))).cast("double").as("sxy"),
+          sum(d(col("dn")) * d(col("dn"))).cast("double").as("sxx"))
+        val nd = col("ne").cast("double")
+        mo.select((col("ne") / 2).cast("long").as("n_edges"),
+          round((nd * col("sxy") - col("sx") * col("sx")) /
+            (nd * col("sxx") - col("sx") * col("sx")), 4)
+            .as("assortativity"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+                FROM adj GROUP BY n),
+        p AS (
+          SELECT dn.d AS dn, dm.d AS dm
+          FROM adj a JOIN deg dn ON a.n = dn.n
+                     JOIN deg dm ON a.m = dm.n),
+        mo AS (
+          SELECT CAST(count(*) AS BIGINT) AS ne,
+                 CAST(sum(dn) AS DOUBLE) AS sx,
+                 CAST(sum(dn * dm) AS DOUBLE) AS sxy,
+                 CAST(sum(dn * dn) AS DOUBLE) AS sxx
+          FROM p)
+        SELECT ne // 2 AS n_edges,
+               round((CAST(ne AS DOUBLE) * sxy - sx * sx) /
+                 (CAST(ne AS DOUBLE) * sxx - sx * sx), 4)
+                 AS assortativity
+        FROM mo""")),
+
     // Weighted sampling without replacement (A-ES / Efraimidis-Spirakis):
     // each doc draws a deterministic pseudo-uniform u from the Knuth
     // multiplicative hash of its id, and the top-k by ln(u)/weight are

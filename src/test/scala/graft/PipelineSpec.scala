@@ -719,4 +719,36 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq((0, 7L, 6L), (1, 5L, 4L), (2, 3L, 3L),
       (3, 3L, 3L)), got.mkString(","))
   }
+
+  test("graph_assortativity: a star is exactly -1") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Star K1,3 (hub 100, leaves 1..3): every edge pairs degree 3 with
+    // degree 1, the canonical disassortative shape — Newman's r = -1
+    // exactly (x = [3,3,3,1,1,1], y reversed; integer moments).
+    // Build a lineitem/orders fixture whose urgent co-purchase graph IS
+    // that star: one urgent order containing the hub part with each
+    // leaf part would close a leaf-leaf triangle, so use 3 orders of 2
+    // parts each.
+    val orders = Seq(10L, 11L, 12L).map(o =>
+      (o, 1L, "O", 1.0, Timestamp.valueOf("2024-01-01 00:00:00"),
+        "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((10L, 100L), (10L, 1L), (11L, 100L), (11L, 2L),
+      (12L, 100L), (12L, 3L)).zipWithIndex.map { case ((o, p), i) =>
+      (o, p, 1L, i, 1.0, 10.0, 0.0, 0.0, "N", "O",
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = graft.Scratch.fresh("assort_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("graph_assortativity")(sp, dir)
+      .collect()(0)
+    assert(r.getLong(0) == 3L, r.toString)
+    assert(r.getDouble(1) == -1.0, r.toString)
+  }
 }
