@@ -974,6 +974,81 @@ object Aggregates extends QueryModule {
                    (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r_lag1
         FROM m ORDER BY et""")),
 
+    // Median absolute deviation per event type — the robust spread that
+    // agg_outliers' z-scores cannot give (one planted 1e9 value moves a
+    // stddev but not a MAD). EXACT on any row count via the
+    // dq_skew_report rank-on-histogram discipline, twice: the median is
+    // the min cent whose cumulative count reaches ceil(n/2) (lower
+    // median on even counts, documented), then |c − med| re-histograms
+    // the SAME cent frame (checkpointed once, scanned twice — never the
+    // raw table) and the same rank threshold reads the MAD. Both
+    // cumulative windows scan distinct-cents rows per type, bounded by
+    // the value domain, never the event count. Everything is BIGINT
+    // until the display /100.0 (exact: cents have 2 decimals).
+    Q(
+      "agg_mad",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type").as("et"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+          .groupBy("et", "c").agg(count(lit(1)).as("f"))
+          .localCheckpoint(true)
+        val wc = Window.partitionBy("et").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val med = h.withColumn("cum", sum("f").over(wc))
+          .withColumn("n", sum("f").over(Window.partitionBy("et")))
+          .groupBy("et").agg(max("n").as("n"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("c")))
+              .as("med"))
+        val dev = h.join(broadcast(med), "et")
+          .groupBy(col("et"), abs(col("c") - col("med")).as("ad"))
+          .agg(sum("f").as("f"))
+        val wd = Window.partitionBy("et").orderBy("ad")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dev.withColumn("cum", sum("f").over(wd))
+          .join(broadcast(med), "et")
+          .groupBy("et").agg(max("n").as("n"),
+            round(max("med") / 100.0, 2).as("median"),
+            round(min(when(col("cum") >= expr("(n + 1) div 2"),
+              col("ad"))) / 100.0, 2).as("mad"))
+          .orderBy("et")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type AS et,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+        h AS (SELECT et, c, CAST(count(*) AS BIGINT) AS f
+              FROM b GROUP BY et, c),
+        cum AS (
+          SELECT et, c, f,
+                 CAST(sum(f) OVER (PARTITION BY et ORDER BY c)
+                   AS BIGINT) AS cum,
+                 CAST(sum(f) OVER (PARTITION BY et) AS BIGINT) AS n
+          FROM h),
+        med AS (
+          SELECT et, max(n) AS n,
+                 min(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
+          FROM cum GROUP BY et),
+        dev AS (
+          SELECT h.et, abs(h.c - m.med) AS ad,
+                 CAST(sum(h.f) AS BIGINT) AS f
+          FROM h JOIN med m ON h.et = m.et
+          GROUP BY h.et, abs(h.c - m.med)),
+        dc AS (
+          SELECT et, ad,
+                 CAST(sum(f) OVER (PARTITION BY et ORDER BY ad)
+                   AS BIGINT) AS cum
+          FROM dev)
+        SELECT m.et, m.n,
+               round(m.med / 100.0, 2) AS median,
+               round(min(CASE WHEN dc.cum >= (m.n + 1) // 2
+                 THEN dc.ad END) / 100.0, 2) AS mad
+        FROM dc JOIN med m ON dc.et = m.et
+        GROUP BY m.et, m.n, m.med ORDER BY m.et""")),
+
     // Higher central moments (variance/skewness/excess kurtosis) from
     // exact decimal power sums: the built-in skewness()/kurtosis() do
     // streaming double accumulation whose order differs per engine; exact

@@ -296,4 +296,27 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("alt") == ((3L, -1.0)), out.toString)
     assert(out("gap") == ((4L, -0.5941)), out.toString)
   }
+
+  test("agg_mad: outlier-immune spread; lower median on even counts") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // 'm' = [1,2,3,4,10]: median 3, deviations [2,1,0,1,7] → MAD 1 —
+    // the planted 10 moves the mean/stddev but not the MAD. 'e' =
+    // [1,2,3,4]: even count takes the LOWER median (rank ceil(n/2)=2)
+    // → median 2, deviations [1,0,1,2] → MAD 1.
+    val rows = Seq("m" -> 1.0, "m" -> 2.0, "m" -> 3.0, "m" -> 4.0,
+      "m" -> 10.0, "e" -> 1.0, "e" -> 2.0, "e" -> 3.0, "e" -> 4.0)
+    val ev = rows.zipWithIndex.map { case ((et, v), i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("mad_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("agg_mad")(sp, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("m") == ((5L, 3.0, 1.0)), out.toString)
+    assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
+  }
 }
