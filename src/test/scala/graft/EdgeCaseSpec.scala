@@ -359,4 +359,52 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
         sparse, col("doc_id"), col("text"), poolK = 2, selectK = 5)
     }
   }
+
+  test("session-4 operators survive empty and degenerate inputs") {
+    import sp.implicits._
+    import java.sql.Timestamp
+    // LPA on an empty edge frame: empty result, no throw.
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(graft.api.Graph.labelPropagation(noEdges, col("s"), col("d"),
+      rounds = 3).count() == 0)
+    // LPA on a single edge OSCILLATES (each node's only neighbor label
+    // is the other's): after odd rounds the labels are swapped — a
+    // deterministic trajectory, not an error, and exactly what the
+    // fixed-round contract pins.
+    val one = Seq((1L, 2L)).toDF("s", "d")
+    val lab = graft.api.Graph.labelPropagation(one, col("s"), col("d"),
+      rounds = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 2L, 2L -> 1L), lab.toString)
+    // kCorePeel that peels EVERYTHING in one sweep: path 1-2-3 with
+    // k=2 keeps only node 2, but BOTH its edges touch peeled ends, so
+    // the surviving edge set — and the census, which counts nodes WITH
+    // an edge — is empty from round 1 on. The (0, 0) rows exercise the
+    // coalesce(sum(d), 0) empty-graph path.
+    val path2 = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val cen = graft.api.Graph.kCorePeel(path2, col("s"), col("d"),
+        k = 2, rounds = 2)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(cen.toSeq == Seq((0, 3L, 2L), (1, 0L, 0L), (2, 0L, 0L)),
+      cen.mkString(","))
+    // One-row events corpus: agg_mad degenerates to (median = v,
+    // MAD = 0); agg_autocorr has zero lag-1 pairs for the type, so the
+    // type is ABSENT (not a null r), and nothing throws.
+    val ev = Seq((1L, Timestamp.valueOf("2024-01-05 10:00:00"), 1L,
+      "x", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("edge_s4")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val mad = SparkEntry.queries("agg_mad")(sp, dir).collect()(0)
+    assert((mad.getLong(1), mad.getDouble(2), mad.getDouble(3)) ==
+      ((1L, 5.0, 0.0)), mad.toString)
+    assert(SparkEntry.queries("agg_autocorr")(sp, dir).count() == 0)
+    // text_zipf on an EMPTY documents table: one row, zero terms, null
+    // fit (0/0 moments) — a report, not a crash.
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val z = SparkEntry.queries("text_zipf")(sp, dir).collect()(0)
+    assert(z.getLong(0) == 0L && z.isNullAt(1), z.toString)
+  }
 }
