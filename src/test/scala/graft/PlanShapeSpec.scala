@@ -401,4 +401,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
       s"AQE did not coalesce the shuffle read:\n$p")
   }
+
+  test("dq_benford scans ONLY the price column of 11") {
+    val p = plan("dq_benford")
+    assert(p.contains("l_extendedprice"), p)
+    assert(!p.contains("l_orderkey") && !p.contains("l_shipdate"),
+      "digit census must not drag unrelated lineitem columns to the scan")
+  }
+
+  test("two-sample stats scan (event_type, value) and nothing else") {
+    // The KS/U family reduces events to a cent histogram in its first
+    // hash aggregate — the scan must not read ts/user_id/props.
+    // (agg_mad shares the shape but its scan hides behind the
+    // checkpointed histogram, so the executed plan can't show it.)
+    Seq("agg_ks_test", "agg_mannwhitney").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("event_type") && p.contains("value"), s"$k:\n$p")
+      assert(!p.contains("user_id") && !p.contains("props"),
+        s"$k reads columns its histogram never touches")
+    }
+  }
+
+  test("graph_assortativity joins degrees hash-based, never all-pairs") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("agg_mad broadcasts the per-type median to the cent histogram") {
+    assert(plan("agg_mad").contains("BroadcastHashJoin"))
+  }
 }
