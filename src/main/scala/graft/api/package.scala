@@ -1309,6 +1309,26 @@ package object api {
         .select("id_l", "id_r", "text_l", "text_r", "edit_dist")
     }
 
+    /** SCD-2 point-in-time lookup: join each fact to the dimension
+      * version valid AT the fact's own time — `validFrom <= t <
+      * validTo`, open versions (null validTo) unbounded. The version
+      * predicate rides the key equi-join as a post-join filter, so the
+      * plan is ONE hash join clustered on the key (broadcastable when
+      * the dimension is small) with per-key fan-out bounded by that
+      * key's version count — never a range-bin explosion. Returns the
+      * fact rows with the matched dimension columns; facts with no
+      * valid version at their time drop (inner semantics), identically
+      * on any engine. The half-open boundary means a fact stamped
+      * exactly at a change's effective time sees the NEW version.
+      */
+    def scd2Lookup(
+        facts: DataFrame, factKey: Column, factTime: Column,
+        dim: DataFrame, dimKey: Column, validFrom: Column,
+        validTo: Column): DataFrame =
+      facts.join(dim, factKey === dimKey &&
+        factTime >= validFrom &&
+        (validTo.isNull || factTime < validTo))
+
     /** SCD-2 merge: apply a change batch to a versioned dimension.
       * Current rows (null validTo) whose tracked value actually changes
       * are closed at the effective date and a new open version is

@@ -1094,6 +1094,63 @@ object Pipeline extends QueryModule {
         FROM (SELECT * FROM closed UNION ALL SELECT * FROM newv)
         ORDER BY c_custkey, valid_from""")),
 
+    // SCD-2 point-in-time lookup — the read side of scd2_apply's write
+    // side: every order resolves the customer's nation AS OF its order
+    // date against a two-generation versioned dimension (every tenth
+    // customer moves nation effective 1998-01-01, mid order-date
+    // range, so both generations genuinely serve facts). ONE hash join
+    // clustered on custkey with the validity window as post-join
+    // filter (api.Joins.scd2Lookup; per-key fan-out = version count,
+    // here ≤ 2) — never a date-bin explosion; the nation rollup uses
+    // exact decimal price sums (agg_group discipline).
+    Q(
+      "join_scd2_lookup",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val dim = cust.select(col("c_custkey").as("k"),
+            col("c_nationkey").as("v"),
+            lit("1995-01-01").cast("timestamp").as("vf"),
+            when(col("c_custkey") % 10 === 3,
+              lit("1998-01-01").cast("timestamp")).as("vt"))
+          .unionAll(cust.filter(col("c_custkey") % 10 === 3)
+            .select(col("c_custkey").as("k"),
+              ((col("c_nationkey") + 7) % 25).as("v"),
+              lit("1998-01-01").cast("timestamp").as("vf"),
+              lit(null).cast("timestamp").as("vt")))
+        val facts = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"),
+            col("o_totalprice"))
+        graft.api.Joins.scd2Lookup(
+            facts, col("o_custkey"), col("o_orderdate"),
+            dim, col("k"), col("vf"), col("vt"))
+          .groupBy(col("v").as("nation"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+          .orderBy("nation")
+      },
+      oracle = Some("""
+        WITH dim AS (
+          SELECT c_custkey AS k, c_nationkey AS v,
+                 TIMESTAMP '1995-01-01' AS vf,
+                 CASE WHEN c_custkey % 10 = 3
+                   THEN TIMESTAMP '1998-01-01' END AS vt
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, (c_nationkey + 7) % 25,
+                 TIMESTAMP '1998-01-01', NULL
+          FROM customer WHERE c_custkey % 10 = 3),
+        j AS (
+          SELECT d.v, o.o_totalprice
+          FROM orders o JOIN dim d
+            ON o.o_custkey = d.k
+           AND o.o_orderdate >= d.vf
+           AND (d.vt IS NULL OR o.o_orderdate < d.vt))
+        SELECT v AS nation, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM j GROUP BY v ORDER BY nation""")),
+
     // PageRank over the bipartite part↔supplier graph from lineitem
     // (distinct edges, symmetrized). Iterative join+agg rounds with
     // per-round lineage cuts. Oracle (round 11): api.Graph.pageRank is

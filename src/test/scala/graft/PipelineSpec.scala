@@ -751,4 +751,29 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(0) == 3L, r.toString)
     assert(r.getDouble(1) == -1.0, r.toString)
   }
+
+  test("scd2Lookup: half-open versions; boundary fact sees the NEW one") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val dim = Seq(
+      (1L, 10, t("2020-01-01"), Some(t("2020-06-01"))),
+      (1L, 20, t("2020-06-01"), None),
+      (2L, 30, t("2020-01-01"), None))
+      .toDF("k", "v", "vf", "vt")
+    val facts = Seq(
+      ("f1", 1L, t("2020-03-01")), // inside v=10
+      ("f2", 1L, t("2020-06-01")), // EXACTLY at the change: new version
+      ("f3", 1L, t("2021-01-01")), // open tail of v=20
+      ("f4", 2L, t("2019-12-31")), // before any version: drops
+      ("f5", 2L, t("2020-02-01"))) // v=30
+      .toDF("fid", "fk", "ft")
+    val got = graft.api.Joins.scd2Lookup(facts, col("fk"), col("ft"),
+        dim, col("k"), col("vf"), col("vt"))
+      .select("fid", "v")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("f1" -> 10, "f2" -> 20, "f3" -> 20, "f5" -> 30),
+      got.toString)
+  }
 }
