@@ -1069,7 +1069,10 @@ package object api {
       * must hold that claim before it can swap `_CURRENT` to N+1 — so
       * holding it guarantees no concurrent writer can advance past
       * `expectedGen`, making check-then-swap race-free without any lock
-      * service. This is the single-table ACID-commit shape (Delta/Iceberg
+      * service. claimAndSwap returns false either because the claim
+      * file already exists OR because the pointer already reached
+      * `next` before claiming — both mean "another writer advanced
+      * first", i.e. a CAS conflict here. This is the single-table ACID-commit shape (Delta/Iceberg
       * commit protocols do the same CAS against a catalog or a
       * conditional PUT).
       *
@@ -1090,7 +1093,10 @@ package object api {
 
     /** Claim generation `next` (atomic create-new of `m<next>`), write its
       * manifest content, re-verify the pointer still precedes it, and swap
-      * `_CURRENT`. False iff the claim was already taken. The re-check
+      * `_CURRENT`. False when the claim was already taken OR the
+      * pointer had already reached `next` before claiming (a stale
+      * `next` from a concurrent advance) — either way the caller must
+      * re-read and retry/report conflict. The re-check
       * after claiming is safe BECAUSE the claim is held: nobody else can
       * swap to `next`, and nobody can swap PAST `next` without first
       * claiming it.
@@ -2577,11 +2583,15 @@ package object api {
       * node whose degree in the CURRENT surviving subgraph is < k, then
       * drops edges touching deleted nodes. Enough rounds converge to
       * the exact k-core; a FIXED round count keeps the trajectory
-      * deterministic and replayable — the census after round r ("nodes
-      * not yet peeled after r sweeps") is a well-defined object, the
-      * same round-count-is-the-contract doctrine as pageRank and
-      * labelPropagation. Returns (round, n_nodes, n_edges) of the
-      * surviving edge set for rounds 0..rounds. Per round: one
+      * deterministic and replayable — the census after round r is a
+      * well-defined object, the same round-count-is-the-contract
+      * doctrine as pageRank and labelPropagation. Returns (round,
+      * n_nodes, n_edges) of the surviving EDGE SET for rounds
+      * 0..rounds, where n_nodes counts nodes with at least one
+      * surviving edge — a kept node whose every edge died with a
+      * peeled neighbor is NOT counted (it cannot be in the k-core and
+      * will be peeled next sweep; counting it would make the census
+      * depend on which sweep you ask). Per round: one
       * map-combined degree count + two semi-joins clustered on the
       * endpoint keys; localCheckpoint cuts lineage so round r+1 never
       * re-derives rounds 1..r. O(rounds·|E|) worst case, and E shrinks
@@ -2591,6 +2601,7 @@ package object api {
     def kCorePeel(
         edges: DataFrame, src: Column, dst: Column, k: Int, rounds: Int,
         assumeCanonical: Boolean = false): DataFrame = {
+      require(rounds >= 0, s"rounds must be >= 0, got $rounds")
       var e = (if (assumeCanonical)
         edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
       else edges
@@ -2623,7 +2634,10 @@ package object api {
           .select("u", "v")
           .localCheckpoint(true)
       }
-      out.unionAll(census(rounds, degrees(e)))
+      // rounds = 0 is valid (census the input, no peeling): the loop
+      // never ran, so the final census is the only row.
+      val last = census(rounds, degrees(e))
+      if (out == null) last else out.unionAll(last)
     }
 
     /** Common-neighbor Jaccard similarity between node pairs — the

@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates extends QueryModule {
 
+  /** The view-vs-click cent-value histogram shared by agg_ks_test and
+    * agg_mannwhitney — ONE definition so the two keys can never drift
+    * apart on the slice (null filter, type pair, cent quantization).
+    * Returns (c, ca, cb): per distinct cent, the count in each sample.
+    */
+  private def viewClickCentHistogram(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.Tables.events(s, dir)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("view", "click"))
+      .select((col("event_type") === lit("view")).as("in_a"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("c").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+
   def all: Seq[Q] = Seq(
     // TPC-H Q1 shape: the §7.1 end-to-end slice. Scan → filter (pushed to
     // parquet row groups) → hash agg (partial+final) → tiny sorted result.
@@ -696,14 +713,7 @@ object Aggregates extends QueryModule {
       "agg_ks_test",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val b = Tables.events(s, dir)
-          .filter(col("value").isNotNull &&
-            col("event_type").isin("view", "click"))
-          .select((col("event_type") === lit("view")).as("in_a"),
-            round(col("value") * 100, 0).cast("long").as("c"))
-        val h = b.groupBy("c").agg(
-          sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
-          sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+        val h = viewClickCentHistogram(s, dir)
         val wc = Window.orderBy("c")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wt = Window.partitionBy()
@@ -767,25 +777,25 @@ object Aggregates extends QueryModule {
     // materialized: over the cent-value histogram, U_A = Σ_c ca·(#B<c +
     // tiesB/2), carried doubled (2U = Σ ca·(2·blt + cb)) so the whole
     // statistic is ONE exact integer; the tie-corrected normal sigma
-    // uses Σ(t³−t), also integer. Doubles appear only in the final
-    // one-row z. The cumulative window scans distinct-cents rows
+    // uses Σ(t³−t), exact in decimal(38,0)/HUGEINT (a long t³ would
+    // wrap at t ≥ 2^21 rows per cent). Doubles appear only in the
+    // final one-row z. The cumulative window scans distinct-cents rows
     // (bounded by the value domain), never the event count; overflow
-    // bound na·nb < 2^63 as agg_ks_test.
+    // bounds: na·nb < 2^63 for 2U (as agg_ks_test), per-cent count
+    // < ~4.6e12 for the tie cube.
     Q(
       "agg_mannwhitney",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val b = Tables.events(s, dir)
-          .filter(col("value").isNotNull &&
-            col("event_type").isin("view", "click"))
-          .select((col("event_type") === lit("view")).as("in_a"),
-            round(col("value") * 100, 0).cast("long").as("c"))
-        val h = b.groupBy("c").agg(
-          sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
-          sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+        val h = viewClickCentHistogram(s, dir)
         val wlt = Window.orderBy("c")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val t = col("ca") + col("cb")
+        // Tie cube in decimal(38,0), not long: t³ wraps a long at
+        // t ≥ 2^21 (~2.1M rows sharing one cent — reachable long
+        // before the na·nb bound), and a wrapped Spark long would
+        // diverge from DuckDB's erroring BIGINT. Decimal/HUGEINT hold
+        // to t < ~4.6e12 — beyond any per-cent count at 100 TB.
+        val t = (col("ca") + col("cb")).cast("decimal(38,0)")
         val k = h.select(col("ca"), col("cb"),
           coalesce(sum("cb").over(wlt), lit(0L)).as("blt"),
           (t * t * t - t).as("t3"))
@@ -822,13 +832,14 @@ object Aggregates extends QueryModule {
                  CAST(coalesce(sum(cb) OVER (ORDER BY c
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS BIGINT) AS blt,
-                 (ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) AS t3
+                 CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                   - (ca + cb) AS t3
           FROM h),
         g AS (
           SELECT CAST(sum(ca) AS BIGINT) AS na,
                  CAST(sum(cb) AS BIGINT) AS nb,
                  CAST(sum(ca * (2 * blt + cb)) AS BIGINT) AS u2,
-                 CAST(sum(t3) AS BIGINT) AS tie3
+                 sum(t3) AS tie3
           FROM k)
         SELECT na, nb, round(u2 / 2.0, 1) AS u_a,
                round(CAST(u2 - na * nb AS DOUBLE) /
@@ -853,10 +864,20 @@ object Aggregates extends QueryModule {
       "agg_chi2",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val cells = Tables.events(s, dir)
+        val cells0 = Tables.events(s, dir)
           .select(col("event_type").as("et"),
             expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
           .groupBy("et", "dow").agg(count(lit(1)).as("obs"))
+        // Densify to the FULL R×C grid: a structurally-absent cell
+        // (type never seen on that weekday) still has expected count
+        // e = rt·ct/n > 0 and must contribute (0−e)²/e = e, or χ² is
+        // biased low against the (R−1)(C−1) dof. The cross join is two
+        // tiny distinct frames — bounded by |types|·7, never data.
+        val cells = cells0.select("et").distinct()
+          .crossJoin(cells0.select("dow").distinct())
+          .join(cells0, Seq("et", "dow"), "left")
+          .select(col("et"), col("dow"),
+            coalesce(col("obs"), lit(0L)).as("obs"))
         val k = cells.select(col("et"), col("dow"), col("obs"),
           sum("obs").over(Window.partitionBy("et")).as("rt"),
           sum("obs").over(Window.partitionBy("dow")).as("ct"),
@@ -876,7 +897,13 @@ object Aggregates extends QueryModule {
                  (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7
                    AS dow
           FROM events),
-        cells AS (SELECT et, dow, count(*) AS obs FROM b GROUP BY et, dow),
+        cells0 AS (SELECT et, dow, count(*) AS obs
+                   FROM b GROUP BY et, dow),
+        cells AS (
+          SELECT de.et, dd.dow, CAST(coalesce(c.obs, 0) AS BIGINT) AS obs
+          FROM (SELECT DISTINCT et FROM cells0) de
+          CROSS JOIN (SELECT DISTINCT dow FROM cells0) dd
+          LEFT JOIN cells0 c ON c.et = de.et AND c.dow = dd.dow),
         k AS (
           SELECT et, dow, CAST(obs AS BIGINT) AS obs,
                  CAST(sum(obs) OVER (PARTITION BY et) AS BIGINT) AS rt,

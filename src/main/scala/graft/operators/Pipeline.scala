@@ -1098,7 +1098,10 @@ object Pipeline extends QueryModule {
     // side: every order resolves the customer's nation AS OF its order
     // date against a two-generation versioned dimension (every tenth
     // customer moves nation effective 1998-01-01, mid order-date
-    // range, so both generations genuinely serve facts). ONE hash join
+    // range, so both generations genuinely serve facts; validFrom
+    // 1992-01-01 predates any TPC-H-family order date, so NO order
+    // drops for want of a version — n_orders sums to the full order
+    // count). ONE hash join
     // clustered on custkey with the validity window as post-join
     // filter (api.Joins.scd2Lookup; per-key fan-out = version count,
     // here ≤ 2) — never a date-bin explosion; the nation rollup uses
@@ -1109,7 +1112,7 @@ object Pipeline extends QueryModule {
         val cust = Tables.customer(s, dir)
         val dim = cust.select(col("c_custkey").as("k"),
             col("c_nationkey").as("v"),
-            lit("1995-01-01").cast("timestamp").as("vf"),
+            lit("1992-01-01").cast("timestamp").as("vf"),
             when(col("c_custkey") % 10 === 3,
               lit("1998-01-01").cast("timestamp")).as("vt"))
           .unionAll(cust.filter(col("c_custkey") % 10 === 3)
@@ -1132,7 +1135,7 @@ object Pipeline extends QueryModule {
       oracle = Some("""
         WITH dim AS (
           SELECT c_custkey AS k, c_nationkey AS v,
-                 TIMESTAMP '1995-01-01' AS vf,
+                 TIMESTAMP '1992-01-01' AS vf,
                  CASE WHEN c_custkey % 10 = 3
                    THEN TIMESTAMP '1998-01-01' END AS vt
           FROM customer

@@ -387,6 +387,11 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(cen.toSeq == Seq((0, 3L, 2L), (1, 0L, 0L), (2, 0L, 0L)),
       cen.mkString(","))
+    // rounds = 0 is the census-only call: one row, no peeling, no NPE.
+    val cen0 = graft.api.Graph.kCorePeel(path2, col("s"), col("d"),
+        k = 2, rounds = 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(cen0.toSeq == Seq((0, 3L, 2L)), cen0.mkString(","))
     // One-row events corpus: agg_mad degenerates to (median = v,
     // MAD = 0); agg_autocorr has zero lag-1 pairs for the type, so the
     // type is ABSENT (not a null r), and nothing throws.

@@ -247,16 +247,19 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) == -1.1237, r.toString)
   }
 
-  test("agg_chi2: hand 2x2 contingency — chi2 = 20, dof = 1") {
+  test("agg_chi2: hand 3x2 contingency incl. an EMPTY cell — chi2 = 37.5") {
     val sp = spark
     import sp.implicits._
     import java.sql.Timestamp
-    // Two types over two weekdays, obs (30,10;10,30): every expected
-    // cell is 20, every term (±10)²/20 = 5 → χ² = 20 exactly, dof 1.
+    // Rows X(30,10), Y(10,30), Z(20,0) over two weekdays: Z never
+    // occurs on day 2, so the (Z, d2) cell is structurally absent from
+    // the groupBy — densification must still charge its expected count
+    // e = 20·40/100 = 8. Hand totals: terms 1.5 + 2.25 + 49/6 + 12.25
+    // + 16/3 + 8 → χ² = 37.5 exactly, dof (3−1)(2−1) = 2, 6 cells.
     val d1 = Timestamp.valueOf("2024-01-01 12:00:00") // epoch-day dow 4
     val d2 = Timestamp.valueOf("2024-01-02 12:00:00") // dow 5
     val cells = Seq(("X", d1, 30), ("X", d2, 10),
-      ("Y", d1, 10), ("Y", d2, 30))
+      ("Y", d1, 10), ("Y", d2, 30), ("Z", d1, 20))
     val rows = cells.flatMap { case (et, ts, k) =>
       (0 until k).map(_ => (et, ts))
     }
@@ -266,10 +269,10 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     val dir = graft.Scratch.fresh("chi2_spec")
     ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
     val r = SparkEntry.queries("agg_chi2")(sp, dir).collect()(0)
-    assert(r.getLong(0) == 80L, r.toString)
-    assert(r.getLong(1) == 4L, r.toString)
-    assert(r.getLong(2) == 1L, r.toString)
-    assert(r.getDouble(3) == 20.0, r.toString)
+    assert(r.getLong(0) == 100L, r.toString)
+    assert(r.getLong(1) == 6L, r.toString)
+    assert(r.getLong(2) == 2L, r.toString)
+    assert(r.getDouble(3) == 37.5, r.toString)
   }
 
   test("agg_autocorr: alternation gives r = -1; absent days zero-fill") {
