@@ -625,6 +625,45 @@ object Streaming extends QueryModule {
         WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= (SELECT w FROM wm)
         GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // Watermarked SLIDING windows in append mode — the overlap shape
+    // the tumbling agg never exercises: every event updates FOUR
+    // concurrent window states (1 h window, 15 min slide), so state
+    // size is 4× the open-window count and each watermark advance can
+    // close several overlapping windows at once. Same closed-region
+    // doctrine as stream_watermark_agg: time-ordered slices ⇒ nothing
+    // late ⇒ emitted set = the batch sliding aggregate (window_sliding)
+    // restricted to windows the final watermark closed.
+    Q(
+      "stream_sliding_agg",
+      (s, dir) => {
+        val (in, ckpt) = slices(s, dir, "stream_sliding_agg")
+        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_ssl").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start() }
+        s.table("graft_ssl")
+          .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("window_start", "event_type")
+      },
+      oracle = Some("""
+        WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k * INTERVAL '15 minutes' AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+        GROUP BY 1, 2
+        HAVING time_bucket(INTERVAL '15 minutes', ts)
+                 - k * INTERVAL '15 minutes' + INTERVAL '1 hour'
+                 <= (SELECT w FROM wm)
+        ORDER BY window_start, event_type""")),
+
     // Watermarked SESSION windows in append mode — the streaming
     // counterpart of window_session, and the state-merge mechanism the
     // tumbling agg never exercises: a session's state is an OPEN

@@ -156,4 +156,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         col("session_end").cast("timestamp") > lit(wm)).count() == 0,
       "emitted a session the watermark had not closed")
   }
+
+  test("streamed sliding agg equals batch sliding agg on closed windows") {
+    val ev = Tables.events(spark, sf0001)
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    val wm = new java.sql.Timestamp(maxTs.getTime - 10L * 60 * 1000)
+    val closedBatch = SparkEntry.queries("window_sliding")(spark, sf0001)
+      .filter(col("window_start").cast("timestamp")
+        + expr("INTERVAL 1 HOUR") <= lit(wm))
+      .collect().map(_.toString).toSet
+    val streamed = SparkEntry.queries("stream_sliding_agg")(spark, sf0001)
+      .collect().map(_.toString).toSet
+    assert(streamed == closedBatch,
+      s"streamed ${streamed.size} vs closed batch ${closedBatch.size}")
+    assert(streamed.nonEmpty, "no closed sliding windows emitted")
+    // Overlap sanity: sliding emits ~4x the tumbling closed-window rows.
+    val tumbling = SparkEntry.queries("stream_watermark_agg")(spark, sf0001)
+      .count()
+    assert(streamed.size > 2 * tumbling,
+      s"sliding (${streamed.size}) should far exceed tumbling ($tumbling)")
+  }
 }
