@@ -3348,6 +3348,52 @@ package object api {
           1).as("dof"))
     }
 
+    /** Spearman rank correlation ρ of two INTEGER-valued columns,
+      * without ever sorting the fact frame: each variable's
+      * average-tie rank comes from its value HISTOGRAM (doubled so it
+      * stays an exact integer: 2·rank = 2·#below + ties + 1), rows
+      * join back to the two histograms on the value key, and ρ is
+      * Pearson over the doubled ranks — exact decimal(38,0) moment
+      * sums, then ONE shared-structure double expression (the
+      * agg_moments discipline), so the result is partitioning- and
+      * engine-exact after round(4).
+      *
+      * Scale: the two histogram aggregates are map-combined to the
+      * distinct-value domain; callers must pass columns whose domain is
+      * bounded (bin wide-range values first — ranks of a binned
+      * variable are still exact Spearman-with-ties of that variable).
+      * The cumulative window runs over histogram rows only; the
+      * rank-attach joins broadcast the domain-sized histograms. A
+      * global window over the fact frame never happens.
+      *
+      * Output: one row (n_rows, rho).
+      */
+    def spearmanRho(df: DataFrame, x: Column, y: Column): DataFrame = {
+      val b = df.select(x.cast("long").as("q"), y.cast("long").as("p"))
+      def rank2(key: String): DataFrame = {
+        val wlt = org.apache.spark.sql.expressions.Window.orderBy(key)
+          .rowsBetween(Long.MinValue, -1)
+        b.groupBy(key).agg(count(lit(1)).as("cnt"))
+          .select(col(key),
+            (lit(2L) * coalesce(sum("cnt").over(wlt), lit(0L)) +
+              col("cnt") + 1L).as(s"r2$key"))
+      }
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      val m = b.join(rank2("q"), "q").join(rank2("p"), "p")
+        .agg(count(lit(1)).as("n"),
+          sum(d(col("r2q"))).cast("double").as("sx"),
+          sum(d(col("r2p"))).cast("double").as("sy"),
+          sum(d(col("r2q")) * d(col("r2p"))).cast("double").as("sxy"),
+          sum(d(col("r2q")) * d(col("r2q"))).cast("double").as("sxx"),
+          sum(d(col("r2p")) * d(col("r2p"))).cast("double").as("syy"))
+      val nd = col("n").cast("double")
+      m.select(col("n").as("n_rows"),
+        round((nd * col("sxy") - col("sx") * col("sy")) /
+          sqrt((nd * col("sxx") - col("sx") * col("sx")) *
+            (nd * col("syy") - col("sy") * col("sy"))), 4)
+          .as("rho"))
+    }
+
     /** CUSUM change-point detection over daily means — the temporal
       * complement to [[driftPsi]]: PSI says a distribution moved,
       * CUSUM says WHEN. Per group: daily mean value (2-decimal inputs

@@ -922,6 +922,67 @@ object Aggregates extends QueryModule {
                round(CAST(sum(tq) AS BIGINT) / 1e9, 4) AS chi2
         FROM q""")),
 
+    // Spearman rank correlation of basket size vs basket value — each
+    // order's line count against its total line value in $100 bins
+    // (ρ ≈ 0.85 on this corpus: more lines, bigger basket — the
+    // monotone-association readout that survives outliers and nonlinear
+    // scaling where Pearson/agg_regression does not; the raw
+    // quantity-price pairs are independent by construction here, rho
+    // 0.003, the vacuous-demo trap). No per-row ranks are ever sorted:
+    // each variable's average-tie rank comes from its VALUE HISTOGRAM
+    // (rank·2 = 2·#below + ties + 1, an exact integer), the order frame
+    // joins back to the two histograms on the value key — line-count
+    // domain ≤ max basket size, value domain ≤ max-basket/$100, both
+    // broadcastable at any corpus scale, so a global sort of the fact
+    // frame never happens — and ρ is Pearson over the doubled ranks:
+    // exact decimal(38,0) moment sums (n·Σxy ≤ 4n⁴, inside decimal38
+    // to n ≈ 1e9 orders), then ONE shared-structure double expression
+    // (agg_moments discipline).
+    Q(
+      "agg_spearman",
+      (s, dir) => {
+        val basket = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("q"),
+            expr("sum(cast(round(l_extendedprice * 100) as bigint))" +
+              " div 10000").as("p"))
+        graft.api.Quality.spearmanRho(basket, col("q"), col("p"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(count(*) AS BIGINT) AS q,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   // 10000 AS BIGINT) AS p
+          FROM lineitem GROUP BY l_orderkey),
+        hq AS (
+          SELECT q,
+                 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY q
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) + cnt + 1 AS r2q
+          FROM (SELECT q, count(*) AS cnt FROM b GROUP BY q)),
+        hp AS (
+          SELECT p,
+                 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) + cnt + 1 AS r2p
+          FROM (SELECT p, count(*) AS cnt FROM b GROUP BY p)),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(r2q AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(r2p AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(r2q AS DECIMAL(38,0)) * r2p) AS DOUBLE)
+                   AS sxy,
+                 CAST(sum(CAST(r2q AS DECIMAL(38,0)) * r2q) AS DOUBLE)
+                   AS sxx,
+                 CAST(sum(CAST(r2p AS DECIMAL(38,0)) * r2p) AS DOUBLE)
+                   AS syy
+          FROM b JOIN hq USING (q) JOIN hp USING (p))
+        SELECT n AS n_rows,
+               round((n * sxy - sx * sy) /
+                 sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+                 AS rho
+        FROM m""")),
+
     // Lag-1 autocorrelation of the ZERO-FILLED daily event-count series
     // per event type — the periodicity/burstiness readout behind every
     // ingest-seasonality dashboard. Absent days matter (a gap is a zero,

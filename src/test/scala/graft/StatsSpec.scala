@@ -33,6 +33,25 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       r.getDouble(2) == 1.0)
   }
 
+  test("spearmanRho: monotone pairs hit ±1, ties use average ranks") {
+    val sp = spark
+    import sp.implicits._
+    // Strictly monotone (nonlinear) association is exactly +1 / −1.
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 40L), (4L, 80L))
+      .toDF("x", "y")
+    assert(api.Quality.spearmanRho(up, col("x"), col("y"))
+      .collect()(0).getDouble(1) == 1.0)
+    assert(api.Quality.spearmanRho(up, col("x"), lit(0L) - col("y"))
+      .collect()(0).getDouble(1) == -1.0)
+    // Ties take average ranks: x=(1,1,2,3) → ranks (1.5,1.5,3,4),
+    // y=(5,7,7,9) → (1,2.5,2.5,4); Pearson over them = 15/18.
+    val tied = Seq((1L, 5L), (1L, 7L), (2L, 7L), (3L, 9L)).toDF("x", "y")
+    val r = api.Quality.spearmanRho(tied, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == math.rint(15.0 / 18.0 * 1e4) / 1e4,
+      s"got ${r.getDouble(1)}")
+  }
+
   test("central moments: symmetric data has zero skewness, known variance") {
     val sp = spark
     import sp.implicits._
