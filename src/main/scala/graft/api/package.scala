@@ -2579,6 +2579,41 @@ package object api {
       lab
     }
 
+    /** Newman modularity Q of a node partition over a canonical (u < v)
+      * edge list with `labels` as (n, label): Q = (4m·intra − Σ D_c²)
+      * / (4m²) — intra = edges with both endpoints in one community,
+      * D_c = community degree sum. Everything is counting (per-edge
+      * endpoint-label explode, map-combined); the numerator is exact in
+      * decimal(38,0) (D_c ≤ 2m ⇒ Σ D_c² ≤ 4m², inside decimal38 to
+      * m ≈ 1e9 edges) and the only double is the final shared-structure
+      * division. Output: one row (n_edges, n_communities, intra_edges,
+      * modularity).
+      */
+    def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+      val el = edges
+        .join(labels.select(col("n").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("n").as("v"), col("label").as("lv")), "v")
+      val dc = el.select(explode(array(col("lu"), col("lv"))).as("label"))
+        .groupBy("label").agg(count(lit(1)).as("dsum"))
+      val lc = el.filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("label"))
+        .agg(count(lit(1)).as("lcnt"))
+      val f = dc.join(lc, Seq("label"), "left")
+        .select(col("dsum"), coalesce(col("lcnt"), lit(0L)).as("lcnt"))
+      val d19 = (c: Column) => c.cast("decimal(19,0)")
+      val t = f.agg(
+        expr("sum(dsum) div 2").as("m"),
+        count(lit(1)).as("ncomm"),
+        sum("lcnt").as("intra"),
+        sum(d19(col("dsum")) * d19(col("dsum"))).as("sd2"))
+      t.select(col("m").as("n_edges"), col("ncomm").as("n_communities"),
+        col("intra").as("intra_edges"),
+        round((lit(4.0) * col("m") * col("intra") -
+            col("sd2").cast("double")) /
+          ((lit(2.0) * col("m")) * (lit(2.0) * col("m"))), 4)
+          .as("modularity"))
+    }
+
     /** Bounded-round k-core peel: each synchronous round deletes every
       * node whose degree in the CURRENT surviving subgraph is < k, then
       * drops edges touching deleted nodes. Enough rounds converge to

@@ -1548,6 +1548,68 @@ object Pipeline extends QueryModule {
                  AS assortativity
         FROM mo""")),
 
+    // Newman modularity Q of the LPA communities — the quality readout
+    // that closes the community-detection loop: did label propagation
+    // find real structure (Q > 0: more intra-community edges than a
+    // degree-preserving random graph) or noise (Q ≈ 0)? Reuses the
+    // EXACT graph_label_propagation fixpoint (same rounds, same tie
+    // rule, same lpaCtes replay in the oracle — the two keys can never
+    // certify different partitions). Everything is counting: each
+    // labeled edge feeds the per-community degree sum (explode of the
+    // two endpoint labels, map-combined) and the intra-edge count;
+    // Q = (4m·intra − Σ D_c²)/(4m²) with the numerator exact in
+    // decimal(38,0) (D_c ≤ 2m, so Σ D_c² ≤ 4m² — inside decimal38 to
+    // m ≈ 1e9 edges) and ONE shared-structure double division at the
+    // end. The label frame is localCheckpoint'd once: three consumers
+    // (two endpoint joins) must not re-run the 3-round chain.
+    Q(
+      "graph_modularity",
+      (s, dir) => {
+        val e = urgentCoPurchaseEdges(s, dir)
+        val labels = graft.api.Graph.labelPropagation(
+            e, col("u"), col("v"), rounds = LpaRounds,
+            assumeCanonical = true)
+          .localCheckpoint(true)
+        graft.api.Graph.modularity(e, labels)
+      },
+      oracle = Some(s"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        ${lpaCtes(LpaRounds)},
+        el AS (
+          SELECT a.label AS lu, b.label AS lv
+          FROM e JOIN lp_r$LpaRounds a ON a.n = e.u
+                 JOIN lp_r$LpaRounds b ON b.n = e.v),
+        dc AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS dsum FROM (
+            SELECT lu AS label FROM el
+            UNION ALL SELECT lv AS label FROM el) GROUP BY label),
+        lc AS (
+          SELECT lu AS label, CAST(count(*) AS BIGINT) AS lcnt
+          FROM el WHERE lu = lv GROUP BY lu),
+        f AS (
+          SELECT d.dsum, coalesce(l.lcnt, 0) AS lcnt
+          FROM dc d LEFT JOIN lc l ON l.label = d.label),
+        t AS (
+          SELECT CAST(sum(dsum) AS BIGINT) // 2 AS m,
+                 count(*) AS ncomm,
+                 CAST(sum(lcnt) AS BIGINT) AS intra,
+                 sum(CAST(dsum AS DECIMAL(19,0)) * dsum) AS sd2
+          FROM f)
+        SELECT m AS n_edges, ncomm AS n_communities,
+               intra AS intra_edges,
+               round((4.0 * m * intra - CAST(sd2 AS DOUBLE)) /
+                 ((2.0 * m) * (2.0 * m)), 4) AS modularity
+        FROM t""")),
+
     // Weighted sampling without replacement (A-ES / Efraimidis-Spirakis):
     // each doc draws a deterministic pseudo-uniform u from the Knuth
     // multiplicative hash of its id, and the top-k by ln(u)/weight are

@@ -704,6 +704,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got2 == got, got2.toString)
   }
 
+  test("modularity: bridged triangles hand value, one community is zero") {
+    val sp = spark
+    import sp.implicits._
+    // Two triangles bridged by 3–4 (canonical u < v edges), perfect
+    // partition {1,2,3}|{4,5,6}: m = 7, intra = 6, D_c = (2+2+3, 7),
+    // Q = (4·7·6 − 2·49)/(4·49) = 70/196 = 0.3571.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 2L)).toDF("n", "label")
+    val r = api.Graph.modularity(edges, labels).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 2L, 6L)),
+      r.toString)
+    assert(r.getDouble(3) == math.rint(70.0 / 196.0 * 1e4) / 1e4,
+      r.toString)
+    // The degenerate one-community partition scores exactly 0:
+    // intra = m and Σ D_c² = (2m)².
+    val allOne = labels.select(col("n"), lit(9L).as("label"))
+    assert(api.Graph.modularity(edges, allOne).collect()(0)
+      .getDouble(3) == 0.0)
+  }
+
   test("kCorePeel: path tail peels in two sweeps, triangle survives") {
     val sp = spark
     import sp.implicits._
