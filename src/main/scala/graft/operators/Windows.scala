@@ -604,6 +604,66 @@ object Windows extends QueryModule {
                 WHERE d2.event_type = days.event_type
                   AND d2.day BETWEEN days.day - 2 AND days.day)
                  AS wau_3d
-        FROM days ORDER BY event_type, day"""))
+        FROM days ORDER BY event_type, day""")),
+
+    // Maximum drawdown per user — the running-peak-to-trough analytic
+    // behind burn-rate / SLA-budget / portfolio monitoring: each user's
+    // value stream becomes a centered cumulative walk (cents − 5000, so
+    // the level rises and falls around the corpus mean of ~$49.63), and
+    // drawdown at t = running peak − current level. Both cumulative
+    // aggregates (level, peak) are UNBOUNDED-PRECEDING running frames —
+    // the left-to-right-accumulating frame class that is float-order-
+    // safe in both engines (NOTES: sliding frames are not), and here
+    // all-integer anyway. Two window functions share ONE (partition,
+    // order) spec, so this is a single clustered shuffle on user_id +
+    // one per-partition sort; the per-user rollup then map-combines.
+    Q(
+      "win_drawdown",
+      (s, dir) => {
+        def w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val b = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (round(col("value") * 100).cast("long") - 5000L).as("step"))
+        // level, then peak = running max OF the level: stacked windows
+        // over the identical (partition, order) spec — one shuffle +
+        // one sort, two Window nodes.
+        val walk = b
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("step"), sum("step").over(w).as("level"))
+          .select(col("user_id"), col("step"), col("level"),
+            max("level").over(w).as("peak"))
+        walk
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(max(col("peak") - col("level")) / 100.0, 2)
+              .as("max_drawdown"),
+            round(max("peak") / 100.0, 2).as("peak_level"),
+            round(sum("step") / 100.0, 2).as("final_level"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) - 5000 AS step
+          FROM events),
+        lv AS (
+          SELECT user_id, ts, event_id, step,
+                 sum(step) OVER w AS level
+          FROM b
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        walk AS (
+          SELECT user_id, step, level,
+                 max(level) OVER w AS peak
+          FROM lv
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id, count(*) AS n_events,
+               round(max(peak - level) / 100.0, 2) AS max_drawdown,
+               round(max(peak) / 100.0, 2) AS peak_level,
+               round(sum(step) / 100.0, 2) AS final_level
+        FROM walk GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -412,4 +412,28 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     val z = SparkEntry.queries("text_zipf")(sp, dir).collect()(0)
     assert(z.getLong(0) == 0L && z.isNullAt(1), z.toString)
   }
+
+  test("win_drawdown: hand walk — trough after peak, flat user is zero") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-05 $h%02d:00:00")
+    // User 1 steps (cents − 5000): +5000, −4000, −3000, +10000, −2000,
+    // −1000 → levels 50, 10, −20, 80, 60, 50; peaks 50,50,50,80,80,80;
+    // max drawdown = 70.00 (at the −20 trough), peak 80, final 50.
+    // User 2 is flat at the $50 center: everything 0.
+    val vals = Seq(100.0, 10.0, 20.0, 150.0, 30.0, 40.0)
+    val ev = (vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, t(i), 1L, "x", v, "{}")
+    } ++ Seq.tabulate(3)(i => (100L + i, t(i), 2L, "x", 50.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("drawdown_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("win_drawdown")(sp, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rows(1L) == ((6L, 70.0, 80.0, 50.0)), rows(1L).toString)
+    assert(rows(2L) == ((3L, 0.0, 0.0, 0.0)), rows(2L).toString)
+  }
 }
