@@ -1538,6 +1538,44 @@ package object api {
         .toDF("id", "sample_rate", "n_samples", "peak_abs", "sum_sq")
     }
 
+    /** Decode PCM WAV payloads and emit per-frame energy: the payload is
+      * cut into complete frames of `frameLen` samples (a trailing
+      * partial frame is dropped) and each frame yields its exact
+      * integer energy Σv² — the fan-out a VAD / diarization /
+      * silence-trim pipeline runs right after decode. One output row
+      * per (id, frame_idx); downstream thresholding and island
+      * detection stay relational, so the frame stream is ordinary
+      * distributed data, never driver state. Rows that fail to decode
+      * are dropped.
+      */
+    def wavFrameEnergy(
+        df: DataFrame, id: Column, payload: Column,
+        frameLen: Int = 160): DataFrame = {
+      require(frameLen >= 1, "frameLen must be >= 1")
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val w = graft.functions.Codecs.decodeWav(bytes)
+              val nf = w.samples.length / frameLen
+              (0 until nf).map { f =>
+                var s = 0L
+                var k = f * frameLen
+                while (k < (f + 1) * frameLen) {
+                  val v = w.samples(k).toLong
+                  s += v * v
+                  k += 1
+                }
+                (i, f.toLong, s)
+              }
+            }.getOrElse(Seq.empty)
+          }
+        }
+        .toDF("id", "frame_idx", "energy")
+    }
+
     /** Decode 24-bpp BMP payloads and emit REAL patch features: the image
       * is cut into a grid×grid patch grid (pixel (x,y) belongs to patch
       * (y·grid)/h · grid + (x·grid)/w, integer division) and each patch

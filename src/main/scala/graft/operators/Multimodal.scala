@@ -218,6 +218,86 @@ object Multimodal extends QueryModule {
                CAST(sum(v * v) AS BIGINT) AS sum_sq
         FROM s GROUP BY doc_id, n_out ORDER BY doc_id""")),
 
+    // REAL voice-activity detection over decoded audio: a complete WAV
+    // is assembled and DECODED per doc (Codecs round trip, as
+    // mm_wav_decode), cut into 160-sample frames whose exact integer
+    // energies Σv² come from the actual PCM bytes
+    // (api.Multimodal.wavFrameEnergy), and activity is relational from
+    // there — threshold on frame energy, gaps-and-islands
+    // (frame − row_number) for the longest active run, per-doc census.
+    // The synthetic signal is a slow sawtooth, so frames genuinely
+    // alternate loud/quiet around the threshold and every column is
+    // exercised. The oracle recomputes every sample arithmetically: one
+    // mis-framed or mis-decoded sample moves an energy across the
+    // threshold and the hash breaks.
+    Q(
+      "mm_audio_vad",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val thresh = 40000000000L
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .map { case (id, nChars) =>
+            val sr = (8000 + (id % 4) * 4000).toInt
+            val n = (nChars % 2000 + 320).toInt
+            val samples = Array.tabulate[Short](n)(
+              i => (((id * 9973 + i * 7) % 65536) - 32768).toShort)
+            (id, graft.functions.Codecs.encodeWav(sr, samples))
+          }
+          .toDF("doc_id", "payload")
+        val fe = graft.api.Multimodal.wavFrameEnergy(
+            encoded, col("doc_id"), col("payload"), frameLen = 160)
+          .withColumnRenamed("id", "doc_id")
+        val st = fe.groupBy("doc_id").agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("energy") >= thresh, 1L).otherwise(0L))
+            .as("n_active"))
+        val wrn = Window.partitionBy("doc_id").orderBy("frame_idx")
+        val lr = fe.filter(col("energy") >= thresh)
+          .withColumn("grp", col("frame_idx") - row_number().over(wrn))
+          .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+          .groupBy("doc_id").agg(max("run").as("longest_run"))
+        st.join(lr, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_frames"), col("n_active"),
+            coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+            expr("1000 * n_active div n_frames").as("active_pm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, n_chars % 2000 + 320 AS n
+                   FROM documents WHERE doc_id < 100),
+        s AS (
+          SELECT doc_id, i // 160 AS f,
+                 ((doc_id * 9973 + i * 7) % 65536) - 32768 AS v
+          FROM d, LATERAL (SELECT unnest(generate_series(0,
+                 CAST((n // 160) * 160 - 1 AS INT))) AS i)),
+        fe AS (
+          SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS energy
+          FROM s GROUP BY doc_id, f),
+        st AS (
+          SELECT doc_id, count(*) AS n_frames,
+                 CAST(sum(CASE WHEN energy >= 40000000000 THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_active
+          FROM fe GROUP BY doc_id),
+        isl AS (
+          SELECT doc_id,
+                 f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                   AS grp
+          FROM fe WHERE energy >= 40000000000),
+        runs AS (SELECT doc_id, count(*) AS run
+                 FROM isl GROUP BY doc_id, grp),
+        lr AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS longest_run
+               FROM runs GROUP BY doc_id)
+        SELECT st.doc_id, st.n_frames, st.n_active,
+               coalesce(lr.longest_run, 0) AS longest_run,
+               1000 * st.n_active // st.n_frames AS active_pm
+        FROM st LEFT JOIN lr ON lr.doc_id = st.doc_id
+        ORDER BY st.doc_id""")),
+
     // REAL image decode: each doc gets a complete 24-bpp BMP assembled
     // byte-for-byte (file+info headers, bottom-up rows, 4-byte padding —
     // Codecs.encodeBmp) with pixel (x,y) = (x*7 + y*13 + doc_id) % 256 on

@@ -292,6 +292,22 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("wavFrameEnergy: exact per-frame sums, partial tail dropped") {
+    val sp = spark
+    import sp.implicits._
+    // 10 samples, frameLen 4: frames [3,3,3,3] → 36, [0,0,5,-5] → 50;
+    // the 2-sample tail (7,7) is an incomplete frame and must vanish.
+    val wav = graft.functions.Codecs.encodeWav(8000,
+      Array[Short](3, 3, 3, 3, 0, 0, 5, -5, 7, 7))
+    val df = Seq((1L, wav)).toDF("id", "payload")
+    val got = api.Multimodal.wavFrameEnergy(
+        df, org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("payload"), frameLen = 4)
+      .orderBy("frame_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 36L), (1L, 50L)), got.mkString(","))
+  }
+
   test("bmpBandFeatures aggregates the decoded pixels per horizontal band") {
     val sp = spark
     import sp.implicits._
