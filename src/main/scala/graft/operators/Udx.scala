@@ -462,6 +462,75 @@ object Udx extends QueryModule {
           .orderBy("event_type", "user_id")
       }),
 
+    // OWNED portable Count-Min (the oracle-bearing sibling udaf_countmin
+    // cannot be, exactly as dedup_minhash_portable is to dedup_minhash):
+    // d=4 md5-derived hash rows × w=64 buckets per event type, expressed
+    // RELATIONALLY — the d×w counter table is ONE map-combined groupBy
+    // whose partial aggregation IS the sketch merge (update = +1 to d
+    // cells, merge = cell-wise sum — precisely what Spark's partial/final
+    // split executes), so the shuffle carries ≤ |types|·d·w cells at any
+    // corpus size. Point estimates min over the d probed cells (CMS
+    // one-sided guarantee: est ≥ exact always — certified per row in
+    // `overcount` ≥ 0). Every hash is engine-portable
+    // (conv(md5)-60-bit, the dedup_minhash_portable discipline), so the
+    // WHOLE sketch — build, probe, estimate — replays bit-exactly in
+    // the DuckDB oracle: this is the fully-certified CMS the builtin
+    // sketch key can only spec-assert.
+    Q(
+      "udaf_countmin_portable",
+      (s, dir) => {
+        val w = 64
+        def bucket(j: org.apache.spark.sql.Column,
+            u: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(j.cast("string"), lit(":"),
+            u.cast("string"))), 1, 15), 16, 10).cast("long") % w
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"))
+        val cells = ev
+          .select(col("event_type"), col("user_id"),
+            explode(typedlit(Seq(0, 1, 2, 3))).as("j"))
+          .select(col("event_type"), col("j"),
+            bucket(col("j"), col("user_id")).as("b"))
+          .groupBy("event_type", "j", "b")
+          .agg(count(lit(1)).as("cnt"))
+        val probes = ev.filter(col("user_id") < 5)
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("exact_n"))
+        probes
+          .select(col("event_type"), col("user_id"), col("exact_n"),
+            explode(typedlit(Seq(0, 1, 2, 3))).as("j"))
+          .withColumn("b", bucket(col("j"), col("user_id")))
+          .join(broadcast(cells), Seq("event_type", "j", "b"))
+          .groupBy("event_type", "user_id", "exact_n")
+          .agg(min("cnt").as("cms_est"))
+          .select(col("event_type"), col("user_id"), col("exact_n"),
+            col("cms_est"),
+            (col("cms_est") - col("exact_n")).as("overcount"))
+          .orderBy("event_type", "user_id")
+      },
+      oracle = Some("""
+        WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        ev AS (SELECT event_type, user_id FROM events),
+        cells AS (
+          SELECT event_type, j,
+                 ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
+                    CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS b,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM ev CROSS JOIN js
+          GROUP BY 1, 2, 3),
+        probes AS (
+          SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_n
+          FROM ev WHERE user_id < 5 GROUP BY 1, 2)
+        SELECT p.event_type, p.user_id, p.exact_n,
+               CAST(min(c.cnt) AS BIGINT) AS cms_est,
+               CAST(min(c.cnt) - p.exact_n AS BIGINT) AS overcount
+        FROM probes p CROSS JOIN js
+        JOIN cells c ON c.event_type = p.event_type AND c.j = js.j
+          AND c.b = ('0x' || substring(md5(CAST(js.j AS VARCHAR) || ':' ||
+                CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT % 64
+        GROUP BY 1, 2, 3
+        ORDER BY p.event_type, p.user_id""")),
+
     // The typed Dataset[T] leg: case-class Encoders, lambda filters, and
     // groupByKey with a typed Aggregator — the API a Scala user writes
     // when compile-time row types matter. Lambdas are opaque to Catalyst

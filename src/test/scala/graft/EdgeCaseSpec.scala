@@ -413,6 +413,20 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(z.getLong(0) == 0L && z.isNullAt(1), z.toString)
   }
 
+  test("udaf_countmin_portable: one-sided guarantee on the fixture") {
+    // CMS can only overcount: est ≥ exact on EVERY probe, and with 150
+    // users into 4×64 cells some probes must be exactly right.
+    val rows = SparkEntry.queries("udaf_countmin_portable")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L, s"undercount: $r")
+      assert(r.getLong(3) >= r.getLong(2), s"est < exact: $r")
+    }
+    assert(rows.exists(_.getLong(4) == 0L), "no collision-free probe")
+  }
+
   test("win_drawdown: hand walk — trough after peak, flat user is zero") {
     val sp = spark
     import sp.implicits._
