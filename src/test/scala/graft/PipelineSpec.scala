@@ -704,6 +704,23 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got2 == got, got2.toString)
   }
 
+  test("sample_bootstrap: balanced totals, real variation, sane means") {
+    val rows = SparkEntry.queries("sample_bootstrap")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 9 && rows.map(_._1).toSeq == (0L to 8L))
+    val n = rows.find(_._1 == 0L).get._2 // rep 0 is unweighted: n rows
+    rows.foreach { case (_, nEff, m) =>
+      // balanced-bootstrap totals stay near n; means stay near the
+      // point estimate (loose 10σ-style sanity windows).
+      assert(math.abs(nEff - n) <= n / 10, s"n_eff $nEff vs $n")
+      assert(m > 0 && m < 1000, s"mean $m")
+    }
+    // the replicates must actually vary — a constant column would mean
+    // the weights collapsed to 1 (vacuous-demo check).
+    assert(rows.filter(_._1 > 0).map(_._3).distinct.length >= 2)
+  }
+
   test("modularity: bridged triangles hand value, one community is zero") {
     val sp = spark
     import sp.implicits._
