@@ -418,6 +418,56 @@ object Text extends QueryModule {
                n_emails, n_phones
         FROM r ORDER BY doc_id""")),
 
+    // Pseudonymization with REFERENTIAL INTEGRITY — text_pii_redact's
+    // destructive [EMAIL] upgraded to the form a training pipeline
+    // actually needs: each address becomes a STABLE md5-derived token
+    // (EML_xxxxxxxx), so the same entity carries the same token in
+    // every document and cross-document joins/cooccurrence statistics
+    // survive anonymization. The injected addresses repeat across docs
+    // (doc_id % 40 → 40 entities over 300 docs) precisely so the
+    // integrity property is non-vacuous: the per-doc frame shows token
+    // reuse, and TextSpec pins |tokens| = |entities|. Pure map-side
+    // projection (regexp extract → hash → replace); the only shuffle
+    // is the display sort.
+    Q(
+      "text_pseudonymize",
+      (s, dir) => {
+        val emailPat = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+"
+        val withPii = concat(col("text"),
+          lit(" Contact contact_"), pmod(col("doc_id"), lit(40)),
+          lit("@mail"), pmod(pmod(col("doc_id"), lit(40)), lit(7)),
+          lit(".example.com for details."))
+        val raw = Tables.documents(s, dir)
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), withPii.as("raw"))
+        val email = regexp_extract(col("raw"), emailPat, 0)
+        val token = concat(lit("EML_"), substring(md5(email), 1, 8))
+        raw
+          .select(col("doc_id"), token.as("token"),
+            expr(s"right(regexp_replace(raw, '$emailPat', " +
+              "concat('EML_', substring(md5(regexp_extract(raw, " +
+              s"'$emailPat', 0)), 1, 8))), 40)").as("redacted_tail"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' Contact contact_' || (doc_id % 40) || '@mail'
+                 || ((doc_id % 40) % 7) || '.example.com for details.' AS raw
+          FROM documents WHERE doc_id < 300),
+        x AS (
+          SELECT doc_id, raw,
+                 regexp_extract(raw, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', 0)
+                   AS email
+          FROM t)
+        SELECT doc_id,
+               'EML_' || substring(md5(email), 1, 8) AS token,
+               right(regexp_replace(raw,
+                 '[A-Za-z0-9_.]+@[A-Za-z0-9.]+',
+                 'EML_' || substring(md5(email), 1, 8), 'g'), 40)
+                 AS redacted_tail
+        FROM x ORDER BY doc_id""")),
+
     // Unigram-LM perplexity — the corpus-quality filter signal. Log-probs
     // quantized to 1e-6 fixed point make the per-doc score an exact
     // BIGINT sum (partitioning-independent), so the whole operator

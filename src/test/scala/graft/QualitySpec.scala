@@ -474,4 +474,25 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(2) == 2.4849, r.toString)
     assert(r.getDouble(3) == 1.0, r.toString)
   }
+
+  test("text_pseudonymize: tokens keep referential integrity") {
+    val rows = SparkEntry.queries("text_pseudonymize")(spark, sf001)
+      .collect()
+    assert(rows.length == 300)
+    // 300 docs inject doc_id % 40 entities -> exactly 40 distinct tokens,
+    // and the same entity must map to the same token in every document
+    // (the property destructive [EMAIL] striking loses).
+    val byEntity = rows.groupBy(r => r.getLong(0) % 40)
+    assert(byEntity.size == 40)
+    byEntity.foreach { case (ent, rs) =>
+      assert(rs.map(_.getString(1)).distinct.length == 1,
+        s"entity $ent got multiple tokens")
+    }
+    assert(rows.map(_.getString(1)).distinct.length == 40)
+    rows.foreach { r =>
+      val tail = r.getString(2)
+      assert(tail.contains(r.getString(1)), tail) // token really substituted
+      assert(!tail.contains("@"), tail) // no raw address survives
+    }
+  }
 }
