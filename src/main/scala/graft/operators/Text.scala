@@ -468,6 +468,56 @@ object Text extends QueryModule {
                  AS redacted_tail
         FROM x ORDER BY doc_id""")),
 
+    // Readability without sentence boundaries — the corpus has no
+    // punctuation, so ASL-based formulas (Flesch-Kincaid) are degenerate
+    // by construction; FORCAST (FORecast CASualty Technical manual study,
+    // the published formula designed for non-prose text) needs only
+    // monosyllable density: grade = 20 − (mono per 150 words)/10. Syllable
+    // proxy = maximal [aeiouy]+ runs, identical regex in both engines.
+    // Pure explode → map-combined per-source counts; the shuffle carries
+    // |sources| rows of integers, never tokens. The only doubles are two
+    // final divisions of exact integers — order-free, engine-identical.
+    Q(
+      "text_readability",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .select(col("source"),
+            size(regexp_extract_all(col("w"), lit("[aeiouy]+"), lit(0)))
+              .cast("long").as("syl"))
+        words.groupBy("source").agg(
+          count(lit(1)).as("n_words"),
+          sum(when(col("syl") === 1, 1L).otherwise(0L)).as("n_mono"),
+          sum(when(col("syl") >= 3, 1L).otherwise(0L)).as("n_poly"),
+          round(sum(col("syl")).cast("double") / count(lit(1)), 4)
+            .as("syl_per_word"),
+          round(lit(20.0) -
+            lit(15.0) * sum(when(col("syl") === 1, 1L).otherwise(0L))
+              / count(lit(1)), 4).as("forcast_grade"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        s AS (
+          SELECT source,
+                 CAST(len(regexp_extract_all(w, '[aeiouy]+')) AS BIGINT)
+                   AS syl
+          FROM w)
+        SELECT source,
+               count(*) AS n_words,
+               CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mono,
+               CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_poly,
+               round(CAST(sum(syl) AS DOUBLE) / count(*), 4)
+                 AS syl_per_word,
+               round(20.0 - 15.0
+                 * CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 4) AS forcast_grade
+        FROM s GROUP BY source ORDER BY source""")),
+
     // Unigram-LM perplexity — the corpus-quality filter signal. Log-probs
     // quantized to 1e-6 fixed point make the per-doc score an exact
     // BIGINT sum (partitioning-independent), so the whole operator

@@ -475,6 +475,34 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) == 1.0, r.toString)
   }
 
+  test("text_readability: FORCAST arithmetic on a hand-counted doc") {
+    val sp = spark
+    import sp.implicits._
+    // syllables (maximal [aeiouy]+ runs): a=1, tree=1 (ee), customer=3
+    // (u,o,e), value=2 (a,ue) -> 4 words, 2 mono, 1 poly, syl sum 7.
+    val docs = Seq((1L, "a tree customer value", "en", "s1", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("readability_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_readability")(sp, dir).collect()(0)
+    assert(r.getLong(1) == 4L, r.toString)
+    assert(r.getLong(2) == 2L, r.toString)
+    assert(r.getLong(3) == 1L, r.toString)
+    assert(r.getDouble(4) == 1.75, r.toString) // 7/4
+    assert(r.getDouble(5) == 12.5, r.toString) // 20 - 15*2/4
+  }
+
+  test("text_readability: grades are non-degenerate across sources") {
+    val rows = SparkEntry.queries("text_readability")(spark, sf001)
+      .collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getDouble(5)).distinct.length > 1,
+      "every source got the same grade — vacuous corpus signal")
+    rows.foreach { r =>
+      assert(r.getDouble(5) > 0 && r.getDouble(5) < 20, r.toString)
+    }
+  }
+
   test("text_pseudonymize: tokens keep referential integrity") {
     val rows = SparkEntry.queries("text_pseudonymize")(spark, sf001)
       .collect()
