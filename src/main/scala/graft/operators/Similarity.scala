@@ -1669,6 +1669,86 @@ object Similarity extends QueryModule {
         WHERE event_id < 2000
         ORDER BY event_id""")),
 
+    // Feature-redundancy screen: the full 64×64 Pearson correlation
+    // matrix of the embedding dimensions (upper triangle, 2016 pairs) —
+    // the table a feature-selection / whitening pass reads first. Scale
+    // shape: the outer product is generated MAP-SIDE from each array
+    // (posexplode → explode(sequence) → element_at, all codegen'd
+    // builtins, no HOF lambdas, no self-join), so the only shuffle
+    // carries d²/2 = 2016 partial-moment cells regardless of row count.
+    // Exactness: each float is quantized to 1e-9 integer units FIRST,
+    // then every moment is exact decimal(38,0) arithmetic (bounded to
+    // ~1e8 rows at |x|<1; both engines produce the identical integers)
+    // — the two final double casts and one sqrt are order-free.
+    Q(
+      "ml_corr_matrix",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val cells = Tables.embeddings(s, dir)
+          .select(col("embedding").as("e"))
+          .select(posexplode(col("e")).as(Seq("i", "xv")), col("e"))
+          // sequence(start > stop) counts DOWN in Spark (it does not
+          // produce the empty array) — the last dim must not explode.
+          .filter(col("i") < 63)
+          .select(col("i"), col("e"),
+            round(col("xv").cast("double") * 1e9).cast("long").as("xi"),
+            explode(sequence(col("i") + 1, lit(63))).as("j"))
+          .select(col("i"), col("j"), col("xi"),
+            round(element_at(col("e"), col("j") + 1).cast("double") * 1e9)
+              .cast("long").as("xj"))
+        cells.groupBy("i", "j")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("xi").cast(dec)).as("sx"),
+            sum(col("xj").cast(dec)).as("sy"),
+            // products in decimal, not long: two 1e-9-quantized values
+            // of magnitude >3 would overflow a long product (the oracle
+            // side multiplies in HUGEINT for the same reason)
+            sum(col("xi").cast(dec) * col("xj")).as("sxy"),
+            sum(col("xi").cast(dec) * col("xi")).as("sxx"),
+            sum(col("xj").cast(dec) * col("xj")).as("syy"))
+          .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
+            col("sxy"), col("sx"), col("sy"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("vy"))
+          // zero-variance (constant / padding) dims: r undefined -> null,
+          // guarded EXPLICITLY so ANSI mode doesn't error and both
+          // engines agree (DuckDB's double x/0 is not an option).
+          .select(col("dim_i"), col("dim_j"), col("n"),
+            when(col("vx") === 0 || col("vy") === 0, lit(null))
+              .otherwise(round(
+                (col("n") * col("sxy") - col("sx") * col("sy"))
+                  .cast("double")
+                  / sqrt(col("vx").cast("double")
+                    * col("vy").cast("double")), 4)).as("corr"))
+          .orderBy("dim_i", "dim_j")
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT vec_id, i,
+                 CAST(round(embedding[i] * 1e9) AS BIGINT) AS xq
+          FROM embeddings, range(1, 65) t(i)),
+        p AS (
+          SELECT a.i AS i, b.i AS j,
+                 a.xq::HUGEINT AS xi, b.xq::HUGEINT AS xj
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i),
+        m AS (
+          SELECT i, j, count(*) AS n,
+                 sum(xi) AS sx, sum(xj) AS sy,
+                 sum(xi * xj) AS sxy,
+                 sum(xi * xi) AS sxx, sum(xj * xj) AS syy
+          FROM p GROUP BY i, j)
+        SELECT CAST(i - 1 AS INTEGER) AS dim_i,
+               CAST(j - 1 AS INTEGER) AS dim_j,
+               n,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                    THEN NULL
+                    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+               END AS corr
+        FROM m ORDER BY dim_i, dim_j""")),
+
     // SEMANTIC train/eval contamination — the embedding-space leakage
     // audit that complements the lexical legs (contamination_ngram
     // catches verbatim overlap, contamination_matrix cross-source

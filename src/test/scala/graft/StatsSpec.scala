@@ -341,4 +341,39 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("m") == ((5L, 3.0, 1.0)), out.toString)
     assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
   }
+
+  test("ml_corr_matrix: planted perfect correlations recovered") {
+    val sp = spark
+    import sp.implicits._
+    // dim1 = dim0 (r = +1), dim2 = -dim0 (r = -1), dim3 = {1,-1,-1,1}
+    // orthogonal to dim0 = {1,2,3,4} - mean 2.5 -> cov = 1·(-1.5) +
+    // (-1)·(-0.5) + (-1)·0.5 + 1·1.5 = 0 -> r = 0. Dims 4..63 constant
+    // zero (zero variance -> 0/0, not asserted).
+    val vecs = Seq(1f, 2f, 3f, 4f).zip(Seq(1f, -1f, -1f, 1f))
+      .zipWithIndex.map { case ((x, o), i) =>
+        (i.toLong, Array(x, x, -x, o) ++ Array.fill(60)(0f), 0)
+      }.toDF("vec_id", "embedding", "label")
+    val dir = graft.Scratch.fresh("corr_spec")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ml_corr_matrix")(sp, dir).collect()
+    assert(out.length == 2016)
+    val m = out.map(r => (r.getInt(0), r.getInt(1)) ->
+      (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m((0, 1)) == ((4L, Some(1.0))), m((0, 1)).toString)
+    assert(m((0, 2)) == ((4L, Some(-1.0))), m((0, 2)).toString)
+    assert(m((1, 2)) == ((4L, Some(-1.0))), m((1, 2)).toString)
+    assert(m((0, 3)) == ((4L, Some(0.0))), m((0, 3)).toString)
+    // zero-variance padding dims: r is undefined, surfaced as null
+    assert(m((4, 5)) == ((4L, None)), m((4, 5)).toString)
+  }
+
+  test("ml_corr_matrix: corpus matrix is bounded and non-degenerate") {
+    val out = SparkEntry.queries("ml_corr_matrix")(spark, sf001).collect()
+    assert(out.length == 64 * 63 / 2)
+    val rs = out.map(_.getDouble(3))
+    assert(rs.forall(r => r >= -1.0 && r <= 1.0))
+    assert(rs.distinct.length > 100, "correlations collapsed")
+    assert(out.forall(_.getLong(2) == 500L))
+  }
 }
