@@ -401,6 +401,102 @@ object Pipeline extends QueryModule {
                round(coalesce(n_sampled, 0) * 1.0 / n_total, 4) AS rate
         FROM t LEFT JOIN a USING (lang) ORDER BY lang""")),
 
+    // Neyman-optimal stratified allocation: budget n_h ∝ N_h·σ_h — the
+    // allocation that minimizes the variance of the stratified mean,
+    // i.e. what sample_stratified's flat rate should become when strata
+    // differ in spread. Every step is engine-portable: σ weights come
+    // from exact integer moments (one identical double sqrt per
+    // stratum, then back to integers), the budget splits by
+    // floor-division + largest-remainder (pure BIGINT), and membership
+    // is the md5 rank within each stratum. Scale shape: two scans of
+    // the fact table (moments, then rank), shuffles keyed on the
+    // stratum; the two windows are bounded — the rank window partitions
+    // BY STRATUM (its sort is the honest cost; at extreme scale a
+    // sampled threshold + refine pass replaces it), the remainder
+    // window sees |strata| rows.
+    Q(
+      "sample_neyman",
+      (s, dir) => {
+        val n = 1000L
+        val dec = "decimal(38,0)"
+        val base = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 1000).cast("long").as("vq"))
+        val w = base.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pop"),
+            sum(col("vq").cast(dec)).as("s1"),
+            sum(col("vq").cast(dec) * col("vq")).as("s2"))
+          // N_h·σ_h = sqrt(N·Σv² − (Σv)²): exact integer in, one
+          // shared double sqrt, integer out.
+          .withColumn("wq",
+            round(sqrt((col("n_pop") * col("s2") - col("s1") * col("s1"))
+              .cast("double"))).cast("long"))
+          .select("event_type", "n_pop", "wq")
+        val withTot = w.crossJoin(
+          broadcast(w.agg(sum("wq").as("twq"))))
+          .withColumn("fl", expr(s"($n * wq) div twq"))
+          .withColumn("rem", expr(s"($n * wq) % twq"))
+        val byRem = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("event_type"))
+        val alloc = withTot.crossJoin(
+          broadcast(withTot.agg(sum("fl").as("tfl"))))
+          .withColumn("rk", row_number().over(byRem))
+          .withColumn("alloc", least(
+            col("fl") + when(col("rk") <= lit(n) - col("tfl"), 1L)
+              .otherwise(0L),
+            col("n_pop")))
+          .select("event_type", "n_pop", "wq", "alloc")
+        val byHash = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+        base
+          .withColumn("rn", row_number().over(byHash))
+          .join(broadcast(alloc), "event_type")
+          .filter(col("rn") <= col("alloc"))
+          .groupBy("event_type", "n_pop", "wq", "alloc")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum("event_id").as("id_checksum"),
+            round(sum(col("vq")).cast("double") / count(lit(1)) / 1000.0, 4)
+              .as("mean_value"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_id, event_type,
+                 CAST(round(value * 1000) AS BIGINT) AS vq
+          FROM events WHERE value IS NOT NULL),
+        w AS (
+          SELECT event_type, count(*) AS n_pop,
+                 CAST(round(sqrt(CAST(count(*) * sum(vq::HUGEINT * vq)
+                   - sum(vq::HUGEINT) * sum(vq::HUGEINT) AS DOUBLE)))
+                   AS BIGINT) AS wq
+          FROM base GROUP BY 1),
+        t AS (SELECT CAST(sum(wq) AS BIGINT) AS twq FROM w),
+        f AS (
+          SELECT event_type, n_pop, wq,
+                 (1000 * wq) // twq AS fl, (1000 * wq) % twq AS rem
+          FROM w CROSS JOIN t),
+        a AS (
+          SELECT event_type, n_pop, wq,
+                 least(fl + CASE WHEN row_number() OVER
+                          (ORDER BY rem DESC, event_type)
+                        <= 1000 - (SELECT sum(fl) FROM f)
+                      THEN 1 ELSE 0 END, n_pop) AS alloc
+          FROM f),
+        r AS (
+          SELECT b.*, row_number() OVER (PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                 AS rn
+          FROM base b)
+        SELECT r.event_type, n_pop, wq, alloc,
+               count(*) AS n_sampled,
+               CAST(sum(event_id) AS BIGINT) AS id_checksum,
+               round(CAST(sum(vq) AS DOUBLE) / count(*) / 1000.0, 4)
+                 AS mean_value
+        FROM r JOIN a ON r.event_type = a.event_type AND rn <= alloc
+        GROUP BY 1, 2, 3, 4 ORDER BY 1""")),
+
     // Mixture construction: downsample three sources to a 50/30/20 target
     // using integer-exact quotas (largest feasible total without
     // upsampling), selection = smallest ids per source. The audit output

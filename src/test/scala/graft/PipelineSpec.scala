@@ -815,4 +815,39 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map("f1" -> 10, "f2" -> 20, "f3" -> 20, "f5" -> 30),
       got.toString)
   }
+
+  test("sample_neyman: zero-variance stratum gets zero budget") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // stratum a: constant 10.0 -> sigma 0 -> wq 0 -> alloc 0 (absent
+    // from output); stratum b: {0, 20, 0, 20} -> wq = sqrt(4·8e8 −
+    // (4e4)²) = 40000, takes the whole budget, capped at N=4.
+    val rows = Seq(("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 10.0),
+      ("b", 0.0), ("b", 20.0), ("b", 0.0), ("b", 20.0))
+    val ev = rows.zipWithIndex.map { case ((et, v), i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("neyman_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("sample_neyman")(sp, dir).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out(0)
+    assert(r.getString(0) == "b", r.toString)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 40000L, r.toString)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 4L, r.toString)
+    assert(r.getLong(5) == 4L + 5L + 6L + 7L, r.toString)
+    assert(r.getDouble(6) == 10.0, r.toString)
+  }
+
+  test("sample_neyman: corpus allocations exhaust the budget exactly") {
+    val out = SparkEntry.queries("sample_neyman")(spark, sf001)
+      .collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(3)).sum == 1000L, out.mkString(";"))
+    out.foreach(r => assert(r.getLong(4) == r.getLong(3), r.toString))
+    // Neyman must not collapse to a flat split (vacuous-demo check).
+    assert(out.map(_.getLong(3)).distinct.length > 1)
+  }
 }
