@@ -1576,6 +1576,128 @@ object Aggregates extends QueryModule {
                arg_min(l_extendedprice,
                  CASE WHEN 4 * cum >= 3 * tot THEN cum END) AS wp75,
                CAST(sum(qw) AS DOUBLE) AS total_weight
-        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Kaplan-Meier product-limit survival of SESSION durations (30-min
+    // gap sessions, duration in whole minutes; censored = the session's
+    // last event inside the final 2 h of the corpus — still open). The
+    // classic time-to-event readout with right-censoring done properly:
+    // censored sessions leave the risk set without counting as deaths.
+    // Exactness: at-risk / death counts are exact integers; each factor
+    // ln((n−d)/n) is one double of an exact rational quantized 1e-6
+    // (the text_zipf discipline), so the running product is an exact
+    // integer cumsum → one exp per row. Scale: two shuffles on user_id
+    // (sessionize) + one on duration; the KM windows run over the
+    // distinct-duration frame, bounded by the max session length in
+    // minutes (≤57 here), never the session count. Total-death edge
+    // (n = d) pins survival to 0 from that row on (ln(0) never
+    // evaluated).
+    Q(
+      "agg_kaplan_meier",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val sess = e
+          .withColumn("isn",
+            when(col("us") - lag("us", 1).over(w) > 1800000000L ||
+              lag("us", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("seq", sum("isn").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "seq")
+          .agg(expr("(max(us) - min(us)) div 60000000").as("dur"),
+            max("us").as("mx"))
+        val gmax = sess.agg(max("mx").as("gmx"))
+        val tbl = sess.crossJoin(broadcast(gmax))
+          .select(col("dur"),
+            when(col("mx") > col("gmx") - 7200000000L, 1L).otherwise(0L)
+              .as("cens"))
+          .groupBy("dur")
+          .agg(sum(when(col("cens") === 0L, 1L).otherwise(0L)).as("d"),
+            sum("cens").as("c"))
+        val byT = Window.orderBy("dur")
+        val run = byT.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val prior = byT.rowsBetween(Window.unboundedPreceding, -1)
+        tbl.crossJoin(broadcast(
+            tbl.agg(sum(col("d") + col("c")).as("n_total"))))
+          .withColumn("n_risk",
+            col("n_total") - coalesce(sum(col("d") + col("c")).over(prior),
+              lit(0L)))
+          .withColumn("lnq",
+            when(col("d") === col("n_risk"), 0L)
+              .otherwise(round(log((col("n_risk") - col("d"))
+                  .cast("double") / col("n_risk").cast("double")) * 1e6)
+                .cast("long")))
+          .withColumn("dead",
+            max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(run))
+          .withColumn("cum", sum("lnq").over(run))
+          .filter(col("d") > 0)
+          .select(col("dur").as("t_min"), col("n_risk"),
+            col("d").as("n_deaths"), col("c").as("n_censored"),
+            when(col("dead") === 1, 0.0)
+              .otherwise(round(exp(col("cum").cast("double") / 1e6), 4))
+              .as("survival"))
+          .orderBy("t_min")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          FROM events),
+        flagged AS (
+          SELECT user_id, us,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                        OR lag(us) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS isn
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sess AS (
+          SELECT user_id, us,
+                 CAST(sum(isn) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+          FROM flagged),
+        g AS (
+          SELECT user_id, seq,
+                 (max(us) - min(us)) // 60000000 AS dur,
+                 max(us) AS mx
+          FROM sess GROUP BY 1, 2),
+        sc AS (
+          SELECT dur,
+                 CASE WHEN mx > (SELECT max(mx) FROM g) - 7200000000
+                      THEN 1 ELSE 0 END AS cens
+          FROM g),
+        tbl AS (
+          SELECT dur,
+                 CAST(sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+                 CAST(sum(cens) AS BIGINT) AS c
+          FROM sc GROUP BY 1),
+        km AS (
+          SELECT dur, d, c,
+                 (SELECT CAST(sum(d + c) AS BIGINT) FROM tbl)
+                   - CAST(coalesce(sum(d + c) OVER
+                       (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+          FROM tbl),
+        lnq AS (
+          SELECT dur, d, c, n_risk,
+                 CASE WHEN d = n_risk THEN 0
+                      ELSE CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+                 END AS lq,
+                 CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dflag
+          FROM km)
+        SELECT dur AS t_min, n_risk, d AS n_deaths, c AS n_censored,
+               CASE WHEN max(dflag) OVER run = 1 THEN 0.0
+                    ELSE round(exp(CAST(sum(lq) OVER run AS DOUBLE)
+                                   / 1e6), 4)
+               END AS survival
+        FROM lnq
+        WHERE d > 0
+        WINDOW run AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+        ORDER BY t_min"""))
   )
 }

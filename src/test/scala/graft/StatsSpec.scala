@@ -342,6 +342,46 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
   }
 
+  test("agg_kaplan_meier: textbook product-limit with one censoring") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // 4 single-user sessions, durations 1/2/2/3 min; the dur-2 session
+    // at 23:30 ends within 2 h of the corpus max (23:32) -> censored.
+    // KM: t=1: 4 at risk, 1 death -> 3/4; t=2: 3 at risk, 1 death +
+    // 1 censor -> 3/4·2/3 = 1/2; t=3: 1 at risk, 1 death (n = d,
+    // total-death edge) -> 0.
+    val rows = Seq(
+      (1L, "2024-01-05 10:00:00"), (1L, "2024-01-05 10:01:00"),
+      (2L, "2024-01-05 10:00:00"), (2L, "2024-01-05 10:02:00"),
+      (3L, "2024-01-05 23:30:00"), (3L, "2024-01-05 23:32:00"),
+      (4L, "2024-01-05 10:00:00"), (4L, "2024-01-05 10:03:00"))
+    val ev = rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, Timestamp.valueOf(t), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("km_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("agg_kaplan_meier")(sp, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.size == 3, out.toString)
+    assert(out(1L) == ((4L, 1L, 0L, 0.75)), out(1L).toString)
+    assert(out(2L) == ((3L, 1L, 1L, 0.5)), out(2L).toString)
+    assert(out(3L) == ((1L, 1L, 0L, 0.0)), out(3L).toString)
+  }
+
+  test("agg_kaplan_meier: corpus curve is monotone non-increasing") {
+    val out = SparkEntry.queries("agg_kaplan_meier")(spark, sf001)
+      .collect()
+    assert(out.length == 37)
+    val surv = out.map(_.getDouble(4))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a },
+      "survival must be non-increasing")
+    assert(out.head.getLong(1) == 9549L) // every session at risk at t=0
+    assert(out.map(_.getLong(3)).sum > 0, "no censoring exercised")
+  }
+
   test("ml_corr_matrix: planted perfect correlations recovered") {
     val sp = spark
     import sp.implicits._
