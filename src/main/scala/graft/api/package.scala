@@ -2652,6 +2652,57 @@ package object api {
           .as("modularity"))
     }
 
+    /** Fixed-point HITS (Kleinberg hubs & authorities) over a directed
+      * bipartite edge list (src = hub side, dst = authority side).
+      * Each round: authority = Σ inbound hub scores, hub = Σ outbound
+      * authority scores, each L1-normalized back to scale S=1e15 by
+      * BIGINT floor division — so, like pageRank, the whole fixpoint is
+      * order-independent integer arithmetic and replays unrolled in
+      * SQL. Intermediates are decimal(38,0) (raw ≤ maxdeg·S ≈ 1e19
+      * overflows a long; raw·S ≤ 1e34 stays inside decimal38 to
+      * ~1e4-degree hubs at 1e9 nodes). Scale shape per round: the
+      * node-sized score vector broadcasts (same ≤50M-node caveat as
+      * pageRank — beyond that drop the hint and the checkpointed edge
+      * layout co-partitions), edges never move, and the groupBy
+      * partial-aggregates map-side so the shuffle carries node-count
+      * rows; localCheckpoint cuts lineage per half-round. Returns
+      * (kind 'auth'|'hub', id, score_fp).
+      */
+    def hits(
+        edges: DataFrame, src: Column, dst: Column,
+        rounds: Int = 4): DataFrame = {
+      require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+      val S = 1000000000000000L
+      val dec = "decimal(38,0)"
+      val e = edges
+        .select(src.cast("long").as("c"), dst.cast("long").as("p"))
+        .filter(col("c").isNotNull && col("p").isNotNull)
+        .repartition(col("c")).distinct()
+        .localCheckpoint(true)
+      // One scalar job up front (the pageRank n-count budget).
+      val nc = e.select("c").distinct().count()
+      var h = e.select(col("c")).distinct()
+        .select(col("c"), lit(S / nc).as("h"))
+        .localCheckpoint(true)
+      var a: DataFrame = null
+      for (_ <- 1 to rounds) {
+        val araw = e.join(broadcast(h), "c")
+          .groupBy("p").agg(sum(col("h").cast(dec)).as("raw"))
+        a = araw.crossJoin(broadcast(araw.agg(sum("raw").as("t"))))
+          .select(col("p"), expr(s"(raw * $S) div t").as("a"))
+          .localCheckpoint(true)
+        val hraw = e.join(broadcast(a), "p")
+          .groupBy("c").agg(sum(col("a").cast(dec)).as("raw"))
+        h = hraw.crossJoin(broadcast(hraw.agg(sum("raw").as("t"))))
+          .select(col("c"), expr(s"(raw * $S) div t").as("h"))
+          .localCheckpoint(true)
+      }
+      a.select(lit("auth").as("kind"), col("p").as("id"),
+          col("a").as("score_fp"))
+        .unionAll(h.select(lit("hub").as("kind"), col("c").as("id"),
+          col("h").as("score_fp")))
+    }
+
     /** Bounded-round k-core peel: each synchronous round deletes every
       * node whose degree in the CURRENT surviving subgraph is < k, then
       * drops edges touching deleted nodes. Enough rounds converge to

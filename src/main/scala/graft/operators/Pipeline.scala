@@ -127,6 +127,53 @@ object Pipeline extends QueryModule {
     (head +: rnds).mkString(",")
   }
 
+  /** Round count shared by graph_hits' engine call and its unrolled
+    * oracle CTE chain (the PagerankRounds doctrine).
+    */
+  private val HitsRounds = 4
+
+  /** Unrolled fixed-point HITS rounds for the graph_hits oracle — the
+    * DuckDB replay of api.Graph.hits over the customer→part purchase
+    * bipartite. Each half-round is an inbound integer sum (HUGEINT,
+    * mirroring the engine's decimal(38,0)) renormalized to scale 1e15
+    * by BIGINT floor division, so summation order cannot move a unit.
+    * Emits ht_h0 and ht_a1/ht_h1 .. ht_a<rounds>/ht_h<rounds>.
+    */
+  private def hitsCtes(rounds: Int): String = {
+    val S = "CAST(1000000000000000 AS BIGINT)"
+    // Every multiply-referenced CTE is MATERIALIZED: the raw frames
+    // feed both their total and their normalization, and an INLINED
+    // reference would re-evaluate the whole upstream chain — 2 refs ×
+    // 8 half-rounds = 256× the base work (observed: the un-hinted
+    // form ran minutes; materialized, sub-second).
+    val head = s"""ht_e AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                          CAST(l_partkey AS BIGINT) AS p
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        ht_nc AS (SELECT count(DISTINCT c) AS nc FROM ht_e),
+        ht_h0 AS MATERIALIZED (
+          SELECT DISTINCT c, $S // nc AS h
+          FROM ht_e CROSS JOIN ht_nc)"""
+    val rnds = (1 to rounds).map { r =>
+      s"""
+        ht_ar$r AS MATERIALIZED (
+          SELECT p, sum(h.h::HUGEINT) AS raw
+          FROM ht_e e JOIN ht_h${r - 1} h USING (c) GROUP BY 1),
+        ht_a$r AS MATERIALIZED (
+          SELECT p, CAST((raw * $S)
+                 // (SELECT sum(raw) FROM ht_ar$r) AS BIGINT) AS a
+          FROM ht_ar$r),
+        ht_hr$r AS MATERIALIZED (
+          SELECT c, sum(a.a::HUGEINT) AS raw
+          FROM ht_e e JOIN ht_a$r a USING (p) GROUP BY 1),
+        ht_h$r AS MATERIALIZED (
+          SELECT c, CAST((raw * $S)
+                 // (SELECT sum(raw) FROM ht_hr$r) AS BIGINT) AS h
+          FROM ht_hr$r)"""
+    }
+    (head +: rnds).mkString(",")
+  }
+
   /** Round count shared by graph_label_propagation's engine call and its
     * unrolled oracle CTE chain (the PagerankRounds doctrine).
     */
@@ -1310,6 +1357,46 @@ object Pipeline extends QueryModule {
                  < m.tol AS mass_ok
         FROM pr_top t CROSS JOIN pr_tm m
         ORDER BY rank_ppm DESC, id""")),
+
+    // HITS hubs & authorities over the directed customer→part purchase
+    // bipartite — the complementary centrality to pageRank: a hub is a
+    // customer whose basket concentrates on high-authority parts, an
+    // authority a part bought by strong hubs (the mutual-reinforcement
+    // readout behind "power-user / flagship-item" dashboards). Engine:
+    // api.Graph.hits — fixed-point integer arithmetic, per-round L1
+    // renormalization by BIGINT floor division, so the whole 4-round
+    // fixpoint replays unrolled in the oracle (hitsCtes; the
+    // pagerankCtes doctrine). Output: top-10 per kind, ties by id.
+    Q(
+      "graph_hits",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        val byKind = org.apache.spark.sql.expressions.Window
+          .partitionBy("kind")
+          .orderBy(col("score_fp").desc, col("id"))
+        graft.api.Graph.hits(edges, col("c"), col("p"),
+            rounds = HitsRounds)
+          .withColumn("rk", row_number().over(byKind))
+          .filter(col("rk") <= 10)
+          .select(col("kind"), col("rk"), col("id"), col("score_fp"))
+          .orderBy("kind", "rk")
+      },
+      oracle = Some(s"""
+        WITH ${hitsCtes(HitsRounds)}
+        SELECT kind, rk, id, score_fp FROM (
+          SELECT 'auth' AS kind,
+                 row_number() OVER (ORDER BY a DESC, p) AS rk,
+                 p AS id, a AS score_fp
+          FROM ht_a$HitsRounds
+          UNION ALL
+          SELECT 'hub' AS kind,
+                 row_number() OVER (ORDER BY h DESC, c) AS rk,
+                 c AS id, h AS score_fp
+          FROM ht_h$HitsRounds)
+        WHERE rk <= 10 ORDER BY kind, rk""")),
 
     // Triangle census of the co-purchase graph (parts co-occurring in a
     // 1-URGENT order). The Spark side orients edges by (degree, id) —

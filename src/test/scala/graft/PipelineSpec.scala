@@ -816,6 +816,43 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       got.toString)
   }
 
+  test("hits: symmetric bipartite reaches its exact fixpoint") {
+    val sp = spark
+    import sp.implicits._
+    // hubs {1,2}, auths {10,11,12}; 11 is shared. The fixpoint is
+    // exact in fixed point (every normalization divides evenly):
+    // a = (S/4, S/2, S/4), h = (S/2, S/2), reached at round 1 and
+    // stable thereafter — so rounds=4 must return exactly these.
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L))
+      .toDF("c", "p")
+    val out = graft.api.Graph.hits(e, col("c"), col("p"), rounds = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val S = 1000000000000000L
+    assert(out(("auth", 10L)) == S / 4, out.toString)
+    assert(out(("auth", 11L)) == S / 2, out.toString)
+    assert(out(("auth", 12L)) == S / 4, out.toString)
+    assert(out(("hub", 1L)) == S / 2, out.toString)
+    assert(out(("hub", 2L)) == S / 2, out.toString)
+  }
+
+  test("graph_hits: corpus top-10s are ranked, positive, mass-sane") {
+    val out = SparkEntry.queries("graph_hits")(spark, sf001).collect()
+    assert(out.length == 20)
+    val byKind = out.groupBy(_.getString(0))
+    assert(byKind.keySet == Set("auth", "hub"))
+    byKind.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1).toLong).toSeq.sorted == (1L to 10L))
+      val scores = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a })
+      assert(scores.forall(_ > 0))
+      // top-10 of a ~2k-node near-regular graph holds well under the
+      // whole mass, but each score must exceed the uniform floor's
+      // neighborhood to prove reinforcement actually concentrated.
+      assert(scores.head < 1000000000000000L / 100)
+    }
+  }
+
   test("sample_neyman: zero-variance stratum gets zero budget") {
     val sp = spark
     import sp.implicits._
