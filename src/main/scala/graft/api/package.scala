@@ -717,6 +717,34 @@ package object api {
           element_at(col("ds"), col("cl")).as("sq_dist"))
     }
 
+    /** Per-point inputs for the (simplified, centroid-based) silhouette:
+      * a² = squared distance to the ASSIGNED centroid, b² = the smallest
+      * squared distance among the OTHER k−1 centroids. Assignment uses
+      * the same round(dist, 6)/lowest-cid rank as [[kMeans]]; a² is the
+      * assigned centroid's RAW distance (the ADVICE r11 consistency
+      * rule), b² the raw minimum with the assigned slot masked to +∞.
+      * Same scale shape as kMeans: centroids are plan literals, the
+      * whole projection is map-side, no shuffle.
+      */
+    def kMeansSilhouettePoints(
+        df: DataFrame, id: Column, vec: Column,
+        k: Int = 8, iterations: Int = 5): DataFrame = {
+      val v = prepVectors(df, id, vec)
+      v.withColumn("ds", distsTo(lloyd(v, k, iterations)))
+        .withColumn("rds",
+          transform(col("ds"), d =>
+            org.apache.spark.sql.functions.round(d, 6)))
+        .withColumn("cl",
+          array_position(col("rds"), array_min(col("rds"))).cast("int"))
+        .withColumn("a2", element_at(col("ds"), col("cl")))
+        .withColumn("b2", array_min(zip_with(col("ds"),
+          sequence(lit(1), lit(k)),
+          (d, i) => when(i === col("cl"), lit(Double.PositiveInfinity))
+            .otherwise(d))))
+        .select(col("vid").as("id"), col("cl").as("cluster"),
+          col("a2"), col("b2"))
+    }
+
     /** The trained centroids themselves, as a (cid, centroid) DataFrame —
       * the coarse-quantizer table an IVF index probes against.
       */

@@ -1619,6 +1619,72 @@ object Similarity extends QueryModule {
           ON t.cluster = c.cluster AND t.rn = 1
         ORDER BY c.cluster""")),
 
+    // Clustering-quality readout for ml_kmeans: per-cluster simplified
+    // (centroid-based) silhouette — s = (b−a)/max(a,b) with a = distance
+    // to the own centroid, b = to the nearest other — the standard
+    // cheap answer to "is k=8 actually structure?" (full silhouette is
+    // O(n²); the centroid form is the one that scales). min_sil is the
+    // cluster's worst boundary point — the re-cluster watchlist (a
+    // negative-count column would be vacuous here: under the
+    // rounded-rank assignment a is the minimum by construction). Same
+    // scale shape as ml_kmeans: centroids are plan literals, the whole
+    // per-point projection is map-side codegen, one k-row shuffle.
+    // Exactness: per-point s quantized 1e-6 → integer mean (order-free);
+    // the a=b=0 degenerate point pins s=0 identically in both engines.
+    Q(
+      "ml_silhouette",
+      (s, dir) => {
+        val pts = graft.api.Similarity.kMeansSilhouettePoints(
+          Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+          k = 8, iterations = 5)
+        val a = sqrt(col("a2"))
+        val b = sqrt(col("b2"))
+        val sil = pts.withColumn("sq",
+          when(greatest(a, b) === 0.0, 0L)
+            .otherwise(round((b - a) / greatest(a, b) * 1e6).cast("long")))
+        sil.groupBy("cluster")
+          .agg(count(lit(1)).as("n_points"),
+            round(sum("sq").cast("double") / count(lit(1)) / 1e6, 4)
+              .as("mean_sil"),
+            round(min("sq").cast("double") / 1e6, 4).as("min_sil"))
+          .orderBy("cluster")
+      },
+      oracle = Some(s"""
+        WITH ktv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        ${lloydCtes("k", 8, 5, 64)},
+        kasg AS (
+          SELECT q.vec_id, c.cid,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
+          FROM ktv q CROSS JOIN kc5 c),
+        kfin AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY round(d, 6), cid) AS rn
+            FROM kasg) WHERE rn = 1),
+        sp AS (
+          SELECT f.vec_id, f.cluster,
+                 max(CASE WHEN a.cid = f.cluster THEN a.d END) AS a2,
+                 min(CASE WHEN a.cid <> f.cluster THEN a.d END) AS b2
+          FROM kfin f JOIN kasg a ON a.vec_id = f.vec_id
+          GROUP BY 1, 2),
+        sq AS (
+          SELECT cluster,
+                 CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0
+                      ELSE CAST(round((sqrt(b2) - sqrt(a2))
+                             / greatest(sqrt(a2), sqrt(b2)) * 1e6)
+                           AS BIGINT)
+                 END AS sqv
+          FROM sp)
+        SELECT cluster, count(*) AS n_points,
+               round(CAST(sum(sqv) AS DOUBLE) / count(*) / 1e6, 4)
+                 AS mean_sil,
+               round(CAST(min(sqv) AS DOUBLE) / 1e6, 4) AS min_sil
+        FROM sq GROUP BY 1 ORDER BY 1""")),
+
     // Feature scaling — the ML-prep projection: min-max to [0,1] and a
     // z-score per event value WITHIN its type. min/max are
     // selection-exact (no accumulation), the z uses the agg_outliers

@@ -289,6 +289,39 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(d < 0.05, s"max sq_dist $d")
   }
 
+  test("kMeansSilhouettePoints: 1-d line gives hand-exact a2/b2") {
+    val sp = spark
+    import sp.implicits._
+    // Points 0/2 and 10/12 on a line; Lloyd(k=2) converges to centroids
+    // 1 and 11, so every point has a2 = 1 and b2 = (dist to the other
+    // centroid)^2 = 121/81/81/121.
+    val pts = Seq(
+      (1L, Seq(0.0)), (2L, Seq(2.0)), (3L, Seq(10.0)), (4L, Seq(12.0))
+    ).toDF("id", "v")
+    val got = api.Similarity.kMeansSilhouettePoints(
+        pts, col("id"), col("v"), k = 2, iterations = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1.0, 121.0)), got.toString)
+    assert(got(2L) == ((1.0, 81.0)), got.toString)
+    assert(got(3L) == ((1.0, 81.0)), got.toString)
+    assert(got(4L) == ((1.0, 121.0)), got.toString)
+    // silhouette of the corpus key's shape: s = (b−a)/max -> 10/11, 8/9
+    val s1 = (11.0 - 1.0) / 11.0
+    assert(math.abs(s1 - 0.9091) < 1e-4)
+  }
+
+  test("ml_silhouette: corpus clusters are coherent (0 < s <= 1)") {
+    val out = SparkEntry.queries("ml_silhouette")(spark, sf001).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).sum == 500L)
+    out.foreach { r =>
+      val (mean, mn) = (r.getDouble(2), r.getDouble(3))
+      assert(mean > 0 && mean <= 1.0, r.toString)
+      assert(mn <= mean && mn >= -1.0, r.toString)
+    }
+  }
+
   test("fuzzyJoin blocks first, then scores within the block") {
     val sp = spark
     import sp.implicits._
