@@ -1578,6 +1578,84 @@ object Aggregates extends QueryModule {
                CAST(sum(qw) AS DOUBLE) AS total_weight
         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Theil-Sen robust trend of monthly revenue — the median of all
+    // pairwise slopes, the estimator a single corrupted month cannot
+    // move (OLS reported beside it as the contrast; their gap is the
+    // outlier alarm). Exactness: each slope is ONE double division of
+    // exact integers (Δcents/Δmonths — identical in both engines), and
+    // the median is a SELECTION (row_number over (slope, i, j)), never
+    // a sum — so no accumulation order exists at all; lower median at
+    // even n keeps the pick deterministic. Scale: the fact table
+    // collapses to the month frame at first aggregation; the pair join
+    // and its window run over calendar² rows (3160 here), bounded by
+    // time span, never data size.
+    Q(
+      "agg_theil_sen",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val m = Tables.orders(s, dir)
+          .select(((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("idx"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("idx").agg(sum("cents").as("rev"))
+        val a = m.select(col("idx").as("i"), col("rev").as("ri"))
+        val b = m.select(col("idx").as("j"), col("rev").as("rj"))
+        val pairs = a.join(b, col("i") < col("j"))
+          .select(col("i"), col("j"),
+            ((col("rj") - col("ri")).cast("double") /
+              (col("j") - col("i")).cast("double")).as("slope"))
+        val byS = Window.orderBy(col("slope"), col("i"), col("j"))
+        val sen = pairs
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("np"))))
+          .withColumn("rk", row_number().over(byS))
+          .filter(col("rk") === expr("(np + 1) div 2"))
+          .select(col("np").as("n_pairs"), col("slope").as("sen_cents"))
+        val ols = m.agg(
+          count(lit(1)).as("n_months"),
+          sum(col("idx").cast(dec)).as("sx"),
+          sum(col("rev").cast(dec)).as("sy"),
+          sum(col("idx").cast(dec) * col("rev")).as("sxy"),
+          sum(col("idx").cast(dec) * col("idx")).as("sxx"))
+        ols.crossJoin(sen)
+          .select(col("n_months"), col("n_pairs"),
+            round(col("sen_cents") / 100.0, 4).as("sen_slope"),
+            round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n_months") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") / 100.0, 4).as("ols_slope"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+                   + month(o_orderdate) - 1 AS idx,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev
+          FROM orders GROUP BY 1),
+        p AS (
+          SELECT a.idx AS i, b.idx AS j,
+                 CAST(b.rev - a.rev AS DOUBLE)
+                   / CAST(b.idx - a.idx AS DOUBLE) AS slope
+          FROM m a JOIN m b ON a.idx < b.idx),
+        sen AS (
+          SELECT np AS n_pairs, slope AS sen_cents FROM (
+            SELECT slope,
+                   row_number() OVER (ORDER BY slope, i, j) AS rk,
+                   (SELECT count(*) FROM p) AS np
+            FROM p) WHERE rk = (np + 1) // 2),
+        ols AS (
+          SELECT count(*) AS n_months,
+                 sum(idx::HUGEINT) AS sx, sum(rev::HUGEINT) AS sy,
+                 sum(idx::HUGEINT * rev) AS sxy,
+                 sum(idx::HUGEINT * idx) AS sxx
+          FROM m)
+        SELECT n_months, n_pairs,
+               round(sen_cents / 100.0, 4) AS sen_slope,
+               round(CAST(n_months * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_months * sxx - sx * sx AS DOUBLE)
+                 / 100.0, 4) AS ols_slope
+        FROM ols CROSS JOIN sen""")),
+
     // Kaplan-Meier product-limit survival of SESSION durations (30-min
     // gap sessions, duration in whole minutes; censored = the session's
     // last event inside the final 2 h of the corpus — still open). The

@@ -342,6 +342,36 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
   }
 
+  test("agg_theil_sen: one crashed month cannot move the Sen slope") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Monthly revenue 100+3·idx for idx 0..5, then idx 6 crashes to 1.
+    // Pairwise slopes: 15 clean pairs at exactly 3, 6 outlier pairs
+    // negative -> lower median (rank 11 of 21) = 3.0; OLS is dragged
+    // well below.
+    val orders = (0 to 6).map { m =>
+      (m.toLong, 1L, "O", 100.0 + (if (m == 6) -99.0 - 3 * m else 3.0 * m),
+        Timestamp.valueOf(f"1995-${m + 1}%02d-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = graft.Scratch.fresh("theilsen_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("agg_theil_sen")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 21L, r.toString)
+    assert(r.getDouble(2) == 3.0, r.toString)
+    assert(r.getDouble(3) < 0.0, r.toString) // OLS fooled by the crash
+  }
+
+  test("agg_theil_sen: corpus Sen and OLS disagree on the partial tail") {
+    val r = SparkEntry.queries("agg_theil_sen")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(0) == 80L && r.getLong(1) == 80L * 79 / 2)
+    // the single-day final month is an outlier: Sen stays positive,
+    // OLS goes negative — the estimator pair proves its own point.
+    assert(r.getDouble(2) > 0 && r.getDouble(3) < 0, r.toString)
+  }
+
   test("agg_kaplan_meier: textbook product-limit with one censoring") {
     val sp = spark
     import sp.implicits._
