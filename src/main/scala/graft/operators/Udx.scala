@@ -531,6 +531,104 @@ object Udx extends QueryModule {
         GROUP BY 1, 2, 3
         ORDER BY p.event_type, p.user_id""")),
 
+    // OWNED portable Bloom filter — the MEMBERSHIP sketch completing the
+    // shelf (HLL cardinality, KMV intersection, CMS frequency, q-digest
+    // quantiles, SpaceSaving heavy hitters): m=4096 bits, k=4 md5-derived
+    // hashes over the parts-in-early-1995-urgent-orders blocklist, then
+    // EVERY part probed. The filter is RELATIONAL — the bit array is a
+    // ≤m-row distinct (bit) table built by one map-combined groupBy
+    // (partial agg IS the bitwise-OR merge; the shuffle carries ≤ m
+    // rows at any scale), probes broadcast-join it and a probe is
+    // positive iff all k of its rows match. The census pins both Bloom
+    // laws: false negatives are IMPOSSIBLE (column must be 0), false
+    // positives are the priced tradeoff (fpr reported against the true
+    // negative count).
+    Q(
+      "udaf_bloom_portable",
+      (s, dir) => {
+        val m = 4096
+        def bit(j: org.apache.spark.sql.Column,
+            u: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(j.cast("string"), lit(":"),
+            u.cast("string"))), 1, 15), 16, 10).cast("long") % m
+        val ks = explode(typedlit(Seq(0, 1, 2, 3))).as("j")
+        val members = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 1995 &&
+            month(col("o_orderdate")) <= 2)
+          .select(col("l_partkey").as("pk")).distinct()
+        val bits = members.select(col("pk"), ks)
+          .select(bit(col("j"), col("pk")).as("b")).distinct()
+        val probes = Tables.part(s, dir)
+          .select(col("p_partkey").as("pk"))
+          .join(members.withColumn("is_member", lit(1L)), Seq("pk"),
+            "left")
+        val hit = probes.select(col("pk"), col("is_member"), ks)
+          .withColumn("b", bit(col("j"), col("pk")))
+          .join(broadcast(bits), Seq("b"), "left_semi")
+          .groupBy("pk", "is_member").agg(count(lit(1)).as("nb"))
+          .filter(col("nb") === 4)
+        val cm = members.agg(count(lit(1)).as("n_members"))
+        val cb = bits.agg(count(lit(1)).as("n_bits_set"))
+        val cp = probes.agg(count(lit(1)).as("n_probes"),
+          sum(coalesce(col("is_member"), lit(0L))).as("n_true"))
+        val ch = hit.agg(count(lit(1)).as("n_bloom_pos"),
+          sum(when(col("is_member").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(coalesce(col("is_member"), lit(0L))).as("n_member_hits"))
+        cm.crossJoin(cb).crossJoin(cp).crossJoin(ch)
+          .select(col("n_members"), col("n_bits_set"), col("n_probes"),
+            col("n_true"), col("n_bloom_pos"), col("n_false_pos"),
+            (col("n_true") - col("n_member_hits")).as("n_false_neg"),
+            round(col("n_false_pos").cast("double") /
+              (col("n_probes") - col("n_true")).cast("double"), 4)
+              .as("fpr"))
+      },
+      oracle = Some("""
+        WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        members AS (
+          SELECT DISTINCT l_partkey AS pk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'
+            AND year(o_orderdate) = 1995 AND month(o_orderdate) <= 2),
+        bits AS (
+          SELECT DISTINCT
+                 ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
+                    CAST(pk AS VARCHAR)), 1, 15))::BIGINT % 4096 AS b
+          FROM members CROSS JOIN js),
+        probes AS (
+          SELECT p_partkey AS pk,
+                 CASE WHEN m.pk IS NULL THEN NULL ELSE 1 END AS is_member
+          FROM part LEFT JOIN members m ON m.pk = p_partkey),
+        hit AS (
+          SELECT p.pk, p.is_member, count(*) AS nb
+          FROM probes p CROSS JOIN js
+          JOIN bits ON bits.b =
+            ('0x' || substring(md5(CAST(js.j AS VARCHAR) || ':' ||
+               CAST(p.pk AS VARCHAR)), 1, 15))::BIGINT % 4096
+          GROUP BY 1, 2 HAVING count(*) = 4)
+        SELECT (SELECT count(*) FROM members) AS n_members,
+               (SELECT count(*) FROM bits) AS n_bits_set,
+               (SELECT count(*) FROM probes) AS n_probes,
+               (SELECT CAST(coalesce(sum(is_member), 0) AS BIGINT)
+                FROM probes) AS n_true,
+               (SELECT count(*) FROM hit) AS n_bloom_pos,
+               (SELECT CAST(coalesce(sum(CASE WHEN is_member IS NULL
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) FROM hit)
+                 AS n_false_pos,
+               (SELECT CAST(coalesce(sum(is_member), 0) AS BIGINT)
+                FROM probes)
+               - (SELECT CAST(coalesce(sum(is_member), 0) AS BIGINT)
+                  FROM hit) AS n_false_neg,
+               round((SELECT CAST(coalesce(sum(CASE WHEN is_member IS
+                   NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM hit)
+                 / CAST((SELECT count(*) FROM probes)
+                      - (SELECT CAST(coalesce(sum(is_member), 0)
+                          AS BIGINT) FROM probes) AS DOUBLE), 4)
+                 AS fpr""")),
+
     // The typed Dataset[T] leg: case-class Encoders, lambda filters, and
     // groupByKey with a typed Aggregator — the API a Scala user writes
     // when compile-time row types matter. Lambdas are opaque to Catalyst
