@@ -2698,32 +2698,43 @@ package object api {
       */
     def hits(
         edges: DataFrame, src: Column, dst: Column,
-        rounds: Int = 4): DataFrame = {
+        rounds: Int = 4, assumeCanonical: Boolean = false): DataFrame = {
       require(rounds >= 1, s"rounds must be >= 1, got $rounds")
       val S = 1000000000000000L
       val dec = "decimal(38,0)"
-      val e = edges
+      // assumeCanonical: caller guarantees long-typed, non-null,
+      // distinct, materialized edges (the shared warmed edge cache) —
+      // skip the dedup shuffle and checkpoint.
+      val e = if (assumeCanonical)
+        edges.select(src.as("c"), dst.as("p"))
+      else edges
         .select(src.cast("long").as("c"), dst.cast("long").as("p"))
         .filter(col("c").isNotNull && col("p").isNotNull)
         .repartition(col("c")).distinct()
         .localCheckpoint(true)
-      // One scalar job up front (the pageRank n-count budget).
-      val nc = e.select("c").distinct().count()
-      var h = e.select(col("c")).distinct()
-        .select(col("c"), lit(S / nc).as("h"))
-        .localCheckpoint(true)
+      // Hub node set materialized once: it seeds h0 AND carries nc —
+      // a separate count() would re-run the distinct.
+      val hubs = e.select(col("c")).distinct().localCheckpoint(true)
+      val nc = hubs.count()
+      var h = hubs.select(col("c"), lit(S / nc).as("h"))
       var a: DataFrame = null
       for (_ <- 1 to rounds) {
+        // Checkpoint the RAW frames, not the normalized ones: each raw
+        // feeds both its L1 total (broadcast subtree) and the
+        // normalization projection, and an unmaterialized raw would run
+        // the edge join TWICE per half-round — the dominant cost. The
+        // normalized frames are cheap projections of the materialized
+        // raws and need no checkpoint of their own.
         val araw = e.join(broadcast(h), "c")
           .groupBy("p").agg(sum(col("h").cast(dec)).as("raw"))
+          .localCheckpoint(true)
         a = araw.crossJoin(broadcast(araw.agg(sum("raw").as("t"))))
           .select(col("p"), expr(s"(raw * $S) div t").as("a"))
-          .localCheckpoint(true)
         val hraw = e.join(broadcast(a), "p")
           .groupBy("c").agg(sum(col("a").cast(dec)).as("raw"))
+          .localCheckpoint(true)
         h = hraw.crossJoin(broadcast(hraw.agg(sum("raw").as("t"))))
           .select(col("c"), expr(s"(raw * $S) div t").as("h"))
-          .localCheckpoint(true)
       }
       a.select(lit("auth").as("kind"), col("p").as("id"),
           col("a").as("score_fp"))
