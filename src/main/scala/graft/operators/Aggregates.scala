@@ -1578,6 +1578,51 @@ object Aggregates extends QueryModule {
                CAST(sum(qw) AS DOUBLE) AS total_weight
         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // DAU/WAU stickiness — the engagement ratio product dashboards live
+    // on: average daily actives over weekly actives, per epoch-week
+    // (epoch_days div 7 — identical arithmetic in both engines; calendar
+    // week functions differ in ISO edge rules). Two distinct-counts over
+    // the same shuffle key family; the fact table collapses to
+    // (day, user) pairs at the first distinct. stickiness = 1/7 means
+    // users show up once a week; 1.0 means every active user is active
+    // every observed day.
+    Q(
+      "agg_dau_mau",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("user_id"))
+        val daily = ev.distinct()
+          .groupBy("day").agg(countDistinct("user_id").as("dau"))
+          .withColumn("wk", expr("day div 7"))
+          .groupBy("wk").agg(count(lit(1)).as("n_days"),
+            sum("dau").as("sum_dau"))
+        val weekly = ev.withColumn("wk", expr("day div 7"))
+          .groupBy("wk").agg(countDistinct("user_id").as("wau"))
+        daily.join(weekly, "wk")
+          .select(col("wk"), col("n_days"), col("sum_dau"), col("wau"),
+            round(col("sum_dau").cast("double") / col("n_days") /
+              col("wau"), 4).as("stickiness"))
+          .orderBy("wk")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 user_id
+          FROM events),
+        daily AS (
+          SELECT day // 7 AS wk, count(*) AS n_days,
+                 CAST(sum(dau) AS BIGINT) AS sum_dau
+          FROM (SELECT day, count(DISTINCT user_id) AS dau
+                FROM ev GROUP BY 1) GROUP BY 1),
+        weekly AS (
+          SELECT day // 7 AS wk, count(DISTINCT user_id) AS wau
+          FROM ev GROUP BY 1)
+        SELECT wk, n_days, sum_dau, wau,
+               round(CAST(sum_dau AS DOUBLE) / n_days / wau, 4)
+                 AS stickiness
+        FROM daily JOIN weekly USING (wk) ORDER BY wk""")),
+
     // Theil-Sen robust trend of monthly revenue — the median of all
     // pairwise slopes, the estimator a single corrupted month cannot
     // move (OLS reported beside it as the contrast; their gap is the

@@ -342,6 +342,39 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
   }
 
+  test("agg_dau_mau: hand week of one daily and one weekly user") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Epoch week 2818 = 2024-01-04..01-10 (Tables pins event years to
+    // [2000, 2100]): u1 active on all 7 days, u2 only on one ->
+    // sum_dau 8, wau 2, stickiness (8/7)/2 = 0.5714.
+    val rows = (4 to 10).map(d => (1L, d)) :+ ((2L, 6))
+    val ev = rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"),
+        u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("daumau_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("agg_dau_mau")(sp, dir).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out(0)
+    assert(r.getLong(0) == 2818L && r.getLong(1) == 7L, r.toString)
+    assert(r.getLong(2) == 8L && r.getLong(3) == 2L, r.toString)
+    assert(r.getDouble(4) == 0.5714, r.toString)
+  }
+
+  test("agg_dau_mau: corpus weeks are dense but not saturated") {
+    val out = SparkEntry.queries("agg_dau_mau")(spark, sf001).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).sum == 30L) // 30 corpus days covered
+    out.foreach { r =>
+      assert(r.getLong(3) == 150L, r.toString) // all users weekly-active
+      val s = r.getDouble(4)
+      assert(s > 0.5 && s < 1.0, r.toString) // dense, yet nobody perfect
+    }
+  }
+
   test("agg_theil_sen: one crashed month cannot move the Sen slope") {
     val sp = spark
     import sp.implicits._
