@@ -1578,6 +1578,51 @@ object Aggregates extends QueryModule {
                CAST(sum(qw) AS DOUBLE) AS total_weight
         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // First-order Markov transition matrix of user behavior: within each
+    // user's (ts, event_id)-ordered stream, count prev→next event-type
+    // pairs (first event transitions from the synthetic '_start' state —
+    // a Markov chain without its initial distribution is half a model).
+    // One shuffle on user_id for the lag window; the pair census
+    // map-combines to ≤ (|types|+1)·|types| cells at any scale. p is one
+    // exact-integer division per cell, row-normalized over the prev
+    // state.
+    Q(
+      "agg_transition_matrix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type",
+            coalesce(lag("event_type", 1).over(w), lit("_start")))
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val tot = pairs.groupBy("prev_type")
+          .agg(sum("n").as("row_n"))
+        pairs.join(broadcast(tot), "prev_type")
+          .select(col("prev_type"), col("event_type"), col("n"),
+            round(col("n").cast("double") / col("row_n"), 4).as("p"))
+          .orderBy("prev_type", "event_type")
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 coalesce(lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id), '_start') AS prev_type
+          FROM events),
+        pairs AS (
+          SELECT prev_type, event_type, count(*) AS n
+          FROM seq GROUP BY 1, 2),
+        tot AS (
+          SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+          FROM pairs GROUP BY 1)
+        SELECT prev_type, event_type, n,
+               round(CAST(n AS DOUBLE) / row_n, 4) AS p
+        FROM pairs JOIN tot USING (prev_type)
+        ORDER BY prev_type, event_type""")),
+
     // DAU/WAU stickiness — the engagement ratio product dashboards live
     // on: average daily actives over weekly actives, per epoch-week
     // (epoch_days div 7 — identical arithmetic in both engines; calendar

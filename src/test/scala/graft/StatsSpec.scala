@@ -375,6 +375,45 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("agg_transition_matrix: hand chain with start distribution") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // u1: v -> c -> v ; u2: v -> v. Transitions: _start->v ×2,
+    // v->c 1 of 3 v-departures... rows: (_start,view,2,1.0),
+    // (view,click,1,0.5), (click,view,1,1.0), (view,view,1,0.5).
+    val rows = Seq((1L, 0, "view"), (1L, 1, "click"), (1L, 2, "view"),
+      (2L, 0, "view"), (2L, 1, "view"))
+    val ev = rows.zipWithIndex.map { case ((u, m, et), i) =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-05 10:$m%02d:00"), u,
+        et, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("markov_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("agg_transition_matrix")(sp, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 4, out.toString)
+    assert(out(("_start", "view")) == ((2L, 1.0)), out.toString)
+    assert(out(("view", "click")) == ((1L, 0.5)), out.toString)
+    assert(out(("view", "view")) == ((1L, 0.5)), out.toString)
+    assert(out(("click", "view")) == ((1L, 1.0)), out.toString)
+  }
+
+  test("agg_transition_matrix: corpus rows normalize to 1 per state") {
+    val out = SparkEntry.queries("agg_transition_matrix")(spark, sf001)
+      .collect()
+    assert(out.length == 30) // (_start + 5 types) × 5 types
+    out.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val totP = rs.map(_.getDouble(3)).sum
+      assert(math.abs(totP - 1.0) < 0.002, s"$prev rows sum to $totP")
+    }
+    val starts = out.filter(_.getString(0) == "_start")
+      .map(_.getLong(2)).sum
+    assert(starts == 150L, "every user contributes exactly one start")
+  }
+
   test("agg_theil_sen: one crashed month cannot move the Sen slope") {
     val sp = spark
     import sp.implicits._
