@@ -545,6 +545,75 @@ object Text extends QueryModule {
         FROM toks JOIN model USING (term)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Interpolated bigram-LM perplexity — the CCNet-family quality
+    // filter one order up from text_perplexity's unigram: P(w|prev) =
+    // 0.75·c(prev,w)/c(prev) + 0.25·c(w)/T (Jelinek-Mercer smoothing;
+    // the unigram backoff keeps every observed token scoreable). Scoring
+    // starts at the second token (the first has no context). Exactness:
+    // all counts are exact integers, each P is ONE fixed-structure
+    // double expression, each ln quantized 1e-6 (the text_zipf
+    // discipline) → per-doc integer sums, one exp. Scale: one shuffle
+    // on doc_id for the lag window; context/unigram tables are
+    // vocab-sized broadcasts, the bigram model joins on its gram key.
+    Q(
+      "text_perplexity_bigram",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = toks
+          .withColumn("prev", lag("term", 1).over(w))
+          .filter(col("prev").isNotNull)
+        val bmodel = bg.groupBy("prev", "term")
+          .agg(count(lit(1)).as("cpw"))
+        val ctx = bg.groupBy("prev").agg(count(lit(1)).as("cp"))
+        val uni = toks.groupBy("term").agg(count(lit(1)).as("cw"))
+        val tot = toks.agg(count(lit(1)).as("tot"))
+        bg.join(bmodel, Seq("prev", "term"))
+          .join(broadcast(ctx), "prev")
+          .join(broadcast(uni), "term")
+          .crossJoin(broadcast(tot))
+          .withColumn("lpq",
+            round(log(lit(0.75) * col("cpw") / col("cp") +
+              lit(0.25) * col("cw") / col("tot")) * 1e6).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(exp(-sum("lpq").cast("double") / 1e6 / count(lit(1))),
+              4).as("ppl"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, i AS pos, t[i] AS term
+          FROM (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+        bg AS (
+          SELECT doc_id, term,
+                 lag(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS prev
+          FROM toks QUALIFY prev IS NOT NULL),
+        bmodel AS (
+          SELECT prev, term, count(*) AS cpw FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT prev, count(*) AS cp FROM bg GROUP BY 1),
+        uni AS (SELECT term, count(*) AS cw FROM toks GROUP BY 1),
+        tot AS (SELECT count(*) AS tot FROM toks),
+        scored AS (
+          SELECT doc_id,
+                 CAST(round(ln(0.75 * cpw / cp + 0.25 * cw / tot) * 1e6)
+                   AS BIGINT) AS lpq
+          FROM bg
+          JOIN bmodel USING (prev, term)
+          JOIN ctx USING (prev)
+          JOIN uni USING (term)
+          CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(exp(-CAST(sum(lpq) AS DOUBLE) / 1e6 / count(*)), 4)
+                 AS ppl
+        FROM scored GROUP BY 1 ORDER BY doc_id""")),
+
     // Keyword extraction: top-3 distinctive terms per document. The rank
     // is all-integer (tf desc, corpus df asc, term asc) so it cannot
     // flip across engines the way a float tf-idf tie can — the tf-idf

@@ -475,6 +475,38 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) == 1.0, r.toString)
   }
 
+  test("text_perplexity_bigram: hand LM, both docs score 1/0.875") {
+    val sp = spark
+    import sp.implicits._
+    // Corpus 'a b a b' + 'a b': c(a,b)=3 of ctx(a)=3, c(b,a)=1 of
+    // ctx(b)=1, unigrams a=b=3 of T=6 -> every transition scores
+    // 0.75·1 + 0.25·0.5 = 0.875, so ppl = 1/0.875 = 1.1429 for both
+    // docs regardless of length.
+    val docs = Seq((1L, "a b a b", "en", "s1", 7L),
+      (2L, "a b", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("bigram_ppl_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_perplexity_bigram")(sp, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 1.1429)), out.toString)
+    assert(out(2L) == ((1L, 1.1429)), out.toString)
+  }
+
+  test("text_perplexity_bigram: context beats the unigram model") {
+    val bi = SparkEntry.queries("text_perplexity_bigram")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uni = SparkEntry.queries("text_perplexity")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi.size == 500)
+    assert(bi.values.forall(p => p > 1.0 && p < 1000.0))
+    val meanBi = bi.values.sum / bi.size
+    val meanUni = uni.values.sum / uni.size
+    assert(meanBi < meanUni,
+      s"bigram ppl $meanBi should beat unigram $meanUni")
+  }
+
   test("text_readability: FORCAST arithmetic on a hand-counted doc") {
     val sp = spark
     import sp.implicits._
