@@ -664,6 +664,79 @@ object Windows extends QueryModule {
                round(max(peak - level) / 100.0, 2) AS max_drawdown,
                round(max(peak) / 100.0, 2) AS peak_level,
                round(sum(step) / 100.0, 2) AS final_level
-        FROM walk GROUP BY user_id ORDER BY user_id"""))
+        FROM walk GROUP BY user_id ORDER BY user_id""")),
+
+    // STL-lite seasonal decomposition of the daily event volume:
+    // value = trend (centered 7-day MA, full windows only) + weekly
+    // seasonal (per epoch-day-of-week mean of the detrended series) +
+    // residual — the anomaly-screening split behind every volume
+    // monitor (dq_volume_drift flags moves; this says which PART
+    // moved). Epoch dow (day % 7), not locale weekday, so both engines
+    // bucket identically. Exactness: trend = one 7-int sum / 7.0;
+    // detrended values quantize 1e-6 BEFORE the seasonal mean (the
+    // only cross-row double sum here — integers make it order-free);
+    // residual is a fixed-structure double expression. Scale: the
+    // fact table collapses to the day frame first; every window runs
+    // over calendar-bounded rows.
+    Q(
+      "win_seasonal_decompose",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n"))
+          .withColumn("dow", pmod(col("day"), lit(7)))
+        val ma = Window.orderBy("day").rowsBetween(-3, 3)
+        val t = daily
+          .withColumn("wn", count(lit(1)).over(ma))
+          .withColumn("trend",
+            when(col("wn") === 7, sum("n").over(ma) / 7.0))
+          .withColumn("detq",
+            when(col("trend").isNotNull,
+              round((col("n") - col("trend")) * 1e6).cast("long")))
+        val seas = t.filter(col("detq").isNotNull)
+          .groupBy("dow")
+          .agg((sum("detq").cast("double") / count(lit(1)) / 1e6)
+            .as("seasonal_raw"))
+        t.join(broadcast(seas), Seq("dow"), "left")
+          .select(col("day"), col("dow"), col("n"),
+            round(col("trend"), 4).as("trend"),
+            when(col("trend").isNotNull,
+              round(col("seasonal_raw"), 4)).as("seasonal"),
+            when(col("trend").isNotNull,
+              round(col("n") - col("trend") - col("seasonal_raw"), 4))
+              .as("residual"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT day, day % 7 AS dow, n,
+                 CASE WHEN count(*) OVER w = 7
+                      THEN sum(n) OVER w / 7.0 END AS trend
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING)),
+        td AS (
+          SELECT *, CASE WHEN trend IS NOT NULL THEN
+                   CAST(round((n - trend) * 1e6) AS BIGINT) END AS detq
+          FROM t),
+        seas AS (
+          SELECT dow,
+                 CAST(sum(detq) AS DOUBLE) / count(*) / 1e6
+                   AS seasonal_raw
+          FROM td WHERE detq IS NOT NULL GROUP BY 1)
+        SELECT day, dow, n,
+               round(trend, 4) AS trend,
+               CASE WHEN trend IS NOT NULL
+                    THEN round(seasonal_raw, 4) END AS seasonal,
+               CASE WHEN trend IS NOT NULL
+                    THEN round(n - trend - seasonal_raw, 4)
+               END AS residual
+        FROM td LEFT JOIN seas USING (dow)
+        ORDER BY day"""))
   )
 }

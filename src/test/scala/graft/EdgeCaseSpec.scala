@@ -450,4 +450,48 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(rows(1L) == ((6L, 70.0, 80.0, 50.0)), rows(1L).toString)
     assert(rows(2L) == ((3L, 0.0, 0.0, 0.0)), rows(2L).toString)
   }
+
+  test("win_seasonal_decompose: pure weekly pattern decomposes exactly") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Days 2024-01-04..17 (epoch 19726..19739, 19726 % 7 = 0) with
+    // n = 10 + dow events: zero trend slope, pure weekly seasonality.
+    // Every full 7-day window spans all 7 dows once -> trend = 13
+    // exactly, seasonal = dow - 3, residual = 0 on days 7..10 of 14.
+    val ev = (for {
+      d <- 4 to 17
+      k <- 1 to (10 + (d - 4) % 7)
+    } yield (d.toLong * 100 + k,
+      Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), 1L, "view", 1.0,
+      "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("seasonal_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("win_seasonal_decompose")(sp, dir)
+      .collect()
+    assert(out.length == 14)
+    val full = out.filter(!_.isNullAt(3))
+    assert(full.length == 8) // days at offsets 3..10
+    full.foreach { r =>
+      assert(r.getDouble(3) == 13.0, r.toString)
+      assert(r.getDouble(4) == r.getLong(1) - 3.0, r.toString)
+      assert(r.getDouble(5) == 0.0, r.toString)
+    }
+    out.filter(_.isNullAt(3)).foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5), r.toString)
+    }
+  }
+
+  test("win_seasonal_decompose: corpus residuals center per dow") {
+    val out = SparkEntry.queries("win_seasonal_decompose")(spark, sf001)
+      .collect()
+    assert(out.length == 30)
+    val full = out.filter(!_.isNullAt(3))
+    assert(full.length == 24)
+    full.groupBy(_.getLong(1)).foreach { case (dow, rs) =>
+      val s = rs.map(_.getDouble(5)).sum
+      assert(math.abs(s) < 0.01, s"dow $dow residuals sum to $s")
+    }
+  }
 }
