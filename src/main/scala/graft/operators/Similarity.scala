@@ -1619,6 +1619,83 @@ object Similarity extends QueryModule {
           ON t.cluster = c.cluster AND t.rn = 1
         ORDER BY c.cluster""")),
 
+    // SemDeDup (Abbas et al.) — semantic dedup the way the paper does
+    // it: k-means first, then EXACT cosine only WITHIN each cluster, so
+    // the quadratic is bounded by cluster size instead of corpus size
+    // (at 100 TB you grow k with n to hold cluster size constant; the
+    // cross-cluster pairs k-means separates are exactly the ones not
+    // worth scoring). Census per cluster: candidate pairs over the 0.35
+    // semantic-duplicate threshold and distinct removed docs (keeper =
+    // smallest id). Distances rank on round(cos, 6) — the kMeans
+    // determinism discipline — and the whole thing (training included)
+    // replays in the oracle via lloydCtes.
+    Q(
+      "dedup_semantic_cluster",
+      (s, dir) => {
+        val asg = graft.api.Similarity.kMeans(
+          Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+          k = 8, iterations = 5)
+          .select(col("id"), col("cluster"))
+          .join(vecs(s, dir).withColumnRenamed("vec_id", "id"), "id")
+        val a = asg.select(col("cluster"), col("id").as("ia"),
+          col("e").as("ea"))
+        val b = asg.select(col("cluster"), col("id").as("ib"),
+          col("e").as("eb"))
+        val dup = a.join(b, Seq("cluster"))
+          .filter(col("ia") < col("ib"))
+          .withColumn("cos6", round(cosine(col("ea"), col("eb")), 6))
+          .filter(col("cos6") >= 0.35)
+        asg.groupBy("cluster").agg(count(lit(1)).as("n_points"))
+          .join(dup.groupBy("cluster")
+            .agg(count(lit(1)).as("n_dup_pairs"),
+              countDistinct("ib").as("n_removed")),
+            Seq("cluster"), "left")
+          .select(col("cluster"), col("n_points"),
+            coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+          .orderBy("cluster")
+      },
+      oracle = Some(s"""
+        WITH ktv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        ${lloydCtes("k", 8, 5, 64)},
+        kasg AS (
+          SELECT q.vec_id, c.cid,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS d
+          FROM ktv q CROSS JOIN kc5 c),
+        kfin AS MATERIALIZED (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY round(d, 6), cid) AS rn
+            FROM kasg) WHERE rn = 1),
+        v AS (
+          SELECT vec_id, e,
+                 sqrt(list_dot_product(e, e)) AS nrm
+          FROM ktv),
+        dup AS MATERIALIZED (
+          SELECT f1.cluster, f1.vec_id AS ia, f2.vec_id AS ib
+          FROM kfin f1
+          JOIN kfin f2 ON f2.cluster = f1.cluster
+            AND f1.vec_id < f2.vec_id
+          JOIN v a ON a.vec_id = f1.vec_id
+          JOIN v b ON b.vec_id = f2.vec_id
+          WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+                >= 0.35)
+        SELECT f.cluster, count(*) AS n_points,
+               CAST(coalesce(any_value(d.n_dup_pairs), 0) AS BIGINT)
+                 AS n_dup_pairs,
+               CAST(coalesce(any_value(d.n_removed), 0) AS BIGINT)
+                 AS n_removed
+        FROM kfin f
+        LEFT JOIN (
+          SELECT cluster, count(*) AS n_dup_pairs,
+                 count(DISTINCT ib) AS n_removed
+          FROM dup GROUP BY 1) d ON d.cluster = f.cluster
+        GROUP BY f.cluster ORDER BY f.cluster""")),
+
     // Clustering-quality readout for ml_kmeans: per-cluster simplified
     // (centroid-based) silhouette — s = (b−a)/max(a,b) with a = distance
     // to the own centroid, b = to the nearest other — the standard

@@ -849,6 +849,47 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       got.toString)
   }
 
+  test("dedup_semantic_cluster: planted near-dups, one per cluster") {
+    val sp = spark
+    import sp.implicits._
+    // ids 0..7 are the 8 orthogonal axes (and the Lloyd seeds); ids
+    // 8..15 are perturbed copies (cos = 1/sqrt(1.01) ≈ 0.995 with
+    // their axis, ~0 cross-axis). Every cluster must hold exactly its
+    // axis + copy, one dup pair, one removal.
+    val vecs = ((0 until 8).map { i =>
+      val v = Array.fill(64)(0f); v(i) = 1f
+      (i.toLong, v, 0)
+    } ++ (0 until 8).map { i =>
+      val v = Array.fill(64)(0f); v(i) = 1f; v((i + 1) % 8) = 0.1f
+      (i.toLong + 8, v, 0)
+    }).toDF("vec_id", "embedding", "label")
+    val dir = graft.Scratch.fresh("semdedup_spec")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("dedup_semantic_cluster")(sp, dir)
+      .collect()
+    assert(out.length == 8, out.mkString(";"))
+    out.foreach { r =>
+      assert(r.getLong(1) == 2L, r.toString)
+      assert(r.getLong(2) == 1L && r.getLong(3) == 1L, r.toString)
+    }
+  }
+
+  test("dedup_semantic_cluster: corpus census is consistent with kmeans") {
+    val out = SparkEntry.queries("dedup_semantic_cluster")(spark, sf001)
+      .collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).sum == 500L)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), r.toString) // removed <= pairs
+      assert(r.getLong(3) < r.getLong(1), r.toString) // keeper survives
+    }
+    assert(out.map(_.getLong(2)).sum > 0, "no semantic dup exercised")
+    val km = SparkEntry.queries("ml_kmeans")(spark, sf001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(km(r.getInt(0)) == r.getLong(1),
+      "cluster sizes must match ml_kmeans on the same training"))
+  }
+
   test("hits: symmetric bipartite reaches its exact fixpoint") {
     val sp = spark
     import sp.implicits._
