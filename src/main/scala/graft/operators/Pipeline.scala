@@ -471,6 +471,74 @@ object Pipeline extends QueryModule {
                round(coalesce(n_sampled, 0) * 1.0 / n_total, 4) AS rate
         FROM t LEFT JOIN a USING (lang) ORDER BY lang""")),
 
+    // Mixture-divergence audit: how far is the corpus's LANGUAGE
+    // distribution from the uniform target recipe — the number a
+    // multilingual-pretraining curator reads BEFORE reaching for
+    // mix_weighted to fix it (the source axis is uniform by corpus
+    // construction — auditing it would be the vacuous-demo trap; lang
+    // is genuinely skewed, en carries 44%).
+    // KL(p‖u) and total-variation distance, plus the worst source.
+    // Exactness: KL = Σ p_s·ln(p_s/q_s) = (Σ n_s·lnq_s)/(N·1e6) — the
+    // n_s weights stay INTEGER so the weighted sum is exact; each
+    // lnq_s = round(ln(n_s·S/N)·1e6) is one double ln of an exact
+    // rational (the text_zipf discipline). TV is pure integer
+    // arithmetic until one final division. The source census is one
+    // map-combined groupBy; everything downstream is |sources| rows.
+    Q(
+      "mix_kl_audit",
+      (s, dir) => {
+        val cen = Tables.documents(s, dir)
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+        val tot = cen.agg(sum("n").as("nn"), count(lit(1)).as("srcs"))
+        val k = cen.crossJoin(broadcast(tot))
+          .withColumn("lnq",
+            round(log(col("n") * col("srcs") / col("nn").cast("double"))
+              * 1e6).cast("long"))
+          .withColumn("absdiff",
+            abs(col("n") * col("srcs") - col("nn")))
+        val worst = k.orderBy(col("absdiff").desc, col("lang"))
+          .limit(1).select(col("lang").as("worst_lang"),
+            round(col("absdiff").cast("double") /
+              (col("srcs") * col("nn")), 6).as("worst_gap"))
+        k.groupBy("nn", "srcs")
+          .agg(sum(col("n") * col("lnq")).as("wsum"),
+            sum("absdiff").as("tvsum"))
+          .crossJoin(broadcast(worst))
+          .select(col("nn").as("n_docs"), col("srcs").as("n_langs"),
+            round(col("wsum").cast("double") / col("nn") / 1e6, 6)
+              .as("kl_uniform_nats"),
+            round(col("tvsum").cast("double") /
+              (lit(2) * col("srcs") * col("nn")), 6).as("tv_distance"),
+            col("worst_lang"), col("worst_gap"))
+      },
+      oracle = Some("""
+        WITH cen AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS srcs
+          FROM cen),
+        k AS (
+          SELECT lang, n,
+                 CAST(round(ln(n * srcs / CAST(nn AS DOUBLE)) * 1e6)
+                   AS BIGINT) AS lnq,
+                 abs(n * srcs - nn) AS absdiff, nn, srcs
+          FROM cen CROSS JOIN tot),
+        worst AS (
+          SELECT lang AS worst_lang,
+                 round(CAST(absdiff AS DOUBLE) / (srcs * nn), 6)
+                   AS worst_gap
+          FROM k ORDER BY absdiff DESC, lang LIMIT 1)
+        SELECT nn AS n_docs, srcs AS n_langs,
+               round(CAST(sum(n * lnq) AS DOUBLE) / any_value(nn) / 1e6,
+                 6) AS kl_uniform_nats,
+               round(CAST(sum(absdiff) AS DOUBLE)
+                 / (2 * any_value(srcs) * any_value(nn)), 6)
+                 AS tv_distance,
+               any_value(worst_lang) AS worst_lang,
+               any_value(worst_gap) AS worst_gap
+        FROM k CROSS JOIN worst
+        GROUP BY nn, srcs""")),
+
     // Neyman-optimal stratified allocation: budget n_h ∝ N_h·σ_h — the
     // allocation that minimizes the variance of the stratified mean,
     // i.e. what sample_stratified's flat rate should become when strata

@@ -849,6 +849,34 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       got.toString)
   }
 
+  test("mix_kl_audit: hand 3:1 split gives the textbook KL and TV") {
+    val sp = spark
+    import sp.implicits._
+    // p = (3/4, 1/4) vs uniform 1/2: KL = 0.75·ln1.5 + 0.25·ln0.5 =
+    // 0.130812 (after the 1e-6 ln quantization: exactly 523248/4e6);
+    // TV = (|1/4| + |1/4|)/2 = 0.25; absdiffs tie -> worst is the
+    // alphabetically first lang.
+    val docs = Seq((1L, "x", "aa"), (2L, "x", "aa"), (3L, "x", "aa"),
+      (4L, "x", "bb")).map { case (i, t, l) => (i, t, l, "s1", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("kl_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("mix_kl_audit")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L, r.toString)
+    assert(r.getDouble(2) == 0.130812, r.toString)
+    assert(r.getDouble(3) == 0.25, r.toString)
+    assert(r.getString(4) == "aa" && r.getDouble(5) == 0.25, r.toString)
+  }
+
+  test("mix_kl_audit: corpus lang skew is real and en-dominated") {
+    val r = SparkEntry.queries("mix_kl_audit")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) > 0.1, "KL collapsed — lang axis not skewed?")
+    assert(r.getString(4) == "en", r.toString)
+    assert(r.getDouble(3) > 0.2 && r.getDouble(3) < 0.5, r.toString)
+  }
+
   test("dedup_semantic_cluster: planted near-dups, one per cluster") {
     val sp = spark
     import sp.implicits._
