@@ -666,6 +666,59 @@ object Windows extends QueryModule {
                round(sum(step) / 100.0, 2) AS final_level
         FROM walk GROUP BY user_id ORDER BY user_id""")),
 
+    // Daily p50/p95/p99 bands of the event value — the latency/SLO
+    // dashboard row, computed EXACTLY without ever sorting the fact
+    // frame: per-day VALUE HISTOGRAM (cardinality ≤ distinct cents),
+    // cumulative window over it, quantile = first value whose scaled
+    // cumulative count crosses the k·n threshold (the dq_skew_report /
+    // agg_percentile_weighted integer-crossing recipe — no float
+    // interpolation semantics to diverge between engines, ever).
+    // Scale: one map-combined (day, cents) census; windows run over
+    // histogram rows, never events.
+    Q(
+      "win_latency_bands",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables.events(s, dir)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("day", "cents").agg(count(lit(1)).as("c"))
+        val cum = Window.partitionBy("day").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val t = h
+          .withColumn("cumc", sum("c").over(cum))
+          .withColumn("n", sum("c").over(Window.partitionBy("day")))
+        def pick(k: Int) =
+          min(when(col("cumc") * 100 >= lit(k) * col("n"),
+            col("cents"))) / 100.0
+        t.groupBy("day")
+          .agg(max("n").as("n_events"),
+            round(pick(50), 2).as("p50"),
+            round(pick(95), 2).as("p95"),
+            round(pick(99), 2).as("p99"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT day, cents, c,
+                 sum(c) OVER (PARTITION BY day ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cumc,
+                 sum(c) OVER (PARTITION BY day) AS n
+          FROM h)
+        SELECT day, CAST(max(n) AS BIGINT) AS n_events,
+               round(min(CASE WHEN cumc * 100 >= 50 * n THEN cents END)
+                 / 100.0, 2) AS p50,
+               round(min(CASE WHEN cumc * 100 >= 95 * n THEN cents END)
+                 / 100.0, 2) AS p95,
+               round(min(CASE WHEN cumc * 100 >= 99 * n THEN cents END)
+                 / 100.0, 2) AS p99
+        FROM t GROUP BY day ORDER BY day""")),
+
     // STL-lite seasonal decomposition of the daily event volume:
     // value = trend (centered 7-day MA, full windows only) + weekly
     // seasonal (per epoch-day-of-week mean of the detrended series) +

@@ -451,6 +451,39 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2L) == ((3L, 0.0, 0.0, 0.0)), rows(2L).toString)
   }
 
+  test("win_latency_bands: hand day of 1..100 gives exact band cuts") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Values 1.00..100.00 on one day: discrete percentile = the k-th
+    // value exactly — p50 = 50.00, p95 = 95.00, p99 = 99.00.
+    val ev = (1 to 100).map { i =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), 1L, "view",
+        i.toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("bands_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("win_latency_bands")(sp, dir).collect()(0)
+    assert(r.getLong(1) == 100L, r.toString)
+    assert(r.getDouble(2) == 50.0, r.toString)
+    assert(r.getDouble(3) == 95.0, r.toString)
+    assert(r.getDouble(4) == 99.0, r.toString)
+  }
+
+  test("win_latency_bands: corpus bands are ordered and spread") {
+    val out = SparkEntry.queries("win_latency_bands")(spark, sf001)
+      .collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val (p50, p95, p99) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 < p95 && p95 < p99, r.toString)
+      assert(p99 < 500.0 && p50 > 10.0, r.toString)
+    }
+    // the exponential-ish value tail must move the bands day to day
+    assert(out.map(_.getDouble(4)).distinct.length > 10)
+  }
+
   test("win_seasonal_decompose: pure weekly pattern decomposes exactly") {
     val sp = spark
     import sp.implicits._
