@@ -922,10 +922,18 @@ package object api {
       * cid 1..k, so the 1-based position IS the cluster id).
       */
     private def distsTo(cents: Seq[(Int, Seq[Double])]): Column = {
-      val mat = typedlit(cents.sortBy(_._1).map(_._2))
-      transform(mat, c =>
-        aggregate(zip_with(col("e"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d))
+      // One codegen'd SquaredDistance per centroid literal (round 12):
+      // the earlier single-matrix transform/aggregate/zip_with form kept
+      // the PLAN small but evaluated its lambdas INTERPRETED per element
+      // (k·dim·rows interpreted ops in the assignment hot path — the
+      // NOTES round-8 HOF lesson). A custom expression node per centroid
+      // is one literal + one compact codegen loop, and the plan-size
+      // concern that motivated the matrix form was about k nested-lambda
+      // TREES, not k flat literals. Arithmetic is the identical
+      // index-order left fold, so every trained-centroid oracle replay
+      // is bit-preserved.
+      array(cents.sortBy(_._1).map(c =>
+        graft.functions.SquaredDistance(col("e"), typedlit(c._2))): _*)
     }
 
     /** Lloyd iterations over a prepped (vid, e) frame. Centroids are
