@@ -673,6 +673,52 @@ object Joins extends QueryModule {
     // production composition (equi-join on user + backward top-1
     // window). Purchases with no prior click stay with a null credit.
     Q(
+      "join_attribution_window",
+      (s, dir) => {
+        // Last-click attribution with the industry-standard LOOKBACK
+        // WINDOW (30 min here): a purchase credits its latest preceding
+        // click only if the gap is inside the window, else it expires
+        // unattributed. Post-filtering the unwindowed as-of is EXACTLY
+        // the windowed semantics — the latest click is the only
+        // candidate; any other in-window click is older than it, so if
+        // the latest is out of window all are. (At scale the tolerance
+        // is also what bounds streaming as-of state retention.)
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_mu"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            unix_micros(col("ts")).as("c_mu"))
+        val winUs = 1800000000L
+        graft.api.Joins.asOf(
+            purchases, col("p_id"), col("user_id"), col("p_mu"),
+            clicks, col("c_user"), col("c_mu"), col("c_id"))
+          .withColumn("in_win",
+            col("c_id").isNotNull && col("p_mu") - col("c_mu") <= winUs)
+          .select(col("p_id").as("event_id"),
+            when(col("in_win"), col("c_id")).as("credited_click"),
+            when(col("in_win"), col("p_mu") - col("c_mu")).as("lag_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT p_id AS event_id,
+               CASE WHEN lag_us <= 1800000000 THEN c_id END
+                 AS credited_click,
+               CASE WHEN lag_us <= 1800000000 THEN lag_us END AS lag_us
+        FROM (
+          SELECT p.event_id AS p_id, c.event_id AS c_id,
+                 epoch_us(CAST(p.ts AS TIMESTAMP))
+                   - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON c.user_id = p.user_id AND c.ts <= p.ts
+        ) WHERE rn = 1
+        ORDER BY event_id""")),
+
+    Q(
       "join_attribution",
       (s, dir) => {
         val ev = Tables.events(s, dir)

@@ -451,6 +451,44 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2L) == ((3L, 0.0, 0.0, 0.0)), rows(2L).toString)
   }
 
+  test("join_attribution_window: in-window credits, stale click expires") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s"2024-01-05 $s")
+    // u1: click 10:00, purchase 10:10 -> credited, lag 600s. u2: click
+    // 09:00, purchase 10:00 (gap 60 min > 30) -> expired even though
+    // the click is its latest. u3: purchase with no click -> expired.
+    val ev = Seq(
+      (1L, t("10:00:00"), 1L, "click"), (2L, t("10:10:00"), 1L, "purchase"),
+      (3L, t("09:00:00"), 2L, "click"), (4L, t("10:00:00"), 2L, "purchase"),
+      (5L, t("10:00:00"), 3L, "purchase"))
+      .map { case (i, ts, u, et) => (i, ts, u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("attr_win_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("join_attribution_window")(sp, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out.size == 3, out.toString)
+    assert(out(2L) == ((Some(1L), Some(600000000L))), out.toString)
+    assert(out(4L) == ((None, None)), out.toString)
+    assert(out(5L) == ((None, None)), out.toString)
+  }
+
+  test("join_attribution_window: corpus exercises both credit classes") {
+    val out = SparkEntry.queries("join_attribution_window")(spark, sf001)
+      .collect()
+    assert(out.length == 1981)
+    val credited = out.filter(!_.isNullAt(1))
+    assert(credited.nonEmpty && credited.length < out.length)
+    credited.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1800000000L, r.toString)
+    }
+  }
+
   test("win_latency_bands: hand day of 1..100 gives exact band cuts") {
     val sp = spark
     import sp.implicits._
