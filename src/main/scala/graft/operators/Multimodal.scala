@@ -62,6 +62,87 @@ object Multimodal extends QueryModule {
                octet_length(encode(text)) AS payload_bytes
         FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
 
+    // Aspect-ratio bucketed batching (the NaViT / SDXL training-batch
+    // shape): each image snaps to the nearest rung of a ratio ladder
+    // ({1:2, 1:1, 2:1} here — a config knob; production ladders run
+    // ~10 rungs), then fills 16-image batches within its bucket in doc
+    // order; odd doc_ids are portrait (w/h swapped — the camera
+    // rotation a real image corpus always carries, and what populates
+    // the reciprocal rungs) — variable-resolution training without
+    // per-batch padding waste. Snapping is INTEGER-exact: |w/h − n/d|
+    // ordering is |w·d − h·n|·(2/d) after clearing the common
+    // denominator (2 = lcm of the ladder's d's), so no float boundary
+    // can flip a bucket between engines; ties go to the narrower
+    // ratio. Scale: ladder is a 3-row broadcast; ranking shuffles on
+    // the buckets (at 100 TB: salt the bucket rank by shard — batch
+    // assembly is per-shard anyway).
+    Q(
+      "mm_aspect_buckets",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val ladder = Seq((1, 1L, 2L, "1:2"), (2, 1L, 1L, "1:1"),
+          (3, 2L, 1L, "2:1")).toDF("bidx", "bn", "bd", "ratio")
+        val imgs = media(s, dir)
+          .filter(col("media_type") === "image")
+          .select(col("doc_id"),
+            when(col("doc_id") % 2 === 1, col("meta.height"))
+              .otherwise(col("meta.width")).cast("long").as("w"),
+            when(col("doc_id") % 2 === 1, col("meta.width"))
+              .otherwise(col("meta.height")).cast("long").as("h"))
+        val byDist = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("dist"), col("bidx"))
+        val snapped = imgs.crossJoin(broadcast(ladder))
+          .withColumn("dist",
+            abs(col("w") * col("bd") - col("h") * col("bn")) *
+              (lit(2L) / col("bd")).cast("long"))
+          .withColumn("rn", row_number().over(byDist))
+          .filter(col("rn") === 1)
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("bidx").orderBy("doc_id")
+        snapped
+          .withColumn("pos", row_number().over(byDoc))
+          .withColumn("batch", expr("(pos - 1) div 16"))
+          .groupBy("bidx", "ratio")
+          .agg(count(lit(1)).as("n_images"),
+            (max("batch") + 1).as("n_batches"),
+            (count(lit(1)) - expr("((count(1) - 1) div 16) * 16"))
+              .as("tail_fill"))
+          .select(col("ratio"), col("n_images"), col("n_batches"),
+            col("tail_fill"))
+          .orderBy(col("ratio"))
+      },
+      oracle = Some("""
+        WITH ladder AS (
+          SELECT * FROM (VALUES (1, 1, 2, '1:2'), (2, 1, 1, '1:1'),
+            (3, 2, 1, '2:1')) AS t(bidx, bn, bd, ratio)),
+        imgs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN CAST(n_chars % 480 + 48 AS BIGINT)
+                      ELSE CAST(n_chars % 640 + 64 AS BIGINT) END AS w,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN CAST(n_chars % 640 + 64 AS BIGINT)
+                      ELSE CAST(n_chars % 480 + 48 AS BIGINT) END AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        snapped AS (
+          SELECT doc_id, bidx, ratio FROM (
+            SELECT i.doc_id, l.bidx, l.ratio,
+                   row_number() OVER (PARTITION BY i.doc_id
+                     ORDER BY abs(i.w * l.bd - i.h * l.bn) * (2 // l.bd),
+                              l.bidx) AS rn
+            FROM imgs i CROSS JOIN ladder l) WHERE rn = 1),
+        pos AS (
+          SELECT bidx, ratio,
+                 row_number() OVER (PARTITION BY bidx ORDER BY doc_id)
+                   AS pos
+          FROM snapped)
+        SELECT ratio, count(*) AS n_images,
+               CAST(max((pos - 1) // 16) + 1 AS BIGINT) AS n_batches,
+               CAST(count(*) - ((count(*) - 1) // 16) * 16 AS BIGINT)
+                 AS tail_fill
+        FROM pos GROUP BY bidx, ratio ORDER BY ratio""")),
+
     // Video frame sampling: one row per second of "video", the explode
     // fan-out a frame pipeline needs before per-frame decode.
     Q(

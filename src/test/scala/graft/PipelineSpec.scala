@@ -849,6 +849,39 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       got.toString)
   }
 
+  test("mm_aspect_buckets: hand dims snap to all three rungs") {
+    val sp = spark
+    import sp.implicits._
+    // Image docs (id % 3 = 0): id 6 landscape n=100 -> 164×148 (1:1);
+    // id 12 landscape n=500 -> 564×68 (2:1); id 3 PORTRAIT n=500 ->
+    // 68×564 (1:2). One image per rung, one open batch each.
+    val docs = Seq((6L, 100L), (12L, 500L), (3L, 500L))
+      .map { case (i, n) => (i, "x", "en", "s1", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("aspect_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("mm_aspect_buckets")(sp, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 3, out.toString)
+    Seq("1:2", "1:1", "2:1").foreach { k =>
+      assert(out(k) == ((1L, 1L, 1L)), s"$k -> ${out(k)}")
+    }
+  }
+
+  test("mm_aspect_buckets: corpus batches account for every image") {
+    val out = SparkEntry.queries("mm_aspect_buckets")(spark, sf001)
+      .collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(1)).sum == 167L) // 500/3 images
+    out.foreach { r =>
+      val (n, b, tail) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tail >= 1 && tail <= 16, r.toString)
+      assert((b - 1) * 16 + tail == n, r.toString) // batches partition
+    }
+  }
+
   test("mix_kl_audit: hand 3:1 split gives the textbook KL and TV") {
     val sp = spark
     import sp.implicits._
