@@ -869,21 +869,22 @@ package object api {
       * broadcast tabled queries; ties pin on (rounded distance,
       * cand id). Output: (query_id, cand_id, adc_dist, rank).
       */
-    def pqTopK(
-        encoded: DataFrame, queries: DataFrame, qid: Column, qvec: Column,
-        codebooks: Seq[Seq[Seq[Double]]], topK: Int = 3,
-        excludeSelf: Boolean = false): DataFrame = {
+    /** Per-query m×k ADC lookup tables (the tiny side built once before
+      * the broadcast). The checkpoint is a CollapseProject barrier, not
+      * a perf cache: without it the caller's qvec expression (typically
+      * the unit-normalize transform, whose lambda re-derives the norm
+      * per element) is inlined into every one of the m·k table lambdas
+      * below and interpreted per (subspace × centroid) — ~2 s of
+      * driver-side broadcast build for 50 queries. Materializing qe
+      * once per query row first makes the table build O(m·k·sub).
+      */
+    private def pqQueryTables(
+        queries: DataFrame, qid: Column, qvec: Column,
+        codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
       val m = codebooks.length
       val sub = codebooks.head.head.length
       val cbl = typedlit(codebooks)
-      // The checkpoint is a CollapseProject barrier, not a perf cache:
-      // without it the caller's qvec expression (typically the
-      // unit-normalize transform, whose lambda re-derives the norm per
-      // element) is inlined into every one of the m·k table lambdas
-      // below and interpreted per (subspace × centroid) — ~2 s of
-      // driver-side broadcast build for 50 queries. Materializing qe
-      // once per query row first makes the table build O(m·k·sub).
-      val tabbed = queries
+      queries
         .select(qid.as("query_id"), qvec.cast("array<double>").as("qe"))
         .localCheckpoint(true)
         .select(col("query_id"),
@@ -893,23 +894,51 @@ package object api {
                 zip_with(c, slice(col("qe"), (s - lit(1)) * lit(sub) + 1,
                   lit(sub)), (x, y) => (x - y) * (x - y)),
                 lit(0.0), (acc, d) => acc + d))).as("tab"))
+    }
+
+    /** Statically unrolled ADC sum (m literal-indexed element_at terms)
+      * instead of an aggregate/zip_with lambda chain: higher-order
+      * functions evaluate interpreted per element, and on the hot
+      * scoring join this is the difference between a codegen'd tight
+      * loop and per-row allocation.
+      */
+    private def adcSum(m: Int): Column =
+      (1 to m).map(s =>
+        element_at(element_at(col("tab"), s),
+          element_at(col("codes"), s))).reduce(_ + _)
+
+    def pqTopK(
+        encoded: DataFrame, queries: DataFrame, qid: Column, qvec: Column,
+        codebooks: Seq[Seq[Seq[Double]]], topK: Int = 3,
+        excludeSelf: Boolean = false): DataFrame = {
+      val tabbed = pqQueryTables(queries, qid, qvec, codebooks)
       val wr = Window.partitionBy("query_id")
         .orderBy(round(col("adc"), 6).asc, col("id"))
       val cands = encoded.crossJoin(broadcast(tabbed))
-      // The scoring runs once per (candidate × query) row — statically
-      // unrolled element_at sum (m literal-indexed terms) instead of an
-      // aggregate/zip_with lambda chain: higher-order functions evaluate
-      // interpreted per element, and on the hot crossJoin this is the
-      // difference between a codegen'd tight loop and per-row allocation.
-      val adcSum = (1 to m).map(s =>
-        element_at(element_at(col("tab"), s),
-          element_at(col("codes"), s))).reduce(_ + _)
       (if (excludeSelf) cands.filter(col("id") =!= col("query_id")) else cands)
-        .withColumn("adc", adcSum)
+        .withColumn("adc", adcSum(codebooks.length))
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= topK)
         .select(col("query_id"), col("id").as("cand_id"),
           col("adc").as("adc_dist"), col("rank"))
+    }
+
+    /** ADC scores restricted to a caller-supplied candidate pair set —
+      * the IVF+PQ composition's scoring half: `pairs` is (query_id,
+      * cand_id) from the coarse quantizer's probed cells, so scoring
+      * cost is O(pairs), never O(queries × corpus). Returns (query_id,
+      * cand_id, adc_dist); ranking stays with the caller.
+      */
+    def pqAdcWithin(
+        encoded: DataFrame, queries: DataFrame, qid: Column, qvec: Column,
+        codebooks: Seq[Seq[Seq[Double]]], pairs: DataFrame): DataFrame = {
+      val tabbed = pqQueryTables(queries, qid, qvec, codebooks)
+      pairs
+        .join(encoded.select(col("id").as("cand_id"), col("codes")),
+          "cand_id")
+        .join(broadcast(tabbed), "query_id")
+        .withColumn("adc_dist", adcSum(codebooks.length))
+        .drop("codes", "tab")
     }
 
     /** Squared-L2 distances from `e` to every centroid, as one array

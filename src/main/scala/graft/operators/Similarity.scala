@@ -40,9 +40,14 @@ object Similarity extends QueryModule {
     * nprobe closest cells only. Centroid tables broadcast everywhere —
     * the fact scan streams once for the build and once for the search.
     */
-  private def ivfProbeSearch(
-      v: DataFrame, cents: DataFrame,
-      nprobe: Int = 2, topK: Int = 3): DataFrame = {
+  /** The IVF candidate-generation half: assign every vector to its
+    * nearest centroid, probe the queries' nprobe closest cells, and
+    * return the (query, candidate) pairs with both vectors attached.
+    * Shared by the cosine search ([[ivfProbeSearch]]) and the IVF+PQ
+    * composition (sim_ivf_pq), which swaps the scoring arithmetic.
+    */
+  private def ivfProbePairs(
+      v: DataFrame, cents: DataFrame, nprobe: Int = 2): DataFrame = {
     val wn = Window.partitionBy("vec_id")
       .orderBy(round(col("ccos"), 6).desc, col("cid"))
     val assigned = v.crossJoin(broadcast(cents))
@@ -56,12 +61,18 @@ object Similarity extends QueryModule {
       .withColumn("crn", row_number().over(wn))
       .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("cid"))
-    val wr = Window.partitionBy("query_id")
-      .orderBy(round(col("cos"), 6).desc, col("cand_id"))
     probes.join(
         assigned.select(col("vec_id").as("cand_id"), col("e"), col("cid")),
         Seq("cid"))
       .filter(col("cand_id") =!= col("query_id"))
+  }
+
+  private def ivfProbeSearch(
+      v: DataFrame, cents: DataFrame,
+      nprobe: Int = 2, topK: Int = 3): DataFrame = {
+    val wr = Window.partitionBy("query_id")
+      .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+    ivfProbePairs(v, cents, nprobe)
       .withColumn("cos", cosine(col("qe"), col("e")))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= topK)
@@ -1183,6 +1194,51 @@ object Similarity extends QueryModule {
         SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
                round(adc, 4) AS adc_dist
         FROM pqr WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // IVF+PQ — the faiss IndexIVFPQ composition, THE production
+    // billion-vector shape: the seed-IVF coarse quantizer prunes the
+    // corpus to nprobe=2 probed cells, and ADC over 8-byte PQ codes
+    // ranks only those candidates — scoring cost O(probed pairs) with
+    // m table lookups each, never O(queries × corpus × dim). Both
+    // trainings (IVF refinement AND the 8 per-subspace codebooks)
+    // replay in the one oracle statement via the prefixed CTE chains
+    // (the sim_ann_recall composition trick). Candidate sets come from
+    // the RAW-vector coarse quantizer while distances are ADC over the
+    // unit-normalized codes — exactly faiss's asymmetric split.
+    Q(
+      "sim_ivf_pq",
+      (s, dir) => {
+        val pairs = ivfProbePairs(vecs(s, dir), ivfSeedCents(s, dir))
+          .select(col("query_id"), col("cand_id"),
+            col("cid").as("cluster"))
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), unitExprQ.as("qe"))
+        val wr = Window.partitionBy("query_id")
+          .orderBy(round(col("adc_dist"), 6).asc, col("cand_id"))
+        graft.api.Similarity.pqAdcWithin(
+            pqEnc(s, dir), q, col("qid"), col("qe"), pqCb(s, dir), pairs)
+          .withColumn("rank", row_number().over(wr))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            col("cluster"), round(col("adc_dist"), 4).as("adc_dist"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH ${ivfSeedCtes("i")}, ${pqCtes("q")},
+        ivfpairs AS (
+          SELECT p.query_id, a.vec_id AS cand_id, a.cid AS cluster
+          FROM iprobes p JOIN iassigned a
+            ON a.cid = p.cid AND a.vec_id <> p.query_id),
+        scored AS (
+          SELECT pr.query_id, pr.cand_id, pr.cluster, d.adc,
+                 row_number() OVER (PARTITION BY pr.query_id
+                   ORDER BY round(d.adc, 6), pr.cand_id) AS rank
+          FROM ivfpairs pr
+          JOIN qadcs d ON d.query_id = pr.query_id
+            AND d.cand_id = pr.cand_id)
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id, cluster,
+               round(adc, 4) AS adc_dist
+        FROM scored WHERE rank <= 3 ORDER BY query_id, rank""")),
 
     // Two-stage retrieval — the production PQ flow: a WIDE approximate
     // candidate pull (ADC top-20 over 8-byte codes, cheap) feeds an

@@ -110,6 +110,27 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim_ivf_pq: probed-cell laws and subset-dominance vs plain PQ") {
+    val ivfpq = SparkEntry.queries("sim_ivf_pq")(spark, sf001).collect()
+    assert(ivfpq.length == 150) // 50 queries × top-3
+    // nprobe = 2: every query's candidates come from at most 2 cells
+    ivfpq.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).distinct.length <= 2, s"query $q")
+      val ds = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b + 1e-9 },
+        s"query $q ranks out of ADC order")
+    }
+    // The IVF restriction ranks the SAME ADC metric over a SUBSET of
+    // the corpus, so its best distance can never beat plain PQ's.
+    val pq1 = SparkEntry.queries("sim_ann_pq")(spark, sf001).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    ivfpq.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getDouble(4) >= pq1(r.getLong(0)) - 1e-9,
+        s"query ${r.getLong(0)}: subset min beat the full min")
+    }
+  }
+
   test("mmrRerank demotes near-duplicates that plain cosine ranks ahead") {
     val sp = spark
     import sp.implicits._
