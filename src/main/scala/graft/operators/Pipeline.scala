@@ -1449,6 +1449,110 @@ object Pipeline extends QueryModule {
         FROM pr_top t CROSS JOIN pr_tm m
         ORDER BY rank_ppm DESC, id""")),
 
+    // Degree-distribution diagnostic of the co-purchase graph — the
+    // measurement that PRICES the hub cap (graph_jaccard_capped) and
+    // the wedge bounds: exact degree histogram percentiles (the integer
+    // crossing recipe, no float interpolation) plus a power-law slope
+    // fit of ln(count) on ln(degree) over the histogram points (the
+    // text_zipf quantized-moment machinery — slope ≈ −α is the
+    // heavy-tail signature; r² says whether a power law is even the
+    // right model). Everything downstream of the degree count runs on
+    // the histogram frame, bounded by max degree, never node count.
+    Q(
+      "graph_degree_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = urgentCoPurchaseEdges(s, dir)
+        val deg = e.select(col("u").as("n"))
+          .unionAll(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val hist = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
+        val cum = Window.orderBy("deg")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val h = hist
+          .withColumn("cumc", sum("cnt").over(cum))
+          .withColumn("xq",
+            round(log(col("deg").cast("double")) * 1e6).cast("long"))
+          .withColumn("yq",
+            round(log(col("cnt").cast("double")) * 1e6).cast("long"))
+        val tot = h.agg(
+          sum("cnt").as("n_nodes"),
+          max("deg").as("max_deg"),
+          count(lit(1)).as("k"),
+          sum("xq").as("sx"), sum("yq").as("sy"),
+          sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"),
+          sum(col("yq") * col("yq")).as("syy"))
+        val picks = h.crossJoin(broadcast(tot.select("n_nodes")))
+          .agg(
+            min(when(col("cumc") * 100 >= col("n_nodes") * 50,
+              col("deg"))).as("p50_deg"),
+            min(when(col("cumc") * 100 >= col("n_nodes") * 90,
+              col("deg"))).as("p90_deg"))
+        val edges1 = e.agg(count(lit(1)).as("n_edges"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        tot.crossJoin(broadcast(edges1)).crossJoin(broadcast(picks))
+          .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+            col("p50_deg"), col("p90_deg"),
+            round((d(col("k")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+              / (d(col("k")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))),
+              4).as("powerlaw_slope"),
+            round((d(col("k")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+              * (d(col("k")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+              / ((d(col("k")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+                * (d(col("k")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
+              4).as("r2"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT n, count(*) AS deg
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+          GROUP BY n),
+        hist AS (SELECT deg, count(*) AS cnt FROM deg GROUP BY 1),
+        h AS (
+          SELECT deg, cnt,
+                 sum(cnt) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING)
+                   AS cumc,
+                 CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS xq,
+                 CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS yq
+          FROM hist),
+        tot AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n_nodes,
+                 max(deg) AS max_deg, count(*) AS k,
+                 CAST(sum(xq) AS BIGINT) AS sx,
+                 CAST(sum(yq) AS BIGINT) AS sy,
+                 CAST(sum(xq * yq) AS BIGINT) AS sxy,
+                 CAST(sum(xq * xq) AS BIGINT) AS sxx,
+                 CAST(sum(yq * yq) AS BIGINT) AS syy
+          FROM h),
+        picks AS (
+          SELECT min(CASE WHEN cumc * 100 >= 50 * t.n_nodes
+                   THEN deg END) AS p50_deg,
+                 min(CASE WHEN cumc * 100 >= 90 * t.n_nodes
+                   THEN deg END) AS p90_deg
+          FROM h CROSS JOIN tot t)
+        SELECT n_nodes, (SELECT count(*) FROM e) AS n_edges, max_deg,
+               p50_deg, p90_deg,
+               round((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 4) AS powerlaw_slope,
+               round((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 4) AS r2
+        FROM tot CROSS JOIN picks""")),
+
     // HITS hubs & authorities over the directed customer→part purchase
     // bipartite — the complementary centrality to pageRank: a hub is a
     // customer whose basket concentrates on high-authority parts, an

@@ -824,6 +824,48 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(1) == -1.0, r.toString)
   }
 
+  test("graph_degree_stats: star K1,4 fits slope -1, r2 = 1 exactly") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Hub 100 with leaves 1..4 via 4 urgent 2-part orders: histogram
+    // (deg 1: 4 nodes, deg 4: 1 node) -> two ln-ln points, a perfect
+    // line of slope -1; p50 = 1 (cum 4/5), p90 = 4 (needs cum 4.5).
+    val orders = Seq(10L, 11L, 12L, 13L).map(o =>
+      (o, 1L, "O", 1.0, Timestamp.valueOf("2024-01-01 00:00:00"),
+        "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((10L, 100L), (10L, 1L), (11L, 100L), (11L, 2L),
+      (12L, 100L), (12L, 3L), (13L, 100L), (13L, 4L)).zipWithIndex
+      .map { case ((o, p), i) =>
+        (o, p, 1L, i, 1.0, 10.0, 0.0, 0.0, "N", "O",
+          Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = graft.Scratch.fresh("degstats_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("graph_degree_stats")(sp, dir)
+      .collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 4L, r.toString)
+    assert(r.getLong(2) == 4L, r.toString)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 4L, r.toString)
+    assert(r.getDouble(5) == -1.0, r.toString)
+    assert(r.getDouble(6) == 1.0, r.toString)
+  }
+
+  test("graph_degree_stats: corpus diagnostic is honest about its fit") {
+    val r = SparkEntry.queries("graph_degree_stats")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(0) == 1995L && r.getLong(1) == 22892L)
+    assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(2))
+    // near-Poisson degrees: the power-law fit must SELF-REPORT as poor
+    assert(r.getDouble(6) < 0.5,
+      s"r2 ${r.getDouble(6)} — this graph is not heavy-tailed")
+  }
+
   test("scd2Lookup: half-open versions; boundary fact sees the NEW one") {
     val sp = spark
     import sp.implicits._
