@@ -1127,6 +1127,61 @@ object Pipeline extends QueryModule {
         SELECT doc_id, source, shard, bin_id, tc AS n_tokens, load_after
         FROM p ORDER BY doc_id""")),
 
+    // Attention-efficiency census of the FFD packing — what sequence
+    // packing actually costs a transformer: within a packed bin of fill
+    // F and documents of lengths L_i, naive (unmasked) attention spends
+    // ΣL_i²/F² of its pairs intra-document; the remainder is
+    // cross-document contamination unless the trainer masks it. Per
+    // source: bin count, mean fill (padding waste) and mean
+    // intra-document attention share — the two numbers that decide
+    // budget and masking strategy. Exactness: per-bin ratios of exact
+    // integers quantized 1e-6 → order-free integer means.
+    Q(
+      "pack_attention_density",
+      (s, dir) => {
+        val packed = graft.api.Pipeline.packFirstFitDecreasing(
+          Tables.documents(s, dir).withColumn("tc",
+            size(split(col("text"), " "))),
+          col("source"), col("doc_id"), col("tc"),
+          budget = 512, shards = 4)
+        val bins = packed.groupBy("group", "shard", "bin_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("fill"),
+            sum(col("n_tokens") * col("n_tokens")).as("s2"))
+          .withColumn("densq",
+            round(col("s2") * 1e6 / (col("fill") * col("fill")))
+              .cast("long"))
+          .withColumn("fillq",
+            round(col("fill") * 1e6 / 512.0).cast("long"))
+        bins.groupBy(col("group").as("source"))
+          .agg(count(lit(1)).as("n_bins"),
+            sum("n_docs").as("n_docs"),
+            round(sum("fillq").cast("double") / count(lit(1)) / 1e4, 4)
+              .as("mean_fill_pct"),
+            round(sum("densq").cast("double") / count(lit(1)) / 1e6, 4)
+              .as("intra_attention"))
+          .orderBy("source")
+      },
+      oracle = Some(ffdReplaySql + """,
+        bins AS (
+          SELECT source, shard, bin_id, count(*) AS n_docs,
+                 CAST(sum(tc) AS BIGINT) AS fill,
+                 CAST(sum(tc * tc) AS BIGINT) AS s2
+          FROM p GROUP BY 1, 2, 3),
+        q AS (
+          SELECT source, n_docs,
+                 CAST(round(s2 * 1e6 / (fill * fill)) AS BIGINT)
+                   AS densq,
+                 CAST(round(fill * 1e6 / 512.0) AS BIGINT) AS fillq
+          FROM bins)
+        SELECT source, count(*) AS n_bins,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               round(CAST(sum(fillq) AS DOUBLE) / count(*) / 1e4, 4)
+                 AS mean_fill_pct,
+               round(CAST(sum(densq) AS DOUBLE) / count(*) / 1e6, 4)
+                 AS intra_attention
+        FROM q GROUP BY source ORDER BY source""")),
+
     // The LAST mile of a training-data pipeline: pack documents into
     // bins (FFD), assign each bin to a training shard by the portable
     // md5 hash of its (source, shard, bin) identity, and MATERIALIZE the

@@ -824,6 +824,39 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(1) == -1.0, r.toString)
   }
 
+  test("pack_attention_density: hand bins give exact fill and density") {
+    val sp = spark
+    import sp.implicits._
+    // One source, one shard (ids ≡ 0 mod 4), lengths 300/200/100,
+    // budget 512: FFD packs [300,200] + [100]. Bin densities
+    // (300²+200²)/500² = 0.52 and 1.0 -> mean 0.76; fills 500/512 and
+    // 100/512 -> mean 58.5938%.
+    val docs = Seq((0L, 300), (4L, 200), (8L, 100)).map { case (i, n) =>
+      (i, Seq.fill(n)("w").mkString(" "), "en", "s1", n.toLong * 2)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("attn_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("pack_attention_density")(sp, dir)
+      .collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L, r.toString)
+    assert(r.getDouble(3) == 58.5938, r.toString)
+    assert(r.getDouble(4) == 0.76, r.toString)
+  }
+
+  test("pack_attention_density: corpus bins are efficient but honest") {
+    val out = SparkEntry.queries("pack_attention_density")(spark, sf001)
+      .collect()
+    assert(out.length == 20)
+    assert(out.map(_.getLong(2)).sum == 500L)
+    out.foreach { r =>
+      assert(r.getDouble(3) > 30 && r.getDouble(3) <= 100, r.toString)
+      val d = r.getDouble(4)
+      // packed bins always contaminate: intra share well below 1,
+      // but above the uniform-shred floor
+      assert(d > 0.05 && d < 0.9, r.toString)
+    }
+  }
+
   test("graph_degree_stats: star K1,4 fits slope -1, r2 = 1 exactly") {
     val sp = spark
     import sp.implicits._
