@@ -539,6 +539,70 @@ object Pipeline extends QueryModule {
         FROM k CROSS JOIN worst
         GROUP BY nn, srcs""")),
 
+    // TIME-based train/valid/test split (days 0-19 / 20-24 / 25+
+    // relative to the corpus start) — the split a forecasting or
+    // next-event model MUST use (hash splits leak the future into
+    // training), with the census time-splitting owes you in return:
+    // per split, how many of its users already appear in an earlier
+    // split (user-level leakage is GUARANTEED here — that's what
+    // sample_users_coherent trades against; this key makes the
+    // tradeoff measurable instead of implicit). Cutoffs derive from
+    // min(day), so the split is a pure function of the data. Two
+    // map-combined censuses + one broadcast of the per-split user
+    // sets' earlier-split membership.
+    Q(
+      "sample_time_split",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("user_id"))
+        val d0 = ev.agg(min("day").as("d0"))
+        val tagged = ev.crossJoin(broadcast(d0))
+          .withColumn("split",
+            when(col("day") < col("d0") + 20, "1_train")
+              .when(col("day") < col("d0") + 25, "2_valid")
+              .otherwise("3_test"))
+        val users = tagged.select("split", "user_id").distinct()
+        val earlier = users.as("a").join(users.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("b.split") < col("a.split"), "left_semi")
+          .groupBy(col("split")).agg(count(lit(1)).as("n_leaked_users"))
+        tagged.groupBy("split")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"))
+          .join(earlier, Seq("split"), "left")
+          .select(col("split"), col("n_events"), col("n_users"),
+            coalesce(col("n_leaked_users"), lit(0L)).as("n_leaked_users"))
+          .orderBy("split")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 user_id
+          FROM events),
+        tagged AS (
+          SELECT user_id,
+                 CASE WHEN day < (SELECT min(day) FROM ev) + 20
+                        THEN '1_train'
+                      WHEN day < (SELECT min(day) FROM ev) + 25
+                        THEN '2_valid'
+                      ELSE '3_test' END AS split
+          FROM ev),
+        users AS (SELECT DISTINCT split, user_id FROM tagged),
+        earlier AS (
+          SELECT a.split, count(*) AS n_leaked_users
+          FROM users a
+          WHERE EXISTS (SELECT 1 FROM users b
+                        WHERE b.user_id = a.user_id
+                          AND b.split < a.split)
+          GROUP BY 1)
+        SELECT t.split, count(*) AS n_events,
+               count(DISTINCT t.user_id) AS n_users,
+               CAST(coalesce(any_value(e.n_leaked_users), 0) AS BIGINT)
+                 AS n_leaked_users
+        FROM tagged t LEFT JOIN earlier e ON e.split = t.split
+        GROUP BY t.split ORDER BY t.split""")),
+
     // Neyman-optimal stratified allocation: budget n_h ∝ N_h·σ_h — the
     // allocation that minimizes the variance of the stratified mean,
     // i.e. what sample_stratified's flat rate should become when strata

@@ -824,6 +824,41 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(1) == -1.0, r.toString)
   }
 
+  test("sample_time_split: hand timeline splits and leaks exactly") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Corpus starts Jan 1. u1 spans all three windows (leaks twice),
+    // u2 exists only in train, u3 only in test (no leak).
+    val rows = Seq((1L, 1), (1L, 22), (1L, 27), (2L, 5), (3L, 28))
+    val ev = rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), u,
+        "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("timesplit_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("sample_time_split")(sp, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("1_train") == ((2L, 2L, 0L)), out.toString)
+    assert(out("2_valid") == ((1L, 1L, 1L)), out.toString)
+    assert(out("3_test") == ((2L, 2L, 1L)), out.toString)
+  }
+
+  test("sample_time_split: corpus leaks every user — the honest census") {
+    val out = SparkEntry.queries("sample_time_split")(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("1_train", "2_valid", "3_test"))
+    assert(out.values.map(_._1).sum == 10000L)
+    assert(out("1_train")._3 == 0L) // nothing is earlier than train
+    // dense 30-day activity: every valid/test user predates itself
+    assert(out("2_valid")._3 == out("2_valid")._2)
+    assert(out("3_test")._3 == out("3_test")._2)
+  }
+
   test("pack_attention_density: hand bins give exact fill and density") {
     val sp = spark
     import sp.implicits._
