@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotDescriptor)
     ext.injectFunction(GraftExtensions.qdotDescriptor)
     ext.injectFunction(GraftExtensions.zorderDescriptor)
+    ext.injectFunction(GraftExtensions.sqdistDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
   }
 }
@@ -61,6 +62,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_zorder takes exactly 2 arguments")
       ZOrderCode(children.head, children(1))
+    })
+
+  val sqdistDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sqdist"),
+    new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_sqdist takes exactly 2 arguments")
+      SquaredDistance(children.head, children(1))
     })
 }
 

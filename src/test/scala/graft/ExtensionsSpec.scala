@@ -52,6 +52,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r(0).getLong(0) == 32L)
   }
 
+  test("graft_sqdist is callable from SQL and exact") {
+    val r = spark.sql(
+      """SELECT graft_sqdist(array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)),
+        |                    array(CAST(3 AS DOUBLE), CAST(4 AS DOUBLE)))
+        |       AS d
+        |""".stripMargin).collect()
+    assert(r(0).getDouble(0) == 25.0)
+  }
+
   test("graft_zorder is callable from SQL and interleaves") {
     val r = spark.sql(
       "SELECT graft_zorder(CAST(3 AS BIGINT), CAST(3 AS BIGINT)) AS z")
