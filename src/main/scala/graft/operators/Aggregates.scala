@@ -1623,6 +1623,96 @@ object Aggregates extends QueryModule {
         FROM pairs JOIN tot USING (prev_type)
         ORDER BY prev_type, event_type""")),
 
+    // Pareto concentration: revenue share of the top 1% / top 10% of
+    // orders by value — the whale-dependence readout next to agg_gini.
+    // Sort-free and exact: the fact frame collapses to a WHOLE-DOLLAR
+    // value histogram (cardinality bounded by the price RANGE, not the
+    // row count — the scale contract), a reverse-cumulative window
+    // finds each threshold bucket by integer crossing, and the top-k
+    // take is exact cents above the threshold plus a deterministic
+    // partial take at the threshold bucket's exact mean (rational of
+    // exact integers; order-choice inside the bucket cannot move it).
+    Q(
+      "agg_top_share",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables.orders(s, dir)
+          .select(round(col("o_totalprice") * 100).cast("long")
+            .as("cents"))
+          .withColumn("dv", expr("cents div 100"))
+          .groupBy("dv")
+          .agg(count(lit(1)).as("cnt"), sum("cents").as("sc"))
+        val rc = Window.orderBy(col("dv").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prior = Window.orderBy(col("dv").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = h
+          .withColumn("cum", sum("cnt").over(rc))
+          .withColumn("above", coalesce(sum("cnt").over(prior), lit(0L)))
+          .withColumn("sabove", coalesce(sum("sc").over(prior), lit(0L)))
+        val tot = h.agg(sum("cnt").as("n"), sum("sc").as("total"))
+        def share(pct: Int) = {
+          // k = ceil(n·pct/100); threshold bucket = first (from the
+          // top) where the running count reaches k.
+          val k = expr(s"(n * $pct + 99) div 100")
+          round((col("sabove") +
+            (k - col("above")) * (col("sc").cast("double") / col("cnt")))
+            / col("total"), 6)
+        }
+        val pick = (pct: Int) => t.crossJoin(broadcast(tot))
+          .filter(col("cum") * 100 >= col("n") * pct)
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("dv").desc)))
+          .filter(col("rk") === 1)
+          .select(share(pct).as(s"share_top$pct"))
+        tot.select(col("n").as("n_orders"),
+            round(col("total") / 1e8, 4).as("total_m_dollars"))
+          .crossJoin(broadcast(pick(1)))
+          .crossJoin(broadcast(pick(10)))
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS dv,
+                 count(*) AS cnt,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS sc
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT dv, cnt, sc,
+                 CAST(sum(cnt) OVER (ORDER BY dv DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(coalesce(sum(cnt) OVER (ORDER BY dv DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS above,
+                 CAST(coalesce(sum(sc) OVER (ORDER BY dv DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS sabove
+          FROM h),
+        tot AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(sc) AS BIGINT) AS total
+          FROM h),
+        p1 AS (
+          SELECT round((sabove + ((n * 1 + 99) // 100 - above)
+                   * (CAST(sc AS DOUBLE) / cnt)) / total, 6)
+                   AS share_top1
+          FROM (SELECT t.*, n, total,
+                       row_number() OVER (ORDER BY dv DESC) AS rk
+                FROM t CROSS JOIN tot
+                WHERE cum * 100 >= n * 1) WHERE rk = 1),
+        p10 AS (
+          SELECT round((sabove + ((n * 10 + 99) // 100 - above)
+                   * (CAST(sc AS DOUBLE) / cnt)) / total, 6)
+                   AS share_top10
+          FROM (SELECT t.*, n, total,
+                       row_number() OVER (ORDER BY dv DESC) AS rk
+                FROM t CROSS JOIN tot
+                WHERE cum * 100 >= n * 10) WHERE rk = 1)
+        SELECT n AS n_orders, round(total / 1e8, 4) AS total_m_dollars,
+               share_top1, share_top10
+        FROM tot CROSS JOIN p1 CROSS JOIN p10""")),
+
     // DAU/WAU stickiness — the engagement ratio product dashboards live
     // on: average daily actives over weekly actives, per epoch-week
     // (epoch_days div 7 — identical arithmetic in both engines; calendar

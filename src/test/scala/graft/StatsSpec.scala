@@ -342,6 +342,37 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
   }
 
+  test("agg_top_share: one whale among twenty, partial take exercised") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // 1×$1000 + 19×$100 = $2900. top1: k=1 -> 1000/2900 = 0.344828;
+    // top10: k=2 -> the whale plus ONE partial take from the $100
+    // bucket at its exact mean -> 1100/2900 = 0.37931.
+    val orders = (0 until 20).map { i =>
+      (i.toLong, 1L, "O", if (i == 0) 1000.0 else 100.0,
+        Timestamp.valueOf("1995-06-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = graft.Scratch.fresh("topshare_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("agg_top_share")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 20L, r.toString)
+    assert(r.getDouble(1) == 0.0029, r.toString) // $2900 in $M
+    assert(r.getDouble(2) == 0.344828, r.toString)
+    assert(r.getDouble(3) == 0.37931, r.toString)
+  }
+
+  test("agg_top_share: corpus has no whales and the shares say so") {
+    val r = SparkEntry.queries("agg_top_share")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(0) == 15000L)
+    val (s1, s10) = (r.getDouble(2), r.getDouble(3))
+    assert(s1 >= 0.01 && s1 < 0.05, r.toString) // uniform-ish prices
+    assert(s10 >= 0.10 && s10 < 0.25, r.toString)
+    assert(s10 > s1, r.toString)
+  }
+
   test("agg_dau_mau: hand week of one daily and one weekly user") {
     val sp = spark
     import sp.implicits._
