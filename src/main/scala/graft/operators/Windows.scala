@@ -666,6 +666,92 @@ object Windows extends QueryModule {
                round(sum(step) / 100.0, 2) AS final_level
         FROM walk GROUP BY user_id ORDER BY user_id""")),
 
+    // Holt's linear-trend (double exponential) smoothing of the daily
+    // event volume, with a 1- and 7-day-ahead forecast — the capacity
+    // planner beside the diagnostic decompositions. The coupled
+    // recurrence (l_t from l,b; b_t from Δl) cannot unroll as windows,
+    // so the ENGINE folds the calendar-bounded zero-filled series
+    // (collect + aggregate — legitimate exactly because the series is
+    // bounded by the calendar, the agg_ewma contract) and the ORACLE
+    // replays it as a RECURSIVE CTE. Cross-engine exactness: the state
+    // is integer micro-units, every α=1/5, β=1/10 step is term-wise
+    // TRUNCATING division (Spark's div and DuckDB's // both truncate
+    // toward zero — floor would diverge on negative trends), so the
+    // whole trajectory is bit-identical.
+    Q(
+      "win_holt_forecast",
+      (s, dir) => {
+        val S = 1000000L
+        def tdiv(a: org.apache.spark.sql.Column, b: Long) =
+          when(a < 0, -floor((a * -1) / b.toDouble))
+            .otherwise(floor(a / b.toDouble)).cast("long")
+        val counts = Tables.events(s, dir)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n"))
+        val dense = counts.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .join(counts, Seq("day"), "left")
+          .select(col("day"), (coalesce(col("n"), lit(0L)) * S).as("xq"))
+        val series = dense
+          .groupBy(lit(1).as("g"))
+          .agg(sort_array(collect_list(struct(col("day"), col("xq"))))
+            .as("st"))
+          .select(transform(col("st"), e => e.getField("xq")).as("xs"))
+        val acc0 = struct(
+          element_at(col("xs"), 2).as("l"),
+          (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b"))
+        def step(acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) = {
+          val lNew = tdiv(x, 5) +
+            tdiv((acc.getField("l") + acc.getField("b")) * 4, 5)
+          struct(lNew.as("l"),
+            (tdiv(lNew - acc.getField("l"), 10) +
+              tdiv(acc.getField("b") * 9, 10)).as("b"))
+        }
+        series
+          .select(size(col("xs")).as("n_days"),
+            aggregate(slice(col("xs"), lit(3), size(col("xs")) - 2), acc0,
+              step).as("fin"))
+          .select(col("n_days").cast("long").as("n_days"),
+            round(col("fin.l") / 1e6, 4).as("level"),
+            round(col("fin.b") / 1e6, 4).as("trend"),
+            round((col("fin.l") + col("fin.b")) / 1e6, 4)
+              .as("forecast_1d"),
+            round((col("fin.l") + lit(7) * col("fin.b")) / 1e6, 4)
+              .as("forecast_7d"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE counts AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1),
+        daily AS (
+          SELECT row_number() OVER (ORDER BY d.day) AS i,
+                 coalesce(c.n, 0) * 1000000 AS xq
+          FROM (SELECT unnest(generate_series(
+                  (SELECT min(day) FROM counts),
+                  (SELECT max(day) FROM counts))) AS day) d
+          LEFT JOIN counts c ON c.day = d.day),
+        rec(i, l, b) AS (
+          SELECT CAST(2 AS BIGINT),
+                 (SELECT xq FROM daily WHERE i = 2),
+                 (SELECT xq FROM daily WHERE i = 2)
+                   - (SELECT xq FROM daily WHERE i = 1)
+          UNION ALL
+          SELECT r.i + 1,
+                 d.xq // 5 + ((r.l + r.b) * 4) // 5,
+                 (d.xq // 5 + ((r.l + r.b) * 4) // 5 - r.l) // 10
+                   + (r.b * 9) // 10
+          FROM rec r JOIN daily d ON d.i = r.i + 1
+          WHERE r.i < (SELECT max(i) FROM daily)),
+        fin AS (SELECT l, b FROM rec ORDER BY i DESC LIMIT 1)
+        SELECT (SELECT max(i) FROM daily) AS n_days,
+               round(l / 1e6, 4) AS level,
+               round(b / 1e6, 4) AS trend,
+               round((l + b) / 1e6, 4) AS forecast_1d,
+               round((l + 7 * b) / 1e6, 4) AS forecast_7d
+        FROM fin""")),
+
     // Daily p50/p95/p99 bands of the event value — the latency/SLO
     // dashboard row, computed EXACTLY without ever sorting the fact
     // frame: per-day VALUE HISTOGRAM (cardinality ≤ distinct cents),

@@ -522,6 +522,41 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getDouble(4)).distinct.length > 10)
   }
 
+  test("win_holt_forecast: a perfect linear ramp is tracked exactly") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // 10·d events on day d (d = 1..10): Holt locks on after init
+    // (l = x, b = 10 at every step, all divisions exact) -> level 100,
+    // trend 10, forecasts 110 and 170.
+    val ev = (for {
+      d <- 1 to 10
+      k <- 1 to 10 * d
+    } yield (d.toLong * 1000 + k,
+      Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), 1L, "view", 1.0,
+      "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("holt_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("win_holt_forecast")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 10L, r.toString)
+    assert(r.getDouble(1) == 100.0, r.toString)
+    assert(r.getDouble(2) == 10.0, r.toString)
+    assert(r.getDouble(3) == 110.0, r.toString)
+    assert(r.getDouble(4) == 170.0, r.toString)
+  }
+
+  test("win_holt_forecast: corpus level sits inside the daily range") {
+    val r = SparkEntry.queries("win_holt_forecast")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(0) == 30L)
+    val lvl = r.getDouble(1)
+    assert(lvl > 300 && lvl < 400, r.toString) // ~333 events/day
+    assert(math.abs(r.getDouble(2)) < 20, r.toString) // no fake trend
+    assert(math.abs(r.getDouble(4) -
+      (r.getDouble(1) + 7 * r.getDouble(2))) < 0.01, r.toString)
+  }
+
   test("win_seasonal_decompose: pure weekly pattern decomposes exactly") {
     val sp = spark
     import sp.implicits._
