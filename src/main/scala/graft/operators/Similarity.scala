@@ -1195,6 +1195,88 @@ object Similarity extends QueryModule {
                round(adc, 4) AS adc_dist
         FROM pqr WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // Matryoshka (MRL) truncation audit: recall@3 of retrieval run on
+    // only the FIRST 8/16/32 dimensions against the full-64-dim exact
+    // top-3 — the measurement behind the modern embedding-cost lever
+    // (truncate stored vectors, keep most of the quality). Rankings on
+    // round(cos, 6) with id ties (the determinism discipline); each
+    // prefix leg is the same broadcast-queries × corpus scan shape as
+    // sim_cosine_topk, and the slice means a shorter codegen loop —
+    // the exact saving the truncation buys at 100 TB.
+    Q(
+      "sim_matryoshka_eval",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val exact = exactTop3(s, dir)
+          .select(col("query_id"), col("cand_id"))
+        val legs = Seq(8, 16, 32).map { l =>
+          val q = v.filter(col("vec_id") < 50)
+            .select(col("vec_id").as("query_id"),
+              slice(col("e"), 1, l).as("qe"))
+          val c = v.select(col("vec_id").as("cand_id"),
+            slice(col("e"), 1, l).as("ce"))
+          val w = Window.partitionBy("query_id")
+            .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+          val top = broadcast(q).join(c,
+              col("cand_id") =!= col("query_id"))
+            .withColumn("cos", cosine(col("qe"), col("ce")))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 3)
+            .select(col("query_id"), col("cand_id"),
+              lit(1L).as("hit"))
+          exact.join(top, Seq("query_id", "cand_id"), "left")
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(coalesce(col("hit"), lit(0L))).as("hits"))
+            .select(lit(l).as("dim_prefix"), col("n_pairs"),
+              col("hits"),
+              round(col("hits").cast("double") / col("n_pairs"), 4)
+                .as("recall_at3"))
+        }
+        legs.reduce(_ unionAll _).orderBy("dim_prefix")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        ex AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50) WHERE rn <= 3),
+        ${Seq(8, 16, 32).map { l =>
+          s"""t$l AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(
+                       list_dot_product(list_slice(q.e, 1, $l),
+                                        list_slice(c.e, 1, $l))
+                       / (sqrt(list_dot_product(list_slice(q.e, 1, $l),
+                                                list_slice(q.e, 1, $l)))
+                        * sqrt(list_dot_product(list_slice(c.e, 1, $l),
+                                                list_slice(c.e, 1, $l)))),
+                       6) DESC,
+                              c.vec_id) AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50) WHERE rn <= 3),
+        r$l AS (
+          SELECT $l AS dim_prefix, count(*) AS n_pairs,
+                 CAST(count(t.cand_id) AS BIGINT) AS hits,
+                 round(CAST(count(t.cand_id) AS DOUBLE) / count(*), 4)
+                   AS recall_at3
+          FROM ex LEFT JOIN t$l t
+            ON t.query_id = ex.query_id AND t.cand_id = ex.cand_id)"""
+        }.mkString(",\n        ")}
+        SELECT * FROM r8 UNION ALL SELECT * FROM r16
+        UNION ALL SELECT * FROM r32
+        ORDER BY dim_prefix""")),
+
     // IVF+PQ — the faiss IndexIVFPQ composition, THE production
     // billion-vector shape: the seed-IVF coarse quantizer prunes the
     // corpus to nprobe=2 probed cells, and ADC over 8-byte PQ codes

@@ -110,6 +110,40 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim_matryoshka_eval: front-loaded signal gives perfect recall") {
+    val sp = spark
+    import sp.implicits._
+    // All signal lives in dims 0..7 (rest zero), so every truncation
+    // prefix ranks identically to the full vector: recall@3 = 1.0 at
+    // 8, 16 and 32 dims.
+    val vecs = (0 until 60).map { i =>
+      val v = Array.fill(64)(0f)
+      (0 until 8).foreach(d => v(d) = ((i * 7 + d * 3) % 13 + 1).toFloat)
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = graft.Scratch.fresh("mrl_spec")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_matryoshka_eval")(sp, dir)
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(1) == 150L, r.toString)
+      assert(r.getDouble(3) == 1.0, r.toString)
+    }
+  }
+
+  test("sim_matryoshka_eval: corpus recall grows with kept dimensions") {
+    val out = SparkEntry.queries("sim_matryoshka_eval")(spark, sf001)
+      .collect().sortBy(_.getInt(0))
+    assert(out.map(_.getInt(0)).toSeq == Seq(8, 16, 32))
+    val rs = out.map(_.getDouble(3))
+    assert(rs.zip(rs.tail).forall { case (a, b) => b >= a },
+      rs.mkString(","))
+    // random (non-MRL-trained) embeddings: truncation must HURT — the
+    // audit's honesty check
+    assert(rs.last < 0.9 && rs.head < rs.last)
+  }
+
   test("sim_ivf_pq: probed-cell laws and subset-dominance vs plain PQ") {
     val ivfpq = SparkEntry.queries("sim_ivf_pq")(spark, sf001).collect()
     assert(ivfpq.length == 150) // 50 queries × top-3
