@@ -1834,6 +1834,109 @@ object Similarity extends QueryModule {
           FROM dup GROUP BY 1) d ON d.cluster = f.cluster
         GROUP BY f.cluster ORDER BY f.cluster""")),
 
+    // Per-class precision/recall/F1 of the 10-NN cosine classifier — the
+    // evaluation readout sim_knn_label stops short of (it emits
+    // predictions; this key grades them). A wider holdout (vec_id % 7,
+    // ~14%) than the knn demo key so every class carries real counts.
+    // All census arithmetic is exact integers; P/R/F1 are three guarded
+    // divisions per class; tp=0 classes pin F1 to 0 identically in both
+    // engines. Scale shape = the classifier's own: broadcast holdout ×
+    // train scan, then everything runs on the |classes|² frame.
+    Q(
+      "ml_confusion_matrix",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val test = v.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("label").as("true_label"), col("e").as("qe"))
+        val train = v.filter(col("vec_id") % 7 =!= 0)
+          .select(col("vec_id").as("cand_id"), col("label"), col("e"))
+        val wN = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        val wV = Window.partitionBy("query_id")
+          .orderBy(desc("votes"), asc("label"))
+        val preds = broadcast(test).join(train)
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("rn", row_number().over(wN))
+          .filter(col("rn") <= 10)
+          .groupBy("query_id", "true_label", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wV))
+          .filter(col("vr") === 1)
+          .select(col("true_label"), col("label").as("pred_label"))
+        val byTrue = preds.groupBy(col("true_label").as("label"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("pred_label") === col("true_label"), 1L)
+              .otherwise(0L)).as("tp"))
+        val byPred = preds.groupBy(col("pred_label").as("label"))
+          .agg(count(lit(1)).as("n_pred"))
+        val p = col("tp").cast("double") / col("n_pred")
+        val r = col("tp").cast("double") / col("n_true")
+        byTrue.join(byPred, Seq("label"), "full_outer")
+          .select(col("label"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+          .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+            when(col("n_pred") === 0, 0.0).otherwise(round(p, 4))
+              .as("precision"),
+            when(col("n_true") === 0, 0.0).otherwise(round(r, 4))
+              .as("recall"),
+            when(col("tp") === 0, 0.0)
+              .otherwise(round(lit(2.0) * p * r / (p + r), 4)).as("f1"))
+          .orderBy("label")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.label AS true_label,
+                 c.vec_id AS cand_id, c.label AS label,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+          FROM e q JOIN e c ON c.vec_id % 7 <> 0
+          WHERE q.vec_id % 7 = 0),
+        nb AS (
+          SELECT query_id, true_label, label FROM (
+            SELECT query_id, true_label, label, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(cos, 6) DESC, cand_id) AS rn
+            FROM scored) WHERE rn <= 10),
+        preds AS (
+          SELECT true_label, label AS pred_label FROM (
+            SELECT query_id, true_label, label, count(*) AS votes,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY count(*) DESC, label) AS vr
+            FROM nb GROUP BY query_id, true_label, label) WHERE vr = 1),
+        bt AS (
+          SELECT true_label AS label, count(*) AS n_true,
+                 CAST(sum(CASE WHEN pred_label = true_label
+                   THEN 1 ELSE 0 END) AS BIGINT) AS tp
+          FROM preds GROUP BY 1),
+        bp AS (
+          SELECT pred_label AS label, count(*) AS n_pred
+          FROM preds GROUP BY 1)
+        SELECT label,
+               coalesce(n_true, 0) AS n_true,
+               coalesce(n_pred, 0) AS n_pred,
+               coalesce(tp, 0) AS tp,
+               CASE WHEN coalesce(n_pred, 0) = 0 THEN 0.0
+                    ELSE round(CAST(tp AS DOUBLE) / n_pred, 4)
+               END AS precision,
+               CASE WHEN coalesce(n_true, 0) = 0 THEN 0.0
+                    ELSE round(CAST(tp AS DOUBLE) / n_true, 4)
+               END AS recall,
+               CASE WHEN coalesce(tp, 0) = 0 THEN 0.0
+                    ELSE round(2.0 * (CAST(tp AS DOUBLE) / n_pred)
+                           * (CAST(tp AS DOUBLE) / n_true)
+                           / (CAST(tp AS DOUBLE) / n_pred
+                              + CAST(tp AS DOUBLE) / n_true), 4)
+               END AS f1
+        FROM bt FULL OUTER JOIN bp USING (label)
+        ORDER BY label""")),
+
     // Clustering-quality readout for ml_kmeans: per-cluster simplified
     // (centroid-based) silhouette — s = (b−a)/max(a,b) with a = distance
     // to the own centroid, b = to the nearest other — the standard

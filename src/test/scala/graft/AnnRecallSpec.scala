@@ -110,6 +110,41 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ml_confusion_matrix: separable blobs score a perfect diagonal") {
+    val sp = spark
+    import sp.implicits._
+    // 3 orthogonal 10-vector blobs, label = blob id; holdout ids
+    // 0/7/14/21/28 -> n_true (2, 1, 2). Clean separation: P = R =
+    // F1 = 1.0 everywhere on the diagonal.
+    val vecs = (0 until 30).map { i =>
+      val v = Array.fill(64)(0f)
+      v(i / 10) = 1f; v(10 + (i % 10)) = 0.05f
+      (i.toLong, v, i / 10)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = graft.Scratch.fresh("confusion_spec")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ml_confusion_matrix")(sp, dir)
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.size == 3, out.toString)
+    assert(out(0) == ((2L, 2L, 2L, 1.0, 1.0, 1.0)), out.toString)
+    assert(out(1) == ((1L, 1L, 1L, 1.0, 1.0, 1.0)), out.toString)
+    assert(out(2) == ((2L, 2L, 2L, 1.0, 1.0, 1.0)), out.toString)
+  }
+
+  test("ml_confusion_matrix: corpus counts balance and stay honest") {
+    val out = SparkEntry.queries("ml_confusion_matrix")(spark, sf001)
+      .collect()
+    assert(out.length == 10)
+    val (nt, np) = (out.map(_.getLong(1)).sum, out.map(_.getLong(2)).sum)
+    assert(nt == np && nt == 72L, s"$nt/$np") // every holdout predicted
+    val acc = out.map(_.getLong(3)).sum.toDouble / nt
+    // arbitrary labels on random embeddings: accuracy ~chance, NOT zero
+    assert(acc > 0.0 && acc < 0.35, s"accuracy $acc")
+  }
+
   test("sim_matryoshka_eval: front-loaded signal gives perfect recall") {
     val sp = spark
     import sp.implicits._
