@@ -1836,8 +1836,12 @@ object Similarity extends QueryModule {
 
     // Per-class precision/recall/F1 of the 10-NN cosine classifier — the
     // evaluation readout sim_knn_label stops short of (it emits
-    // predictions; this key grades them). A wider holdout (vec_id % 7,
-    // ~14%) than the knn demo key so every class carries real counts.
+    // predictions; this key grades them). A wider holdout (vec_id % 7)
+    // than the knn demo key so every class carries real counts — but
+    // CAPPED at vec_id < 3500 (≤500 queries): an eval set is fixed-size
+    // by nature, and an uncapped modulo holdout grows with the corpus,
+    // turning holdout × train quadratic (measured slope 48 at 10×
+    // before the cap; 500-query cap → linear in the train side).
     // All census arithmetic is exact integers; P/R/F1 are three guarded
     // divisions per class; tp=0 classes pin F1 to 0 identically in both
     // engines. Scale shape = the classifier's own: broadcast holdout ×
@@ -1846,7 +1850,8 @@ object Similarity extends QueryModule {
       "ml_confusion_matrix",
       (s, dir) => {
         val v = vecs(s, dir)
-        val test = v.filter(col("vec_id") % 7 === 0)
+        val test = v.filter(col("vec_id") % 7 === 0 &&
+            col("vec_id") < 3500)
           .select(col("vec_id").as("query_id"),
             col("label").as("true_label"), col("e").as("qe"))
         val train = v.filter(col("vec_id") % 7 =!= 0)
@@ -1897,7 +1902,7 @@ object Similarity extends QueryModule {
                  c.vec_id AS cand_id, c.label AS label,
                  list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
           FROM e q JOIN e c ON c.vec_id % 7 <> 0
-          WHERE q.vec_id % 7 = 0),
+          WHERE q.vec_id % 7 = 0 AND q.vec_id < 3500),
         nb AS (
           SELECT query_id, true_label, label FROM (
             SELECT query_id, true_label, label, cand_id,
