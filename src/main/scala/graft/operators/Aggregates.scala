@@ -1623,6 +1623,63 @@ object Aggregates extends QueryModule {
         FROM pairs JOIN tot USING (prev_type)
         ORDER BY prev_type, event_type""")),
 
+    // RFM segmentation — the classic customer-value census: per
+    // customer, Recency (days since last order, lower is better),
+    // Frequency (order count) and Monetary (exact total cents) quintile
+    // scores 1..5 via ntile over a PINNED total order (value, custkey —
+    // ntile's tie behavior is undefined without it), then the segment
+    // census. Scale: the fact table collapses to the customer dimension
+    // first; the three ntile sorts are dimension-sized, not fact-sized
+    // (at extreme scale the histogram-crossing threshold recipe
+    // replaces them); output ≤ 125 cells.
+    Q(
+      "agg_rfm",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cust = Tables.orders(s, dir)
+          .select(col("o_custkey"),
+            expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("o_custkey")
+          .agg(max("day").as("last_day"), count(lit(1)).as("f"),
+            sum("cents").as("m"))
+        val scored = cust
+          .crossJoin(broadcast(cust.agg(max("last_day").as("d1"))))
+          .withColumn("r_days", col("d1") - col("last_day"))
+          .withColumn("r_score", ntile(5).over(
+            Window.orderBy(col("r_days").desc, col("o_custkey"))))
+          .withColumn("f_score", ntile(5).over(
+            Window.orderBy(col("f").asc, col("o_custkey"))))
+          .withColumn("m_score", ntile(5).over(
+            Window.orderBy(col("m").asc, col("o_custkey"))))
+        scored.groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum("m").cast("double") / count(lit(1)) / 100.0, 2)
+              .as("avg_monetary"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      oracle = Some("""
+        WITH cust AS (
+          SELECT o_custkey,
+                 max(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                     // 86400000000) AS last_day,
+                 count(*) AS f,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS m
+          FROM orders GROUP BY 1),
+        scored AS (
+          SELECT o_custkey, m,
+                 ntile(5) OVER (ORDER BY
+                   (SELECT max(last_day) FROM cust) - last_day DESC,
+                   o_custkey) AS r_score,
+                 ntile(5) OVER (ORDER BY f ASC, o_custkey) AS f_score,
+                 ntile(5) OVER (ORDER BY m ASC, o_custkey) AS m_score
+          FROM cust)
+        SELECT r_score, f_score, m_score, count(*) AS n_customers,
+               round(CAST(sum(m) AS DOUBLE) / count(*) / 100.0, 2)
+                 AS avg_monetary
+        FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // Pareto concentration: revenue share of the top 1% / top 10% of
     // orders by value — the whale-dependence readout next to agg_gini.
     // Sort-free and exact: the fact frame collapses to a WHOLE-DOLLAR

@@ -342,6 +342,49 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
   }
 
+  test("agg_rfm: five hand customers land on the diagonal") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Customer c (1..5) places c orders of $100·c, the last on day c —
+    // recency, frequency and monetary all rank identically, so each
+    // lands in its own (c,c,c) diagonal cell with ntile(5) over 5 rows.
+    val orders = (for {
+      c <- 1 to 5
+      k <- 1 to c
+    } yield ((c * 10 + k).toLong, c.toLong, "O", 100.0 * c,
+      Timestamp.valueOf(f"2024-01-${math.min(k, c)}%02d 00:00:00"),
+      "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = graft.Scratch.fresh("rfm_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("agg_rfm")(sp, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == 5, out.toString)
+    (1 to 5).foreach { c =>
+      assert(out((c, c, c)) == ((1L, 100.0 * c * c)),
+        s"cell $c: ${out.get((c, c, c))}")
+    }
+  }
+
+  test("agg_rfm: corpus census covers all customers with sane cells") {
+    val out = SparkEntry.queries("agg_rfm")(spark, sf001).collect()
+    assert(out.map(_.getLong(3)).sum == 1500L)
+    assert(out.length > 50 && out.length <= 125)
+    out.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 5))
+    }
+    // monetary score must order mean monetary within fixed (r, f)
+    val g = out.groupBy(r => (r.getInt(0), r.getInt(1)))
+    g.values.filter(_.length >= 2).foreach { rs =>
+      val s = rs.sortBy(_.getInt(2)).map(_.getDouble(4))
+      assert(s.zip(s.tail).forall { case (a, b) => b > a },
+        rs.mkString(";"))
+    }
+  }
+
   test("agg_top_share: one whale among twenty, partial take exercised") {
     val sp = spark
     import sp.implicits._
