@@ -1308,6 +1308,32 @@ package object api {
           "_graft_rt", "_graft_tb", "_graft_rn")
     }
 
+    /** Forward as-of join (pandas merge_asof direction='forward'): for
+      * each left row, the EARLIEST right row with the same key at or
+      * after the left time — the "next event after" lookup (next order
+      * after a complaint, next deploy after an alert). Same plan shape
+      * as [[asOf]] with the inequality and rank direction flipped; ties
+      * at equal time break toward the smaller `tieBreak`. Left rows
+      * with no future match survive with null right columns.
+      */
+    def asOfForward(
+        left: DataFrame, leftId: Column, leftKey: Column, leftTime: Column,
+        right: DataFrame, rightKey: Column, rightTime: Column,
+        tieBreak: Column): DataFrame = {
+      val l = left.withColumn("_graft_id", leftId)
+        .withColumn("_graft_lk", leftKey).withColumn("_graft_lt", leftTime)
+      val r = right.withColumn("_graft_rk", rightKey)
+        .withColumn("_graft_rt", rightTime).withColumn("_graft_tb", tieBreak)
+      val w = Window.partitionBy("_graft_id")
+        .orderBy(col("_graft_rt").asc, col("_graft_tb").asc)
+      l.join(r, l("_graft_lk") === r("_graft_rk") &&
+          r("_graft_rt") >= l("_graft_lt"), "left")
+        .withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1)
+        .drop("_graft_id", "_graft_lk", "_graft_lt", "_graft_rk",
+          "_graft_rt", "_graft_tb", "_graft_rn")
+    }
+
     /** Nearest-neighbor as-of join (pandas merge_asof direction='nearest'):
       * for each left row, the single right row with the same key whose
       * time is CLOSEST by absolute distance — past or future. Ties at

@@ -673,6 +673,43 @@ object Joins extends QueryModule {
     // production composition (equi-join on user + backward top-1
     // window). Purchases with no prior click stay with a null credit.
     Q(
+      "join_asof_forward",
+      (s, dir) => {
+        // Time-to-recovery: each error event resolved by the user's
+        // NEXT purchase at or after it (pandas merge_asof
+        // direction='forward') — the flipped twin of join_asof's
+        // last-before lookup; unresolved errors survive with nulls.
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            unix_micros(col("ts")).as("e_mu"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            unix_micros(col("ts")).as("p_mu"))
+        graft.api.Joins.asOfForward(
+            errors, col("err_id"), col("user_id"), col("e_mu"),
+            purchases, col("p_user"), col("p_mu"), col("p_id"))
+          .select(col("err_id").as("event_id"),
+            col("p_id").as("next_purchase"),
+            (col("p_mu") - col("e_mu")).as("lag_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT err_id AS event_id, p_id AS next_purchase, lag_us
+        FROM (
+          SELECT e.event_id AS err_id, p.event_id AS p_id,
+                 epoch_us(CAST(p.ts AS TIMESTAMP))
+                   - epoch_us(CAST(e.ts AS TIMESTAMP)) AS lag_us,
+                 row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY p.ts ASC, p.event_id ASC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'error') e
+          LEFT JOIN (SELECT * FROM events
+                     WHERE event_type = 'purchase') p
+            ON p.user_id = e.user_id AND p.ts >= e.ts
+        ) WHERE rn = 1
+        ORDER BY event_id""")),
+
+    Q(
       "join_attribution_window",
       (s, dir) => {
         // Last-click attribution with the industry-standard LOOKBACK

@@ -451,6 +451,33 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2L) == ((3L, 0.0, 0.0, 0.0)), rows(2L).toString)
   }
 
+  test("asOfForward: picks the earliest future match, ties by id") {
+    val sp = spark
+    import sp.implicits._
+    // Left L at t=10. Rights at t=5 (past — excluded), t=10 twice
+    // (boundary INCLUDED, tie to smaller id), t=20. Second left at
+    // t=50 has no future match -> null.
+    val l = Seq((1L, "k", 10L), (2L, "k", 50L)).toDF("lid", "lk", "lt")
+    val r = Seq((100L, "k", 5L), (101L, "k", 10L), (102L, "k", 10L),
+      (103L, "k", 20L)).toDF("rid", "rk", "rt")
+    val got = api.Joins.asOfForward(l, col("lid"), col("lk"), col("lt"),
+        r, col("rk"), col("rt"), col("rid"))
+      .select("lid", "rid")
+      .collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(101L), 2L -> None), got.toString)
+  }
+
+  test("join_asof_forward: corpus resolves most errors, lags nonneg") {
+    val out = SparkEntry.queries("join_asof_forward")(spark, sf001)
+      .collect()
+    assert(out.length == 2014)
+    val resolved = out.filter(!_.isNullAt(1))
+    assert(resolved.length > 1500 && resolved.length < out.length)
+    resolved.foreach(r => assert(r.getLong(2) >= 0, r.toString))
+  }
+
   test("join_attribution_window: in-window credits, stale click expires") {
     val sp = spark
     import sp.implicits._
