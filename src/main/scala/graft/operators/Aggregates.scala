@@ -1623,6 +1623,74 @@ object Aggregates extends QueryModule {
         FROM pairs JOIN tot USING (prev_type)
         ORDER BY prev_type, event_type""")),
 
+    // Inter-purchase cadence: the distribution of day-gaps between a
+    // customer's consecutive orders — the replenishment-cycle readout
+    // behind churn alarms ("3× the median gap without an order") and
+    // send-time optimization. Exact percentiles by integer crossing on
+    // the GAP histogram (bounded by the calendar span, never the order
+    // count); one lag window keyed on the customer.
+    Q(
+      "agg_order_gap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("day"), col("o_orderkey"))
+        val gaps = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+          .withColumn("gap", col("day") - lag("day", 1).over(w))
+          .filter(col("gap").isNotNull)
+        val h = gaps.groupBy("gap").agg(count(lit(1)).as("cnt"))
+          .withColumn("cumc", sum("cnt").over(Window.orderBy("gap")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        def pick(k: Int) =
+          min(when(col("cumc") * 100 >= col("n") * k, col("gap")))
+            .as(s"p${k}_days")
+        h.crossJoin(broadcast(gaps.agg(count(lit(1)).as("n"),
+            countDistinct("o_custkey").as("n_repeat_cust"),
+            sum("gap").as("sg"))))
+          .groupBy("n", "n_repeat_cust", "sg")
+          .agg(pick(25), pick(50), pick(75), pick(90))
+          .select(col("n").as("n_gaps"), col("n_repeat_cust"),
+            round(col("sg").cast("double") / col("n"), 4)
+              .as("mean_gap_days"),
+            col("p25_days"), col("p50_days"), col("p75_days"),
+            col("p90_days"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey,
+                 epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                   // 86400000000 AS day
+          FROM orders),
+        gaps AS (
+          SELECT o_custkey,
+                 day - lag(day) OVER (PARTITION BY o_custkey
+                   ORDER BY day, o_orderkey) AS gap
+          FROM o QUALIFY gap IS NOT NULL),
+        h AS (
+          SELECT gap, count(*) AS cnt,
+                 sum(count(*)) OVER (ORDER BY gap
+                   ROWS UNBOUNDED PRECEDING) AS cumc
+          FROM gaps GROUP BY gap),
+        t AS (
+          SELECT count(*) AS n,
+                 count(DISTINCT o_custkey) AS n_repeat_cust,
+                 CAST(sum(gap) AS BIGINT) AS sg
+          FROM gaps)
+        SELECT n AS n_gaps, n_repeat_cust,
+               round(CAST(sg AS DOUBLE) / n, 4) AS mean_gap_days,
+               min(CASE WHEN cumc * 100 >= n * 25 THEN gap END)
+                 AS p25_days,
+               min(CASE WHEN cumc * 100 >= n * 50 THEN gap END)
+                 AS p50_days,
+               min(CASE WHEN cumc * 100 >= n * 75 THEN gap END)
+                 AS p75_days,
+               min(CASE WHEN cumc * 100 >= n * 90 THEN gap END)
+                 AS p90_days
+        FROM h CROSS JOIN t
+        GROUP BY n, n_repeat_cust, sg""")),
+
     // RFM segmentation — the classic customer-value census: per
     // customer, Recency (days since last order, lower is better),
     // Frequency (order count) and Monetary (exact total cents) quintile

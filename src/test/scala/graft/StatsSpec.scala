@@ -342,6 +342,38 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
   }
 
+  test("agg_order_gap: hand gaps give exact percentile cuts") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // c1 orders on days 1,2,4,8 -> gaps 1,2,4; c2 on days 1,11 ->
+    // gap 10. Gaps {1,2,4,10}: p25=1, p50=2, p75=4, p90=10;
+    // mean 17/4 = 4.25. One single-order customer contributes nothing.
+    val days = Seq((1L, 1), (1L, 2), (1L, 4), (1L, 8),
+      (2L, 1), (2L, 11), (3L, 5))
+    val orders = days.zipWithIndex.map { case ((c, d), i) =>
+      (i.toLong, c, "O", 100.0,
+        Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = graft.Scratch.fresh("ordergap_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("agg_order_gap")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L, r.toString)
+    assert(r.getDouble(2) == 4.25, r.toString)
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((1L, 2L, 4L, 10L)), r.toString)
+  }
+
+  test("agg_order_gap: corpus cadence is ordered and plausible") {
+    val r = SparkEntry.queries("agg_order_gap")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(0) == 13500L && r.getLong(1) == 1498L)
+    val ps = Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a < b }, ps.toString)
+    assert(r.getDouble(2) > ps.head && r.getDouble(2) < ps.last)
+  }
+
   test("agg_rfm: five hand customers land on the diagonal") {
     val sp = spark
     import sp.implicits._
