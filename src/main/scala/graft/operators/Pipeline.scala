@@ -1568,6 +1568,66 @@ object Pipeline extends QueryModule {
         FROM pr_top t CROSS JOIN pr_tm m
         ORDER BY rank_ppm DESC, id""")),
 
+    // "Customers also bought": top-3 recommendations per part, scored
+    // by SHARED-ORDER COUNT over the urgent co-purchase stream — the
+    // item-item collaborative-filtering rec list (the count weighting
+    // is what graph_jaccard normalizes away; a rec list wants raw
+    // evidence). Output bounded to the 20 strongest anchor parts (by
+    // total co-purchase weight, ties by id). Scale: pair counts
+    // map-combine to the distinct-pair frame; the per-anchor top-3 is
+    // the capped-adjacency window shape.
+    Q(
+      "graph_recommend",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = urgentCoPurchasePairs(s, dir)
+          .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+        val sym = w.select(col("u").as("a"), col("v").as("b"), col("cnt"))
+          .unionAll(w.select(col("v").as("a"), col("u").as("b"),
+            col("cnt")))
+        val anchors = sym.groupBy(col("a"))
+          .agg(sum("cnt").as("tw"))
+          .orderBy(col("tw").desc, col("a")).limit(20)
+          .select(col("a"), col("tw"))
+        val byW = Window.partitionBy("a")
+          .orderBy(col("cnt").desc, col("b"))
+        sym.join(broadcast(anchors), "a")
+          .withColumn("rk", row_number().over(byW))
+          .filter(col("rk") <= 3)
+          .select(col("a").as("part"), col("tw").as("total_weight"),
+            col("rk"), col("b").as("recommended"),
+            col("cnt").as("shared_orders"))
+          .orderBy("part", "rk")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        pairs AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS cnt
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        sym AS (
+          SELECT u AS a, v AS b, cnt FROM pairs
+          UNION ALL
+          SELECT v AS a, u AS b, cnt FROM pairs),
+        anchors AS (
+          SELECT a, CAST(sum(cnt) AS BIGINT) AS tw
+          FROM sym GROUP BY 1
+          ORDER BY tw DESC, a LIMIT 20),
+        ranked AS (
+          SELECT s.a, an.tw, s.b, s.cnt,
+                 row_number() OVER (PARTITION BY s.a
+                   ORDER BY s.cnt DESC, s.b) AS rk
+          FROM sym s JOIN anchors an ON an.a = s.a)
+        SELECT a AS part, tw AS total_weight, CAST(rk AS INT) AS rk,
+               b AS recommended, cnt AS shared_orders
+        FROM ranked WHERE rk <= 3
+        ORDER BY part, rk""")),
+
     // Degree-distribution diagnostic of the co-purchase graph — the
     // measurement that PRICES the hub cap (graph_jaccard_capped) and
     // the wedge bounds: exact degree histogram percentiles (the integer

@@ -892,6 +892,50 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graph_recommend: count weighting beats mere co-occurrence") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Part 1 shares THREE orders with part 2 but only one with part 3:
+    // the rec list must rank 2 above 3 even though both co-occur.
+    val orders = Seq(10L, 11L, 12L, 13L).map(o =>
+      (o, 1L, "O", 1.0, Timestamp.valueOf("2024-01-01 00:00:00"),
+        "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (13L, 1L), (13L, 3L)).zipWithIndex
+      .map { case ((o, p), i) =>
+        (o, p, 1L, i, 1.0, 10.0, 0.0, 0.0, "N", "O",
+          Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = graft.Scratch.fresh("recommend_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("graph_recommend")(sp, dir).collect()
+    val p1 = out.filter(_.getLong(0) == 1L).sortBy(_.getInt(2))
+    assert(p1.length == 2, out.mkString(";"))
+    assert(p1(0).getLong(3) == 2L && p1(0).getLong(4) == 3L,
+      p1(0).toString)
+    assert(p1(1).getLong(3) == 3L && p1(1).getLong(4) == 1L,
+      p1(1).toString)
+    assert(p1(0).getLong(1) == 4L, p1(0).toString) // total weight 3+1
+  }
+
+  test("graph_recommend: corpus lists are ranked and self-free") {
+    val out = SparkEntry.queries("graph_recommend")(spark, sf001)
+      .collect()
+    assert(out.length == 60) // 20 anchors × 3
+    out.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+      val ws = rs.sortBy(_.getInt(2)).map(_.getLong(4))
+      assert(ws.zip(ws.tail).forall { case (a, b) => b <= a })
+      assert(rs.forall(_.getLong(3) != p), s"part $p recommends itself")
+    }
+  }
+
   test("graph_degree_stats: star K1,4 fits slope -1, r2 = 1 exactly") {
     val sp = spark
     import sp.implicits._
