@@ -1623,6 +1623,78 @@ object Aggregates extends QueryModule {
         FROM pairs JOIN tot USING (prev_type)
         ORDER BY prev_type, event_type""")),
 
+    // One-way ANOVA across the five event types — the k-group
+    // completion of the two-sample shelf (welch_ttest, mannwhitney,
+    // ks_test): F = MS_between / MS_within plus η² effect size. Exact
+    // discipline: per-group moments are exact integers; each group's
+    // s1²/n term is ONE double division quantized to integer milli²
+    // units, so the cross-group sums are order-free; F and η² are two
+    // final shared-structure doubles. The corpus's five types share
+    // one exponential distribution — F ≈ 1, η² ≈ 0 is the honest null
+    // readout; the spec plants separated groups for the other side.
+    Q(
+      "agg_anova",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val g = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 1000).cast("long").as("vq"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("ng"),
+            sum(col("vq").cast(dec)).as("s1"),
+            sum(col("vq").cast(dec) * col("vq")).as("s2"))
+          .withColumn("qb",
+            round((col("s1") * col("s1")).cast("double") / col("ng"))
+              .cast("long"))
+        g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+            sum(col("s1")).as("ts1"), sum(col("s2")).as("ts2"),
+            sum("qb").as("sqb"))
+          .withColumn("grand",
+            round((col("ts1") * col("ts1")).cast("double") / col("n"))
+              .cast("long"))
+          .select(col("k"), col("n"),
+            (col("k") - 1).as("df_between"),
+            (col("n") - col("k")).as("df_within"),
+            round(((col("sqb") - col("grand")).cast("double") /
+              (col("k") - 1)) /
+              ((col("ts2").cast("double") - col("sqb")) /
+                (col("n") - col("k"))), 4).as("f_stat"),
+            round((col("sqb") - col("grand")).cast("double") /
+              (col("ts2").cast("double") - col("grand")), 4)
+              .as("eta_sq"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type, count(*) AS ng,
+                 sum(CAST(round(value * 1000) AS BIGINT)::HUGEINT)
+                   AS s1,
+                 sum(CAST(round(value * 1000) AS BIGINT)::HUGEINT
+                     * CAST(round(value * 1000) AS BIGINT)) AS s2
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        q AS (
+          SELECT ng, s2,
+                 CAST(round(CAST(s1 * s1 AS DOUBLE) / ng) AS BIGINT)
+                   AS qb,
+                 s1
+          FROM g),
+        t AS (
+          SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                 sum(s1) AS ts1, sum(s2) AS ts2,
+                 CAST(sum(qb) AS BIGINT) AS sqb
+          FROM q)
+        SELECT k, n, k - 1 AS df_between, n - k AS df_within,
+               round((CAST(sqb - CAST(round(CAST(ts1 * ts1 AS DOUBLE)
+                        / n) AS BIGINT) AS DOUBLE) / (k - 1))
+                 / ((CAST(ts2 AS DOUBLE) - CAST(sqb AS DOUBLE))
+                    / (n - k)), 4) AS f_stat,
+               round(CAST(sqb - CAST(round(CAST(ts1 * ts1 AS DOUBLE)
+                        / n) AS BIGINT) AS DOUBLE)
+                 / (CAST(ts2 AS DOUBLE)
+                    - CAST(round(CAST(ts1 * ts1 AS DOUBLE) / n)
+                        AS BIGINT)), 4) AS eta_sq
+        FROM t""")),
+
     // Inter-purchase cadence: the distribution of day-gaps between a
     // customer's consecutive orders — the replenishment-cycle readout
     // behind churn alarms ("3× the median gap without an order") and

@@ -342,6 +342,35 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
   }
 
+  test("agg_anova: separated triples give the textbook F = 300") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Groups {1,2,3}, {11,12,13}, {21,22,23}: SSB = 600, SSW = 6,
+    // df (2, 6) -> F = (600/2)/(6/6) = 300; eta^2 = 600/606 = 0.9901.
+    val rows = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 11.0, "b" -> 12.0, "b" -> 13.0,
+      "c" -> 21.0, "c" -> 22.0, "c" -> 23.0)
+    val ev = rows.zipWithIndex.map { case ((et, v), i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("anova_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("agg_anova")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L, r.toString)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 6L, r.toString)
+    assert(r.getDouble(4) == 300.0, r.toString)
+    assert(r.getDouble(5) == 0.9901, r.toString)
+  }
+
+  test("agg_anova: corpus types share one distribution — honest null") {
+    val r = SparkEntry.queries("agg_anova")(spark, sf001).collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10000L)
+    assert(r.getDouble(4) > 0 && r.getDouble(4) < 5, r.toString)
+    assert(r.getDouble(5) < 0.01, r.toString)
+  }
+
   test("agg_order_gap: hand gaps give exact percentile cuts") {
     val sp = spark
     import sp.implicits._
