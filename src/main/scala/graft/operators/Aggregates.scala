@@ -1623,6 +1623,73 @@ object Aggregates extends QueryModule {
         FROM pairs JOIN tot USING (prev_type)
         ORDER BY prev_type, event_type""")),
 
+    // Distribution-free 95% CI for the per-type median — the binomial
+    // rank-bound construction (no normality assumption, no bootstrap
+    // RNG): lower/upper order statistics at ranks (n ∓ 1.96√n)/2, each
+    // SELECTED from the cent histogram by integer crossing. The only
+    // doubles are the two rank formulas (one sqrt each, floored/ceiled
+    // identically in both engines); every value pick is selection, not
+    // arithmetic. Histograms bounded by value range, never row count.
+    Q(
+      "agg_median_ci",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+        val cum = Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val t = h
+          .withColumn("cumc", sum("c").over(cum))
+          .withColumn("n",
+            sum("c").over(Window.partitionBy("event_type")))
+          .withColumn("rlo",
+            floor((col("n") - lit(1.96) * sqrt(col("n"))) / 2.0)
+              .cast("long"))
+          .withColumn("rhi",
+            ceil((col("n") + lit(1.96) * sqrt(col("n"))) / 2.0 + 1.0)
+              .cast("long"))
+          .withColumn("rmed", expr("(n + 1) div 2"))
+        def pickAt(r: org.apache.spark.sql.Column, name: String) =
+          (min(when(col("cumc") >= r, col("cents"))) / 100.0).as(name)
+        t.groupBy("event_type")
+          .agg(max("n").as("n"),
+            round(pickAt(col("rmed"), "m"), 2).as("median"),
+            round(pickAt(col("rlo"), "lo"), 2).as("ci_lo"),
+            round(pickAt(col("rhi"), "hi"), 2).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 count(*) AS c
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, cents,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cumc,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM h),
+        r AS (
+          SELECT *,
+                 CAST(floor((n - 1.96 * sqrt(n)) / 2.0) AS BIGINT)
+                   AS rlo,
+                 CAST(ceil((n + 1.96 * sqrt(n)) / 2.0 + 1.0) AS BIGINT)
+                   AS rhi,
+                 (n + 1) // 2 AS rmed
+          FROM t)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               round(min(CASE WHEN cumc >= rmed THEN cents END)
+                 / 100.0, 2) AS median,
+               round(min(CASE WHEN cumc >= rlo THEN cents END)
+                 / 100.0, 2) AS ci_lo,
+               round(min(CASE WHEN cumc >= rhi THEN cents END)
+                 / 100.0, 2) AS ci_hi
+        FROM r GROUP BY event_type ORDER BY event_type""")),
+
     // One-way ANOVA across the five event types — the k-group
     // completion of the two-sample shelf (welch_ttest, mannwhitney,
     // ks_test): F = MS_between / MS_within plus η² effect size. Exact

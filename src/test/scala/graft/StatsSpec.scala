@@ -342,6 +342,36 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out("e") == ((4L, 2.0, 1.0)), out.toString)
   }
 
+  test("agg_median_ci: hand ranks select the exact order statistics") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // 9 values 10..90: rmed = 5 -> 50. rlo = floor((9−1.96·3)/2) = 1
+    // -> 10; rhi = ceil((9+1.96·3)/2 + 1) = 9 -> 90.
+    val ev = (1 to 9).map { i =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        "view", i * 10.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("medci_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("agg_median_ci")(sp, dir).collect()(0)
+    assert(r.getLong(1) == 9L, r.toString)
+    assert(r.getDouble(2) == 50.0, r.toString)
+    assert(r.getDouble(3) == 10.0 && r.getDouble(4) == 90.0, r.toString)
+  }
+
+  test("agg_median_ci: corpus intervals bracket their medians tightly") {
+    val out = SparkEntry.queries("agg_median_ci")(spark, sf001)
+      .collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (m, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo < m && m < hi, r.toString)
+      // n ≈ 2000: the rank CI is a few percent of the median wide
+      assert(hi - lo < m * 0.25, r.toString)
+    }
+  }
+
   test("agg_anova: separated triples give the textbook F = 300") {
     val sp = spark
     import sp.implicits._
