@@ -1942,6 +1942,88 @@ object Similarity extends QueryModule {
         FROM bt FULL OUTER JOIN bp USING (label)
         ORDER BY label""")),
 
+    // Exact ROC-AUC of the kNN scorer against a binary target (label
+    // parity): AUC computed by the RANK-SUM identity AUC = U/(n₁·n₀) —
+    // the Mann-Whitney machinery (doubled average midranks over the
+    // 11-value SCORE histogram, everything integer until one final
+    // division), never a trapezoid sweep over sorted rows. The score
+    // is the 10-NN odd-label vote count (0..10), so the rank table has
+    // ≤11 rows at any corpus size; the same capped holdout as
+    // ml_confusion_matrix keeps the scorer linear.
+    Q(
+      "ml_roc_auc",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val test = v.filter(col("vec_id") % 7 === 0 &&
+            col("vec_id") < 3500)
+          .select(col("vec_id").as("query_id"),
+            (col("label") % 2).cast("long").as("y"), col("e").as("qe"))
+        val train = v.filter(col("vec_id") % 7 =!= 0)
+          .select(col("vec_id").as("cand_id"),
+            (col("label") % 2).cast("long").as("nl"), col("e"))
+        val wN = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        val scores = broadcast(test).join(train)
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("rn", row_number().over(wN))
+          .filter(col("rn") <= 10)
+          .groupBy("query_id", "y")
+          .agg(sum("nl").as("score"))
+        val h = scores.groupBy("score")
+          .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+            sum(when(col("y") === 0, 1L).otherwise(0L)).as("nn"))
+        import org.apache.spark.sql.expressions.Window
+        val below = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("cumb",
+            coalesce(sum(col("np") + col("nn")).over(below), lit(0L)))
+          .withColumn("r2", lit(2) * col("cumb") + col("np") +
+            col("nn") + 1)
+          .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+            sum(col("np") * col("r2")).as("r2sum"))
+          .select(col("n_pos"), col("n_neg"),
+            round((col("r2sum") - col("n_pos") * (col("n_pos") + 1))
+              .cast("double") /
+              (lit(2) * col("n_pos") * col("n_neg")), 4).as("auc"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label % 2 AS y, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        nb AS (
+          SELECT query_id, y, nl FROM (
+            SELECT q.vec_id AS query_id, q.y, c.y AS nl,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM e q JOIN e c ON c.vec_id % 7 <> 0
+            WHERE q.vec_id % 7 = 0 AND q.vec_id < 3500) WHERE rn <= 10),
+        scores AS (
+          SELECT query_id, y, CAST(sum(nl) AS BIGINT) AS score
+          FROM nb GROUP BY 1, 2),
+        h AS (
+          SELECT score,
+                 CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS np,
+                 CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nn
+          FROM scores GROUP BY 1),
+        r AS (
+          SELECT np, nn,
+                 2 * CAST(coalesce(sum(np + nn) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) + np + nn + 1 AS r2
+          FROM h)
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               round(CAST(sum(np * r2) - sum(np) * (sum(np) + 1)
+                   AS DOUBLE)
+                 / (2 * CAST(sum(np) AS DOUBLE) * sum(nn)), 4) AS auc
+        FROM r""")),
+
     // Clustering-quality readout for ml_kmeans: per-cluster simplified
     // (centroid-based) silhouette — s = (b−a)/max(a,b) with a = distance
     // to the own centroid, b = to the nearest other — the standard

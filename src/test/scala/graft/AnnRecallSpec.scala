@@ -134,6 +134,31 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     assert(out(2) == ((2L, 2L, 2L, 1.0, 1.0, 1.0)), out.toString)
   }
 
+  test("ml_roc_auc: separable parity labels score a perfect 1.0") {
+    val sp = spark
+    import sp.implicits._
+    // Same 3-blob geometry as the confusion spec; blob 1 carries
+    // label 1 (odd), blobs 0/2 label 0 -> the one positive holdout
+    // (id 14) out-scores every negative -> AUC = 1.0 exactly.
+    val vecs = (0 until 30).map { i =>
+      val v = Array.fill(64)(0f)
+      v(i / 10) = 1f; v(10 + (i % 10)) = 0.05f
+      (i.toLong, v, if (i / 10 == 1) 1 else 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = graft.Scratch.fresh("auc_spec")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("ml_roc_auc")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 4L, r.toString)
+    assert(r.getDouble(2) == 1.0, r.toString)
+  }
+
+  test("ml_roc_auc: corpus parity target is near-chance, never degenerate") {
+    val r = SparkEntry.queries("ml_roc_auc")(spark, sf001).collect()(0)
+    assert(r.getLong(0) + r.getLong(1) == 72L, r.toString)
+    val auc = r.getDouble(2)
+    assert(auc > 0.3 && auc < 0.7, s"auc $auc") // arbitrary labels
+  }
+
   test("ml_confusion_matrix: corpus counts balance and stay honest") {
     val out = SparkEntry.queries("ml_confusion_matrix")(spark, sf001)
       .collect()
