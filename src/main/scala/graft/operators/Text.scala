@@ -468,6 +468,128 @@ object Text extends QueryModule {
                  AS redacted_tail
         FROM x ORDER BY doc_id""")),
 
+    // Heaps'-law vocabulary growth — text_zipf's companion: V(n) = K·n^β
+    // (β ≈ 0.4-0.6 for natural text; a FLAT curve means template spam,
+    // β near 1 means noise/IDs). Vocabulary unit = word BIGRAMS: the
+    // synthetic unigram vocab is closed and saturates inside the first
+    // checkpoint (a zero-variance curve — the vacuous-demo trap), while
+    // the bigram space genuinely grows. Measured at 10 cumulative doc
+    // checkpoints, fitted by the quantized ln-ln OLS (the zipf moment
+    // discipline); degenerate flat curves surface beta/r2 = null, not
+    // an ANSI division error. Relational trick: cumulative vocab needs
+    // no ordered scan — a gram's FIRST-SEEN doc id is one map-combined
+    // min, and V(c) is a count over it.
+    Q(
+      "text_heaps_law",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("t")) - 1)).as("i"),
+            col("t"))
+          .select(col("doc_id"),
+            concat_ws(" ", element_at(col("t"), col("i")),
+              element_at(col("t"), col("i") + 1)).as("term"))
+        val firstSeen = base.groupBy("term")
+          .agg(min("doc_id").as("fs"))
+        val docTok = base.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        val cps = docTok.crossJoin(broadcast(
+            docTok.agg(max("doc_id").as("dmax"))))
+          .select(col("doc_id"), col("nt"),
+            explode(sequence(lit(1), lit(10))).as("k"))
+          .filter(col("doc_id") * 10 <= col("k") * (col("dmax") + 1))
+          .groupBy("k").agg(sum("nt").as("n_tokens"),
+            max("doc_id").as("c"))
+        val curve = cps.join(
+          firstSeen.crossJoin(broadcast(cps.select("k", "c")))
+            .filter(col("fs") <= col("c"))
+            .groupBy("k").agg(count(lit(1)).as("vocab"))
+            .withColumnRenamed("k", "k2"),
+          col("k") === col("k2"))
+          .select(col("k"), col("n_tokens"), col("vocab"),
+            round(log(col("n_tokens").cast("double")) * 1e6)
+              .cast("long").as("xq"),
+            round(log(col("vocab").cast("double")) * 1e6)
+              .cast("long").as("yq"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        curve.agg(count(lit(1)).as("np"),
+            max("n_tokens").as("total_tokens"),
+            max("vocab").as("total_vocab"),
+            sum("xq").as("sx"), sum("yq").as("sy"),
+            sum(col("xq") * col("yq")).as("sxy"),
+            sum(col("xq") * col("xq")).as("sxx"),
+            sum(col("yq") * col("yq")).as("syy"))
+          .select(col("np").as("n_checkpoints"), col("total_tokens"),
+            col("total_vocab"),
+            when(col("np") * col("sxx") - col("sx") * col("sx") === 0,
+              lit(null)).otherwise(
+              round((d(col("np")) * d(col("sxy")) -
+                  d(col("sx")) * d(col("sy"))) /
+                (d(col("np")) * d(col("sxx")) -
+                  d(col("sx")) * d(col("sx"))), 4)).as("beta"),
+            when(col("np") * col("sxx") - col("sx") * col("sx") === 0 ||
+                col("np") * col("syy") - col("sy") * col("sy") === 0,
+              lit(null)).otherwise(
+              round((d(col("np")) * d(col("sxy")) -
+                  d(col("sx")) * d(col("sy"))) *
+                (d(col("np")) * d(col("sxy")) -
+                  d(col("sx")) * d(col("sy"))) /
+                ((d(col("np")) * d(col("sxx")) -
+                  d(col("sx")) * d(col("sx"))) *
+                 (d(col("np")) * d(col("syy")) -
+                  d(col("sy")) * d(col("sy")))), 4)).as("r2"))
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        toks AS (
+          SELECT doc_id, t[i] || ' ' || t[i + 1] AS term
+          FROM tk, LATERAL (SELECT unnest(generate_series(1,
+            len(t) - 1)) AS i)),
+        fs AS (SELECT term, min(doc_id) AS fs FROM toks GROUP BY 1),
+        dt AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
+        cps AS (
+          SELECT k, CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 max(doc_id) AS c
+          FROM dt
+          CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS k)
+          WHERE doc_id * 10 <= k * ((SELECT max(doc_id) FROM dt) + 1)
+          GROUP BY k),
+        curve AS (
+          SELECT p.k, p.n_tokens, v.vocab,
+                 CAST(round(ln(CAST(p.n_tokens AS DOUBLE)) * 1e6)
+                   AS BIGINT) AS xq,
+                 CAST(round(ln(CAST(v.vocab AS DOUBLE)) * 1e6)
+                   AS BIGINT) AS yq
+          FROM cps p JOIN (
+            SELECT p2.k, count(*) AS vocab
+            FROM fs CROSS JOIN cps p2
+            WHERE fs.fs <= p2.c GROUP BY 1) v ON v.k = p.k)
+        SELECT count(*) AS n_checkpoints,
+               CAST(max(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(max(vocab) AS BIGINT) AS total_vocab,
+               CASE WHEN count(*) * sum(xq * xq) - sum(xq) * sum(xq)
+                      = 0 THEN NULL
+                 ELSE round((CAST(count(*) AS DOUBLE) * sum(xq * yq)
+                     - CAST(sum(xq) AS DOUBLE) * sum(yq))
+                   / (CAST(count(*) AS DOUBLE) * sum(xq * xq)
+                     - CAST(sum(xq) AS DOUBLE) * sum(xq)), 4)
+               END AS beta,
+               CASE WHEN count(*) * sum(xq * xq) - sum(xq) * sum(xq)
+                      = 0
+                     OR count(*) * sum(yq * yq) - sum(yq) * sum(yq)
+                      = 0 THEN NULL
+                 ELSE round((CAST(count(*) AS DOUBLE) * sum(xq * yq)
+                     - CAST(sum(xq) AS DOUBLE) * sum(yq))
+                   * (CAST(count(*) AS DOUBLE) * sum(xq * yq)
+                     - CAST(sum(xq) AS DOUBLE) * sum(yq))
+                   / ((CAST(count(*) AS DOUBLE) * sum(xq * xq)
+                       - CAST(sum(xq) AS DOUBLE) * sum(xq))
+                     * (CAST(count(*) AS DOUBLE) * sum(yq * yq)
+                       - CAST(sum(yq) AS DOUBLE) * sum(yq))), 4)
+               END AS r2
+        FROM curve""")),
+
     // Readability without sentence boundaries — the corpus has no
     // punctuation, so ASL-based formulas (Flesch-Kincaid) are degenerate
     // by construction; FORCAST (FORecast CASualty Technical manual study,

@@ -475,6 +475,33 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(3) == 1.0, r.toString)
   }
 
+  test("text_heaps_law: all-new-vocab docs fit beta = 1 exactly") {
+    val sp = spark
+    import sp.implicits._
+    // 10 docs of 10 doc-unique words each: every bigram is new, so
+    // V(N) = N at every checkpoint -> ln V = ln N -> beta 1, r2 1.
+    val docs = (0 until 10).map { d =>
+      (d.toLong, (0 until 10).map(i => s"w${d}_$i").mkString(" "),
+        "en", "s1", 60L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("heaps_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_heaps_law")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 10L, r.toString)
+    assert(r.getLong(1) == 90L && r.getLong(2) == 90L, r.toString)
+    assert(r.getDouble(3) == 1.0, r.toString)
+    assert(r.getDouble(4) == 1.0, r.toString)
+  }
+
+  test("text_heaps_law: corpus diagnoses its own templated vocabulary") {
+    val r = SparkEntry.queries("text_heaps_law")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(0) == 10L)
+    assert(r.getLong(2) < 1000L) // closed bigram space
+    // near-flat growth IS the template-spam signature — the honest read
+    assert(r.getDouble(3) < 0.1 && r.getDouble(3) > 0.0, r.toString)
+  }
+
   test("text_perplexity_bigram: hand LM, both docs score 1/0.875") {
     val sp = spark
     import sp.implicits._
