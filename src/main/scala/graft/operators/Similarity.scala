@@ -1159,6 +1159,110 @@ object Similarity extends QueryModule {
         SELECT query_id, rank, cand_id, dot_q
         FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // Binary (1-bit) quantization + Hamming search + exact rerank — the
+    // most aggressive embedding compression a retrieval stack runs: 64
+    // float dims → ONE bit per dim = 8 bytes/vector (64× smaller than
+    // float64, 8× smaller than int8, same budget as PQ-8 but with a
+    // 2-instruction distance). Bits are thresholded at the PER-DIMENSION
+    // MEDIAN (balanced codes — a raw sign bit would be vacuous on any
+    // corpus whose dims aren't zero-centered), packed into two positive
+    // longs (bits 0-31 / 32-63; one long would need bit 63 = the sign
+    // bit, which DuckDB's BIGINT sum would refuse as overflow), and
+    // Hamming distance is bit_count(xor) — pure codegen integer ops.
+    // Search = Hamming top-20 candidate pool → exact-cosine rerank to
+    // top-3, the two-stage shape production binary-quantized stores use.
+    // Scale: the median table is 64 rows computed once per corpus (at
+    // 100 TB swap `percentile` for the histogram-median discipline of
+    // agg_mad); encode is one map-side pass; search broadcasts 8-byte
+    // codes instead of 512-byte vectors, so the candidate scan's working
+    // set shrinks 64× before a single float is touched. Exact `>` on
+    // double-cast floats makes the codes bit-identical in both engines,
+    // so the whole index — thresholds, packing, pool, rerank — replays
+    // in the oracle.
+    Q(
+      "sim_hamming_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").as("e"),
+            transform(col("embedding"), x => x.cast("double")).as("ed"))
+        // Per-dim exact medians → one broadcast row holding med[1..64].
+        val meds = e.select(posexplode(col("ed")).as(Seq("i", "v")))
+          .groupBy("i").agg(expr("percentile(v, 0.5D)").as("med"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("med")))),
+            p => p.getField("med")).as("med"))
+        val lo = expr("""aggregate(transform(sequence(0, 31),
+          i -> IF(element_at(ed, i + 1) > element_at(med, i + 1),
+                  shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)""")
+        val hi = expr("""aggregate(transform(sequence(32, 63),
+          i -> IF(element_at(ed, i + 1) > element_at(med, i + 1),
+                  shiftleft(1L, i - 32), 0L)), 0L, (a, x) -> a + x)""")
+        val b = e.crossJoin(broadcast(meds))
+          .select(col("vec_id"), col("e"), lo.as("lo"), hi.as("hi"))
+        val q = b.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            col("lo").as("qlo"), col("hi").as("qhi"))
+        val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+          col("lo").as("clo"), col("hi").as("chi"))
+        val wh = Window.partitionBy("query_id")
+          .orderBy(col("hamming"), col("cand_id"))
+        val wr = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        broadcast(q).join(c, col("cand_id") =!= col("query_id"))
+          .withColumn("hamming",
+            (bit_count(col("qlo").bitwiseXOR(col("clo"))) +
+             bit_count(col("qhi").bitwiseXOR(col("chi")))).cast("int"))
+          .withColumn("hrank", row_number().over(wh))
+          .filter(col("hrank") <= 20)
+          .withColumn("cos", cosine(col("qe"), col("ce")))
+          .withColumn("rank", row_number().over(wr))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("cand_id"),
+            col("hamming"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        meds AS (
+          SELECT i, median(ed[i]) AS med
+          FROM e, generate_series(1, 64) AS t(i)
+          GROUP BY i),
+        ma AS (SELECT list(med ORDER BY i) AS med FROM meds),
+        b AS (
+          SELECT vec_id, ed, nrm,
+                 CAST(list_sum(list_transform(generate_series(1, 32),
+                   i -> CASE WHEN ed[i] > med[i]
+                        THEN (CAST(1 AS BIGINT) << (i - 1))
+                        ELSE 0 END)) AS BIGINT) AS lo,
+                 CAST(list_sum(list_transform(generate_series(33, 64),
+                   i -> CASE WHEN ed[i] > med[i]
+                        THEN (CAST(1 AS BIGINT) << (i - 33))
+                        ELSE 0 END)) AS BIGINT) AS hi
+          FROM e CROSS JOIN ma),
+        p AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+                   AS hamming,
+                 list_dot_product(q.ed, c.ed) / (q.nrm * c.nrm) AS cos
+          FROM b q JOIN b c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        h AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY hamming, cand_id) AS hrank
+          FROM p),
+        r AS (
+          SELECT query_id, cand_id, hamming, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(cos, 6) DESC, cand_id) AS rank
+          FROM h WHERE hrank <= 20)
+        SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+               CAST(hamming AS INT) AS hamming, round(cos, 4) AS cos_sim
+        FROM r WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // Product quantization: unit-normalized vectors → 8 subspace
     // codebooks of 16 Lloyd-trained centroids (api.Similarity.
     // pqCodebooks, all subspaces per round in ONE job) → every vector

@@ -262,4 +262,29 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
     assert(rep.toSeq == out.toSeq)
   }
+
+  test("sim_hamming_topk: valid codes, bounded distances, useful recall") {
+    val out = SparkEntry.queries("sim_hamming_topk")(spark, sf001)
+      .collect()
+    assert(out.length == 30) // 10 queries × top-3
+    out.foreach { r =>
+      val h = r.getInt(3); val cos = r.getDouble(4)
+      assert(h >= 0 && h <= 64, r.toString)
+      assert(cos >= -1.0001 && cos <= 1.0001, r.toString)
+      // A reranked top-3 neighbor drawn from the CLOSE half of Hamming
+      // space: median thresholding centers random pairs at 32/64, so a
+      // candidate that survives both stages must sit well below that.
+      assert(h < 32, s"rank-${r.getInt(1)} neighbor at hamming $h")
+    }
+    // Recall@3 vs the exact cosine top-3 (sim_cosine_topk restricted to
+    // rank<=3): 8-byte codes + a 20-of-500 pool measured 19/30 on this
+    // corpus — pin a conservative floor so a quantizer regression
+    // (unbalanced bits, broken packing) fails loudly.
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf001)
+      .filter(col("rank") <= 3)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = out.count(r => exact((r.getLong(0), r.getLong(2))))
+    assert(hits >= 13, s"recall@3 = $hits/30 — binary index degraded")
+  }
 }
