@@ -2324,6 +2324,118 @@ object Similarity extends QueryModule {
                END AS corr
         FROM m ORDER BY dim_i, dim_j""")),
 
+    // Top principal component by POWER ITERATION — the whitening /
+    // dimensionality-reduction primitive that sits next to
+    // ml_corr_matrix in any feature pipeline. Scale shape: the only
+    // data-sized pass is the covariance build, and it reuses the
+    // corr-matrix recipe (outer product generated MAP-SIDE per array:
+    // posexplode → explode(sequence) → element_at, all codegen; the
+    // shuffle carries d² = 4096 moment cells regardless of row count).
+    // The iteration then runs on the d×d matrix alone — broadcast joins
+    // of 4096-row × 64-row frames, no further touch of the corpus, which
+    // is what makes power iteration THE distributed PCA algorithm: one
+    // pass over 100 TB, then O(d²·rounds) compute.
+    // Exactness: inputs quantized to 1e-9 integer units, covariance in
+    // exact decimal(38,0) (same ~1e8-row headroom analysis as
+    // ml_corr_matrix), the matrix rescaled to ±1e6 integer units by ONE
+    // trunc division (Spark `div` ≡ DuckDB `//`, both toward zero), and
+    // each of the 4 rounds renormalizes by the L∞ norm — a SELECTION,
+    // order-free, and sqrt-free (any norm works for power iteration;
+    // max|·| keeps the whole fixpoint in BIGINT). Covariance is PSD so
+    // the dominant eigenvalue is ≥ 0 and the iterate cannot oscillate in
+    // sign. The oracle replays all 4 rounds unrolled (w/m CTEs
+    // MATERIALIZED — the multiply-referenced-CTE inlining trap).
+    Q(
+      "ml_pca_power",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val cells = Tables.embeddings(s, dir)
+          .select(col("embedding").as("e"))
+          .select(posexplode(col("e")).as(Seq("i", "xv")), col("e"))
+          .select(col("i"),
+            round(col("xv").cast("double") * 1e9).cast("long").as("xi"),
+            explode(sequence(lit(0), lit(63))).as("j"), col("e"))
+          .select(col("i"), col("j"), col("xi"),
+            round(element_at(col("e"), col("j") + 1).cast("double") * 1e9)
+              .cast("long").as("xj"))
+        val craw = cells.groupBy("i", "j")
+          .agg(count(lit(1)).as("n"),
+            sum(col("xi").cast(dec)).as("sx"),
+            sum(col("xj").cast(dec)).as("sy"),
+            sum(col("xi").cast(dec) * col("xj")).as("sxy"))
+          .select(col("i"), col("j"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("c"))
+        val cdiv = craw.agg(max(abs(col("c"))).as("cdiv"))
+        val cs = craw.crossJoin(broadcast(cdiv))
+          .select(col("i"), col("j"),
+            expr("CAST((c * 1000000) div cdiv AS BIGINT)").as("cs"))
+          // 4096 rows consumed by 4 joins: materialize once.
+          .localCheckpoint()
+        val dims = s.range(0, 64).select(col("id").cast("int").as("i"))
+        var v = dims.select(col("i"), lit(1000000L).as("v"))
+        var growth: DataFrame = null
+        for (_ <- 1 to 4) {
+          val w = cs.join(broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i").agg(sum(col("cs") * col("v")).as("w"))
+          val m = w.agg(max(abs(col("w"))).as("m"))
+          v = w.crossJoin(broadcast(m))
+            .select(col("i"), expr("CAST((w * 1000000) div m AS BIGINT)")
+              .as("v"))
+          growth = m
+        }
+        v.crossJoin(broadcast(growth))
+          .select(col("i").as("dim"), col("v").as("loading"),
+            col("m").as("growth"))
+          .orderBy("dim")
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT vec_id, i - 1 AS i,
+                 CAST(round(embedding[i] * 1e9) AS BIGINT) AS xq
+          FROM embeddings, range(1, 65) t(i)),
+        p AS (
+          SELECT a.i AS i, b.i AS j,
+                 a.xq::HUGEINT AS xi, b.xq::HUGEINT AS xj
+          FROM x a JOIN x b ON a.vec_id = b.vec_id),
+        mm AS (
+          SELECT i, j, count(*) AS n, sum(xi) AS sx, sum(xj) AS sy,
+                 sum(xi * xj) AS sxy
+          FROM p GROUP BY i, j),
+        c AS MATERIALIZED (
+          SELECT i, j, n * sxy - sx * sy AS c FROM mm),
+        cd AS (SELECT max(abs(c)) AS cdiv FROM c),
+        cs AS MATERIALIZED (
+          SELECT i, j, CAST((c * 1000000) // cdiv AS BIGINT) AS cs
+          FROM c, cd),
+        v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM range(0, 64) t(i)),
+        w1 AS MATERIALIZED (
+          SELECT cs.i AS i, sum(cs.cs * v0.v) AS w
+          FROM cs JOIN v0 ON cs.j = v0.i GROUP BY cs.i),
+        m1 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w1),
+        v1 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w1, m1),
+        w2 AS MATERIALIZED (
+          SELECT cs.i AS i, sum(cs.cs * v1.v) AS w
+          FROM cs JOIN v1 ON cs.j = v1.i GROUP BY cs.i),
+        m2 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w2),
+        v2 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w2, m2),
+        w3 AS MATERIALIZED (
+          SELECT cs.i AS i, sum(cs.cs * v2.v) AS w
+          FROM cs JOIN v2 ON cs.j = v2.i GROUP BY cs.i),
+        m3 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w3),
+        v3 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w3, m3),
+        w4 AS MATERIALIZED (
+          SELECT cs.i AS i, sum(cs.cs * v3.v) AS w
+          FROM cs JOIN v3 ON cs.j = v3.i GROUP BY cs.i),
+        m4 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w4),
+        v4 AS (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w4, m4)
+        SELECT CAST(v4.i AS INT) AS dim, v4.v AS loading,
+               CAST(m4.m AS BIGINT) AS growth
+        FROM v4, m4 ORDER BY dim""")),
+
     // SEMANTIC train/eval contamination — the embedding-space leakage
     // audit that complements the lexical legs (contamination_ngram
     // catches verbatim overlap, contamination_matrix cross-source
