@@ -2436,6 +2436,113 @@ object Similarity extends QueryModule {
                CAST(m4.m AS BIGINT) AS growth
         FROM v4, m4 ORDER BY dim""")),
 
+    // Multivariate OLS by the NORMAL EQUATIONS — regression as one
+    // aggregation: y = n_chars modeled on two text-pipeline features
+    // (whitespace token count, distinct-token count — the corpus has no
+    // digits/punct/case, so those classic features are identically zero
+    // and would make the system singular). ALL sufficient
+    // statistics (9 moments + Σy²) come from a single scan's partial
+    // aggregates — no gradient loop, no second pass: the 3×3 system
+    // solves by Cramer's rule and R² comes from the moment identity
+    // SSE = Σy² − β·(Xᵀy), so a 100 TB fit costs exactly one
+    // map-side-combined aggregation of 10 scalars. The simple-OLS key
+    // (agg_regression) is the 1-feature special case; this is the
+    // k-feature shape real feature-audit jobs run.
+    // Exactness: every count is an integer, every moment is summed in
+    // decimal(38,0) (DuckDB: HUGEINT) — order-free; the determinants
+    // and divisions then evaluate ONE fixed double expression tree from
+    // moments < 2^53 (exact casts at fixture scale; both engines'
+    // decimal→double is correctly rounded beyond it).
+    Q(
+      "ml_linreg_normal",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val f = Tables.documents(s, dir).select(
+          size(split(col("text"), " ")).cast("long").as("x1"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("x2"),
+          col("n_chars").as("y"))
+        val m = f.agg(
+          count(lit(1)).as("n"),
+          sum(col("x1").cast(dec)).as("s1"),
+          sum(col("x2").cast(dec)).as("s2"),
+          sum((col("x1") * col("x1")).cast(dec)).as("s11"),
+          sum((col("x2") * col("x2")).cast(dec)).as("s22"),
+          sum((col("x1") * col("x2")).cast(dec)).as("s12"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x1") * col("y")).cast(dec)).as("s1y"),
+          sum((col("x2") * col("y")).cast(dec)).as("s2y"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        val d = (c: String) => col(c).cast("double")
+        val detA = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+          d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+          d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+        val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+          d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+          d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+        val det1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+          d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+          d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+        val det2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+          d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+          d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+        val b0 = det0 / detA; val b1 = det1 / detA; val b2 = det2 / detA
+        val sse = d("syy") - b0 * d("sy") - b1 * d("s1y") - b2 * d("s2y")
+        val sst = d("syy") - d("sy") * d("sy") / d("n")
+        m.select(col("n"),
+          round(b0, 6).as("beta0"), round(b1, 6).as("beta1"),
+          round(b2, 6).as("beta2"), round(lit(1.0) - sse / sst, 6).as("r2"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                      AS BIGINT) AS x2,
+                 n_chars AS y
+          FROM documents),
+        m AS (
+          SELECT count(*)::HUGEINT AS n,
+                 sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2,
+                 sum(x1::HUGEINT * x1) AS s11,
+                 sum(x2::HUGEINT * x2) AS s22,
+                 sum(x1::HUGEINT * x2) AS s12,
+                 sum(y::HUGEINT) AS sy,
+                 sum(x1::HUGEINT * y) AS s1y,
+                 sum(x2::HUGEINT * y) AS s2y,
+                 sum(y::HUGEINT * y) AS syy
+          FROM f),
+        dd AS (
+          SELECT CAST(n AS BIGINT) AS n,
+                 n::DOUBLE AS dn, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+                 s11::DOUBLE AS s11, s22::DOUBLE AS s22,
+                 s12::DOUBLE AS s12, sy::DOUBLE AS sy,
+                 s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y,
+                 syy::DOUBLE AS syy
+          FROM m),
+        sol AS (
+          SELECT n, sy, s1y, s2y, syy, dn,
+            (dn * (s11 * s22 - s12 * s12) -
+             s1 * (s1 * s22 - s12 * s2) +
+             s2 * (s1 * s12 - s11 * s2)) AS detA,
+            (sy * (s11 * s22 - s12 * s12) -
+             s1 * (s1y * s22 - s12 * s2y) +
+             s2 * (s1y * s12 - s11 * s2y)) AS det0,
+            (dn * (s1y * s22 - s12 * s2y) -
+             sy * (s1 * s22 - s12 * s2) +
+             s2 * (s1 * s2y - s1y * s2)) AS det1,
+            (dn * (s11 * s2y - s1y * s12) -
+             s1 * (s1 * s2y - s1y * s2) +
+             sy * (s1 * s12 - s11 * s2)) AS det2
+          FROM dd)
+        SELECT n,
+               round(det0 / detA, 6) AS beta0,
+               round(det1 / detA, 6) AS beta1,
+               round(det2 / detA, 6) AS beta2,
+               round(1.0 - (syy - (det0 / detA) * sy - (det1 / detA) * s1y
+                            - (det2 / detA) * s2y)
+                         / (syy - sy * sy / dn), 6) AS r2
+        FROM sol""")),
+
     // SEMANTIC train/eval contamination — the embedding-space leakage
     // audit that complements the lexical legs (contamination_ngram
     // catches verbatim overlap, contamination_matrix cross-source

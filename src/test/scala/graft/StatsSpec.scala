@@ -708,6 +708,46 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getLong(2) > 0L) // growth = L∞ eigenvalue estimate
   }
 
+  test("ml_linreg_normal: exact planted fit recovered with R² = 1") {
+    val sp = spark
+    import sp.implicits._
+    // Texts pick (x1, x2) = (tokens, distinct tokens); y is planted as
+    // exactly 2 + 3·x1 + 5·x2, so OLS must recover the coefficients
+    // with zero residual. Points (2,1),(3,3),(4,2),(1,1) are affinely
+    // independent — the normal matrix is nonsingular.
+    val rows = Seq(
+      ("a a", 2L, 1L), ("a b c", 3L, 3L),
+      ("a b b b", 4L, 2L), ("a", 1L, 1L))
+    val docs = rows.zipWithIndex.map { case ((t, x1, x2), i) =>
+      (i.toLong, t, "en", "web", 2L + 3L * x1 + 5L * x2)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("linreg_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("ml_linreg_normal")(sp, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 2.0, s"beta0 ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 3.0, s"beta1 ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 5.0, s"beta2 ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"r2 ${r.getDouble(4)}")
+  }
+
+  test("ml_linreg_normal: corpus fit explains document size") {
+    val out = SparkEntry.queries("ml_linreg_normal")(spark, sf001)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 500L)
+    // chars ≈ tokens·(avg word len + 1): the corpus fit must be strong
+    // and the token coefficient must dominate the distinct-token one.
+    assert(r.getDouble(4) > 0.95, s"r2 ${r.getDouble(4)}")
+    assert(r.getDouble(2) > 3.0 && r.getDouble(2) < 8.0,
+      s"beta1 ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3)) < r.getDouble(2),
+      s"beta2 ${r.getDouble(3)}")
+  }
+
   test("ml_pca_power: corpus component is L∞-normalized and stable") {
     val out = SparkEntry.queries("ml_pca_power")(spark, sf001).collect()
     assert(out.length == 64)
