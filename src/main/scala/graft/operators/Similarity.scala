@@ -560,6 +560,127 @@ object Similarity extends QueryModule {
             FROM ${p}v q CROSS JOIN ${p}cd c WHERE q.vec_id < 50)
           WHERE rn <= 2)"""
 
+  /** d² covariance cells of the embedding dims, quantized inputs (1e-9
+    * units), exact decimal moments, rescaled to ±1e6 integer units by one
+    * trunc division — the single corpus-sized pass behind the PCA keys.
+    * Cached + checkpointed per dir: ml_pca_power's distributed fixpoint
+    * and ml_pca_project's driver-side solve both consume it, so the
+    * 100 TB scan happens once per corpus (train-once/apply-many).
+    */
+  private val pcaCsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def pcaCs(s: SparkSession, dir: String): DataFrame =
+    pcaCsCache.getOrElseUpdate(dir, {
+      val dec = "decimal(38,0)"
+      val cells = Tables.embeddings(s, dir)
+        .select(col("embedding").as("e"))
+        .select(posexplode(col("e")).as(Seq("i", "xv")), col("e"))
+        .select(col("i"),
+          round(col("xv").cast("double") * 1e9).cast("long").as("xi"),
+          explode(sequence(lit(0), lit(63))).as("j"), col("e"))
+        .select(col("i"), col("j"), col("xi"),
+          round(element_at(col("e"), col("j") + 1).cast("double") * 1e9)
+            .cast("long").as("xj"))
+      val craw = cells.groupBy("i", "j")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xi").cast(dec)).as("sx"),
+          sum(col("xj").cast(dec)).as("sy"),
+          sum(col("xi").cast(dec) * col("xj")).as("sxy"))
+        .select(col("i"), col("j"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("c"))
+      val cdiv = craw.agg(max(abs(col("c"))).as("cdiv"))
+      craw.crossJoin(broadcast(cdiv))
+        .select(col("i"), col("j"),
+          expr("CAST((c * 1000000) div cdiv AS BIGINT)").as("cs"))
+        .localCheckpoint()
+    })
+
+  /** Driver-side 4-round power iteration on the collected 64×64 integer
+    * matrix (the d×d eigensolve is driver-sized at any corpus scale —
+    * the MLlib convention). Returns (v4 loadings, growth m4, Rayleigh
+    * numerator v3·w4, denominator v3·v3, trace Σcs_ii); all values exact
+    * BigInt/Long, bit-identical to the unrolled SQL replay.
+    */
+  private val pcaCompCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Long], Long, BigInt, BigInt, BigInt)]
+
+  private def pcaComponent(s: SparkSession, dir: String)
+      : (Array[Long], Long, BigInt, BigInt, BigInt) =
+    pcaCompCache.getOrElseUpdate(dir, {
+      val m = Array.ofDim[Long](64, 64)
+      pcaCs(s, dir).collect().foreach { r =>
+        m(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+      }
+      var v = Array.fill(64)(BigInt(1000000))
+      var v3: Array[BigInt] = null
+      var w4: Array[BigInt] = null
+      var growth = BigInt(0)
+      for (round <- 1 to 4) {
+        val w = Array.tabulate(64)(i =>
+          (0 until 64).map(j => BigInt(m(i)(j)) * v(j)).sum)
+        if (round == 4) { v3 = v; w4 = w }
+        val mx = w.map(_.abs).max
+        growth = mx
+        // BigInt / truncates toward zero — same as Spark div / DuckDB //.
+        v = w.map(x => x * 1000000 / mx)
+      }
+      val num = (0 until 64).map(i => v3(i) * w4(i)).sum
+      val den = (0 until 64).map(i => v3(i) * v3(i)).sum
+      val trace = (0 until 64).map(i => BigInt(m(i)(i))).sum
+      (v.map(_.toLong), growth.toLong, num, den, trace)
+    })
+
+  /** Unrolled SQL replay of the PCA training (quantize → exact covariance
+    * → ±1e6 rescale → 4 L∞-normalized power rounds) shared by
+    * ml_pca_power and ml_pca_project. Exposes CTEs x (quantized inputs),
+    * cs (scaled covariance), w1..w4/m1..m4/v1..v4 (the fixpoint).
+    */
+  private val pcaCtesSql = """
+        x AS (
+          SELECT vec_id, i - 1 AS i,
+                 CAST(round(embedding[i] * 1e9) AS BIGINT) AS xq
+          FROM embeddings, range(1, 65) t(i)),
+        p AS (
+          SELECT a.i AS i, b.i AS j,
+                 a.xq::HUGEINT AS xi, b.xq::HUGEINT AS xj
+          FROM x a JOIN x b ON a.vec_id = b.vec_id),
+        mm AS (
+          SELECT i, j, count(*) AS n, sum(xi) AS sx, sum(xj) AS sy,
+                 sum(xi * xj) AS sxy
+          FROM p GROUP BY i, j),
+        c AS MATERIALIZED (
+          SELECT i, j, n * sxy - sx * sy AS c FROM mm),
+        cd AS (SELECT max(abs(c)) AS cdiv FROM c),
+        cs AS MATERIALIZED (
+          SELECT i, j, CAST((c * 1000000) // cdiv AS BIGINT) AS cs
+          FROM c, cd),
+        v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM range(0, 64) t(i)),
+        w1 AS MATERIALIZED (
+          SELECT cs.i AS i, sum(cs.cs * v0.v) AS w
+          FROM cs JOIN v0 ON cs.j = v0.i GROUP BY cs.i),
+        m1 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w1),
+        v1 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w1, m1),
+        w2 AS MATERIALIZED (
+          SELECT cs.i AS i, sum(cs.cs * v1.v) AS w
+          FROM cs JOIN v1 ON cs.j = v1.i GROUP BY cs.i),
+        m2 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w2),
+        v2 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w2, m2),
+        w3 AS MATERIALIZED (
+          SELECT cs.i AS i, sum(cs.cs * v2.v) AS w
+          FROM cs JOIN v2 ON cs.j = v2.i GROUP BY cs.i),
+        m3 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w3),
+        v3 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w3, m3),
+        w4 AS MATERIALIZED (
+          SELECT cs.i AS i, sum(cs.cs * v3.v) AS w
+          FROM cs JOIN v3 ON cs.j = v3.i GROUP BY cs.i),
+        m4 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w4),
+        v4 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w4, m4)"""
+
   def all: Seq[Q] = Seq(
     // Exact brute-force cosine top-5 per query vector (queries: vec_id<10),
     // expressed on the public API's broadcast-BNLJ top-k.
@@ -2324,6 +2445,8 @@ object Similarity extends QueryModule {
                END AS corr
         FROM m ORDER BY dim_i, dim_j""")),
 
+    // (pcaCtesSql — the shared power-iteration replay — is defined on the
+    // module; ml_pca_power and ml_pca_project replay the same training.)
     // Top principal component by POWER ITERATION — the whitening /
     // dimensionality-reduction primitive that sits next to
     // ml_corr_matrix in any feature pipeline. Scale shape: the only
@@ -2348,29 +2471,7 @@ object Similarity extends QueryModule {
     Q(
       "ml_pca_power",
       (s, dir) => {
-        val dec = "decimal(38,0)"
-        val cells = Tables.embeddings(s, dir)
-          .select(col("embedding").as("e"))
-          .select(posexplode(col("e")).as(Seq("i", "xv")), col("e"))
-          .select(col("i"),
-            round(col("xv").cast("double") * 1e9).cast("long").as("xi"),
-            explode(sequence(lit(0), lit(63))).as("j"), col("e"))
-          .select(col("i"), col("j"), col("xi"),
-            round(element_at(col("e"), col("j") + 1).cast("double") * 1e9)
-              .cast("long").as("xj"))
-        val craw = cells.groupBy("i", "j")
-          .agg(count(lit(1)).as("n"),
-            sum(col("xi").cast(dec)).as("sx"),
-            sum(col("xj").cast(dec)).as("sy"),
-            sum(col("xi").cast(dec) * col("xj")).as("sxy"))
-          .select(col("i"), col("j"),
-            (col("n") * col("sxy") - col("sx") * col("sy")).as("c"))
-        val cdiv = craw.agg(max(abs(col("c"))).as("cdiv"))
-        val cs = craw.crossJoin(broadcast(cdiv))
-          .select(col("i"), col("j"),
-            expr("CAST((c * 1000000) div cdiv AS BIGINT)").as("cs"))
-          // 4096 rows consumed by 4 joins: materialize once.
-          .localCheckpoint()
+        val cs = pcaCs(s, dir)
         val dims = s.range(0, 64).select(col("id").cast("int").as("i"))
         var v = dims.select(col("i"), lit(1000000L).as("v"))
         var growth: DataFrame = null
@@ -2388,53 +2489,59 @@ object Similarity extends QueryModule {
             col("m").as("growth"))
           .orderBy("dim")
       },
-      oracle = Some("""
-        WITH x AS (
-          SELECT vec_id, i - 1 AS i,
-                 CAST(round(embedding[i] * 1e9) AS BIGINT) AS xq
-          FROM embeddings, range(1, 65) t(i)),
-        p AS (
-          SELECT a.i AS i, b.i AS j,
-                 a.xq::HUGEINT AS xi, b.xq::HUGEINT AS xj
-          FROM x a JOIN x b ON a.vec_id = b.vec_id),
-        mm AS (
-          SELECT i, j, count(*) AS n, sum(xi) AS sx, sum(xj) AS sy,
-                 sum(xi * xj) AS sxy
-          FROM p GROUP BY i, j),
-        c AS MATERIALIZED (
-          SELECT i, j, n * sxy - sx * sy AS c FROM mm),
-        cd AS (SELECT max(abs(c)) AS cdiv FROM c),
-        cs AS MATERIALIZED (
-          SELECT i, j, CAST((c * 1000000) // cdiv AS BIGINT) AS cs
-          FROM c, cd),
-        v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM range(0, 64) t(i)),
-        w1 AS MATERIALIZED (
-          SELECT cs.i AS i, sum(cs.cs * v0.v) AS w
-          FROM cs JOIN v0 ON cs.j = v0.i GROUP BY cs.i),
-        m1 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w1),
-        v1 AS MATERIALIZED (
-          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w1, m1),
-        w2 AS MATERIALIZED (
-          SELECT cs.i AS i, sum(cs.cs * v1.v) AS w
-          FROM cs JOIN v1 ON cs.j = v1.i GROUP BY cs.i),
-        m2 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w2),
-        v2 AS MATERIALIZED (
-          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w2, m2),
-        w3 AS MATERIALIZED (
-          SELECT cs.i AS i, sum(cs.cs * v2.v) AS w
-          FROM cs JOIN v2 ON cs.j = v2.i GROUP BY cs.i),
-        m3 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w3),
-        v3 AS MATERIALIZED (
-          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w3, m3),
-        w4 AS MATERIALIZED (
-          SELECT cs.i AS i, sum(cs.cs * v3.v) AS w
-          FROM cs JOIN v3 ON cs.j = v3.i GROUP BY cs.i),
-        m4 AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w4),
-        v4 AS (
-          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w4, m4)
+      oracle = Some(s"""
+        WITH $pcaCtesSql
         SELECT CAST(v4.i AS INT) AS dim, v4.v AS loading,
                CAST(m4.m AS BIGINT) AS growth
         FROM v4, m4 ORDER BY dim""")),
+
+    // PCA APPLIED — the train-once/apply-everywhere half of ml_pca_power:
+    // every vector's projection onto the trained component plus the
+    // variance-explained share, the two numbers a feature-reduction pass
+    // actually ships. The trained 64-vector comes from the shared
+    // covariance cache (pcaCs — one corpus pass for both PCA keys); the
+    // d×d eigensolve runs driver-side in exact BigInt (the MLlib
+    // convention: the corpus never moves, the 64×64 matrix does).
+    // Projection is a map-side zip_with over the quantized inputs — pure
+    // integer products < 2^55, no shuffle but the final sort. Variance
+    // share = Rayleigh(v3)/trace in the SCALED matrix's units (both
+    // numerator and trace divided by the same cdiv, so the share is
+    // unit-free); the two divisions are one fixed double tree over
+    // correctly-rounded integer casts.
+    Q(
+      "ml_pca_project",
+      (s, dir) => {
+        val (v4, _, num, den, trace) = pcaComponent(s, dir)
+        val vlit = array(v4.map(lit(_)): _*)
+        // the SAME fixed double tree as the oracle: BigInteger→double is
+        // correctly rounded in both runtimes, then two double divisions
+        val share = num.toDouble / den.toDouble / trace.toDouble
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1e9).cast("long")).as("qx"))
+          .select(col("vec_id"),
+            aggregate(zip_with(col("qx"), vlit, (x, v) => x * v),
+              lit(0L), (a, x) => a + x).as("score"),
+            round(lit(share), 8).as("var_share"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(s"""
+        WITH $pcaCtesSql,
+        ray AS (
+          SELECT sum(v3.v::HUGEINT * w4.w) AS num,
+                 sum(v3.v::HUGEINT * v3.v) AS den
+          FROM v3 JOIN w4 ON v3.i = w4.i),
+        tr AS (SELECT sum(cs::HUGEINT) AS trace FROM cs WHERE i = j),
+        sc AS (
+          SELECT x.vec_id, CAST(sum(x.xq * v4.v) AS BIGINT) AS score
+          FROM x JOIN v4 ON x.i = v4.i
+          WHERE x.vec_id < 100 GROUP BY x.vec_id)
+        SELECT sc.vec_id, sc.score,
+               round(num::DOUBLE / den::DOUBLE / trace::DOUBLE, 8)
+                 AS var_share
+        FROM sc, ray, tr ORDER BY sc.vec_id""")),
 
     // Multivariate OLS by the NORMAL EQUATIONS — regression as one
     // aggregation: y = n_chars modeled on two text-pipeline features

@@ -748,6 +748,40 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       s"beta2 ${r.getDouble(3)}")
   }
 
+  test("ml_pca_project: planted data projects in order, share ≈ 1") {
+    val sp = spark
+    import sp.implicits._
+    // Same planted geometry as the pca_power spec: data = t·(0.6, 0.8)
+    // + tiny dim-2 jitter. Scores must be monotone in t and the top
+    // component must explain (almost) all variance.
+    val vecs = Seq(-3f, -1f, 1f, 3f).zipWithIndex.map { case (t, i) =>
+      val jit = Seq(0.01f, -0.01f, -0.01f, 0.01f)(i)
+      (i.toLong, Array(0.6f * t, 0.8f * t, jit) ++ Array.fill(61)(0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = graft.Scratch.fresh("pcaproj_spec")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ml_pca_project")(sp, dir)
+      .orderBy("vec_id").collect()
+    assert(out.length == 4)
+    val scores = out.map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a < b } ||
+      scores.zip(scores.tail).forall { case (a, b) => a > b },
+      scores.mkString(",")) // monotone in t (sign is eigenvector's)
+    val share = out.head.getDouble(2)
+    assert(share > 0.99 && share <= 1.0 + 1e-9, share.toString)
+  }
+
+  test("ml_pca_project: corpus scores are non-degenerate") {
+    val out = SparkEntry.queries("ml_pca_project")(spark, sf001).collect()
+    assert(out.length == 100)
+    val scores = out.map(_.getLong(1))
+    assert(scores.distinct.length > 90, "projection collapsed")
+    val share = out.head.getDouble(2)
+    // 64 near-isotropic random dims: the top component explains a few
+    // percent — far from 0 (real signal) and far from 1 (no fake spike)
+    assert(share > 1.0 / 64 && share < 0.5, share.toString)
+  }
+
   test("ml_pca_power: corpus component is L∞-normalized and stable") {
     val out = SparkEntry.queries("ml_pca_power")(spark, sf001).collect()
     assert(out.length == 64)
