@@ -631,6 +631,63 @@ object Similarity extends QueryModule {
       (v.map(_.toLong), growth.toLong, num, den, trace)
     })
 
+  /** Binary-quantized codes: every vector's 64 dims thresholded at the
+    * per-dim exact median and packed into two positive longs (bits 0-31 /
+    * 32-63). Shared by sim_hamming_topk and sim_ann_recall_hamming;
+    * cached + checkpointed per dir (the encode-once/query-many shape).
+    */
+  private val hammingCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def hammingCodes(s: SparkSession, dir: String): DataFrame =
+    hammingCache.getOrElseUpdate(dir, {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").as("e"),
+          transform(col("embedding"), x => x.cast("double")).as("ed"))
+      // Per-dim exact medians → one broadcast row holding med[1..64].
+      val meds = e.select(posexplode(col("ed")).as(Seq("i", "v")))
+        .groupBy("i").agg(expr("percentile(v, 0.5D)").as("med"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("med")))),
+          p => p.getField("med")).as("med"))
+      val lo = expr("""aggregate(transform(sequence(0, 31),
+        i -> IF(element_at(ed, i + 1) > element_at(med, i + 1),
+                shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)""")
+      val hi = expr("""aggregate(transform(sequence(32, 63),
+        i -> IF(element_at(ed, i + 1) > element_at(med, i + 1),
+                shiftleft(1L, i - 32), 0L)), 0L, (a, x) -> a + x)""")
+      e.crossJoin(broadcast(meds))
+        .select(col("vec_id"), col("e"), lo.as("lo"), hi.as("hi"))
+        .localCheckpoint()
+    })
+
+  /** SQL replay of the binary-code build (double-cast, per-dim medians,
+    * strict-> threshold, two-long packing) shared by the hamming keys.
+    * Exposes CTEs: e (vec_id, ed, nrm), b (vec_id, ed, nrm, lo, hi).
+    */
+  private val hammingCtesSql = """
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        meds AS (
+          SELECT i, median(ed[i]) AS med
+          FROM e, generate_series(1, 64) AS t(i)
+          GROUP BY i),
+        ma AS (SELECT list(med ORDER BY i) AS med FROM meds),
+        b AS (
+          SELECT vec_id, ed, nrm,
+                 CAST(list_sum(list_transform(generate_series(1, 32),
+                   i -> CASE WHEN ed[i] > med[i]
+                        THEN (CAST(1 AS BIGINT) << (i - 1))
+                        ELSE 0 END)) AS BIGINT) AS lo,
+                 CAST(list_sum(list_transform(generate_series(33, 64),
+                   i -> CASE WHEN ed[i] > med[i]
+                        THEN (CAST(1 AS BIGINT) << (i - 33))
+                        ELSE 0 END)) AS BIGINT) AS hi
+          FROM e CROSS JOIN ma)"""
+
   /** Unrolled SQL replay of the PCA training (quantize → exact covariance
     * → ±1e6 rescale → 4 L∞-normalized power rounds) shared by
     * ml_pca_power and ml_pca_project. Exposes CTEs x (quantized inputs),
@@ -1303,23 +1360,7 @@ object Similarity extends QueryModule {
     Q(
       "sim_hamming_topk",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding").as("e"),
-            transform(col("embedding"), x => x.cast("double")).as("ed"))
-        // Per-dim exact medians → one broadcast row holding med[1..64].
-        val meds = e.select(posexplode(col("ed")).as(Seq("i", "v")))
-          .groupBy("i").agg(expr("percentile(v, 0.5D)").as("med"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("med")))),
-            p => p.getField("med")).as("med"))
-        val lo = expr("""aggregate(transform(sequence(0, 31),
-          i -> IF(element_at(ed, i + 1) > element_at(med, i + 1),
-                  shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)""")
-        val hi = expr("""aggregate(transform(sequence(32, 63),
-          i -> IF(element_at(ed, i + 1) > element_at(med, i + 1),
-                  shiftleft(1L, i - 32), 0L)), 0L, (a, x) -> a + x)""")
-        val b = e.crossJoin(broadcast(meds))
-          .select(col("vec_id"), col("e"), lo.as("lo"), hi.as("hi"))
+        val b = hammingCodes(s, dir)
         val q = b.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("e").as("qe"),
             col("lo").as("qlo"), col("hi").as("qhi"))
@@ -1342,28 +1383,8 @@ object Similarity extends QueryModule {
             col("hamming"), round(col("cos"), 4).as("cos_sim"))
           .orderBy("query_id", "rank")
       },
-      oracle = Some("""
-        WITH e AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))) AS nrm
-          FROM embeddings),
-        meds AS (
-          SELECT i, median(ed[i]) AS med
-          FROM e, generate_series(1, 64) AS t(i)
-          GROUP BY i),
-        ma AS (SELECT list(med ORDER BY i) AS med FROM meds),
-        b AS (
-          SELECT vec_id, ed, nrm,
-                 CAST(list_sum(list_transform(generate_series(1, 32),
-                   i -> CASE WHEN ed[i] > med[i]
-                        THEN (CAST(1 AS BIGINT) << (i - 1))
-                        ELSE 0 END)) AS BIGINT) AS lo,
-                 CAST(list_sum(list_transform(generate_series(33, 64),
-                   i -> CASE WHEN ed[i] > med[i]
-                        THEN (CAST(1 AS BIGINT) << (i - 33))
-                        ELSE 0 END)) AS BIGINT) AS hi
-          FROM e CROSS JOIN ma),
+      oracle = Some(s"""
+        WITH $hammingCtesSql,
         p AS (
           SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                  bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
@@ -1383,6 +1404,92 @@ object Similarity extends QueryModule {
         SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
                CAST(hamming AS INT) AS hamming, round(cos, 4) AS cos_sim
         FROM r WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // Recall audit for the binary index — the same measurement discipline
+    // as sim_ann_recall_lsh/_ivf/_pq, closing the loop on
+    // sim_hamming_topk: per query, recall@3 of the
+    // Hamming-pool-then-rerank pipeline against the exact cosine top-3,
+    // plus the pool size (always 20 — fixed by construction, which is
+    // exactly the property worth asserting: binary candidate generation
+    // scans a CONSTANT number of reranks per query regardless of corpus
+    // size once an index serves the pool).
+    Q(
+      "sim_ann_recall_hamming",
+      (s, dir) => {
+        val b = hammingCodes(s, dir)
+        val q = b.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            col("lo").as("qlo"), col("hi").as("qhi"))
+        val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+          col("lo").as("clo"), col("hi").as("chi"))
+        val wh = Window.partitionBy("query_id")
+          .orderBy(col("hamming"), col("cand_id"))
+        val wr = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        val approx = broadcast(q).join(c, col("cand_id") =!= col("query_id"))
+          .withColumn("hamming",
+            (bit_count(col("qlo").bitwiseXOR(col("clo"))) +
+             bit_count(col("qhi").bitwiseXOR(col("chi")))).cast("int"))
+          .withColumn("hrank", row_number().over(wh))
+          .filter(col("hrank") <= 20)
+          .withColumn("cos", cosine(col("qe"), col("ce")))
+          .withColumn("rank", row_number().over(wr))
+        val v = vecs(s, dir)
+        val exact = graft.api.Similarity.cosineTopK(
+          v.filter(col("vec_id") < 10), col("vec_id"), col("e"),
+          v, col("vec_id"), col("e"), topK = 3)
+          .select(col("query_id"), col("cand_id"))
+        val hits = exact.join(
+          approx.filter(col("rank") <= 3)
+            .select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        approx.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_candidates"),
+            round(coalesce(col("h"), lit(0)) / 3.0, 4)
+              .as("hamming_recall_at_3"))
+          .orderBy("query_id")
+      },
+      oracle = Some(s"""
+        WITH $hammingCtesSql,
+        p AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+                   AS hamming,
+                 list_dot_product(q.ed, c.ed) / (q.nrm * c.nrm) AS cos
+          FROM b q JOIN b c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10),
+        h AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY hamming, cand_id) AS hrank
+          FROM p),
+        appr AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(cos, 6) DESC, cand_id) AS rank
+            FROM h WHERE hrank <= 20)
+          WHERE rank <= 3),
+        ex AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(cos, 6) DESC, cand_id) AS rank
+            FROM p)
+          WHERE rank <= 3),
+        pool AS (
+          SELECT query_id, count(*) AS n_candidates
+          FROM h WHERE hrank <= 20 GROUP BY query_id),
+        hits AS (
+          SELECT ex.query_id, count(*) AS h
+          FROM ex JOIN appr
+            ON appr.query_id = ex.query_id AND appr.cand_id = ex.cand_id
+          GROUP BY ex.query_id)
+        SELECT pool.query_id, pool.n_candidates,
+               round(coalesce(hits.h, 0) / 3.0, 4) AS hamming_recall_at_3
+        FROM pool LEFT JOIN hits ON hits.query_id = pool.query_id
+        ORDER BY pool.query_id""")),
 
     // Product quantization: unit-normalized vectors → 8 subspace
     // codebooks of 16 Lloyd-trained centroids (api.Similarity.

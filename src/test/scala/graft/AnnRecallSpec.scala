@@ -287,4 +287,17 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     val hits = out.count(r => exact((r.getLong(0), r.getLong(2))))
     assert(hits >= 13, s"recall@3 = $hits/30 — binary index degraded")
   }
+
+  test("sim_ann_recall_hamming: constant pool, recall floor holds") {
+    val out = SparkEntry.queries("sim_ann_recall_hamming")(spark, sf001)
+      .collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getLong(1) == 20L, r.toString) // pool is FIXED by design
+      val rec = r.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    val total = out.map(_.getDouble(2)).sum / 10
+    assert(total >= 0.4, s"mean recall@3 $total — binary index degraded")
+  }
 }
