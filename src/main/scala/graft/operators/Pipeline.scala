@@ -699,6 +699,101 @@ object Pipeline extends QueryModule {
         FROM r JOIN a ON r.event_type = a.event_type AND rn <= alloc
         GROUP BY 1, 2, 3, 4 ORDER BY 1""")),
 
+    // SOFT dedup for the training mix: near-duplicate clusters are
+    // DOWN-WEIGHTED (weight = 1e6/cluster_size ppm) instead of dropped —
+    // the modern alternative to hard dedup (keep every copy, make the
+    // cluster's total contribution one document's worth), which
+    // preserves distributional coverage while killing the duplication
+    // bias. Clusters come from exact 3-shingle Jaccard ≥ 0.5 pairs
+    // (api.Dedup.exactJaccardPairs — md5-digest inverted index, integer
+    // permille) closed under api.Dedup.connectedComponents; docs in no
+    // pair keep weight 1e6. At 100 TB the pair stage would be the
+    // minhash LSH candidates instead of the exact audit join — the
+    // weighting and the accounting are unchanged. Output: per-source
+    // token budget before/after, integer end-to-end (weights, products,
+    // and the retention ratio are all BIGINT div arithmetic).
+    Q(
+      "mix_dedup_weighted",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("tokens"),
+            col("text"))
+        val pairs = graft.api.Dedup.exactJaccardPairs(
+            docs, col("doc_id"), col("text"), k = 3, minPermille = 500)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true) // nodes + edges both read it
+        val nodes = pairs.select(col("id_a").as("n"))
+          .unionAll(pairs.select(col("id_b").as("n"))).distinct()
+        val cc = graft.api.Dedup.connectedComponents(
+          nodes, col("n"), pairs, col("id_a"), col("id_b"))
+        val sz = cc.groupBy("component").agg(count(lit(1)).as("csz"))
+        docs.drop("text")
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .join(broadcast(sz), Seq("component"), "left")
+          .select(col("doc_id"), col("source"), col("tokens"),
+            expr("CAST(1000000 div coalesce(csz, CAST(1 AS BIGINT)) " +
+              "AS BIGINT)").as("weight_ppm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("weight_ppm") < 1000000, 1L).otherwise(0L))
+              .as("n_downweighted"),
+            sum(col("tokens")).as("raw_tokens"),
+            sum(col("tokens") * col("weight_ppm"))
+              .as("weighted_tokens_ppm"))
+          .withColumn("retention_ppm",
+            expr("weighted_tokens_ppm div raw_tokens"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH RECURSIVE w AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substring(md5(
+                   array_to_string(ws[i : i + 2], ' ')), 1, 15))::BIGINT AS gh
+          FROM w, unnest(generate_series(1, greatest(n - 2, 1))) AS t(i)),
+        cnt AS (SELECT doc_id, count(*) AS nsh FROM dg GROUP BY 1),
+        keep AS (SELECT gh FROM dg GROUP BY gh HAVING count(*) <= 256),
+        ip AS (
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS inter
+          FROM dg a JOIN keep USING (gh) JOIN dg b2
+            ON a.gh = b2.gh AND a.doc_id < b2.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a AS u, id_b AS v
+          FROM ip
+          JOIN cnt ca ON ip.id_a = ca.doc_id
+          JOIN cnt cb ON ip.id_b = cb.doc_id
+          WHERE 1000 * inter // (ca.nsh + cb.nsh - inter) >= 500),
+        nodes AS (SELECT u AS n FROM pairs UNION SELECT v FROM pairs),
+        adj AS (SELECT u AS n, v AS m FROM pairs
+                UNION ALL SELECT v AS n, u AS m FROM pairs),
+        reach(n, r) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT reach.n, adj.m FROM reach JOIN adj ON adj.n = reach.r),
+        cc AS (SELECT n, min(r) AS comp FROM reach GROUP BY n),
+        sz AS (SELECT comp, count(*) AS csz FROM cc GROUP BY 1),
+        wd AS (
+          SELECT w.doc_id, w.source, CAST(w.n AS BIGINT) AS tokens,
+                 CAST(1000000 // coalesce(sz.csz, 1) AS BIGINT)
+                   AS weight_ppm
+          FROM w
+          LEFT JOIN cc ON cc.n = w.doc_id
+          LEFT JOIN sz ON sz.comp = cc.comp)
+        SELECT source, count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE weight_ppm < 1000000)
+                 AS BIGINT) AS n_downweighted,
+               CAST(sum(tokens) AS BIGINT) AS raw_tokens,
+               CAST(sum(tokens * weight_ppm) AS BIGINT)
+                 AS weighted_tokens_ppm,
+               CAST(sum(tokens * weight_ppm) // sum(tokens) AS BIGINT)
+                 AS retention_ppm
+        FROM wd GROUP BY source ORDER BY source""")),
+
     // Mixture construction: downsample three sources to a 50/30/20 target
     // using integer-exact quotas (largest feasible total without
     // upsampling), selection = smallest ids per source. The audit output

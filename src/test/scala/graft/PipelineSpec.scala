@@ -1036,6 +1036,45 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("mix_dedup_weighted: identical pair halves its weight, unique keeps 1e6") {
+    val sp = spark
+    import sp.implicits._
+    // src_a: two IDENTICAL 4-token docs (J = 1 → one cluster of 2 →
+    // weight 500000 each) + one unique 5-token doc. src_b: one unique
+    // doc. Weighted budget for src_a = 4·5e5 + 4·5e5 + 5·1e6 = 9e6 ppm
+    // over 13 raw tokens → retention = 9e6 div 13 = 692307.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "src_a"),
+      (2L, "alpha beta gamma delta", "src_a"),
+      (3L, "epsilon zeta eta theta iota", "src_a"),
+      (4L, "kappa lambda mu nu", "src_b"))
+      .map { case (i, t, s) => (i, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("mixdw_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("mix_dedup_weighted")(sp, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out("src_a") == ((3L, 2L, 13L, 9000000L, 692307L)),
+      out("src_a").toString)
+    assert(out("src_b") == ((1L, 0L, 4L, 4000000L, 1000000L)),
+      out("src_b").toString)
+  }
+
+  test("mix_dedup_weighted: corpus near-dups get downweighted somewhere") {
+    val out = SparkEntry.queries("mix_dedup_weighted")(spark, sf001)
+      .collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(5) <= 1000000L && r.getLong(5) > 0L, r.toString)
+      assert(r.getLong(4) <= r.getLong(3) * 1000000L, r.toString)
+    }
+    // the corpus plants near-duplicates — the op must actually bite
+    assert(out.map(_.getLong(2)).sum > 0, "no doc was downweighted")
+    assert(out.exists(_.getLong(5) < 1000000L), "retention never moved")
+  }
+
   test("mix_kl_audit: hand 3:1 split gives the textbook KL and TV") {
     val sp = spark
     import sp.implicits._
