@@ -2602,6 +2602,130 @@ object Similarity extends QueryModule {
                CAST(m4.m AS BIGINT) AS growth
         FROM v4, m4 ORDER BY dim""")),
 
+    // k-CENTER SEEDING by farthest-first traversal (Gonzalez 1985) — the
+    // deterministic cousin of k-means++ used for coreset selection and
+    // seed diversity: start from the max-norm point, then k−1 times add
+    // the point FARTHEST from the chosen set (the classic 2-approximation
+    // for the k-center objective). Scale shape: each round is ONE
+    // map-side codegen pass (graft_sqdist against ≤k inlined 64-literal
+    // centroids — the ml_kmeans distsTo convention) feeding a single
+    // argmax aggregate; k passes total, no shuffle wider than the
+    // k·dim driver state, which is why farthest-first is the seeding
+    // you can actually run on 100 TB. Determinism: inputs quantized to
+    // 1e-4 integer-valued doubles so every squared distance is an exact
+    // integer < 2^53; argmax ties break to the smallest vec_id via one
+    // lexicographic struct-max; the oracle replays all 5 rounds
+    // unrolled. Output carries each selection's distance-at-pick and the
+    // final coverage radius² (the k-center objective certificate).
+    Q(
+      "ml_kcenter_greedy",
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1e4)).as("qd"))
+          .localCheckpoint()
+        def dmin(chosen: Seq[Seq[Double]]): Column =
+          if (chosen.isEmpty)
+            graft.functions.SquaredDistance(
+              col("qd"), typedlit(Seq.fill(64)(0.0)))
+          else if (chosen.size == 1)
+            graft.functions.SquaredDistance(col("qd"), typedlit(chosen.head))
+          else least(chosen.map(c =>
+            graft.functions.SquaredDistance(col("qd"), typedlit(c))): _*)
+        var picked = Vector.empty[(Long, Seq[Double], Long)]
+        for (_ <- 1 to 5) {
+          val top = q
+            .select(col("vec_id"),
+              dmin(picked.map(_._2)).cast("long").as("d"))
+            .agg(max(struct(col("d"), (-col("vec_id")).as("nid"))).as("m"))
+            .select(col("m.d").as("d"), (-col("m.nid")).as("id"))
+            .first()
+          val id = top.getLong(1)
+          val vec = q.filter(col("vec_id") === id)
+            .select("qd").first().getSeq[Double](0)
+          picked :+= ((id, vec, top.getLong(0)))
+        }
+        val cov = q
+          .select(dmin(picked.map(_._2)).cast("long").as("d"))
+          .agg(max(col("d"))).first().getLong(0)
+        val sp2 = s
+        import sp2.implicits._
+        picked.zipWithIndex.map { case ((id, _, d), i) =>
+          (i + 1, id, d, cov)
+        }.toDF("round", "vec_id", "dist_sq", "coverage_sq")
+          .orderBy("round")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * 1e4)) AS qd
+          FROM embeddings),
+        n2 AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(qd, x -> x * x)) AS BIGINT)
+                   AS d
+          FROM q),
+        s1 AS MATERIALIZED (
+          SELECT vec_id, d FROM n2 ORDER BY d DESC, vec_id LIMIT 1),
+        dm1 AS MATERIALIZED (
+          SELECT q.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT) AS d
+          FROM q, (SELECT q2.qd FROM q q2 JOIN s1 ON q2.vec_id = s1.vec_id) c),
+        s2 AS MATERIALIZED (
+          SELECT vec_id, d FROM dm1 ORDER BY d DESC, vec_id LIMIT 1),
+        dm2 AS MATERIALIZED (
+          SELECT dm1.vec_id,
+                 least(dm1.d, CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT)) AS d
+          FROM dm1 JOIN q ON q.vec_id = dm1.vec_id,
+               (SELECT q2.qd FROM q q2 JOIN s2 ON q2.vec_id = s2.vec_id) c),
+        s3 AS MATERIALIZED (
+          SELECT vec_id, d FROM dm2 ORDER BY d DESC, vec_id LIMIT 1),
+        dm3 AS MATERIALIZED (
+          SELECT dm2.vec_id,
+                 least(dm2.d, CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT)) AS d
+          FROM dm2 JOIN q ON q.vec_id = dm2.vec_id,
+               (SELECT q2.qd FROM q q2 JOIN s3 ON q2.vec_id = s3.vec_id) c),
+        s4 AS MATERIALIZED (
+          SELECT vec_id, d FROM dm3 ORDER BY d DESC, vec_id LIMIT 1),
+        dm4 AS MATERIALIZED (
+          SELECT dm3.vec_id,
+                 least(dm3.d, CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT)) AS d
+          FROM dm3 JOIN q ON q.vec_id = dm3.vec_id,
+               (SELECT q2.qd FROM q q2 JOIN s4 ON q2.vec_id = s4.vec_id) c),
+        s5 AS MATERIALIZED (
+          SELECT vec_id, d FROM dm4 ORDER BY d DESC, vec_id LIMIT 1),
+        dm5 AS MATERIALIZED (
+          SELECT dm4.vec_id,
+                 least(dm4.d, CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT)) AS d
+          FROM dm4 JOIN q ON q.vec_id = dm4.vec_id,
+               (SELECT q2.qd FROM q q2 JOIN s5 ON q2.vec_id = s5.vec_id) c),
+        cov AS (SELECT max(d) AS c FROM dm5),
+        sel AS (
+          SELECT 1 AS round, vec_id, d FROM s1
+          UNION ALL SELECT 2, vec_id, d FROM s2
+          UNION ALL SELECT 3, vec_id, d FROM s3
+          UNION ALL SELECT 4, vec_id, d FROM s4
+          UNION ALL SELECT 5, vec_id, d FROM s5)
+        SELECT CAST(round AS INT) AS round, vec_id, d AS dist_sq,
+               CAST(cov.c AS BIGINT) AS coverage_sq
+        FROM sel, cov ORDER BY round""")),
+
     // PCA APPLIED — the train-once/apply-everywhere half of ml_pca_power:
     // every vector's projection onto the trained component plus the
     // variance-explained share, the two numbers a feature-reduction pass

@@ -782,6 +782,45 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(share > 1.0 / 64 && share < 0.5, share.toString)
   }
 
+  test("ml_kcenter_greedy: hand trajectory on a line, ties to smallest id") {
+    val sp = spark
+    import sp.implicits._
+    // 1-D points (dim 0, rest zero), quantized ×1e4:
+    // id0=0, id1=1000, id2=9000, id3=10000, id4=5000, id5=2000.
+    // Gonzalez: s1 = max-norm id3 (d=1e8); s2 = id0 (1e8); s3 = id4
+    // (2.5e7); s4 = id5 (4e6); s5 = id1 vs id2 tie at 1e6 → smallest
+    // id wins; coverage after 5 = id2's 1e6.
+    val vals = Seq(0f, 0.1f, 0.9f, 1f, 0.5f, 0.2f)
+    val vecs = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Array(v) ++ Array.fill(63)(0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = graft.Scratch.fresh("kcenter_spec")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("ml_kcenter_greedy")(sp, dir)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1, 3L, 100000000L, 1000000L), (2, 0L, 100000000L, 1000000L),
+      (3, 4L, 25000000L, 1000000L), (4, 5L, 4000000L, 1000000L),
+      (5, 1L, 1000000L, 1000000L)), out.mkString(","))
+  }
+
+  test("ml_kcenter_greedy: corpus selection distances are monotone") {
+    val out = SparkEntry.queries("ml_kcenter_greedy")(spark, sf001)
+      .orderBy("round").collect()
+    assert(out.length == 5)
+    val ds = out.map(_.getLong(2))
+    // Gonzalez invariant: from round 2 on (round 1 reports the seed's
+    // NORM — distance to the empty set — which is not comparable) each
+    // pick's distance-at-selection is non-increasing, and the final
+    // coverage can't exceed the last pick.
+    val sel = ds.drop(1)
+    assert(sel.zip(sel.tail).forall { case (a, b) => b <= a },
+      ds.mkString(","))
+    assert(out.head.getLong(3) <= ds.last)
+    assert(out.map(_.getLong(1)).distinct.length == 5, "seed repeated")
+  }
+
   test("ml_pca_power: corpus component is L∞-normalized and stable") {
     val out = SparkEntry.queries("ml_pca_power")(spark, sf001).collect()
     assert(out.length == 64)
