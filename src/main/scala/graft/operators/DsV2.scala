@@ -180,6 +180,36 @@ object DsV2 extends QueryModule {
         FROM log WHERE off >= 100 AND off < 600
         GROUP BY 1 ORDER BY partition""")),
 
+    // V2 COMPLETE aggregate pushdown (SupportsPushDownAggregates): the
+    // count/min(ts)/max(ts) per partition come straight from the topic's
+    // `_meta` manifests — segment row counts and exact per-segment ts
+    // spans — so the query plan has NO aggregate at all (BatchScan
+    // GraftLogAggScan + Project) and ZERO segment files are opened
+    // (DsV2Spec pins segmentsOpened == 0 and the plan shape). This is the
+    // log-source analogue of parquet's metadata-only count
+    // (scan_parquet_metadata): at 100 TB the answer costs one manifest
+    // read per partition, not a topic scan. The source refuses the
+    // pushdown (falls back to the ordinary scan — never a wrong answer)
+    // whenever filters were pushed, an unsupported aggregate appears, or
+    // an old segment lacks ts bounds.
+    Q(
+      "scan_dsv2_agg_pushdown",
+      (s, dir) => {
+        val t = topic(s, dir)
+        s.read.format("graft-log").load(t)
+          .groupBy("partition")
+          .agg(count(lit(1)).as("n"),
+            min("ts").as("min_ts_us"), max("ts").as("max_ts_us"))
+          .orderBy("partition")
+      },
+      oracle = Some("""
+        WITH log AS (
+          SELECT user_id % 4 AS partition, epoch_us(ts) AS ts
+          FROM events)
+        SELECT partition, count(*) AS n,
+               min(ts) AS min_ts_us, max(ts) AS max_ts_us
+        FROM log GROUP BY 1 ORDER BY partition""")),
+
     // V2 micro-batch stream with admission control: maxRecordsPerTrigger
     // splits the drain into several proportional-to-lag batches (DsV2Spec
     // asserts >1 batches and exact allocation); the complete-mode result

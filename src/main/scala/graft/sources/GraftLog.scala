@@ -14,9 +14,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
   InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns,
   SupportsReportPartitioning, SupportsReportStatistics,
   SupportsRuntimeFiltering, Statistics}
 import org.apache.spark.sql.connector.read.partitioning.{
@@ -270,15 +273,114 @@ class LogTable(path: String) extends Table with SupportsRead with SupportsWrite 
   */
 class LogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = GraftLog.SCHEMA
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Seq[Array[Option[Long]]])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   private def rangeCol(c: String): Boolean = c == "offset" || c == "ts"
+
+  /** COMPLETE aggregate pushdown answered from the `_meta` manifests
+    * alone: count(*) (Σ segment row counts), min/max(ts) (segment ts
+    * spans are exact per-segment min/max), and min/max(offset) (offsets
+    * are dense per partition: [0, Σrows)), optionally grouped by
+    * `partition` — the log analogue of parquet's metadata-only count.
+    * Zero segment files are opened (DsV2Spec pins segmentsOpened == 0).
+    * Refused — falling back to the ordinary scan, never a wrong answer —
+    * when any filter was pushed (manifest totals are whole-partition
+    * facts), when any other aggregate/group shape appears, or when a
+    * pre-round-8 segment has an unbounded ts span and a ts bound was
+    * asked for.
+    */
+  private def colOf(f: AggregateFunc): Option[String] = f match {
+    case m: Min => m.column() match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    case m: Max => m.column() match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def planAgg(agg: Aggregation)
+      : Option[(StructType, Seq[Array[Option[Long]]])] = {
+    if (pushed.nonEmpty) return None
+    val grouped = agg.groupByExpressions() match {
+      case Array() => false
+      case Array(e: NamedReference)
+          if e.fieldNames.toSeq == Seq("partition") => true
+      case _ => return None
+    }
+    // accepted shapes: CountStar, Min/Max over ts or offset
+    sealed trait Col; case object N extends Col
+    case object TsMin extends Col; case object TsMax extends Col
+    case object OffMin extends Col; case object OffMax extends Col
+    val cols: Seq[Col] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => N
+      case f: Min => colOf(f) match {
+        case Some("ts") => TsMin; case Some("offset") => OffMin
+        case _ => return None
+      }
+      case f: Max => colOf(f) match {
+        case Some("ts") => TsMax; case Some("offset") => OffMax
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val needTs = cols.exists(c => c == TsMin || c == TsMax)
+    val parts = GraftLog.partitionDirs(path).map { case (p, dirPath) =>
+      (p, GraftLog.readMeta(dirPath))
+    }
+    if (needTs && parts.exists(_._2.exists(s =>
+        s.tsMin == Long.MinValue || s.tsMax == Long.MaxValue)))
+      return None // old metas can't prove ts bounds: full scan instead
+    def stats(segs: Seq[GraftLog.Seg]): Map[Col, Option[Long]] = {
+      val n = segs.map(_.rows).sum
+      Map(
+        N -> Some(n),
+        TsMin -> (if (segs.isEmpty) None else Some(segs.map(_.tsMin).min)),
+        TsMax -> (if (segs.isEmpty) None else Some(segs.map(_.tsMax).max)),
+        OffMin -> (if (n == 0) None else Some(0L)),
+        OffMax -> (if (n == 0) None else Some(n - 1)))
+    }
+    val rows: Seq[Array[Option[Long]]] =
+      if (grouped)
+        parts.sortBy(_._1).map { case (p, segs) =>
+          val st = stats(segs)
+          Array(Option(p.toLong)) ++ cols.map(st)
+        }
+      else {
+        val all = stats(parts.flatMap(_._2))
+        // global min/max fold across partitions via the same seg list —
+        // exact because segment spans are exact.
+        Seq(cols.map(all).toArray)
+      }
+    val fields =
+      (if (grouped) Seq(StructField("partition", IntegerType)) else Nil) ++
+        cols.zipWithIndex.map {
+          case (N, i) => StructField(s"agg_$i", LongType)
+          case (_, i) => StructField(s"agg_$i", LongType)
+        }
+    Some((StructType(fields), rows))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    planAgg(agg) match {
+      case Some(r) => aggResult = Some(r); true
+      case None => false
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -296,8 +398,53 @@ class LogScanBuilder(path: String, options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LogScan(path, required, pushed,
-    Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
+  override def build(): Scan = aggResult match {
+    case Some((schema, rows)) => new LogAggScan(path, schema, rows)
+    case None => new LogScan(path, required, pushed,
+      Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
+  }
+}
+
+/** Scan produced when an aggregate was completely pushed down: the result
+  * rows were already computed from the `_meta` manifests at planning time;
+  * the "read" replays them through one InputPartition. No segment file is
+  * ever opened.
+  */
+class LogAggScan(path: String, schema: StructType,
+    rows: Seq[Array[Option[Long]]]) extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftLogAggScan path=$path pushedAggregates=[${schema.fieldNames.mkString(",")}]"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(LogAggInputPartition(rows.map(_.toSeq)))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new LogAggReaderFactory(schema)
+  }
+}
+
+final case class LogAggInputPartition(rows: Seq[Seq[Option[Long]]])
+    extends InputPartition
+
+class LogAggReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[LogAggInputPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(
+        rows(i).zipWithIndex.map { case (v, j) =>
+          (v, schema.fields(j).dataType) match {
+            case (None, _) => null
+            case (Some(x), IntegerType) => x.toInt: Any
+            case (Some(x), _) => x: Any
+          }
+        }.toArray)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class LogScan(path: String, required: StructType, pushed: Array[Filter],

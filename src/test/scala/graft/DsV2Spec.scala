@@ -409,6 +409,65 @@ class DsV2Spec extends AnyFunSuite with SparkFixture {
     assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       .toSeq == Seq((0, 10L), (1, 10L), (2, 10L)))
   }
+
+  test("aggregate pushdown answers count/min/max from _meta, zero files opened") {
+    val sp = spark
+    import sp.implicits._
+    val t = freshTopic("dsv2_aggpush")
+    tinyFrame.write.format("graft-log").mode("append").save(t)
+    graft.sources.GraftLog.segmentsOpened.set(0L)
+    val pushed = spark.read.format("graft-log").load(t)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("ts").as("mn"), max("ts").as("mx"),
+        min("offset").as("omn"), max("offset").as("omx"))
+      .orderBy("partition")
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLogAggScan"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    val rows = pushed.collect()
+    assert(graft.sources.GraftLog.segmentsOpened.get() == 0L,
+      "pushdown opened segment files")
+    // ground truth: defeat the pushdown with an unsupported aggregate
+    // (count distinct key) and compare the shared columns
+    val truth = spark.read.format("graft-log").load(t)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("ts").as("mn"), max("ts").as("mx"),
+        min("offset").as("omn"), max("offset").as("omx"),
+        countDistinct("key").as("dk"))
+      .orderBy("partition").drop("dk").collect()
+    assert(rows.map(_.toSeq).toSeq == truth.map(_.toSeq).toSeq)
+    // global (ungrouped) shape also pushes completely
+    graft.sources.GraftLog.segmentsOpened.set(0L)
+    val g = spark.read.format("graft-log").load(t)
+      .agg(count(lit(1)).as("n"), min("ts").as("mn"), max("ts").as("mx"))
+      .collect()(0)
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) ==
+      ((30L, 1700000000000000L, 1700000000000029L)))
+    assert(graft.sources.GraftLog.segmentsOpened.get() == 0L)
+  }
+
+  test("aggregate pushdown refuses filtered or unsupported shapes and stays correct") {
+    val sp = spark
+    import sp.implicits._
+    val t = freshTopic("dsv2_aggpush_refuse")
+    tinyFrame.write.format("graft-log").mode("append").save(t)
+    // partition filter pushed -> manifest totals no longer answer: the
+    // source must fall back to the ordinary scan and aggregate normally
+    val filtered = spark.read.format("graft-log").load(t)
+      .filter(col("partition") === 1)
+      .groupBy("partition").agg(count(lit(1)).as("n"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftLogAggScan"), plan)
+    assert(filtered.collect().map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq == Seq((1, 10L)))
+    // unsupported aggregate (min over a string column): same fallback
+    val mk = spark.read.format("graft-log").load(t)
+      .groupBy("partition").agg(min("key").as("mk")).orderBy("partition")
+    assert(!mk.queryExecution.executedPlan.toString
+      .contains("GraftLogAggScan"))
+    assert(mk.collect().map(_.getString(1)).toSeq ==
+      Seq("k000", "k001", "k002"))
+  }
 }
 
 /** Test-side meta reader (keeps the production object's API surface small). */
