@@ -1690,6 +1690,97 @@ object Aggregates extends QueryModule {
                  / 100.0, 2) AS ci_hi
         FROM r GROUP BY event_type ORDER BY event_type""")),
 
+    // Brown–Forsythe Levene test — variance homogeneity across the five
+    // event types, the PRECONDITION check for agg_anova's pooled-variance
+    // assumption: W = the one-way-F of the |v − group median| deviations
+    // (the median-centered Brown–Forsythe form, robust where the
+    // mean-centered original is not). Exactness: values quantized to
+    // integer millis; group medians are selections whose only non-integer
+    // case is a half (even group), so deviations are computed as
+    // |2v − 2·med| — exact integers, no rounding anywhere before the two
+    // final shared-structure doubles (same recipe as agg_anova on the
+    // transformed values). Also reports the max/min group-variance ratio
+    // — the quantity Levene actually guards. Scale shape: one shuffle for
+    // the per-type medians (k-bounded frame broadcast back; at 100 TB
+    // swap the exact median for the agg_mad histogram-median discipline),
+    // one for the k-row moment table.
+    Q(
+      "agg_levene",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val base = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 1000).cast("long").as("vq"))
+        val med = base.groupBy("event_type")
+          .agg(expr("percentile(vq, 0.5D)").as("med"))
+        val z = base.join(broadcast(med), "event_type")
+          .select(col("event_type"),
+            abs(col("vq") * 2 - (col("med") * 2).cast("long")).as("z"),
+            col("vq"))
+        val g = z.groupBy("event_type")
+          .agg(count(lit(1)).as("ng"),
+            sum(col("z").cast(dec)).as("s1"),
+            sum(col("z").cast(dec) * col("z")).as("s2"),
+            sum(col("vq").cast(dec)).as("v1"),
+            sum(col("vq").cast(dec) * col("vq")).as("v2"))
+          .withColumn("qb",
+            round((col("s1") * col("s1")).cast("double") / col("ng"))
+              .cast("long"))
+          .withColumn("gvar",
+            (col("ng") * col("v2") - col("v1") * col("v1")).cast("double")
+              / (col("ng").cast("double") * (col("ng") - 1)))
+        g.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+            sum(col("s1")).as("ts1"), sum(col("s2")).as("ts2"),
+            sum("qb").as("sqb"),
+            max("gvar").as("vmax"), min("gvar").as("vmin"))
+          .select(col("k"), col("n"),
+            (col("k") - 1).as("df_between"),
+            (col("n") - col("k")).as("df_within"),
+            round(((col("sqb") -
+              round((col("ts1") * col("ts1")).cast("double") / col("n"))
+                .cast("long")).cast("double") / (col("k") - 1)) /
+              ((col("ts2").cast("double") - col("sqb").cast("double")) /
+                (col("n") - col("k"))), 4).as("w_stat"),
+            round(col("vmax") / col("vmin"), 4).as("var_ratio"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vq
+          FROM events WHERE value IS NOT NULL),
+        med AS (
+          SELECT event_type, median(vq) AS med FROM base GROUP BY 1),
+        z AS (
+          SELECT base.event_type,
+                 abs(base.vq * 2 - CAST(med.med * 2 AS BIGINT)) AS z,
+                 base.vq
+          FROM base JOIN med ON base.event_type = med.event_type),
+        g AS (
+          SELECT event_type, count(*) AS ng,
+                 sum(z::HUGEINT) AS s1, sum(z::HUGEINT * z) AS s2,
+                 sum(vq::HUGEINT) AS v1, sum(vq::HUGEINT * vq) AS v2
+          FROM z GROUP BY 1),
+        q AS (
+          SELECT ng, s2,
+                 CAST(round(CAST(s1 * s1 AS DOUBLE) / ng) AS BIGINT) AS qb,
+                 s1,
+                 CAST(ng * v2 - v1 * v1 AS DOUBLE)
+                   / (CAST(ng AS DOUBLE) * (ng - 1)) AS gvar
+          FROM g),
+        t AS (
+          SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+                 sum(s1) AS ts1, sum(s2) AS ts2,
+                 CAST(sum(qb) AS BIGINT) AS sqb,
+                 max(gvar) AS vmax, min(gvar) AS vmin
+          FROM q)
+        SELECT k, n, k - 1 AS df_between, n - k AS df_within,
+               round((CAST(sqb - CAST(round(CAST(ts1 * ts1 AS DOUBLE)
+                        / n) AS BIGINT) AS DOUBLE) / (k - 1))
+                 / ((CAST(ts2 AS DOUBLE) - CAST(sqb AS DOUBLE))
+                    / (n - k)), 4) AS w_stat,
+               round(vmax / vmin, 4) AS var_ratio
+        FROM t""")),
+
     // One-way ANOVA across the five event types — the k-group
     // completion of the two-sample shelf (welch_ttest, mannwhitney,
     // ks_test): F = MS_between / MS_within plus η² effect size. Exact

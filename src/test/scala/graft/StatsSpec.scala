@@ -708,6 +708,39 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getLong(2) > 0L) // growth = L∞ eigenvalue estimate
   }
 
+  test("agg_levene: hand Brown–Forsythe W and variance ratio") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // A = {1,1,3,3} milli-units: med 2, |2v−4| = {2,2,2,2}.
+    // B = {1,3,9,11}: med 6, |2v−12| = {10,6,6,10}.
+    // z-ANOVA: sqb = 16+256 = 272, grand = round(40²/8) = 200,
+    // W = (272−200)/1 ÷ (288−272)/6 = 27. Raw variances: 16/12 vs
+    // 272/12 → ratio exactly 17.
+    val rows = Seq(("a", 0.001), ("a", 0.001), ("a", 0.003), ("a", 0.003),
+      ("b", 0.001), ("b", 0.003), ("b", 0.009), ("b", 0.011))
+    val ev = rows.zipWithIndex.map { case ((et, v), i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        et, Some(v), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("levene_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("agg_levene")(sp, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 8L)), r.toString)
+    assert((r.getLong(2), r.getLong(3)) == ((1L, 6L)), r.toString)
+    assert(r.getDouble(4) == 27.0, s"W ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 17.0, s"ratio ${r.getDouble(5)}")
+  }
+
+  test("agg_levene: corpus null readout is finite and sane") {
+    val r = SparkEntry.queries("agg_levene")(spark, sf001).collect()(0)
+    assert(r.getLong(0) == 5L) // five event types
+    assert(r.getLong(1) > 0L)
+    assert(r.getDouble(4) >= 0.0 && !r.getDouble(4).isNaN, r.toString)
+    // all five types draw one exponential: variances must be same-order
+    assert(r.getDouble(5) >= 1.0 && r.getDouble(5) < 3.0, r.toString)
+  }
+
   test("ml_linreg_normal: exact planted fit recovered with R² = 1") {
     val sp = spark
     import sp.implicits._
