@@ -2124,6 +2124,81 @@ object Aggregates extends QueryModule {
     // collapses to the month frame at first aggregation; the pair join
     // and its window run over calendar² rows (3160 here), bounded by
     // time span, never data size.
+    // Mann–Kendall trend test on the same monthly-revenue series as
+    // agg_theil_sen — the SIGNIFICANCE half of that pair (Sen answers
+    // "how steep", MK answers "is there a trend at all"): S = Σ sign
+    // over ordered pairs, tie-corrected variance, normal-approximation
+    // Z with the ±1 continuity correction. Everything before the final
+    // Z is exact integers (S from sign counts; 18·Var as
+    // n(n−1)(2n+5) − Σt(t−1)(2t+5) over tie groups); Z is one sqrt +
+    // one division, and the trend call reads the UNrounded Z. The pair
+    // join is calendar-bounded (months², never row count) — the same
+    // scale argument as theil_sen.
+    Q(
+      "agg_mann_kendall",
+      (s, dir) => {
+        val m = Tables.orders(s, dir)
+          .select(((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("idx"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("idx").agg(sum("cents").as("rev"))
+        val a = m.select(col("idx").as("i"), col("rev").as("ri"))
+        val b = m.select(col("idx").as("j"), col("rev").as("rj"))
+        val sRow = a.join(b, col("i") < col("j"))
+          .agg(sum(signum(col("rj") - col("ri")).cast("long"))
+            .as("s_stat"), count(lit(1)).as("n_pairs"))
+        val nRow = m.agg(count(lit(1)).as("n"))
+        val tie = m.groupBy("rev").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(col("t") * (col("t") - 1) *
+            (col("t") * 2 + 5)), lit(0L)).as("tc"))
+        sRow.crossJoin(nRow).crossJoin(tie)
+          .withColumn("var18",
+            col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tc"))
+          .withColumn("z",
+            when(col("s_stat") === 0, lit(0.0))
+              .otherwise((col("s_stat").cast("double") -
+                signum(col("s_stat").cast("double"))) /
+                sqrt(col("var18").cast("double") / 18.0)))
+          .select(col("n").as("n_months"), col("n_pairs"), col("s_stat"),
+            col("var18"), round(col("z"), 4).as("z"),
+            when(col("z") > 1.96, "increasing")
+              .when(col("z") < -1.96, "decreasing")
+              .otherwise("no_trend").as("trend"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+                   + month(o_orderdate) - 1 AS idx,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev
+          FROM orders GROUP BY 1),
+        sp AS (
+          SELECT CAST(sum(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT)
+                   AS s_stat,
+                 count(*) AS n_pairs
+          FROM m a JOIN m b ON a.idx < b.idx),
+        nn AS (SELECT count(*) AS n FROM m),
+        tie AS (
+          SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+            AS BIGINT) AS tc
+          FROM (SELECT count(*) AS t FROM m GROUP BY rev)),
+        f AS (
+          SELECT n, n_pairs, s_stat,
+                 n * (n - 1) * (2 * n + 5) - tc AS var18
+          FROM sp, nn, tie),
+        z AS (
+          SELECT *, CASE WHEN s_stat = 0 THEN 0.0
+                    ELSE (CAST(s_stat AS DOUBLE)
+                          - sign(CAST(s_stat AS DOUBLE)))
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0) END AS zv
+          FROM f)
+        SELECT n AS n_months, n_pairs, s_stat, var18,
+               round(zv, 4) AS z,
+               CASE WHEN zv > 1.96 THEN 'increasing'
+                    WHEN zv < -1.96 THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM z""")),
+
     Q(
       "agg_theil_sen",
       (s, dir) => {

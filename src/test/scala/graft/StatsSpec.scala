@@ -708,6 +708,38 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getLong(2) > 0L) // growth = L∞ eigenvalue estimate
   }
 
+  test("agg_mann_kendall: hand 5-month rising series is significant") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Strictly increasing revenue over 5 months: S = 10 (all pairs +1),
+    // no ties, var18 = 5·4·15 = 300, Z = 9/√(300/18) = 2.2045 > 1.96.
+    val orders = (1 to 5).map { mth =>
+      (mth.toLong, 1L, "O", 100.0 * mth,
+        Timestamp.valueOf(f"1995-$mth%02d-10 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = graft.Scratch.fresh("mk_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("agg_mann_kendall")(sp, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 10L, 10L, 300L)), r.toString)
+    assert(r.getDouble(4) == 2.2045, s"Z ${r.getDouble(4)}")
+    assert(r.getString(5) == "increasing", r.toString)
+  }
+
+  test("agg_mann_kendall: corpus verdict is internally consistent") {
+    val r = SparkEntry.queries("agg_mann_kendall")(spark, sf001)
+      .collect()(0)
+    val (n, np, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(np == n * (n - 1) / 2)
+    assert(math.abs(s) <= np)
+    val z = r.getDouble(4)
+    val expected = if (z > 1.96) "increasing"
+      else if (z < -1.96) "decreasing" else "no_trend"
+    assert(r.getString(5) == expected, r.toString)
+  }
+
   test("agg_levene: hand Brown–Forsythe W and variance ratio") {
     val sp = spark
     import sp.implicits._
