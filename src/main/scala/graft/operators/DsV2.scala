@@ -210,6 +210,27 @@ object DsV2 extends QueryModule {
                min(ts) AS min_ts_us, max(ts) AS max_ts_us
         FROM log GROUP BY 1 ORDER BY partition""")),
 
+    // V2 PARTIAL limit pushdown (SupportsPushDownLimit): `LIMIT n` stops
+    // the batch planner after enough segments to cover n rows (greedy in
+    // (partition, offset) order), so a bounded peek at a 100 TB topic
+    // opens O(n / segment-rows) files, not O(topic) (DsV2Spec pins the
+    // opened-file count). Spark re-applies the limit above the scan —
+    // partial pushdown can only skip provably-unneeded files, never
+    // change the answer — and refuses to push a limit across the
+    // re-applied (post-scan) filters, which is what makes raw segment
+    // row counts a sound budget. The hash-checked output is the row
+    // count the limit admits.
+    Q(
+      "scan_dsv2_limit_pushdown",
+      (s, dir) => {
+        val t = topic(s, dir)
+        s.read.format("graft-log").load(t)
+          .limit(300)
+          .agg(count(lit(1)).as("n_rows"))
+      },
+      oracle = Some("""
+        SELECT least(300, count(*)) AS n_rows FROM events""")),
+
     // V2 micro-batch stream with admission control: maxRecordsPerTrigger
     // splits the drain into several proportional-to-lag batches (DsV2Spec
     // asserts >1 batches and exact allocation); the complete-mode result

@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
   InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns,
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
   SupportsReportPartitioning, SupportsReportStatistics,
   SupportsRuntimeFiltering, Statistics}
 import org.apache.spark.sql.connector.read.partitioning.{
@@ -273,11 +273,23 @@ class LogTable(path: String) extends Table with SupportsRead with SupportsWrite 
   */
 class LogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = GraftLog.SCHEMA
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, Seq[Array[Option[Long]]])] = None
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown: the batch planner stops planning segments
+    * once the surviving ones already hold `limit` rows (greedy in
+    * (partition, offset) order), so a `LIMIT n` over a huge topic opens
+    * O(n / segment-rows) files instead of all of them. Partial — Spark
+    * re-applies the limit above the scan — so pruning can only skip
+    * files, never change the answer (the filter-pushdown contract, again).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -401,7 +413,7 @@ class LogScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new LogAggScan(path, schema, rows)
     case None => new LogScan(path, required, pushed,
-      Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
+      Option(options.get("maxRecordsPerTrigger")).map(_.toLong), limit)
   }
 }
 
@@ -448,7 +460,8 @@ class LogAggReaderFactory(schema: StructType)
 }
 
 class LogScan(path: String, required: StructType, pushed: Array[Filter],
-    maxRecordsPerTrigger: Option[Long])
+    maxRecordsPerTrigger: Option[Long],
+    private[sources] val limitRows: Option[Int] = None)
     extends Scan with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -568,8 +581,8 @@ class LogScan(path: String, required: StructType, pushed: Array[Filter],
   * volume (segment count), not topic partition count.
   */
 class LogBatch(path: String, required: StructType, scan: LogScan) extends Batch {
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftLog.partitionDirs(path).flatMap { case (p, dir) =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = GraftLog.partitionDirs(path).flatMap { case (p, dir) =>
       if (!scan.partitionSurvives(p)) Seq.empty
       else {
         var base = 0L
@@ -583,7 +596,22 @@ class LogBatch(path: String, required: StructType, scan: LogScan) extends Batch 
           ip
         }
       }
-    }.toArray
+    }
+    // Pushed LIMIT budget (partial pushdown — Spark re-applies the limit
+    // above the scan): stop planning segments once the planned ones
+    // already hold `limit` rows. Spark only pushes a limit when no
+    // post-scan filter stands between it and the scan (and every graft
+    // filter is re-applied post-scan), so raw segment row counts are the
+    // qualifying row counts and the budget can never under-deliver.
+    scan.limitRows match {
+      case Some(l) =>
+        var budget = l.toLong
+        all.takeWhile { ip =>
+          val need = budget > 0; budget -= ip.limit; need
+        }.toArray
+      case None => all.toArray
+    }
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new LogReaderFactory(required)
 }

@@ -446,6 +446,33 @@ class DsV2Spec extends AnyFunSuite with SparkFixture {
     assert(graft.sources.GraftLog.segmentsOpened.get() == 0L)
   }
 
+  test("limit pushdown plans only the segments the budget needs") {
+    val sp = spark
+    import sp.implicits._
+    val t = freshTopic("dsv2_limitpush")
+    tinyFrame.write.format("graft-log").mode("append").save(t)
+    // 3 committed segments of 10 rows each; a limit of 5 needs only the
+    // first — exactly one file opened, and the rows ARE that segment's.
+    graft.sources.GraftLog.segmentsOpened.set(0L)
+    val five = spark.read.format("graft-log").load(t).limit(5).collect()
+    assert(five.length == 5)
+    assert(graft.sources.GraftLog.segmentsOpened.get() == 1L,
+      s"opened ${graft.sources.GraftLog.segmentsOpened.get()} files for limit 5")
+    assert(five.forall(_.getInt(0) == five.head.getInt(0)),
+      "limit-5 rows spilled across partitions")
+    // budget spanning all segments keeps the full answer
+    graft.sources.GraftLog.segmentsOpened.set(0L)
+    assert(spark.read.format("graft-log").load(t).limit(25)
+      .count() == 25L)
+    assert(graft.sources.GraftLog.segmentsOpened.get() == 3L)
+    // limit above re-applied filters must NOT shrink the result: the
+    // filter is post-scan, so Spark keeps the limit above it
+    val filtered = spark.read.format("graft-log").load(t)
+      .filter(col("key") >= "k015").limit(4).collect()
+    assert(filtered.length == 4)
+    assert(filtered.forall(_.getString(2) >= "k015"))
+  }
+
   test("aggregate pushdown refuses filtered or unsupported shapes and stays correct") {
     val sp = spark
     import sp.implicits._
