@@ -2356,6 +2356,83 @@ object Similarity extends QueryModule {
                  / (2 * CAST(sum(np) AS DOUBLE) * sum(nn)), 4) AS auc
         FROM r""")),
 
+    // Reliability diagram for the 10-NN classifier — the calibration
+    // audit that completes the evaluation shelf (confusion matrix →
+    // accuracy, ROC-AUC → ranking, THIS → probability quality): per
+    // score bucket s ∈ 0..10, the predicted probability (s/10) against
+    // the observed positive rate, plus the expected calibration error.
+    // Same holdout and neighbor pipeline as ml_roc_auc (broadcast eval
+    // side, train corpus streams once through the codegen cosine).
+    // Integer end-to-end: rates and ECE in permille by BIGINT div — no
+    // float accumulates anywhere.
+    Q(
+      "ml_calibration_curve",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val test = v.filter(col("vec_id") % 7 === 0 &&
+            col("vec_id") < 3500)
+          .select(col("vec_id").as("query_id"),
+            (col("label") % 2).cast("long").as("y"), col("e").as("qe"))
+        val train = v.filter(col("vec_id") % 7 =!= 0)
+          .select(col("vec_id").as("cand_id"),
+            (col("label") % 2).cast("long").as("nl"), col("e"))
+        val wN = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        val scores = broadcast(test).join(train)
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("rn", row_number().over(wN))
+          .filter(col("rn") <= 10)
+          .groupBy("query_id", "y")
+          .agg(sum("nl").as("score"))
+        val h = scores.groupBy("score")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"))
+          .withColumn("pred_pm", col("score") * 100)
+          .withColumn("obs_pm", expr("1000 * np div n"))
+          .withColumn("gap_pm", col("obs_pm") - col("pred_pm"))
+        val ece = h.agg(
+          expr("sum(n * abs(gap_pm)) div sum(n)").as("ece_pm"))
+        h.crossJoin(broadcast(ece))
+          .select(col("score"), col("n"), col("np"), col("pred_pm"),
+            col("obs_pm"), col("gap_pm"), col("ece_pm"))
+          .orderBy("score")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label % 2 AS y, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        nb AS (
+          SELECT query_id, y, nl FROM (
+            SELECT q.vec_id AS query_id, q.y, c.y AS nl,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM e q JOIN e c ON c.vec_id % 7 <> 0
+            WHERE q.vec_id % 7 = 0 AND q.vec_id < 3500) WHERE rn <= 10),
+        scores AS (
+          SELECT query_id, y, CAST(sum(nl) AS BIGINT) AS score
+          FROM nb GROUP BY 1, 2),
+        h AS (
+          SELECT score, count(*) AS n,
+                 CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS np
+          FROM scores GROUP BY 1),
+        g AS (
+          SELECT score, n, np, score * 100 AS pred_pm,
+                 1000 * np // n AS obs_pm,
+                 (1000 * np // n) - score * 100 AS gap_pm
+          FROM h),
+        ece AS (
+          SELECT CAST(sum(n * abs(gap_pm)) // sum(n) AS BIGINT) AS ece_pm
+          FROM g)
+        SELECT score, n, np, CAST(pred_pm AS BIGINT) AS pred_pm,
+               CAST(obs_pm AS BIGINT) AS obs_pm,
+               CAST(gap_pm AS BIGINT) AS gap_pm, ece.ece_pm
+        FROM g, ece ORDER BY score""")),
+
     // Clustering-quality readout for ml_kmeans: per-cluster simplified
     // (centroid-based) silhouette — s = (b−a)/max(a,b) with a = distance
     // to the own centroid, b = to the nearest other — the standard

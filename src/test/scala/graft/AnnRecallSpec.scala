@@ -288,6 +288,26 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     assert(hits >= 13, s"recall@3 = $hits/30 — binary index degraded")
   }
 
+  test("ml_calibration_curve: accounting closes and ECE is the weighted gap") {
+    val out = SparkEntry.queries("ml_calibration_curve")(spark, sf001)
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 72L) // every holdout in a bucket
+    out.foreach { r =>
+      val (score, n, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(score >= 0 && score <= 10)
+      assert(np >= 0 && np <= n)
+      assert(r.getLong(3) == score * 100)
+      assert(r.getLong(4) == 1000 * np / n)
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3))
+    }
+    val ece = out.map(r => r.getLong(1) * math.abs(r.getLong(5))).sum /
+      out.map(_.getLong(1)).sum
+    assert(out.forall(_.getLong(6) == ece), s"ece mismatch vs $ece")
+    // random labels: observed rate can't follow the predicted ramp, so
+    // calibration error must be clearly nonzero — the honest readout
+    assert(ece > 50, s"ece $ece suspiciously perfect for random labels")
+  }
+
   test("sim_ann_recall_hamming: constant pool, recall floor holds") {
     val out = SparkEntry.queries("sim_ann_recall_hamming")(spark, sf001)
       .collect()
