@@ -84,6 +84,68 @@ object Text extends QueryModule {
     // integers (perplexity trick); the slope/intercept/r² come out of
     // one shared-structure double expression over those exact sums (the
     // 1e-6 scale cancels in slope and r²).
+    // Hill tail-index estimator on the term-frequency distribution — the
+    // MLE companion to text_zipf's OLS fit (Zipf regresses the whole
+    // top-50 curve; Hill estimates the tail exponent α from the k
+    // largest order statistics alone: α = k / Σ ln(f_i / f_(k+1)),
+    // i = 1..k). The standard heavy-tail screen for "is this corpus's
+    // vocabulary natural or TEMPLATED" — generated/boilerplate text
+    // shows a much lighter tail than Zipf's α ≈ 1. Exactness: the only
+    // transcendentals are k+1 ln calls on exact integer counts,
+    // quantized to 1e-6 (the text_zipf discipline) so the sum is
+    // order-free integer; α is one final double division. Scale: term
+    // counts partial-aggregate map-side; the order statistics live in a
+    // k-row frame.
+    Q(
+      "text_hill_tail",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val top = toks(s, dir).groupBy("term")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("term")).limit(11)
+        val rk = top.select(row_number()
+            .over(Window.orderBy(desc("n"), asc("term"))).as("rank"),
+          round(log(col("n").cast("double")) * 1e6, 0).cast("long")
+            .as("lnq"),
+          col("n"))
+        rk.agg(
+            sum(when(col("rank") <= 10, col("lnq"))).as("s10"),
+            max(when(col("rank") === 11, col("lnq"))).as("ln11"),
+            max(when(col("rank") === 11, col("n"))).as("xmin"),
+            sum(when(col("rank") <= 10, 1L).otherwise(0L)).as("k"))
+          .select(col("k"), col("xmin").as("xmin_freq"),
+            (col("s10") - col("k") * col("ln11")).as("ln_sum_q"),
+            round(col("k").cast("double") * 1e6 /
+              (col("s10") - col("k") * col("ln11")).cast("double"), 4)
+              .as("alpha"))
+      },
+      oracle = Some("""
+        WITH tf AS (
+          SELECT w AS term, count(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY w),
+        top AS (SELECT term, CAST(n AS BIGINT) AS n FROM tf
+                ORDER BY n DESC, term LIMIT 11),
+        rk AS (
+          SELECT row_number() OVER (ORDER BY n DESC, term) AS rank,
+                 CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS lnq,
+                 n
+          FROM top),
+        m AS (
+          SELECT CAST(sum(CASE WHEN rank <= 10 THEN lnq END) AS BIGINT)
+                   AS s10,
+                 max(CASE WHEN rank = 11 THEN lnq END) AS ln11,
+                 max(CASE WHEN rank = 11 THEN n END) AS xmin,
+                 CAST(count(*) FILTER (WHERE rank <= 10) AS BIGINT) AS k
+          FROM rk)
+        SELECT k, xmin AS xmin_freq,
+               CAST(s10 - k * ln11 AS BIGINT) AS ln_sum_q,
+               round(CAST(k AS DOUBLE) * 1e6
+                 / CAST(s10 - k * ln11 AS DOUBLE), 4) AS alpha
+        FROM m""")),
+
     Q(
       "text_zipf",
       (s, dir) => {

@@ -453,6 +453,49 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(out(9) == ((1L, 0.1429, 0.0458, 0.0971)), out(9).toString)
   }
 
+  test("text_hill_tail: geometric counts give the closed-form alpha") {
+    val sp = spark
+    import sp.implicits._
+    // Counts 2^10 .. 2^0 over 11 terms: Σ ln(f_i/f_11) over the top 10
+    // = 55·ln2; α = 10/(55·ln2) = 0.2623 (quantized sum 38123095).
+    val text = (1 to 11).flatMap(i =>
+      Seq.fill(1 << (11 - i))(f"t$i%02d")).mkString(" ")
+    val docs = Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("hill_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("text_hill_tail")(sp, dir).collect()(0)
+    assert(r.getLong(0) == 10L, r.toString)
+    assert(r.getLong(1) == 1L, r.toString) // xmin = f_11 = 2^0
+    assert(r.getLong(2) == 38123095L, r.toString)
+    assert(r.getDouble(3) == 0.2623, r.toString)
+  }
+
+  test("text_hill_tail: alpha is scale-free, xmin is not") {
+    val sp = spark
+    import sp.implicits._
+    // Doubling every document leaves all frequency RATIOS unchanged, so
+    // Hill's α must be bit-identical while xmin doubles — the
+    // scale-freeness that makes the estimator comparable across corpus
+    // sizes.
+    val base = Tables.documents(sp, sf001)
+    val dir1 = graft.Scratch.fresh("hill_scale1")
+    val dir2 = graft.Scratch.fresh("hill_scale2")
+    base.write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    base.unionAll(base.withColumn("doc_id", col("doc_id") + 100000L))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r1 = SparkEntry.queries("text_hill_tail")(sp, dir1).collect()(0)
+    val r2 = SparkEntry.queries("text_hill_tail")(sp, dir2).collect()(0)
+    assert(r2.getLong(1) == 2 * r1.getLong(1), s"$r1 vs $r2")
+    // scale-free up to the 1e-6 ln quantization (each of the 11 ln
+    // calls may shift the sum ±1 unit after doubling)
+    assert(math.abs(r1.getDouble(3) - r2.getDouble(3)) < 0.01,
+      s"$r1 vs $r2")
+    // templated 31-word vocabulary: near-uniform frequencies → a tail
+    // far LIGHTER than natural text's α ≈ 1 — the honest screen readout
+    assert(r1.getDouble(3) > 3.0, r1.toString)
+  }
+
   test("text_zipf: exact power-law corpus fits slope -1, r2 = 1") {
     val sp = spark
     import sp.implicits._
