@@ -2124,6 +2124,77 @@ object Aggregates extends QueryModule {
     // collapses to the month frame at first aggregation; the pair join
     // and its window run over calendar² rows (3160 here), bounded by
     // time span, never data size.
+    // Winsorized mean per event type — the robust-average companion to
+    // agg_outliers (which FLAGS tails; this CLAMPS them at the
+    // quartiles and reports how far the robust mean moves — the
+    // standard treatment for metric pipelines living with heavy tails).
+    // Exactness: values in integer millis; quartiles are chosen at
+    // p25/p75 PRECISELY because 0.25·(n−1) has a binary-exact
+    // fractional part ∈ {0, ¼, ½, ¾} — every interpolation is exact
+    // double arithmetic on integers regardless of either engine's
+    // expression tree (a p10 bound would NOT replay: 0.1 is inexact and
+    // the two engines associate the interpolation differently). The
+    // clamped values live in exact quarter-milli integers (×4), so both
+    // means are integer sums with one final division each. Scale: a
+    // k-row quartile table broadcast back over one corpus pass (at
+    // 100 TB swap the exact percentile for the histogram-median
+    // discipline of agg_mad).
+    Q(
+      "agg_winsorized_mean",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val base = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 1000).cast("long").as("vq"))
+        val qs = base.groupBy("event_type")
+          .agg(expr("percentile(vq, 0.25D)").as("q1"),
+            expr("percentile(vq, 0.75D)").as("q3"))
+          .select(col("event_type"),
+            (col("q1") * 4).cast("long").as("lo4"),
+            (col("q3") * 4).cast("long").as("hi4"))
+        base.join(broadcast(qs), "event_type")
+          .select(col("event_type"), (col("vq") * 4).as("v4"),
+            col("lo4"), col("hi4"))
+          .withColumn("w4", greatest(least(col("v4"), col("hi4")),
+            col("lo4")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v4") < col("lo4"), 1L).otherwise(0L))
+              .as("n_clamped_lo"),
+            sum(when(col("v4") > col("hi4"), 1L).otherwise(0L))
+              .as("n_clamped_hi"),
+            round(sum(col("v4").cast(dec)).cast("double") /
+              (count(lit(1)) * 4000).cast("double"), 4).as("mean_raw"),
+            round(sum(col("w4").cast(dec)).cast("double") /
+              (count(lit(1)) * 4000).cast("double"), 4)
+              .as("mean_winsor"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vq
+          FROM events WHERE value IS NOT NULL),
+        qs AS (
+          SELECT event_type,
+                 CAST(quantile_cont(vq, 0.25) * 4 AS BIGINT) AS lo4,
+                 CAST(quantile_cont(vq, 0.75) * 4 AS BIGINT) AS hi4
+          FROM base GROUP BY 1),
+        w AS (
+          SELECT base.event_type, base.vq * 4 AS v4, qs.lo4, qs.hi4,
+                 greatest(least(base.vq * 4, qs.hi4), qs.lo4) AS w4
+          FROM base JOIN qs ON base.event_type = qs.event_type)
+        SELECT event_type, count(*) AS n,
+               CAST(count(*) FILTER (WHERE v4 < lo4) AS BIGINT)
+                 AS n_clamped_lo,
+               CAST(count(*) FILTER (WHERE v4 > hi4) AS BIGINT)
+                 AS n_clamped_hi,
+               round(CAST(sum(v4::HUGEINT) AS DOUBLE)
+                 / CAST(count(*) * 4000 AS DOUBLE), 4) AS mean_raw,
+               round(CAST(sum(w4::HUGEINT) AS DOUBLE)
+                 / CAST(count(*) * 4000 AS DOUBLE), 4) AS mean_winsor
+        FROM w GROUP BY event_type ORDER BY event_type""")),
+
     // Mann–Kendall trend test on the same monthly-revenue series as
     // agg_theil_sen — the SIGNIFICANCE half of that pair (Sen answers
     // "how steep", MK answers "is there a trend at all"): S = Σ sign

@@ -708,6 +708,42 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getLong(2) > 0L) // growth = L∞ eigenvalue estimate
   }
 
+  test("agg_winsorized_mean: hand quartile clamps and both means") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // millis {0,1,2,3,100}: q1 = 1, q3 = 3 (indices 1 and 3 exactly);
+    // clamped = {1,1,2,3,3} → winsor mean 2 millis = 0.002 while the
+    // raw mean is 21.2 millis = 0.0212; one clamp each side.
+    val vals = Seq(0.0, 0.001, 0.002, 0.003, 0.1)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        "view", Some(v), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("winsor_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("agg_winsorized_mean")(sp, dir)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 1L, 1L)),
+      r.toString)
+    assert(r.getDouble(4) == 0.0212, r.toString)
+    assert(r.getDouble(5) == 0.002, r.toString)
+  }
+
+  test("agg_winsorized_mean: corpus tails are right-heavy, clamps bounded") {
+    val out = SparkEntry.queries("agg_winsorized_mean")(spark, sf001)
+      .collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val n = r.getLong(1)
+      // at most a quarter of each side can be outside its own quartile
+      assert(r.getLong(2) <= n / 4 + 1, r.toString)
+      assert(r.getLong(3) <= n / 4 + 1, r.toString)
+      // exponential-ish right tail: winsorizing must pull the mean DOWN
+      assert(r.getDouble(5) < r.getDouble(4), r.toString)
+    }
+  }
+
   test("agg_mann_kendall: hand 5-month rising series is significant") {
     val sp = spark
     import sp.implicits._
