@@ -704,14 +704,18 @@ object Pipeline extends QueryModule {
     // the modern alternative to hard dedup (keep every copy, make the
     // cluster's total contribution one document's worth), which
     // preserves distributional coverage while killing the duplication
-    // bias. Clusters come from exact 3-shingle Jaccard ≥ 0.5 pairs
-    // (api.Dedup.exactJaccardPairs — md5-digest inverted index, integer
-    // permille) closed under api.Dedup.connectedComponents; docs in no
-    // pair keep weight 1e6. At 100 TB the pair stage would be the
-    // minhash LSH candidates instead of the exact audit join — the
-    // weighting and the accounting are unchanged. Output: per-source
-    // token budget before/after, integer end-to-end (weights, products,
-    // and the retention ratio are all BIGINT div arithmetic).
+    // bias. Pair generation is the PRODUCTION path: minhash-LSH
+    // candidates (api.Dedup.minhashPortableCandidates — band-bucket
+    // equi-join, O(corpus·bands) work) confirmed by exact 3-shingle
+    // Jaccard ≥ 0.5 on the candidate pairs only, then closed under
+    // api.Dedup.connectedComponents; docs in no pair keep weight 1e6.
+    // (The first cut used the exactJaccardPairs audit join — the
+    // ScaleSlope harness measured it 13× at 10× data, the Σdf²
+    // quadratic; the LSH shape is why this op survives 100 TB.) LSH
+    // recall is probabilistic by design — the lost pairs are priced by
+    // dedup_lsh_audit, not hidden here. Output: per-source token budget
+    // before/after, integer end-to-end (weights, products, and the
+    // retention ratio are all BIGINT div arithmetic).
     Q(
       "mix_dedup_weighted",
       (s, dir) => {
@@ -719,8 +723,22 @@ object Pipeline extends QueryModule {
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("long").as("tokens"),
             col("text"))
-        val pairs = graft.api.Dedup.exactJaccardPairs(
-            docs, col("doc_id"), col("text"), k = 3, minPermille = 500)
+        val cand = graft.api.Dedup.minhashPortableCandidates(
+            docs, col("doc_id"), col("text"))
+          .filter(col("n_shared_bands") >= 2)
+          .select(col("id_a"), col("id_b"))
+        val sh = docs.select(col("doc_id"),
+          graft.api.Dedup.shingles(col("text")).as("sh"))
+        val pairs = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")),
+            Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")),
+            Seq("id_b"))
+          .withColumn("inter",
+            size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("uni",
+            size(col("sa")) + size(col("sb")) - col("inter"))
+          .filter(expr("1000 * inter div uni") >= 500)
           .select(col("id_a"), col("id_b"))
           .localCheckpoint(true) // nodes + edges both read it
         val nodes = pairs.select(col("id_a").as("n"))
@@ -745,29 +763,49 @@ object Pipeline extends QueryModule {
             expr("weighted_tokens_ppm div raw_tokens"))
           .orderBy("source")
       },
-      oracle = Some("""
+      oracle = Some {
+        val P = graft.api.Dedup.portableP
+        val mins = (0 until 8).map(i =>
+          s"min((${graft.api.Dedup.portableA(i)}*h+" +
+            s"${graft.api.Dedup.portableB(i)})%$P) AS m$i").mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(m${2 * b}::VARCHAR || ',' || " +
+            s"m${2 * b + 1}::VARCHAR) AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""
         WITH RECURSIVE w AS (
           SELECT doc_id, source, string_split(text, ' ') AS ws,
                  len(string_split(text, ' ')) AS n
           FROM documents),
-        dg AS (
-          SELECT DISTINCT doc_id,
-                 ('0x' || substring(md5(
-                   array_to_string(ws[i : i + 2], ' ')), 1, 15))::BIGINT AS gh
-          FROM w, unnest(generate_series(1, greatest(n - 2, 1))) AS t(i)),
-        cnt AS (SELECT doc_id, count(*) AS nsh FROM dg GROUP BY 1),
-        keep AS (SELECT gh FROM dg GROUP BY gh HAVING count(*) <= 256),
-        ip AS (
-          SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS inter
-          FROM dg a JOIN keep USING (gh) JOIN dg b2
-            ON a.gh = b2.gh AND a.doc_id < b2.doc_id
+        hsh AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(array_to_string(ws[i:i+2], ' ')),
+                   1, 15))::BIGINT % $P AS h
+          FROM w, unnest(generate_series(1, n - 2)) AS t(i)
+          WHERE n >= 3),
+        sig AS (SELECT doc_id, $mins FROM hsh GROUP BY doc_id),
+        b AS ($bandRows),
+        cand AS (
+          SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS nsb
+          FROM b a JOIN b b2
+            ON a.band = b2.band AND a.bkey = b2.bkey
+           AND a.doc_id < b2.doc_id
           GROUP BY 1, 2),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(n - 2, 1)),
+                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+          FROM w),
         pairs AS (
-          SELECT id_a AS u, id_b AS v
-          FROM ip
-          JOIN cnt ca ON ip.id_a = ca.doc_id
-          JOIN cnt cb ON ip.id_b = cb.doc_id
-          WHERE 1000 * inter // (ca.nsh + cb.nsh - inter) >= 500),
+          SELECT c.id_a AS u, c.id_b AS v
+          FROM cand c
+          JOIN shl a ON a.doc_id = c.id_a
+          JOIN shl b2 ON b2.doc_id = c.id_b
+          WHERE c.nsb >= 2
+            AND 1000 * len(list_intersect(a.sh, b2.sh))
+                // (len(a.sh) + len(b2.sh)
+                    - len(list_intersect(a.sh, b2.sh))) >= 500),
         nodes AS (SELECT u AS n FROM pairs UNION SELECT v FROM pairs),
         adj AS (SELECT u AS n, v AS m FROM pairs
                 UNION ALL SELECT v AS n, u AS m FROM pairs),
@@ -792,7 +830,8 @@ object Pipeline extends QueryModule {
                  AS weighted_tokens_ppm,
                CAST(sum(tokens * weight_ppm) // sum(tokens) AS BIGINT)
                  AS retention_ppm
-        FROM wd GROUP BY source ORDER BY source""")),
+        FROM wd GROUP BY source ORDER BY source"""
+      }),
 
     // Mixture construction: downsample three sources to a 50/30/20 target
     // using integer-exact quotas (largest feasible total without

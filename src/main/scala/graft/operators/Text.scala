@@ -84,6 +84,85 @@ object Text extends QueryModule {
     // integers (perplexity trick); the slope/intercept/r² come out of
     // one shared-structure double expression over those exact sums (the
     // 1e-6 scale cancels in slope and r²).
+    // Per-source Jensen–Shannon divergence from the corpus token
+    // mixture — the data-mix diagnostic that ranks WHICH source's
+    // language is the odd one out (mix_kl_audit measures the lang AXIS
+    // against uniform; this measures each source's full unigram
+    // DISTRIBUTION against the corpus, symmetric and bounded ≤ ln 2 so
+    // sources are comparable). Exactness: both KL legs reduce to ln of
+    // exact integer ratios — P/M = 2cN/(cN + Cnₛ), Q/M = 2Cnₛ/(cN + Cnₛ)
+    // (c=0 cells collapse to ln 2 exactly, so the Q leg is computable on
+    // the DENSIFIED source×vocab grid — the χ² densification lesson) —
+    // each quantized to 1e-6 and weighted by integer counts; two final
+    // divisions per source. Scale: token counts partial-aggregate
+    // map-side; the grid is |sources|·|vocab| — vocabulary-bounded,
+    // never corpus-bounded.
+    Q(
+      "text_jsd_sources",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("source"), explode(split(col("text"), " "))
+            .as("term"))
+        val c = tok.groupBy("source", "term")
+          .agg(count(lit(1)).as("c"))
+        val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val cw = tok.groupBy("term").agg(count(lit(1)).as("cw"))
+        val nn = tok.agg(count(lit(1)).as("nn"))
+        val grid = ns.crossJoin(broadcast(cw)).crossJoin(broadcast(nn))
+          .join(c, Seq("source", "term"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("cn", col("c") * col("nn"))
+          .withColumn("cns", col("cw") * col("n_s"))
+          .withColumn("lnpm",
+            when(col("c") > 0,
+              round(log(col("cn") * 2 /
+                (col("cn") + col("cns")).cast("double")) * 1e6)
+                .cast("long")).otherwise(0L))
+          .withColumn("lnqm",
+            round(log(col("cns") * 2 /
+              (col("cn") + col("cns")).cast("double")) * 1e6)
+              .cast("long"))
+        grid.groupBy("source", "n_s", "nn")
+          .agg(sum(col("c") * col("lnpm")).as("num1"),
+            sum(col("cw") * col("lnqm")).as("num2"))
+          .select(col("source"), col("n_s").as("n_tokens"),
+            round(col("num1").cast("double") / (col("n_s") * 2) / 1e6 +
+              col("num2").cast("double") / (col("nn") * 2) / 1e6, 6)
+              .as("jsd_nats"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        c AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+        cw AS (SELECT term, count(*) AS cw FROM tok GROUP BY 1),
+        nn AS (SELECT count(*) AS nn FROM tok),
+        grid AS (
+          SELECT ns.source, ns.n_s, cw.term, cw.cw, nn.nn,
+                 coalesce(c.c, 0) AS c
+          FROM ns CROSS JOIN cw CROSS JOIN nn
+          LEFT JOIN c ON c.source = ns.source AND c.term = cw.term),
+        q AS (
+          SELECT source, n_s, nn, c, cw,
+                 c * nn AS cn, cw * n_s AS cns
+          FROM grid),
+        l AS (
+          SELECT source, n_s, nn, c, cw,
+                 CASE WHEN c > 0 THEN CAST(round(ln(cn * 2
+                   / CAST(cn + cns AS DOUBLE)) * 1e6) AS BIGINT)
+                 ELSE 0 END AS lnpm,
+                 CAST(round(ln(cns * 2
+                   / CAST(cn + cns AS DOUBLE)) * 1e6) AS BIGINT) AS lnqm
+          FROM q)
+        SELECT source, CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+               round(CAST(sum(c * lnpm) AS DOUBLE)
+                   / (any_value(n_s) * 2) / 1e6
+                 + CAST(sum(cw * lnqm) AS DOUBLE)
+                   / (any_value(nn) * 2) / 1e6, 6) AS jsd_nats
+        FROM l GROUP BY source ORDER BY source""")),
+
     // Hill tail-index estimator on the term-frequency distribution — the
     // MLE companion to text_zipf's OLS fit (Zipf regresses the whole
     // top-50 curve; Hill estimates the tail exponent α from the k

@@ -453,6 +453,44 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(out(9) == ((1L, 0.1429, 0.0458, 0.0971)), out(9).toString)
   }
 
+  test("text_jsd_sources: identical source ≈ 0, disjoint source = ln 2") {
+    val sp = spark
+    import sp.implicits._
+    // s1 and s2 share the identical text; s3 is vocabulary-disjoint.
+    // JSD(P‖Q) = ln 2 when P and the mixture's complement are disjoint…
+    // exactly: s3's distribution is disjoint from 2/3 of the corpus, so
+    // its divergence is large but < ln2; the sharp assertions are the
+    // ORDERING and the near-zero twins (each twin still diverges
+    // slightly from the mixture because s3's tokens dilute Q).
+    val docs = Seq(
+      (1L, "a b a b", "s1"), (2L, "a b a b", "s2"),
+      (3L, "x y x y", "s3"))
+      .map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("jsd_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_jsd_sources")(sp, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("s1") == out("s2"), out.toString) // symmetric twins
+    assert(out("s3") > out("s1"), out.toString)
+    assert(out("s3") < math.log(2) + 1e-6, out.toString) // JSD ≤ ln 2
+    assert(out("s1") < 0.2 && out("s1") > 0.0, out.toString)
+  }
+
+  test("text_jsd_sources: corpus sources are near-homogeneous") {
+    val out = SparkEntry.queries("text_jsd_sources")(spark, sf001)
+      .collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= math.log(2) + 1e-6, r.toString)
+      // sources draw from one shared vocabulary: divergences are small
+      assert(j < 0.1, r.toString)
+    }
+    assert(out.map(_.getDouble(2)).distinct.length > 10,
+      "divergences collapsed")
+  }
+
   test("text_hill_tail: geometric counts give the closed-form alpha") {
     val sp = spark
     import sp.implicits._
