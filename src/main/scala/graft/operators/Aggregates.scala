@@ -2124,6 +2124,87 @@ object Aggregates extends QueryModule {
     // collapses to the month frame at first aggregation; the pair join
     // and its window run over calendar² rows (3160 here), bounded by
     // time span, never data size.
+    // CUSUM changepoint on the monthly-revenue series — WHERE did the
+    // level shift, completing the trend shelf (theil_sen: how steep;
+    // mann_kendall: is it real; THIS: when did it break). The classic
+    // offline estimator: argmax_t |Σ_{i≤t}(x_i − x̄)|, with the whole
+    // argmax carried in exact integers by scaling the cusum by n
+    // (n·cum_t − t·total — no mean division until the final readout);
+    // ties break to the earliest month. Output: the changepoint, the
+    // scaled |cusum| peak, and the before/after means whose gap is the
+    // shift estimate. Calendar-bounded frame (months, never rows);
+    // one window pass.
+    Q(
+      "agg_changepoint_cusum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val m = Tables.orders(s, dir)
+          .select(((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("idx"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("idx").agg(sum("cents").as("rev"))
+        val wCum = Window.orderBy("idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPos = Window.orderBy("idx")
+        val tot = m.agg(count(lit(1)).as("n"),
+          sum(col("rev").cast(dec)).as("total"))
+        val cum = m.crossJoin(broadcast(tot))
+          .withColumn("t", row_number().over(wPos).cast("long"))
+          .withColumn("cum", sum(col("rev").cast(dec)).over(wCum))
+          .withColumn("dev",
+            abs(col("n") * col("cum") - col("t") * col("total")))
+          // the last point's cusum is 0 by construction — exclude it so
+          // a flat series reports its own degenerate peak honestly
+          .filter(col("t") < col("n"))
+        val peak = cum
+          .orderBy(col("dev").desc, col("idx")).limit(1)
+          .select(col("idx").as("cp_month"), col("t").as("cp_t"),
+            col("dev").as("peak_scaled"), col("n"), col("total"),
+            col("cum"))
+        peak.select(col("cp_month"),
+            col("peak_scaled").cast("long").as("peak_scaled"),
+            round(col("cum").cast("double") /
+              (col("cp_t") * 100).cast("double"), 4).as("mean_before"),
+            round((col("total") - col("cum")).cast("double") /
+              ((col("n") - col("cp_t")) * 100).cast("double"), 4)
+              .as("mean_after"))
+          .withColumn("shift", round(col("mean_after") -
+            col("mean_before"), 4))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT (CAST(year(o_orderdate) AS BIGINT) - 1995) * 12
+                   + month(o_orderdate) - 1 AS idx,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev
+          FROM orders GROUP BY 1),
+        tot AS (
+          SELECT count(*) AS n, sum(rev::HUGEINT) AS total FROM m),
+        cum AS (
+          SELECT idx,
+                 row_number() OVER (ORDER BY idx) AS t,
+                 sum(rev::HUGEINT) OVER (ORDER BY idx
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 n, total
+          FROM m, tot),
+        dev AS (
+          SELECT *, abs(n * cum - t * total) AS dev
+          FROM cum WHERE t < n),
+        peak AS (
+          SELECT * FROM dev ORDER BY dev DESC, idx LIMIT 1)
+        SELECT idx AS cp_month,
+               CAST(dev AS BIGINT) AS peak_scaled,
+               round(CAST(cum AS DOUBLE) / CAST(t * 100 AS DOUBLE), 4)
+                 AS mean_before,
+               round(CAST(total - cum AS DOUBLE)
+                 / CAST((n - t) * 100 AS DOUBLE), 4) AS mean_after,
+               round(round(CAST(total - cum AS DOUBLE)
+                     / CAST((n - t) * 100 AS DOUBLE), 4)
+                 - round(CAST(cum AS DOUBLE) / CAST(t * 100 AS DOUBLE),
+                     4), 4) AS shift
+        FROM peak""")),
+
     // Winsorized mean per event type — the robust-average companion to
     // agg_outliers (which FLAGS tails; this CLAMPS them at the
     // quartiles and reports how far the robust mean moves — the

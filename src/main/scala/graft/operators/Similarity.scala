@@ -560,40 +560,50 @@ object Similarity extends QueryModule {
             FROM ${p}v q CROSS JOIN ${p}cd c WHERE q.vec_id < 50)
           WHERE rn <= 2)"""
 
-  /** d² covariance cells of the embedding dims, quantized inputs (1e-9
-    * units), exact decimal moments, rescaled to ±1e6 integer units by one
-    * trunc division — the single corpus-sized pass behind the PCA keys.
+  /** d² covariance cells of the embedding dims, quantized inputs (1e-4
+    * units — long-product headroom), exact integer moments, rescaled to
+    * ±1e6 units by one trunc division — the corpus pass behind the PCA
+    * keys.
     * Cached + checkpointed per dir: ml_pca_power's distributed fixpoint
     * and ml_pca_project's driver-side solve both consume it, so the
     * 100 TB scan happens once per corpus (train-once/apply-many).
     */
   private val pcaCsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
 
-  private def pcaCs(s: SparkSession, dir: String): DataFrame =
+  /** The scaled d×d matrix as driver values: cs(i)(j) ∈ [−1e6, 1e6]. */
+  private def pcaCsMatrix(s: SparkSession, dir: String)
+      : Array[Array[Long]] =
     pcaCsCache.getOrElseUpdate(dir, {
-      val dec = "decimal(38,0)"
-      val cells = Tables.embeddings(s, dir)
-        .select(col("embedding").as("e"))
-        .select(posexplode(col("e")).as(Seq("i", "xv")), col("e"))
-        .select(col("i"),
-          round(col("xv").cast("double") * 1e9).cast("long").as("xi"),
-          explode(sequence(lit(0), lit(63))).as("j"), col("e"))
-        .select(col("i"), col("j"), col("xi"),
-          round(element_at(col("e"), col("j") + 1).cast("double") * 1e9)
-            .cast("long").as("xj"))
-      val craw = cells.groupBy("i", "j")
-        .agg(count(lit(1)).as("n"),
-          sum(col("xi").cast(dec)).as("sx"),
-          sum(col("xj").cast(dec)).as("sy"),
-          sum(col("xi").cast(dec) * col("xj")).as("sxy"))
-        .select(col("i"), col("j"),
-          (col("n") * col("sxy") - col("sx") * col("sy")).as("c"))
-      val cdiv = craw.agg(max(abs(col("c"))).as("cdiv"))
-      craw.crossJoin(broadcast(cdiv))
-        .select(col("i"), col("j"),
-          expr("CAST((c * 1000000) div cdiv AS BIGINT)").as("cs"))
-        .localCheckpoint()
+      // Inputs quantize to 1e-4 units (the ml_kcenter_greedy scale), NOT
+      // 1e-9: per-row products must stay PRIMITIVE LONGS — |q| ≤ ~5300
+      // ⇒ q·q ≤ 2.8e7 and Σ over n rows < 2^63 up to n ≈ 3e11 — because
+      // a decimal(38,0) multiply on the d²·n hot path runs ~20 µs/row
+      // (measured: 13 s for 20M rows at sf0.1, and invisible to count()
+      // probes since pruning drops the product column). Row shape
+      // matters as much: exploding (i, j) pairs materializes and
+      // shuffles d²·n rows; exploding only i and computing the 64
+      // Σ xi·x_j sums AS COLUMNS keeps the pass one whole-stage codegen
+      // over d·n rows with a 64-row shuffle (5.9 s → ~0.6 s cold at
+      // sf0.1). The d×d moment frame then collects (PQ-codebook size
+      // class) and the n·sxy − sx·sy tail runs in driver BigInt.
+      val q = Tables.embeddings(s, dir)
+        .select(transform(col("embedding"),
+          x => round(x.cast("double") * 1e4).cast("long")).as("qx"))
+      val ex = q.select(posexplode(col("qx")).as(Seq("i", "xi")),
+        col("qx"))
+      val aggs = count(lit(1)).as("cnt") +: sum(col("xi")).as("sxi") +:
+        (0 until 64).map(j =>
+          sum(col("xi") * element_at(col("qx"), j + 1)).as(s"s$j"))
+      val rows = ex.groupBy("i").agg(aggs.head, aggs.tail: _*)
+        .orderBy("i").collect()
+      val n = BigInt(rows(0).getLong(1))
+      val sx = Array.tabulate(64)(i => BigInt(rows(i).getLong(2)))
+      val c = Array.tabulate(64, 64)((i, j) =>
+        n * BigInt(rows(i).getLong(3 + j)) - sx(i) * sx(j))
+      val cdiv = c.flatten.map(_.abs).max
+      Array.tabulate(64, 64)((i, j) =>
+        (c(i)(j) * 1000000 / cdiv).toLong)
     })
 
   /** Driver-side 4-round power iteration on the collected 64×64 integer
@@ -608,10 +618,7 @@ object Similarity extends QueryModule {
   private def pcaComponent(s: SparkSession, dir: String)
       : (Array[Long], Long, BigInt, BigInt, BigInt) =
     pcaCompCache.getOrElseUpdate(dir, {
-      val m = Array.ofDim[Long](64, 64)
-      pcaCs(s, dir).collect().foreach { r =>
-        m(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-      }
+      val m = pcaCsMatrix(s, dir)
       var v = Array.fill(64)(BigInt(1000000))
       var v3: Array[BigInt] = null
       var w4: Array[BigInt] = null
@@ -696,18 +703,17 @@ object Similarity extends QueryModule {
   private val pcaCtesSql = """
         x AS (
           SELECT vec_id, i - 1 AS i,
-                 CAST(round(embedding[i] * 1e9) AS BIGINT) AS xq
+                 CAST(round(embedding[i] * 1e4) AS BIGINT) AS xq
           FROM embeddings, range(1, 65) t(i)),
         p AS (
-          SELECT a.i AS i, b.i AS j,
-                 a.xq::HUGEINT AS xi, b.xq::HUGEINT AS xj
+          SELECT a.i AS i, b.i AS j, a.xq AS xi, b.xq AS xj
           FROM x a JOIN x b ON a.vec_id = b.vec_id),
         mm AS (
           SELECT i, j, count(*) AS n, sum(xi) AS sx, sum(xj) AS sy,
                  sum(xi * xj) AS sxy
           FROM p GROUP BY i, j),
         c AS MATERIALIZED (
-          SELECT i, j, n * sxy - sx * sy AS c FROM mm),
+          SELECT i, j, n::HUGEINT * sxy - sx::HUGEINT * sy AS c FROM mm),
         cd AS (SELECT max(abs(c)) AS cdiv FROM c),
         cs AS MATERIALIZED (
           SELECT i, j, CAST((c * 1000000) // cdiv AS BIGINT) AS cs
@@ -2642,9 +2648,9 @@ object Similarity extends QueryModule {
     // of 4096-row × 64-row frames, no further touch of the corpus, which
     // is what makes power iteration THE distributed PCA algorithm: one
     // pass over 100 TB, then O(d²·rounds) compute.
-    // Exactness: inputs quantized to 1e-9 integer units, covariance in
-    // exact decimal(38,0) (same ~1e8-row headroom analysis as
-    // ml_corr_matrix), the matrix rescaled to ±1e6 integer units by ONE
+    // Exactness: inputs quantized to 1e-4 integer units (primitive-long
+    // products on the hot path — see pcaCs), covariance moments exact
+    // integers, the matrix rescaled to ±1e6 integer units by ONE
     // trunc division (Spark `div` ≡ DuckDB `//`, both toward zero), and
     // each of the 4 rounds renormalizes by the L∞ norm — a SELECTION,
     // order-free, and sqrt-free (any norm works for power iteration;
@@ -2655,22 +2661,19 @@ object Similarity extends QueryModule {
     Q(
       "ml_pca_power",
       (s, dir) => {
-        val cs = pcaCs(s, dir)
-        val dims = s.range(0, 64).select(col("id").cast("int").as("i"))
-        var v = dims.select(col("i"), lit(1000000L).as("v"))
-        var growth: DataFrame = null
-        for (_ <- 1 to 4) {
-          val w = cs.join(broadcast(v.withColumnRenamed("i", "j")), "j")
-            .groupBy("i").agg(sum(col("cs") * col("v")).as("w"))
-          val m = w.agg(max(abs(col("w"))).as("m"))
-          v = w.crossJoin(broadcast(m))
-            .select(col("i"), expr("CAST((w * 1000000) div m AS BIGINT)")
-              .as("v"))
-          growth = m
-        }
-        v.crossJoin(broadcast(growth))
-          .select(col("i").as("dim"), col("v").as("loading"),
-            col("m").as("growth"))
+        // The corpus-sized pass is pcaCs (shared, checkpointed); the
+        // 64×64 fixpoint itself runs driver-side in exact BigInt
+        // (pcaComponent — the MLlib convention). A first cut ran the
+        // rounds as broadcast-join DataFrames: each broadcast subtree
+        // re-executed its upstream rounds (~2× per round, compounding
+        // to ~16 evaluations of round 1 — 14.6 s at sf0.1 for a
+        // 4096-cell matrix); identical integers, one plan, ~4 s cold /
+        // ~0.1 s warm this way.
+        val (v4, growth, _, _, _) = pcaComponent(s, dir)
+        val sp2 = s
+        import sp2.implicits._
+        v4.toSeq.zipWithIndex.map { case (v, i) => (i, v, growth) }
+          .toDF("dim", "loading", "growth")
           .orderBy("dim")
       },
       oracle = Some(s"""
@@ -2828,7 +2831,7 @@ object Similarity extends QueryModule {
           .filter(col("vec_id") < 100)
           .select(col("vec_id"),
             transform(col("embedding"),
-              x => round(x.cast("double") * 1e9).cast("long")).as("qx"))
+              x => round(x.cast("double") * 1e4).cast("long")).as("qx"))
           .select(col("vec_id"),
             aggregate(zip_with(col("qx"), vlit, (x, v) => x * v),
               lit(0L), (a, x) => a + x).as("score"),

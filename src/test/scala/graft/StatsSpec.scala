@@ -708,6 +708,37 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getLong(2) > 0L) // growth = L∞ eigenvalue estimate
   }
 
+  test("agg_changepoint_cusum: hand step series pinpoints the break") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Monthly revenue 0.10, 0.10, 0.20, 0.20: scaled |cusum| peaks at
+    // t = 2 (|4·20 − 2·60| = 40 cents-units) → cp_month = idx 1,
+    // means 0.10 → 0.20, shift +0.10.
+    val orders = (1 to 4).map { mth =>
+      (mth.toLong, 1L, "O", if (mth <= 2) 0.10 else 0.20,
+        Timestamp.valueOf(f"1995-$mth%02d-10 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = graft.Scratch.fresh("cusum_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("agg_changepoint_cusum")(sp, dir)
+      .collect()(0)
+    assert(r.getLong(0) == 1L, r.toString)
+    assert(r.getLong(1) == 40L, r.toString)
+    assert(r.getDouble(2) == 0.1 && r.getDouble(3) == 0.2, r.toString)
+    assert(r.getDouble(4) == 0.1, r.toString)
+  }
+
+  test("agg_changepoint_cusum: corpus peak is a real interior point") {
+    val r = SparkEntry.queries("agg_changepoint_cusum")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(1) > 0L, "flat-series degenerate peak")
+    assert(r.getDouble(2) > 0 && r.getDouble(3) > 0)
+    assert(r.getDouble(4) == ((r.getDouble(3) * 10000).round -
+      (r.getDouble(2) * 10000).round) / 10000.0, r.toString)
+  }
+
   test("agg_winsorized_mean: hand quartile clamps and both means") {
     val sp = spark
     import sp.implicits._
