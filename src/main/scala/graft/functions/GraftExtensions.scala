@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.qdotDescriptor)
     ext.injectFunction(GraftExtensions.zorderDescriptor)
     ext.injectFunction(GraftExtensions.sqdistDescriptor)
+    ext.injectFunction(GraftExtensions.hllRegisterDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
   }
 }
@@ -70,6 +71,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_sqdist takes exactly 2 arguments")
       SquaredDistance(children.head, children(1))
+    })
+
+  val hllRegisterDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hll_register"),
+    new ExpressionInfo(classOf[HllRegister].getName, "graft_hll_register"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_hll_register takes exactly 1 argument")
+      HllRegister(children.head)
     })
 }
 

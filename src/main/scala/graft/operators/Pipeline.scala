@@ -2184,6 +2184,154 @@ object Pipeline extends QueryModule {
     // Σx = Σy and Σx² = Σy², so three exact decimal moment sums feed
     // one shared-structure double r (agg_moments discipline — no float
     // accumulation order anywhere).
+    // HyperANF (Boldi–Rosa–Vigna 2011) on the co-purchase graph: the
+    // neighborhood function N(h) = Σ_v |ball(v, h)| estimated by ONE
+    // per-node HLL sketch max-merged along edges per round — the
+    // algorithm that measures a web-scale graph's distance distribution
+    // without BFS from every node. Sketches are RELATIONAL here: the
+    // codegen graft_hll_register expression turns each node into its
+    // (idx, rank) register row, and a round is adj ⋈ regs → groupBy
+    // (node, idx) → max(rank) — per-round cost E·|regs|, state
+    // m-bounded per node, exactly the shape that scales. The key is its
+    // own audit (the lsh_audit discipline): exact N(1)/N(2) by distinct
+    // pair expansion — affordable at fixture scale, the thing HyperANF
+    // exists to avoid — sit beside the HLL estimates with the error in
+    // permille. Determinism: registers are SplitMix64 integers (ranks
+    // capped at 63 — see HllRegister), inverse-power sums are exact
+    // integers in 2⁻⁶³ units (never a float accumulation), and the two
+    // final doubles (raw estimate, linear-counting branch) are one
+    // fixed expression tree — so the whole two-round fixpoint, estimate
+    // arithmetic included, replays in SQL via the udaf_hll hash chain.
+    Q(
+      "graph_anf_hll",
+      (s, dir) => {
+        val e = urgentCoPurchaseEdges(s, dir)
+        val adj0 = e.select(col("u").as("n"), col("v").as("m"))
+          .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+        val nodes = adj0.select(col("n")).distinct()
+        val adj = adj0
+          .unionAll(nodes.select(col("n"), col("n").as("m")))
+          .localCheckpoint(true)
+        val r0 = nodes
+          .select(col("n").as("node"),
+            graft.functions.HllRegister(col("n")).as("pk"))
+          .select(col("node"),
+            expr("CAST(pk div 256 AS INT)").as("idx"),
+            expr("CAST(pk % 256 AS INT)").as("reg"))
+        def step(regs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = adj
+          .join(regs.withColumnRenamed("node", "m"), "m")
+          .groupBy(col("n").as("node"), col("idx"))
+          .agg(max("reg").as("reg"))
+        val r1 = step(r0).localCheckpoint(true)
+        val r2 = step(r1)
+        val p63 = "CAST('9223372036854775808' AS decimal(38,0))"
+        def nEst(regs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = regs
+          .groupBy("node")
+          .agg(sum(expr(
+              "CAST(shiftleft(CAST(1 AS BIGINT), 63 - reg) " +
+                "AS decimal(38,0))"))
+              .as("inv_int"),
+            count(lit(1)).as("m_nz"))
+          .withColumn("raw",
+            expr("(0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0 " +
+              s"* 9223372036854775808.0 / CAST(inv_int + " +
+              s"(4096 - m_nz) * $p63 AS DOUBLE)"))
+          .select(when(col("raw") <= 10240.0 && col("m_nz") < 4096,
+              round(lit(4096.0) *
+                log(lit(4096.0) / (lit(4096L) - col("m_nz"))
+                  .cast("double"))))
+            .otherwise(round(col("raw"))).cast("long").as("est"))
+          .agg(sum("est").as("hll_pairs"))
+        val ex1 = adj.agg(count(lit(1)).as("exact_pairs"))
+        val ex2 = adj.select(col("n").as("a"), col("m").as("b"))
+          .join(adj.select(col("n").as("b"), col("m").as("c")), "b")
+          .select("a", "c").distinct()
+          .agg(count(lit(1)).as("exact_pairs"))
+        def rowFor(h: Int, ex: org.apache.spark.sql.DataFrame,
+            est: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          ex.crossJoin(est).select(lit(h).as("h"), col("exact_pairs"),
+            col("hll_pairs"),
+            expr("1000 * abs(hll_pairs - exact_pairs) div exact_pairs")
+              .as("err_pm"))
+        rowFor(1, ex1, nEst(r1)).unionAll(rowFor(2, ex2, nEst(r2)))
+          .orderBy("h")
+      },
+      oracle = Some {
+        val p63 = "CAST('9223372036854775808' AS HUGEINT)"
+        s"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj0 AS (SELECT u AS n, v AS m FROM e
+                 UNION ALL SELECT v AS n, u AS m FROM e),
+        vtx AS (SELECT DISTINCT n FROM adj0),
+        adj AS (SELECT * FROM adj0 UNION ALL SELECT n, n FROM vtx),
+        ${Udx.hllCtes("a", "SELECT n AS node, n AS v FROM vtx", "node")},
+        r0 AS (SELECT node, idx, least(reg, 63) AS reg FROM aregs),
+        r1 AS MATERIALIZED (
+          SELECT adj.n AS node, r.idx, max(r.reg) AS reg
+          FROM adj JOIN r0 r ON r.node = adj.m GROUP BY 1, 2),
+        r2 AS MATERIALIZED (
+          SELECT adj.n AS node, r.idx, max(r.reg) AS reg
+          FROM adj JOIN r1 r ON r.node = adj.m GROUP BY 1, 2),
+        est1 AS (
+          SELECT CAST(sum(est) AS BIGINT) AS hll_pairs FROM (
+            SELECT CASE WHEN raw <= 10240.0 AND m_nz < 4096
+                   THEN CAST(round(4096.0 * ln(4096.0
+                     / CAST(4096 - m_nz AS DOUBLE))) AS BIGINT)
+                   ELSE CAST(round(raw) AS BIGINT) END AS est
+            FROM (
+              SELECT node, m_nz,
+                     (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+                       * 9223372036854775808.0
+                       / CAST(inv_int + (4096 - m_nz) * $p63 AS DOUBLE)
+                       AS raw
+              FROM (
+                SELECT node,
+                       sum(((CAST(1 AS BIGINT) << (63 - reg))::HUGEINT))
+                         AS inv_int,
+                       count(*) AS m_nz
+                FROM r1 GROUP BY node)))),
+        est2 AS (
+          SELECT CAST(sum(est) AS BIGINT) AS hll_pairs FROM (
+            SELECT CASE WHEN raw <= 10240.0 AND m_nz < 4096
+                   THEN CAST(round(4096.0 * ln(4096.0
+                     / CAST(4096 - m_nz AS DOUBLE))) AS BIGINT)
+                   ELSE CAST(round(raw) AS BIGINT) END AS est
+            FROM (
+              SELECT node, m_nz,
+                     (0.7213 / (1.0 + 1.079 / 4096)) * 4096.0 * 4096.0
+                       * 9223372036854775808.0
+                       / CAST(inv_int + (4096 - m_nz) * $p63 AS DOUBLE)
+                       AS raw
+              FROM (
+                SELECT node,
+                       sum(((CAST(1 AS BIGINT) << (63 - reg))::HUGEINT))
+                         AS inv_int,
+                       count(*) AS m_nz
+                FROM r2 GROUP BY node)))),
+        ex1 AS (SELECT count(*) AS exact_pairs FROM adj),
+        ex2 AS (
+          SELECT count(*) AS exact_pairs FROM (
+            SELECT DISTINCT a.n AS x, b.m AS y
+            FROM adj a JOIN adj b ON b.n = a.m))
+        SELECT CAST(1 AS INT) AS h, ex1.exact_pairs, est1.hll_pairs,
+               1000 * abs(est1.hll_pairs - ex1.exact_pairs)
+                 // ex1.exact_pairs AS err_pm
+        FROM ex1, est1
+        UNION ALL
+        SELECT CAST(2 AS INT), ex2.exact_pairs, est2.hll_pairs,
+               1000 * abs(est2.hll_pairs - ex2.exact_pairs)
+                 // ex2.exact_pairs
+        FROM ex2, est2
+        ORDER BY h"""
+      }),
+
     Q(
       "graph_assortativity",
       (s, dir) => {

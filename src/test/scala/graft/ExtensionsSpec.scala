@@ -61,6 +61,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r(0).getDouble(0) == 25.0)
   }
 
+  test("graft_hll_register is callable from SQL and matches the API") {
+    val r = spark.sql(
+      "SELECT graft_hll_register(CAST(5 AS BIGINT)) AS pk").collect()
+    val h = graft.functions.Hll.hash(5L)
+    val expect = (h >>> 52) * 256L + math.min(
+      java.lang.Long.numberOfLeadingZeros((h << 12) | 1L) + 1, 63)
+    assert(r(0).getLong(0) == expect)
+  }
+
   test("graft_zorder is callable from SQL and interleaves") {
     val r = spark.sql(
       "SELECT graft_zorder(CAST(3 AS BIGINT), CAST(3 AS BIGINT)) AS z")

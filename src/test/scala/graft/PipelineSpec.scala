@@ -1036,6 +1036,48 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graph_anf_hll: path graph counts exactly in the linear regime") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // Urgent orders {1,2} and {2,3} → path 1–2–3. Balls of radius 1
+    // (with self): {1,2},{1,2,3},{2,3} → N(1) = 7; radius 2 → all 9.
+    // 2-3 distinct values per node sit deep in HLL's linear-counting
+    // range, so the estimates are EXACT and err_pm = 0.
+    val orders = Seq((10L, "1-URGENT"), (20L, "1-URGENT")).map {
+      case (k, pr) => (k, 1L, "O", 1.0,
+        Timestamp.valueOf("1995-01-10 00:00:00"), pr)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .zipWithIndex.map { case ((ok, pk), i) =>
+        (ok, pk, 1L, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          Timestamp.valueOf("1995-01-11 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = graft.Scratch.fresh("anf_spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("graph_anf_hll")(sp, dir)
+      .orderBy("h").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, 7L, 7L, 0L), (2, 9L, 9L, 0L)),
+      out.mkString(","))
+  }
+
+  test("graph_anf_hll: corpus estimates stay within 2% of exact") {
+    val out = SparkEntry.queries("graph_anf_hll")(spark, sf001)
+      .orderBy("h").collect()
+    assert(out.length == 2)
+    val (n1, n2) = (out(0).getLong(1), out(1).getLong(1))
+    assert(n2 > n1, s"ball growth broken: $n1 -> $n2")
+    out.foreach { r =>
+      assert(r.getLong(3) <= 20L,
+        s"h=${r.getInt(0)} err ${r.getLong(3)} permille — sketch degraded")
+    }
+  }
+
   test("mix_dedup_weighted: identical pair halves its weight, unique keeps 1e6") {
     val sp = spark
     import sp.implicits._
