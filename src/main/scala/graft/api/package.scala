@@ -1709,6 +1709,42 @@ package object api {
         .toDF("id", "patch", "n_px", "sum_val", "mean_val")
     }
 
+    /** Decode 24-bpp BMP payloads and emit the GRAYSCALE HISTOGRAM:
+      * one row per (id, level) with the pixel count at that level
+      * (gray = (b+g+r)/3, integer division — the identity for
+      * grayscale-encoded inputs). ≤256 rows per image regardless of
+      * size, so downstream statistics (entropy, flatness, contrast)
+      * are level-bounded — the decode-side analogue of the histogram
+      * aggregates.
+      */
+    def bmpGrayHistogram(
+        df: DataFrame, id: Column, payload: Column): DataFrame = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val bmp = graft.functions.Codecs.decodeBmp(bytes)
+              val counts = new Array[Long](256)
+              var y = 0
+              while (y < bmp.height) {
+                var x = 0
+                while (x < bmp.width) {
+                  val (b, g, r) = bmp.pixels(y)(x)
+                  counts((b + g + r) / 3) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              (0 until 256).filter(counts(_) > 0)
+                .map(l => (i, l, counts(l)))
+            }.getOrElse(Seq.empty)
+          }
+        }
+        .toDF("id", "level", "n")
+    }
+
     /** Decode 24-bpp BMP payloads and emit horizontal-BAND features: row y
       * belongs to band (y·bands)/h, and each band yields pixel count,
       * channel-value sum, and channel min/max — the 1-D sibling of

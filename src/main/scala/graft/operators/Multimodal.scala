@@ -424,6 +424,79 @@ object Multimodal extends QueryModule {
                round(sum(v * 3) / (3.0 * w * h), 4) AS mean_px
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // Pixel-entropy quality screen from REAL decoded pixels: Shannon
+    // entropy of each image's grayscale histogram plus the top-level
+    // share — the standard cheap filters for blank/synthetic frames in a
+    // multimodal ingest (near-zero entropy = flat fill; max_share ≈ 1000
+    // permille = one dominant value). The histogram comes from the real
+    // BMP decode (api.Multimodal.bmpGrayHistogram — ≤256 rows per image
+    // no matter the resolution, so the statistics stage is level-bounded
+    // at any scale). Exactness: H = ln N − (Σ n·ln n)/N with each ln
+    // quantized to 1e-6 integer units (the text_zipf discipline) and the
+    // division truncating — entropy_q is a BIGINT both engines derive
+    // identically; the oracle recomputes every pixel from the encode
+    // formula, so a single mis-decoded pixel hash-mismatches.
+    Q(
+      "mm_pixel_entropy",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            val w = (id % 16 + 4).toInt
+            val h = (id % 12 + 4).toInt
+            val bytes = graft.functions.Codecs.encodeBmp(w, h, (x, y) => {
+              val v = ((x * 7 + y * 13 + id) % 256).toInt
+              (v, v, v)
+            })
+            (id, bytes)
+          }
+          .toDF("doc_id", "payload")
+        val lnq = (c: org.apache.spark.sql.Column) =>
+          round(log(c.cast("double")) * 1e6, 0).cast("long")
+        graft.api.Multimodal
+          .bmpGrayHistogram(encoded, col("doc_id"), col("payload"))
+          .groupBy("id")
+          .agg(sum("n").as("n_px"), count(lit(1)).as("n_levels"),
+            sum(col("n") * lnq(col("n"))).as("snln"),
+            max("n").as("maxn"))
+          .select(col("id").as("doc_id"), col("n_px"), col("n_levels"),
+            (lnq(col("n_px")) - expr("snln div n_px")).as("entropy_q"),
+            expr("1000 * maxn div n_px").as("max_share_pm"))
+          .withColumn("entropy_nats", round(col("entropy_q") / 1e6, 6))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+                          CAST(doc_id % 12 + 4 AS INT) AS h
+                   FROM documents WHERE doc_id < 100),
+        px AS (
+          SELECT doc_id, (x * 7 + y * 13 + doc_id) % 256 AS v
+          FROM d,
+               LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x),
+               LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y)),
+        hist AS (SELECT doc_id, v, count(*) AS n FROM px GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_px,
+                 CAST(count(*) AS BIGINT) AS n_levels,
+                 CAST(sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6)
+                   AS BIGINT)) AS BIGINT) AS snln,
+                 CAST(max(n) AS BIGINT) AS maxn
+          FROM hist GROUP BY 1),
+        q AS (
+          SELECT doc_id, n_px, n_levels,
+                 CAST(round(ln(CAST(n_px AS DOUBLE)) * 1e6) AS BIGINT)
+                   - snln // n_px AS entropy_q,
+                 1000 * maxn // n_px AS max_share_pm
+          FROM agg)
+        SELECT doc_id, n_px, n_levels, entropy_q,
+               CAST(max_share_pm AS BIGINT) AS max_share_pm,
+               round(entropy_q / 1e6, 6) AS entropy_nats
+        FROM q ORDER BY doc_id""")),
+
     // REAL patch features from decoded pixels: the BMP is decoded and cut
     // into a 2×2 patch grid; each patch emits count/sum/mean over its
     // actual pixel values — the hand-rolled analogue of the

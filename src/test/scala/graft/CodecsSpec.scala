@@ -55,4 +55,5 @@ class CodecsSpec extends AnyFunSuite {
     bmp(28) = 32 // bpp field
     assertThrows[IllegalArgumentException](Codecs.decodeBmp(bmp))
   }
+
 }
