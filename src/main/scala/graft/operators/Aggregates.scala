@@ -2124,6 +2124,69 @@ object Aggregates extends QueryModule {
     // collapses to the month frame at first aggregation; the pair join
     // and its window run over calendar² rows (3160 here), bounded by
     // time span, never data size.
+    // A/B-test power planning from OBSERVED moments — the experiment-
+    // design readout every metrics platform ships: per event type, the
+    // per-arm sample size needed to detect a 5% relative lift at
+    // α = 0.05 / power 0.80 (n = 2σ²(z_α/2 + z_β)²/δ², δ = 0.05·μ),
+    // plus whether the current corpus could already power such a test.
+    // Exactness: μ and σ² come from exact integer milli-moments; the
+    // z-constants are shared literals (1.96, 0.8416); the sizing formula
+    // is one fixed double tree ceil'd to BIGINT. One map-combined
+    // aggregation — the op costs a scan regardless of corpus size.
+    Q(
+      "ml_ab_power",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val g = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 1000).cast("long").as("vq"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("vq").cast(dec)).as("s1"),
+            sum(col("vq").cast(dec) * col("vq")).as("s2"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val mean = d(col("s1")) / d(col("n")) / 1000.0
+        val variance = (d(col("n")) * d(col("s2")) -
+          d(col("s1")) * d(col("s1"))) /
+          (d(col("n")) * (d(col("n")) - 1.0)) / 1000000.0
+        val nReq = ceil(lit(2.0) * pow(lit(1.96) + lit(0.8416), 2) *
+          variance / pow(lit(0.05) * mean, 2)).cast("long")
+        g.select(col("event_type"), col("n"),
+            round(mean, 4).as("mean"),
+            round(sqrt(variance), 4).as("sd"),
+            nReq.as("n_required_per_arm"))
+          .withColumn("powered_today",
+            col("n") >= col("n_required_per_arm") * 2)
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type, count(*) AS n,
+                 sum(CAST(round(value * 1000) AS BIGINT)::HUGEINT) AS s1,
+                 sum(CAST(round(value * 1000) AS BIGINT)::HUGEINT
+                     * CAST(round(value * 1000) AS BIGINT)) AS s2
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        f AS (
+          SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0
+                   AS mean,
+                 (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                   / 1000000.0 AS variance
+          FROM g),
+        z AS (
+          SELECT event_type, n, mean, variance,
+                 CAST(ceil(2.0 * pow(1.96 + 0.8416, 2) * variance
+                   / pow(0.05 * mean, 2)) AS BIGINT)
+                   AS n_required_per_arm
+          FROM f)
+        SELECT event_type, n, round(mean, 4) AS mean,
+               round(sqrt(variance), 4) AS sd, n_required_per_arm,
+               n >= n_required_per_arm * 2 AS powered_today
+        FROM z ORDER BY event_type""")),
+
     // CUSUM changepoint on the monthly-revenue series — WHERE did the
     // level shift, completing the trend shelf (theil_sen: how steep;
     // mann_kendall: is it real; THIS: when did it break). The classic

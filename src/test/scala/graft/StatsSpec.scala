@@ -708,6 +708,38 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getLong(2) > 0L) // growth = L∞ eigenvalue estimate
   }
 
+  test("ml_ab_power: hand moments give the textbook sample size") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    // values {1, 2, 3}: mean 2, variance 1 → n/arm =
+    // ceil(2·(1.96+0.8416)²·1/(0.05·2)²) = ceil(1569.79) = 1570.
+    val ev = Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 10:00:00"), i.toLong,
+        "view", Some(v), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.fresh("abpower_spec")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("ml_ab_power")(sp, dir).collect()(0)
+    assert(r.getLong(1) == 3L, r.toString)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0, r.toString)
+    assert(r.getLong(4) == 1570L, r.toString)
+    assert(!r.getBoolean(5), r.toString)
+  }
+
+  test("ml_ab_power: corpus verdicts are internally consistent") {
+    val out = SparkEntry.queries("ml_ab_power")(spark, sf001).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getLong(4) > 0 && r.getDouble(3) > 0, r.toString)
+      assert(r.getBoolean(5) == (r.getLong(1) >= 2 * r.getLong(4)),
+        r.toString)
+    }
+    // exponential-ish values (σ ≈ μ) need thousands per arm: the tiny
+    // SF cannot power a 5% test — the honest platform answer
+    assert(out.forall(!_.getBoolean(5)))
+  }
+
   test("agg_changepoint_cusum: hand step series pinpoints the break") {
     val sp = spark
     import sp.implicits._
