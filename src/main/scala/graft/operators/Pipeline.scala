@@ -2193,10 +2193,13 @@ object Pipeline extends QueryModule {
     // (idx, rank) register row, and a round is adj ⋈ regs → groupBy
     // (node, idx) → max(rank) — per-round cost E·|regs|, state
     // m-bounded per node, exactly the shape that scales. The key is its
-    // own audit (the lsh_audit discipline): exact N(1)/N(2) by distinct
-    // pair expansion — affordable at fixture scale, the thing HyperANF
-    // exists to avoid — sit beside the HLL estimates with the error in
-    // permille. Determinism: registers are SplitMix64 integers (ranks
+    // own audit (the lsh_audit discipline, including its SAMPLE valve):
+    // exact N(1) is |adj| (free); the h = 2 audit — exact distinct-pair
+    // expansion, the quadratic thing HyperANF exists to avoid — runs on
+    // the deterministic 10% node sample (node % 10 = 0), with the HLL
+    // side summed over the same sample so the permille error compares
+    // like with like (full-costing found the unsampled audit leg was
+    // 30 of the key's 32 seconds). Determinism: registers are SplitMix64 integers (ranks
     // capped at 63 — see HllRegister), inverse-power sums are exact
     // integers in 2⁻⁶³ units (never a float accumulation), and the two
     // final doubles (raw estimate, linear-counting branch) are one
@@ -2243,7 +2246,8 @@ object Pipeline extends QueryModule {
             .otherwise(round(col("raw"))).cast("long").as("est"))
           .agg(sum("est").as("hll_pairs"))
         val ex1 = adj.agg(count(lit(1)).as("exact_pairs"))
-        val ex2 = adj.select(col("n").as("a"), col("m").as("b"))
+        val ex2 = adj.filter(col("n") % 10 === 0)
+          .select(col("n").as("a"), col("m").as("b"))
           .join(adj.select(col("n").as("b"), col("m").as("c")), "b")
           .select("a", "c").distinct()
           .agg(count(lit(1)).as("exact_pairs"))
@@ -2253,7 +2257,9 @@ object Pipeline extends QueryModule {
             col("hll_pairs"),
             expr("1000 * abs(hll_pairs - exact_pairs) div exact_pairs")
               .as("err_pm"))
-        rowFor(1, ex1, nEst(r1)).unionAll(rowFor(2, ex2, nEst(r2)))
+        rowFor(1, ex1, nEst(r1))
+          .unionAll(rowFor(2, ex2,
+            nEst(r2.filter(col("node") % 10 === 0))))
           .orderBy("h")
       },
       oracle = Some {
@@ -2314,12 +2320,13 @@ object Pipeline extends QueryModule {
                        sum(((CAST(1 AS BIGINT) << (63 - reg))::HUGEINT))
                          AS inv_int,
                        count(*) AS m_nz
-                FROM r2 GROUP BY node)))),
+                FROM r2 WHERE node % 10 = 0 GROUP BY node)))),
         ex1 AS (SELECT count(*) AS exact_pairs FROM adj),
         ex2 AS (
           SELECT count(*) AS exact_pairs FROM (
             SELECT DISTINCT a.n AS x, b.m AS y
-            FROM adj a JOIN adj b ON b.n = a.m))
+            FROM adj a JOIN adj b ON b.n = a.m
+            WHERE a.n % 10 = 0))
         SELECT CAST(1 AS INT) AS h, ex1.exact_pairs, est1.hll_pairs,
                1000 * abs(est1.hll_pairs - ex1.exact_pairs)
                  // ex1.exact_pairs AS err_pm

@@ -2562,10 +2562,14 @@ object Similarity extends QueryModule {
     // (posexplode → explode(sequence) → element_at, all codegen'd
     // builtins, no HOF lambdas, no self-join), so the only shuffle
     // carries d²/2 = 2016 partial-moment cells regardless of row count.
-    // Exactness: each float is quantized to 1e-9 integer units FIRST,
-    // then every moment is exact decimal(38,0) arithmetic (bounded to
-    // ~1e8 rows at |x|<1; both engines produce the identical integers)
-    // — the two final double casts and one sqrt are order-free.
+    // Exactness: each float is quantized to 1e-4 integer units FIRST
+    // (session 6 — was 1e-9 with decimal(38,0) products: ~20 µs/row
+    // interpreted Decimal on the d²·n hot path, 11.8 s at sf0.1 under
+    // full costing; 1e-4 keeps every per-row product a PRIMITIVE LONG
+    // with Σ-headroom to n ≈ 3e11 rows, and moves Pearson r by < 1e-4
+    // relative — far inside a redundancy screen's needs); the cross
+    // moments n·sxx − sx² then compute in decimal on the 2016-row
+    // tail. The two final double casts and one sqrt are order-free.
     Q(
       "ml_corr_matrix",
       (s, dir) => {
@@ -2577,26 +2581,26 @@ object Similarity extends QueryModule {
           // produce the empty array) — the last dim must not explode.
           .filter(col("i") < 63)
           .select(col("i"), col("e"),
-            round(col("xv").cast("double") * 1e9).cast("long").as("xi"),
+            round(col("xv").cast("double") * 1e4).cast("long").as("xi"),
             explode(sequence(col("i") + 1, lit(63))).as("j"))
           .select(col("i"), col("j"), col("xi"),
-            round(element_at(col("e"), col("j") + 1).cast("double") * 1e9)
+            round(element_at(col("e"), col("j") + 1).cast("double") * 1e4)
               .cast("long").as("xj"))
         cells.groupBy("i", "j")
           .agg(
             count(lit(1)).as("n"),
-            sum(col("xi").cast(dec)).as("sx"),
-            sum(col("xj").cast(dec)).as("sy"),
-            // products in decimal, not long: two 1e-9-quantized values
-            // of magnitude >3 would overflow a long product (the oracle
-            // side multiplies in HUGEINT for the same reason)
-            sum(col("xi").cast(dec) * col("xj")).as("sxy"),
-            sum(col("xi").cast(dec) * col("xi")).as("sxx"),
-            sum(col("xj").cast(dec) * col("xj")).as("syy"))
+            sum(col("xi")).as("sx"),
+            sum(col("xj")).as("sy"),
+            sum(col("xi") * col("xj")).as("sxy"),
+            sum(col("xi") * col("xi")).as("sxx"),
+            sum(col("xj") * col("xj")).as("syy"))
           .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
-            col("sxy"), col("sx"), col("sy"),
-            (col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
-            (col("n") * col("syy") - col("sy") * col("sy")).as("vy"))
+            col("sxy").cast(dec).as("sxy"),
+            col("sx").cast(dec).as("sx"), col("sy").cast(dec).as("sy"),
+            (col("n") * col("sxx").cast(dec) -
+              col("sx").cast(dec) * col("sx")).as("vx"),
+            (col("n") * col("syy").cast(dec) -
+              col("sy").cast(dec) * col("sy")).as("vy"))
           // zero-variance (constant / padding) dims: r undefined -> null,
           // guarded EXPLICITLY so ANSI mode doesn't error and both
           // engines agree (DuckDB's double x/0 is not an option).
@@ -2612,7 +2616,7 @@ object Similarity extends QueryModule {
       oracle = Some("""
         WITH x AS (
           SELECT vec_id, i,
-                 CAST(round(embedding[i] * 1e9) AS BIGINT) AS xq
+                 CAST(round(embedding[i] * 1e4) AS BIGINT) AS xq
           FROM embeddings, range(1, 65) t(i)),
         p AS (
           SELECT a.i AS i, b.i AS j,
