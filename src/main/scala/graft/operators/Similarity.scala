@@ -2567,13 +2567,23 @@ object Similarity extends QueryModule {
     // interpreted Decimal on the d²·n hot path, 11.8 s at sf0.1 under
     // full costing; 1e-4 keeps every per-row product a PRIMITIVE LONG
     // with Σ-headroom to n ≈ 3e11 rows, and moves Pearson r by < 1e-4
-    // relative — far inside a redundancy screen's needs); the cross
-    // moments n·sxx − sx² then compute in decimal on the 2016-row
-    // tail. The two final double casts and one sqrt are order-free.
+    // relative — far inside a redundancy screen's needs).
+    //
+    // The OUTPUT is exact-integer r-permyriad, not round(r, 4): session 6
+    // shipped a double `round(num/sqrt(vx·vy), 4)` and the driver caught
+    // a hash mismatch (Spark rounds through BigDecimal HALF_UP on the
+    // double's full expansion; DuckDB rounds the double arithmetically —
+    // a 1-ulp difference in the division flips the 4th decimal on a
+    // tie). Fix = take the float out of the comparison entirely:
+    // r_pm = sign(num) · ⌊|num|·10⁴ / ⌊√(vx·vy)⌋⌋ with an EXACT integer
+    // floor-sqrt, replayed bit-identically by both engines (driver-side
+    // BigInteger.sqrt here — the d²/2-cell tail is row-count-independent,
+    // the MLlib convention for d×d fixpoints — and a recursive-CTE
+    // integer Newton fixpoint in the oracle). |num| ≤ ⌊√(vx·vy)⌋ exactly
+    // by Cauchy–Schwarz on integer vectors, so r_pm ∈ [−10⁴, 10⁴].
     Q(
       "ml_corr_matrix",
       (s, dir) => {
-        val dec = "decimal(38,0)"
         val cells = Tables.embeddings(s, dir)
           .select(col("embedding").as("e"))
           .select(posexplode(col("e")).as(Seq("i", "xv")), col("e"))
@@ -2586,7 +2596,7 @@ object Similarity extends QueryModule {
           .select(col("i"), col("j"), col("xi"),
             round(element_at(col("e"), col("j") + 1).cast("double") * 1e4)
               .cast("long").as("xj"))
-        cells.groupBy("i", "j")
+        val moments = cells.groupBy("i", "j")
           .agg(
             count(lit(1)).as("n"),
             sum(col("xi")).as("sx"),
@@ -2594,27 +2604,30 @@ object Similarity extends QueryModule {
             sum(col("xi") * col("xj")).as("sxy"),
             sum(col("xi") * col("xi")).as("sxx"),
             sum(col("xj") * col("xj")).as("syy"))
-          .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
-            col("sxy").cast(dec).as("sxy"),
-            col("sx").cast(dec).as("sx"), col("sy").cast(dec).as("sy"),
-            (col("n") * col("sxx").cast(dec) -
-              col("sx").cast(dec) * col("sx")).as("vx"),
-            (col("n") * col("syy").cast(dec) -
-              col("sy").cast(dec) * col("sy")).as("vy"))
-          // zero-variance (constant / padding) dims: r undefined -> null,
-          // guarded EXPLICITLY so ANSI mode doesn't error and both
-          // engines agree (DuckDB's double x/0 is not an option).
-          .select(col("dim_i"), col("dim_j"), col("n"),
-            when(col("vx") === 0 || col("vy") === 0, lit(null))
-              .otherwise(round(
-                (col("n") * col("sxy") - col("sx") * col("sy"))
-                  .cast("double")
-                  / sqrt(col("vx").cast("double")
-                    * col("vy").cast("double")), 4)).as("corr"))
-          .orderBy("dim_i", "dim_j")
+          .collect() // d²/2 = 2016 cells, independent of row count
+        val out = moments.toSeq.map { r =>
+          val n = BigInt(r.getLong(2))
+          val sx = BigInt(r.getLong(3)); val sy = BigInt(r.getLong(4))
+          val sxy = BigInt(r.getLong(5))
+          val sxx = BigInt(r.getLong(6)); val syy = BigInt(r.getLong(7))
+          val num = n * sxy - sx * sy
+          val vx = n * sxx - sx * sx
+          val vy = n * syy - sy * sy
+          // zero-variance (constant / padding) dims: r undefined -> null
+          val rpm: Option[Long] =
+            if (vx == 0 || vy == 0) None
+            else {
+              val g = BigInt((vx * vy).bigInteger.sqrt()) // exact ⌊√·⌋
+              Some((BigInt(num.signum) * (num.abs * 10000 / g)).toLong)
+            }
+          (r.getInt(0), r.getInt(1), n.toLong, rpm)
+        }.sortBy(t => (t._1, t._2))
+        val sp2 = s
+        import sp2.implicits._
+        out.toDF("dim_i", "dim_j", "n", "r_pm").orderBy("dim_i", "dim_j")
       },
       oracle = Some("""
-        WITH x AS (
+        WITH RECURSIVE x AS (
           SELECT vec_id, i,
                  CAST(round(embedding[i] * 1e4) AS BIGINT) AS xq
           FROM embeddings, range(1, 65) t(i)),
@@ -2627,17 +2640,31 @@ object Similarity extends QueryModule {
                  sum(xi) AS sx, sum(xj) AS sy,
                  sum(xi * xj) AS sxy,
                  sum(xi * xi) AS sxx, sum(xj * xj) AS syy
-          FROM p GROUP BY i, j)
-        SELECT CAST(i - 1 AS INTEGER) AS dim_i,
-               CAST(j - 1 AS INTEGER) AS dim_j,
-               n,
-               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
-                    THEN NULL
-                    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                           * CAST(n * syy - sy * sy AS DOUBLE)), 4)
-               END AS corr
-        FROM m ORDER BY dim_i, dim_j""")),
+          FROM p GROUP BY i, j),
+        mm AS (
+          SELECT i, j, n,
+                 n * sxy - sx * sy AS num,
+                 (n * sxx - sx * sx) * (n * syy - sy * sy) AS vv
+          FROM m),
+        -- exact integer floor-sqrt of vv by Newton descent from x0 = vv:
+        -- x strictly decreases until it first fails to, at which point it
+        -- IS floor(sqrt(vv)) (classic integer-Newton invariant), so the
+        -- per-cell answer is min(x) over the iteration trace.
+        it(i, j, a, x) AS (
+          SELECT i, j, vv, vv FROM mm WHERE vv > 0
+          UNION ALL
+          SELECT i, j, a, (x + a // x) // 2 FROM it
+          WHERE (x + a // x) // 2 < x),
+        g AS (SELECT i, j, min(x) AS isq FROM it GROUP BY i, j)
+        SELECT CAST(mm.i - 1 AS INTEGER) AS dim_i,
+               CAST(mm.j - 1 AS INTEGER) AS dim_j,
+               mm.n,
+               CASE WHEN mm.vv = 0 THEN NULL
+                    ELSE CAST((CASE WHEN mm.num < 0 THEN -1 ELSE 1 END)
+                         * ((abs(mm.num) * 10000) // g.isq) AS BIGINT)
+               END AS r_pm
+        FROM mm LEFT JOIN g ON mm.i = g.i AND mm.j = g.j
+        ORDER BY dim_i, dim_j""")),
 
     // (pcaCtesSql — the shared power-iteration replay — is defined on the
     // module; ml_pca_power and ml_pca_project replay the same training.)

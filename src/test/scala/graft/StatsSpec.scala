@@ -666,11 +666,14 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(out.length == 2016)
     val m = out.map(r => (r.getInt(0), r.getInt(1)) ->
       (r.getLong(2),
-        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
-    assert(m((0, 1)) == ((4L, Some(1.0))), m((0, 1)).toString)
-    assert(m((0, 2)) == ((4L, Some(-1.0))), m((0, 2)).toString)
-    assert(m((1, 2)) == ((4L, Some(-1.0))), m((1, 2)).toString)
-    assert(m((0, 3)) == ((4L, Some(0.0))), m((0, 3)).toString)
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // r = ±1 lands EXACTLY on the ±10⁴ permyriad boundary (|num| = ⌊√vv⌋
+    // by Cauchy–Schwarz equality) — the boundary cells the integer
+    // output contract is for.
+    assert(m((0, 1)) == ((4L, Some(10000L))), m((0, 1)).toString)
+    assert(m((0, 2)) == ((4L, Some(-10000L))), m((0, 2)).toString)
+    assert(m((1, 2)) == ((4L, Some(-10000L))), m((1, 2)).toString)
+    assert(m((0, 3)) == ((4L, Some(0L))), m((0, 3)).toString)
     // zero-variance padding dims: r is undefined, surfaced as null
     assert(m((4, 5)) == ((4L, None)), m((4, 5)).toString)
   }
@@ -678,10 +681,39 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
   test("ml_corr_matrix: corpus matrix is bounded and non-degenerate") {
     val out = SparkEntry.queries("ml_corr_matrix")(spark, sf001).collect()
     assert(out.length == 64 * 63 / 2)
-    val rs = out.map(_.getDouble(3))
-    assert(rs.forall(r => r >= -1.0 && r <= 1.0))
+    val rs = out.map(_.getLong(3))
+    assert(rs.forall(r => r >= -10000L && r <= 10000L))
     assert(rs.distinct.length > 100, "correlations collapsed")
     assert(out.forall(_.getLong(2) == 500L))
+  }
+
+  test("ml_corr_matrix: permyriad cell replays the exact integer recipe") {
+    // Independent BigInt replay of one cell (dims 0,1) straight from the
+    // parquet: quantize at 1e4, build the 5 moments, and divide by the
+    // EXACT floor-sqrt — pins the sign/floor/isqrt boundary the oracle's
+    // Newton fixpoint must also land on (the r12 regression was exactly
+    // this final division drifting between engines in double).
+    val rows = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .selectExpr("cast(embedding[0] as double) AS x",
+        "cast(embedding[1] as double) AS y")
+      .collect()
+      .map(r => (BigInt(math.round(r.getDouble(0) * 1e4)),
+        BigInt(math.round(r.getDouble(1) * 1e4))))
+    val n = BigInt(rows.length)
+    val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+    val sxy = rows.map(p => p._1 * p._2).sum
+    val sxx = rows.map(p => p._1 * p._1).sum
+    val syy = rows.map(p => p._2 * p._2).sum
+    val num = n * sxy - sx * sy
+    val vv = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    val expected =
+      (BigInt(num.signum) *
+        (num.abs * 10000 / BigInt(vv.bigInteger.sqrt()))).toLong
+    val cell = SparkEntry.queries("ml_corr_matrix")(spark, sf001)
+      .filter("dim_i = 0 AND dim_j = 1").collect()
+    assert(cell.length == 1)
+    assert(cell.head.getLong(3) == expected,
+      s"got ${cell.head.getLong(3)}, replay says $expected")
   }
 
   test("ml_pca_power: planted dominant direction recovered") {
