@@ -644,10 +644,14 @@ object Similarity extends QueryModule {
     * cached + checkpointed per dir (the encode-once/query-many shape).
     */
   private val hammingCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // Keyed by (session, dir) like pqEncCache/exactTop3Cache above — the
+  // cached frame is a localCheckpoint whose blocks live in the creating
+  // session's block manager; a dir-only key would replay a stopped
+  // session's checkpoint blocks after a session restart.
   private def hammingCodes(s: SparkSession, dir: String): DataFrame =
-    hammingCache.getOrElseUpdate(dir, {
+    hammingCache.getOrElseUpdate((s, dir), {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").as("e"),
           transform(col("embedding"), x => x.cast("double")).as("ed"))

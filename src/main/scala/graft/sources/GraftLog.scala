@@ -365,15 +365,26 @@ class LogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     }
     val rows: Seq[Array[Option[Long]]] =
       if (grouped)
-        parts.sortBy(_._1).map { case (p, segs) =>
-          val st = stats(segs)
-          Array(Option(p.toLong)) ++ cols.map(st)
-        }
+        // A zero-row partition dir (e.g. staged-but-aborted write leaving
+        // an empty _meta) produces NO group in the real scan's groupBy —
+        // the complete pushdown must not invent a (p, 0, null…) row for it.
+        parts.sortBy(_._1)
+          .filter { case (_, segs) => segs.map(_.rows).sum > 0 }
+          .map { case (p, segs) =>
+            val st = stats(segs)
+            Array(Option(p.toLong)) ++ cols.map(st)
+          }
       else {
+        // Global min/max(ts) and count fold across the flattened seg list
+        // (exact because segment spans are exact) — but offsets are dense
+        // PER PARTITION (each partition's offsets restart at 0), so the
+        // global max offset is the max over partitions of (rows_p − 1),
+        // NOT total-rows − 1: 3 partitions × 10 rows has max offset 9.
         val all = stats(parts.flatMap(_._2))
-        // global min/max fold across partitions via the same seg list —
-        // exact because segment spans are exact.
-        Seq(cols.map(all).toArray)
+        val partNs = parts.map(_._2.map(_.rows).sum).filter(_ > 0)
+        val fixed = all + (OffMax ->
+          (if (partNs.isEmpty) None else Some(partNs.max - 1)))
+        Seq(cols.map(fixed).toArray)
       }
     val fields =
       (if (grouped) Seq(StructField("partition", IntegerType)) else Nil) ++
@@ -384,11 +395,28 @@ class LogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     Some((StructType(fields), rows))
   }
 
+  // supportCompletePushDown and pushAggregation are both called by Spark
+  // for the same Aggregation instance, and planAgg re-reads every
+  // partition's _meta manifest — memoize per instance (reference
+  // equality: Aggregation doesn't override equals) so planning-time IO
+  // is paid once per pushed aggregate, not twice.
+  private var aggMemo: Option[
+    (Aggregation, Option[(StructType, Seq[Array[Option[Long]]])])] = None
+
+  private def planAggMemo(agg: Aggregation)
+      : Option[(StructType, Seq[Array[Option[Long]]])] = aggMemo match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = planAgg(agg)
+      aggMemo = Some((agg, r))
+      r
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    planAgg(agg).isDefined
+    planAggMemo(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    planAgg(agg) match {
+    planAggMemo(agg) match {
       case Some(r) => aggResult = Some(r); true
       case None => false
     }

@@ -444,6 +444,39 @@ class DsV2Spec extends AnyFunSuite with SparkFixture {
     assert((g.getLong(0), g.getLong(1), g.getLong(2)) ==
       ((30L, 1700000000000000L, 1700000000000029L)))
     assert(graft.sources.GraftLog.segmentsOpened.get() == 0L)
+    // ungrouped min/max(offset) on a MULTI-partition topic: offsets are
+    // dense per partition (each restarts at 0), so the global max over
+    // 3 partitions × 10 rows is 9 — NOT total-rows−1 = 29 (the silent
+    // wrong answer a naive flattened fold returns). Pushed and real-scan
+    // answers must agree.
+    graft.sources.GraftLog.segmentsOpened.set(0L)
+    val go = spark.read.format("graft-log").load(t)
+      .agg(min("offset").as("omn"), max("offset").as("omx")).collect()(0)
+    assert((go.getLong(0), go.getLong(1)) == ((0L, 9L)), go.toString)
+    assert(graft.sources.GraftLog.segmentsOpened.get() == 0L)
+    val goTruth = spark.read.format("graft-log").load(t)
+      .agg(min("offset").as("omn"), max("offset").as("omx"),
+        countDistinct("key").as("dk")) // defeats the pushdown
+      .drop("dk").collect()(0)
+    assert((go.getLong(0), go.getLong(1)) ==
+      ((goTruth.getLong(0), goTruth.getLong(1))))
+  }
+
+  test("aggregate pushdown skips zero-row partition dirs like the real groupBy") {
+    val sp = spark
+    import sp.implicits._
+    val t = freshTopic("dsv2_aggpush_emptydir")
+    tinyFrame.write.format("graft-log").mode("append").save(t)
+    // A staged-but-aborted write can leave a partition dir with no
+    // committed segments: the real scan's groupBy emits NO group for it,
+    // so the complete pushdown must not invent a (3, 0, null) row.
+    java.nio.file.Files.createDirectories(Paths.get(t, "p=3"))
+    val pushed = spark.read.format("graft-log").load(t)
+      .groupBy("partition").agg(count(lit(1)).as("n")).orderBy("partition")
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("GraftLogAggScan"))
+    assert(pushed.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 10L), (1, 10L), (2, 10L)))
   }
 
   test("limit pushdown plans only the segments the budget needs") {
