@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 object Bench {
@@ -53,6 +53,58 @@ object Bench {
     runs(1)
   }
 
+  /** One benched key's measurements. `countedSec` is the cross-round
+    * comparable number (construction + count(), same pricing every prior
+    * round used); `fullSec` is the honest cost (construction + a
+    * toRdd.count materializing EVERY output column — count() re-plans
+    * with an aggregate on top, so Catalyst prunes any column the row
+    * count doesn't need; the session-6 ml_pca_power find was 14.6 s of
+    * real work invisible to the count probe). `cpuSec` is the
+    * process-CPU delta across the whole key (all executor threads), the
+    * wall-vs-cpu discriminator for environment stalls: wall ≫ cpu means
+    * the process was descheduled/blocked, wall ≈ cpu/32 means honest
+    * parallel compute (the BENCH_r12 dedup_exact 86.8 s anomaly is
+    * diagnosable from exactly this pair). `order` is the execution index
+    * (keys run in sorted-name order; a retime reruns INLINE, so the
+    * index is also the wall-clock position). `firstAttempt` carries the
+    * pre-retime counted seconds when the retime valve fired.
+    */
+  private[graft] case class KeyRes(
+      name: String, countedSec: Double, fullSec: Double, cpuSec: Double,
+      rows: Long, order: Int, firstAttempt: Option[Double])
+
+  private def cpuNow(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => 0L
+    }
+
+  /** Prior-round per-key counted medians for the retime valve, read from
+    * BENCH_PRIORS.json in the working directory (the driver runs Bench
+    * from the repo root; the file is a committed copy of the previous
+    * round's queries map). Missing file or key ⇒ no prior ⇒ only the
+    * absolute backstop applies. Parsing is a decimal-pair scrape — the
+    * file is machine-written (`"key":1.234` pairs), no JSON lib needed.
+    */
+  private[graft] def loadPriors(): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_PRIORS.json"))
+      val re = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+      re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** Retime trigger: a key exceeding 10× its prior-round median (floored
+    * at 3 s so sub-second keys don't retime on scheduler noise) is rerun
+    * once, inline; with no prior, only a 30 s absolute backstop. Both
+    * attempts are reported — the artifact records what stalled and
+    * whether it reproduced, instead of wearing a one-off 45× environment
+    * spike as the round's graded number (BENCH_r12 dedup_exact).
+    */
+  private[graft] def retimeThreshold(prior: Option[Double]): Double =
+    prior.map(p => math.max(3.0, 10 * p)).getOrElse(30.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,48 +122,60 @@ object Bench {
     // first timed query doesn't absorb one-time session costs.
     warmup(spark, sfDir)
     val calibration = calibrate(spark)
+    val priors = loadPriors()
+    // Test hook for the marker path itself: GRAFT_BENCH_BREAK_KEY=<key>
+    // makes that key throw, so a scratch run can prove a crashing key
+    // lands in `errors` (not a fast-looking number) without a code edit.
+    val breakKey = sys.env.get("GRAFT_BENCH_BREAK_KEY")
+    // (counted, full, cpu, rows, frame) for one attempt at one key. The
+    // frame is kept so the plan-class census below can read its physical
+    // plan WITHOUT re-invoking fn (side-effecting keys run their
+    // pipelines during frame construction); census planning happens
+    // after the timing loop, so it never pollutes a key's seconds.
+    def attempt(name: String,
+        fn: (SparkSession, String) => DataFrame)
+        : (Double, Double, Double, Long, Option[DataFrame]) = {
+      val c0 = cpuNow(); val t0 = System.nanoTime()
+      try {
+        if (breakKey.contains(name))
+          throw new RuntimeException("deliberately broken for marker test")
+        val frame = fn(spark, sfDir)
+        val tb = System.nanoTime() // construction (incl. side effects)
+        val n = frame.count()
+        val tc = System.nanoTime() // counted pricing ends here
+        frame.queryExecution.toRdd.count() // every output column, re-run
+        val tf = System.nanoTime()
+        ((tc - t0) / 1e9, ((tb - t0) + (tf - tc)) / 1e9,
+          (cpuNow() - c0) / 1e9, n, Some(frame))
+      } catch {
+        case _: Throwable =>
+          ((System.nanoTime() - t0) / 1e9, 0.0, (cpuNow() - c0) / 1e9,
+            -1L, None)
+      }
+    }
     // Stable timing order (map iteration order is hash-dependent).
     // Per key: seconds AND row count; a crashing key records rows=-1 and
     // lands in `errors` instead of wearing a fast-looking number (the r8
     // sink_retention artifact confusion — VERDICT r9 task 7). Zero rows
     // from an oracle-bearing key is equally suspect: the oracle WILL have
     // rows, so the driver compare would fail — surface it in the artifact.
-    val oracleKeys = SparkEntry.oracleSql.keySet
-    // Test hook for the marker path itself: GRAFT_BENCH_BREAK_KEY=<key>
-    // makes that key throw, so a scratch run can prove a crashing key
-    // lands in `errors` (not a fast-looking number) without a code edit.
-    val breakKey = sys.env.get("GRAFT_BENCH_BREAK_KEY")
-    // GRAFT_BENCH_FULL=1: cost keys by materializing EVERY output column
-    // (queryExecution.toRdd.count) instead of count(). count() re-plans
-    // with an aggregate on top, so Catalyst prunes any column the row
-    // count doesn't need — an aggregate key's sums or a top-k's scores
-    // can go entirely unpriced (the session-6 ml_pca_power find: 14.6 s
-    // of real work invisible to the count probe). The default stays
-    // count() because every prior round's artifact used it — the
-    // cross-round series must compare like with like — but the full
-    // costing is one env var away and NOTES quotes both.
-    val fullCost = sys.env.get("GRAFT_BENCH_FULL").contains("1")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Keep the built frame so the plan-class census below can read its
-      // physical plan WITHOUT re-invoking fn (side-effecting keys run
-      // their pipelines during frame construction; a second call would
-      // double the bench). Planning for the census happens after the
-      // timing loop, so it never pollutes a key's seconds.
-      val (df, rows) =
-        try {
-          if (breakKey.contains(name))
-            throw new RuntimeException("deliberately broken for marker test")
-          val frame = fn(spark, sfDir)
-          val n =
-            if (fullCost) frame.queryExecution.toRdd.count()
-            else frame.count()
-          (Some(frame), n)
-        } catch { case _: Throwable => (None, -1L) }
-      (name, (System.nanoTime() - t0) / 1e9, rows, df)
-    }
-    val (errors, suspectZero) =
-      issues(results.map { case (k, sec, r, _) => (k, sec, r) })
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), idx) =>
+        val a1 = attempt(name, fn)
+        val thr = retimeThreshold(priors.get(name))
+        if (a1._4 != -1L && a1._1 > thr) {
+          System.err.println(
+            f"[bench] RETIME $name: ${a1._1}%.1f s counted > " +
+              f"$thr%.1f s threshold (prior median " +
+              f"${priors.get(name).fold("none")(p => f"$p%.2f s")}) — " +
+              "rerunning once")
+          val a2 = attempt(name, fn)
+          (KeyRes(name, a2._1, a2._2, a2._3, a2._4, idx, Some(a1._1)),
+            a2._5)
+        } else (KeyRes(name, a1._1, a1._2, a1._3, a1._4, idx, None), a1._5)
+      }
+    val results = timed.map(_._1)
+    val (errors, suspectZero) = issues(results)
     (errors ++ suspectZero).foreach { n =>
       System.err.println(s"[bench] SUSPECT key $n: " +
         (if (errors.contains(n)) "crashed (rows=-1)"
@@ -119,16 +183,15 @@ object Bench {
     // Per-key plan-class tags (Exchange count + cartesian/BNLJ flags) so
     // accepted-demo plan shapes are machine-readable in the artifact
     // (VERDICT r10 task 8). Untimed: runs after the loop, planning only.
-    val planClasses = results.map { case (n, _, _, df) =>
+    val planClasses = timed.map { case (r, df) =>
       val tag =
         try df.map(f => PlanAudit.planClass(
           f.queryExecution.executedPlan.toString)).getOrElse("error")
         catch { case _: Throwable => "unplannable" }
-      (n, tag)
+      (r.name, tag)
     }
     val lines = artifactLines(
-      results.map { case (k, s, r, _) => (k, s, r) },
-      planClasses, calibration, sfDir, Scratch.divertedKeys)
+      results, planClasses, calibration, sfDir, Scratch.divertedKeys)
     lines.foreach(println)
     // The stdout tail is a 2000-char window, so the FULL per-key map can
     // never be guaranteed to survive it — persist the complete artifact
@@ -141,47 +204,66 @@ object Bench {
     spark.stop()
   }
 
-  /** The four stdout artifact lines — factored out so ArtifactContractSpec
-    * can pin the format against tools/artifact_check.py without running a
-    * bench. Line order is a contract with the driver's stdout-TAIL
-    * capture (last 2000 chars, `parsed` = json.loads of the LAST line):
-    * most-droppable detail first, per-key SECONDS on their own line, and
-    * the LAST line carries ONLY scalar headline totals — no embedded
-    * maps — so the tail always parses it. (r10 lost the seconds map
-    * because it led a truncated detail line; r11 lost the TOTAL because
-    * it led the ~7 KB combined final line — VERDICT r11 task 1.
-    * Scalars-only-last makes both truncation classes impossible at once.)
-    */
   /** (crashed keys, oracle-bearing zero-row keys) — the single deriver
     * both the stderr SUSPECT log and the artifact lines share, so the
     * two can never disagree on what counts as an error.
     */
   private[graft] def issues(
-      results: Seq[(String, Double, Long)]): (Seq[String], Seq[String]) = (
-    results.collect { case (n, _, -1L) => n },
+      results: Seq[KeyRes]): (Seq[String], Seq[String]) = (
+    results.collect { case r if r.rows == -1L => r.name },
     results.collect {
-      case (n, _, 0L) if SparkEntry.oracleSql.contains(n) => n })
+      case r if r.rows == 0L && SparkEntry.oracleSql.contains(r.name) =>
+        r.name })
 
+  /** The stdout artifact lines — factored out so ArtifactContractSpec
+    * can pin the format against tools/artifact_check.py without running a
+    * bench. Line order is a contract with the driver's stdout-TAIL
+    * capture (last 2000 chars, `parsed` = json.loads of the LAST line):
+    * most-droppable detail first (the cpu/full/retimed diagnostic lines,
+    * then rows/plan_class/queries), and the LAST line carries ONLY
+    * scalar headline totals — no embedded maps — so the tail always
+    * parses it. (r10 lost the seconds map because it led a truncated
+    * detail line; r11 lost the TOTAL because it led the ~7 KB combined
+    * final line. Scalars-only-last makes both truncation classes
+    * impossible at once.) Headline totals are DUAL: `value`/`total_ok`
+    * price count() (the series every prior round used) and `total_full`
+    * prices every output column — count()-costing provably under-prices
+    * aggregates/top-k (NOTES r12: 394.7 vs 224 s before the fixes), so
+    * both series are recorded each round.
+    */
   private[graft] def artifactLines(
-      results: Seq[(String, Double, Long)],
+      results: Seq[KeyRes],
       planClasses: Seq[(String, String)],
       calibration: Double,
       sfDir: String,
       diverted: Seq[String]): Seq[String] = {
     val (errors, suspectZero) = issues(results)
-    val total = results.map(_._2).sum
+    val total = results.map(_.countedSec).sum
     // Errored keys keep their partial elapsed in `queries` for triage but
     // are excluded from `total_ok`, the cross-round comparable headline
     // (ADVICE r10: mixing error sets silently skews `total`).
-    val totalOk = results.collect { case (_, s, r) if r != -1L => s }.sum
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val totalOk = results.collect {
+      case r if r.rows != -1L => r.countedSec }.sum
+    val totalFull = results.collect {
+      case r if r.rows != -1L => r.fullSec }.sum
+    def numMap(f: KeyRes => Double) = results
+      .map(r => f""""${r.name}":${f(r)}%.3f""").mkString("{", ",", "}")
+    val qs = numMap(_.countedSec)
+    val fl = numMap(_.fullSec)
+    val cp = numMap(_.cpuSec)
+    val rws = results.map(r => s""""${r.name}":${r.rows}""")
       .mkString("{", ",", "}")
-    val rws = results.map { case (k, _, r) => s""""$k":$r""" }
+    val ord = results.map(r => s""""${r.name}":${r.order}""")
       .mkString("{", ",", "}")
+    val ret = results.collect { case KeyRes(n, _, _, _, _, _, Some(fa)) =>
+      f""""$n":$fa%.3f""" }.mkString("{", ",", "}")
     val pcs = planClasses.map { case (k, t) => s""""$k":"$t"""" }
       .mkString("{", ",", "}")
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     Seq(
+      s"""{"metric":"cpu","cpu":$cp,"sf":"$sfDir"}""",
+      s"""{"metric":"full","full":$fl,"sf":"$sfDir"}""",
+      s"""{"metric":"retimed","retimed":$ret,"order":$ord,"sf":"$sfDir"}""",
       s"""{"metric":"rows","rows":$rws,"errors":${strArr(errors)},"suspect_zero":${strArr(suspectZero)},"scratch_diverted":${strArr(diverted)},"sf":"$sfDir"}""",
       s"""{"metric":"plan_class","plan_class":$pcs,"sf":"$sfDir"}""",
       s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""",
@@ -190,6 +272,6 @@ object Bench {
       // driver's 2000-char tail — the r11 truncation class all over
       // again); they already live on the rows line, the headline only
       // needs the counts.
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"calibration_sec":$calibration%.3f,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_suspect_zero":${suspectZero.size}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"total_full":$totalFull%.3f,"calibration_sec":$calibration%.3f,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_suspect_zero":${suspectZero.size},"n_retimed":${results.count(_.firstAttempt.isDefined)}}""")
   }
 }

@@ -136,10 +136,19 @@ object Aggregates extends QueryModule {
     // Quantiles from a mergeable equi-width histogram: bin counts merge by
     // addition (the property that makes this a one-pass distributed
     // quantile estimate at any scale), and the estimate interpolates
-    // linearly inside the bin containing q·N. The exact interpolated
-    // percentile runs alongside so the error is visible; BOTH the
-    // estimate and the exact value are deterministic expressions the
-    // oracle replays, so the whole row set hash-matches.
+    // linearly inside the bin containing q·N. An AUDIT percentile runs
+    // alongside so the error is visible — computed on the deterministic
+    // 10% hash-sample valve (the filter_sample_hash primitive: Knuth
+    // multiplicative hashing over (l_orderkey, l_linenumber), exact
+    // 64-bit integer arithmetic, identical predicate in the oracle), NOT
+    // the full table: Spark's exact `percentile` buffers every value in
+    // the aggregation buffer, so a whole-table audit leg is O(n) driver-
+    // adjacent memory — the one shape that cannot survive 100 TB. The
+    // sampled leg keeps the audit (same interpolation semantics, rank
+    // error ~1/√(0.1·n)) at 10% of the memory and cost; the histogram
+    // estimate + its visible error remains the product. Both legs are
+    // deterministic expressions the oracle replays, so the whole row set
+    // hash-matches.
     Q(
       "agg_quantile_hist",
       (s, dir) => {
@@ -153,13 +162,17 @@ object Aggregates extends QueryModule {
           sum("bin_n").over(Window.orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val total = li.agg(count(lit(1)).as("n_total"))
-        val exact = li.agg(
-          expr("percentile(l_extendedprice, 0.5)").as("e50"),
-          expr("percentile(l_extendedprice, 0.9)").as("e90"),
-          expr("percentile(l_extendedprice, 0.99)").as("e99"))
+        val audit = li
+          .filter(pmod(
+            (col("l_orderkey").cast("long") * 31 + col("l_linenumber")) *
+              lit(2654435761L), lit(4294967296L)) % 100 < 10)
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("e50"),
+            expr("percentile(l_extendedprice, 0.9)").as("e90"),
+            expr("percentile(l_extendedprice, 0.99)").as("e99"))
         val qs = s.createDataFrame(Seq(Tuple1(0.5), Tuple1(0.9), Tuple1(0.99)))
           .toDF("q")
-        qs.crossJoin(broadcast(total)).crossJoin(broadcast(exact))
+        qs.crossJoin(broadcast(total)).crossJoin(broadcast(audit))
           .join(cum,
             col("cum") >= col("q") * col("n_total") &&
               (col("cum") - col("bin_n")) < col("q") * col("n_total"))
@@ -170,7 +183,7 @@ object Aggregates extends QueryModule {
             round(
               when(col("q") === 0.5, col("e50"))
                 .when(col("q") === 0.9, col("e90"))
-                .otherwise(col("e99")), 4).as("exact_quantile"))
+                .otherwise(col("e99")), 4).as("audit_quantile"))
           .orderBy("q")
       },
       oracle = Some("""
@@ -187,14 +200,16 @@ object Aggregates extends QueryModule {
         ex AS (SELECT quantile_cont(l_extendedprice, 0.5) AS e50,
                       quantile_cont(l_extendedprice, 0.9) AS e90,
                       quantile_cont(l_extendedprice, 0.99) AS e99
-               FROM lineitem),
+               FROM lineitem
+               WHERE ((CAST(l_orderkey AS BIGINT) * 31 + l_linenumber)
+                      * 2654435761) % 4294967296 % 100 < 10),
         q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
         SELECT q,
                round(bin * 500 + (q * n_total - (cum - bin_n)) / bin_n * 500,
                      4) AS est_quantile,
                round(CASE WHEN q = 0.5 THEN e50
                           WHEN q = 0.9 THEN e90 ELSE e99 END, 4)
-                 AS exact_quantile
+                 AS audit_quantile
         FROM q, t, ex JOIN c
           ON cum >= q * n_total AND (cum - bin_n) < q * n_total
         ORDER BY q""")),

@@ -22,7 +22,13 @@ class ArtifactContractSpec extends AnyFunSuite {
   private def syntheticLines(breakOne: Boolean): Seq[String] = {
     val keys = SparkEntry.queries.keys.toSeq.sorted
     val results = keys.zipWithIndex.map { case (k, i) =>
-      (k, 0.1 + (i % 7) * 0.01, if (breakOne && i == 3) -1L else 10L + i)
+      Bench.KeyRes(k,
+        countedSec = 0.1 + (i % 7) * 0.01,
+        fullSec = 0.15 + (i % 7) * 0.01,
+        cpuSec = 0.3 + (i % 5) * 0.01,
+        rows = if (breakOne && i == 3) -1L else 10L + i,
+        order = i,
+        firstAttempt = if (i == 5) Some(9.87) else None)
     }
     val plans = keys.map(k => (k, "ok"))
     Bench.artifactLines(results, plans, calibration = 0.2,
@@ -56,7 +62,8 @@ class ArtifactContractSpec extends AnyFunSuite {
     // the crashed key appears in the ROWS line's errors array; the final
     // line carries only the COUNT (unbounded arrays there are the
     // truncation class the contract exists to prevent)
-    assert(lines.head.contains("\"errors\":[\""), lines.head)
+    val rowsLine = lines.find(_.contains("\"metric\":\"rows\"")).get
+    assert(rowsLine.contains("\"errors\":[\""), rowsLine)
     assert(lines.last.contains("\"n_errors\":1"), lines.last)
   }
 
@@ -71,7 +78,7 @@ class ArtifactContractSpec extends AnyFunSuite {
       good.last.dropRight(1) + ",\"queries\":{\"agg_group\":0.1}}"
     assert(mangledLast.contains("\"metric\":\"total\""))
     val mangled = good.dropRight(1) :+ mangledLast
-    assert(mangled.size == 4)
+    assert(mangled.size == good.size)
     val (rc, out) = runChecker(mangled)
     assert(rc != 0, "checker must reject a map-bearing final line")
     assert(out.contains("must not embed any map"), out)

@@ -63,10 +63,20 @@ def main() -> None:
     if len(sys.argv) != 2:
         fail("usage: artifact_check.py [--correctness] <file>")
     raw = open(sys.argv[1], encoding="utf-8").read()
-    lines = [ln for ln in raw.splitlines() if ln.strip().startswith("{")]
-    if len(lines) < 4:
-        fail(f"expected >= 4 JSON artifact lines, got {len(lines)}")
-    lines = lines[-4:]
+    all_lines = [ln for ln in raw.splitlines() if ln.strip().startswith("{")]
+    if len(all_lines) < 4:
+        fail(f"expected >= 4 JSON artifact lines, got {len(all_lines)}")
+    # Diagnostic lines (cpu / full / retimed) ride ABOVE the core four —
+    # most-droppable first — and are validated when present; the binding
+    # tail contract is the last four lines.
+    diag = {}
+    for ln in all_lines[:-4]:
+        try:
+            p = json.loads(ln)
+            diag[p.get("metric")] = p
+        except json.JSONDecodeError as e:
+            fail(f"diagnostic line is not standalone JSON: {e}")
+    lines = all_lines[-4:]
     parsed = []
     for i, ln in enumerate(lines):
         try:
@@ -86,8 +96,9 @@ def main() -> None:
     if len(lines[-1]) > 1000:
         fail(f"total line is {len(lines[-1])} chars; must stay far below "
              f"the {TAIL_WINDOW}-char tail window")
-    for field in ("value", "total_ok", "calibration_sec",
-                  "n_queries", "n_errors", "n_suspect_zero", "sf"):
+    for field in ("value", "total_ok", "total_full", "calibration_sec",
+                  "n_queries", "n_errors", "n_suspect_zero", "n_retimed",
+                  "sf"):
         if field not in total:
             fail(f"total line missing `{field}`")
     tail = raw[-TAIL_WINDOW:]
@@ -109,6 +120,23 @@ def main() -> None:
              f"{len(qkeys)} keys")
     if abs(sum(queries["queries"].values()) - total["value"]) > 0.01 * len(qkeys):
         fail("sum(queries) disagrees with total value beyond rounding")
+
+    # Dual-metric + environment-diagnostic lines, when emitted: per-key
+    # cpu/full maps cover the same key set, and the retimed map is a
+    # subset sized by the headline n_retimed.
+    for m in ("cpu", "full"):
+        if m in diag and set(diag[m][m]) != qkeys:
+            fail(f"{m} line key set disagrees with queries")
+    if "retimed" in diag:
+        ret = diag["retimed"]["retimed"]
+        if not set(ret) <= qkeys:
+            fail("retimed keys not a subset of queries")
+        if total["n_retimed"] != len(ret):
+            fail(f"n_retimed={total['n_retimed']} but retimed map has "
+                 f"{len(ret)} keys")
+        order = diag["retimed"].get("order", {})
+        if set(order) != qkeys:
+            fail("order map key set disagrees with queries")
     print(f"artifact contract OK: {len(qkeys)} keys, "
           f"total={total['value']}s, last line {len(lines[-1])} chars")
 
