@@ -90,7 +90,11 @@ object Bench {
     try {
       val txt = java.nio.file.Files.readString(
         java.nio.file.Paths.get("BENCH_PRIORS.json"))
-      val re = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+      // \s* after the colon: the priors file is pretty-printed with a
+      // space ("key": 1.234) — the r13 run-1 valve silently loaded ZERO
+      // priors without it and let a 13.6× stream_static_join blip
+      // through unretimed.
+      val re = """"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)""".r
       re.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
@@ -127,14 +131,21 @@ object Bench {
     // makes that key throw, so a scratch run can prove a crashing key
     // lands in `errors` (not a fast-looking number) without a code edit.
     val breakKey = sys.env.get("GRAFT_BENCH_BREAK_KEY")
-    // (counted, full, cpu, rows, frame) for one attempt at one key. The
-    // frame is kept so the plan-class census below can read its physical
-    // plan WITHOUT re-invoking fn (side-effecting keys run their
-    // pipelines during frame construction); census planning happens
-    // after the timing loop, so it never pollutes a key's seconds.
+    // (counted, full, cpu, rows, planTag) for one attempt at one key.
+    // The plan-class tag (Exchange count + cartesian/BNLJ flags,
+    // VERDICT r10 task 8) is read INSIDE the attempt, after the timing
+    // captures: count() already forced executedPlan, so the read is
+    // string work only — and critically, the frame reference is NOT
+    // retained afterwards. Run 1 of r13 kept all 348 frames alive for
+    // an after-loop census and measured a monotone late-run drift
+    // (execution-order decile median ratios 1.0 → 1.45 vs priors):
+    // localCheckpointed frames pin block-manager memory until their
+    // reference is GC'd, so holding every frame accumulates the whole
+    // run's checkpoint blocks. Dropping the frame per-key lets the
+    // ContextCleaner reclaim as the run proceeds.
     def attempt(name: String,
         fn: (SparkSession, String) => DataFrame)
-        : (Double, Double, Double, Long, Option[DataFrame]) = {
+        : (Double, Double, Double, Long, String) = {
       val c0 = cpuNow(); val t0 = System.nanoTime()
       try {
         if (breakKey.contains(name))
@@ -145,12 +156,15 @@ object Bench {
         val tc = System.nanoTime() // counted pricing ends here
         frame.queryExecution.toRdd.count() // every output column, re-run
         val tf = System.nanoTime()
+        val tag =
+          try PlanAudit.planClass(frame.queryExecution.executedPlan.toString)
+          catch { case _: Throwable => "unplannable" }
         ((tc - t0) / 1e9, ((tb - t0) + (tf - tc)) / 1e9,
-          (cpuNow() - c0) / 1e9, n, Some(frame))
+          (cpuNow() - c0) / 1e9, n, tag)
       } catch {
         case _: Throwable =>
           ((System.nanoTime() - t0) / 1e9, 0.0, (cpuNow() - c0) / 1e9,
-            -1L, None)
+            -1L, "error")
       }
     }
     // Stable timing order (map iteration order is hash-dependent).
@@ -180,16 +194,7 @@ object Bench {
       System.err.println(s"[bench] SUSPECT key $n: " +
         (if (errors.contains(n)) "crashed (rows=-1)"
          else "0 rows but oracle-bearing")) }
-    // Per-key plan-class tags (Exchange count + cartesian/BNLJ flags) so
-    // accepted-demo plan shapes are machine-readable in the artifact
-    // (VERDICT r10 task 8). Untimed: runs after the loop, planning only.
-    val planClasses = timed.map { case (r, df) =>
-      val tag =
-        try df.map(f => PlanAudit.planClass(
-          f.queryExecution.executedPlan.toString)).getOrElse("error")
-        catch { case _: Throwable => "unplannable" }
-      (r.name, tag)
-    }
+    val planClasses = timed.map { case (r, tag) => (r.name, tag) }
     val lines = artifactLines(
       results, planClasses, calibration, sfDir, Scratch.divertedKeys)
     lines.foreach(println)

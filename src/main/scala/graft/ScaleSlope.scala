@@ -187,6 +187,7 @@ object ScaleSlope {
     * segment dedup.
     */
   private val defaultKeys = Seq(
+    "dedup_exact", "dedup_containment",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_lsh_audit",
     "dedup_connected_components", "dedup_fuzzy_cluster",
     "contamination_matrix", "text_segment_dedup",

@@ -2694,6 +2694,52 @@ package object api {
       visited
     }
 
+    /** Multi-source BFS: one frontier keyed by (source, node) explores
+      * all sources SIMULTANEOUSLY — the per-round join cost is one
+      * adjacency shuffle regardless of how many sources ride in the
+      * frontier, which is what makes landmark/centrality passes
+      * (closeness over a seed set, landmark distance features) feasible
+      * at scale: k sequential BFS runs would pay k× the per-round fixed
+      * cost, the composite frontier pays it once. Same per-round
+      * localCheckpoint lineage cut and empty-frontier early exit as
+      * single-source [[bfs]]. Returns (src_id, node, dist) for every
+      * node within maxHops of each source (dist 0 = the source itself).
+      */
+    def multiSourceBfs(
+        edges: DataFrame, src: Column, dst: Column,
+        sources: Seq[Long], maxHops: Int = 4,
+        assumeCanonical: Boolean = false): DataFrame = {
+      val e = if (assumeCanonical)
+        edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+      else edges
+        .select(least(src, dst).cast("long").as("u"),
+          greatest(src, dst).cast("long").as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull)
+        .distinct()
+      val adj = e.select(col("u").as("n"), col("v").as("m"))
+        .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+        .localCheckpoint(true)
+      val sp = edges.sparkSession
+      import sp.implicits._
+      var visited = sources.map((_, 0)).toDF("src_id", "dist")
+        .select(col("src_id").cast("long").as("src_id"),
+          col("src_id").cast("long").as("node"), col("dist"))
+        .localCheckpoint(true)
+      var frontier = visited
+      var hop = 1
+      while (hop <= maxHops && !frontier.isEmpty) {
+        val next = frontier.join(adj, frontier("node") === adj("n"))
+          .select(col("src_id"), col("m").as("node")).distinct()
+          .join(visited, Seq("src_id", "node"), "left_anti")
+          .withColumn("dist", lit(hop))
+          .localCheckpoint(true)
+        visited = visited.unionAll(next)
+        frontier = next
+        hop += 1
+      }
+      visited
+    }
+
     /** Synchronous label-propagation communities (LPA): labels start as
       * node ids; each round every node adopts the most frequent label
       * among its NEIGHBORS, ties broken toward the smallest label. The

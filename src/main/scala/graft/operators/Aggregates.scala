@@ -133,6 +133,45 @@ object Aggregates extends QueryModule {
                round(n / CAST(n_total AS DOUBLE), 6) AS share
         FROM b, t ORDER BY bucket""")),
 
+    // Log2-bucket histogram — the long-tail profile equi-width buckets
+    // can't draw: doc lengths (like most corpus size distributions) span
+    // orders of magnitude, so training-data length QA buckets by
+    // magnitude. Same mergeable one-hash-agg shape as agg_histogram (the
+    // shuffle carries one row per (source, bucket)). The bucket id is
+    // floor(log2(n_chars)) computed EXACTLY as the bit length of the
+    // integer (length(bin(x)) - 1 in both engines) — float log2 would
+    // round-trip 2^k cells through 9.999… and disagree at bucket edges.
+    Q(
+      "agg_log_histogram",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val totals = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+        d.select(col("source"),
+            (length(bin(col("n_chars"))) - 1).cast("int").as("bucket"))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .join(totals, Seq("source"))
+          .select(col("source"), col("bucket"),
+            expr("shiftleft(1L, bucket)").as("lo"),
+            expr("shiftleft(1L, bucket + 1)").as("hi"),
+            col("n"),
+            round(col("n") / col("n_src").cast("double"), 6).as("share"))
+          .orderBy("source", "bucket")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT source,
+                 CAST(length(bin(n_chars)) - 1 AS INT) AS bucket,
+                 count(*) AS n
+          FROM documents GROUP BY 1, 2),
+        t AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1)
+        SELECT b.source, bucket,
+               (1::BIGINT << bucket) AS lo,
+               (1::BIGINT << (bucket + 1)) AS hi, n,
+               round(n / CAST(n_src AS DOUBLE), 6) AS share
+        FROM b JOIN t ON b.source = t.source
+        ORDER BY b.source, bucket""")),
+
     // Quantiles from a mergeable equi-width histogram: bin counts merge by
     // addition (the property that makes this a one-pass distributed
     // quantile estimate at any scale), and the estimate interpolates

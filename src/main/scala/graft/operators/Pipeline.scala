@@ -1985,6 +1985,16 @@ object Pipeline extends QueryModule {
     // most-similar part pairs, ordered by round(jaccard, 6) before the
     // tie-break columns — the float is computed by the identical single
     // division in both engines, so the cut is stable.
+    //
+    // TIERING CONTRACT (same two-tier pattern as dedup_containment's
+    // sampled audit): THIS key is the exact-semantics AUDIT tier — its
+    // wedge join is Σ deg² with no degree cap, which on a hub-skewed
+    // graph grows quadratically on the hottest node (measured 110 s at
+    // 10× in round 11). Run it at audit scale (a bounded subgraph or a
+    // scale-factor slice) to ground-truth the capped estimate; the
+    // 100 TB DEFAULT is `graph_jaccard_capped` directly below, whose
+    // md5-ordered 64-neighbor cap bounds the join at Σ min(deg, 64)²
+    // ≤ n·64² and whose output the oracle replays bit-exactly.
     Q(
       "graph_jaccard",
       (s, dir) => {
@@ -2112,6 +2122,64 @@ object Pipeline extends QueryModule {
         dd AS (SELECT n, min(d) AS dist FROM walk GROUP BY n)
         SELECT dist, count(*) AS n_nodes
         FROM dd GROUP BY dist ORDER BY dist""")),
+
+    // Bounded-radius closeness centrality for a 5-landmark seed set —
+    // the "how central is this node" feature graph-aware curation and
+    // recommendation passes attach to entities. ONE composite-frontier
+    // multi-source BFS (api.Graph.multiSourceBfs) carries all 5 seeds
+    // simultaneously: per round the adjacency shuffles once regardless
+    // of seed count, vs 5× for sequential per-seed BFS — the property
+    // that makes landmark features affordable at cluster scale (seeds
+    // ride as frontier rows, not as separate jobs). Radius-4 bound for
+    // the same reason graph_bfs bounds: unbounded closeness needs the
+    // full distance matrix. closeness = n_reached / Σdist, both exact
+    // integers from the min-distance frame, one double division — the
+    // oracle replays the BFS as a depth-capped recursive CTE with
+    // UNION-dedup (set semantics bound the path enumeration the way
+    // min-dist folding does on the Spark side).
+    Q(
+      "graph_closeness",
+      (s, dir) => {
+        val edges = urgentCoPurchaseEdges(s, dir)
+        val sources = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .distinct().orderBy("n").limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        graft.api.Graph.multiSourceBfs(edges, col("u"), col("v"),
+            sources, maxHops = 4, assumeCanonical = true)
+          .groupBy("src_id")
+          .agg((count(lit(1)) - 1).as("n_reached"),
+            sum(col("dist")).cast("long").as("sum_dist"))
+          .select(col("src_id"), col("n_reached"), col("sum_dist"),
+            round(col("n_reached") / col("sum_dist").cast("double"), 6)
+              .as("closeness"))
+          .orderBy("src_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        srcs AS (SELECT n FROM (SELECT DISTINCT n FROM adj)
+                 ORDER BY n LIMIT 5),
+        walk(s, n, d) AS (
+          SELECT n, n, 0 FROM srcs
+          UNION
+          SELECT w.s, adj.m, w.d + 1 FROM walk w
+          JOIN adj ON adj.n = w.n WHERE w.d < 4),
+        dd AS (SELECT s, n, min(d) AS dist FROM walk GROUP BY s, n)
+        SELECT s AS src_id,
+               count(*) - 1 AS n_reached,
+               CAST(sum(dist) AS BIGINT) AS sum_dist,
+               round((count(*) - 1) / CAST(sum(dist) AS DOUBLE), 6)
+                 AS closeness
+        FROM dd GROUP BY s ORDER BY src_id""")),
 
     // Community detection by synchronous label propagation over the
     // co-purchase graph: 3 rounds of most-frequent-neighbor-label with
@@ -2548,6 +2616,66 @@ object Pipeline extends QueryModule {
                min(doc_id) AS min_doc
         FROM documents
         GROUP BY 1 ORDER BY split""")),
+
+    // Deterministic A/B experiment assignment + sample-ratio-mismatch
+    // audit — the assignment layer every online experiment needs and the
+    // first thing a data platform must prove about it: the arm is the
+    // Knuth-hash permille of user_id (engine-portable, reproducible,
+    // repartition-stable — the sample_split doctrine applied to
+    // experimentation), and the SRM chi-square statistic
+    // (nA−nB)²/(nA+nB) over assigned-user counts is the standard
+    // health check that the hash actually split 50/50 (a skewed split
+    // means a biased experiment, the most common silent A/B failure).
+    // One scan: per-arm user/event/conversion counts are a single
+    // hash-agg; every count is an exact integer, and the two floats
+    // (conversion rate, chi2) are each ONE double division from exact
+    // integers, identically replayed by the oracle.
+    Q(
+      "sample_ab_assign",
+      (s, dir) => {
+        val arm = when((col("user_id") * 2654435761L) % 1000L < 500, "A")
+          .otherwise("B")
+        val g = Tables.events(s, dir)
+          .select(arm.as("arm"), col("user_id"), col("event_type"))
+          .groupBy("arm")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "buy", 1L).otherwise(0L))
+              .as("n_buys"))
+        val srm = g.agg(
+          sum(when(col("arm") === "A", col("n_users")).otherwise(0L))
+            .as("na"),
+          sum(when(col("arm") === "B", col("n_users")).otherwise(0L))
+            .as("nb"))
+          .select(round(
+            (col("na") - col("nb")) * (col("na") - col("nb")) /
+              (col("na") + col("nb")).cast("double"), 6).as("srm_chi2"))
+        g.crossJoin(broadcast(srm))
+          .select(col("arm"), col("n_users"), col("n_events"), col("n_buys"),
+            round(col("n_buys") / col("n_users").cast("double"), 6)
+              .as("buys_per_user"),
+            col("srm_chi2"))
+          .orderBy("arm")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT CASE WHEN (user_id * 2654435761) % 1000 < 500
+                      THEN 'A' ELSE 'B' END AS arm,
+                 count(DISTINCT user_id) AS n_users,
+                 count(*) AS n_events,
+                 CAST(sum(CASE WHEN event_type = 'buy' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_buys
+          FROM events GROUP BY 1),
+        s AS (
+          SELECT round(
+              (sum(CASE WHEN arm = 'A' THEN n_users ELSE 0 END)
+               - sum(CASE WHEN arm = 'B' THEN n_users ELSE 0 END)) ^ 2
+              / CAST(sum(n_users) AS DOUBLE), 6) AS srm_chi2
+          FROM g)
+        SELECT arm, n_users, n_events, n_buys,
+               round(n_buys / CAST(n_users AS DOUBLE), 6) AS buys_per_user,
+               srm_chi2
+        FROM g, s ORDER BY arm""")),
 
     // Poisson bootstrap WITHOUT engine RNG — uncertainty for a corpus
     // statistic at any scale: each of 8 replicates draws every row a

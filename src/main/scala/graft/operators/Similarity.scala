@@ -1347,6 +1347,69 @@ object Similarity extends QueryModule {
         SELECT query_id, rank, cand_id, dot_q
         FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // RADIUS (range) search — the other retrieval primitive next to
+    // top-k: return EVERY corpus vector within a fixed distance of each
+    // query, the shape dedup-by-threshold, recall-floor audits, and
+    // near-duplicate sweeps actually want (top-k hands back k rows even
+    // when nothing is close; radius search hands back the truth).
+    // Exactness: vectors quantize to permyriad longs and the squared L2
+    // distance is assembled from three EXACT integer dot products
+    // (d² = |a|² + |b|² − 2a·b, each a QuantizedDotProduct — the fused
+    // codegen 64-bit kernel), so the threshold compare is integer-exact
+    // in both engines, no rounding discipline needed. Plan shape: the
+    // 5-query side broadcasts with its norms precomputed, the corpus
+    // streams ONCE through the codegen filter with its norm computed
+    // map-side — a single no-shuffle scan, the honest exact baseline at
+    // any scale (the sublinear tier is the same predicate behind the
+    // IVF/LSH candidate generators, recall-audited by the sim_ann_
+    // family). τ² = 1.5e8 (permyriad²) ≈ L2 1.22, chosen at the ~2%
+    // pair quantile of this corpus so the result set is selective but
+    // non-empty at every fixture scale.
+    Q(
+      "sim_radius_search",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x =>
+              round(x.cast("double") * 10000).cast("int")).as("qv"))
+          .withColumn("n2",
+            graft.functions.QuantizedDotProduct(col("qv"), col("qv")))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+            col("n2").as("na"))
+        broadcast(q)
+          .join(v.select(col("vec_id").as("cand_id"), col("qv").as("qb"),
+              col("n2").as("nb")),
+            col("cand_id") =!= col("query_id"))
+          .withColumn("d2", col("na") + col("nb") -
+            lit(2L) * graft.functions.QuantizedDotProduct(
+              col("qa"), col("qb")))
+          .filter(col("d2") <= 150000000L)
+          .select(col("query_id"), col("cand_id"), col("d2"))
+          .orderBy("query_id", "cand_id")
+      },
+      // |q_i| ≤ ~5300 ⇒ every dot ≤ 64·5300² ≈ 1.8e9 ≪ 2^53, so
+      // DuckDB's double-typed list_dot_product is integer-exact here.
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, qv,
+                 CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+          FROM e)
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               a.n2 + b.n2
+                 - 2 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS d2
+        FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 5
+          AND a.n2 + b.n2
+              - 2 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+              <= 150000000
+        ORDER BY query_id, cand_id""")),
+
     // Binary (1-bit) quantization + Hamming search + exact rerank — the
     // most aggressive embedding compression a retrieval stack runs: 64
     // float dims → ONE bit per dim = 8 bytes/vector (64× smaller than
@@ -2986,6 +3049,117 @@ object Similarity extends QueryModule {
             (dn * (s11 * s2y - s1y * s12) -
              s1 * (s1 * s2y - s1y * s2) +
              sy * (s1 * s12 - s11 * s2)) AS det2
+          FROM dd)
+        SELECT n,
+               round(det0 / detA, 6) AS beta0,
+               round(det1 / detA, 6) AS beta1,
+               round(det2 / detA, 6) AS beta2,
+               round(1.0 - (syy - (det0 / detA) * sy - (det1 / detA) * s1y
+                            - (det2 / detA) * s2y)
+                         / (syy - sy * sy / dn), 6) AS r2
+        FROM sol""")),
+
+    // Ridge regression (L2-regularized OLS) by the SAME one-scan normal
+    // equations as ml_linreg_normal — the regularized fit a feature
+    // audit reaches for when features are collinear (x1 = token count
+    // and x2 = distinct-token count correlate strongly on this corpus,
+    // exactly the regime where plain OLS coefficients go unstable).
+    // Identical sufficient statistics (the ten moments are the same
+    // aggregate), identical Cramer solve — the ONLY change is +λ on the
+    // two feature diagonals of XᵀX (the intercept row stays unpenalized,
+    // the standard convention), with λ = 100·n so the penalty scales
+    // with data like the moments do and the fit is
+    // sample-size-invariant. Exactness discipline unchanged: moments
+    // are decimal(38,0)/HUGEINT integers, λ·n is an exactly-
+    // representable double product, and both engines evaluate one fixed
+    // double tree from there. Shrinkage is the VISIBLE product: betas
+    // land between OLS and 0, and the r2 column is computed against the
+    // ridge betas so the regularization cost is measurable next to
+    // ml_linreg_normal's row.
+    Q(
+      "ml_ridge_normal",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val f = Tables.documents(s, dir).select(
+          size(split(col("text"), " ")).cast("long").as("x1"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("x2"),
+          col("n_chars").as("y"))
+        val m = f.agg(
+          count(lit(1)).as("n"),
+          sum(col("x1").cast(dec)).as("s1"),
+          sum(col("x2").cast(dec)).as("s2"),
+          sum((col("x1") * col("x1")).cast(dec)).as("s11"),
+          sum((col("x2") * col("x2")).cast(dec)).as("s22"),
+          sum((col("x1") * col("x2")).cast(dec)).as("s12"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x1") * col("y")).cast(dec)).as("s1y"),
+          sum((col("x2") * col("y")).cast(dec)).as("s2y"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        val d = (c: String) => col(c).cast("double")
+        val lam = d("n") * 100d
+        val r11 = d("s11") + lam
+        val r22 = d("s22") + lam
+        val detA = d("n") * (r11 * r22 - d("s12") * d("s12")) -
+          d("s1") * (d("s1") * r22 - d("s12") * d("s2")) +
+          d("s2") * (d("s1") * d("s12") - r11 * d("s2"))
+        val det0 = d("sy") * (r11 * r22 - d("s12") * d("s12")) -
+          d("s1") * (d("s1y") * r22 - d("s12") * d("s2y")) +
+          d("s2") * (d("s1y") * d("s12") - r11 * d("s2y"))
+        val det1 = d("n") * (d("s1y") * r22 - d("s12") * d("s2y")) -
+          d("sy") * (d("s1") * r22 - d("s12") * d("s2")) +
+          d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+        val det2 = d("n") * (r11 * d("s2y") - d("s1y") * d("s12")) -
+          d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+          d("sy") * (d("s1") * d("s12") - r11 * d("s2"))
+        val b0 = det0 / detA; val b1 = det1 / detA; val b2 = det2 / detA
+        val sse = d("syy") - b0 * d("sy") - b1 * d("s1y") - b2 * d("s2y")
+        val sst = d("syy") - d("sy") * d("sy") / d("n")
+        m.select(col("n"),
+          round(b0, 6).as("beta0"), round(b1, 6).as("beta1"),
+          round(b2, 6).as("beta2"), round(lit(1.0) - sse / sst, 6).as("r2"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                      AS BIGINT) AS x2,
+                 n_chars AS y
+          FROM documents),
+        m AS (
+          SELECT count(*)::HUGEINT AS n,
+                 sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2,
+                 sum(x1::HUGEINT * x1) AS s11,
+                 sum(x2::HUGEINT * x2) AS s22,
+                 sum(x1::HUGEINT * x2) AS s12,
+                 sum(y::HUGEINT) AS sy,
+                 sum(x1::HUGEINT * y) AS s1y,
+                 sum(x2::HUGEINT * y) AS s2y,
+                 sum(y::HUGEINT * y) AS syy
+          FROM f),
+        dd AS (
+          SELECT CAST(n AS BIGINT) AS n,
+                 n::DOUBLE AS dn, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+                 (s11::DOUBLE + n::DOUBLE * 100) AS r11,
+                 (s22::DOUBLE + n::DOUBLE * 100) AS r22,
+                 s12::DOUBLE AS s12, sy::DOUBLE AS sy,
+                 s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y,
+                 syy::DOUBLE AS syy
+          FROM m),
+        sol AS (
+          SELECT n, sy, s1y, s2y, syy, dn,
+            (dn * (r11 * r22 - s12 * s12) -
+             s1 * (s1 * r22 - s12 * s2) +
+             s2 * (s1 * s12 - r11 * s2)) AS detA,
+            (sy * (r11 * r22 - s12 * s12) -
+             s1 * (s1y * r22 - s12 * s2y) +
+             s2 * (s1y * s12 - r11 * s2y)) AS det0,
+            (dn * (s1y * r22 - s12 * s2y) -
+             sy * (s1 * r22 - s12 * s2) +
+             s2 * (s1 * s2y - s1y * s2)) AS det1,
+            (dn * (r11 * s2y - s1y * s12) -
+             s1 * (s1 * s2y - s1y * s2) +
+             sy * (s1 * s12 - r11 * s2)) AS det2
           FROM dd)
         SELECT n,
                round(det0 / detA, 6) AS beta0,

@@ -1032,6 +1032,150 @@ object Text extends QueryModule {
         HAVING count(*) FILTER (WHERE nd >= 2) > 0
         ORDER BY doc_id"""))
   ) ++ Seq(
+    // N-gram NOVELTY — the curation signal dedup doesn't give: for each
+    // document, the fraction of its distinct 8-gram shingles whose FIRST
+    // corpus occurrence (min doc_id — ingestion order) is this document.
+    // Low-novelty documents are recombinations of text the corpus
+    // already has (templated spam, scraped mirrors, quote-heavy pages)
+    // even when no single pair crosses a dedup threshold; data-mixing
+    // passes weight sources by exactly this kind of marginal-new-content
+    // measure. Scale shape: shingle instances explode map-side, the
+    // first-occurrence frame is ONE hash-agg keyed by shingle (min is
+    // map-side-combinable), and the join back is shingle-keyed — no
+    // all-pairs anywhere, every shuffle is shingle- or doc-cardinality.
+    // Counts are exact integers; per-source novelty is a single division
+    // from two exact sums, replayed identically by the oracle.
+    Q(
+      "text_ngram_novelty",
+      (s, dir) => {
+        val w = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 8)
+        val sh = w
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(1), size(col("ws")) - 7)).as("i"),
+            col("ws"))
+          .select(col("doc_id"), col("source"),
+            md5(concat_ws(" ", slice(col("ws"), col("i"), lit(8)))).as("k"))
+          .distinct()
+        val first = sh.groupBy("k").agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, Seq("k"))
+          .groupBy("source")
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("source"), col("n_docs"), col("n_shingles"),
+            col("n_novel"),
+            round(col("n_novel") / col("n_shingles").cast("double"), 6)
+              .as("novelty"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        sh AS (
+          SELECT DISTINCT doc_id, source,
+                 md5(array_to_string(
+                   ws[CAST(i AS INT) : CAST(i + 7 AS INT)], ' ')) AS k
+          FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)),
+        f AS (SELECT k, min(doc_id) AS first_doc FROM sh GROUP BY k)
+        SELECT source,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS novelty
+        FROM sh JOIN f USING (k)
+        GROUP BY source ORDER BY source""")),
+
+    // Duplicate-n-gram COVERAGE — the document-level repetition damage
+    // metric (popularized by large-corpus curation pipelines): for each
+    // document, the fraction of its token POSITIONS covered by at least
+    // one 5-gram that also appears in another document. Dedup asks "is
+    // this doc a copy"; coverage asks "how much of this doc is copied
+    // text", which is the right per-doc penalty for quote-stitched and
+    // boilerplate-heavy pages that no pairwise threshold catches.
+    // Coverage is the UNION of overlapping [p, p+4] spans, computed
+    // relationally: duplicated shingles explode to their 5 positions and
+    // a per-(doc, position) distinct collapses the overlap — exact set
+    // semantics, no interval sweep, every shuffle keyed by shingle or
+    // doc. All counts exact integers; per-source coverage is one
+    // division from two exact sums.
+    Q(
+      "text_dup_ngram_coverage",
+      (s, dir) => {
+        val w = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 5)
+        val ng = w
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("ws")) - 4)).as("p"),
+            col("ws"))
+          .select(col("doc_id"), col("p"),
+            md5(concat_ws(" ", slice(col("ws"), col("p"), lit(5)))).as("k"))
+        val dup = ng.groupBy("k")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("k")
+        val cov = ng.join(dup, Seq("k"))
+          .select(col("doc_id"),
+            explode(sequence(col("p"), col("p") + 4)).as("pos"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+        w.select(col("doc_id"), col("source"),
+            size(col("ws")).cast("long").as("ntok"))
+          .join(cov, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("covered"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("covered")).as("covered_tokens"),
+            sum(col("ntok")).as("total_tokens"),
+            sum(when(col("covered") === 0L, 1L).otherwise(0L))
+              .as("n_clean"))
+          .select(col("source"), col("n_docs"), col("covered_tokens"),
+            col("total_tokens"), col("n_clean"),
+            round(col("covered_tokens") /
+              col("total_tokens").cast("double"), 6).as("dup_coverage"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 5),
+        ng AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS p,
+                 md5(array_to_string(
+                   ws[CAST(i AS INT) : CAST(i + 4 AS INT)], ' ')) AS k
+          FROM toks, unnest(generate_series(1, len(ws) - 4)) AS t(i)),
+        dup AS (
+          SELECT k FROM (
+            SELECT k, count(DISTINCT doc_id) AS nd FROM ng GROUP BY k)
+          WHERE nd >= 2),
+        cov AS (
+          SELECT doc_id, count(*) AS covered FROM (
+            SELECT DISTINCT ng.doc_id, ng.p + off AS pos
+            FROM ng JOIN dup USING (k),
+                 unnest(generate_series(0, 4)) AS o(off))
+          GROUP BY doc_id),
+        d AS (SELECT doc_id, source,
+                     CAST(len(ws) AS BIGINT) AS ntok FROM toks)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(coalesce(covered, 0)) AS BIGINT) AS covered_tokens,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN coalesce(covered, 0) = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clean,
+               round(sum(coalesce(covered, 0))
+                     / CAST(sum(ntok) AS DOUBLE), 6) AS dup_coverage
+        FROM d LEFT JOIN cov USING (doc_id)
+        GROUP BY source ORDER BY source""")),
+
     // The counting step of one BPE training iteration: per-word corpus
     // frequencies, then adjacent character-pair counts weighted by word
     // frequency, top-20 merge candidates with a deterministic tie-break.

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic specs for the round-13 operator batch. Each new key gets an
+  * independent cross-check: either a hand-computable invariant or a
+  * re-derivation through a DIFFERENT plan shape than the key uses, so a
+  * bug in the key's formulation can't hide in a self-comparison.
+  */
+class Round13Spec extends AnyFunSuite with SparkFixture {
+
+  test("agg_log_histogram: buckets are powers of two and shares sum to 1") {
+    val rows = SparkEntry.queries("agg_log_histogram")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bucket = r.getAs[Int]("bucket")
+      val lo = r.getAs[Long]("lo"); val hi = r.getAs[Long]("hi")
+      assert(lo == (1L << bucket) && hi == (1L << (bucket + 1)))
+    }
+    // shares within one source add to 1 (every doc lands in exactly one
+    // bucket); tolerance covers the per-bucket 1e-6 rounding only
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val total = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"shares sum to $total")
+    }
+  }
+
+  test("agg_log_histogram: a hand value lands in its magnitude bucket") {
+    // doc lengths bucket by bit length: any n in [512, 1023] => bucket 9
+    val sp = spark
+    val d = Tables.documents(sp, sf0001)
+      .filter(col("n_chars") >= 512 && col("n_chars") <= 1023)
+    val n512 = d.count()
+    if (n512 > 0) {
+      val out = SparkEntry.queries("agg_log_histogram")(sp, sf0001)
+        .filter(col("bucket") === 9)
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      assert(out == n512)
+    }
+  }
+
+  test("sample_ab_assign: arms partition users and chi2 matches by hand") {
+    val rows = SparkEntry.queries("sample_ab_assign")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(rows.keySet == Set("A", "B"))
+    val na = rows("A").getAs[Long]("n_users")
+    val nb = rows("B").getAs[Long]("n_users")
+    // independent membership count straight from the events table
+    val users = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct()
+      .withColumn("arm",
+        when((col("user_id") * 2654435761L) % 1000L < 500, "A")
+          .otherwise("B"))
+      .groupBy("arm").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(users("A") == na && users("B") == nb)
+    val chi2 = (na - nb).toDouble * (na - nb) / (na + nb)
+    assert(math.abs(rows("A").getAs[Double]("srm_chi2") -
+      math.rint(chi2 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("ml_ridge_normal: shrinks the fit relative to OLS, never improves it") {
+    val ols = SparkEntry.queries("ml_linreg_normal")(spark, sf0001).collect()(0)
+    val ridge = SparkEntry.queries("ml_ridge_normal")(spark, sf0001).collect()(0)
+    assert(ridge.getAs[Long]("n") == ols.getAs[Long]("n"))
+    // train-set R² of the penalized solution cannot exceed the OLS R²
+    // (OLS is the unconstrained minimizer of SSE); equality would mean
+    // λ had no effect, which 100·n visibly does on this corpus
+    assert(ridge.getAs[Double]("r2") < ols.getAs[Double]("r2"))
+    assert(ridge.getAs[Double]("r2") > 0.0)
+    // the penalized feature-coefficient norm must shrink
+    val bn = (r: org.apache.spark.sql.Row) =>
+      math.pow(r.getAs[Double]("beta1"), 2) +
+        math.pow(r.getAs[Double]("beta2"), 2)
+    assert(bn(ridge) < bn(ols))
+  }
+
+  test("multiSourceBfs: exact distances on a hand-built path graph") {
+    val sp = spark
+    import sp.implicits._
+    // path 1-2-3-4-5: from sources 1 and 5, radius 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val out = graft.api.Graph.multiSourceBfs(
+      edges, col("u"), col("v"), Seq(1L, 5L), maxHops = 2,
+      assumeCanonical = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out == Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2,
+      (5L, 5L) -> 0, (5L, 4L) -> 1, (5L, 3L) -> 2))
+  }
+
+  test("graph_closeness: one row per seed, closeness in (0, 1]") {
+    val rows = SparkEntry.queries("graph_closeness")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val reached = r.getAs[Long]("n_reached")
+      val sumDist = r.getAs[Long]("sum_dist")
+      assert(reached > 0 && sumDist >= reached) // every dist >= 1
+      val c = r.getAs[Double]("closeness")
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
+  test("sim_radius_search: complete and exact vs an independent brute force") {
+    val sp = spark
+    val out = SparkEntry.queries("sim_radius_search")(sp, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent formulation: direct per-element squared-diff fold
+    // (no dot-product identity, no custom expression)
+    val q = Tables.embeddings(sp, sf001)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("qv"))
+    val brute = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+      .crossJoin(q.select(col("vec_id").as("cand_id"), col("qv").as("qb")))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qa"), col("qb"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("d2") <= 150000000L)
+      .select("query_id", "cand_id", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == brute)
+    assert(out.nonEmpty)
+  }
+
+  test("text_ngram_novelty: window-min re-derivation agrees per source") {
+    val sp = spark
+    val w = Tables.documents(sp, sf001)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+    val sh = w.select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), size(col("ws")) - 7)).as("i"), col("ws"))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(col("ws"), col("i"), lit(8)))).as("k"))
+      .distinct()
+    // independent shape: window min over the shingle key instead of the
+    // key's groupBy+join
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    val indep = sh.withColumn("first_doc", min(col("doc_id")).over(win))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = SparkEntry.queries("text_ngram_novelty")(sp, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nsh, nnov) = indep(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_shingles") == nsh)
+      assert(r.getAs[Long]("n_novel") == nnov)
+      val nov = r.getAs[Double]("novelty")
+      assert(nov > 0.0 && nov <= 1.0)
+    }
+  }
+
+  test("text_dup_ngram_coverage: bounds and clean-doc consistency") {
+    val rows = SparkEntry.queries("text_dup_ngram_coverage")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val covered = r.getAs[Long]("covered_tokens")
+      val total = r.getAs[Long]("total_tokens")
+      val clean = r.getAs[Long]("n_clean")
+      val docs = r.getAs[Long]("n_docs")
+      assert(covered >= 0 && covered <= total)
+      assert(clean >= 0 && clean <= docs)
+      val cov = r.getAs[Double]("dup_coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+      // a source where every doc is clean must have zero coverage
+      if (clean == docs) assert(covered == 0L)
+    }
+    // the fixture corpus plants near-duplicates, so coverage exists
+    assert(rows.map(_.getAs[Long]("covered_tokens")).sum > 0)
+  }
+}
