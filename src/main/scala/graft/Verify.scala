@@ -29,6 +29,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // GRAFT_VERIFY_STACK=1: full trace for local triage (message-only
+        // by default — the driver log only needs the one line)
+        if (sys.env.get("GRAFT_VERIFY_STACK").contains("1"))
+          e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -476,7 +476,14 @@ package object api {
         // iterative plan quickly costs more than executing the tiny
         // per-round jobs (measured: per-round checkpointing ≈ 3× faster
         // end-to-end than every-3-rounds on the dedup pipeline).
-        labels = labels.localCheckpoint(true)
+        // statsResetLeaf on top: localCheckpoint INHERITS the origin
+        // stats, and the viaJump labels⋈labels squares sizeInBytes every
+        // round — 2^(63·2^k) after k rounds, which stalls planning on
+        // megabyte-long BigInts and overflows Catalyst's stats visitor
+        // near round 25 (hit by ml_dbscan_grid's 30-round stringy
+        // components; dedup's shallow 8-round groups never got there).
+        labels = org.apache.spark.sql.graftx.Bridge.statsResetLeaf(
+          labels.localCheckpoint(true))
         val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
           .collect()(0).getDecimal(0)
         if (prevSum != null && s.compareTo(prevSum) == 0) converged = true

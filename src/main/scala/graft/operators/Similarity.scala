@@ -2089,6 +2089,142 @@ object Similarity extends QueryModule {
           ON p.query_id = e.query_id AND p.cand_id = e.cand_id
         GROUP BY e.query_id ORDER BY e.query_id""")),
 
+    // DBSCAN — density clustering, the shape k-means structurally cannot
+    // produce (no k to guess, arbitrary cluster shapes, an explicit NOISE
+    // verdict — the property that makes it the curation tool for "keep
+    // the dense regions, quarantine the stragglers"). Exact distributed
+    // DBSCAN over 2-D integer points (the join_geo_cell md5-microdegree
+    // derivation, salt 'db'): ε-neighbor pairs come from the SAME 3×3
+    // grid-cell blocking geoCellJoin proves complete (cell width = ε ⇒
+    // any pair within ε shares adjacent cells), so candidates are
+    // cell-local — never all-pairs — and the integer d² ≤ ε² refine is
+    // engine-exact. ε is ADAPTIVE by the constant-expected-degree rule
+    // (ε = round(√(5·area/(π·n)))): average neighbor count stays ~5 at
+    // every scale, so candidate volume, core census, and component sizes
+    // grow LINEARLY in n — the 100 TB property a fixed ε forfeits (fixed
+    // ε at 10× the density means 10× the per-point neighbors and a
+    // quadratic-trending wedge). Cores = points with ≥4 ε-neighbors;
+    // clusters = min-label connected components over core-core ε-edges
+    // (api.Dedup.connectedComponents — pointer-jumped, lineage-cut);
+    // borders attach to their min core-neighbor's component (ties
+    // deterministic); everything else is noise, reported as the
+    // component = −1 row. The oracle replays point derivation, the
+    // adaptive ε (same IEEE sqrt/round), all-pairs-refined edges
+    // (provably the same edge set the grid produces), the transitive
+    // closure, border attachment, and the census. 40 clusters / 1036
+    // cores at sf0.01; 8 / 88 at sf0.001 — structure at every scale.
+    Q(
+      "ml_dbscan_grid",
+      (s, dir) => {
+        def coord(axis: String, m: Long, off: Long) =
+          (conv(substring(md5(concat(lit("db"),
+            col("c_custkey").cast("string"), lit(axis))), 1, 15), 16, 10)
+            .cast("long") % m - off)
+        val pts = Tables.customer(s, dir).select(
+          col("c_custkey").as("id"),
+          coord("lat", 120000000L, 60000000L).as("lat"),
+          coord("lon", 340000000L, 170000000L).as("lon"))
+          .localCheckpoint(true)
+        // adaptive ε: 5·area/(π·n) under one IEEE sqrt+round both
+        // engines share (area = 120e6 × 340e6 µdeg²)
+        val n = pts.count()
+        val eps = math.round(math.sqrt(6.494e16 / n))
+        val pairs = graft.api.Joins.geoCellJoin(
+            pts, col("id"), col("lat"), col("lon"),
+            pts, col("id"), col("lat"), col("lon"), cellMicro = eps)
+          .filter(col("id_a") =!= col("id_b"))
+          .select("id_a", "id_b").localCheckpoint(true)
+        val cores = pairs.groupBy(col("id_a").as("id"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 4).select("id").localCheckpoint(true)
+        val coreEdges = pairs
+          .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+          .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+          .filter(col("id_a") < col("id_b"))
+        // Geometric clusters are STRINGY (hundreds of nodes, large
+        // diameter), unlike dedup's shallow near-dup groups — the default
+        // 8-round cap exits before the min label crosses the biggest
+        // cluster. 30 rounds is diameter-30 even with zero jump gains;
+        // the convergence probe makes the surplus rounds free once the
+        // label sum stabilizes.
+        val comp = graft.api.Dedup.connectedComponents(
+          cores, col("id"), coreEdges, col("id_a"), col("id_b"),
+          iterations = 30)
+          .select(col("id"), col("component")).localCheckpoint(true)
+        val border = pairs
+          .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+          .join(comp.select(col("id").as("id_b"), col("component")),
+            Seq("id_b"))
+          .groupBy(col("id_a").as("id"))
+          .agg(min(col("component")).as("component"))
+        val clustered = comp.withColumn("is_core", lit(1L))
+          .unionByName(border.withColumn("is_core", lit(0L)))
+          .localCheckpoint(true)
+        val census = clustered.groupBy("component")
+          .agg(sum(col("is_core")).as("n_core"),
+            sum(lit(1L) - col("is_core")).as("n_border"),
+            count(lit(1)).as("n_total"))
+        val noise = pts
+          .join(clustered.select("id"), Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("n_total"))
+          .select(lit(-1L).as("component"), lit(0L).as("n_core"),
+            lit(0L).as("n_border"), col("n_total"))
+        census.unionByName(noise)
+          .orderBy(desc("n_total"), asc("component"))
+          .limit(15)
+      },
+      oracle = Some("""
+        WITH RECURSIVE
+        p AS (
+          SELECT c_custkey AS id,
+                 ('0x' || substring(md5('db' || CAST(c_custkey AS VARCHAR)
+                   || 'lat'), 1, 15))::BIGINT % 120000000 - 60000000 AS lat,
+                 ('0x' || substring(md5('db' || CAST(c_custkey AS VARCHAR)
+                   || 'lon'), 1, 15))::BIGINT % 340000000 - 170000000 AS lon
+          FROM customer),
+        cnt AS (SELECT count(*) AS n FROM p),
+        ee AS (SELECT CAST(round(sqrt(64940000000000000.0 / n)) AS BIGINT)
+                 AS eps FROM cnt),
+        pairs AS (
+          SELECT a.id AS ia, b.id AS ib
+          FROM p a, p b, ee
+          WHERE a.id <> b.id
+            AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+                <= eps*eps),
+        deg AS (SELECT ia AS id, count(*) AS dg FROM pairs GROUP BY ia),
+        cores AS (SELECT id FROM deg WHERE dg >= 4),
+        ce AS (SELECT ia, ib FROM pairs
+               WHERE ia IN (SELECT id FROM cores)
+                 AND ib IN (SELECT id FROM cores) AND ia < ib),
+        sym AS (SELECT ia AS src, ib AS dst FROM ce
+                UNION SELECT ib, ia FROM ce),
+        reach(id, r) AS (
+          SELECT id, id FROM cores
+          UNION
+          SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        border AS (
+          SELECT pr.ia AS id, min(cm.component) AS component
+          FROM pairs pr JOIN comp cm ON cm.id = pr.ib
+          WHERE pr.ia NOT IN (SELECT id FROM cores)
+          GROUP BY pr.ia),
+        clustered AS (
+          SELECT id, component, 1 AS is_core FROM comp
+          UNION ALL SELECT id, component, 0 AS is_core FROM border),
+        census AS (
+          SELECT component, CAST(sum(is_core) AS BIGINT) AS n_core,
+                 CAST(sum(1 - is_core) AS BIGINT) AS n_border,
+                 count(*) AS n_total
+          FROM clustered GROUP BY component),
+        noise AS (
+          SELECT CAST(-1 AS BIGINT) AS component,
+                 CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border,
+                 (SELECT count(*) FROM p) - (SELECT count(*) FROM clustered)
+                   AS n_total)
+        SELECT component, n_core, n_border, n_total FROM (
+          SELECT * FROM census UNION ALL SELECT * FROM noise)
+        ORDER BY n_total DESC, component LIMIT 15""")),
+
     // Lloyd's k-means over the embedding table (api.Similarity.kMeans):
     // assignment is map-side codegen against literal centroids, update is
     // the one per-round shuffle. The embeddings carry ground-truth labels,

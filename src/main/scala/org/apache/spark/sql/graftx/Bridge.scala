@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftx
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -12,4 +12,25 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-leaf a (typically localCheckpointed) frame WITHOUT inheriting its
+    * origin plan's statistics. `Dataset.localCheckpoint` deliberately
+    * carries the origin stats onto the new `LogicalRDD` — correct for a
+    * one-shot cut, but fatal for a self-joining fixpoint: a round that
+    * joins labels⋈labels SQUARES sizeInBytes, the checkpoint preserves
+    * the square, and after k rounds the estimate is 2^(63·2^k) — a
+    * BigInteger whose bit length overflows Catalyst's stats visitor at
+    * k≈25 (java.math.BigInteger MAX_MAG_LENGTH), after grinding planning
+    * to a halt multiplying megabyte-long integers. Wrapping the
+    * checkpointed RDD in a fresh leaf resets the estimate to the default
+    * each round, so the exponent is bounded per round instead of
+    * compounding across rounds. The RDD is reused as-is (InternalRow,
+    * no conversion, no recompute).
+    */
+  def statsResetLeaf(df: DataFrame): DataFrame = {
+    val sp = df.sparkSession.asInstanceOf[
+      org.apache.spark.sql.classic.SparkSession]
+    sp.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -158,6 +158,42 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("connectedComponents: 200-node path converges at 30 rounds " +
+    "(stats-reset regression: pre-fix this overflowed BigInteger)") {
+    val sp = spark
+    import sp.implicits._
+    val n = 200
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst")
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val comp = graft.api.Dedup.connectedComponents(
+      nodes, col("id"), edges, col("src"), col("dst"), iterations = 30)
+      .collect()
+    assert(comp.length == n)
+    // one component, labeled by the min node id
+    assert(comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("ml_dbscan_grid: census invariants and a real multi-cluster result") {
+    val rows = SparkEntry.queries("ml_dbscan_grid")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val noise = rows.filter(_.getAs[Long]("component") == -1L)
+    assert(noise.length == 1)
+    assert(noise(0).getAs[Long]("n_core") == 0L &&
+      noise(0).getAs[Long]("n_border") == 0L)
+    val clusters = rows.filter(_.getAs[Long]("component") != -1L)
+    assert(clusters.length >= 2, "density structure must exist at sf0.001")
+    clusters.foreach { r =>
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_core") + r.getAs[Long]("n_border"))
+      // every cluster has at least one core by construction
+      assert(r.getAs[Long]("n_core") >= 1)
+    }
+    // labels are distinct components
+    val labels = rows.map(_.getAs[Long]("component"))
+    assert(labels.distinct.length == labels.length)
+  }
+
   test("text_dup_ngram_coverage: bounds and clean-doc consistency") {
     val rows = SparkEntry.queries("text_dup_ngram_coverage")(spark, sf001)
       .collect()
