@@ -119,7 +119,20 @@ object Streaming extends QueryModule {
     * joins (the flush emits closed windows / null-padded rows) MUST
     * keep the default. The DuckDB oracle is the gate either way.
     */
-  private[operators] def drive(s: SparkSession, finalFlush: Boolean = true)(
+  /** `codegen = true` re-enables whole-stage codegen for THIS query.
+    * ONLY valid for plans with no event-time state: the interpreted-mode
+    * default exists because watermark plans embed per-batch literals
+    * (current watermark, CurrentBatchTimestamp) in generated code, so
+    * the class cache misses every batch and janino recompiles — but a
+    * watermark-FREE plan generates IDENTICAL code every batch, the cache
+    * hits from batch 1, and codegen'd addBatch wins outright (measured
+    * r13 on the 100k-rows/batch foreachBatch gate: 2.1 → 1.5 s; the
+    * stateless enrich join 1.1 → 0.9 s). Rule of thumb: withWatermark
+    * or *GroupsWithState/transformWithState anywhere in the plan ⇒ keep
+    * the default; pure source→transform→sink ⇒ turn it on.
+    */
+  private[operators] def drive(s: SparkSession, finalFlush: Boolean = true,
+      codegen: Boolean = false)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val key = "spark.sql.shuffle.partitions"
     val mgrKey = "spark.sql.streaming.checkpointFileManagerClass"
@@ -153,7 +166,7 @@ object Streaming extends QueryModule {
     // shell idiom) would otherwise reach Spark's boolean conf parser as
     // the string "1" and throw far from the env var.
     s.conf.set(wscgKey,
-      (sys.env.get("GRAFT_STREAM_WSCG").exists(v =>
+      (codegen || sys.env.get("GRAFT_STREAM_WSCG").exists(v =>
         v.equalsIgnoreCase("true") || v == "1")).toString)
     try start.awaitTermination()
     finally {
@@ -271,7 +284,7 @@ object Streaming extends QueryModule {
       "stream_file_source",
       (s, dir) => {
         val (in, ckpt) = slices(s, dir, "stream_file_source")
-        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s, codegen = true) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
@@ -293,7 +306,7 @@ object Streaming extends QueryModule {
         val (in, ckpt) = slices(s, dir, "stream_sink_foreachbatch")
         val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
-        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s, codegen = true) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -338,7 +351,7 @@ object Streaming extends QueryModule {
           "type_not_error" -> (col("event_type") =!= "error"),
           "user_present" -> col("user_id").isNotNull,
           "value_max_100" -> (col("value") <= lit(100.0)))
-        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s, codegen = true) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .writeStream
           .foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -457,7 +470,7 @@ object Streaming extends QueryModule {
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try {
           def runOnce(ckptDir: String): Unit =
-            drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+            drive(s, codegen = true) { s.readStream.schema(Tables.events(s, dir).schema)
               .option("maxFilesPerTrigger", 1).parquet(in)
               .writeStream
               .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -494,7 +507,7 @@ object Streaming extends QueryModule {
         val (in, ckpt) = slices(s, dir, "stream_sink_partitioned")
         val root = Paths.get(ckpt).getParent.toString
         val sink = s"$root/sink"
-        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s, codegen = true) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .writeStream.format("parquet")
           .partitionBy("event_type")
@@ -525,7 +538,7 @@ object Streaming extends QueryModule {
       "stream_rate_source",
       (s, dir) => {
         val ckpt = s"${Scratch.fresh("stream_rate_source")}/ckpt"
-        drive(s) { s.readStream.format("rate-micro-batch")
+        drive(s, codegen = true) { s.readStream.format("rate-micro-batch")
           .option("rowsPerBatch", 2500)
           .option("numPartitions", 4)
           .option("startTimestamp", 1700000000000L)
@@ -560,7 +573,7 @@ object Streaming extends QueryModule {
         val sliceFiles = scala.util.Using.resource(
             Files.list(Paths.get(sharedIn)))(_.sorted().toArray)
           .map(_.asInstanceOf[java.nio.file.Path])
-        def run(): Unit = drive(s) {
+        def run(): Unit = drive(s, codegen = true) {
           s.readStream.schema(Tables.events(s, dir).schema)
             .option("maxFilesPerTrigger", 1).parquet(in)
             .writeStream
@@ -892,7 +905,7 @@ object Streaming extends QueryModule {
           ("click", 1.0), ("view", 0.5), ("purchase", 5.0),
           ("signup", 3.0), ("error", 0.0)))
           .toDF("event_type", "weight")
-        drive(s) { s.readStream.schema(Tables.events(s, dir).schema)
+        drive(s, codegen = true) { s.readStream.schema(Tables.events(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
           .join(weights, "event_type")
           .groupBy(col("event_type"))
