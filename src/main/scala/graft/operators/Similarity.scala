@@ -1410,6 +1410,102 @@ object Similarity extends QueryModule {
               <= 150000000
         ORDER BY query_id, cand_id""")),
 
+    // The recall audit that makes sim_radius_search's "sublinear tier"
+    // claim measurable (the sim_ann_recall_* discipline applied to RANGE
+    // retrieval): run the same integer-τ² radius predicate over
+    // LSH-bucketed candidates only — each query probes its own 6-bit
+    // signed-random-projection bucket plus the 6 hamming-1 buckets
+    // (multiprobe) — and report per-query how much of the exact result
+    // set the bucketed scan recovered. Because the refine predicate is
+    // IDENTICAL to the exact key's, retrieved ⊆ exact and recall =
+    // n_lsh/n_exact by construction; the missing mass is exactly the
+    // neighbors whose hyperplane signature differs in ≥2 bits — the
+    // number that tells an operator whether the cheap tier is usable at
+    // their τ, before they pay for the linear scan. Every count is an
+    // exact integer; recall is one division. On THIS corpus the audit's
+    // verdict is honestly negative (recall 0–0.17 at sf0.01): τ² = 1.5e8
+    // sits in the near-orthogonal bulk of random 64-d vectors, where a
+    // 6-bit SRP signature carries almost no information about the
+    // threshold — i.e. the audit demonstrates the failure mode it exists
+    // to catch, and why radius workloads over unclustered embeddings
+    // must budget for the exact tier.
+    Q(
+      "sim_ann_recall_radius",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            transform(col("embedding"), x =>
+              round(x.cast("double") * 10000).cast("int")).as("qv"))
+          .withColumn("n2",
+            graft.functions.QuantizedDotProduct(col("qv"), col("qv")))
+          .withColumn("sig",
+            lshSig(transform(col("embedding"), x => x.cast("double"))))
+          .select("vec_id", "qv", "n2", "sig")
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+            col("n2").as("na"), col("sig"))
+          .select(col("query_id"), col("qa"), col("na"),
+            explode(array(col("sig"), col("sig").bitwiseXOR(1),
+              col("sig").bitwiseXOR(2), col("sig").bitwiseXOR(4),
+              col("sig").bitwiseXOR(8), col("sig").bitwiseXOR(16),
+              col("sig").bitwiseXOR(32))).as("probe"))
+        val c = v.select(col("vec_id").as("cand_id"), col("qv").as("qb"),
+          col("n2").as("nb"), col("sig").as("probe"))
+        val lsh = broadcast(q).join(c, Seq("probe"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .filter(col("na") + col("nb") -
+            lit(2L) * graft.functions.QuantizedDotProduct(
+              col("qa"), col("qb")) <= 150000000L)
+          .groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
+        val exact = all.find(_.name == "sim_radius_search").get.run(s, dir)
+          .groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        exact.join(lsh, Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_lsh"))
+          .select(col("query_id"), col("n_exact"), col("n_lsh"),
+            round(col("n_lsh") / col("n_exact").cast("double"), 4)
+              .as("recall"))
+          .orderBy("query_id")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, e, qv,
+                 CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+          FROM v),
+        sig AS (SELECT vec_id, qv, n2, $lshSigSql AS sig FROM n),
+        ex AS (
+          SELECT a.vec_id AS query_id, count(*) AS n_exact
+          FROM n a JOIN n b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 5
+            AND a.n2 + b.n2
+                - 2 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                <= 150000000
+          GROUP BY a.vec_id),
+        pr AS (
+          SELECT q.vec_id AS query_id, q.qv AS qa, q.n2 AS na,
+                 unnest([q.sig, xor(q.sig, 1), xor(q.sig, 2), xor(q.sig, 4),
+                         xor(q.sig, 8), xor(q.sig, 16), xor(q.sig, 32)])
+                   AS probe
+          FROM sig q WHERE q.vec_id < 5),
+        lsh AS (
+          SELECT pr.query_id, count(*) AS n_lsh
+          FROM pr JOIN sig c ON c.sig = pr.probe
+            AND c.vec_id <> pr.query_id
+          WHERE pr.na + c.n2
+                - 2 * CAST(list_dot_product(pr.qa, c.qv) AS BIGINT)
+                <= 150000000
+          GROUP BY pr.query_id)
+        SELECT ex.query_id, ex.n_exact,
+               coalesce(lsh.n_lsh, 0) AS n_lsh,
+               round(coalesce(lsh.n_lsh, 0)
+                     / CAST(ex.n_exact AS DOUBLE), 4) AS recall
+        FROM ex LEFT JOIN lsh ON lsh.query_id = ex.query_id
+        ORDER BY ex.query_id""")),
+
     // Binary (1-bit) quantization + Hamming search + exact rerank — the
     // most aggressive embedding compression a retrieval stack runs: 64
     // float dims → ONE bit per dim = 8 bytes/vector (64× smaller than

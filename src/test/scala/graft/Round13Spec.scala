@@ -194,6 +194,19 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     assert(labels.distinct.length == labels.length)
   }
 
+  test("sim_ann_recall_radius: retrieved is a subset of exact per query") {
+    val sp = spark
+    val rows = SparkEntry.queries("sim_ann_recall_radius")(sp, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val ex = r.getAs[Long]("n_exact"); val lsh = r.getAs[Long]("n_lsh")
+      assert(ex > 0 && lsh >= 0 && lsh <= ex,
+        "same-threshold refine makes retrieved ⊆ exact")
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("text_dup_ngram_coverage: bounds and clean-doc consistency") {
     val rows = SparkEntry.queries("text_dup_ngram_coverage")(spark, sf001)
       .collect()
