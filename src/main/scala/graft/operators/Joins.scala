@@ -627,6 +627,99 @@ object Joins extends QueryModule {
         FROM s LEFT JOIN e ON s.slo < e.ehi AND e.elo < s.shi
         GROUP BY 1 ORDER BY 1""")),
 
+    // Allen-algebra interval classification join (round 13): every
+    // 30-minute-gap user session joined to each calendar day it touches,
+    // with the PAIR classified into its Allen relation (during /
+    // contains / overlaps / overlapped_by / starts / started_by /
+    // finishes / finished_by / equals) — temporal reasoning engines and
+    // downtime/billing attribution jobs need the full relation, not just
+    // the boolean join_interval_overlap answers. Candidate generation is
+    // the day-bin explode (a session touches ⌈span/день⌉ ≤ 2-ish days —
+    // bounded fan-out, no theta join anywhere); classification is a
+    // fixed CASE ladder over four exact integer comparisons, so the
+    // census replays bit-exactly. Day treated as the closed µs interval
+    // [d·86400e6, (d+1)·86400e6 − 1]. Census output: relation → pair
+    // count (the degenerate equality relations are structurally possible
+    // and provably absent on second-granularity data — their zero rows
+    // simply don't appear).
+    Q(
+      "join_interval_allen",
+      (s, dir) => {
+        val D = 86400000000L
+        val sess = graft.api.Pipeline.sessionize(
+            Tables.events(s, dir), col("user_id"), col("ts"),
+            col("event_id"), gapMinutes = 30)
+          .groupBy(col("sess_key"), col("session_seq"))
+          .agg(min("sess_us").as("st"), max("sess_us").as("en"))
+        val pairs = sess
+          .select(col("st"), col("en"),
+            explode(sequence(expr(s"st div ${D}L"), expr(s"en div ${D}L")))
+              .as("day"))
+          .withColumn("d0", col("day") * D)
+          .withColumn("d1", (col("day") + 1) * D - 1)
+        val rel = when(col("st") === col("d0") && col("en") === col("d1"),
+            "equals")
+          .when(col("st") === col("d0") && col("en") < col("d1"), "starts")
+          .when(col("st") === col("d0") && col("en") > col("d1"),
+            "started_by")
+          .when(col("en") === col("d1") && col("st") > col("d0"),
+            "finishes")
+          .when(col("en") === col("d1") && col("st") < col("d0"),
+            "finished_by")
+          .when(col("st") > col("d0") && col("en") < col("d1"), "during")
+          .when(col("st") < col("d0") && col("en") > col("d1"), "contains")
+          .when(col("st") < col("d0"), "overlaps")
+          .otherwise("overlapped_by")
+        pairs.select(rel.as("relation"))
+          .groupBy("relation").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("relation")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                        OR lag(us) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sessed AS (
+          SELECT user_id, us,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS seq
+          FROM flagged),
+        sess AS (
+          SELECT user_id, seq, min(us) AS st, max(us) AS en
+          FROM sessed GROUP BY 1, 2),
+        pairs AS (
+          SELECT st, en,
+                 unnest(generate_series(st // 86400000000,
+                                        en // 86400000000)) AS day
+          FROM sess),
+        cls AS (
+          SELECT CASE
+            WHEN st = day * 86400000000
+                 AND en = (day + 1) * 86400000000 - 1 THEN 'equals'
+            WHEN st = day * 86400000000
+                 AND en < (day + 1) * 86400000000 - 1 THEN 'starts'
+            WHEN st = day * 86400000000 THEN 'started_by'
+            WHEN en = (day + 1) * 86400000000 - 1
+                 AND st > day * 86400000000 THEN 'finishes'
+            WHEN en = (day + 1) * 86400000000 - 1 THEN 'finished_by'
+            WHEN st > day * 86400000000
+                 AND en < (day + 1) * 86400000000 - 1 THEN 'during'
+            WHEN st < day * 86400000000
+                 AND en > (day + 1) * 86400000000 - 1 THEN 'contains'
+            WHEN st < day * 86400000000 THEN 'overlaps'
+            ELSE 'overlapped_by' END AS relation
+          FROM pairs)
+        SELECT relation, count(*) AS n_pairs
+        FROM cls GROUP BY relation ORDER BY relation""")),
+
     // Nearest-direction as-of join (merge_asof direction='nearest'): each
     // signup matched to the same user's CLOSEST purchase by |Δt| — past
     // or future — vs join_asof's backward-only lookup. Ties pinned

@@ -606,6 +606,82 @@ object Windows extends QueryModule {
                  AS wau_3d
         FROM days ORDER BY event_type, day""")),
 
+    // Bollinger volatility bands over the zero-filled daily event-count
+    // series per type (round 13) — the ops-monitoring companion to
+    // win_rolling_z (per-entity anomaly z) and agg_changepoint_cusum
+    // (retrospective location): bands answer "is TODAY's volume inside
+    // its own recent volatility envelope", the alert primitive volume
+    // monitors page on. Window = 7 full days (rowsBetween −6..0, short
+    // warm-up rows dropped by the n=7 filter); the series is
+    // calendar-densified exactly like agg_autocorr so a silent zero-day
+    // WIDENS the band and shows up instead of vanishing. Discipline:
+    // daily counts are exact integers, window sums s1/s2 are exact
+    // integer sums, and mid/σ/bands evaluate ONE fixed double tree from
+    // them — identical in the oracle.
+    Q(
+      "win_bollinger",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("et"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x0"))
+        val filled = daily.groupBy("et")
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .select(col("et"),
+            explode(sequence(col("lo"), col("hi"))).as("day"))
+          .join(daily, Seq("et", "day"), "left")
+          .select(col("et"), col("day"),
+            coalesce(col("x0"), lit(0L)).as("x"))
+        val w = Window.partitionBy("et").orderBy("day").rowsBetween(-6, 0)
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val s1 = sum(col("x")).over(w)
+        val s2 = sum(col("x") * col("x")).over(w)
+        val n = count(lit(1)).over(w)
+        val mid = d(s1) / 7.0
+        val sd = sqrt((d(s2) - d(s1) * d(s1) / 7.0) / 6.0)
+        filled
+          .select(col("et"), col("day"), col("x"), n.as("n7"),
+            round(mid, 4).as("mid"),
+            round(mid + sd * 2.0, 4).as("upper"),
+            round(mid - sd * 2.0, 4).as("lower"))
+          .filter(col("n7") === 7).drop("n7")
+          .orderBy("et", "day")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type AS et,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS x0
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT et, min(day) AS lo, max(day) AS hi
+                 FROM daily GROUP BY et),
+        grid AS (
+          SELECT et, unnest(generate_series(lo, hi)) AS day FROM span),
+        filled AS (
+          SELECT grid.et, grid.day, coalesce(daily.x0, 0) AS x
+          FROM grid
+          LEFT JOIN daily ON daily.et = grid.et AND daily.day = grid.day),
+        f AS (
+          SELECT et, day, x,
+                 sum(x) OVER w AS s1,
+                 sum(x * x) OVER w AS s2,
+                 count(*) OVER w AS n
+          FROM filled
+          WINDOW w AS (PARTITION BY et ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT et, day, x,
+               round(CAST(s1 AS DOUBLE) / 7.0, 4) AS mid,
+               round(CAST(s1 AS DOUBLE) / 7.0
+                 + 2.0 * sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0),
+                 4) AS upper,
+               round(CAST(s1 AS DOUBLE) / 7.0
+                 - 2.0 * sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0),
+                 4) AS lower
+        FROM f WHERE n = 7
+        ORDER BY et, day""")),
+
     // Maximum drawdown per user — the running-peak-to-trough analytic
     // behind burn-rate / SLA-budget / portfolio monitoring: each user's
     // value stream becomes a centered cumulative walk (cents − 5000, so

@@ -207,6 +207,54 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("win_bollinger: bands bracket the mid and match a hand recompute") {
+    val sp = spark
+    val rows = SparkEntry.queries("win_bollinger")(sp, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("upper") >= r.getAs[Double]("mid"))
+      assert(r.getAs[Double]("lower") <= r.getAs[Double]("mid"))
+    }
+    // independent recompute of one type's series with a Scala sliding
+    // window over the collected zero-filled daily counts
+    val daily = Tables.events(sp, sf001)
+      .filter(col("event_type") === "click")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lo = daily.keys.min; val hi = daily.keys.max
+    val series = (lo to hi).map(d => d -> daily.getOrElse(d, 0L))
+    val expected = series.sliding(7).map { w =>
+      val s1 = w.map(_._2).sum.toDouble
+      val s2 = w.map(x => x._2 * x._2).sum.toDouble
+      val mid = s1 / 7.0
+      val sd = math.sqrt((s2 - s1 * s1 / 7.0) / 6.0)
+      (w.last._1, math.rint(mid * 1e4) / 1e4,
+        math.rint((mid + sd * 2.0) * 1e4) / 1e4)
+    }.toSeq
+    val got = rows.filter(_.getAs[String]("et") == "click")
+      .map(r => (r.getAs[Long]("day"), r.getAs[Double]("mid"),
+        r.getAs[Double]("upper"))).toSeq
+    assert(got.size == expected.size)
+    got.zip(expected.sortBy(_._1)).foreach { case (g, e) =>
+      assert(g._1 == e._1 && math.abs(g._2 - e._2) < 1e-9 &&
+        math.abs(g._3 - e._3) < 1e-9)
+    }
+  }
+
+  test("join_interval_allen: census covers only defined relations, " +
+    "during dominates single-day sessions") {
+    val rows = SparkEntry.queries("join_interval_allen")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_pairs")).toMap
+    val legal = Set("equals", "starts", "started_by", "finishes",
+      "finished_by", "during", "contains", "overlaps", "overlapped_by")
+    assert(rows.keySet.subsetOf(legal))
+    assert(rows.getOrElse("during", 0L) > 0, "single-day sessions exist")
+    // a session contributes one pair per touched day: pair count >=
+    // session count is the fan-out sanity bound
+    assert(rows.values.sum > 0)
+  }
+
   test("text_dup_ngram_coverage: bounds and clean-doc consistency") {
     val rows = SparkEntry.queries("text_dup_ngram_coverage")(spark, sf001)
       .collect()
