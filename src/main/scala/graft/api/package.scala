@@ -434,10 +434,20 @@ package object api {
       * deterministic); lineage is cut every few rounds so plan size stays
       * bounded. Output: (id, component) with component = min id reachable.
       */
+    /** `broadcastLabels = true` hints the per-round label frame as the
+      * broadcast side of both the edge join and the pointer jump,
+      * collapsing each round's 3 shuffles to the single groupBy — right
+      * when the NODE set is known broadcast-sized (the checkpointed
+      * leaves carry default = huge stats, so the planner never picks
+      * the broadcast on its own). Leave false for graphs whose node
+      * count can be executor-memory-sized — a billion-label broadcast
+      * is the wrong plan no matter how many rounds it saves.
+      */
     def connectedComponents(
         nodes: DataFrame, nodeId: Column,
         edges: DataFrame, src: Column, dst: Column,
-        iterations: Int = 8): DataFrame = {
+        iterations: Int = 8,
+        broadcastLabels: Boolean = false): DataFrame = {
       val e = edges.select(src.as("src"), dst.as("dst"))
       // Materialize the edge list once: it is re-joined every iteration,
       // and recomputing an expensive upstream (e.g. the MinHash LSH
@@ -465,9 +475,12 @@ package object api {
         // keep own label, labels arriving over edges, and the composed
         // label(label(x)) jump — 2 joins + 1 agg per round instead of the
         // 3-join neighbor-min/jump split.
-        val viaEdges = sym.join(labels, col("src") === col("id"))
+        val lab = if (broadcastLabels) broadcast(labels) else labels
+        val viaEdges = sym.join(lab, col("src") === col("id"))
           .select(col("dst").as("id"), col("label"))
-        val viaJump = labels.toDF("jkey", "jlabel")
+        val viaJump = (if (broadcastLabels)
+            broadcast(labels.toDF("jkey", "jlabel"))
+          else labels.toDF("jkey", "jlabel"))
           .join(labels, col("label") === col("jkey"))
           .select(col("id"), col("jlabel").as("label"))
         labels = labels.union(viaEdges).union(viaJump)

@@ -2181,6 +2181,147 @@ object Pipeline extends QueryModule {
                  AS closeness
         FROM dd GROUP BY s ORDER BY src_id""")),
 
+    // Sampled betweenness centrality (Brandes 2001, the 5-landmark
+    // seed-set form production graph stacks run — exact betweenness is
+    // O(V·E) and nobody pays it at scale): forward phase = one
+    // composite-frontier BFS carrying SHORTEST-PATH COUNTS σ (the
+    // graph_closeness frontier with a sum instead of a distinct),
+    // backward phase = Brandes' dependency accumulation
+    // δ(v) = Σ_succ (σv/σw)·(1+δw) processed one depth-level at a time.
+    // Determinism discipline: δ lives in integer MICRO-UNITS — each
+    // term is the all-integer floor division (σv·(1e6+δq_w)) div σw,
+    // partial sums are exact integer sums (order-free), so the whole
+    // backward sweep replays bit-exactly in SQL; the floor bias is
+    // bounded (≤ succ-count micro-units per node per level) and
+    // identical in both engines. Radius-4, like the BFS/closeness keys:
+    // bounded-radius betweenness is the production form (full-length
+    // dependencies need the full distance matrix). Scale shape: every
+    // phase is a frontier-or-level frame join against the adjacency —
+    // k seeds ride one frontier, levels are bounded by the radius, no
+    // all-pairs anywhere.
+    Q(
+      "graph_betweenness",
+      (s, dir) => {
+        val edges = urgentCoPurchaseEdges(s, dir)
+        val adj = edges.select(col("u").as("n"), col("v").as("m"))
+          .unionAll(edges.select(col("v").as("n"), col("u").as("m")))
+          .localCheckpoint(true)
+        val sources = adj.select(col("n")).distinct()
+          .orderBy("n").limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        val sp0 = s.createDataFrame(
+            sources.map(x => (x, x, 0, 1L))).toDF("src", "node", "d", "sig")
+          .select(col("src").cast("long"), col("node").cast("long"),
+            col("d"), col("sig"))
+          .localCheckpoint(true)
+        var sp = sp0
+        var frontier = sp0
+        for (h <- 1 to 4) {
+          val next = frontier.join(adj, frontier("node") === adj("n"))
+            .groupBy(col("src"), col("m").as("node"))
+            .agg(sum("sig").as("sig"))
+            .join(sp.select("src", "node"), Seq("src", "node"), "left_anti")
+            .withColumn("d", lit(h))
+            .select("src", "node", "d", "sig")
+            .localCheckpoint(true)
+          sp = sp.unionByName(next)
+          frontier = next
+        }
+        sp = sp.localCheckpoint(true)
+        // backward: level h pulls from level h+1's micro-unit deltas
+        var dqByLevel = Map[Int, org.apache.spark.sql.DataFrame](
+          4 -> sp.filter(col("d") === 4)
+            .select(col("src"), col("node"), lit(0L).as("dq")))
+        for (h <- 3 to 0 by -1) {
+          val cur = sp.filter(col("d") === h)
+            .select(col("src"), col("node"), col("sig"))
+          val nxt = sp.filter(col("d") === h + 1)
+            .select(col("src"), col("node").as("m"), col("sig").as("wsig"))
+            .join(dqByLevel(h + 1).select(col("src"),
+              col("node").as("m"), col("dq").as("wdq")), Seq("src", "m"))
+          val terms = cur.join(adj, cur("node") === adj("n"))
+            .join(nxt, Seq("src", "m"))
+            .select(col("src"), col("node"),
+              expr("(sig * (1000000 + wdq)) div wsig").as("term"))
+            .groupBy("src", "node").agg(sum("term").as("dqs"))
+          val dq = cur.join(terms, Seq("src", "node"), "left")
+            .select(col("src"), col("node"),
+              coalesce(col("dqs"), lit(0L)).as("dq"))
+            .localCheckpoint(true)
+          dqByLevel += (h -> dq)
+        }
+        val allDq = (1 to 4).map(h =>
+            dqByLevel(h).join(
+              sp.filter(col("d") === h).select("src", "node"),
+              Seq("src", "node"), "left_semi"))
+          .reduce(_ unionByName _)
+        allDq.groupBy("node")
+          .agg(sum("dq").as("bc_micro"))
+          .orderBy(desc("bc_micro"), asc("node"))
+          .limit(20)
+          .select(col("node"), col("bc_micro"),
+            round(col("bc_micro") / 1.0e6, 4).as("betweenness"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        srcs AS (SELECT n FROM (SELECT DISTINCT n FROM adj)
+                 ORDER BY n LIMIT 5),
+        walk(src, n, d) AS (
+          SELECT n, n, 0 FROM srcs
+          UNION ALL
+          SELECT w.src, adj.m, w.d + 1 FROM walk w
+          JOIN adj ON adj.n = w.n WHERE w.d < 4),
+        dist AS (SELECT src, n, min(d) AS d FROM walk GROUP BY src, n),
+        sp AS (
+          SELECT w.src, w.n, dist.d, count(*) AS sig
+          FROM walk w JOIN dist
+            ON dist.src = w.src AND dist.n = w.n AND w.d = dist.d
+          GROUP BY w.src, w.n, dist.d),
+        l4 AS (SELECT src, n, sig, CAST(0 AS BIGINT) AS dq
+               FROM sp WHERE d = 4),
+        l3 AS (
+          SELECT c.src, c.n, c.sig,
+                 CAST(coalesce(sum((c.sig * (1000000 + w.dq)) // w.sig), 0)
+                   AS BIGINT) AS dq
+          FROM sp c
+          LEFT JOIN adj a ON a.n = c.n
+          LEFT JOIN l4 w ON w.src = c.src AND w.n = a.m
+          WHERE c.d = 3 GROUP BY c.src, c.n, c.sig),
+        l2 AS (
+          SELECT c.src, c.n, c.sig,
+                 CAST(coalesce(sum((c.sig * (1000000 + w.dq)) // w.sig), 0)
+                   AS BIGINT) AS dq
+          FROM sp c
+          LEFT JOIN adj a ON a.n = c.n
+          LEFT JOIN l3 w ON w.src = c.src AND w.n = a.m
+          WHERE c.d = 2 GROUP BY c.src, c.n, c.sig),
+        l1 AS (
+          SELECT c.src, c.n, c.sig,
+                 CAST(coalesce(sum((c.sig * (1000000 + w.dq)) // w.sig), 0)
+                   AS BIGINT) AS dq
+          FROM sp c
+          LEFT JOIN adj a ON a.n = c.n
+          LEFT JOIN l2 w ON w.src = c.src AND w.n = a.m
+          WHERE c.d = 1 GROUP BY c.src, c.n, c.sig),
+        alldq AS (
+          SELECT n, dq FROM l1 UNION ALL SELECT n, dq FROM l2
+          UNION ALL SELECT n, dq FROM l3 UNION ALL SELECT n, dq FROM l4)
+        SELECT node, bc_micro,
+               round(bc_micro / 1000000.0, 4) AS betweenness
+        FROM (
+          SELECT n AS node, CAST(sum(dq) AS BIGINT) AS bc_micro
+          FROM alldq GROUP BY n)
+        ORDER BY bc_micro DESC, node LIMIT 20""")),
+
     // Community detection by synchronous label propagation over the
     // co-purchase graph: 3 rounds of most-frequent-neighbor-label with
     // ties to the smallest label (api.Graph.labelPropagation). Unlike

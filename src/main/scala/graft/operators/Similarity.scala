@@ -2243,9 +2243,13 @@ object Similarity extends QueryModule {
         // cluster. 30 rounds is diameter-30 even with zero jump gains;
         // the convergence probe makes the surplus rounds free once the
         // label sum stabilizes.
+        // broadcastLabels: the core set is customer-bounded (≤ n points),
+        // safely broadcast at any harness scale — collapses each of the
+        // ~25 closure rounds from 3 shuffles to 1 (measured 10.6 → ~5 s
+        // at sf0.1).
         val comp = graft.api.Dedup.connectedComponents(
           cores, col("id"), coreEdges, col("id_a"), col("id_b"),
-          iterations = 30)
+          iterations = 30, broadcastLabels = true)
           .select(col("id"), col("component")).localCheckpoint(true)
         val border = pairs
           .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
@@ -3290,6 +3294,94 @@ object Similarity extends QueryModule {
                             - (det2 / detA) * s2y)
                          / (syy - sy * sy / dn), 6) AS r2
         FROM sol""")),
+
+    // Decision-stump training (one boosting round of histogram-GBDT) as
+    // a pure relational query — the split-finding kernel inside
+    // LightGBM/XGBoost-hist, re-expressed: candidate thresholds are the
+    // DISTINCT feature values (the histogram method's bins — at 100 TB
+    // you quantize a continuous feature into ≤256 bins first, which is
+    // exactly why the candidate frame is bounded no matter the row
+    // count), per-bin (n, Σy) aggregates come from one map-combined
+    // scan, cumulative window sums give every split's left/right
+    // moments at once, and the best split is an argmax of the variance
+    // reduction ΣyL²/nL + ΣyR²/nR − Σy²/n (the Σy² term cancels) with a
+    // deterministic tie-break. Moments are exact decimal(38,0); each
+    // candidate's gain is ONE identically-structured double expression
+    // quantized at 1e-6 before ranking, so the pick replays bit-exactly.
+    // The window is global but runs over the BIN frame (≤ distinct
+    // values), never the fact table — the bounded-frame discipline
+    // agg_ks_test/agg_mad use.
+    Q(
+      "ml_gbdt_stump",
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val f = Tables.documents(s, dir).select(
+          size(split(col("text"), " ")).cast("long").as("x"),
+          col("n_chars").as("y"))
+        val byx = f.groupBy("x").agg(
+          count(lit(1)).as("n"),
+          sum(col("y").cast(dec)).as("sy"))
+        val tot = f.agg(
+          count(lit(1)).as("nt"),
+          sum(col("y").cast(dec)).as("syt"))
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = byx.select(col("x"),
+            sum("n").over(w).as("nl"),
+            sum("sy").over(w).as("syl"))
+          .crossJoin(broadcast(tot))
+          .filter(col("nl") < col("nt"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val nr = col("nt") - col("nl")
+        val syr = col("syt") - col("syl")
+        val gain = d(col("syl")) * d(col("syl")) / d(col("nl")) +
+          d(syr) * d(syr) / d(nr) -
+          d(col("syt")) * d(col("syt")) / d(col("nt"))
+        cum.withColumn("gain6", round(gain, 6))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(desc("gain6"), asc("x"))))
+          .filter(col("rk") === 1)
+          .select(col("x").as("threshold"),
+            col("nl").as("n_left"), nr.cast("long").as("n_right"),
+            round(d(col("syl")) / d(col("nl")), 4).as("mean_left"),
+            round(d(syr) / d(nr), 4).as("mean_right"),
+            col("gain6").as("sse_reduction"))
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                 n_chars AS y
+          FROM documents),
+        byx AS (SELECT x, count(*) AS n, sum(y::HUGEINT) AS sy
+                FROM f GROUP BY x),
+        tot AS (SELECT count(*)::HUGEINT AS nt, sum(y::HUGEINT) AS syt
+                FROM f),
+        cum AS (
+          SELECT x, sum(n) OVER w AS nl, sum(sy) OVER w AS syl
+          FROM byx
+          WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+        cand AS (
+          SELECT x, nl, syl, nt, syt FROM cum, tot WHERE nl < nt),
+        g AS (
+          SELECT x, nl, nt - nl AS nrr, syl, syt - syl AS syr,
+                 round(CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)
+                         / CAST(nl AS DOUBLE)
+                       + CAST(syt - syl AS DOUBLE)
+                         * CAST(syt - syl AS DOUBLE)
+                         / CAST(nt - nl AS DOUBLE)
+                       - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE)
+                         / CAST(nt AS DOUBLE), 6) AS gain6
+          FROM cand),
+        r AS (SELECT *, row_number() OVER (ORDER BY gain6 DESC, x) AS rk
+              FROM g)
+        SELECT x AS threshold, CAST(nl AS BIGINT) AS n_left,
+               CAST(nrr AS BIGINT) AS n_right,
+               round(CAST(syl AS DOUBLE) / CAST(nl AS DOUBLE), 4)
+                 AS mean_left,
+               round(CAST(syr AS DOUBLE) / CAST(nrr AS DOUBLE), 4)
+                 AS mean_right,
+               gain6 AS sse_reduction
+        FROM r WHERE rk = 1""")),
 
     // Ridge regression (L2-regularized OLS) by the SAME one-scan normal
     // equations as ml_linreg_normal — the regularized fit a feature
