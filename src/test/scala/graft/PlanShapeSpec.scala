@@ -431,4 +431,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("agg_mad broadcasts the per-type median to the cent histogram") {
     assert(plan("agg_mad").contains("BroadcastHashJoin"))
   }
+
+  test("sim_radius_search: broadcast queries, codegen integer kernel, " +
+    "no shuffle before the sort") {
+    val p = plan("sim_radius_search")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"5-query side must broadcast:\n$p")
+    assert(p.contains("graft_qdot"), "integer dot kernel missing")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Exchange allowed is the final orderBy's range partition
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"radius scan should not shuffle the corpus:\n$p")
+  }
+
+  test("agg_log_histogram: one hash aggregate pair, no window, " +
+    "scan pruned to (source, n_chars)") {
+    val p = plan("agg_log_histogram")
+    assert(!p.contains("Window"), "bucket shares must not need a window")
+    assert(!p.contains(" text"), "text column must not reach the scan")
+  }
+
+  test("sample_ab_assign: arm assignment is a pure projection over the scan") {
+    val p = plan("sample_ab_assign")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(" props"), "props must be pruned from the scan")
+  }
+
+  test("text_ngram_novelty: both shuffles are shingle- or source-keyed " +
+    "hash aggregates, no cartesian anywhere") {
+    val p = plan("text_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("ml_gbdt_stump: the split window runs over the bin frame, " +
+    "the fact scan reads only (text, n_chars)") {
+    val p = plan("ml_gbdt_stump")
+    assert(p.contains("Window"), "cumulative split sums need the window")
+    assert(!p.contains("doc_id"), "id column must be pruned from the scan")
+  }
 }
