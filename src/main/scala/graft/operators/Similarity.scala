@@ -572,21 +572,28 @@ object Similarity extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Long]]]
 
   /** The scaled d×d matrix as driver values: cs(i)(j) ∈ [−1e6, 1e6]. */
-  private def pcaCsMatrix(s: SparkSession, dir: String)
-      : Array[Array[Long]] =
-    pcaCsCache.getOrElseUpdate(dir, {
-      // Inputs quantize to 1e-4 units (the ml_kcenter_greedy scale), NOT
-      // 1e-9: per-row products must stay PRIMITIVE LONGS — |q| ≤ ~5300
-      // ⇒ q·q ≤ 2.8e7 and Σ over n rows < 2^63 up to n ≈ 3e11 — because
-      // a decimal(38,0) multiply on the d²·n hot path runs ~20 µs/row
-      // (measured: 13 s for 20M rows at sf0.1, and invisible to count()
-      // probes since pruning drops the product column). Row shape
-      // matters as much: exploding (i, j) pairs materializes and
-      // shuffles d²·n rows; exploding only i and computing the 64
-      // Σ xi·x_j sums AS COLUMNS keeps the pass one whole-stage codegen
-      // over d·n rows with a 64-row shuffle (5.9 s → ~0.6 s cold at
-      // sf0.1). The d×d moment frame then collects (PQ-codebook size
-      // class) and the n·sxy − sx·sy tail runs in driver BigInt.
+  private val corrMomentsCache = scala.collection.concurrent.TrieMap
+    .empty[String, (BigInt, Array[BigInt], Array[Array[BigInt]])]
+
+  /** The exact quantized Gram/first-moment pass shared by the PCA
+    * covariance build AND ml_corr_matrix: (n, Σx_i, Σx_i·x_j) in driver
+    * BigInt. Inputs quantize to 1e-4 units (the ml_kcenter_greedy
+    * scale), NOT 1e-9: per-row products must stay PRIMITIVE LONGS —
+    * |q| ≤ ~5300 ⇒ q·q ≤ 2.8e7 and Σ over n rows < 2^63 up to n ≈ 3e11
+    * — because a decimal(38,0) multiply on the d²·n hot path runs
+    * ~20 µs/row (measured: 13 s for 20M rows at sf0.1, and invisible to
+    * count() probes since pruning drops the product column). Row shape
+    * matters as much: exploding (i, j) pairs materializes and shuffles
+    * d²·n rows; exploding only i and computing the 64 Σ xi·x_j sums AS
+    * COLUMNS keeps the pass one whole-stage codegen over d·n rows with
+    * a 64-row shuffle (5.9 s → ~0.6 s cold at sf0.1 for PCA; reusing it
+    * for ml_corr_matrix cut that key 3.4 → sub-second warm). The d×d
+    * moment frame collects (PQ-codebook size class); plain driver data,
+    * so a dir key is safe across session restarts.
+    */
+  private def corrMoments(s: SparkSession, dir: String)
+      : (BigInt, Array[BigInt], Array[Array[BigInt]]) =
+    corrMomentsCache.getOrElseUpdate(dir, {
       val q = Tables.embeddings(s, dir)
         .select(transform(col("embedding"),
           x => round(x.cast("double") * 1e4).cast("long")).as("qx"))
@@ -599,8 +606,17 @@ object Similarity extends QueryModule {
         .orderBy("i").collect()
       val n = BigInt(rows(0).getLong(1))
       val sx = Array.tabulate(64)(i => BigInt(rows(i).getLong(2)))
+      val sxy = Array.tabulate(64, 64)((i, j) =>
+        BigInt(rows(i).getLong(3 + j)))
+      (n, sx, sxy)
+    })
+
+  private def pcaCsMatrix(s: SparkSession, dir: String)
+      : Array[Array[Long]] =
+    pcaCsCache.getOrElseUpdate(dir, {
+      val (n, sx, sxy) = corrMoments(s, dir)
       val c = Array.tabulate(64, 64)((i, j) =>
-        n * BigInt(rows(i).getLong(3 + j)) - sx(i) * sx(j))
+        n * sxy(i)(j) - sx(i) * sx(j))
       val cdiv = c.flatten.map(_.abs).max
       Array.tabulate(64, 64)((i, j) =>
         (c(i)(j) * 1000000 / cdiv).toLong)
@@ -2887,35 +2903,15 @@ object Similarity extends QueryModule {
     Q(
       "ml_corr_matrix",
       (s, dir) => {
-        val cells = Tables.embeddings(s, dir)
-          .select(col("embedding").as("e"))
-          .select(posexplode(col("e")).as(Seq("i", "xv")), col("e"))
-          // sequence(start > stop) counts DOWN in Spark (it does not
-          // produce the empty array) — the last dim must not explode.
-          .filter(col("i") < 63)
-          .select(col("i"), col("e"),
-            round(col("xv").cast("double") * 1e4).cast("long").as("xi"),
-            explode(sequence(col("i") + 1, lit(63))).as("j"))
-          .select(col("i"), col("j"), col("xi"),
-            round(element_at(col("e"), col("j") + 1).cast("double") * 1e4)
-              .cast("long").as("xj"))
-        val moments = cells.groupBy("i", "j")
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("xi")).as("sx"),
-            sum(col("xj")).as("sy"),
-            sum(col("xi") * col("xj")).as("sxy"),
-            sum(col("xi") * col("xi")).as("sxx"),
-            sum(col("xj") * col("xj")).as("syy"))
-          .collect() // d²/2 = 2016 cells, independent of row count
-        val out = moments.toSeq.map { r =>
-          val n = BigInt(r.getLong(2))
-          val sx = BigInt(r.getLong(3)); val sy = BigInt(r.getLong(4))
-          val sxy = BigInt(r.getLong(5))
-          val sxx = BigInt(r.getLong(6)); val syy = BigInt(r.getLong(7))
-          val num = n * sxy - sx * sy
-          val vx = n * sxx - sx * sx
-          val vy = n * syy - sy * sy
+        // One shared Gram pass ([[corrMoments]] — the PCA covariance
+        // build's own moments): all 2016 cell statistics come from the
+        // d·n-row dim-only explode, never a d²·n pair explode; the
+        // upper-triangle tail is driver BigInt over the 64×64 frame.
+        val (nB, sx, sxy) = corrMoments(s, dir)
+        val out = (for (i <- 0 until 63; j <- i + 1 until 64) yield {
+          val num = nB * sxy(i)(j) - sx(i) * sx(j)
+          val vx = nB * sxy(i)(i) - sx(i) * sx(i)
+          val vy = nB * sxy(j)(j) - sx(j) * sx(j)
           // zero-variance (constant / padding) dims: r undefined -> null
           val rpm: Option[Long] =
             if (vx == 0 || vy == 0) None
@@ -2923,8 +2919,8 @@ object Similarity extends QueryModule {
               val g = BigInt((vx * vy).bigInteger.sqrt()) // exact ⌊√·⌋
               Some((BigInt(num.signum) * (num.abs * 10000 / g)).toLong)
             }
-          (r.getInt(0), r.getInt(1), n.toLong, rpm)
-        }.sortBy(t => (t._1, t._2))
+          (i, j, nB.toLong, rpm)
+        }).toSeq
         val sp2 = s
         import sp2.implicits._
         out.toDF("dim_i", "dim_j", "n", "r_pm").orderBy("dim_i", "dim_j")
