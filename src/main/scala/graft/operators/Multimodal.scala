@@ -167,6 +167,96 @@ object Multimodal extends QueryModule {
                  AS frame_time_s
         FROM v ORDER BY doc_id, frame_idx""")),
 
+    // Scene-cut detection over a video's frame-feature sequence (round
+    // 13) — the shot-segmentation primitive video curation pipelines run
+    // before per-shot sampling/captioning: consecutive frames whose
+    // feature distance jumps past a threshold mark a cut; cuts induce
+    // scenes; per-video the census (frames, cuts, longest scene) is what
+    // a sampling budget reads. The frame FEATURE here is the
+    // deterministic md5-derived energy (the container has no real video
+    // bytes — same honesty contract as mm_frame_sample), with PLANTED
+    // scene structure: energy = scene-level base (md5 of (doc, f div 7),
+    // range 1e5) + frame-level jitter (md5 of (doc, f), range 1e3), so
+    // within-scene |Δ| < 1000 and the threshold 2000 never false-fires,
+    // while a real boundary is detected iff the base jump clears the
+    // jitter — an honest detector with honest misses. The DETECTION
+    // machinery is fully real and scale-shaped: one lag window per
+    // video (partitioned by doc, no global sort), islands via running
+    // cut-count, census per video.
+    Q(
+      "mm_video_scene_cut",
+      (s, dir) => {
+        val fr = media(s, dir)
+          .filter(col("media_type") === "video" && col("doc_id") < 300)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), col("meta.duration_s") - 1)).as("f"))
+          .withColumn("e",
+            conv(substring(md5(concat(lit("sc"),
+              col("doc_id").cast("string"), lit("_"),
+              expr("f div 7").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 100000L +
+            conv(substring(md5(concat(lit("fr"),
+              col("doc_id").cast("string"), lit("_"),
+              col("f").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 1000L)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("f")
+        val cut = fr
+          .withColumn("pe", lag("e", 1).over(w))
+          .withColumn("is_cut",
+            when(col("pe").isNotNull &&
+              abs(col("e") - col("pe")) > 2000L, 1L).otherwise(0L))
+          .withColumn("scene",
+            sum("is_cut").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        val scenes = cut.groupBy("doc_id", "scene")
+          .agg(count(lit(1)).as("len"))
+        cut.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum("is_cut").as("n_cuts"))
+          .join(scenes.groupBy("doc_id")
+            .agg(max("len").as("longest_scene")), Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT doc_id, CAST(n_chars % 30 + 1 AS INT) AS dur
+          FROM documents WHERE doc_id % 3 = 2 AND doc_id < 300),
+        fr AS (
+          SELECT doc_id, CAST(unnest(generate_series(0, dur - 1)) AS BIGINT)
+                   AS f
+          FROM v),
+        en AS (
+          SELECT doc_id, f,
+                 ('0x' || substring(md5('sc' || CAST(doc_id AS VARCHAR)
+                    || '_' || CAST(f // 7 AS VARCHAR)), 1, 15))::BIGINT
+                   % 100000
+                 + ('0x' || substring(md5('fr' || CAST(doc_id AS VARCHAR)
+                    || '_' || CAST(f AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000 AS e
+          FROM fr),
+        cut AS (
+          SELECT doc_id, f, e,
+                 CASE WHEN lag(e) OVER w IS NOT NULL
+                        AND abs(e - lag(e) OVER w) > 2000
+                      THEN 1 ELSE 0 END AS is_cut
+          FROM en
+          WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+        sc AS (
+          SELECT doc_id, f, is_cut,
+                 sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                                   ROWS UNBOUNDED PRECEDING) AS scene
+          FROM cut),
+        lens AS (
+          SELECT doc_id, scene, count(*) AS len
+          FROM sc GROUP BY doc_id, scene)
+        SELECT sc.doc_id, count(*) AS n_frames,
+               CAST(sum(is_cut) AS BIGINT) AS n_cuts,
+               (SELECT CAST(max(len) AS BIGINT) FROM lens
+                WHERE lens.doc_id = sc.doc_id) AS longest_scene
+        FROM sc GROUP BY sc.doc_id
+        ORDER BY sc.doc_id""")),
+
     // REAL decode + band feature extraction (replaces the retired crc32
     // chunk stub): a complete BMP is assembled per doc, DECODED
     // (Codecs.decodeBmp — magic check, header walk, padded bottom-up

@@ -628,6 +628,124 @@ object Similarity extends QueryModule {
     * numerator v3·w4, denominator v3·v3, trace Σcs_ii); all values exact
     * BigInt/Long, bit-identical to the unrolled SQL replay.
     */
+  /** The 5-round Gonzalez chain (q/n2/s1..s5/dm1..dm5) as shared CTE
+    * text — replayed by ml_kcenter_greedy AND sample_coreset. dm5 holds
+    * every vector's exact min-d² to the chosen center set.
+    */
+  private val kcenterChainSql: String = """q AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> round(x * 1e4)) AS qd
+          FROM embeddings),
+        n2 AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(qd, x -> x * x)) AS BIGINT)
+                   AS d
+          FROM q),
+        s1 AS MATERIALIZED (
+          SELECT vec_id, d FROM n2 ORDER BY d DESC, vec_id LIMIT 1),
+        dm1 AS MATERIALIZED (
+          SELECT q.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT) AS d
+          FROM q, (SELECT q2.qd FROM q q2 JOIN s1 ON q2.vec_id = s1.vec_id) c),
+        s2 AS MATERIALIZED (
+          SELECT vec_id, d FROM dm1 ORDER BY d DESC, vec_id LIMIT 1),
+        dm2 AS MATERIALIZED (
+          SELECT dm1.vec_id,
+                 least(dm1.d, CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT)) AS d
+          FROM dm1 JOIN q ON q.vec_id = dm1.vec_id,
+               (SELECT q2.qd FROM q q2 JOIN s2 ON q2.vec_id = s2.vec_id) c),
+        s3 AS MATERIALIZED (
+          SELECT vec_id, d FROM dm2 ORDER BY d DESC, vec_id LIMIT 1),
+        dm3 AS MATERIALIZED (
+          SELECT dm2.vec_id,
+                 least(dm2.d, CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT)) AS d
+          FROM dm2 JOIN q ON q.vec_id = dm2.vec_id,
+               (SELECT q2.qd FROM q q2 JOIN s3 ON q2.vec_id = s3.vec_id) c),
+        s4 AS MATERIALIZED (
+          SELECT vec_id, d FROM dm3 ORDER BY d DESC, vec_id LIMIT 1),
+        dm4 AS MATERIALIZED (
+          SELECT dm3.vec_id,
+                 least(dm3.d, CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT)) AS d
+          FROM dm3 JOIN q ON q.vec_id = dm3.vec_id,
+               (SELECT q2.qd FROM q q2 JOIN s4 ON q2.vec_id = s4.vec_id) c),
+        s5 AS MATERIALIZED (
+          SELECT vec_id, d FROM dm4 ORDER BY d DESC, vec_id LIMIT 1),
+        dm5 AS MATERIALIZED (
+          SELECT dm4.vec_id,
+                 least(dm4.d, CAST(list_sum(list_transform(
+                   generate_series(1, 64),
+                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
+                   AS BIGINT)) AS d
+          FROM dm4 JOIN q ON q.vec_id = dm4.vec_id,
+               (SELECT q2.qd FROM q q2 JOIN s5 ON q2.vec_id = s5.vec_id) c)"""
+
+  // Keyed by (session, dir): the frame is a localCheckpoint bound to its
+  // creating session's block manager (the hammingCache rule).
+  private val kcenterQCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Quantized (vec_id, qd: Array[Double] of 1e-4-unit values) frame the
+    * greedy k-center family works over — checkpointed once per dir.
+    */
+  private def kcenterQ(s: SparkSession, dir: String): DataFrame =
+    kcenterQCache.getOrElseUpdate((s, dir),
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e4)).as("qd"))
+        .localCheckpoint())
+
+  /** min over chosen centers of the exact integer d² to `qd` (empty set
+    * ⇒ distance to the origin, the deterministic Gonzalez seed).
+    */
+  private def kcenterDmin(chosen: Seq[Seq[Double]]): Column =
+    if (chosen.isEmpty)
+      graft.functions.SquaredDistance(
+        col("qd"), typedlit(Seq.fill(64)(0.0)))
+    else if (chosen.size == 1)
+      graft.functions.SquaredDistance(col("qd"), typedlit(chosen.head))
+    else least(chosen.map(c =>
+      graft.functions.SquaredDistance(col("qd"), typedlit(c))): _*)
+
+  private val kcenterPickCache = scala.collection.concurrent.TrieMap
+    .empty[String, Vector[(Long, Seq[Double], Long)]]
+
+  /** The 5 Gonzalez farthest-first centers (id, quantized vector,
+    * distance-at-pick) — deterministic, so plain driver data cacheable
+    * by dir; shared by ml_kcenter_greedy and sample_coreset.
+    */
+  private def kcenterPicked(s: SparkSession, dir: String)
+      : Vector[(Long, Seq[Double], Long)] =
+    kcenterPickCache.getOrElseUpdate(dir, {
+      val q = kcenterQ(s, dir)
+      var picked = Vector.empty[(Long, Seq[Double], Long)]
+      for (_ <- 1 to 5) {
+        val top = q
+          .select(col("vec_id"),
+            kcenterDmin(picked.map(_._2)).cast("long").as("d"))
+          .agg(max(struct(col("d"), (-col("vec_id")).as("nid"))).as("m"))
+          .select(col("m.d").as("d"), (-col("m.nid")).as("id"))
+          .first()
+        val id = top.getLong(1)
+        val vec = q.filter(col("vec_id") === id)
+          .select("qd").first().getSeq[Double](0)
+        picked :+= ((id, vec, top.getLong(0)))
+      }
+      picked
+    })
+
   private val pcaCompCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Long], Long, BigInt, BigInt, BigInt)]
 
@@ -3030,34 +3148,10 @@ object Similarity extends QueryModule {
     Q(
       "ml_kcenter_greedy",
       (s, dir) => {
-        val q = Tables.embeddings(s, dir)
-          .select(col("vec_id"),
-            transform(col("embedding"),
-              x => round(x.cast("double") * 1e4)).as("qd"))
-          .localCheckpoint()
-        def dmin(chosen: Seq[Seq[Double]]): Column =
-          if (chosen.isEmpty)
-            graft.functions.SquaredDistance(
-              col("qd"), typedlit(Seq.fill(64)(0.0)))
-          else if (chosen.size == 1)
-            graft.functions.SquaredDistance(col("qd"), typedlit(chosen.head))
-          else least(chosen.map(c =>
-            graft.functions.SquaredDistance(col("qd"), typedlit(c))): _*)
-        var picked = Vector.empty[(Long, Seq[Double], Long)]
-        for (_ <- 1 to 5) {
-          val top = q
-            .select(col("vec_id"),
-              dmin(picked.map(_._2)).cast("long").as("d"))
-            .agg(max(struct(col("d"), (-col("vec_id")).as("nid"))).as("m"))
-            .select(col("m.d").as("d"), (-col("m.nid")).as("id"))
-            .first()
-          val id = top.getLong(1)
-          val vec = q.filter(col("vec_id") === id)
-            .select("qd").first().getSeq[Double](0)
-          picked :+= ((id, vec, top.getLong(0)))
-        }
+        val q = kcenterQ(s, dir)
+        val picked = kcenterPicked(s, dir)
         val cov = q
-          .select(dmin(picked.map(_._2)).cast("long").as("d"))
+          .select(kcenterDmin(picked.map(_._2)).cast("long").as("d"))
           .agg(max(col("d"))).first().getLong(0)
         val sp2 = s
         import sp2.implicits._
@@ -3066,65 +3160,8 @@ object Similarity extends QueryModule {
         }.toDF("round", "vec_id", "dist_sq", "coverage_sq")
           .orderBy("round")
       },
-      oracle = Some("""
-        WITH q AS (
-          SELECT vec_id,
-                 list_transform(CAST(embedding AS DOUBLE[]),
-                                x -> round(x * 1e4)) AS qd
-          FROM embeddings),
-        n2 AS (
-          SELECT vec_id,
-                 CAST(list_sum(list_transform(qd, x -> x * x)) AS BIGINT)
-                   AS d
-          FROM q),
-        s1 AS MATERIALIZED (
-          SELECT vec_id, d FROM n2 ORDER BY d DESC, vec_id LIMIT 1),
-        dm1 AS MATERIALIZED (
-          SELECT q.vec_id,
-                 CAST(list_sum(list_transform(generate_series(1, 64),
-                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
-                   AS BIGINT) AS d
-          FROM q, (SELECT q2.qd FROM q q2 JOIN s1 ON q2.vec_id = s1.vec_id) c),
-        s2 AS MATERIALIZED (
-          SELECT vec_id, d FROM dm1 ORDER BY d DESC, vec_id LIMIT 1),
-        dm2 AS MATERIALIZED (
-          SELECT dm1.vec_id,
-                 least(dm1.d, CAST(list_sum(list_transform(
-                   generate_series(1, 64),
-                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
-                   AS BIGINT)) AS d
-          FROM dm1 JOIN q ON q.vec_id = dm1.vec_id,
-               (SELECT q2.qd FROM q q2 JOIN s2 ON q2.vec_id = s2.vec_id) c),
-        s3 AS MATERIALIZED (
-          SELECT vec_id, d FROM dm2 ORDER BY d DESC, vec_id LIMIT 1),
-        dm3 AS MATERIALIZED (
-          SELECT dm2.vec_id,
-                 least(dm2.d, CAST(list_sum(list_transform(
-                   generate_series(1, 64),
-                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
-                   AS BIGINT)) AS d
-          FROM dm2 JOIN q ON q.vec_id = dm2.vec_id,
-               (SELECT q2.qd FROM q q2 JOIN s3 ON q2.vec_id = s3.vec_id) c),
-        s4 AS MATERIALIZED (
-          SELECT vec_id, d FROM dm3 ORDER BY d DESC, vec_id LIMIT 1),
-        dm4 AS MATERIALIZED (
-          SELECT dm3.vec_id,
-                 least(dm3.d, CAST(list_sum(list_transform(
-                   generate_series(1, 64),
-                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
-                   AS BIGINT)) AS d
-          FROM dm3 JOIN q ON q.vec_id = dm3.vec_id,
-               (SELECT q2.qd FROM q q2 JOIN s4 ON q2.vec_id = s4.vec_id) c),
-        s5 AS MATERIALIZED (
-          SELECT vec_id, d FROM dm4 ORDER BY d DESC, vec_id LIMIT 1),
-        dm5 AS MATERIALIZED (
-          SELECT dm4.vec_id,
-                 least(dm4.d, CAST(list_sum(list_transform(
-                   generate_series(1, 64),
-                   i -> (q.qd[i] - c.qd[i]) * (q.qd[i] - c.qd[i])))
-                   AS BIGINT)) AS d
-          FROM dm4 JOIN q ON q.vec_id = dm4.vec_id,
-               (SELECT q2.qd FROM q q2 JOIN s5 ON q2.vec_id = s5.vec_id) c),
+      oracle = Some(s"""
+        WITH $kcenterChainSql,
         cov AS (SELECT max(d) AS c FROM dm5),
         sel AS (
           SELECT 1 AS round, vec_id, d FROM s1
@@ -3135,6 +3172,80 @@ object Similarity extends QueryModule {
         SELECT CAST(round AS INT) AS round, vec_id, d AS dist_sq,
                CAST(cov.c AS BIGINT) AS coverage_sq
         FROM sel, cov ORDER BY round""")),
+
+    // CORESET summary — the sampling product built ON the k-center
+    // skeleton (ml_kcenter_greedy picks the 5 Gonzalez centers; this key
+    // ships what a data-pruning pass actually uses): every vector
+    // assigns to its nearest center (exact integer d², ties to the
+    // earlier-picked center), and each cell reports its weight (member
+    // count), radius (max d² — the cell's representativeness bound), and
+    // corpus share. Training on the weighted 5-row coreset approximates
+    // training on the corpus with error bounded by the radii — the
+    // standard coreset contract. Cost shape: centers come from the
+    // cached greedy loop (k tiny scans), assignment is ONE map-side
+    // codegen pass over broadcast center literals, the census shuffles
+    // 5 rows. The oracle replays the full greedy chain (kcenterChainSql)
+    // plus an argmin-by-(d, pick-order) window.
+    Q(
+      "sample_coreset",
+      (s, dir) => {
+        val q = kcenterQ(s, dir)
+        val picked = kcenterPicked(s, dir)
+        val dcols = picked.zipWithIndex.map { case ((_, vec, _), i) =>
+          struct(
+            graft.functions.SquaredDistance(col("qd"), typedlit(vec))
+              .cast("long").as("d"),
+            lit(i + 1).as("rnd"))
+        }
+        val tot = q.agg(count(lit(1)).as("n"))
+        val cells = q.select(least(dcols: _*).as("p"))
+          .select(col("p.rnd").as("round"), col("p.d").as("d"))
+          .groupBy("round")
+          .agg(count(lit(1)).as("weight"), max(col("d")).as("radius_sq"))
+        val sp2 = s
+        import sp2.implicits._
+        val cents = picked.zipWithIndex
+          .map { case ((id, _, _), i) => (i + 1, id) }
+          .toDF("round", "center_id")
+        cells.join(broadcast(cents), Seq("round"))
+          .crossJoin(broadcast(tot))
+          .select(col("round"), col("center_id"), col("weight"),
+            col("radius_sq"),
+            round(col("weight") / col("n").cast("double"), 6).as("share"))
+          .orderBy("round")
+      },
+      oracle = Some(s"""
+        WITH $kcenterChainSql,
+        cents AS (
+          SELECT 1 AS rnd, s1.vec_id AS cid, q.qd AS cqd
+          FROM s1 JOIN q ON q.vec_id = s1.vec_id
+          UNION ALL SELECT 2, s2.vec_id, q.qd
+          FROM s2 JOIN q ON q.vec_id = s2.vec_id
+          UNION ALL SELECT 3, s3.vec_id, q.qd
+          FROM s3 JOIN q ON q.vec_id = s3.vec_id
+          UNION ALL SELECT 4, s4.vec_id, q.qd
+          FROM s4 JOIN q ON q.vec_id = s4.vec_id
+          UNION ALL SELECT 5, s5.vec_id, q.qd
+          FROM s5 JOIN q ON q.vec_id = s5.vec_id),
+        asn AS (
+          SELECT q.vec_id, c.rnd, c.cid,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> (q.qd[i] - c.cqd[i]) * (q.qd[i] - c.cqd[i])))
+                   AS BIGINT) AS d
+          FROM q CROSS JOIN cents c),
+        pick AS (
+          SELECT vec_id, rnd, cid, d,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d, rnd) AS rk
+          FROM asn),
+        tot AS (SELECT count(*) AS n FROM q),
+        cells AS (
+          SELECT rnd, cid, count(*) AS weight, max(d) AS radius_sq
+          FROM pick WHERE rk = 1 GROUP BY rnd, cid)
+        SELECT CAST(rnd AS INT) AS round, cid AS center_id,
+               CAST(weight AS BIGINT) AS weight, radius_sq,
+               round(weight / CAST(n AS DOUBLE), 6) AS share
+        FROM cells, tot ORDER BY round""")),
 
     // PCA APPLIED — the train-once/apply-everywhere half of ml_pca_power:
     // every vector's projection onto the trained component plus the

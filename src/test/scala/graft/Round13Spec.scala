@@ -304,6 +304,60 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sample_coreset: cells partition the corpus, radii within coverage") {
+    val sp = spark
+    val rows = SparkEntry.queries("sample_coreset")(sp, sf001).collect()
+    assert(rows.length == 5)
+    val total = Tables.embeddings(sp, sf001).count()
+    assert(rows.map(_.getAs[Long]("weight")).sum == total,
+      "every vector assigns to exactly one cell")
+    // each cell's radius is bounded by the k-center coverage bound
+    val cov = SparkEntry.queries("ml_kcenter_greedy")(sp, sf001)
+      .collect()(0).getAs[Long]("coverage_sq")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("radius_sq") <= cov)
+      val share = r.getAs[Double]("share")
+      assert(share > 0.0 && share <= 1.0)
+    }
+    // center ids are the greedy picks, round-aligned
+    val centers = SparkEntry.queries("ml_kcenter_greedy")(sp, sf001)
+      .collect().map(r => r.getAs[Int]("round") -> r.getAs[Long]("vec_id"))
+      .toMap
+    rows.foreach { r =>
+      assert(centers(r.getAs[Int]("round")) == r.getAs[Long]("center_id"))
+    }
+  }
+
+  test("mm_video_scene_cut: cuts bound scenes, hand recompute for one doc") {
+    val sp = spark
+    val rows = SparkEntry.queries("mm_video_scene_cut")(sp, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_frames"); val nc = r.getAs[Long]("n_cuts")
+      val ls = r.getAs[Long]("longest_scene")
+      assert(nc < nf && ls >= 1 && ls <= nf)
+      // longest scene can't be shorter than the average scene
+      assert(ls * (nc + 1) >= nf)
+    }
+    // independent recompute of one video's cut count in scala
+    val d = rows.map(_.getAs[Long]("doc_id")).max
+    val dur = Tables.documents(sp, sf001)
+      .filter(col("doc_id") === d).select((col("n_chars") % 30 + 1))
+      .collect()(0).getLong(0).toInt
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val es = (0 until dur).map(f =>
+      h(s"sc${d}_${f / 7}") % 100000L + h(s"fr${d}_$f") % 1000L)
+    val cuts = es.sliding(2).count(p =>
+      p.length == 2 && math.abs(p(1) - p(0)) > 2000L)
+    val row = rows.find(_.getAs[Long]("doc_id") == d).get
+    assert(row.getAs[Long]("n_frames") == dur.toLong)
+    assert(row.getAs[Long]("n_cuts") == cuts.toLong)
+  }
+
   test("text_dup_ngram_coverage: bounds and clean-doc consistency") {
     val rows = SparkEntry.queries("text_dup_ngram_coverage")(spark, sf001)
       .collect()
