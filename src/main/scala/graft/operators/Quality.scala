@@ -26,6 +26,96 @@ object Quality extends QueryModule {
     // Two rules genuinely fail on the corpus (quantity tail, discount
     // tail) and two pass — the audit output is a real distribution probe.
     Q(
+      "dq_cross_field",
+      (s, dir) => {
+        // Conditional / cross-TABLE dependency PROFILING (round 13) —
+        // the rule class dq_expectations' single-row checks can't
+        // express: each candidate rule is "WHEN the antecedent holds,
+        // does the consequent?", and the output is the rule's measured
+        // support and violation rate (1 − confidence, the CFD-discovery
+        // readout). On THIS corpus the honest verdict is that none of
+        // the classic TPC-H dependencies hold (the generator is
+        // synthetic — e.g. ship ≥ order violates on ~49% of lines), and
+        // that is exactly what a profiling audit is FOR: measure, don't
+        // assume. Joined once (order-key hash join), then every rule is
+        // a conditional aggregate over the SAME pass — k rules cost one
+        // scan (the agg_filtered FILTER-clause discipline).
+        val j = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_shipdate"), col("o_orderdate"),
+            col("o_orderstatus"), col("l_linestatus"),
+            col("l_returnflag"), col("o_orderpriority"))
+        val rules: Seq[(String, org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column)] = Seq(
+          ("ship_after_order", lit(true),
+            col("l_shipdate") >= col("o_orderdate")),
+          ("finished_order_lines_finished",
+            col("o_orderstatus") === "F",
+            col("l_linestatus") === "F"),
+          ("returned_lines_finished",
+            col("l_returnflag") === "R",
+            col("l_linestatus") === "F"),
+          ("urgent_ships_within_90d",
+            col("o_orderpriority") === "1-URGENT",
+            col("l_shipdate") <= col("o_orderdate") +
+              expr("INTERVAL 90 DAYS")))
+        val aggs = rules.flatMap { case (name, ante, cons) =>
+          Seq(
+            sum(when(ante, 1L).otherwise(0L)).as(s"${name}__n"),
+            sum(when(ante && !cons, 1L).otherwise(0L)).as(s"${name}__v"))
+        }
+        val row = j.agg(aggs.head, aggs.tail: _*)
+        val out = rules.map { case (name, _, _) =>
+          row.select(lit(name).as("rule"),
+            col(s"${name}__n").as("n_checked"),
+            col(s"${name}__v").as("n_violations"),
+            round(col(s"${name}__v") /
+              col(s"${name}__n").cast("double"), 6).as("violation_rate"))
+        }.reduce(_ unionByName _)
+        out.orderBy("rule")
+      },
+      oracle = Some("""
+        WITH j AS (
+          SELECT l_shipdate, o_orderdate, o_orderstatus, l_linestatus,
+                 l_returnflag, o_orderpriority
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        m AS (
+          SELECT
+            count(*) AS all_n,
+            CAST(sum(CASE WHEN NOT (l_shipdate >= o_orderdate)
+              THEN 1 ELSE 0 END) AS BIGINT) AS sao_v,
+            CAST(sum(CASE WHEN o_orderstatus = 'F'
+              THEN 1 ELSE 0 END) AS BIGINT) AS fin_n,
+            CAST(sum(CASE WHEN o_orderstatus = 'F'
+              AND NOT (l_linestatus = 'F')
+              THEN 1 ELSE 0 END) AS BIGINT) AS fin_v,
+            CAST(sum(CASE WHEN l_returnflag = 'R'
+              THEN 1 ELSE 0 END) AS BIGINT) AS ret_n,
+            CAST(sum(CASE WHEN l_returnflag = 'R'
+              AND NOT (l_linestatus = 'F')
+              THEN 1 ELSE 0 END) AS BIGINT) AS ret_v,
+            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN 1 ELSE 0 END) AS BIGINT) AS urg_n,
+            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+              AND NOT (l_shipdate <= o_orderdate + INTERVAL 90 DAY)
+              THEN 1 ELSE 0 END) AS BIGINT) AS urg_v
+          FROM j)
+        SELECT rule, n_checked, n_violations,
+               round(n_violations / CAST(n_checked AS DOUBLE), 6)
+                 AS violation_rate
+        FROM (
+          SELECT 'ship_after_order' AS rule, all_n AS n_checked,
+                 sao_v AS n_violations FROM m
+          UNION ALL
+          SELECT 'finished_order_lines_finished', fin_n, fin_v FROM m
+          UNION ALL
+          SELECT 'returned_lines_finished', ret_n, ret_v FROM m
+          UNION ALL
+          SELECT 'urgent_ships_within_90d', urg_n, urg_v FROM m)
+        ORDER BY rule""")),
+
+    Q(
       "dq_expectations",
       (s, dir) =>
         graft.api.Quality.expectations(

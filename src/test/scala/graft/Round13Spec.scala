@@ -358,6 +358,31 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     assert(row.getAs[Long]("n_cuts") == cuts.toLong)
   }
 
+  test("dq_cross_field: profiled rates match independent counts, " +
+    "conditional rules check antecedent subsets only") {
+    val sp = spark
+    val rows = SparkEntry.queries("dq_cross_field")(sp, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+          r.getAs[Double]("violation_rate"))).toMap
+    assert(rows.size == 4)
+    // independent recount of one unconditional and one conditional rule
+    val j = Tables.lineitem(sp, sf0001)
+      .join(Tables.orders(sp, sf0001), col("l_orderkey") === col("o_orderkey"))
+    val total = j.count()
+    val shipViol = j.filter(!(col("l_shipdate") >= col("o_orderdate"))).count()
+    assert(rows("ship_after_order")._1 == total)
+    assert(rows("ship_after_order")._2 == shipViol)
+    val finN = j.filter(col("o_orderstatus") === "F").count()
+    assert(rows("finished_order_lines_finished")._1 == finN)
+    assert(finN < total, "conditional rule must check the subset")
+    rows.values.foreach { case (n, v, rate) =>
+      assert(v >= 0 && v <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - math.rint(v.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
   test("text_dup_ngram_coverage: bounds and clean-doc consistency") {
     val rows = SparkEntry.queries("text_dup_ngram_coverage")(spark, sf001)
       .collect()
