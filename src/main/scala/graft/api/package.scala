@@ -1558,6 +1558,65 @@ package object api {
         .select(col("id_a"), col("id_b"),
           round(sqrt(d2), 0).cast("long").as("dist_micro"))
     }
+
+    /** EXACT nearest-facility join over integer microdegree points, grid
+      * first, brute force only for the remnant the grid cannot certify.
+      *
+      * Phase 1 explodes the FACILITY side (the small dimension) to its
+      * 3×3 cell neighborhood and hash-joins probes by their single cell —
+      * probe-side rows are never replicated, so the shuffle is
+      * |probes| + 9·|facilities|. A probe's best candidate is PROVABLY
+      * its global nearest when best d² < cell² strictly: the probe's 3×3
+      * block extends ≥ cell beyond the probe in every direction, so any
+      * non-candidate facility sits at d ≥ cell. (Strict `<` matters: an
+      * outside facility can sit at exactly d = cell, and a d = cell tie
+      * would then break on facility id against a candidate the grid never
+      * saw.) Phase 2 broadcast-scans ALL facilities for unconfirmed
+      * probes only — with cell chosen at ~1 facility/cell density the
+      * remnant is the e^−π ≈ 4% Poisson void tail, independent of scale.
+      * Ties break on (d², facility id) via one lexicographic struct-min —
+      * partial-aggregable, no window, no sort.
+      *
+      * Output: (id, nn_id, d2, phase ∈ {grid, fallback}); d² is exact
+      * BIGINT (no float distance crosses an engine boundary).
+      */
+    def nearestFacility(
+        a: DataFrame, idA: Column, latA: Column, lonA: Column,
+        b: DataFrame, idB: Column, latB: Column, lonB: Column,
+        cellMicro: Long): DataFrame = {
+      require(cellMicro >= 1)
+      val sp = a.sparkSession
+      import sp.implicits._
+      val offsets = Seq(-1L, 0L, 1L)
+        .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
+        .toDF("dx", "dy")
+      val fdim = b.select(idB.cast("long").as("nn_id"),
+        latB.cast("long").as("f_lat"), lonB.cast("long").as("f_lon"))
+      val fb = fdim
+        .crossJoin(broadcast(offsets))
+        .select(col("nn_id"), col("f_lat"), col("f_lon"),
+          (expr(s"f_lat div ${cellMicro}L") + col("dx")).as("clat"),
+          (expr(s"f_lon div ${cellMicro}L") + col("dy")).as("clon"))
+      val pa = a.select(idA.as("id"),
+          latA.cast("long").as("p_lat"), lonA.cast("long").as("p_lon"))
+        .withColumn("clat", expr(s"p_lat div ${cellMicro}L"))
+        .withColumn("clon", expr(s"p_lon div ${cellMicro}L"))
+      val d2 = (col("p_lat") - col("f_lat")) * (col("p_lat") - col("f_lat")) +
+        (col("p_lon") - col("f_lon")) * (col("p_lon") - col("f_lon"))
+      val best = pa.join(broadcast(fb), Seq("clat", "clon"))
+        .select(col("id"), struct(d2.as("d2"), col("nn_id")).as("cand"))
+        .groupBy("id").agg(min(col("cand")).as("m"))
+        .select(col("id"), col("m.d2").as("d2"), col("m.nn_id").as("nn_id"))
+      val confirmed = best.filter(col("d2") < lit(cellMicro * cellMicro))
+      val rest = pa.join(confirmed.select("id"), Seq("id"), "left_anti")
+      val fallback = rest.crossJoin(broadcast(fdim))
+        .select(col("id"), struct(d2.as("d2"), col("nn_id")).as("cand"))
+        .groupBy("id").agg(min(col("cand")).as("m"))
+        .select(col("id"), col("m.d2").as("d2"), col("m.nn_id").as("nn_id"))
+      confirmed.withColumn("phase", lit("grid"))
+        .unionByName(fallback.withColumn("phase", lit("fallback")))
+        .select(col("id"), col("nn_id"), col("d2"), col("phase"))
+    }
   }
 
   /** Approximate sketch aggregates. */
@@ -2628,6 +2687,62 @@ package object api {
           col("n_triangles"),
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
             .as("transitivity"))
+    }
+
+    /** Per-node local clustering coefficient, exact: n_tri(v) triangles
+      * through each node and lcc = 2·n_tri / (d·(d−1)) emitted as an exact
+      * integer permyriad (floor), so the readout replays bit-identically in
+      * any engine — no float ratio in the output.
+      *
+      * Same degree-orientation discipline as [[triangleStats]]: wedges are
+      * enumerated from the lower-(degree,id) endpoint only, so the join
+      * fan-out per node is min-degree-bounded (Σ min-deg², not Σ deg² —
+      * the hub-safe layout at 100 TB). Each triangle is produced exactly
+      * once as an (a,b,c) ord-triple; corners are exploded and counted,
+      * which multiplies rows by 3 on triangle-count-sized data only.
+      * Node ids must stay below 2^40 (the ord packing).
+      */
+    def localClustering(edges: DataFrame, src: Column, dst: Column,
+        assumeCanonical: Boolean = false): DataFrame = {
+      val e = if (assumeCanonical)
+        edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+      else edges
+        .select(least(src, dst).cast("long").as("u"),
+          greatest(src, dst).cast("long").as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull)
+        .distinct()
+        .localCheckpoint(true)
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val ORD = 1L << 40
+      val eo = e
+        .join(deg.as("du"), col("u") === col("du.n"))
+        .join(deg.as("dv"), col("v") === col("dv.n"))
+        .select(
+          least(col("du.d") * ORD + col("u"), col("dv.d") * ORD + col("v"))
+            .as("lo"),
+          greatest(col("du.d") * ORD + col("u"), col("dv.d") * ORD + col("v"))
+            .as("hi"))
+        .localCheckpoint(true)
+      val triples = eo.as("e1")
+        .join(eo.as("e2"),
+          col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+        .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+          col("e2.hi").as("c"))
+        .join(eo.as("e3"),
+          col("b") === col("e3.lo") && col("c") === col("e3.hi"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("ord"))
+      val triPerNode = triples
+        .select((col("ord") % ORD).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("t"))
+      deg.join(triPerNode, Seq("n"), "left")
+        .select(col("n").as("node"), col("d"),
+          coalesce(col("t"), lit(0L)).as("n_tri"))
+        .withColumn("lcc_pm",
+          when(col("d") >= 2,
+            expr("(2 * n_tri * 10000) div (d * (d - 1))"))
+            .otherwise(lit(0L)))
     }
 
     /** Single-source shortest paths with integer edge weights —
@@ -3941,6 +4056,52 @@ package object api {
         .agg(count(lit(1)).as("n_violations"))
       n.crossJoin(v)
         .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+    }
+  }
+
+  /** Whole-operator custom plans (graft.plans): the SparkSessionExtensions
+    * tier for shapes Spark's built-ins only express wastefully.
+    */
+  object Plans {
+
+    /** Top-k rows per group WITHOUT a sort or window: plans the custom
+      * TopKPerGroup node (graft/plans/TopKPerGroup.scala) as a
+      * partial-heaps → shuffle → final-heaps pair, so the shuffle carries
+      * at most groups·k rows per input partition and no rank is ever
+      * materialized for rows outside the top k. Equivalent semantics to
+      * `row_number() OVER (PARTITION BY groupCols ORDER BY orderCols) <= k`
+      * when the order is total — callers MUST include a unique tiebreaker
+      * in `orderCols` or the kept boundary rows are nondeterministic.
+      *
+      * `orderCols`: (columnName, descending). Nulls sort the SQL default
+      * way (ascending → nulls first, descending → nulls last).
+      *
+      * The strategy is registered on the session's experimental list here
+      * (idempotent) and is also injectable globally via GraftExtensions.
+      */
+    def topKPerGroup(
+        df: DataFrame,
+        groupCols: Seq[String],
+        orderCols: Seq[(String, Boolean)],
+        k: Int): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast, SortOrder}
+      import org.apache.spark.sql.graftx.Bridge
+      val sp = df.sparkSession
+      if (!sp.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy)) {
+        sp.experimental.extraStrategies =
+          sp.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
+      }
+      val analyzed = df.queryExecution.analyzed
+      def attr(name: String) = analyzed.output
+        .find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"topKPerGroup: no column '$name' in ${analyzed.output.map(_.name)}"))
+      val orderExprs = orderCols.map { case (name, desc) =>
+        if (desc) SortOrder(attr(name), Descending, NullsLast, Seq.empty)
+        else SortOrder(attr(name), Ascending, NullsFirst, Seq.empty)
+      }
+      Bridge.ofRows(sp,
+        graft.plans.TopKPerGroup(groupCols.map(attr), orderExprs, k, analyzed))
     }
   }
 }

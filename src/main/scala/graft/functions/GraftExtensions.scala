@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sqdistDescriptor)
     ext.injectFunction(GraftExtensions.hllRegisterDescriptor)
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
+    // Whole-operator tier: plans graft.plans.TopKPerGroup as the
+    // partial/final bounded-heap pair (no sort, no window).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

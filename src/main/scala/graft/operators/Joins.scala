@@ -275,6 +275,74 @@ object Joins extends QueryModule {
         FROM j WHERE d2 <= 4000000000000
         ORDER BY c_custkey, s_suppkey""")),
 
+    // EXACT spatial nearest-neighbor join: every customer point gets its
+    // globally nearest supplier facility, grid-certified where possible
+    // (best candidate d² strictly under cell² proves no off-grid facility
+    // can beat it), brute-forced only for the ~e^−π Poisson-void remnant.
+    // Cell width adapts to facility density (~1 facility/cell at every
+    // scale: eps = √(area/m)), so candidate volume per probe stays ~9 and
+    // the plan's cost is |probes| + 9·|facilities| + 4%·|probes|·bcast —
+    // linear at 100 TB. d² stays exact BIGINT end-to-end; the oracle
+    // computes the true global argmin over the cross product and the same
+    // strict-inequality phase tag, so the certification logic itself is
+    // oracle-audited. Mechanics in api.Joins.nearestFacility.
+    Q(
+      "join_spatial_knn",
+      (s, dir) => {
+        def pts(df: org.apache.spark.sql.DataFrame,
+            id: org.apache.spark.sql.Column,
+            salt: String) = df.select(
+          id.as("pid"),
+          (conv(substring(md5(concat(lit(salt), id.cast("string"),
+            lit("lat"))), 1, 15), 16, 10).cast("long")
+            % 120000000L - 60000000L).as("lat"),
+          (conv(substring(md5(concat(lit(salt), id.cast("string"),
+            lit("lon"))), 1, 15), 16, 10).cast("long")
+            % 340000000L - 170000000L).as("lon"))
+        val fac = pts(Tables.supplier(s, dir), col("s_suppkey"), "kf")
+          .localCheckpoint(true)
+        val m = fac.count()
+        val eps = math.round(math.sqrt(4.08e16 / m))
+        graft.api.Joins.nearestFacility(
+            pts(Tables.customer(s, dir), col("c_custkey"), "kc"),
+            col("pid"), col("lat"), col("lon"),
+            fac, col("pid"), col("lat"), col("lon"),
+            cellMicro = eps)
+          .select(col("id").as("c_custkey"), col("nn_id").as("nn_suppkey"),
+            col("d2"), col("phase"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        WITH pc AS (
+          SELECT c_custkey AS id,
+                 ('0x' || substring(md5('kc' || CAST(c_custkey AS VARCHAR) || 'lat'),
+                   1, 15))::BIGINT % 120000000 - 60000000 AS lat,
+                 ('0x' || substring(md5('kc' || CAST(c_custkey AS VARCHAR) || 'lon'),
+                   1, 15))::BIGINT % 340000000 - 170000000 AS lon
+          FROM customer),
+        pf AS (
+          SELECT s_suppkey AS sid,
+                 ('0x' || substring(md5('kf' || CAST(s_suppkey AS VARCHAR) || 'lat'),
+                   1, 15))::BIGINT % 120000000 - 60000000 AS lat,
+                 ('0x' || substring(md5('kf' || CAST(s_suppkey AS VARCHAR) || 'lon'),
+                   1, 15))::BIGINT % 340000000 - 170000000 AS lon
+          FROM supplier),
+        ee AS (SELECT CAST(round(sqrt(40800000000000000.0 / count(*)))
+                 AS BIGINT) AS eps FROM pf),
+        ranked AS (
+          SELECT pc.id, pf.sid,
+                 (pc.lat - pf.lat) * (pc.lat - pf.lat) +
+                 (pc.lon - pf.lon) * (pc.lon - pf.lon) AS d2,
+                 row_number() OVER (PARTITION BY pc.id ORDER BY
+                   (pc.lat - pf.lat) * (pc.lat - pf.lat) +
+                   (pc.lon - pf.lon) * (pc.lon - pf.lon), pf.sid) AS rn
+          FROM pc CROSS JOIN pf)
+        SELECT id AS c_custkey, sid AS nn_suppkey, d2,
+               CASE WHEN d2 < (SELECT eps * eps FROM ee)
+                 THEN 'grid' ELSE 'fallback' END AS phase
+        FROM ranked WHERE rn = 1
+        ORDER BY c_custkey""")),
+
     Q(
       "join_bucketed",
       (s, dir) => {

@@ -1303,6 +1303,74 @@ object Pipeline extends QueryModule {
                (fill_after <= 512 OR tc > 512) AS fill_ok
         FROM p ORDER BY doc_id""")),
 
+    // Loss-mask accounting for SFT-style packing: each doc's first
+    // ceil(tc/4) tokens are its "prompt" (masked, no gradient), the rest
+    // is trainable; docs are packed by the SAME deterministic next-fit as
+    // pack_sequences, and the readout is the per-bin mask budget — docs,
+    // tokens, masked vs trainable mass, the largest contiguous trainable
+    // span, and the masked share in exact floor permyriad. This is the
+    // number that decides whether a packing recipe wastes step compute
+    // (a bin that is mostly prompt trains almost nothing). All integer
+    // arithmetic; the oracle replays the identical next-fit recursion and
+    // aggregates the identical spans — bit-stable in both engines. Scale:
+    // packing is the shared per-(source, shard) sequential pass; the span
+    // census is one hash aggregate on its output.
+    Q(
+      "pack_mask_spans",
+      (s, dir) =>
+        graft.api.Pipeline.packNextFit(
+          Tables.documents(s, dir).withColumn("tc",
+            size(split(col("text"), " "))),
+          col("source"), col("doc_id"), col("tc"),
+          budget = 512, shards = 4)
+          .select(col("group").as("source"), col("shard"), col("bin_id"),
+            col("n_tokens"))
+          .withColumn("masked", expr("(n_tokens + 3) div 4"))
+          .groupBy("source", "shard", "bin_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("bin_tokens"),
+            sum("masked").as("n_masked"),
+            sum(col("n_tokens") - col("masked")).as("n_trainable"),
+            max(col("n_tokens") - col("masked")).as("max_span"))
+          .withColumn("mask_share_pm",
+            expr("(10000 * n_masked) div bin_tokens"))
+          .orderBy("source", "shard", "bin_id"),
+      oracle = Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+                 CAST(doc_id % 4 AS INT) AS shard
+          FROM documents),
+        n AS (
+          SELECT *, row_number() OVER (PARTITION BY source, shard
+                                       ORDER BY doc_id) AS rn
+          FROM t),
+        p AS (
+          SELECT doc_id, source, shard, rn, tc,
+                 CAST(0 AS BIGINT) AS bin_id, tc AS fill_after
+          FROM n WHERE rn = 1
+          UNION ALL
+          SELECT n.doc_id, n.source, n.shard, n.rn, n.tc,
+                 CASE WHEN p.fill_after + n.tc > 512
+                      THEN p.bin_id + 1 ELSE p.bin_id END,
+                 CASE WHEN p.fill_after + n.tc > 512
+                      THEN n.tc ELSE p.fill_after + n.tc END
+          FROM n JOIN p ON n.source = p.source AND n.shard = p.shard
+                       AND n.rn = p.rn + 1),
+        m AS (SELECT source, shard, bin_id, tc,
+                     (tc + 3) // 4 AS masked
+              FROM p)
+        SELECT source, shard, bin_id,
+               count(*) AS n_docs,
+               CAST(sum(tc) AS BIGINT) AS bin_tokens,
+               CAST(sum(masked) AS BIGINT) AS n_masked,
+               CAST(sum(tc - masked) AS BIGINT) AS n_trainable,
+               CAST(max(tc - masked) AS BIGINT) AS max_span,
+               CAST((10000 * CAST(sum(masked) AS BIGINT))
+                 // CAST(sum(tc) AS BIGINT) AS BIGINT) AS mask_share_pm
+        FROM m GROUP BY source, shard, bin_id
+        ORDER BY source, shard, bin_id""")),
+
     // First-fit-decreasing packing — the quality-over-simplicity
     // counterpart to pack_sequences' next-fit: state is the whole bin
     // load LIST, replayed in the oracle by a recursive CTE carrying a
@@ -1424,6 +1492,48 @@ object Pipeline extends QueryModule {
                      || '/' || CAST(bin_id AS VARCHAR)) AS n_bins,
                CAST(sum(tc) AS BIGINT) AS n_tokens
         FROM sh GROUP BY 1 ORDER BY 1""")),
+
+    // Provenance manifest for a sharded training export: per (shard,
+    // source) — doc count, token mass, id range, and an ORDER-INDEPENDENT
+    // content checksum (bit_xor of each doc's 60-bit md5 digest), so a
+    // consumer can verify any shard's contents without re-reading the
+    // corpus, and the full manifest proves the export is a partition
+    // (Σ n_docs = corpus rows; spec-asserted). XOR is the right fold at
+    // scale: commutative/associative (partial-agg friendly, any partition
+    // order), no overflow, and any single-doc substitution flips it.
+    // One hash shuffle on (shard, source); digests are computed map-side.
+    Q(
+      "pipeline_lineage_manifest",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tc"),
+          conv(substring(md5(concat(lit("ln"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("dig"))
+        d.withColumn("shard", col("dig") % 6L)
+          .groupBy("shard", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tc")).as("n_tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"),
+            expr("bit_xor(dig)").as("checksum"))
+          .orderBy("shard", "source")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                   AS BIGINT) AS tc,
+                 ('0x' || substring(md5('ln' || CAST(doc_id AS VARCHAR)),
+                   1, 15))::BIGINT AS dig
+          FROM documents)
+        SELECT dig % 6 AS shard, source,
+               count(*) AS n_docs,
+               CAST(sum(tc) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+               bit_xor(dig) AS checksum
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Ordered funnel over the event stream: users reaching view → click
     // → purchase, each stage strictly after the user's earliest previous
@@ -1938,6 +2048,53 @@ object Pipeline extends QueryModule {
                (SELECT t FROM tri) AS n_triangles,
                round(3.0 * (SELECT t FROM tri) /
                      (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS transitivity""")),
+
+    // Per-node local clustering coefficient over the urgent co-purchase
+    // graph (same shared edge index as graph_triangles): exact per-node
+    // triangle counts from the degree-ORIENTED wedge join (fan-out is
+    // min-degree-bounded — the hub-safe layout; a hub of degree D costs
+    // its neighbors' min-degrees, never D²), lcc emitted as exact floor
+    // permyriad so no float ratio crosses the engine boundary. Top-30 by
+    // (n_tri DESC, node) — a total order, so the LIMIT cut is stable.
+    Q(
+      "graph_clustering_coeff",
+      (s, dir) => graft.api.Graph.localClustering(
+          urgentCoPurchaseEdges(s, dir), col("u"), col("v"),
+          assumeCanonical = true)
+        .orderBy(desc("n_tri"), asc("node"))
+        .limit(30),
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT n, count(*) AS d
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+          GROUP BY n),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        tpn AS (
+          SELECT n, count(*) AS t
+          FROM (SELECT a AS n FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          GROUP BY n)
+        SELECT CAST(deg.n AS BIGINT) AS node, deg.d AS d,
+               CAST(coalesce(tpn.t, 0) AS BIGINT) AS n_tri,
+               CAST(CASE WHEN deg.d >= 2
+                 THEN (2 * coalesce(tpn.t, 0) * 10000)
+                      // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_pm
+        FROM deg LEFT JOIN tpn ON deg.n = tpn.n
+        ORDER BY n_tri DESC, node LIMIT 30""")),
 
     // MATCH_RECOGNIZE-lite: each user's event history as an ordered
     // initial-letter path string ('s'ignup 'v'iew 'c'lick 'p'urchase

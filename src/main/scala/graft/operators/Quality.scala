@@ -568,6 +568,48 @@ object Quality extends QueryModule {
                  >= 1200000000 AS stale
         FROM events GROUP BY event_type ORDER BY grp""")),
 
+    // Sequence-integrity audit: does each user's event stream arrive in
+    // order? Per user, events are replayed in event_id (ingest) order and
+    // every timestamp REGRESSION (ts strictly before the previous event's
+    // ts) is counted, with the worst backstep in exact microseconds. On
+    // this corpus ingest order and event time are uncorrelated, so the
+    // audit reads heavy regression mass — the readout that tells a
+    // pipeline "you cannot use ingest order as event order" (and exactly
+    // what watermark margins must absorb). One window pass partitioned by
+    // user (state = one lag value), one hash aggregate: linear, no
+    // global sort, holds at 100 TB. Top-20 worst users, total order.
+    Q(
+      "dq_sequential_gaps",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("pt", lag("t", 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("t") < col("pt"), 1L).otherwise(0L))
+              .as("n_regressions"),
+            coalesce(max(when(col("t") < col("pt"),
+              col("pt") - col("t"))), lit(0L)).as("max_backstep_us"))
+          .orderBy(desc("n_regressions"), asc("user_id"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                 lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS pt
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CASE WHEN t < pt THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_regressions,
+               CAST(coalesce(max(CASE WHEN t < pt THEN pt - t END), 0)
+                 AS BIGINT) AS max_backstep_us
+        FROM o GROUP BY user_id
+        ORDER BY n_regressions DESC, user_id LIMIT 20""")),
+
     // Schema-contract validation — the check that runs before any batch
     // is allowed to land: the declared contract vs the table's actual
     // parquet schema. The contract here deliberately disagrees with the

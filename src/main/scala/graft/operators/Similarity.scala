@@ -2617,6 +2617,108 @@ object Similarity extends QueryModule {
     // by nature, and an uncapped modulo holdout grows with the corpus,
     // turning holdout × train quadratic (measured slope 48 at 10×
     // before the cap; 500-query cap → linear in the train side).
+    // Multinomial Naive Bayes text classifier, trained and scored fully
+    // in-engine: even doc_ids train per-(class, word) Laplace-smoothed
+    // counts, odd doc_ids are scored as Σ count(w)·q(ln(cnt_wc+1))
+    // − n_d·q(ln(tot_c+V)) + q(ln n_c) − q(ln N), where q(·) is ln
+    // quantized to integer micro-units (the text_zipf discipline) — so
+    // every score is an exact BIGINT sum, the per-doc argmax carries NO
+    // float, and boundary ties break on class name identically in both
+    // engines. Unseen (word, class) pairs contribute exactly 0 (ln 1),
+    // which is why the contribution join can stay INNER. Scale: the
+    // model is a (V·C)-row frame joined on word; scoring is one explode
+    // + hash join + two aggregates — linear in test tokens, no per-class
+    // scan. Output = the lang × predicted confusion census. Honest
+    // readout on THIS corpus: every vocabulary word occurs in every
+    // lang, so only frequency profiles separate classes — accuracy
+    // ~35% vs 20% chance (spec-asserted floor), and the off-diagonal
+    // mass is the measurement, not a defect.
+    Q(
+      "ml_naive_bayes",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            split(col("text"), " ").as("ws"))
+        val train = d.filter(col("doc_id") % 2 === 0)
+        val test = d.filter(col("doc_id") % 2 === 1)
+        val tw = train.select(col("lang").as("cls"),
+          explode(col("ws")).as("w"))
+        val lw = tw.groupBy("cls", "w").agg(count(lit(1)).as("cnt"))
+          .select(col("cls"), col("w"),
+            round(log(col("cnt") + 1) * 1e6, 0).cast("long").as("lw"))
+        val tot = tw.groupBy("cls").agg(count(lit(1)).as("tot"))
+        val vocab = tw.select("w").distinct().agg(count(lit(1)).as("v"))
+        val nTrain = train.agg(count(lit(1)).as("n"))
+        val priors = train.groupBy(col("lang").as("cls"))
+          .agg(count(lit(1)).as("nc"))
+        val clsConst = tot.join(priors, "cls")
+          .crossJoin(vocab).crossJoin(nTrain)
+          .select(col("cls"),
+            round(log(col("tot") + col("v")) * 1e6, 0).cast("long")
+              .as("lt"),
+            (round(log(col("nc")) * 1e6, 0).cast("long") -
+              round(log(col("n")) * 1e6, 0).cast("long")).as("lp"))
+        val tew = test
+          .select(col("doc_id"), explode(col("ws")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val contrib = tew.join(lw, Seq("w"))
+          .groupBy("doc_id", "cls")
+          .agg(sum(col("c") * col("lw")).as("sw"))
+        val scored = test
+          .select(col("doc_id"), col("lang"),
+            size(col("ws")).cast("long").as("nd"))
+          .crossJoin(broadcast(clsConst))
+          .join(contrib, Seq("doc_id", "cls"), "left")
+          .select(col("doc_id"), col("lang"), col("cls"),
+            (coalesce(col("sw"), lit(0L)) -
+              col("nd") * col("lt") + col("lp")).as("score"))
+        scored.groupBy("doc_id", "lang")
+          .agg(min(struct((-col("score")).as("ns"), col("cls"))).as("m"))
+          .select(col("lang"), col("m.cls").as("predicted"))
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "predicted")
+      },
+      oracle = Some("""
+        WITH tr AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id % 2 = 0),
+        te AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id % 2 = 1),
+        tw AS (SELECT lang AS cls, unnest(ws) AS w FROM tr),
+        lw AS (SELECT cls, w,
+                 CAST(round(ln(count(*) + 1) * 1e6) AS BIGINT) AS lw
+               FROM tw GROUP BY cls, w),
+        tot AS (SELECT cls, count(*) AS tot FROM tw GROUP BY cls),
+        vv AS (SELECT count(DISTINCT w) AS v FROM tw),
+        nt AS (SELECT count(*) AS n FROM tr),
+        pri AS (SELECT lang AS cls, count(*) AS nc FROM tr GROUP BY lang),
+        cc AS (SELECT tot.cls,
+                 CAST(round(ln(tot.tot + vv.v) * 1e6) AS BIGINT) AS lt,
+                 CAST(round(ln(pri.nc) * 1e6) AS BIGINT) -
+                   CAST(round(ln(nt.n) * 1e6) AS BIGINT) AS lp
+               FROM tot JOIN pri ON tot.cls = pri.cls, vv, nt),
+        tew AS (SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS w FROM te)
+                GROUP BY doc_id, w),
+        contrib AS (SELECT tew.doc_id, lw.cls,
+                      CAST(sum(tew.c * lw.lw) AS BIGINT) AS sw
+                    FROM tew JOIN lw ON tew.w = lw.w
+                    GROUP BY tew.doc_id, lw.cls),
+        scored AS (SELECT ten.doc_id, ten.lang, cc.cls,
+                     coalesce(contrib.sw, 0) - ten.nd * cc.lt + cc.lp
+                       AS score
+                   FROM (SELECT doc_id, lang,
+                           CAST(len(ws) AS BIGINT) AS nd FROM te) ten
+                   CROSS JOIN cc
+                   LEFT JOIN contrib ON contrib.doc_id = ten.doc_id
+                     AND contrib.cls = cc.cls),
+        pred AS (SELECT doc_id, lang, cls AS predicted,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, cls) AS rn
+                 FROM scored)
+        SELECT lang, predicted, count(*) AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY lang, predicted ORDER BY lang, predicted""")),
+
     // All census arithmetic is exact integers; P/R/F1 are three guarded
     // divisions per class; tp=0 classes pin F1 to 0 identically in both
     // engines. Scale shape = the classifier's own: broadcast holdout ×

@@ -225,6 +225,50 @@ object Text extends QueryModule {
                  / CAST(s10 - k * ln11 AS DOUBLE), 4) AS alpha
         FROM m""")),
 
+    // Word burstiness: the variance-to-mean ratio (index of dispersion) of
+    // each top word's PER-DOCUMENT count, zeros included — the classic
+    // content-vs-function-word discriminant (function words scatter
+    // ~Poisson, D≈1; topical words clump, D≫1). All moments are exact
+    // integers (zeros contribute nothing to Σc or Σc², so the absent-doc
+    // rows never need materializing): D = (N·Σc² − (Σc)²)/(N·Σc), emitted
+    // as floor permyriad — no float crosses the engine boundary. Two hash
+    // aggregates ((term,doc) then term), corpus-size frame cross-joined,
+    // top-20 by (total DESC, term) — a total order.
+    Q(
+      "text_burstiness",
+      (s, dir) => {
+        val perDoc = toks(s, dir)
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+        val stats = perDoc.groupBy("term").agg(
+          count(lit(1)).as("n_docs_with"),
+          sum("c").as("total"),
+          sum(col("c") * col("c")).as("s2"))
+        val nd = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+        stats.crossJoin(nd)
+          .orderBy(desc("total"), asc("term")).limit(20)
+          .select(col("term"), col("n_docs_with"), col("total"),
+            expr("(10000 * (nn * s2 - total * total)) div (nn * total)")
+              .as("dispersion_pm"))
+          .orderBy(desc("total"), asc("term"))
+      },
+      oracle = Some("""
+        WITH pd AS (
+          SELECT w AS term, doc_id, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY 1, 2),
+        st AS (
+          SELECT term, count(*) AS n_docs_with,
+                 CAST(sum(c) AS BIGINT) AS total,
+                 CAST(sum(c * c) AS BIGINT) AS s2
+          FROM pd GROUP BY term),
+        nd AS (SELECT count(*) AS nn FROM documents)
+        SELECT term, n_docs_with, total,
+               CAST((10000 * (nn * s2 - total * total)) // (nn * total)
+                 AS BIGINT) AS dispersion_pm
+        FROM st, nd
+        ORDER BY total DESC, term LIMIT 20""")),
+
     Q(
       "text_zipf",
       (s, dir) => {

@@ -172,6 +172,47 @@ object Windows extends QueryModule {
         WHERE rn <= 3
         ORDER BY o_custkey, rn""")),
 
+    // The same top-k-per-group SEMANTICS as win_topk_per_group, executed by
+    // the engine's own physical operator instead of a window: the custom
+    // TopKPerGroup logical node plans (via TopKPerGroupStrategy, registered
+    // through SparkSessionExtensions / session.experimental) as a map-side
+    // bounded-heap pass, ONE shuffle of at most groups·k rows per input
+    // partition, and a final heap merge — no SortExec, no WindowExec, no
+    // rank materialized for rows outside the top k. The window form sorts
+    // every row of every group (O(n log n), spills at 100 TB); this is
+    // O(n log k) with O(groups·k) state. The order includes the unique
+    // (l_orderkey, l_linenumber) tiebreaker, making the kept row SET total
+    // and the key DuckDB-checkable. Plan shape pinned in TopKPlanSpec.
+    Q(
+      "topk_physical",
+      (s, dir) => {
+        val top = graft.api.Plans.topKPerGroup(
+          Tables.lineitem(s, dir)
+            .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice")),
+          groupCols = Seq("l_returnflag", "l_linestatus"),
+          orderCols = Seq(
+            ("l_extendedprice", true), ("l_orderkey", false),
+            ("l_linenumber", false)),
+          k = 4)
+        top.orderBy("l_returnflag", "l_linestatus",
+          "l_orderkey", "l_linenumber")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+               l_extendedprice
+        FROM (
+          SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+                 l_extendedprice,
+                 row_number() OVER (
+                   PARTITION BY l_returnflag, l_linestatus
+                   ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                            l_linenumber ASC) AS rn
+          FROM lineitem)
+        WHERE rn <= 4
+        ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""")),
+
     // Inter-event gap per user via lag/lead on exact microsecond epochs.
     Q(
       "win_lag_lead",

@@ -33,4 +33,24 @@ object Bridge {
     sp.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is private[sql];
+    * custom logical nodes — graft.plans.TopKPerGroup — enter the session
+    * through here).
+    */
+  def ofRows(
+      sp: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      sp.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Expose the strategies a SparkSessionExtensions instance would install
+    * (private[sql]) so specs can assert GraftExtensions' planner wiring
+    * without building a second session in the test JVM.
+    */
+  def plannerStrategies(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      sp: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(
+      sp.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 }
