@@ -1303,6 +1303,56 @@ object Pipeline extends QueryModule {
                (fill_after <= 512 OR tc > 512) AS fill_ok
         FROM p ORDER BY doc_id""")),
 
+    // Length-bucketed batching economics: docs are split into 8
+    // equal-height length buckets (ntile over token count), and each
+    // bucket reports the padding waste a fixed-shape batcher pays when it
+    // pads every doc in the bucket to the bucket max — the readout that
+    // decides whether length-bucketing is worth it vs one global max-len
+    // (global waste is the same formula over one bucket; here src0.01
+    // reads ~3-9% per bucket vs ~45% global). All integer: padded mass =
+    // n·max(tc), waste in floor permyriad. The exact ntile is one global
+    // sort kept because the oracle replays it bit-for-bit; at 100 TB the
+    // bucket thresholds come from approx quantiles instead (the
+    // agg_quantile_hist sketch) and the assignment is a map-side
+    // broadcast-threshold lookup — the census itself is one hash
+    // aggregate either way.
+    Q(
+      "pack_length_buckets",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tc"))
+        val b = t.withColumn("bucket",
+          ntile(8).over(Window.orderBy(col("tc"), col("doc_id"))))
+        b.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("tc").as("min_tokens"),
+            max("tc").as("max_tokens"),
+            sum("tc").as("token_mass"))
+          .withColumn("padded_mass", col("n_docs") * col("max_tokens"))
+          .withColumn("waste_pm",
+            expr("(10000 * (padded_mass - token_mass)) div padded_mass"))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+          FROM documents),
+        b AS (
+          SELECT tc, ntile(8) OVER (ORDER BY tc, doc_id) AS bucket
+          FROM t),
+        g AS (
+          SELECT bucket, count(*) AS n_docs, min(tc) AS min_tokens,
+                 max(tc) AS max_tokens, CAST(sum(tc) AS BIGINT) AS token_mass
+          FROM b GROUP BY bucket)
+        SELECT bucket, n_docs, min_tokens, max_tokens, token_mass,
+               n_docs * max_tokens AS padded_mass,
+               (10000 * (n_docs * max_tokens - token_mass))
+                 // (n_docs * max_tokens) AS waste_pm
+        FROM g ORDER BY bucket""")),
+
     // Loss-mask accounting for SFT-style packing: each doc's first
     // ceil(tc/4) tokens are its "prompt" (masked, no gradient), the rest
     // is trainable; docs are packed by the SAME deterministic next-fit as

@@ -1794,6 +1794,130 @@ object Similarity extends QueryModule {
         FROM pool LEFT JOIN hits ON hits.query_id = pool.query_id
         ORDER BY pool.query_id""")),
 
+    // Graded ranking audit completing the recall family: recall@k says
+    // WHETHER the true neighbors were retrieved, NDCG@10 says whether
+    // they came back in the right ORDER (a hit at position 1 is worth
+    // more than at 10 — the metric a retrieval stack actually reports).
+    // Relevance is graded from the exact-cosine ranking (rel = 11 −
+    // exact rank, 0 outside the true top-10); the audited ranking is the
+    // multiprobe-LSH top-10. Discipline for engine-exactness: position
+    // discounts 1/log2(i+1) are quantized once to integer micro-units
+    // (round(1e6/log2(i+1)) — the text_zipf ln-quantization rule), so
+    // DCG is an exact BIGINT sum and NDCG an exact floor permyriad;
+    // IDCG is built from the same expression over a 10-row position
+    // frame in BOTH engines, never a hardcoded constant. Queries whose
+    // buckets returned nothing still emit a row (n_ranked 0) — the
+    // audit must show its own misses. Scale: candidates come from the
+    // bucket equi-join (never all-pairs); the scoring join is top-10
+    // rows per query against top-10 rows per query.
+    Q(
+      "ml_ndcg_eval",
+      (s, dir) => {
+        val k = 10
+        val v = vecs(s, dir)
+        val q = v.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val c = v.select(col("vec_id").as("cand_id"), col("e"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        val exact = broadcast(q)
+          .join(c, col("cand_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("cand_id"),
+            (lit(k + 1) - col("rank")).cast("long").as("rel"))
+        val vs = v.withColumn("sig",
+          lshSig(transform(col("e"), x => x.cast("double"))))
+        val probes = array(
+          (col("sig") +: (0 until 6).map(b =>
+            col("sig").bitwiseXOR(lit(1 << b)))): _*)
+        val qp = vs.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"),
+            explode(probes).as("sig"))
+        val cs = vs.select(col("vec_id").as("cand_id"), col("sig"),
+          col("e"))
+        val approx = broadcast(qp).join(cs, Seq("sig"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= k)
+          .select(col("query_id"), col("cand_id"), col("pos"))
+        val scored = approx
+          .join(exact, Seq("query_id", "cand_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("rel"), lit(0L)).as("g"),
+            round(lit(1e6) / log2(col("pos").cast("double") + 1d), 0)
+              .cast("long").as("wq"))
+        val dcg = scored.groupBy("query_id")
+          .agg(count(lit(1)).as("n_ranked"),
+            sum(col("g") * col("wq")).as("dcg_mu"))
+        val ideal = s.range(1, k + 1).toDF("i")
+          .agg(sum((lit(k + 1) - col("i")) *
+            round(lit(1e6) / log2(col("i").cast("double") + 1d), 0)
+              .cast("long")).as("idcg_mu"))
+        q.select("query_id")
+          .join(dcg, Seq("query_id"), "left")
+          .crossJoin(broadcast(ideal))
+          .select(col("query_id"),
+            coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+            coalesce(col("dcg_mu"), lit(0L)).as("dcg_mu"),
+            expr("(10000 * coalesce(dcg_mu, 0)) div idcg_mu")
+              .as("ndcg_pm"))
+          .orderBy("query_id")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        sig AS (
+          SELECT vec_id, e, nrm, $lshSigSql AS sig FROM v),
+        ex AS (
+          SELECT query_id, cand_id, CAST(11 - rn AS BIGINT) AS rel FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.e)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 50) WHERE rn <= 10),
+        ap AS (
+          SELECT query_id, cand_id, rn AS pos FROM (
+            SELECT p.query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                     ORDER BY round(list_dot_product(p.qe, c.e)
+                                    / (p.qnrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm,
+                         unnest([q.sig, xor(q.sig, 1), xor(q.sig, 2),
+                                 xor(q.sig, 4), xor(q.sig, 8),
+                                 xor(q.sig, 16), xor(q.sig, 32)]) AS probe
+                  FROM sig q WHERE q.vec_id < 50) p
+            JOIN sig c ON c.sig = p.probe AND c.vec_id <> p.query_id)
+          WHERE rn <= 10),
+        sc AS (
+          SELECT a.query_id, coalesce(e.rel, 0) AS g,
+                 CAST(round(1e6 / log2(a.pos + 1), 0) AS BIGINT) AS wq
+          FROM ap a LEFT JOIN ex e
+            ON e.query_id = a.query_id AND e.cand_id = a.cand_id),
+        d AS (
+          SELECT query_id, count(*) AS n_ranked,
+                 CAST(sum(g * wq) AS BIGINT) AS dcg_mu
+          FROM sc GROUP BY query_id),
+        ideal AS (
+          SELECT CAST(sum((11 - i) *
+                   CAST(round(1e6 / log2(i + 1), 0) AS BIGINT)) AS BIGINT)
+                   AS idcg_mu
+          FROM generate_series(1, 10) t(i)),
+        qs AS (SELECT vec_id AS query_id FROM v WHERE vec_id < 50)
+        SELECT q.query_id, coalesce(d.n_ranked, 0) AS n_ranked,
+               coalesce(d.dcg_mu, 0) AS dcg_mu,
+               (10000 * coalesce(d.dcg_mu, 0)) // idcg_mu AS ndcg_pm
+        FROM qs q LEFT JOIN d ON d.query_id = q.query_id, ideal
+        ORDER BY q.query_id""")),
+
     // Product quantization: unit-normalized vectors → 8 subspace
     // codebooks of 16 Lloyd-trained centroids (api.Similarity.
     // pqCodebooks, all subspaces per round in ONE job) → every vector
@@ -2617,6 +2741,153 @@ object Similarity extends QueryModule {
     // by nature, and an uncapped modulo holdout grows with the corpus,
     // turning holdout × train quadratic (measured slope 48 at 10×
     // before the cap; 500-query cap → linear in the train side).
+    // One exact Newton step of logistic regression from the zero model —
+    // the linear-classifier trainer with NO transcendental anywhere: at
+    // β=0 the sigmoid is exactly ½ and the Hessian exactly −¼XᵀX, so the
+    // step is β₁ = 2(XᵀX)⁻¹·Xᵀ(2y−1) and every quantity is an integer
+    // ratio. The pipeline is feature-select → train → eval in one plan:
+    // (1) the two most class-discriminative dims by exact integer mean
+    // gap |n₀Σ₁x − n₁Σ₀x|; (2) the 3×3 moment matrix from ONE
+    // map-combined scan (9 BIGINT sums), inverted via the ADJUGATE in
+    // driver BigInt (the ml_pca_power convention — d×d work on the
+    // driver, corpus work distributed); (3) each row scored by
+    // sign(xᵀ·adj(S)·v)·sign(det) — margins are exact DECIMAL(38,0)
+    // (HUGEINT in the oracle), so no float ever decides a prediction.
+    // y = label % 2; honest readout ~58% vs 51% majority (two dims of a
+    // 64-d embedding carry weak signal — the mechanism, not the model,
+    // is the product). Scale: feature selection and moments are
+    // map-combined aggregates over the dim-exploded frame (64n rows);
+    // scoring is a broadcast of three decimal literals. Quantized at
+    // 1e-3 so the sf1 margin bound 5e35 stays inside decimal(38,0).
+    Q(
+      "ml_logreg_newton",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+            col("embedding"))
+        val dims = v
+          .select(col("vec_id"), col("y"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("y"), (col("pos") + 1).as("dim"),
+            round(col("col").cast("double") * 1000, 0).cast("long")
+              .as("x"))
+        val gap = dims.groupBy("dim").agg(
+            sum(when(col("y") === 1, col("x")).otherwise(0L)).as("s1"),
+            sum(when(col("y") === 0, col("x")).otherwise(0L)).as("s0"),
+            sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("y") === 1, 1L).otherwise(0L)).as("n1"))
+          .select(col("dim"),
+            abs(col("s1") * col("n0") - col("s0") * col("n1")).as("g"))
+        val pick = gap.orderBy(desc("g"), asc("dim")).limit(2)
+          .select(col("dim"), row_number()
+            .over(Window.orderBy(desc("g"), asc("dim"))).as("rk"))
+        val f = dims.join(broadcast(pick), Seq("dim"))
+          .groupBy("vec_id", "y")
+          .agg(max(when(col("rk") === 1, col("x"))).as("x1"),
+            max(when(col("rk") === 2, col("x"))).as("x2"))
+          .localCheckpoint(true) // reused by moments AND scoring
+        val m = f.agg(
+          count(lit(1)).as("s00"), sum("x1").as("s01"),
+          sum("x2").as("s02"), sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(lit(2L) * col("y") - 1L).as("v0"),
+          sum(col("x1") * (lit(2L) * col("y") - 1L)).as("v1"),
+          sum(col("x2") * (lit(2L) * col("y") - 1L)).as("v2")).head()
+        def b(i: Int) = BigInt(m.getLong(i))
+        val (s00, s01, s02) = (b(0), b(1), b(2))
+        val (s11, s12, s22) = (b(3), b(4), b(5))
+        val (v0, v1, v2) = (b(6), b(7), b(8))
+        val a00 = s11 * s22 - s12 * s12
+        val a01 = s02 * s12 - s01 * s22
+        val a02 = s01 * s12 - s02 * s11
+        val a11 = s00 * s22 - s02 * s02
+        val a12 = s02 * s01 - s00 * s12
+        val a22 = s00 * s11 - s01 * s01
+        val det = s00 * a00 - s01 * (s01 * s22 - s02 * s12) +
+          s02 * (s01 * s12 - s11 * s02)
+        require(det != 0, "singular moment matrix")
+        val u0 = a00 * v0 + a01 * v1 + a02 * v2
+        val u1 = a01 * v0 + a11 * v1 + a12 * v2
+        val u2 = a02 * v0 + a12 * v1 + a22 * v2
+        val sgn = if (det > 0) 1 else -1
+        def dl(x: BigInt) = lit(new java.math.BigDecimal(x.bigInteger))
+        val margin = dl(u0) + col("x1").cast("decimal(12,0)") * dl(u1) +
+          col("x2").cast("decimal(12,0)") * dl(u2)
+        f.withColumn("pred",
+            when(margin * lit(sgn) > 0, 1L).otherwise(0L))
+          .groupBy("y")
+          .agg(count(lit(1)).as("n"), sum("pred").as("n_pred_pos"),
+            sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+              .as("ok"))
+          .select(col("y"), col("n"), col("n_pred_pos"),
+            expr("(10000 * ok) div n").as("acc_pm"))
+          .orderBy("y")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+                 CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        dims AS (
+          SELECT vec_id, y, i AS dim,
+                 CAST(round(e[CAST(i AS INT)] * 1000, 0) AS BIGINT) AS x
+          FROM v, generate_series(1, 64) t(i)),
+        gap AS (
+          SELECT dim,
+                 abs(CAST(sum(CASE WHEN y = 1 THEN x ELSE 0 END)
+                       AS HUGEINT)
+                     * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+                   - CAST(sum(CASE WHEN y = 0 THEN x ELSE 0 END)
+                       AS HUGEINT)
+                     * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)) AS g
+          FROM dims GROUP BY dim),
+        pick AS (
+          SELECT dim, rk FROM (
+            SELECT dim, row_number() OVER (ORDER BY g DESC, dim) AS rk
+            FROM gap) WHERE rk <= 2),
+        f AS (
+          SELECT d.vec_id, d.y,
+                 max(CASE WHEN p.rk = 1 THEN d.x END) AS x1,
+                 max(CASE WHEN p.rk = 2 THEN d.x END) AS x2
+          FROM dims d JOIN pick p ON p.dim = d.dim
+          GROUP BY d.vec_id, d.y),
+        m AS (
+          SELECT CAST(count(*) AS HUGEINT) AS s00,
+                 CAST(sum(x1) AS HUGEINT) AS s01,
+                 CAST(sum(x2) AS HUGEINT) AS s02,
+                 CAST(sum(x1*x1) AS HUGEINT) AS s11,
+                 CAST(sum(x1*x2) AS HUGEINT) AS s12,
+                 CAST(sum(x2*x2) AS HUGEINT) AS s22,
+                 CAST(sum(2*y - 1) AS HUGEINT) AS v0,
+                 CAST(sum(x1*(2*y - 1)) AS HUGEINT) AS v1,
+                 CAST(sum(x2*(2*y - 1)) AS HUGEINT) AS v2
+          FROM f),
+        adj AS (
+          SELECT *,
+            (s11*s22 - s12*s12) AS a00, (s02*s12 - s01*s22) AS a01,
+            (s01*s12 - s02*s11) AS a02,
+            (s00*s22 - s02*s02) AS a11, (s02*s01 - s00*s12) AS a12,
+            (s00*s11 - s01*s01) AS a22,
+            (s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s02*s12)
+              + s02*(s01*s12 - s11*s02)) AS det
+          FROM m),
+        u AS (
+          SELECT a00*v0 + a01*v1 + a02*v2 AS u0,
+                 a01*v0 + a11*v1 + a12*v2 AS u1,
+                 a02*v0 + a12*v1 + a22*v2 AS u2,
+                 CASE WHEN det > 0 THEN 1 ELSE -1 END AS sgn
+          FROM adj),
+        score AS (
+          SELECT f.y,
+                 CASE WHEN (u.u0 + f.x1*u.u1 + f.x2*u.u2) * u.sgn > 0
+                      THEN 1 ELSE 0 END AS pred
+          FROM f, u)
+        SELECT y, count(*) AS n,
+               CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+               (10000 * CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+                 AS BIGINT)) // count(*) AS acc_pm
+        FROM score GROUP BY y ORDER BY y""")),
+
     // Multinomial Naive Bayes text classifier, trained and scored fully
     // in-engine: even doc_ids train per-(class, word) Laplace-smoothed
     // counts, odd doc_ids are scored as Σ count(w)·q(ln(cnt_wc+1))
@@ -2900,6 +3171,91 @@ object Similarity extends QueryModule {
                    AS DOUBLE)
                  / (2 * CAST(sum(np) AS DOUBLE) * sum(nn)), 4) AS auc
         FROM r""")),
+
+    // Decile lift/gains table for the 10-NN classifier — the
+    // campaign-targeting readout beside ROC-AUC: rank the holdout by
+    // score, cut into 10 equal-height deciles, and report each decile's
+    // positives plus the CUMULATIVE lift (how many× better than random
+    // the top-k deciles capture positives — the "call the top 20%"
+    // number). Same holdout and scoring pipeline as ml_roc_auc. The
+    // score has only 11 levels, so the decile cut is pinned by the
+    // (score desc, query_id) total order that both engines' ntile walks
+    // identically. Exact integers end-to-end: cumulative lift in floor
+    // permyriad as (10000·cum_pos·N) div (cum_n·P). Scale: scores are
+    // the broadcast-knn pass; the table itself is 10 rows.
+    Q(
+      "ml_lift_curve",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val test = v.filter(col("vec_id") % 7 === 0 &&
+            col("vec_id") < 3500)
+          .select(col("vec_id").as("query_id"),
+            (col("label") % 2).cast("long").as("y"), col("e").as("qe"))
+        val train = v.filter(col("vec_id") % 7 =!= 0)
+          .select(col("vec_id").as("cand_id"),
+            (col("label") % 2).cast("long").as("nl"), col("e"))
+        val wN = Window.partitionBy("query_id")
+          .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+        val scores = broadcast(test).join(train)
+          .withColumn("cos", cosine(col("qe"), col("e")))
+          .withColumn("rn", row_number().over(wN))
+          .filter(col("rn") <= 10)
+          .groupBy("query_id", "y")
+          .agg(sum("nl").as("score"))
+        val dec = scores.withColumn("decile",
+          ntile(10).over(Window.orderBy(desc("score"), col("query_id"))))
+        val g = dec.groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+        val tot = scores.agg(count(lit(1)).as("nn_t"),
+          sum("y").as("pp_t"))
+        val wc = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("cum_n", sum("n").over(wc))
+          .withColumn("cum_pos", sum("n_pos").over(wc))
+          .crossJoin(broadcast(tot))
+          .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+            expr("(10000 * cum_pos * nn_t) div (cum_n * pp_t)")
+              .as("cum_lift_pm"))
+          .orderBy("decile")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, label % 2 AS y, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        nb AS (
+          SELECT query_id, y, nl FROM (
+            SELECT q.vec_id AS query_id, q.y, c.y AS nl,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.v, c.v)
+                                    / (q.nrm * c.nrm), 6) DESC,
+                              c.vec_id) AS rn
+            FROM e q JOIN e c ON c.vec_id % 7 <> 0
+            WHERE q.vec_id % 7 = 0 AND q.vec_id < 3500) WHERE rn <= 10),
+        scores AS (
+          SELECT query_id, CAST(y AS BIGINT) AS y,
+                 CAST(sum(nl) AS BIGINT) AS score
+          FROM nb GROUP BY 1, 2),
+        dec AS (
+          SELECT y, ntile(10) OVER (ORDER BY score DESC, query_id)
+                   AS decile
+          FROM scores),
+        g AS (
+          SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+          FROM dec GROUP BY decile),
+        c AS (
+          SELECT decile, n, n_pos,
+                 CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+                 CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                   AS cum_pos
+          FROM g),
+        tot AS (
+          SELECT count(*) AS nn_t, CAST(sum(y) AS BIGINT) AS pp_t
+          FROM scores)
+        SELECT decile, n, n_pos, cum_pos,
+               (10000 * cum_pos * nn_t) // (cum_n * pp_t) AS cum_lift_pm
+        FROM c, tot ORDER BY decile""")),
 
     // Reliability diagram for the 10-NN classifier — the calibration
     // audit that completes the evaluation shelf (confusion matrix →

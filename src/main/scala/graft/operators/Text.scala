@@ -269,6 +269,59 @@ object Text extends QueryModule {
         FROM st, nd
         ORDER BY total DESC, term LIMIT 20""")),
 
+    // Segmental type-token ratio (the MATTR-family lexical-diversity
+    // readout): each doc is cut into non-overlapping 25-token segments,
+    // only FULL segments scored (TTR is length-biased, so partial tails
+    // would make short docs look artificially diverse — the standard
+    // fixed-window discipline), and each source reports its segment
+    // count and mean/min/max TTR in exact floor permyriad. Low mean with
+    // a tight band is the template-spam signature; natural text sits
+    // higher with spread. All integer: per-segment ttr_pm = 400·distinct
+    // (10000·d div 25), the mean an exact floor division. Scale: one
+    // (doc, seg) hash aggregate on the posexploded tokens (map-side
+    // combined), then a source-sized rollup — linear, no sort.
+    Q(
+      "text_ttr_segmented",
+      (s, dir) => {
+        val tt = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            posexplode(split(col("text"), " ")))
+        val sg = tt
+          .groupBy(col("source"), col("doc_id"),
+            expr("pos div 25").as("seg"))
+          .agg(count(lit(1)).as("ntok"), countDistinct("col").as("d"))
+          .filter(col("ntok") === 25)
+        sg.select(col("source"), expr("(10000 * d) div 25").as("ttr_pm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_segs"),
+            sum("ttr_pm").as("sum_ttr"),
+            min("ttr_pm").as("min_ttr_pm"),
+            max("ttr_pm").as("max_ttr_pm"))
+          .select(col("source"), col("n_segs"),
+            expr("sum_ttr div n_segs").as("mean_ttr_pm"),
+            col("min_ttr_pm"), col("max_ttr_pm"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT source, doc_id, string_split(text, ' ') AS ws,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        tok AS (
+          SELECT source, doc_id, (i - 1) // 25 AS seg,
+                 ws[CAST(i AS INT)] AS term
+          FROM w, unnest(generate_series(1, n)) AS t(i)),
+        sg AS (
+          SELECT source, doc_id, seg, count(*) AS ntok,
+                 CAST(count(DISTINCT term) AS BIGINT) AS d
+          FROM tok GROUP BY 1, 2, 3
+          HAVING count(*) = 25),
+        r AS (SELECT source, (10000 * d) // 25 AS ttr_pm FROM sg)
+        SELECT source, count(*) AS n_segs,
+               CAST(sum(ttr_pm) AS BIGINT) // count(*) AS mean_ttr_pm,
+               min(ttr_pm) AS min_ttr_pm, max(ttr_pm) AS max_ttr_pm
+        FROM r GROUP BY source ORDER BY source""")),
+
     Q(
       "text_zipf",
       (s, dir) => {
