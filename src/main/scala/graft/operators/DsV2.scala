@@ -343,6 +343,108 @@ object DsV2 extends QueryModule {
         SELECT partition, count(*) AS n, max(off) AS max_off,
                bit_xor(('0x' || substring(md5(off || ':' || key), 1, 15))::BIGINT)
                  AS xor_digest
-        FROM log GROUP BY 1 ORDER BY partition"""))
+        FROM log GROUP BY 1 ORDER BY partition""")),
+
+    // Storage-partitioned join (SPJ) — the ZERO-SHUFFLE plan the
+    // KeyGroupedPartitioning report exists for. Both topics are committed
+    // with the SAME log partitioning (user_id mod 4); each scan reports
+    // KeyGroupedPartitioning(partition) with HasPartitionKey splits, so
+    // with v2 bucketing enabled (a) each side's per-partition aggregate
+    // rides the reported partitioning (ClusteredDistribution(partition)
+    // already satisfied — no partial/final Exchange pair), and (b)
+    // EnsureRequirements co-locates the partition-key equi-join of the
+    // two aggregates WITHOUT an Exchange on either side. The only
+    // Exchange in the whole plan is the 4-row presentation sort —
+    // SpjPlanSpec pins exactly that. At 100 TB this is the log
+    // fact-to-fact cost model: work stays in the storage partitions,
+    // nothing reshuffles. (Record-LEVEL SPJ on (partition, key) — join
+    // keys a superset of the partition keys — additionally needs
+    // spark.sql.requireAllClusterKeysForCoPartition=false; this key
+    // stays on default configs, so the per-record map is aggregated
+    // per-side first.) The query is offset translation for the
+    // compacted/filtered-topic accounting question: the purchase slice
+    // OF the full topic (same predicate that built the purchase topic)
+    // yields each record's source offset — count, source-offset span,
+    // and an order-independent XOR attestation of the (src_offset, key)
+    // map — joined against the purchase topic's own dense-offset census.
+    // The oracle replays both topics' offset closed forms and the same
+    // digest algebra.
+    Q(
+      "join_spj_dsv2",
+      (s, dir) => {
+        val a = s.read.format("graft-log").load(topic(s, dir))
+          .filter(col("value") === "purchase")
+          .groupBy("partition")
+          .agg(count(lit(1)).as("n_matched"),
+            min("offset").as("min_src_off"),
+            max("offset").as("max_src_off"),
+            bit_xor(recHash(col("offset"), col("key")))
+              .as("xor_digest"))
+        // the digest keeps this aggregate OFF the complete-pushdown path
+        // (planAgg only answers count/min/max), so the scan stays a
+        // partition-reporting GraftLogScan and the join co-locates
+        val b = s.read.format("graft-log").load(purchaseTopic(s, dir))
+          .groupBy("partition")
+          .agg(max("offset").as("max_cmp_off"),
+            bit_xor(recHash(col("offset"), col("key")))
+              .as("xor_cmp_digest"))
+        a.join(b, Seq("partition"))
+          .select(col("partition"), col("n_matched"), col("min_src_off"),
+            col("max_src_off"), col("max_cmp_off"), col("xor_digest"),
+            col("xor_cmp_digest"))
+          .orderBy("partition")
+      },
+      oracle = Some("""
+        WITH full_log AS (
+          SELECT user_id % 4 AS partition,
+                 row_number() OVER (PARTITION BY user_id % 4
+                                    ORDER BY event_id) - 1 AS src_offset,
+                 CAST(event_id AS VARCHAR) AS key
+          FROM events),
+        purch AS (
+          SELECT user_id % 4 AS partition,
+                 row_number() OVER (PARTITION BY user_id % 4
+                                    ORDER BY event_id) - 1 AS cmp_offset,
+                 CAST(event_id AS VARCHAR) AS key
+          FROM events WHERE event_type = 'purchase')
+        SELECT p.partition, count(*) AS n_matched,
+               min(f.src_offset) AS min_src_off,
+               max(f.src_offset) AS max_src_off,
+               max(p.cmp_offset) AS max_cmp_off,
+               bit_xor(('0x' || substring(
+                 md5(f.src_offset || ':' || f.key), 1, 15))::BIGINT)
+                 AS xor_digest,
+               bit_xor(('0x' || substring(
+                 md5(p.cmp_offset || ':' || p.key), 1, 15))::BIGINT)
+                 AS xor_cmp_digest
+        FROM purch p JOIN full_log f
+          ON f.partition = p.partition AND f.key = p.key
+        GROUP BY 1 ORDER BY p.partition"""))
   )
+
+  /** Purchase-slice topic: the same events, filtered to purchases, keyed
+    * and PARTITIONED identically to [[topic]] (user_id mod 4, key-sorted
+    * within partitions) — the co-partitioned second fact the SPJ key
+    * joins without a shuffle. Committed once per (JVM, sfDir).
+    */
+  private val purchaseTopicCache =
+    scala.collection.mutable.Map[String, String]()
+
+  private[graft] def purchaseTopic(s: SparkSession, dir: String): String =
+    purchaseTopicCache.synchronized {
+      purchaseTopicCache.getOrElseUpdate(dir, {
+        val out = s"${Scratch.fresh(
+          "dsv2_purch_" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))}/log"
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+            col("event_id").cast("string").as("key"),
+            col("event_type").as("value"),
+            unix_micros(col("ts")).as("ts"))
+          .repartition(4, col("partition"))
+          .sortWithinPartitions(col("partition"), col("key").cast("long"))
+          .write.format("graft-log").mode("append").save(out)
+        out
+      })
+    }
 }
