@@ -1328,6 +1328,35 @@ package object api {
           "_graft_rt", "_graft_tb", "_graft_rn")
     }
 
+    /** Backward as-of join with a staleness bound (pandas merge_asof
+      * `tolerance`): the latest right row at or before the left time,
+      * but only if it is no older than `maxAge` — an expired match is
+      * discarded and the left row survives with null right columns,
+      * exactly like a row that never matched. The bound lives IN the
+      * join condition (per-left-row, not a right-side prefilter), so
+      * the plan stays one hash join clustered on the key; the window
+      * ranks only surviving candidates. The lookup semantics a feature
+      * store needs: "the last reading, unless it has gone stale."
+      */
+    def asOfTolerance(
+        left: DataFrame, leftId: Column, leftKey: Column, leftTime: Column,
+        right: DataFrame, rightKey: Column, rightTime: Column,
+        tieBreak: Column, maxAge: Column): DataFrame = {
+      val l = left.withColumn("_graft_id", leftId)
+        .withColumn("_graft_lk", leftKey).withColumn("_graft_lt", leftTime)
+      val r = right.withColumn("_graft_rk", rightKey)
+        .withColumn("_graft_rt", rightTime).withColumn("_graft_tb", tieBreak)
+      val w = Window.partitionBy("_graft_id")
+        .orderBy(col("_graft_rt").desc, col("_graft_tb").desc)
+      l.join(r, l("_graft_lk") === r("_graft_rk") &&
+          r("_graft_rt") <= l("_graft_lt") &&
+          r("_graft_rt") >= l("_graft_lt") - maxAge, "left")
+        .withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1)
+        .drop("_graft_id", "_graft_lk", "_graft_lt", "_graft_rk",
+          "_graft_rt", "_graft_tb", "_graft_rn")
+    }
+
     /** Forward as-of join (pandas merge_asof direction='forward'): for
       * each left row, the EARLIEST right row with the same key at or
       * after the left time — the "next event after" lookup (next order

@@ -1047,6 +1047,137 @@ object Aggregates extends QueryModule {
     // exact decimal sums (agg_moments discipline — daily counts are
     // integers, so the sums are order-free), and r is one
     // shared-structure double expression over them.
+    // Hurst exponent by rescaled-range (R/S) analysis over the zero-filled
+    // HOURLY event series — the long-memory readout beside agg_autocorr's
+    // lag-1 and text_burstiness' dispersion: H ≈ 0.5 is independent
+    // arrivals, H → 1 is trending/self-similar load (the capacity-planning
+    // distinction). Exactness discipline: within a block of n hours both
+    // R's numerator (max−min of n·cum_j − j·total) and n²·variance are
+    // EXACT INTEGERS, and ln(R/S) = ln R_int − ½ ln V_int, so only ln of
+    // integers is ever quantized (text_zipf's 1e-6 rule, carried in
+    // DOUBLED micro-units to keep the ½ integer). H is the 3-point OLS
+    // slope over ln n ∈ {16, 48, 144}, emitted as sign-split floor
+    // milli-units. Blocks with a degenerate R or V are excluded on both
+    // sides. Honest readout ≈ 0.5 (the synthetic arrivals are memoryless).
+    // Scale: the series is calendar-sized (hours), not event-sized — one
+    // hash aggregate reduces the corpus, everything after is O(hours).
+    Q(
+      "agg_hurst",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg(count(lit(1)).as("c0"))
+        val bounds = hourly.agg(min("hr").as("lo"), max("hr").as("hi"))
+        val filled = bounds
+          .select(col("lo"), explode(sequence(col("lo"), col("hi")))
+            .as("hr"))
+          .join(hourly, Seq("hr"), "left")
+          .select(col("hr"), (col("hr") - col("lo")).as("rel"),
+            coalesce(col("c0"), lit(0L)).as("c"))
+        import s.implicits._
+        val sizes = Seq(16L, 48L, 144L).toDF("bn")
+        val blk = filled.crossJoin(broadcast(sizes))
+          .select(col("bn"), expr("rel div bn").as("block"),
+            (col("rel") % col("bn")).as("pos"), col("c"))
+        val wc = Window.partitionBy("bn", "block").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("bn", "block")
+        val dev = blk
+          .withColumn("cum", sum("c").over(wc))
+          .withColumn("total", sum("c").over(wt))
+          .withColumn("nin", count(lit(1)).over(wt))
+          .filter(col("nin") === col("bn"))
+          .select(col("bn"), col("block"), col("c"), col("total"),
+            (col("bn") * col("cum") - (col("pos") + 1) * col("total"))
+              .as("dev"))
+        val rv = dev.groupBy("bn", "block")
+          .agg((max("dev") - min("dev")).as("r_int"),
+            (first("bn") * sum(col("c") * col("c")) -
+              first("total") * first("total")).as("v_int"))
+          .filter(col("r_int") > 0 && col("v_int") > 0)
+          .select(col("bn"),
+            (lit(2L) * round(log(col("r_int").cast("double")) * 1e6, 0)
+              .cast("long") -
+              round(log(col("v_int").cast("double")) * 1e6, 0)
+                .cast("long")).as("lnrs2"))
+        val pts = rv.groupBy("bn")
+          .agg(count(lit(1)).as("n_blocks"),
+            expr("sum(lnrs2) div count(1)").as("mean_lnrs2_micro"))
+          .withColumn("x",
+            round(log(col("bn").cast("double")) * 1e6, 0).cast("long"))
+        val m = pts.agg(count(lit(1)).as("k"),
+          sum("x").as("sx"), sum("mean_lnrs2_micro").as("sy"),
+          sum(col("x") * col("mean_lnrs2_micro")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        val h = m.select(
+          (col("k") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("den"))
+          .select(when(col("num") >= 0,
+            expr("(1000 * num) div (2 * den)"))
+            .otherwise(-expr("(1000 * (-num)) div (2 * den)"))
+            .as("h_milli"))
+        pts.select(col("bn").as("n"), col("n_blocks"),
+            col("mean_lnrs2_micro"))
+          .crossJoin(broadcast(h))
+          .orderBy("n")
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+                 CAST(count(*) AS BIGINT) AS c0
+          FROM events GROUP BY 1),
+        bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+        filled AS (
+          SELECT g.hr, g.hr - (SELECT lo FROM bounds) AS rel,
+                 coalesce(h.c0, 0) AS c
+          FROM (SELECT unnest(generate_series(lo, hi)) AS hr
+                FROM bounds) g
+          LEFT JOIN hourly h ON h.hr = g.hr),
+        blk AS (
+          SELECT bn, rel // bn AS block, rel % bn AS pos, c
+          FROM filled, (SELECT unnest([16, 48, 144]) AS bn)),
+        dev AS (
+          SELECT bn, block, c, pos,
+                 sum(c) OVER (PARTITION BY bn, block ORDER BY pos) AS cum,
+                 sum(c) OVER (PARTITION BY bn, block) AS total,
+                 count(*) OVER (PARTITION BY bn, block) AS nin
+          FROM blk),
+        rv AS (
+          SELECT bn,
+                 max(bn * cum - (pos + 1) * total)
+                   - min(bn * cum - (pos + 1) * total) AS r_int,
+                 bn * sum(c * c) - any_value(total) * any_value(total)
+                   AS v_int
+          FROM dev WHERE nin = bn
+          GROUP BY bn, block),
+        lnrs AS (
+          SELECT bn,
+                 2 * CAST(round(ln(r_int) * 1e6, 0) AS BIGINT)
+                   - CAST(round(ln(v_int) * 1e6, 0) AS BIGINT) AS lnrs2
+          FROM rv WHERE r_int > 0 AND v_int > 0),
+        pts AS (
+          SELECT bn, count(*) AS n_blocks,
+                 CAST(sum(lnrs2) AS BIGINT) // count(*)
+                   AS mean_lnrs2_micro,
+                 CAST(round(ln(bn) * 1e6, 0) AS BIGINT) AS x
+          FROM lnrs GROUP BY bn),
+        m AS (
+          SELECT count(*) AS k, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(mean_lnrs2_micro) AS BIGINT) AS sy,
+                 CAST(sum(x * mean_lnrs2_micro) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM pts),
+        h AS (
+          SELECT CASE WHEN (k * sxy - sx * sy) >= 0
+                 THEN (1000 * (k * sxy - sx * sy))
+                        // (2 * (k * sxx - sx * sx))
+                 ELSE -((1000 * (sx * sy - k * sxy))
+                        // (2 * (k * sxx - sx * sx))) END AS h_milli
+          FROM m)
+        SELECT bn AS n, n_blocks, mean_lnrs2_micro, h_milli
+        FROM pts, h ORDER BY n""")),
+
     Q(
       "agg_autocorr",
       (s, dir) => {

@@ -550,6 +550,50 @@ object Joins extends QueryModule {
         ) WHERE rn = 1
         ORDER BY event_id""")),
 
+    // merge_asof with `tolerance`: the feature-store staleness contract —
+    // each event takes its user's latest order AT OR BEFORE the event,
+    // but only if that order is at most 30 days old; a staler match is
+    // dropped (null columns), indistinguishable from never-matched. The
+    // bound is per-left-row inside the join condition, so the plan is
+    // still ONE hash join clustered on the key (no right-side prefilter
+    // could express it). days_stale makes the contract visible in the
+    // output: always 0..30 on matched rows (spec-asserted).
+    Q(
+      "join_asof_tolerance",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        graft.api.Joins.asOfTolerance(
+          e, leftId = col("event_id"), leftKey = col("user_id"),
+          leftTime = col("ts"),
+          right = o, rightKey = col("o_custkey"),
+          rightTime = col("o_orderdate"), tieBreak = col("o_orderkey"),
+          maxAge = expr("INTERVAL 30 DAYS"))
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("last_orderkey"),
+            col("o_totalprice").as("last_price"),
+            datediff(col("ts").cast("date"), col("o_orderdate"))
+              .as("days_stale"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, o_orderkey AS last_orderkey,
+               o_totalprice AS last_price,
+               date_diff('day', o_orderdate, CAST(ts AS DATE)) AS days_stale
+        FROM (
+          SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+                 o.o_orderdate,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC,
+                                             o.o_orderkey DESC) AS rn
+          FROM events e
+          LEFT JOIN orders o
+            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+           AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+        ) WHERE rn = 1
+        ORDER BY event_id""")),
+
     // Blocked fuzzy join (record linkage): candidates from EQUALITY on
     // (brand, size) blocking keys — an ordinary hash join — and only
     // candidates pay the levenshtein comparison. Both engines implement

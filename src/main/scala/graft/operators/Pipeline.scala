@@ -2291,6 +2291,77 @@ object Pipeline extends QueryModule {
         FROM j
         ORDER BY round(jac, 6) DESC, u, v LIMIT 20""")),
 
+    // Deterministic random walks over the co-purchase graph — the
+    // node2vec/DeepWalk SAMPLING primitive (the step before training graph
+    // embeddings, and the neighborhood sampler a GNN data loader runs at
+    // corpus scale). "Random" is a seedless md5 draw over (seed, step,
+    // neighbor): each hop takes the neighbor minimizing the 60-bit hash,
+    // so the trajectory is a pure function of the graph — bit-identical
+    // in any engine, across runs, and under any partitioning (the same
+    // portability rule every sampler in this repo follows; a PRNG keyed
+    // by task id would be none of those). 5 seeds (lowest node ids), 4
+    // hops, all seeds ride the walk frame together: each hop is ONE
+    // broadcast join against the adjacency + a struct-min argmin — no
+    // window over the neighbor fan-out, no per-seed jobs. At 100 TB the
+    // same shape runs millions of walks: the walk frame shuffles on the
+    // frontier node, the adjacency stays put. Oracle: 4 unrolled
+    // hash-argmin CTEs replay the exact trajectory.
+    Q(
+      "graph_random_walk",
+      (s, dir) => {
+        val e = urgentCoPurchaseEdges(s, dir)
+        val adj = e.select(col("u").as("n"), col("v").as("m"))
+          .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+        val seeds = adj.select("n").distinct().orderBy("n").limit(5)
+          .select(col("n").as("seed"), col("n").as("node"))
+        var cur = seeds
+        var out = seeds.withColumn("step", lit(0))
+        for (k <- 1 to 4) {
+          val h = conv(substring(md5(concat_ws(":",
+            col("seed").cast("string"), lit(k.toString),
+            col("m").cast("string"))), 1, 15), 16, 10).cast("long")
+          cur = broadcast(cur).join(adj, col("node") === col("n"))
+            .select(col("seed"),
+              struct(h.as("h"), col("m").as("m")).as("c"))
+            .groupBy("seed").agg(min("c").as("c"))
+            .select(col("seed"), col("c.m").as("node"))
+          out = out.unionByName(cur.withColumn("step", lit(k)))
+        }
+        out.select(col("seed"), col("step"), col("node"))
+          .orderBy("seed", "step")
+      },
+      oracle = Some {
+        def hop(k: Int) = s"""
+        s$k AS (
+          SELECT seed, node FROM (
+            SELECT w.seed, adj.m AS node,
+                   row_number() OVER (PARTITION BY w.seed ORDER BY
+                     ('0x' || substring(md5(w.seed || ':$k:' || adj.m),
+                        1, 15))::BIGINT, adj.m) AS rn
+            FROM s${k - 1} w JOIN adj ON adj.n = w.node) WHERE rn = 1)"""
+        s"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        s0 AS (
+          SELECT n AS seed, n AS node
+          FROM (SELECT DISTINCT n FROM adj ORDER BY n LIMIT 5)),
+        ${(1 to 4).map(hop).mkString(",")}
+        SELECT seed, 0 AS step, node FROM s0
+        UNION ALL SELECT seed, 1, node FROM s1
+        UNION ALL SELECT seed, 2, node FROM s2
+        UNION ALL SELECT seed, 3, node FROM s3
+        UNION ALL SELECT seed, 4, node FROM s4
+        ORDER BY seed, step"""
+      }),
+
     // Single-source BFS over the urgent co-purchase graph, reported as a
     // hop-distance histogram from the lowest part id. The Spark side is
     // frontier BFS (linear in touched edges); the oracle enumerates
