@@ -947,6 +947,67 @@ object Pipeline extends QueryModule {
     // Knuth-hash order. The one √ is floor-quantized on a per-source
     // COUNT before any further arithmetic, so the audit row set is
     // engine-exact end to end.
+    // Annealed mixing schedule — the pretraining-then-anneal data recipe
+    // as a first-class plan: over 4 training phases, each source's weight
+    // interpolates linearly from natural proportions (phase 0: weight ∝
+    // its token inventory — big web sources dominate) to uniform (phase
+    // 3: every source equal — the high-quality anneal tail), and each
+    // phase's 100k-token budget is split by the interpolated weights.
+    // Completes the mix shelf: mix_weighted/temperature pick ONE
+    // distribution, mix_budget_solver prices one, mix_curriculum orders
+    // within one — THIS is the distribution as a function of training
+    // time. All integer: endpoint weights in permyriad, interpolation
+    // held in 3×-permyriad units (no intermediate division), quotas by
+    // BIGINT floor division. One token aggregate over the corpus; the
+    // schedule itself is sources×phases rows.
+    Q(
+      "mix_anneal_schedule",
+      (s, dir) => {
+        import s.implicits._
+        val inv = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long"))
+            .as("n_tokens"))
+        val tot = inv.agg(sum("n_tokens").as("nt"),
+          count(lit(1)).as("ns"))
+        val phases = Seq(0L, 1L, 2L, 3L).toDF("phase")
+        val wts = inv.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            expr("(10000 * n_tokens) div nt").as("w_size_pm"),
+            expr("10000 div ns").as("w_uni_pm"))
+          .crossJoin(broadcast(phases))
+          .select(col("phase"), col("source"), col("n_tokens"),
+            ((lit(3L) - col("phase")) * col("w_size_pm") +
+              col("phase") * col("w_uni_pm")).as("w3"))
+        val norm = wts.groupBy("phase").agg(sum("w3").as("sw3"))
+        wts.join(norm, Seq("phase"))
+          .select(col("phase"), col("source"), col("n_tokens"),
+            expr("(10000 * w3) div sw3").as("w_pm"),
+            expr("(100000 * w3) div sw3").as("quota_tokens"))
+          .orderBy("phase", "source")
+      },
+      oracle = Some("""
+        WITH inv AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt,
+                       count(*) AS ns FROM inv),
+        wts AS (
+          SELECT p.phase, i.source, i.n_tokens,
+                 (3 - p.phase) * ((10000 * i.n_tokens) // t.nt)
+                   + p.phase * (10000 // t.ns) AS w3
+          FROM inv i CROSS JOIN tot t
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS phase) p),
+        norm AS (SELECT phase, CAST(sum(w3) AS BIGINT) AS sw3
+                 FROM wts GROUP BY phase)
+        SELECT w.phase, w.source, w.n_tokens,
+               (10000 * w.w3) // n.sw3 AS w_pm,
+               (100000 * w.w3) // n.sw3 AS quota_tokens
+        FROM wts w JOIN norm n USING (phase)
+        ORDER BY w.phase, w.source""")),
+
     Q(
       "mix_temperature",
       (s, dir) => {

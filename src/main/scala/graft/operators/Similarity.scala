@@ -2741,6 +2741,76 @@ object Similarity extends QueryModule {
     // by nature, and an uncapped modulo holdout grows with the corpus,
     // turning holdout × train quadratic (measured slope 48 at 10×
     // before the cap; 500-query cap → linear in the train side).
+    // Nearest-centroid (Rocchio) classifier — the cheapest embedding
+    // classifier and the third member of the trained-in-engine shelf
+    // (kNN = memorize, Naive Bayes = count, THIS = one mean per class):
+    // train-half per-class centroids, test-half argmax cosine over the
+    // 10 centroids. Engine-exactness is the IVF convention: per-dim
+    // DOUBLE means are quantized to REAL (summation-order ulps die at
+    // the float boundary), comparisons on round(cos, 6) with the class
+    // id tie-break. Output is the full confusion census — at 100 TB the
+    // model is 10 rows broadcast and scoring is one codegen pass, which
+    // is exactly why Rocchio is the first filter a corpus pipeline
+    // deploys before anything heavier. Honest readout on THIS corpus:
+    // ~10% diagonal = chance — the 10-way labels are not separable by
+    // class means here (kNN's confusion matrix reads the same), and the
+    // census saying so IS the measurement.
+    Q(
+      "sim_centroid_classifier",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val cents = v.filter(col("vec_id") % 7 =!= 0)
+          .select(col("label"), posexplode(col("e")))
+          .groupBy("label", "pos").agg(avg("col").as("m"))
+          .groupBy("label")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            p => p.getField("m").cast("float")).as("ce"))
+          .select(col("label").as("cl"), col("ce"))
+        val test = v.filter(col("vec_id") % 7 === 0 &&
+            col("vec_id") < 3500)
+          .select(col("vec_id"), col("label").as("y_true"), col("e"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(round(col("cos"), 6).desc, col("cl"))
+        test.crossJoin(broadcast(cents))
+          .withColumn("cos", cosine(col("e"), col("ce")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("y_true"), col("cl").as("y_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("y_true", "y_pred")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        cents AS (
+          SELECT label AS cl, list(CAST(m AS REAL) ORDER BY pos) AS cer
+          FROM (
+            SELECT label, pos, avg(val) AS m FROM (
+              SELECT label, unnest(e) AS val,
+                     generate_subscripts(e, 1) AS pos
+              FROM v WHERE vec_id % 7 <> 0)
+            GROUP BY label, pos) GROUP BY label),
+        cd AS (
+          SELECT cl, CAST(cer AS DOUBLE[]) AS ce,
+                 sqrt(list_dot_product(CAST(cer AS DOUBLE[]),
+                                       CAST(cer AS DOUBLE[]))) AS cnrm
+          FROM cents),
+        pred AS (
+          SELECT vec_id, y_true, y_pred FROM (
+            SELECT q.vec_id, q.label AS y_true, c.cl AS y_pred,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_dot_product(q.e, c.ce)
+                                    / (q.nrm * c.cnrm), 6) DESC,
+                              c.cl) AS rn
+            FROM v q CROSS JOIN cd c
+            WHERE q.vec_id % 7 = 0 AND q.vec_id < 3500) WHERE rn = 1)
+        SELECT y_true, y_pred, count(*) AS n
+        FROM pred GROUP BY 1, 2 ORDER BY y_true, y_pred""")),
+
     // One exact Newton step of logistic regression from the zero model —
     // the linear-classifier trainer with NO transcendental anywhere: at
     // β=0 the sigmoid is exactly ½ and the Hessian exactly −¼XᵀX, so the
