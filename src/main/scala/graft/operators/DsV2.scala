@@ -345,6 +345,47 @@ object DsV2 extends QueryModule {
                  AS xor_digest
         FROM log GROUP BY 1 ORDER BY partition""")),
 
+    // Runtime (DPP-style) partition pruning through the V2 connector —
+    // the read-side sibling of join_spj_dsv2: a selective FILE-backed dim
+    // joins the log on its partition key, the dim executes first (it is
+    // the broadcast build side), and its surviving partition values reach
+    // the scan through SupportsRuntimeFiltering.filter() BEFORE any
+    // segment is opened — the log only reads the joined partitions'
+    // files. DsV2Spec proves the pruning with the segmentsOpened counter
+    // (≤ 2 of 4 segments for this dim); the registry key grades the
+    // joined result itself. At 100 TB this is the difference between
+    // scanning a whole topic and scanning the two partitions a dimension
+    // actually references. The dim predicate must live on a file scan —
+    // a local Seq would constant-fold before the pruning rule looks for
+    // a filter (the DPP-benefit precondition, same as parquet join_dpp).
+    Q(
+      "join_dpp_dsv2",
+      (s, dir) => {
+        val fact = s.read.format("graft-log").load(topic(s, dir))
+        // dp must be a STORED column of the dim file, not an expression:
+        // the pruning rule only builds a runtime filter from a join key
+        // it can tie to the filtered scan's output attribute
+        val dim = s.read.parquet(dppDim(s, dir))
+          .filter(col("c_custkey").isin(4L, 9L))
+        fact.join(broadcast(dim), col("partition") === col("dp"))
+          .groupBy("partition", "c_custkey", "c_name")
+          .agg(count(lit(1)).as("n_events"), max("offset").as("max_off"))
+          .orderBy("partition")
+      },
+      oracle = Some("""
+        WITH log AS (
+          SELECT user_id % 4 AS partition,
+                 row_number() OVER (PARTITION BY user_id % 4
+                                    ORDER BY event_id) - 1 AS off
+          FROM events),
+        dim AS (
+          SELECT c_custkey, c_name, c_custkey % 4 AS dp
+          FROM customer WHERE c_custkey IN (4, 9))
+        SELECT l.partition, d.c_custkey, d.c_name,
+               count(*) AS n_events, max(l.off) AS max_off
+        FROM log l JOIN dim d ON l.partition = d.dp
+        GROUP BY 1, 2, 3 ORDER BY partition""")),
+
     // Storage-partitioned join (SPJ) — the ZERO-SHUFFLE plan the
     // KeyGroupedPartitioning report exists for. Both topics are committed
     // with the SAME log partitioning (user_id mod 4); each scan reports
@@ -421,6 +462,23 @@ object DsV2 extends QueryModule {
           ON f.partition = p.partition AND f.key = p.key
         GROUP BY 1 ORDER BY p.partition"""))
   )
+
+  /** Customer dim with the log-partition key as a STORED column — the
+    * join_dpp_dsv2 fixture (written once per JVM/sfDir). */
+  private val dppDimCache = scala.collection.mutable.Map[String, String]()
+
+  private[graft] def dppDim(s: SparkSession, dir: String): String =
+    dppDimCache.synchronized {
+      dppDimCache.getOrElseUpdate(dir, {
+        val out = s"${Scratch.fresh(
+          "dsv2_dppdim_" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))}/dim"
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"),
+            pmod(col("c_custkey"), lit(4)).cast("int").as("dp"))
+          .write.parquet(out)
+        out
+      })
+    }
 
   /** Purchase-slice topic: the same events, filtered to purchases, keyed
     * and PARTITIONED identically to [[topic]] (user_id mod 4, key-sorted

@@ -40,6 +40,30 @@ class SpjPlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("join_dpp_dsv2: dim partition values prune log segments at runtime") {
+    val sp = spark
+    // first run materializes the cached topic fixture; count a clean run
+    SparkEntry.queries("join_dpp_dsv2")(sp, sf0001).collect()
+    graft.sources.GraftLog.segmentsOpened.set(0L)
+    val rows = SparkEntry.queries("join_dpp_dsv2")(sp, sf0001).collect()
+    assert(rows.map(_.getAs[Int]("partition")).toSeq == Seq(0, 1))
+    // the presentation orderBy's RangePartitioner samples its child,
+    // re-running the pruned scan chain once: 2 pruned opens × 2 passes.
+    // Un-pruned the same query opens 8 (4 × 2) — ≤ 4 proves pruning.
+    val opened = graft.sources.GraftLog.segmentsOpened.get()
+    assert(opened <= 4L,
+      s"runtime filter did not prune: opened $opened (expected <= 4)")
+    // the crisp single-pass claim, no sort: 2 of 4 segments
+    val fact = sp.read.format("graft-log")
+      .load(graft.operators.DsV2.topic(sp, sf0001))
+    val dim = sp.read.parquet(graft.operators.DsV2.dppDim(sp, sf0001))
+      .filter(col("c_custkey").isin(4L, 9L))
+    graft.sources.GraftLog.segmentsOpened.set(0L)
+    fact.join(broadcast(dim), col("partition") === col("dp")).collect()
+    assert(graft.sources.GraftLog.segmentsOpened.get() == 2L,
+      "single-pass join must open exactly the 2 joined partitions")
+  }
+
   test("join_spj_dsv2: offset translation is exact at sf0.001") {
     val s = spark
     val rows = SparkEntry.queries("join_spj_dsv2")(s, sf0001).collect()
