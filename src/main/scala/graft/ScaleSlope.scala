@@ -167,6 +167,31 @@ object ScaleSlope {
           pmod(hash(col("id") * 13), lit(5)).cast("int") + 1)
           .as("o_orderpriority"))
 
+  /** Customer/supplier shapes for the spatial keys, matching the Tables
+    * pinned schema: only the key column carries signal (join_spatial_knn
+    * derives integer microdegree coordinates from md5 of the key); the
+    * remaining pinned columns are hash filler.
+    */
+  private def customer(s: SparkSession, n: Long): DataFrame =
+    s.range(0, n, 1, 32)
+      .select(col("id").as("c_custkey"),
+        concat(lit("Customer#"), col("id")).as("c_name"),
+        pmod(hash(col("id")), lit(25)).cast("int").as("c_nationkey"),
+        (pmod(hash(col("id") * 3), lit(1000000)).cast("double") / 100)
+          .as("c_acctbal"),
+        element_at(typedlit(Seq("BUILDING", "AUTOMOBILE", "MACHINERY",
+          "HOUSEHOLD", "FURNITURE")),
+          pmod(hash(col("id") * 5), lit(5)).cast("int") + 1)
+          .as("c_mktsegment"))
+
+  private def supplier(s: SparkSession, n: Long): DataFrame =
+    s.range(0, n, 1, 32)
+      .select(col("id").as("s_suppkey"),
+        concat(lit("Supplier#"), col("id")).as("s_name"),
+        pmod(hash(col("id")), lit(25)).cast("int").as("s_nationkey"),
+        (pmod(hash(col("id") * 3), lit(1000000)).cast("double") / 100)
+          .as("s_acctbal"))
+
   private def generate(s: SparkSession, dir: String, scale: Long): Unit = {
     documents(s, 5000L * scale).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
@@ -180,6 +205,10 @@ object ScaleSlope {
       .parquet(s"$dir/part.parquet")
     orders(s, 600000L * scale).write.mode("overwrite")
       .parquet(s"$dir/orders.parquet")
+    customer(s, 15000L * scale).write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    supplier(s, 1000L * scale).write.mode("overwrite")
+      .parquet(s"$dir/supplier.parquet")
   }
 
   /** Heaviest families per VERDICT r10's plan audit: candidate-generating

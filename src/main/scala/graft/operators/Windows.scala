@@ -783,6 +783,79 @@ object Windows extends QueryModule {
                round(sum(step) / 100.0, 2) AS final_level
         FROM walk GROUP BY user_id ORDER BY user_id""")),
 
+    // Irregular-interval exponential decay state per user — the
+    // feature-store decay counter (session heat, rate-limit budget,
+    // recency-weighted spend): s_i = v_i + e^(−Δt/τ)·s_{i−1} with τ = 1h,
+    // where Δt is the ACTUAL gap to the previous event, not a fixed tick
+    // (agg_ewma's regular-series sibling). Exactness discipline: v and
+    // the per-row decay factor are floor-quantized to 1e-4 integers
+    // (floor has no tie semantics — the round() HALF_UP trap that bit
+    // ml_corr_matrix cannot occur), and the recursion runs in BIGINT
+    // micro-units with truncating division on positive state, so the
+    // whole trajectory is bit-identical in both engines. The per-row
+    // floor makes the fold genuinely sequential per user (no window
+    // closed form), so the engine runs an ordered flatMapGroups fold —
+    // state is ONE long per user, the pack_sequences contract — and the
+    // oracle replays it as a recursive CTE. Output: per-user final and
+    // peak state.
+    Q(
+      "win_ewma_irregular",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("tus"),
+            floor(col("value") * 10000).cast("long").as("vq"))
+          .as[(Long, Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+            val evs = it.toArray.sortBy(e => (e._3, e._2))
+            var st = 0L
+            var prev = 0L
+            var mx = 0L
+            var n = 0
+            evs.foreach { case (_, _, tus, vq) =>
+              val dq =
+                if (n == 0) 0L
+                else math.floor(math.exp(
+                  -(tus - prev).toDouble / 3.6e9) * 10000).toLong
+              st = vq + (dq * st) / 10000
+              if (st > mx) mx = st
+              prev = tus
+              n += 1
+            }
+            Iterator.single((u, n.toLong, st, mx))
+          }
+          .toDF("user_id", "n_events", "s_final", "s_max")
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                 CAST(floor(value * 10000) AS BIGINT) AS vq,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS ptus
+          FROM events),
+        d AS (
+          SELECT user_id, rn, vq,
+                 CASE WHEN rn = 1 THEN 0
+                      ELSE CAST(floor(exp(-(tus - ptus) / 3600000000.0)
+                                      * 10000) AS BIGINT) END AS dq
+          FROM ev),
+        st AS (
+          SELECT user_id, rn, vq AS s FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.user_id, d.rn, d.vq + (d.dq * st.s) // 10000
+          FROM st JOIN d ON d.user_id = st.user_id AND d.rn = st.rn + 1)
+        SELECT user_id, count(*) AS n_events,
+               arg_max(s, rn) AS s_final, max(s) AS s_max
+        FROM st GROUP BY user_id ORDER BY user_id""")),
+
     // Holt's linear-trend (double exponential) smoothing of the daily
     // event volume, with a 1- and 7-day-ahead forecast — the capacity
     // planner beside the diagnostic decompositions. The coupled
