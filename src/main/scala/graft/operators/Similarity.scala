@@ -2741,6 +2741,89 @@ object Similarity extends QueryModule {
     // by nature, and an uncapped modulo holdout grows with the corpus,
     // turning holdout × train quadratic (measured slope 48 at 10×
     // before the cap; 500-query cap → linear in the train side).
+    // Embedding-distribution drift monitor — "did this week's embeddings
+    // move?", the ML-ops gate run before mixing a new crawl slice into
+    // training: squared mean shift ‖μ_A − μ_B‖² between two corpus
+    // slices (vec_id parity stands in for old/new), overall plus the
+    // top-5 drifted dimensions. The moment identity does ALL the work:
+    // the mean gap per dim is (n_B·Σ_A x − n_A·Σ_B x)/(n_A·n_B), so with
+    // 1e-3-quantized integer inputs the NUMERATOR is an exact BIGINT —
+    // no pairwise distance, no float mean, one map-combined scan of the
+    // dim-exploded frame. Divide-then-square keeps everything in BIGINT:
+    // each dim's |gap| is floored to exact 1e-6 original units first,
+    // then squared — identical floor rows in both engines at any corpus
+    // the 1e-3 quantization itself supports. Output: a dim=0 total row
+    // (Σ gap² contributions) plus the top-5 drifted dims. Scale: 64 sums
+    // per slice regardless of row count.
+    Q(
+      "ml_embedding_drift",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val dims = v
+          .select((col("vec_id") % 2).cast("long").as("slice"),
+            posexplode(col("e")))
+          .select(col("slice"), (col("pos") + 1).as("dim"),
+            round(col("col").cast("double") * 1000, 0).cast("long")
+              .as("x"))
+        val m = dims.groupBy("dim").agg(
+          sum(when(col("slice") === 0, col("x")).otherwise(0L)).as("sa"),
+          sum(when(col("slice") === 1, col("x")).otherwise(0L)).as("sb"),
+          sum(when(col("slice") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("nb"))
+        // first divide (gap in exact 1e-6 original units), then square:
+        // keeps every product inside BIGINT at any corpus size the 1e-3
+        // quantization itself supports
+        val g = m.select(col("dim"),
+          expr("(1000 * abs(nb * sa - na * sb)) div (na * nb)")
+            .as("gap_abs_micro"))
+          .withColumn("contrib2",
+            col("gap_abs_micro") * col("gap_abs_micro"))
+        val top = g.orderBy(desc("gap_abs_micro"), asc("dim")).limit(5)
+        val tot = g.agg(sum("contrib2").as("contrib2"))
+          .select(lit(0L).as("dim"), lit(0L).as("gap_abs_micro"),
+            col("contrib2"))
+        tot.unionByName(top).orderBy("dim")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT CAST(vec_id % 2 AS BIGINT) AS slice,
+                 CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        dims AS (
+          SELECT slice, i AS dim,
+                 CAST(round(e[CAST(i AS INT)] * 1000, 0) AS BIGINT) AS x
+          FROM v, generate_series(1, 64) t(i)),
+        m AS (
+          SELECT dim,
+                 CAST(sum(CASE WHEN slice = 0 THEN x ELSE 0 END)
+                   AS BIGINT) AS sa,
+                 CAST(sum(CASE WHEN slice = 1 THEN x ELSE 0 END)
+                   AS BIGINT) AS sb,
+                 CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb
+          FROM dims GROUP BY dim),
+        g AS (
+          SELECT dim,
+                 (1000 * abs(nb * sa - na * sb)) // (na * nb)
+                   AS gap_abs_micro
+          FROM m),
+        g2 AS (
+          SELECT dim, gap_abs_micro,
+                 gap_abs_micro * gap_abs_micro AS contrib2 FROM g),
+        top AS (
+          SELECT dim, gap_abs_micro, contrib2
+          FROM g2 ORDER BY gap_abs_micro DESC, dim LIMIT 5),
+        tot AS (
+          SELECT CAST(0 AS BIGINT) AS dim,
+                 CAST(0 AS BIGINT) AS gap_abs_micro,
+                 CAST(sum(contrib2) AS BIGINT) AS contrib2
+          FROM g2)
+        SELECT dim, gap_abs_micro, contrib2 FROM tot
+        UNION ALL SELECT dim, gap_abs_micro, contrib2 FROM top
+        ORDER BY dim""")),
+
     // Nearest-centroid (Rocchio) classifier — the cheapest embedding
     // classifier and the third member of the trained-in-engine shelf
     // (kNN = memorize, Naive Bayes = count, THIS = one mean per class):

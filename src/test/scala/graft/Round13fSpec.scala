@@ -39,4 +39,29 @@ class Round13fSpec extends AnyFunSuite with SparkFixture {
       assert(sFinal <= sMax && sMax > 0 && n >= 1)
     }
   }
+
+  test("ml_embedding_drift: Scala moment replay agrees on all 64 dims") {
+    val sp = spark
+    val rows = SparkEntry.queries("ml_embedding_drift")(sp, sf0001)
+      .collect()
+    assert(rows.length == 6 && rows.head.getLong(0) == 0L)
+    val emb = Tables.embeddings(sp, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dims = 64
+    val gaps = (0 until dims).map { d =>
+      var sa = 0L; var sb = 0L; var na = 0L; var nb = 0L
+      emb.foreach { case (id, e) =>
+        val x = math.round(e(d).toDouble * 1000)
+        if (id % 2 == 0) { sa += x; na += 1 } else { sb += x; nb += 1 }
+      }
+      (d + 1).toLong -> (1000L * math.abs(nb * sa - na * sb)) / (na * nb)
+    }
+    val expectedTot = gaps.map(g => g._2 * g._2).sum
+    assert(rows.head.getLong(2) == expectedTot, "total gap^2 mismatch")
+    val top5 = gaps.sortBy(g => (-g._2, g._1)).take(5)
+    val gotTop = rows.tail.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotTop.sortBy(_._1) == top5.sortBy(_._1),
+      s"top-5 drifted dims mismatch: got $gotTop expected $top5")
+  }
 }
