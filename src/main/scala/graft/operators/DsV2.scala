@@ -345,6 +345,45 @@ object DsV2 extends QueryModule {
                  AS xor_digest
         FROM log GROUP BY 1 ORDER BY partition""")),
 
+    // The VECTORIZED read path: the same topic scanned through
+    // option("columnar", "true"), which flips the reader factory to
+    // 4096-row ColumnarBatches over on-heap vectors — Spark plans the
+    // ColumnarToRow bridge and downstream operators consume dense
+    // batches instead of a per-record iterator (the parquet/Tungsten
+    // contract, implemented by the connector). Correctness is graded on
+    // the same closed-form offsets as the row path: a per-event-type
+    // census with an order-independent XOR attestation of every
+    // (offset, key) pair — any batching bug (dropped row, stale vector,
+    // off-by-one at a 4096 boundary) flips the digest. DsV2Spec
+    // additionally pins row-path ≡ columnar-path frame equality and the
+    // ColumnarToRow plan shape.
+    Q(
+      "scan_dsv2_columnar",
+      (s, dir) => {
+        s.read.format("graft-log").option("columnar", "true")
+          .load(topic(s, dir))
+          .groupBy("value")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("partition").as("n_parts"),
+            min("offset").as("min_off"), max("offset").as("max_off"),
+            bit_xor(recHash(col("offset"), col("key")))
+              .as("xor_digest"))
+          .orderBy("value")
+      },
+      oracle = Some("""
+        WITH log AS (
+          SELECT user_id % 4 AS partition, event_type AS value,
+                 row_number() OVER (PARTITION BY user_id % 4
+                                    ORDER BY event_id) - 1 AS off,
+                 CAST(event_id AS VARCHAR) AS key
+          FROM events)
+        SELECT value, count(*) AS n,
+               CAST(count(DISTINCT partition) AS BIGINT) AS n_parts,
+               min(off) AS min_off, max(off) AS max_off,
+               bit_xor(('0x' || substring(md5(off || ':' || key), 1, 15))::BIGINT)
+                 AS xor_digest
+        FROM log GROUP BY 1 ORDER BY value""")),
+
     // Runtime (DPP-style) partition pruning through the V2 connector —
     // the read-side sibling of join_spj_dsv2: a selective FILE-backed dim
     // joins the log on its partition key, the dim executes first (it is

@@ -441,7 +441,8 @@ class LogScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new LogAggScan(path, schema, rows)
     case None => new LogScan(path, required, pushed,
-      Option(options.get("maxRecordsPerTrigger")).map(_.toLong), limit)
+      Option(options.get("maxRecordsPerTrigger")).map(_.toLong), limit,
+      columnar = options.getBoolean("columnar", false))
   }
 }
 
@@ -489,7 +490,8 @@ class LogAggReaderFactory(schema: StructType)
 
 class LogScan(path: String, required: StructType, pushed: Array[Filter],
     maxRecordsPerTrigger: Option[Long],
-    private[sources] val limitRows: Option[Int] = None)
+    private[sources] val limitRows: Option[Int] = None,
+    private[sources] val columnar: Boolean = false)
     extends Scan with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -641,7 +643,7 @@ class LogBatch(path: String, required: StructType, scan: LogScan) extends Batch 
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogReaderFactory(required)
+    new LogReaderFactory(required, scan.columnar)
 }
 
 /** files: segment paths in offset order; firstOffset: offset of the first
@@ -657,9 +659,77 @@ final case class LogInputPartition(p: Int, files: Seq[String],
     new GenericInternalRow(Array[Any](p))
 }
 
-class LogReaderFactory(required: StructType) extends PartitionReaderFactory {
+class LogReaderFactory(required: StructType, columnar: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new LogPartitionReader(partition.asInstanceOf[LogInputPartition], required)
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new LogColumnarReader(partition.asInstanceOf[LogInputPartition],
+      required)
+}
+
+/** Vectorized read path (`option("columnar", "true")`): the same line
+  * protocol decoded into 4096-row [[org.apache.spark.sql.vectorized
+  * .ColumnarBatch]]es over on-heap column vectors — the Tungsten-friendly
+  * batch interface a columnar file format would use. The row reader does
+  * the decoding work; this class only owns batching and vector fill, so
+  * row and columnar paths cannot drift (DsV2Spec asserts byte-identical
+  * results). Spark inserts the ColumnarToRow bridge above the scan and
+  * that conversion joins whole-stage codegen — the point of the
+  * exercise: downstream operators iterate a dense batch, not a
+  * per-record iterator.
+  */
+class LogColumnarReader(part: LogInputPartition, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val CAP = 4096
+  private val rows = new LogPartitionReader(part, required)
+  private val vectors = required.fields.map(f =>
+    new OnHeapColumnVector(CAP, f.dataType))
+  private val batch = new ColumnarBatch(
+    vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector),
+    0)
+  private var done = false
+
+  override def next(): Boolean = {
+    if (done) return false
+    vectors.foreach(_.reset())
+    var n = 0
+    while (n < CAP && rows.next()) {
+      val r = rows.get()
+      var i = 0
+      while (i < required.fields.length) {
+        required.fields(i).dataType match {
+          case IntegerType => vectors(i).putInt(n, r.getInt(i))
+          case LongType => vectors(i).putLong(n, r.getLong(i))
+          case StringType =>
+            val s = r.getUTF8String(i)
+            if (s == null) vectors(i).putNull(n)
+            else {
+              val b = s.getBytes
+              vectors(i).putByteArray(n, b, 0, b.length)
+            }
+          case dt => throw new IllegalStateException(
+            s"unsupported columnar type $dt")
+        }
+        i += 1
+      }
+      n += 1
+    }
+    if (n == 0) { done = true; return false }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { rows.close(); batch.close() }
 }
 
 class LogPartitionReader(part: LogInputPartition, required: StructType)

@@ -528,6 +528,46 @@ class DsV2Spec extends AnyFunSuite with SparkFixture {
     assert(mk.collect().map(_.getString(1)).toSeq ==
       Seq("k000", "k001", "k002"))
   }
+
+  test("columnar read path: ColumnarToRow planned, frames byte-identical") {
+    val t = freshTopic("dsv2_columnar")
+    tinyFrame.write.format("graft-log").mode("append").save(t)
+    val rowPath = spark.read.format("graft-log").load(t)
+      .orderBy("partition", "offset")
+    val colPath = spark.read.format("graft-log")
+      .option("columnar", "true").load(t)
+      .orderBy("partition", "offset")
+    val colRows = colPath.collect()
+    val rowRows = rowPath.collect()
+    val plan = colPath.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"columnar option must plan the batch bridge:\n$plan")
+    assert(!rowPath.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(colRows.map(_.toSeq).toSeq == rowRows.map(_.toSeq).toSeq)
+  }
+
+  test("columnar read: batch boundary at 4096 rows is seamless") {
+    val sp = spark
+    import sp.implicits._
+    val t = freshTopic("dsv2_columnar_big")
+    // one partition with 10000 rows: 3 batches, last one partial
+    (0 until 10000).map(i => (0, f"k$i%05d", s"v$i", 1700000000000000L + i))
+      .toDF("partition", "key", "value", "ts")
+      .repartition(1)
+      .sortWithinPartitions(col("key"))
+      .write.format("graft-log").mode("append").save(t)
+    val back = spark.read.format("graft-log")
+      .option("columnar", "true").load(t)
+    assert(back.count() == 10000)
+    val offs = back.select("offset").collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == (0L until 10000L))
+    // null value round-trips through the vector null path
+    val nulls = spark.read.format("graft-log")
+      .option("columnar", "true").load(t)
+      .filter(col("value").isNull).count()
+    assert(nulls == 0L)
+  }
 }
 
 /** Test-side meta reader (keeps the production object's API surface small). */
