@@ -22,6 +22,100 @@ import org.apache.spark.sql.functions._
 object Quality extends QueryModule {
 
   def all: Seq[Q] = Seq(
+    // Inclusion-dependency PROFILING (the Metanome-style FK-discovery
+    // readout): for each candidate "A ⊆ B" column pair, the distinct
+    // count of A, how many of those values exist in B, and the
+    // containment in floor permyriad — 10000 means the pair is an FK
+    // candidate, anything less prices exactly how broken the reference
+    // is. The candidate set mixes true TPC-H keys (lineitem→orders,
+    // orders→customer, lineitem→part, customer→nation) with two
+    // deliberate non-dependencies (orders→nation by custkey,
+    // events.user_id→customer) so the profiler demonstrates
+    // discrimination, not tautology. Scale: each side reduces to its
+    // DISTINCT key set map-side before the (broadcastable) semi-join;
+    // the readout frame is one row per candidate.
+    Q(
+      "dq_pk_fk_discovery",
+      (s, dir) => {
+        def probe(name: String, a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame) = {
+          val da = a.toDF("k").filter(col("k").isNotNull).distinct()
+          val db = b.toDF("k").filter(col("k").isNotNull).distinct()
+          da.agg(count(lit(1)).as("n_distinct"))
+            .crossJoin(da.join(db, Seq("k"), "left_semi")
+              .agg(count(lit(1)).as("n_contained")))
+            .select(lit(name).as("candidate"), col("n_distinct"),
+              col("n_contained"),
+              expr("(10000 * n_contained) div n_distinct")
+                .as("containment_pm"))
+        }
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        Seq(
+          probe("lineitem.l_orderkey->orders.o_orderkey",
+            li.select(col("l_orderkey").cast("long")),
+            o.select(col("o_orderkey").cast("long"))),
+          probe("orders.o_custkey->customer.c_custkey",
+            o.select(col("o_custkey").cast("long")),
+            c.select(col("c_custkey").cast("long"))),
+          probe("lineitem.l_partkey->part.p_partkey",
+            li.select(col("l_partkey").cast("long")),
+            Tables.part(s, dir).select(col("p_partkey").cast("long"))),
+          probe("customer.c_nationkey->nation.n_nationkey",
+            c.select(col("c_nationkey").cast("long")),
+            Tables.nation(s, dir)
+              .select(col("n_nationkey").cast("long"))),
+          probe("orders.o_custkey->nation.n_nationkey",
+            o.select(col("o_custkey").cast("long")),
+            Tables.nation(s, dir)
+              .select(col("n_nationkey").cast("long"))),
+          probe("events.user_id->customer.c_custkey",
+            Tables.events(s, dir).select(col("user_id").cast("long")),
+            c.select(col("c_custkey").cast("long"))))
+          .reduce(_.unionByName(_))
+          .orderBy("candidate")
+      },
+      oracle = Some("""
+        WITH probes AS (
+          SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS candidate,
+                 (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                   AS n_distinct,
+                 (SELECT count(DISTINCT l_orderkey) FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+                   AS n_contained
+          UNION ALL
+          SELECT 'orders.o_custkey->customer.c_custkey',
+                 (SELECT count(DISTINCT o_custkey) FROM orders),
+                 (SELECT count(DISTINCT o_custkey) FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM customer))
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part.p_partkey',
+                 (SELECT count(DISTINCT l_partkey) FROM lineitem),
+                 (SELECT count(DISTINCT l_partkey) FROM lineitem
+                  WHERE l_partkey IN (SELECT p_partkey FROM part))
+          UNION ALL
+          SELECT 'customer.c_nationkey->nation.n_nationkey',
+                 (SELECT count(DISTINCT c_nationkey) FROM customer),
+                 (SELECT count(DISTINCT c_nationkey) FROM customer
+                  WHERE c_nationkey IN
+                    (SELECT n_nationkey FROM nation))
+          UNION ALL
+          SELECT 'orders.o_custkey->nation.n_nationkey',
+                 (SELECT count(DISTINCT o_custkey) FROM orders),
+                 (SELECT count(DISTINCT o_custkey) FROM orders
+                  WHERE o_custkey IN (SELECT n_nationkey FROM nation))
+          UNION ALL
+          SELECT 'events.user_id->customer.c_custkey',
+                 (SELECT count(DISTINCT user_id) FROM events),
+                 (SELECT count(DISTINCT user_id) FROM events
+                  WHERE user_id IN (SELECT c_custkey FROM customer)))
+        SELECT candidate, CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(n_contained AS BIGINT) AS n_contained,
+               (10000 * CAST(n_contained AS BIGINT))
+                 // CAST(n_distinct AS BIGINT) AS containment_pm
+        FROM probes ORDER BY candidate""")),
+
     // Row-level expectations over lineitem, ONE scan for all four rules.
     // Two rules genuinely fail on the corpus (quantity tail, discount
     // tail) and two pass — the audit output is a real distribution probe.

@@ -64,4 +64,20 @@ class Round13fSpec extends AnyFunSuite with SparkFixture {
     assert(gotTop.sortBy(_._1) == top5.sortBy(_._1),
       s"top-5 drifted dims mismatch: got $gotTop expected $top5")
   }
+
+  test("dq_pk_fk_discovery: true keys read 10000, planted non-key does not") {
+    val rows = SparkEntry.queries("dq_pk_fk_discovery")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("containment_pm"))
+      .toMap
+    assert(rows.size == 6)
+    Seq("lineitem.l_orderkey->orders.o_orderkey",
+      "orders.o_custkey->customer.c_custkey",
+      "lineitem.l_partkey->part.p_partkey",
+      "customer.c_nationkey->nation.n_nationkey").foreach { k =>
+      assert(rows(k) == 10000L, s"$k must be a full inclusion")
+    }
+    assert(rows("orders.o_custkey->nation.n_nationkey") < 10000L,
+      "the planted non-dependency must not read as an FK")
+    rows.values.foreach(v => assert(v >= 0 && v <= 10000))
+  }
 }
