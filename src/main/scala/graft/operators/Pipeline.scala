@@ -59,6 +59,42 @@ object Pipeline extends QueryModule {
     * query-many lifecycle the graph family already follows for the raw
     * pair stream).
     */
+  /** Shared oracle CTE chain replaying graph_random_walk's exact
+    * trajectories (adjacency → 5 lowest-id seeds → 4 md5-argmin hops →
+    * the unioned `walk(seed, step, node)` frame). Composed by both the
+    * walk key and graph_walk_pairs so the two oracles cannot drift.
+    */
+  private lazy val walkOracleCtes: String = {
+    def hop(k: Int) = s"""
+        s$k AS (
+          SELECT seed, node FROM (
+            SELECT w.seed, adj.m AS node,
+                   row_number() OVER (PARTITION BY w.seed ORDER BY
+                     ('0x' || substring(md5(w.seed || ':$k:' || adj.m),
+                        1, 15))::BIGINT, adj.m) AS rn
+            FROM s${k - 1} w JOIN adj ON adj.n = w.node) WHERE rn = 1)"""
+    s"""li AS (
+          SELECT l_orderkey, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        s0 AS (
+          SELECT n AS seed, n AS node
+          FROM (SELECT DISTINCT n FROM adj ORDER BY n LIMIT 5)),
+        ${(1 to 4).map(hop).mkString(",")},
+        walk AS (
+          SELECT seed, 0 AS step, node FROM s0
+          UNION ALL SELECT seed, 1, node FROM s1
+          UNION ALL SELECT seed, 2, node FROM s2
+          UNION ALL SELECT seed, 3, node FROM s3
+          UNION ALL SELECT seed, 4, node FROM s4)"""
+  }
+
   private def urgentCoPurchaseEdges(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
@@ -2391,37 +2427,43 @@ object Pipeline extends QueryModule {
         out.select(col("seed"), col("step"), col("node"))
           .orderBy("seed", "step")
       },
-      oracle = Some {
-        def hop(k: Int) = s"""
-        s$k AS (
-          SELECT seed, node FROM (
-            SELECT w.seed, adj.m AS node,
-                   row_number() OVER (PARTITION BY w.seed ORDER BY
-                     ('0x' || substring(md5(w.seed || ':$k:' || adj.m),
-                        1, 15))::BIGINT, adj.m) AS rn
-            FROM s${k - 1} w JOIN adj ON adj.n = w.node) WHERE rn = 1)"""
-        s"""
-        WITH li AS (
-          SELECT l_orderkey, l_partkey
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE o_orderpriority = '1-URGENT'),
-        e AS (
-          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-          FROM li a JOIN li b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        adj AS (SELECT u AS n, v AS m FROM e
-                UNION ALL SELECT v AS n, u AS m FROM e),
-        s0 AS (
-          SELECT n AS seed, n AS node
-          FROM (SELECT DISTINCT n FROM adj ORDER BY n LIMIT 5)),
-        ${(1 to 4).map(hop).mkString(",")}
-        SELECT seed, 0 AS step, node FROM s0
-        UNION ALL SELECT seed, 1, node FROM s1
-        UNION ALL SELECT seed, 2, node FROM s2
-        UNION ALL SELECT seed, 3, node FROM s3
-        UNION ALL SELECT seed, 4, node FROM s4
-        ORDER BY seed, step"""
-      }),
+      oracle = Some(s"""
+        WITH $walkOracleCtes
+        SELECT seed, step, node FROM walk
+        ORDER BY seed, step""")),
+
+    // Skip-gram training-pair extraction from the deterministic walks —
+    // the step that turns random-walk sampling into DeepWalk/node2vec
+    // embedding TRAINING data: every co-occurring node pair within a
+    // window of 2 hops on the same walk, canonicalized (u ≤ v) and
+    // censused. Composes graph_random_walk's exact trajectories, so the
+    // pair set is a pure function of the graph too. Scale: the pair
+    // join is per-walk and window-bounded (≤ w·len pairs per walk,
+    // never cross-walk) — at millions of walks it stays linear in walk
+    // mass; the census is one hash aggregate.
+    Q(
+      "graph_walk_pairs",
+      (s, dir) => {
+        val w = all.find(_.name == "graph_random_walk").get.run(s, dir)
+          .select(col("seed"), col("step"), col("node"))
+        w.as("a").join(w.as("b"),
+            col("a.seed") === col("b.seed") &&
+            col("b.step") > col("a.step") &&
+            col("b.step") <= col("a.step") + 2)
+          .select(least(col("a.node"), col("b.node")).as("u"),
+            greatest(col("a.node"), col("b.node")).as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("u", "v")
+      },
+      oracle = Some(s"""
+        WITH $walkOracleCtes
+        SELECT least(a.node, b.node) AS u,
+               greatest(a.node, b.node) AS v,
+               count(*) AS n_pairs
+        FROM walk a JOIN walk b
+          ON a.seed = b.seed AND b.step > a.step
+         AND b.step <= a.step + 2
+        GROUP BY 1, 2 ORDER BY u, v""")),
 
     // Single-source BFS over the urgent co-purchase graph, reported as a
     // hop-distance histogram from the lowest part id. The Spark side is

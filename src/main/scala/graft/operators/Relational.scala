@@ -269,6 +269,48 @@ object Relational extends QueryModule {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10""")),
 
+    // Generator / table-valued-function surface through the SQL front
+    // door: LATERAL VIEW posexplode with the two-alias form, stack()
+    // unpivoting computed columns, and a table function (range) in FROM
+    // position — the Hive-compatible generator syntax a SQL user reaches
+    // for before the DataFrame API. Catalyst plans every leg as Generate
+    // (no per-row subquery); the oracle replays posexplode positionally
+    // via generate_series and stack as its UNION ALL definition.
+    Q(
+      "sql_tvf_lateral",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_documents")
+        s.sql("""
+          SELECT kind, CAST(sum(v) AS BIGINT) AS total, count(*) AS n
+          FROM (
+            SELECT kind, v FROM (
+              SELECT doc_id, pos, w FROM g_documents
+              LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w
+              WHERE doc_id < 20) x
+            LATERAL VIEW stack(2, 'wordlen', length(w),
+                                  'position', pos) s AS kind, v
+            UNION ALL
+            SELECT 'range_mass' AS kind, CAST(id AS INT) AS v
+            FROM range(100))
+          GROUP BY kind ORDER BY kind""")
+      },
+      oracle = Some("""
+        WITH words AS (
+          SELECT doc_id, i - 1 AS pos,
+                 string_split(text, ' ')[CAST(i AS INT)] AS w
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(
+                         1, len(string_split(text, ' ')))) AS i
+                FROM documents WHERE doc_id < 20)),
+        st AS (
+          SELECT 'wordlen' AS kind, CAST(len(w) AS BIGINT) AS v
+          FROM words
+          UNION ALL SELECT 'position', CAST(pos AS BIGINT) FROM words
+          UNION ALL SELECT 'range_mass', CAST(i AS BIGINT)
+          FROM generate_series(0, 99) r(i))
+        SELECT kind, CAST(sum(v) AS BIGINT) AS total, count(*) AS n
+        FROM st GROUP BY kind ORDER BY kind""")),
+
     // Correlated subqueries through the SQL front door: EXISTS / NOT
     // EXISTS / scalar subquery, all correlated on the outer customer —
     // exercising Catalyst's decorrelation rewrites (§4 row "subquery

@@ -269,6 +269,57 @@ object Text extends QueryModule {
         FROM st, nd
         ORDER BY total DESC, term LIMIT 20""")),
 
+    // Character-level entropy per source — the compressibility proxy
+    // (low H ≈ repetitive/templated bytes, the signal a gzip-ratio
+    // filter reads without needing a compressor in the engine): H in
+    // exact micro-nats from the char histogram via the text_zipf
+    // ln-of-integer rule — H = (N·q(ln N) − Σ c·q(ln c)) / N with every
+    // q an integer, so the division is one exact floor at the end. The
+    // char census is positional substring over a sequence explode
+    // (split-by-empty-string semantics differ between engines — avoided
+    // entirely); shuffle carries |alphabet|·sources rows no matter the
+    // corpus size.
+    Q(
+      "text_char_entropy",
+      (s, dir) => {
+        val ch = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(sequence(lit(1), length(col("text")))).as("i"),
+            col("text"))
+          .select(col("source"), expr("substring(text, i, 1)").as("c"))
+          .groupBy("source", "c").agg(count(lit(1)).as("n"))
+        val q = (x: org.apache.spark.sql.Column) =>
+          round(log(x.cast("double")) * 1e6, 0).cast("long")
+        ch.groupBy("source")
+          .agg(sum("n").as("n_chars"),
+            count(lit(1)).as("n_distinct_chars"),
+            sum(col("n") * q(col("n"))).as("clnc"))
+          .withColumn("qn", q(col("n_chars")))
+          .select(col("source"), col("n_chars"),
+            col("n_distinct_chars"),
+            expr("(n_chars * qn - clnc) div n_chars")
+              .as("ent_nat_micro"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH ch AS (
+          SELECT source, substring(text, CAST(i AS INT), 1) AS c
+          FROM (SELECT source, text,
+                       unnest(generate_series(1, len(text))) AS i
+                FROM documents)),
+        h AS (
+          SELECT source, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        m AS (
+          SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
+                 count(*) AS n_distinct_chars,
+                 CAST(sum(n * CAST(round(ln(n) * 1e6, 0) AS BIGINT))
+                   AS BIGINT) AS clnc
+          FROM h GROUP BY source)
+        SELECT source, n_chars, n_distinct_chars,
+               (n_chars * CAST(round(ln(n_chars) * 1e6, 0) AS BIGINT)
+                 - clnc) // n_chars AS ent_nat_micro
+        FROM m ORDER BY source""")),
+
     // Segmental type-token ratio (the MATTR-family lexical-diversity
     // readout): each doc is cut into non-overlapping 25-token segments,
     // only FULL segments scored (TTR is length-biased, so partial tails

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic specs for sql_tvf_lateral, text_char_entropy,
+  * graph_walk_pairs.
+  */
+class Round13gSpec extends AnyFunSuite with SparkFixture {
+
+  test("sql_tvf_lateral: stack legs mirror the words frame, range leg exact") {
+    val rows = SparkEntry.queries("sql_tvf_lateral")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows.keySet == Set("wordlen", "position", "range_mass"))
+    assert(rows("range_mass") == ((4950L, 100L)))
+    // both stack legs unpivot the SAME words frame: equal row counts
+    assert(rows("wordlen")._2 == rows("position")._2)
+    val nWords = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 20)
+      .select(size(split(col("text"), " ")).as("n"))
+      .collect().map(_.getInt(0).toLong).sum
+    assert(rows("wordlen")._2 == nWords)
+  }
+
+  test("text_char_entropy: bounded by ln of alphabet size, census exact") {
+    val rows = SparkEntry.queries("text_char_entropy")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("ent_nat_micro")
+      val k = r.getAs[Long]("n_distinct_chars")
+      assert(h > 0, "natural text has positive entropy")
+      assert(h <= math.ceil(math.log(k.toDouble) * 1e6).toLong,
+        s"H must be <= ln(alphabet): $r")
+    }
+    val totalChars = Tables.documents(spark, sf0001)
+      .select(length(col("text"))).collect().map(_.getInt(0).toLong).sum
+    assert(rows.map(_.getAs[Long]("n_chars")).sum == totalChars)
+  }
+
+  test("graph_walk_pairs: window census matches the 5x5 walk shape") {
+    val sp = spark
+    val pairs = SparkEntry.queries("graph_walk_pairs")(sp, sf0001)
+      .collect()
+    // 5 walks of length 5, window 2: 2+2+2+1+0 = 7 pairs per walk
+    assert(pairs.map(_.getAs[Long]("n_pairs")).sum == 35L)
+    pairs.foreach(r => assert(r.getLong(0) <= r.getLong(1)))
+    // every pair really co-occurs within 2 steps on some walk
+    val walks = SparkEntry.queries("graph_random_walk")(sp, sf0001)
+      .collect().groupBy(_.getAs[Long]("seed"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("step"))
+        .map(_.getAs[Long]("node")).toSeq).toMap
+    val valid = walks.values.flatMap { t =>
+      for { a <- t.indices; b <- a + 1 to math.min(a + 2, t.length - 1) }
+        yield (math.min(t(a), t(b)), math.max(t(a), t(b)))
+    }.toSet
+    pairs.foreach(r => assert(valid((r.getLong(0), r.getLong(1)))))
+  }
+}
