@@ -1737,6 +1737,44 @@ package object api {
         .toDF("id", "sample_rate", "n_samples", "peak_abs", "sum_sq")
     }
 
+    /** Decode PCM WAV payloads and emit spectral-flatness proxies: total
+      * energy Σv², first-difference energy ΣΔ² (the high-frequency
+      * mass — for a pure tone of angular step ω, ΣΔ²/Σv² ≈ 4sin²(ω/2),
+      * so the ratio IS a one-pole frequency readout), and the
+      * zero-crossing count. All exact integers from the decoded
+      * samples, so the readout replays from the synthesis closed form.
+      * The noisiness/tonality triage a voice pipeline runs right after
+      * decode, before any FFT is worth paying for.
+      */
+    def wavFlatness(df: DataFrame, id: Column, payload: Column)
+        : DataFrame = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val w = graft.functions.Codecs.decodeWav(bytes)
+              var sumSq = 0L; var diffSq = 0L; var zc = 0L
+              var prev = 0L; var first = true
+              w.samples.foreach { s =>
+                val v = s.toLong
+                sumSq += v * v
+                if (!first) {
+                  val d = v - prev
+                  diffSq += d * d
+                  if ((v < 0 && prev >= 0) || (v >= 0 && prev < 0))
+                    zc += 1
+                }
+                prev = v; first = false
+              }
+              (i, w.samples.length.toLong, sumSq, diffSq, zc)
+            }.toOption
+          }
+        }
+        .toDF("id", "n_samples", "sum_sq", "diff_sq", "zero_crossings")
+    }
+
     /** Decode PCM WAV payloads and emit per-frame energy: the payload is
       * cut into complete frames of `frameLen` samples (a trailing
       * partial frame is dropped) and each frame yields its exact

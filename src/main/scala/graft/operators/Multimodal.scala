@@ -346,6 +346,66 @@ object Multimodal extends QueryModule {
                CAST(sum(v * v) AS BIGINT) AS sum_sq
         FROM s GROUP BY doc_id, n ORDER BY doc_id""")),
 
+    // Audio noisiness/tonality triage from the REAL decoded bytes: total
+    // energy, first-difference energy (for a tone of angular step ω,
+    // ΣΔ²/Σv² ≈ 4sin²(ω/2) — the ratio is a one-pole frequency readout
+    // with no FFT), and zero crossings; flatness in floor permyriad of
+    // the alternating-sign maximum (Δ² = 4v²). The planted ramp is a
+    // slope-7 sawtooth, so most Δ are exactly 7 and the wraparound
+    // spikes carry the rest — the oracle replays the whole census from
+    // the synthesis closed form with a lag window, certifying the
+    // decode → difference chain byte-for-byte.
+    Q(
+      "mm_audio_flatness",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("n_chars"))
+          .as[(Long, Long)]
+          .map { case (id, nChars) =>
+            val sr = (8000 + (id % 4) * 4000).toInt
+            val n = (nChars % 2000 + 100).toInt
+            val samples = Array.tabulate[Short](n)(
+              i => (((id * 31 + i * 7) % 65536) - 32768).toShort)
+            (id, graft.functions.Codecs.encodeWav(sr, samples))
+          }
+          .toDF("doc_id", "payload")
+        graft.api.Multimodal
+          .wavFlatness(encoded, col("doc_id"), col("payload"))
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("flatness_pm",
+            expr("(10000 * diff_sq) div (4 * sum_sq)"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, n_chars % 2000 + 100 AS n
+                   FROM documents WHERE doc_id < 100),
+        s AS (
+          SELECT doc_id, n, i,
+                 ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+          FROM (SELECT doc_id, n,
+                       unnest(generate_series(0, CAST(n - 1 AS INT)))
+                         AS i
+                FROM d)),
+        w AS (
+          SELECT doc_id, n, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          FROM s),
+        m AS (
+          SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_samples,
+                 CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                 CAST(coalesce(sum((v - pv) * (v - pv)), 0) AS BIGINT)
+                   AS diff_sq,
+                 CAST(coalesce(sum(CASE WHEN (v < 0 AND pv >= 0)
+                        OR (v >= 0 AND pv < 0) THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS zero_crossings
+          FROM w GROUP BY doc_id)
+        SELECT doc_id, n_samples, sum_sq, diff_sq, zero_crossings,
+               (10000 * diff_sq) // (4 * sum_sq) AS flatness_pm
+        FROM m ORDER BY doc_id""")),
+
     // REAL audio decimation chain: encode a full WAV → keep every 2nd
     // sample at half the rate (decode actual bytes, re-encode) → re-decode
     // the decimated payload with wavStats. The oracle recomputes the
