@@ -269,6 +269,41 @@ object Relational extends QueryModule {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10""")),
 
+    // Spark 4 SQL parameterization surface, all four mechanisms in one
+    // round trip: a NAMED PARAMETER bind (:qmin), the IDENTIFIER clause
+    // resolving a table name ARRIVING AS A PARAMETER (:tbl — the
+    // SQL-injection-safe dynamic identifier), a SESSION VARIABLE
+    // (DECLARE/SET VARIABLE g_qty_floor, referenced bare in the WHERE),
+    // and EXECUTE IMMEDIATE running the final statement from a string.
+    // The two thresholds deliberately disagree (param 40, variable 45)
+    // so the result proves BOTH bind paths reached the plan — the
+    // stricter one wins. The oracle inlines the effective constants:
+    // parameterization is a FRONT-DOOR surface, the plan underneath is
+    // the same pruned scan + aggregate.
+    Q(
+      "sql_parameterized",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("g_li_param")
+        s.sql("DECLARE OR REPLACE VARIABLE g_qty_floor BIGINT DEFAULT 0")
+        s.sql("SET VARIABLE g_qty_floor = 45")
+        s.sql("""
+          SELECT l_returnflag AS flag, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          FROM IDENTIFIER(:tbl)
+          WHERE l_quantity >= :qmin AND l_quantity >= g_qty_floor
+          GROUP BY l_returnflag""",
+          Map("tbl" -> "g_li_param", "qmin" -> 40))
+          .createOrReplaceTempView("g_param_base")
+        s.sql("EXECUTE IMMEDIATE " +
+          "'SELECT flag, n, qty FROM g_param_base ORDER BY flag'")
+      },
+      oracle = Some("""
+        SELECT l_returnflag AS flag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_quantity >= 40 AND l_quantity >= 45
+        GROUP BY l_returnflag ORDER BY flag""")),
+
     // Generator / table-valued-function surface through the SQL front
     // door: LATERAL VIEW posexplode with the two-alias form, stack()
     // unpivoting computed columns, and a table function (range) in FROM
