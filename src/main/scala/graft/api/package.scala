@@ -1891,6 +1891,42 @@ package object api {
         .toDF("id", "level", "n")
     }
 
+    /** Decode 24-bpp BMP payloads into a relational per-pixel gray frame
+      * (id, idx, v) with idx = y·width + x — the positional alignment
+      * key a paired image metric (SSIM, PSNR, delta-E) joins on. The
+      * pixel stream is ordinary distributed data; nothing image-sized
+      * ever sits on the driver, and the pair join clusters on the image
+      * id so each pair's pixels meet in one task.
+      */
+    def bmpGrayPixels(
+        df: DataFrame, id: Column, payload: Column): DataFrame = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      df.select(id.as("id"), payload.as("p")).as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (i, bytes) =>
+            scala.util.Try {
+              val bmp = graft.functions.Codecs.decodeBmp(bytes)
+              val out =
+                new Array[(Long, Long, Long)](bmp.width * bmp.height)
+              var y = 0
+              while (y < bmp.height) {
+                var x = 0
+                while (x < bmp.width) {
+                  val (b, g, r) = bmp.pixels(y)(x)
+                  out(y * bmp.width + x) =
+                    (i, (y * bmp.width + x).toLong, ((b + g + r) / 3).toLong)
+                  x += 1
+                }
+                y += 1
+              }
+              out.toSeq
+            }.getOrElse(Seq.empty)
+          }
+        }
+        .toDF("id", "idx", "v")
+    }
+
     /** Decode 24-bpp BMP payloads and emit horizontal-BAND features: row y
       * belongs to band (y·bands)/h, and each band yields pixel count,
       * channel-value sum, and channel min/max — the 1-D sibling of

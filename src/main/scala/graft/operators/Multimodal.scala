@@ -806,6 +806,145 @@ object Multimodal extends QueryModule {
                CAST(sum(v) AS BIGINT) AS sum_red
         FROM px GROUP BY doc_id, ow, oh ORDER BY doc_id"""))
   ) ++ Seq(
+    // Global SSIM between REAL decoded image pairs — the reference
+    // image-similarity metric (the number a resize/transcode pipeline
+    // reports), computed fully relationally: both images decode to
+    // aligned per-pixel gray frames, the pair join clusters on image id,
+    // and the luminance and contrast-structure terms are exact integer
+    // chains (means in milli-units, variances/covariance in milli² —
+    // divide-early keeps every product in BIGINT; both SSIM constants
+    // are exact in milli²: c1 = 2550², c2 = 7650²). The covariance term
+    // is sign-split around truncating division so a negative-structure
+    // pair replays identically in both engines. Pairs mix SAME-class
+    // (id, id+5 — same interference pattern, different corruption) with
+    // CROSS-class (id, id+1) controls: same-class SSIM must dominate,
+    // and the gap is the measurement. Oracle replays the fixture's
+    // closed-form pixels and the identical integer chain.
+    Q(
+      "mm_image_ssim",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val encoded = Tables.documents(s, dir)
+          .filter(col("doc_id") < 26)
+          .select(col("doc_id"))
+          .as[Long]
+          .map { id =>
+            val c = (id % 5).toInt
+            val nx = ((id * 7) % 32).toInt
+            val ny = ((id * 11) % 28).toInt
+            val bytes = graft.functions.Codecs.encodeBmp(32, 28, (x, y) => {
+              val base =
+                (x * x * (17 + 3 * c) + y * y * (23 + 5 * c) +
+                  x * y * (7 + c)) % 256
+              val v =
+                if (id % 4 == 0 && x == nx && y == ny) (base + 128) % 256
+                else base
+              (v, v, v)
+            })
+            (id, bytes)
+          }
+          .toDF("doc_id", "payload")
+        val px = graft.api.Multimodal
+          .bmpGrayPixels(encoded, col("doc_id"), col("payload"))
+          .localCheckpoint(true) // decoded once, joined as both sides
+        val pairs = s.range(0, 20)
+          .select(col("id").as("id_a"), (col("id") + 5).as("id_b"),
+            lit("same_class").as("kind"))
+          .unionByName(s.range(0, 20)
+            .select(col("id").as("id_a"), (col("id") + 1).as("id_b"),
+              lit("cross_class").as("kind")))
+        val j = broadcast(pairs)
+          .join(px.as("pa"), col("id_a") === col("pa.id"))
+          .join(px.as("pb"),
+            col("id_b") === col("pb.id") &&
+            col("pa.idx") === col("pb.idx"))
+          .select(col("kind"), col("id_a"), col("id_b"),
+            col("pa.v").as("x"), col("pb.v").as("y"))
+        val m = j.groupBy("kind", "id_a", "id_b").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        m.withColumn("mx", expr("(1000 * sx) div n"))
+          .withColumn("my", expr("(1000 * sy) div n"))
+          .withColumn("vx",
+            expr("(1000000 * (n * sxx - sx * sx)) div (n * n)"))
+          .withColumn("vy",
+            expr("(1000000 * (n * syy - sy * sy)) div (n * n)"))
+          .withColumn("cxy",
+            expr("(1000000 * (n * sxy - sx * sy)) div (n * n)"))
+          .withColumn("lum_pm", expr(
+            "(10000 * (2 * mx * my + 6502500))" +
+              " div (mx * mx + my * my + 6502500)"))
+          .withColumn("a2", expr("2 * cxy + 58522500"))
+          .withColumn("b2", expr("vx + vy + 58522500"))
+          .withColumn("struct_pm", expr(
+            "CASE WHEN a2 >= 0 THEN (10000 * a2) div b2" +
+              " ELSE -((10000 * (-a2)) div b2) END"))
+          .withColumn("ssim_pm", expr(
+            "CASE WHEN struct_pm >= 0" +
+              " THEN (lum_pm * struct_pm) div 10000" +
+              " ELSE -((lum_pm * (-struct_pm)) div 10000) END"))
+          .select(col("kind"), col("id_a"), col("id_b"), col("n"),
+            col("lum_pm"), col("struct_pm"), col("ssim_pm"))
+          .orderBy("kind", "id_a")
+      },
+      oracle = Some("""
+        WITH ids AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS c
+                     FROM documents WHERE doc_id < 26),
+        px AS (
+          SELECT doc_id, y * 32 + x AS idx,
+                 CASE WHEN doc_id % 4 = 0 AND x = (doc_id * 7) % 32
+                           AND y = (doc_id * 11) % 28
+                      THEN (x*x*(17 + 3*c) + y*y*(23 + 5*c)
+                            + x*y*(7 + c) + 128) % 256
+                      ELSE (x*x*(17 + 3*c) + y*y*(23 + 5*c)
+                            + x*y*(7 + c)) % 256 END AS v
+          FROM ids, unnest(generate_series(0, 31)) AS tx(x),
+               unnest(generate_series(0, 27)) AS ty(y)),
+        pairs AS (
+          SELECT i AS id_a, i + 5 AS id_b, 'same_class' AS kind
+          FROM generate_series(0, 19) t(i)
+          UNION ALL
+          SELECT i, i + 1, 'cross_class' FROM generate_series(0, 19) t(i)),
+        m AS (
+          SELECT p.kind, p.id_a, p.id_b, count(*) AS n,
+                 CAST(sum(a.v) AS BIGINT) AS sx,
+                 CAST(sum(b.v) AS BIGINT) AS sy,
+                 CAST(sum(a.v * a.v) AS BIGINT) AS sxx,
+                 CAST(sum(b.v * b.v) AS BIGINT) AS syy,
+                 CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+          FROM pairs p
+          JOIN px a ON a.doc_id = p.id_a
+          JOIN px b ON b.doc_id = p.id_b AND b.idx = a.idx
+          GROUP BY 1, 2, 3),
+        t AS (
+          SELECT kind, id_a, id_b, n,
+                 (1000 * sx) // n AS mx, (1000 * sy) // n AS my,
+                 (1000000 * (n * sxx - sx * sx)) // (n * n) AS vx,
+                 (1000000 * (n * syy - sy * sy)) // (n * n) AS vy,
+                 (1000000 * (n * sxy - sx * sy)) // (n * n) AS cxy
+          FROM m),
+        r AS (
+          SELECT kind, id_a, id_b, n,
+                 (10000 * (2 * mx * my + 6502500))
+                   // (mx * mx + my * my + 6502500) AS lum_pm,
+                 2 * cxy + 58522500 AS a2,
+                 vx + vy + 58522500 AS b2
+          FROM t),
+        f AS (
+          SELECT kind, id_a, id_b, n, lum_pm,
+                 CASE WHEN a2 >= 0 THEN (10000 * a2) // b2
+                      ELSE -((10000 * (-a2)) // b2) END AS struct_pm
+          FROM r)
+        SELECT kind, id_a, id_b, n, lum_pm, struct_pm,
+               CASE WHEN struct_pm >= 0
+                    THEN (lum_pm * struct_pm) // 10000
+                    ELSE -((lum_pm * (-struct_pm)) // 10000) END
+                 AS ssim_pm
+        FROM f ORDER BY kind, id_a""")),
+
     // Perceptual image dedup: REAL BMP encode → decode → 56-bit dHash →
     // multi-index-hashing near-pair join (api.Multimodal.dHashes /
     // dhashNearPairs). 100 thumbnails in 5 pattern classes (quadratic

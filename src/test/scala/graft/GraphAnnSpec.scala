@@ -42,4 +42,21 @@ class GraphAnnSpec extends AnyFunSuite with SparkFixture {
       assert(v >= 0.0 && v <= 1.0)
     }
   }
+
+  test("mm_image_ssim: same-class pairs dominate cross-class controls") {
+    val rows = SparkEntry.queries("mm_image_ssim")(spark, sf0001)
+      .collect()
+    assert(rows.length == 40)
+    val byKind = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("ssim_pm"))).toMap
+    assert(byKind("same_class").forall(_ > 9900),
+      "same interference pattern must read near-identical")
+    assert(byKind("cross_class").forall(_ < 2000),
+      "different pattern classes must read dissimilar")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == 32L * 28L, "full pixel alignment")
+      assert(r.getAs[Long]("lum_pm") <= 10000)
+      assert(r.getAs[Long]("ssim_pm") <= 10000)
+    }
+  }
 }
