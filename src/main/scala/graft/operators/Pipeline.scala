@@ -996,6 +996,62 @@ object Pipeline extends QueryModule {
     // held in 3×-permyriad units (no intermediate division), quotas by
     // BIGINT floor division. One token aggregate over the corpus; the
     // schedule itself is sources×phases rows.
+    // Largest-remainder (Hamilton) apportionment — the exact-budget
+    // allocator the floor-quota mix keys stop short of: floor quotas
+    // leave a residual (Σ floor < budget); here the residual seats go to
+    // the largest fractional remainders (ties to the smaller source id),
+    // so Σ quota == budget EXACTLY — the property a token-budget
+    // contract needs before a training run is provisioned. All integer:
+    // remainders compared as budget·n mod total (never a float
+    // fraction); the rank is a window over source-cardinality rows.
+    Q(
+      "mix_largest_remainder",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 100000L
+        val inv = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long"))
+            .as("n_tokens"))
+        val tot = inv.agg(sum("n_tokens").as("nt"))
+        val base = inv.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            expr(s"($budget * n_tokens) div nt").as("floor_q"),
+            expr(s"($budget * n_tokens) % nt").as("rem"))
+        val short = base
+          .agg((lit(budget) - sum("floor_q")).as("extra"))
+        val w = Window.orderBy(desc("rem"), asc("source"))
+        base.withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(short))
+          .select(col("source"), col("n_tokens"), col("floor_q"),
+            col("rem"),
+            (col("floor_q") +
+              when(col("rk") <= col("extra"), 1L).otherwise(0L))
+              .as("quota"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH inv AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt FROM inv),
+        base AS (
+          SELECT source, n_tokens,
+                 (100000 * n_tokens) // nt AS floor_q,
+                 (100000 * n_tokens) % nt AS rem
+          FROM inv, tot),
+        short AS (
+          SELECT 100000 - CAST(sum(floor_q) AS BIGINT) AS extra
+          FROM base),
+        rk AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+          FROM base)
+        SELECT source, n_tokens, floor_q, rem,
+               floor_q + CASE WHEN r <= extra THEN 1 ELSE 0 END AS quota
+        FROM rk, short ORDER BY source""")),
+
     Q(
       "mix_anneal_schedule",
       (s, dir) => {

@@ -57,4 +57,24 @@ class Round13gSpec extends AnyFunSuite with SparkFixture {
     }.toSet
     pairs.foreach(r => assert(valid((r.getLong(0), r.getLong(1)))))
   }
+
+  test("mix_largest_remainder: quotas sum EXACTLY to budget, off floor by <=1") {
+    val rows = SparkEntry.queries("mix_largest_remainder")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Long]("quota")).sum == 100000L)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("quota") - r.getAs[Long]("floor_q")
+      assert(d == 0L || d == 1L, "each source gets floor or floor+1")
+    }
+    // the +1 seats go to the largest remainders
+    val bumped = rows.filter(r =>
+      r.getAs[Long]("quota") > r.getAs[Long]("floor_q"))
+      .map(_.getAs[Long]("rem"))
+    val kept = rows.filter(r =>
+      r.getAs[Long]("quota") == r.getAs[Long]("floor_q"))
+      .map(_.getAs[Long]("rem"))
+    if (bumped.nonEmpty && kept.nonEmpty)
+      assert(bumped.min >= kept.max,
+        "largest remainders must be served first")
+  }
 }
