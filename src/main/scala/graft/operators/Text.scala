@@ -269,6 +269,132 @@ object Text extends QueryModule {
         FROM st, nd
         ORDER BY total DESC, term LIMIT 20""")),
 
+    // LSA: the dominant latent direction of the tf-idf term space —
+    // one power-iteration component over the V×V term Gram matrix
+    // (V = min(vocab, 50); this corpus's whole vocabulary is 31 words),
+    // surfacing which words co-vary across documents (the topic-model
+    // primitive before anything neural). Exactness is the ml_pca_power
+    // discipline applied to text: idf = q(ln N) − q(ln df) (ln of
+    // integers only) floor-scaled to milli so every tf·idf weight and
+    // Gram cell stays in BIGINT at sf1; Gram → ±1e6 rescale → 4
+    // L∞-renormalized rounds in driver BigInt, the oracle replaying the
+    // identical fixpoint unrolled. The per-doc self-join is bounded by
+    // (terms-per-doc ∩ top-50)² — vocabulary-sized work, not corpus²;
+    // the Gram shuffles 2500 cells regardless of rows. Output: top-10
+    // |loading| terms of the first component.
+    Q(
+      "text_lsa_topics",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val tok = toks(s, dir).select("doc_id", "term")
+        val n = Tables.documents(s, dir).count()
+        val qlnN = math.round(math.log(n.toDouble) * 1e6)
+        val dfF = tok.distinct().groupBy("term")
+          .agg(count(lit(1)).as("df"))
+        val top = dfF.orderBy(desc("df"), asc("term")).limit(50)
+          .select(col("term"), col("df"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(desc("df"), asc("term"))).as("rk"))
+          .withColumn("idfq", expr(
+            s"($qlnN - cast(round(ln(df) * 1e6, 0) as bigint))" +
+              " div 1000"))
+        val w = tok.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+          .join(broadcast(top), Seq("term"))
+          .select(col("doc_id"), col("rk"),
+            (col("tf") * col("idfq")).as("w"))
+        val gram = w.as("a").join(w.as("b"), Seq("doc_id"))
+          .groupBy(col("a.rk").as("i"), col("b.rk").as("j"))
+          .agg(sum(expr("a.w * b.w")).as("g"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2)))
+          .toMap
+        // matrix dim = actual vocabulary (this corpus has only 31
+        // distinct words, so "top-50" is the whole term space)
+        val terms = top.select("rk", "term").collect()
+          .map(r => r.getInt(0) -> r.getString(1)).toMap
+        val dim = terms.size
+        // ±1e6 rescale, then 4 L∞-renormalized power rounds (BigInt)
+        val cdiv = gram.values.map(_.abs).max
+        val cs = Array.tabulate(dim, dim)((i, j) =>
+          gram.getOrElse((i + 1, j + 1), BigInt(0)) * 1000000 / cdiv)
+        var v = Array.fill(dim)(BigInt(1000000))
+        for (_ <- 1 to 4) {
+          val wv = Array.tabulate(dim)(i =>
+            (0 until dim).map(j => cs(i)(j) * v(j)).sum)
+          val m = wv.map(_.abs).max
+          v = wv.map(x => x * 1000000 / m)
+        }
+        val ranked = (0 until dim)
+          .map(i => (terms(i + 1), v(i).toLong))
+          .sortBy { case (t, lv) => (-math.abs(lv), t) }
+          .take(10).zipWithIndex
+          .map { case ((t, lv), i) => (i + 1, t, lv) }
+        ranked.toDF("rank", "term", "loading").orderBy("rank")
+      },
+      oracle = Some("""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        nn AS (SELECT count(*) AS n FROM documents),
+        dft AS (
+          SELECT term, count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY term),
+        top AS (
+          SELECT term, df,
+                 row_number() OVER (ORDER BY df DESC, term) AS rk
+          FROM dft ORDER BY df DESC, term LIMIT 50),
+        idf AS (
+          SELECT term, rk,
+                 (CAST(round(ln((SELECT n FROM nn)) * 1e6, 0) AS BIGINT)
+                  - CAST(round(ln(df) * 1e6, 0) AS BIGINT)) // 1000
+                   AS idfq
+          FROM top),
+        w AS (
+          SELECT t.doc_id, i.rk, count(*) * i.idfq AS w
+          FROM tok t JOIN idf i USING (term)
+          GROUP BY t.doc_id, i.rk, i.idfq),
+        gram AS MATERIALIZED (
+          SELECT a.rk AS i, b.rk AS j,
+                 CAST(sum(a.w::HUGEINT * b.w) AS HUGEINT) AS g
+          FROM w a JOIN w b ON a.doc_id = b.doc_id
+          GROUP BY 1, 2),
+        cd AS (SELECT max(abs(g)) AS cdiv FROM gram),
+        cs AS MATERIALIZED (
+          SELECT i, j, CAST((g * 1000000) // cdiv AS BIGINT) AS c
+          FROM gram, cd),
+        v0 AS (SELECT rk AS i, CAST(1000000 AS BIGINT) AS v FROM top),
+        w1 AS MATERIALIZED (
+          SELECT cs.i, sum(cs.c::HUGEINT * v0.v) AS w
+          FROM cs JOIN v0 ON cs.j = v0.i GROUP BY cs.i),
+        m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        v1 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w1, m1),
+        w2 AS MATERIALIZED (
+          SELECT cs.i, sum(cs.c::HUGEINT * v1.v) AS w
+          FROM cs JOIN v1 ON cs.j = v1.i GROUP BY cs.i),
+        m2 AS (SELECT max(abs(w)) AS m FROM w2),
+        v2 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w2, m2),
+        w3 AS MATERIALIZED (
+          SELECT cs.i, sum(cs.c::HUGEINT * v2.v) AS w
+          FROM cs JOIN v2 ON cs.j = v2.i GROUP BY cs.i),
+        m3 AS (SELECT max(abs(w)) AS m FROM w3),
+        v3 AS MATERIALIZED (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w3, m3),
+        w4 AS MATERIALIZED (
+          SELECT cs.i, sum(cs.c::HUGEINT * v3.v) AS w
+          FROM cs JOIN v3 ON cs.j = v3.i GROUP BY cs.i),
+        m4 AS (SELECT max(abs(w)) AS m FROM w4),
+        v4 AS (
+          SELECT i, CAST((w * 1000000) // m AS BIGINT) AS v FROM w4, m4)
+        SELECT CAST(row_number() OVER (ORDER BY abs(v.v) DESC, t.term)
+                 AS INT) AS rank,
+               t.term, v.v AS loading
+        FROM v4 v JOIN top t ON t.rk = v.i
+        ORDER BY abs(v.v) DESC, t.term LIMIT 10""")),
+
     // Character-level entropy per source — the compressibility proxy
     // (low H ≈ repetitive/templated bytes, the signal a gzip-ratio
     // filter reads without needing a compressor in the engine): H in

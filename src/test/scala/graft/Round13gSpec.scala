@@ -77,4 +77,21 @@ class Round13gSpec extends AnyFunSuite with SparkFixture {
       assert(bumped.min >= kept.max,
         "largest remainders must be served first")
   }
+
+  test("text_lsa_topics: loadings normalized, ranked, deterministic") {
+    val rows = SparkEntry.queries("text_lsa_topics")(spark, sf0001)
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    val ls = rows.map(_.getAs[Long]("loading"))
+    // L-inf renormalized: the top loading is exactly 1e6, all bounded
+    assert(ls.map(math.abs).max == 1000000L)
+    assert(ls.forall(l => math.abs(l) <= 1000000L))
+    // ranked by |loading| descending
+    val a = ls.map(math.abs)
+    assert(a.zip(a.tail).forall { case (x, y) => x >= y })
+    val again = SparkEntry.queries("text_lsa_topics")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
