@@ -792,12 +792,19 @@ object Similarity extends QueryModule {
       val v = vecs(s, dir)
       val a = v.select(col("vec_id").as("n"), col("e").as("ne"))
       val b = v.select(col("vec_id").as("m"), col("e").as("me"))
-      val w = Window.partitionBy("n")
-        .orderBy(round(col("cos"), 6).desc, col("m"))
-      a.join(b, col("n") =!= col("m"))
-        .withColumn("cos", cosine(col("ne"), col("me")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 8)
+      // ranked by the engine's own TopKPerGroup physical operator
+      // (dogfooding topk_physical): the all-pairs frame never sorts —
+      // map-side bounded heaps keep 8 rows per node per partition, the
+      // shuffle carries ≤ 8·nodes rows instead of all n² pairs, and the
+      // comparator ((cq desc, m asc)) is the same total order the
+      // oracle's row_number walks. Build cost drops ~2× vs the window
+      // form (measured in NOTES).
+      val pairs = a.join(b, col("n") =!= col("m"))
+        .select(col("n"), col("m"),
+          round(cosine(col("ne"), col("me")), 6).as("cq"))
+      graft.api.Plans.topKPerGroup(pairs,
+        groupCols = Seq("n"),
+        orderCols = Seq(("cq", true), ("m", false)), k = 8)
         .select(col("n"), col("m"))
         .localCheckpoint(true)
     })
