@@ -37,6 +37,79 @@ object Multimodal extends QueryModule {
           (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sample_rate"),
           (col("n_chars") % 30 + 1).cast("int").as("duration_s")).as("meta"))
 
+  /** The perceptual-hash image fixture: 100 real-encoded 32×28 BMPs in 5
+    * quadratic-interference pattern classes, every 4th image carrying one
+    * corrupted pixel — shared by mm_image_phash (near pairs) and
+    * mm_phash_cluster (components over those pairs).
+    */
+  private def phashEncoded(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val c = (id % 5).toInt
+        val nx = ((id * 7) % 32).toInt
+        val ny = ((id * 11) % 28).toInt
+        val bytes = graft.functions.Codecs.encodeBmp(32, 28, (x, y) => {
+          val base =
+            (x * x * (17 + 3 * c) + y * y * (23 + 5 * c) +
+              x * y * (7 + c)) % 256
+          val v =
+            if (id % 4 == 0 && x == nx && y == ny) (base + 128) % 256
+            else base
+          (v, v, v)
+        })
+        (id, bytes)
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Shared oracle CTE chain replaying the dHash pipeline (sampled grid →
+    * bit planes → 56-bit signature → banded candidate pairs with exact
+    * Hamming) — composed by both phash oracles so they cannot drift.
+    * Exposes `d` (the 100 ids) and `pairs` (id_a < id_b, hamming).
+    */
+  private lazy val phashPairsSql: String = """
+        d AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS c
+              FROM documents WHERE doc_id < 100),
+        g AS (
+          SELECT doc_id, c, gy, gx,
+                 (gx * 32 // 9) AS sx, (gy * 28 // 7) AS sy
+          FROM d, unnest(generate_series(0, 8)) AS tx(gx),
+               unnest(generate_series(0, 6)) AS ty(gy)),
+        gv AS (
+          SELECT doc_id, gy, gx,
+                 CASE WHEN doc_id % 4 = 0 AND sx = (doc_id * 7) % 32
+                           AND sy = (doc_id * 11) % 28
+                      THEN (sx*sx*(17 + 3*c) + sy*sy*(23 + 5*c)
+                            + sx*sy*(7 + c) + 128) % 256
+                      ELSE (sx*sx*(17 + 3*c) + sy*sy*(23 + 5*c)
+                            + sx*sy*(7 + c)) % 256 END AS v
+          FROM g),
+        bits AS (
+          SELECT a.doc_id, a.gy, a.gx,
+                 CASE WHEN b.v > a.v THEN 1::BIGINT ELSE 0 END AS bit
+          FROM gv a JOIN gv b
+            ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+          WHERE a.gx < 8),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(bit * (1::BIGINT << (gy * 8 + gx))) AS BIGINT)
+                   AS dhash
+          FROM bits GROUP BY doc_id),
+        band AS (
+          SELECT doc_id, dhash, b, (dhash >> (b * 8)) & 255 AS bval
+          FROM sig, unnest(generate_series(0, 6)) AS tb(b)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT)
+                   AS hamming
+          FROM band a JOIN band b2
+            ON a.b = b2.b AND a.bval = b2.bval AND a.doc_id < b2.doc_id)"""
+
   def all: Seq[Q] = Seq(
     // Typed-metadata extraction + payload byte length. Pure column ops over
     // the binary column; proves binary+struct schema round-trips.
@@ -945,6 +1018,49 @@ object Multimodal extends QueryModule {
                  AS ssim_pm
         FROM f ORDER BY kind, id_a""")),
 
+    // Near-duplicate image CLUSTERS: the phash near-pair graph closed
+    // into connected components (min-label propagation, the dedup_*
+    // convention) and censused per cluster — the keep-one-per-cluster
+    // manifest an image corpus dedup actually executes. On this fixture
+    // the components recover the 5 planted pattern classes (plus
+    // singletons where the corrupted pixel pushed an image past the
+    // Hamming radius) — the cluster census IS the audit. Oracle: the
+    // shared phash pair chain + a recursive min-reach closure.
+    Q(
+      "mm_phash_cluster",
+      (s, dir) => {
+        val enc = phashEncoded(s, dir)
+        val sigs = graft.api.Multimodal.dHashes(
+          enc, col("doc_id"), col("payload"))
+        val pairs = graft.api.Multimodal.dhashNearPairs(sigs, maxDist = 6)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        graft.api.Dedup.connectedComponents(
+          enc.select(col("doc_id")), col("doc_id"),
+          pairs, col("src"), col("dst"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_images"),
+            sum(when(col("id") % 4 === 0, 1L).otherwise(0L))
+              .as("n_corrupted"),
+            max("id").as("id_max"))
+          .orderBy("component")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $phashPairsSql,
+        np AS (SELECT id_a, id_b FROM pairs WHERE hamming <= 6),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM np
+                UNION ALL SELECT id_b, id_a FROM np),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT sym.dst, reach.r FROM reach JOIN sym
+            ON sym.src = reach.id)
+        SELECT min(r) AS component, count(DISTINCT id) AS n_images,
+               CAST(count(DISTINCT CASE WHEN id % 4 = 0 THEN id END)
+                 AS BIGINT) AS n_corrupted,
+               max(id) AS id_max
+        FROM (SELECT id, min(r) AS r FROM reach GROUP BY id) cc
+        GROUP BY r ORDER BY component""")),
+
     // Perceptual image dedup: REAL BMP encode → decode → 56-bit dHash →
     // multi-index-hashing near-pair join (api.Multimodal.dHashes /
     // dhashNearPairs). 100 thumbnails in 5 pattern classes (quadratic
@@ -959,70 +1075,13 @@ object Multimodal extends QueryModule {
     Q(
       "mm_image_phash",
       (s, dir) => {
-        val sp = s
-        import sp.implicits._
-        val encoded = Tables.documents(s, dir)
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"))
-          .as[Long]
-          .map { id =>
-            val c = (id % 5).toInt
-            val nx = ((id * 7) % 32).toInt
-            val ny = ((id * 11) % 28).toInt
-            val bytes = graft.functions.Codecs.encodeBmp(32, 28, (x, y) => {
-              val base =
-                (x * x * (17 + 3 * c) + y * y * (23 + 5 * c) +
-                  x * y * (7 + c)) % 256
-              val v =
-                if (id % 4 == 0 && x == nx && y == ny) (base + 128) % 256
-                else base
-              (v, v, v)
-            })
-            (id, bytes)
-          }
-          .toDF("doc_id", "payload")
         val sigs = graft.api.Multimodal.dHashes(
-          encoded, col("doc_id"), col("payload"))
+          phashEncoded(s, dir), col("doc_id"), col("payload"))
         graft.api.Multimodal.dhashNearPairs(sigs, maxDist = 6)
           .orderBy("id_a", "id_b")
       },
-      oracle = Some("""
-        WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS c
-                   FROM documents WHERE doc_id < 100),
-        g AS (
-          SELECT doc_id, c, gy, gx,
-                 (gx * 32 // 9) AS sx, (gy * 28 // 7) AS sy
-          FROM d, unnest(generate_series(0, 8)) AS tx(gx),
-               unnest(generate_series(0, 6)) AS ty(gy)),
-        gv AS (
-          SELECT doc_id, gy, gx,
-                 CASE WHEN doc_id % 4 = 0 AND sx = (doc_id * 7) % 32
-                           AND sy = (doc_id * 11) % 28
-                      THEN (sx*sx*(17 + 3*c) + sy*sy*(23 + 5*c)
-                            + sx*sy*(7 + c) + 128) % 256
-                      ELSE (sx*sx*(17 + 3*c) + sy*sy*(23 + 5*c)
-                            + sx*sy*(7 + c)) % 256 END AS v
-          FROM g),
-        bits AS (
-          SELECT a.doc_id, a.gy, a.gx,
-                 CASE WHEN b.v > a.v THEN 1::BIGINT ELSE 0 END AS bit
-          FROM gv a JOIN gv b
-            ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
-          WHERE a.gx < 8),
-        sig AS (
-          SELECT doc_id,
-                 CAST(sum(bit * (1::BIGINT << (gy * 8 + gx))) AS BIGINT)
-                   AS dhash
-          FROM bits GROUP BY doc_id),
-        band AS (
-          SELECT doc_id, dhash, b, (dhash >> (b * 8)) & 255 AS bval
-          FROM sig, unnest(generate_series(0, 6)) AS tb(b)),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-                 CAST(bit_count(xor(a.dhash, b2.dhash)) AS BIGINT)
-                   AS hamming
-          FROM band a JOIN band b2
-            ON a.b = b2.b AND a.bval = b2.bval AND a.doc_id < b2.doc_id)
+      oracle = Some(s"""
+        WITH $phashPairsSql
         SELECT id_a, id_b, hamming
         FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b"""))
   )

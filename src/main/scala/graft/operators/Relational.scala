@@ -269,6 +269,38 @@ object Relational extends QueryModule {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10""")),
 
+    // The SQL PIVOT clause — the front-door form of agg_pivot's
+    // DataFrame .pivot(): per user cohort, event counts rotated into
+    // one column per type, with the empty-cell null/zero divergence
+    // pinned (Spark PIVOT emits NULL for a combination with no rows,
+    // a conditional-count oracle emits 0 — the outer COALESCE is the
+    // portability contract and the thing a migration guide must say).
+    Q(
+      "sql_pivot_surface",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("g_ev_pivot")
+        s.sql("""
+          SELECT cohort,
+                 coalesce(click, 0) AS click, coalesce(view, 0) AS view,
+                 coalesce(purchase, 0) AS purchase,
+                 coalesce(signup, 0) AS signup,
+                 coalesce(error, 0) AS error
+          FROM (SELECT user_id % 10 AS cohort, event_type
+                FROM g_ev_pivot)
+          PIVOT (count(*) FOR event_type IN
+            ('click' AS click, 'view' AS view, 'purchase' AS purchase,
+             'signup' AS signup, 'error' AS error))
+          ORDER BY cohort""")
+      },
+      oracle = Some("""
+        SELECT user_id % 10 AS cohort,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'view') AS view,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'error') AS error
+        FROM events GROUP BY 1 ORDER BY cohort""")),
+
     // Spark 4 SQL parameterization surface, all four mechanisms in one
     // round trip: a NAMED PARAMETER bind (:qmin), the IDENTIFIER clause
     // resolving a table name ARRIVING AS A PARAMETER (:tbl — the

@@ -94,4 +94,27 @@ class Round13gSpec extends AnyFunSuite with SparkFixture {
       .collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("mm_phash_cluster: components recover the 5 planted pattern classes") {
+    val rows = SparkEntry.queries("mm_phash_cluster")(spark, sf0001)
+      .collect()
+    // 100 fixture images in 5 interference-pattern classes
+    assert(rows.map(_.getAs[Long]("n_images")).sum == 100L)
+    assert(rows.length == 5, s"expected the 5 planted classes: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_images") == 20L)
+      assert(r.getAs[Long]("n_corrupted") == 5L,
+        "every 4th image is corrupted, 5 per class")
+    }
+  }
+
+  test("sql_pivot_surface: pivot cells match direct conditional counts") {
+    val sp = spark
+    val rows = SparkEntry.queries("sql_pivot_surface")(sp, sf0001)
+      .collect()
+    assert(rows.length == 10)
+    val total = rows.map(r => (1 to 5).map(r.getLong(_)).sum).sum
+    assert(total == Tables.events(sp, sf0001).count(),
+      "pivot cells must partition the event stream")
+  }
 }
