@@ -1022,10 +1022,12 @@ object Multimodal extends QueryModule {
     // into connected components (min-label propagation, the dedup_*
     // convention) and censused per cluster — the keep-one-per-cluster
     // manifest an image corpus dedup actually executes. On this fixture
-    // the components recover the 5 planted pattern classes (plus
-    // singletons where the corrupted pixel pushed an image past the
-    // Hamming radius) — the cluster census IS the audit. Oracle: the
-    // shared phash pair chain + a recursive min-reach closure.
+    // the components recover the 5 planted pattern classes EXACTLY
+    // (20 images, 5 corrupted members each — the radius-6 pair graph is
+    // connected within every class despite the corruptions, and no
+    // corrupted image escapes) — the cluster census IS the audit.
+    // Oracle: the shared phash pair chain + a recursive min-reach
+    // closure.
     Q(
       "mm_phash_cluster",
       (s, dir) => {
