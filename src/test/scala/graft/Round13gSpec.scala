@@ -108,6 +108,21 @@ class Round13gSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ml_learning_curve: fractions nest, test half fixed, curve sane") {
+    val rows = SparkEntry.queries("ml_learning_curve")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Long]("divisor")).toSeq == Seq(1L, 2L, 4L))
+    val nt = rows.map(_.getAs[Long]("n_train"))
+    // nested subsets: each divisor roughly halves the train mass
+    assert(nt(0) > nt(1) && nt(1) > nt(2))
+    val tests = rows.map(_.getAs[Long]("n_test")).distinct
+    assert(tests.length == 1, "test half must be identical across legs")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("acc_pm")
+      assert(a >= 0 && a <= 10000)
+    }
+  }
+
   test("sql_pivot_surface: pivot cells match direct conditional counts") {
     val sp = spark
     val rows = SparkEntry.queries("sql_pivot_surface")(sp, sf0001)
