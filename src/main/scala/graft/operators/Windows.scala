@@ -783,6 +783,47 @@ object Windows extends QueryModule {
                round(sum(step) / 100.0, 2) AS final_level
         FROM walk GROUP BY user_id ORDER BY user_id""")),
 
+    // Leave-one-out mean-target encoding — the categorical feature
+    // engineering primitive a tabular-ML pipeline runs before training
+    // (and the one that leaks if done naively: encoding a row with a
+    // group mean that INCLUDES the row's own target leaks the label).
+    // Per event: category = event_type, target = (value > 100), and the
+    // encoding is (group positives − own y) / (group size − 1) — the
+    // exact LOO rate in floor permyriad, all integers. Single-member
+    // groups (impossible here, guarded anyway) encode null. Scale: one
+    // hash aggregate for the group sums + a broadcast join back; no
+    // window, no sort — linear and partition-agnostic.
+    Q(
+      "win_target_encoding",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            when(col("value") > 100.0, 1L).otherwise(0L).as("y"))
+        val g = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("gn"), sum("y").as("gp"))
+        ev.join(broadcast(g), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("y"),
+            when(col("gn") > 1,
+              expr("(10000 * (gp - y)) div (gn - 1)"))
+              .otherwise(lit(null)).as("loo_pm"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_id, event_type,
+                 CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+          FROM events),
+        g AS (
+          SELECT event_type, count(*) AS gn,
+                 CAST(sum(y) AS BIGINT) AS gp
+          FROM ev GROUP BY 1)
+        SELECT ev.event_id, ev.event_type, CAST(ev.y AS BIGINT) AS y,
+               CASE WHEN g.gn > 1
+                    THEN (10000 * (g.gp - ev.y)) // (g.gn - 1)
+                    ELSE NULL END AS loo_pm
+        FROM ev JOIN g USING (event_type)
+        ORDER BY event_id""")),
+
     // Irregular-interval exponential decay state per user — the
     // feature-store decay counter (session heat, rate-limit budget,
     // recency-weighted spend): s_i = v_i + e^(−Δt/τ)·s_{i−1} with τ = 1h,
