@@ -1771,6 +1771,86 @@ object Aggregates extends QueryModule {
     // map-combines to ≤ (|types|+1)·|types| cells at any scale. p is one
     // exact-integer division per cell, row-normalized over the prev
     // state.
+    // Stationary distribution of the user-journey Markov chain — where
+    // the transition matrix (agg_transition_matrix's census, minus the
+    // _start row) says traffic settles in the long run: 4 power steps
+    // from the uniform start, entirely in integer permyriad (P rows
+    // floor-normalized to 1e4; each step is Σ x[a]·P[a][b] summed
+    // EXACTLY then floored once — order-free, so both engines replay
+    // the identical trajectory; the ml_pca_power fixpoint discipline on
+    // a 5×5 chain). The 25-cell matrix folds on the driver (the Lloyd
+    // convention); the corpus pass is one lag window + hash aggregate.
+    // Honest readout: arrivals are near-uniform, so the stationary
+    // vector hugs 2000 pm per type — the chain self-reports no
+    // attractor, which is the measurement.
+    Q(
+      "agg_markov_stationary",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sp0 = s
+        import sp0.implicits._
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val types = pairs.keys.flatMap(k => Seq(k._1, k._2))
+          .toSeq.distinct.sorted
+        val rowSum = types.map(a =>
+          a -> types.map(b => pairs.getOrElse((a, b), 0L)).sum).toMap
+        val p = types.map(a => types.map(b =>
+          10000L * pairs.getOrElse((a, b), 0L) / rowSum(a)))
+        var x = Array.fill(types.size)(10000L / types.size)
+        for (_ <- 1 to 4) {
+          x = Array.tabulate(types.size)(b =>
+            types.indices.map(a => x(a) * p(a)(b)).sum / 10000L)
+        }
+        types.zipWithIndex
+          .map { case (t, i) => (t, rowSum(t), x(i)) }
+          .toDF("event_type", "n_out", "stationary_pm")
+          .orderBy("event_type")
+      },
+      oracle = Some {
+        def step(k: Int) = s"""
+        x$k AS (
+          SELECT p.b AS t,
+                 CAST(sum(x.v * p.p) AS BIGINT) // 10000 AS v
+          FROM x${k - 1} x JOIN p ON p.a = x.t
+          GROUP BY p.b)"""
+        s"""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        pairs AS (
+          SELECT prev_type AS a, event_type AS b, count(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        rs AS (SELECT a, CAST(sum(n) AS BIGINT) AS row_n
+               FROM pairs GROUP BY a),
+        p AS (
+          SELECT pairs.a, pairs.b,
+                 (10000 * pairs.n) // rs.row_n AS p
+          FROM pairs JOIN rs USING (a)),
+        ts0 AS (SELECT DISTINCT a AS t FROM pairs
+                UNION SELECT DISTINCT b FROM pairs),
+        nt AS (SELECT count(*) AS k FROM ts0),
+        x0 AS (SELECT t, CAST(10000 // (SELECT k FROM nt) AS BIGINT)
+                          AS v FROM ts0),
+        ${(1 to 4).map(step).mkString(",")}
+        SELECT t AS event_type, rs.row_n AS n_out,
+               x4.v AS stationary_pm
+        FROM x4 JOIN rs ON rs.a = x4.t
+        ORDER BY event_type"""
+      }),
+
     Q(
       "agg_transition_matrix",
       (s, dir) => {
