@@ -1805,14 +1805,22 @@ object Aggregates extends QueryModule {
           .toSeq.distinct.sorted
         val rowSum = types.map(a =>
           a -> types.map(b => pairs.getOrElse((a, b), 0L)).sum).toMap
-        val p = types.map(a => types.map(b =>
-          10000L * pairs.getOrElse((a, b), 0L) / rowSum(a)))
+        // Sink-only states (appear only as a transition TARGET, never a
+        // source) have rowSum == 0: give them an all-zero transition row
+        // (their mass is absorbed, exactly what the oracle's step CTE
+        // does by joining x through p on a) and drop them from the
+        // output (the oracle's final inner join on rs does the same).
+        val p = types.map(a =>
+          if (rowSum(a) == 0L) types.map(_ => 0L)
+          else types.map(b =>
+            10000L * pairs.getOrElse((a, b), 0L) / rowSum(a)))
         var x = Array.fill(types.size)(10000L / types.size)
         for (_ <- 1 to 4) {
           x = Array.tabulate(types.size)(b =>
             types.indices.map(a => x(a) * p(a)(b)).sum / 10000L)
         }
         types.zipWithIndex
+          .filter { case (t, _) => rowSum(t) > 0L }
           .map { case (t, i) => (t, rowSum(t), x(i)) }
           .toDF("event_type", "n_out", "stationary_pm")
           .orderBy("event_type")

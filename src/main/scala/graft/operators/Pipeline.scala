@@ -3211,7 +3211,16 @@ object Pipeline extends QueryModule {
     Q(
       "sample_ab_assign",
       (s, dir) => {
-        val arm = when((col("user_id") * 2654435761L) % 1000L < 500, "A")
+        // Overflow-free Knuth hash: reduce user_id mod a sub-2^30 prime
+        // BEFORE the 2654435761 multiply (raw product overflows Long for
+        // user_id ≳ 3.5e9 — ANSI Spark throws, DuckDB errors, and the
+        // pre-r14 sign-preserving % would have routed any wrapped id to
+        // arm A). pmod-of-pmod keeps every intermediate in [0, 2.66e18]
+        // and is the identity hash for all ids below the prime, so the
+        // fixture-scale assignment (and oracle hash) is unchanged.
+        val arm = when(
+          pmod(pmod(col("user_id"), lit(1000000007L)) * 2654435761L,
+            lit(1000L)) < 500, "A")
           .otherwise("B")
         val g = Tables.events(s, dir)
           .select(arm.as("arm"), col("user_id"), col("event_type"))
@@ -3237,7 +3246,7 @@ object Pipeline extends QueryModule {
       },
       oracle = Some("""
         WITH g AS (
-          SELECT CASE WHEN (user_id * 2654435761) % 1000 < 500
+          SELECT CASE WHEN ((user_id % 1000000007) * 2654435761) % 1000 < 500
                       THEN 'A' ELSE 'B' END AS arm,
                  count(DISTINCT user_id) AS n_users,
                  count(*) AS n_events,

@@ -828,9 +828,9 @@ object Similarity extends QueryModule {
                               b.vec_id) AS rn
             FROM gv a JOIN gv b ON b.vec_id <> a.vec_id) WHERE rn <= 8)"""
 
-  /** The 3-round beam-4 greedy search CTE chain from entry node 0 over
+  /** The 4-round beam-8 greedy search CTE chain from entry node 0 over
     * `gg`, per query (vec_id < 50): pN = visited set after round N,
-    * bN = the beam (top-4 visited by cosine). Appended after
+    * bN = the beam (top-8 visited by cosine). Appended after
     * [[knnGraphSql]].
     */
   private lazy val graphSearchSql: String = {

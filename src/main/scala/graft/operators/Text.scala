@@ -408,7 +408,13 @@ object Text extends QueryModule {
     Q(
       "text_char_entropy",
       (s, dir) => {
+        // Guard zero-length texts BEFORE the positional explode:
+        // Spark's sequence(1, 0) counts DOWN to [1, 0] (two phantom
+        // empty-char rows) while DuckDB's generate_series(1, 0) is
+        // empty — the same engine split the >=8/>=5 guards pin in the
+        // ngram keys.
         val ch = Tables.documents(s, dir)
+          .filter(length(col("text")) >= 1)
           .select(col("source"),
             explode(sequence(lit(1), length(col("text")))).as("i"),
             col("text"))

@@ -93,13 +93,21 @@ case class TopKPerGroupExec(
     val kB = k
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupExprsB, childOutput)
+      // Identity projection for children that emit non-Unsafe rows
+      // (local/RDD scans can hand GenericInternalRow — UnsafeRow is not
+      // a contract of SparkPlan.execute()). The projection reuses one
+      // buffer; every row the heap RETAINS is .copy()'d below.
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // Codegen'd row comparator for the requested sort order; heap keeps
       // the k FIRST rows of that order, root = worst kept (reverse order).
       val ordering = GenerateOrdering.generate(orderExprsB, childOutput)
       val reverse = ordering.reverse
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        val row = iter.next() match {
+          case u: UnsafeRow => u
+          case r => toUnsafe(r)
+        }
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
