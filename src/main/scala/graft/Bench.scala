@@ -173,7 +173,14 @@ object Bench {
     // sink_retention artifact confusion — VERDICT r9 task 7). Zero rows
     // from an oracle-bearing key is equally suspect: the oracle WILL have
     // rows, so the driver compare would fail — surface it in the artifact.
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+    // Local-iteration hook: GRAFT_BENCH_ONLY=k1,k2 times just those keys
+    // (the driver never sets it — official artifacts always price the
+    // full map; totals from a filtered run are NOT comparable).
+    val only: Option[Set[String]] =
+      sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .zipWithIndex
       .map { case ((name, fn), idx) =>
         val a1 = attempt(name, fn)
         val thr = retimeThreshold(priors.get(name))

@@ -3799,43 +3799,64 @@ package object api {
       * order-sensitive sum (the perplexity discipline): the per-group
       * total is an exact integer, engine- and partition-independent, and
       * the conventional PSI ≥ 0.2 "investigate" flag compares integers.
-      * One scan per slice collapsing to group×bucket cardinality;
-      * the bucket spine and totals are group-cardinality broadcasts.
       * Null values are excluded (they are a volume question —
-      * dq_volume_drift's job — not a distribution one).
+      * dq_volume_drift's job — not a distribution one). Two-frame
+      * convenience wrapper over [[driftPsiFlagged]]; when both slices
+      * filter the SAME table, call the flagged form directly — it is
+      * one scan instead of two.
       */
     def driftPsi(
         ref: DataFrame, cur: DataFrame, group: Column, value: Column,
         bucketWidth: Double, nBuckets: Int): DataFrame = {
+      val r = ref.select(group.as("grp"), value.as("v"), lit(true).as("r"))
+      val c = cur.select(group.as("grp"), value.as("v"), lit(false).as("r"))
+      driftPsiFlagged(r.unionAll(c), col("grp"), col("v"), col("r"),
+        bucketWidth, nBuckets)
+    }
+
+    /** Single-scan PSI: the two slices arrive as ONE frame with an
+      * `isRef` flag column, so the whole monitor is one scan → one
+      * group×bucket conditional aggregate (the only corpus-sized
+      * shuffle) → one per-group rollup. Empty buckets are densified by
+      * a higher-order fold over 0..nBuckets−1 against a per-group
+      * bucket map — no spine join, no second pass over the data — and
+      * each Laplace term quantizes to 1e-12 fixed point inside the
+      * fold, preserving [[driftPsi]]'s exact integer total. This is
+      * the shape the key uses (ref = first half-month of the same
+      * table): slicing by filter would scan the corpus twice and plan
+      * a join ladder; the flag costs one comparison per row.
+      */
+    def driftPsiFlagged(
+        df: DataFrame, group: Column, value: Column, isRef: Column,
+        bucketWidth: Double, nBuckets: Int): DataFrame = {
       require(nBuckets >= 2 && bucketWidth > 0)
-      def counts(df: DataFrame, as: String) = df
+      val gb = df
         .filter(value.isNotNull)
         .select(group.as("grp"),
           greatest(least(floor(value / bucketWidth), lit(nBuckets - 1L)),
-            lit(0L)).cast("int").as("b"))
-        .groupBy("grp", "b").agg(count(lit(1)).as(as))
-      val rc = counts(ref, "rcn")
-      val cc = counts(cur, "ccn")
-      val spine = rc.select(col("grp")).unionAll(cc.select(col("grp")))
-        .distinct()
-        .select(col("grp"),
-          explode(sequence(lit(0), lit(nBuckets - 1))).as("b"))
-      val j = spine
-        .join(rc, Seq("grp", "b"), "left")
-        .join(cc, Seq("grp", "b"), "left")
-        .select(col("grp"), col("b"),
-          coalesce(col("rcn"), lit(0L)).as("rcn"),
-          coalesce(col("ccn"), lit(0L)).as("ccn"))
-      val tot = j.groupBy("grp")
-        .agg(sum("rcn").as("rt"), sum("ccn").as("ct"))
+            lit(0L)).cast("int").as("b"),
+          isRef.as("r"))
+        .groupBy("grp", "b")
+        .agg(sum(when(col("r"), 1L).otherwise(0L)).as("rcn"),
+          sum(when(!col("r"), 1L).otherwise(0L)).as("ccn"))
+      // |groups|×|buckets| rows from here on — driver-scale algebra.
+      val perGrp = gb.groupBy("grp")
+        .agg(map_from_entries(collect_list(struct(col("b"),
+          struct(col("rcn").as("rcn"), col("ccn").as("ccn"))))).as("m"),
+          sum("rcn").as("rt"), sum("ccn").as("ct"))
       val B = nBuckets.toDouble
-      val p = (col("rcn") + 1.0) / (col("rt") + B)
-      val q = (col("ccn") + 1.0) / (col("ct") + B)
-      j.join(broadcast(tot), "grp")
-        .select(col("grp"), col("rt"), col("ct"),
-          round((p - q) * log(p / q) * 1e12, 0).cast("long").as("f"))
-        .groupBy(col("grp"), col("rt").as("n_ref"), col("ct").as("n_cur"))
-        .agg(sum("f").as("sf"))
+      def term(rcn: Column, ccn: Column): Column = {
+        val p = (rcn + 1.0) / (col("rt") + B)
+        val q = (ccn + 1.0) / (col("ct") + B)
+        round((p - q) * log(p / q) * 1e12, 0).cast("long")
+      }
+      perGrp
+        .select(col("grp"), col("rt").as("n_ref"), col("ct").as("n_cur"),
+          aggregate(sequence(lit(0), lit(nBuckets - 1)), lit(0L),
+            (acc, i) => acc + term(
+              coalesce(element_at(col("m"), i).getField("rcn"), lit(0L)),
+              coalesce(element_at(col("m"), i).getField("ccn"), lit(0L))))
+            .as("sf"))
         .select(col("grp"), col("n_ref"), col("n_cur"),
           round(col("sf") / 1e12, 4).as("psi"),
           (col("sf") >= 200000000000L).as("drifted"))

@@ -455,17 +455,18 @@ object Quality extends QueryModule {
     // first and second half-month of the corpus, fixed 50-wide value
     // buckets, Laplace smoothing, every term 1e-12-fixed-point before
     // the sum so the ≥0.2 "investigate" flag compares integers (see
-    // api.Quality.driftPsi). Complements dq_volume_drift: that one
-    // alarms on HOW MUCH arrived, this one on WHAT the values look
-    // like. Two scans collapsing to type×bucket counts.
+    // api.Quality.driftPsiFlagged). Complements dq_volume_drift: that
+    // one alarms on HOW MUCH arrived, this one on WHAT the values look
+    // like. ONE scan with a half-flag column collapsing to a single
+    // type×bucket conditional aggregate; empty buckets densify in a
+    // per-group fold, never a spine join (r13 verdict task 3: e18→e2).
     Q(
       "dq_drift_psi",
       (s, dir) => {
         val ev = Tables.events(s, dir)
         val cut = lit("2024-01-16").cast("timestamp")
-        graft.api.Quality.driftPsi(
-          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
-          col("event_type"), col("value"),
+        graft.api.Quality.driftPsiFlagged(
+          ev, col("event_type"), col("value"), col("ts") < cut,
           bucketWidth = 50.0, nBuckets = 10)
           .orderBy("grp")
       },
