@@ -109,6 +109,23 @@ object Bench {
   private[graft] def retimeThreshold(prior: Option[Double]): Double =
     prior.map(p => math.max(3.0, 10 * p)).getOrElse(30.0)
 
+  /** The full valve (r13 verdict task 6): the 10× threshold above, OR
+    * the descheduled signature — wall > 3× prior AND wall > 3× the
+    * parallel-compute prediction cpu/cores. The second arm catches the
+    * 3-5× environment drifts the 10× valve waves through (r13's
+    * graph_pagerank 12.3 s official vs 4.1 s prior read as a regression
+    * for a key whose code hadn't changed), while wall ≈ cpu/cores keys
+    * — honestly expensive compute — are never retimed at ANY drift,
+    * because rerunning honest work just measures it twice. Floored at
+    * 2 s so sub-second keys don't churn on scheduler noise.
+    */
+  private[graft] def shouldRetime(
+      wall: Double, cpu: Double, prior: Option[Double],
+      cores: Int): Boolean =
+    wall > retimeThreshold(prior) ||
+      (prior.exists(p => wall > math.max(2.0, 3 * p)) &&
+        wall > 3 * (cpu / cores))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -183,13 +200,14 @@ object Bench {
       .zipWithIndex
       .map { case ((name, fn), idx) =>
         val a1 = attempt(name, fn)
-        val thr = retimeThreshold(priors.get(name))
-        if (a1._4 != -1L && a1._1 > thr) {
+        if (a1._4 != -1L &&
+          shouldRetime(a1._1, a1._3, priors.get(name), cpus.toInt)) {
           System.err.println(
-            f"[bench] RETIME $name: ${a1._1}%.1f s counted > " +
-              f"$thr%.1f s threshold (prior median " +
-              f"${priors.get(name).fold("none")(p => f"$p%.2f s")}) — " +
-              "rerunning once")
+            f"[bench] RETIME $name: ${a1._1}%.1f s counted, " +
+              f"cpu ${a1._3}%.1f s (prior median " +
+              f"${priors.get(name).fold("none")(p => f"$p%.2f s")}, " +
+              f"10x threshold ${retimeThreshold(priors.get(name))}%.1f s) " +
+              "— rerunning once")
           val a2 = attempt(name, fn)
           (KeyRes(name, a2._1, a2._2, a2._3, a2._4, idx, Some(a1._1)),
             a2._5)

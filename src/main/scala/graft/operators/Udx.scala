@@ -297,17 +297,32 @@ object Udx extends QueryModule {
             graft.api.Sketches.quantileDigest(col("cents"), fr, uBits, kk)
               .as("qs"),
             count(lit(1)).as("n"))
-          .select(col("l_returnflag"), col("n"),
-            posexplode(col("qs")).as(Seq("i", "est_cents")))
-          .select(col("l_returnflag"), col("n"),
-            element_at(typedlit(fr), col("i") + 1).as("q"), col("est_cents"))
-        li.join(broadcast(sk), Seq("l_returnflag"))
-          .groupBy("l_returnflag", "q", "est_cents", "n")
-          .agg(sum(when(col("cents") <= col("est_cents"), 1L).otherwise(0L))
-            .as("est_rank"))
-          .select(col("l_returnflag"), col("q"),
-            round(col("est_cents") / 100.0, 2).as("est_value"),
-            (abs(col("est_rank") - col("q") * col("n")) <=
+        // Rank self-check in ONE unexploded pass: the 3-row-per-flag
+        // estimate frame used to fan every lineitem row out ×3 through
+        // the broadcast join before re-aggregating; keeping the 3
+        // estimates as an array column on a 1-row-per-flag broadcast
+        // computes all three exact ranks as conditional sums over the
+        // original 600k rows (r13 verdict task 4).
+        val ranks = li.join(broadcast(sk), Seq("l_returnflag"))
+          .groupBy("l_returnflag", "n", "qs")
+          .agg(
+            sum(when(col("cents") <= element_at(col("qs"), 1), 1L)
+              .otherwise(0L)).as("r1"),
+            sum(when(col("cents") <= element_at(col("qs"), 2), 1L)
+              .otherwise(0L)).as("r2"),
+            sum(when(col("cents") <= element_at(col("qs"), 3), 1L)
+              .otherwise(0L)).as("r3"))
+        ranks
+          .select(col("l_returnflag"), col("n"), explode(array(
+            struct(lit(fr(0)).as("q"), element_at(col("qs"), 1).as("est"),
+              col("r1").as("rk")),
+            struct(lit(fr(1)).as("q"), element_at(col("qs"), 2).as("est"),
+              col("r2").as("rk")),
+            struct(lit(fr(2)).as("q"), element_at(col("qs"), 3).as("est"),
+              col("r3").as("rk")))).as("e"))
+          .select(col("l_returnflag"), col("e.q").as("q"),
+            round(col("e.est") / 100.0, 2).as("est_value"),
+            (abs(col("e.rk") - col("e.q") * col("n")) <=
               lit(eps) * col("n") + 1).as("rank_ok"))
           .orderBy("l_returnflag", "q")
       }),
