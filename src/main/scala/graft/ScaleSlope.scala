@@ -238,17 +238,41 @@ object ScaleSlope {
     "scan_dsv2_log", "sink_dsv2_log", "stream_dsv2_source",
     "stream_dsv2_mirror")
 
+  /** The 12 heaviest keys per the r13 verdict (task 1), certified to
+    * 100× with `--x100`: their linearity claims (adaptive-ε candidate
+    * degree, bounded-radius frontier growth, hub caps, banded probing)
+    * were argued in comments and measured only to 10×. One deviation,
+    * documented: `sim_ann_graph`'s exact k-NN graph build is
+    * QUADRATIC BY CONTRACT at fixture scale (the key's scaladoc names
+    * NN-descent as the corpus-scale index path), so driving its exact
+    * build at 100× (2·10⁵ vectors → 4·10¹⁰ cosine pairs) measures the
+    * documented fixture-scale contract, not the engine — it is capped
+    * at 10× here and its 1×→10× slope is the asserted bound instead.
+    */
+  private val heavy100Keys = Seq(
+    "graph_pagerank", "graph_label_propagation", "graph_betweenness",
+    "graph_kcore", "graph_modularity", "ml_dbscan_grid",
+    "graph_random_walk", "dq_drift_psi", "graph_sssp", "sim_ann_graph",
+    "dedup_incremental", "graph_jaccard_capped")
+
+  /** Keys whose 100× point is skipped (with the reason printed into the
+    * artifact): quadratic-by-contract fixture-scale builds.
+    */
+  private val cap10Keys = Set("sim_ann_graph")
+
   def main(args: Array[String]): Unit = {
     // Recognize --streaming ANYWHERE (a lone `--streaming` used to become
     // the output DIRECTORY and silently benchmark the batch keys); any
     // other dash-argument is a typo'd flag — fail fast, not mis-measure.
     val (flags, positional) = args.partition(_.startsWith("--"))
-    flags.filterNot(_ == "--streaming").foreach { f =>
-      sys.error(s"ScaleSlope: unknown flag $f (only --streaming)") }
+    flags.filterNot(f => f == "--streaming" || f == "--x100").foreach { f =>
+      sys.error(s"ScaleSlope: unknown flag $f (--streaming | --x100)") }
+    val x100 = flags.contains("--x100")
     val outBase = positional.headOption.getOrElse("/tmp/graft_scale")
     val keys =
       if (flags.contains("--streaming")) streamingKeys
       else if (positional.length > 1) positional.drop(1).toSeq
+      else if (x100) heavy100Keys
       else defaultKeys
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -285,18 +309,25 @@ object ScaleSlope {
             e: org.apache.spark.sql.streaming.StreamingQueryListener
               .QueryTerminatedEvent): Unit = ()
       })
-    val dirs = Seq(1L, 10L).map { sc =>
+    val scales = if (x100) Seq(1L, 10L, 100L) else Seq(1L, 10L)
+    val dirs = scales.map { sc =>
       val d = s"$outBase/x$sc"
       generate(spark, d, sc)
       sc -> d
     }
     val results = keys.flatMap { key =>
       val fn = SparkEntry.queries(key)
+      val keyScales =
+        if (cap10Keys(key)) dirs.filter(_._1 <= 10L) else dirs
       try {
-        val per = dirs.map { case (sc, d) =>
+        val per = keyScales.map { case (sc, d) =>
           stateRows.set(0)
           liveQueries.clear()
-          val runs = (1 to 3).map { _ =>
+          // 2 runs at the 100× point (cold + warm) — 3 runs would hold
+          // the harness hostage to the heaviest key; warm = min of the
+          // non-cold runs either way.
+          val nRuns = if (sc == 100L) 2 else 3
+          val runs = (1 to nRuns).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, d).count()
             (System.nanoTime() - t0) / 1e9
@@ -309,8 +340,11 @@ object ScaleSlope {
         val st = if (per(1L)._3 > 0 || per(10L)._3 > 0)
           s""","state_rows_1x":${per(1L)._3},"state_rows_10x":${per(10L)._3}"""
         else ""
-        println(f"""{"key":"$key","t1_cold":${per(1L)._1}%.2f,"t1_warm":${per(1L)._2}%.2f,"t10_cold":${per(10L)._1}%.2f,"t10_warm":${per(10L)._2}%.2f,"warm_slope":$slope%.1f,"cold_slope":$coldSlope%.1f$st}""")
-        Some((key, slope))
+        val s100 = per.get(100L).map { case (cold, warm, _) =>
+          f""","t100_cold":$cold%.2f,"t100_warm":$warm%.2f,"slope_10_100":${warm / per(10L)._2}%.1f"""
+        }.getOrElse(if (x100) s""","x100":"capped-by-contract"""" else "")
+        println(f"""{"key":"$key","t1_cold":${per(1L)._1}%.2f,"t1_warm":${per(1L)._2}%.2f,"t10_cold":${per(10L)._1}%.2f,"t10_warm":${per(10L)._2}%.2f,"warm_slope":$slope%.1f,"cold_slope":$coldSlope%.1f$st$s100}""")
+        Some((key, per.get(100L).map(_._2 / per(10L)._2).getOrElse(slope)))
       } catch {
         case e: Throwable =>
           println(s"""{"key":"$key","error":"${e.getClass.getSimpleName}: ${
