@@ -2622,10 +2622,17 @@ package object api {
       * deg LONG — null for dangling nodes); rank = rank_fp/1e15 exactly
       * (rank_fp < 2^53), summing to ~1.
       */
+    /** `prepared = true`: the caller passes edges ALREADY in this
+      * function's internal layout — symmetrized (for undirected),
+      * distinct, hash-partitioned and sorted on src, checkpointed —
+      * typically a shared per-(session, dir) graph index; the layout
+      * build is skipped entirely.
+      */
     def pageRank(
         edges: DataFrame, src: Column, dst: Column,
         iterations: Int = 6, damping: Double = 0.85,
-        undirected: Boolean = false): DataFrame = {
+        undirected: Boolean = false,
+        prepared: Boolean = false): DataFrame = {
       require(iterations >= 1 && damping > 0 && damping < 1)
       val dNum = math.round(damping * 100).toInt
       require(dNum / 100.0 == damping,
@@ -2639,7 +2646,8 @@ package object api {
       // The checkpoint captures the physical layout (hash-partitioned and
       // sorted on src), so every round's share join reuses it: only the
       // node-sized shares side moves per iteration, never the edges.
-      val e = (if (undirected)
+      val e = if (prepared) raw
+      else (if (undirected)
         raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
       else raw)
         .repartition(col("src")).distinct()
