@@ -253,7 +253,10 @@ object ScaleSlope {
     "graph_pagerank", "graph_label_propagation", "graph_betweenness",
     "graph_kcore", "graph_modularity", "ml_dbscan_grid",
     "graph_random_walk", "dq_drift_psi", "graph_sssp", "sim_ann_graph",
-    "dedup_incremental", "graph_jaccard_capped")
+    "dedup_incremental", "graph_jaccard_capped",
+    // round 14: the linear kNN-graph build that replaces sim_ann_graph's
+    // quadratic-by-contract exact build at corpus scale
+    "sim_ann_nndescent")
 
   /** Keys whose 100× point is skipped (with the reason printed into the
     * artifact): quadratic-by-contract fixture-scale builds.

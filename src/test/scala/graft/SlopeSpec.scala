@@ -44,6 +44,9 @@ class SlopeSpec extends AnyFunSuite {
     "graph_jaccard_capped" -> (25.0,
       "wedge volume capped at deg<=64 but synthetic densification " +
         "grows shared-neighbor overlap superlinearly below the cap"),
+    "sim_ann_nndescent" -> (20.0,
+      "rounds x n x k^2 scoring + one distinct per round; reverse cap " +
+        "bounds candidates regardless of in-degree skew"),
     // quadratic-by-contract fixture build: 1x->10x warm slope asserted
     "sim_ann_graph" -> (120.0,
       "exact kNN graph build is O(n^2) BY CONTRACT at fixture scale"))
