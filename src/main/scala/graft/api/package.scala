@@ -456,6 +456,7 @@ package object api {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
       var labels = nodes.select(nodeId.as("id"), nodeId.as("label"))
+      val sp = edges.sparkSession
       // Convergence probe: labels only ever decrease, so an unchanged
       // exact sum (decimal — no Long overflow at any node count) means no
       // label moved ⇒ fixed point ⇒ every component already carries its
@@ -465,11 +466,38 @@ package object api {
       // cheaper than the 2-join round it saves. Seeded with the initial
       // identity-label sum so an already-converged input (no edges, or
       // every node its own min) exits after a single round.
-      var prevSum: java.math.BigDecimal = labels
-        .agg(sum(col("label").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)
+      // Seed probe also counts the nodes (same 1-row job) — the count
+      // sizes the round loop's shuffle fan-out below.
+      val seed = labels
+        .agg(sum(col("label").cast("decimal(38,0)")), count(lit(1)))
+        .collect()(0)
+      var prevSum: java.math.BigDecimal = seed.getDecimal(0)
+      val nNodes = seed.getLong(1)
       var round = 0
       var converged = false
+      // Round-loop scheduler-churn valve (measured r14): with AQE on,
+      // every tiny per-round query materializes one JOB per query stage
+      // for runtime re-planning that has nothing to decide at label-frame
+      // sizes (ml_dbscan_grid ran 208 jobs); with AQE simply off, the
+      // rounds run 32 full-width shuffle tasks instead of AQE-coalesced
+      // ones and get SLOWER (9.3 s vs 7.7). The right shape is both: AQE
+      // off AND the shuffle width sized to the label frame (16-byte rows;
+      // ~2M rows per partition, floored at 4) — ml_dbscan_grid 7.7→5.3 s,
+      // dedup_fuzzy_cluster 3.1→2.2, dedup_connected_components 2.2→1.4.
+      // Beyond 50M nodes the session conf is left alone: at that size AQE
+      // has real decisions (skew, coalescing against real stats) and the
+      // per-round job overhead is noise against the data work.
+      val tune = nNodes <= 50000000L
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val shufKey = "spark.sql.shuffle.partitions"
+      val priorAqe = sp.conf.get(aqeKey)
+      val priorShuf = sp.conf.get(shufKey)
+      if (tune) {
+        sp.conf.set(aqeKey, "false")
+        sp.conf.set(shufKey,
+          math.max(4L, nNodes / 2000000L).toString)
+      }
+      try {
       while (round < iterations && !converged) {
         // One round = min over three candidate sets in a single aggregate:
         // keep own label, labels arriving over edges, and the composed
@@ -502,6 +530,10 @@ package object api {
         if (prevSum != null && s.compareTo(prevSum) == 0) converged = true
         prevSum = s
         round += 1
+      }
+      } finally if (tune) {
+        sp.conf.set(aqeKey, priorAqe)
+        sp.conf.set(shufKey, priorShuf)
       }
       labels.select(col("id"), col("label").as("component"))
     }
