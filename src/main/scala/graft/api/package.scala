@@ -16,6 +16,40 @@ import org.apache.spark.sql.functions._
   */
 package object api {
 
+  /** Round-loop scheduler-churn valve for iterative fixpoints (CC,
+    * PageRank, HITS, k-core, Brandes, label propagation): with AQE on,
+    * every tiny per-round query materializes one JOB per query stage for
+    * runtime re-planning that has nothing to decide at per-round frame
+    * sizes (r14 census: ml_dbscan_grid ran 208 jobs, graph_betweenness
+    * 97) — but AQE simply off runs full-width shuffle tasks and gets
+    * SLOWER (9.3 s vs 7.7 measured). The right shape is both: AQE off
+    * AND the shuffle width sized to the iterated frame (16-byte-row
+    * scale: ~2M rows per partition, floored at 4), scoped to the loop
+    * and restored after. Beyond 50M rows the session conf is left
+    * untouched: there AQE has real decisions (skew, stats-driven
+    * coalescing) and per-round job overhead is noise against data work.
+    * Measured: ml_dbscan_grid 7.7→5.3 s warm, dedup_fuzzy_cluster
+    * 3.1→2.2, dedup_connected_components 2.2→1.4. Result rows are
+    * partitioning-independent, so hashes never move.
+    */
+  private[graft] def quietRounds[T](
+      sp: org.apache.spark.sql.SparkSession, nRows: Long)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    if (nRows > 50000000L) body
+    else {
+      val priorAqe = sp.conf.get(aqeKey)
+      val priorShuf = sp.conf.get(shufKey)
+      sp.conf.set(aqeKey, "false")
+      sp.conf.set(shufKey, math.max(4L, nRows / 2000000L).toString)
+      try body
+      finally {
+        sp.conf.set(aqeKey, priorAqe)
+        sp.conf.set(shufKey, priorShuf)
+      }
+    }
+  }
+
   /** Training-data deduplication primitives. */
   object Dedup {
 
@@ -475,29 +509,7 @@ package object api {
       val nNodes = seed.getLong(1)
       var round = 0
       var converged = false
-      // Round-loop scheduler-churn valve (measured r14): with AQE on,
-      // every tiny per-round query materializes one JOB per query stage
-      // for runtime re-planning that has nothing to decide at label-frame
-      // sizes (ml_dbscan_grid ran 208 jobs); with AQE simply off, the
-      // rounds run 32 full-width shuffle tasks instead of AQE-coalesced
-      // ones and get SLOWER (9.3 s vs 7.7). The right shape is both: AQE
-      // off AND the shuffle width sized to the label frame (16-byte rows;
-      // ~2M rows per partition, floored at 4) — ml_dbscan_grid 7.7→5.3 s,
-      // dedup_fuzzy_cluster 3.1→2.2, dedup_connected_components 2.2→1.4.
-      // Beyond 50M nodes the session conf is left alone: at that size AQE
-      // has real decisions (skew, coalescing against real stats) and the
-      // per-round job overhead is noise against the data work.
-      val tune = nNodes <= 50000000L
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val shufKey = "spark.sql.shuffle.partitions"
-      val priorAqe = sp.conf.get(aqeKey)
-      val priorShuf = sp.conf.get(shufKey)
-      if (tune) {
-        sp.conf.set(aqeKey, "false")
-        sp.conf.set(shufKey,
-          math.max(4L, nNodes / 2000000L).toString)
-      }
-      try {
+      quietRounds(sp, nNodes) {
       while (round < iterations && !converged) {
         // One round = min over three candidate sets in a single aggregate:
         // keep own label, labels arriving over edges, and the composed
@@ -531,9 +543,6 @@ package object api {
         prevSum = s
         round += 1
       }
-      } finally if (tune) {
-        sp.conf.set(aqeKey, priorAqe)
-        sp.conf.set(shufKey, priorShuf)
       }
       labels.select(col("id"), col("label").as("component"))
     }
@@ -2711,6 +2720,7 @@ package object api {
         nodesDeg.filter(col("deg").isNull).limit(1).count() > 0
       var ranks = nodesDeg.withColumn("rank_fp", lit(S / n))
       var round = 0
+      quietRounds(edges.sparkSession, n) {
       while (round < iterations) {
         val shares = ranks.filter(col("deg").isNotNull)
           .select(col("id").as("share_src"),
@@ -2755,6 +2765,7 @@ package object api {
             .localCheckpoint(true)
         }
         round += 1
+      }
       }
       // deg rides along (null for dangling nodes) so callers can derive
       // the truncation-loss bound iterations·(Σdeg + 2n) from the SAME
@@ -2914,13 +2925,16 @@ package object api {
         .select(col("node").cast("long").as("node"), col("dist"))
         .localCheckpoint(true)
       var hop = 0
-      while (hop < maxHops) {
-        val cand = dist.join(adj, dist("node") === adj("n"))
-          .select(col("m").as("node"), (col("dist") + col("w")).as("dist"))
-        dist = dist.unionAll(cand)
-          .groupBy("node").agg(min(col("dist")).as("dist"))
-          .localCheckpoint(true)
-        hop += 1
+      quietRounds(sp, adj.count()) {
+        while (hop < maxHops) {
+          val cand = dist.join(adj, dist("node") === adj("n"))
+            .select(col("m").as("node"),
+              (col("dist") + col("w")).as("dist"))
+          dist = dist.unionAll(cand)
+            .groupBy("node").agg(min(col("dist")).as("dist"))
+            .localCheckpoint(true)
+          hop += 1
+        }
       }
       dist
     }
@@ -2956,18 +2970,20 @@ package object api {
         .localCheckpoint(true)
       var frontier = visited
       var hop = 1
-      while (hop <= maxHops && !frontier.isEmpty) {
-        val next = frontier.join(adj, frontier("node") === adj("n"))
-          .select(col("m").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .withColumn("dist", lit(hop))
-          .localCheckpoint(true)
-        // No checkpoint on visited: it is a union of already-materialized
-        // frontiers, so its lineage is flat — checkpointing it again
-        // would only add a job per round.
-        visited = visited.unionAll(next)
-        frontier = next
-        hop += 1
+      quietRounds(sp, adj.count()) {
+        while (hop <= maxHops && !frontier.isEmpty) {
+          val next = frontier.join(adj, frontier("node") === adj("n"))
+            .select(col("m").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .withColumn("dist", lit(hop))
+            .localCheckpoint(true)
+          // No checkpoint on visited: it is a union of already-
+          // materialized frontiers, so its lineage is flat —
+          // checkpointing it again would only add a job per round.
+          visited = visited.unionAll(next)
+          frontier = next
+          hop += 1
+        }
       }
       visited
     }
@@ -3005,15 +3021,17 @@ package object api {
         .localCheckpoint(true)
       var frontier = visited
       var hop = 1
-      while (hop <= maxHops && !frontier.isEmpty) {
-        val next = frontier.join(adj, frontier("node") === adj("n"))
-          .select(col("src_id"), col("m").as("node")).distinct()
-          .join(visited, Seq("src_id", "node"), "left_anti")
-          .withColumn("dist", lit(hop))
-          .localCheckpoint(true)
-        visited = visited.unionAll(next)
-        frontier = next
-        hop += 1
+      quietRounds(sp, adj.count()) {
+        while (hop <= maxHops && !frontier.isEmpty) {
+          val next = frontier.join(adj, frontier("node") === adj("n"))
+            .select(col("src_id"), col("m").as("node")).distinct()
+            .join(visited, Seq("src_id", "node"), "left_anti")
+            .withColumn("dist", lit(hop))
+            .localCheckpoint(true)
+          visited = visited.unionAll(next)
+          frontier = next
+          hop += 1
+        }
       }
       visited
     }
@@ -3141,6 +3159,13 @@ package object api {
       val nc = hubs.count()
       var h = hubs.select(col("c"), lit(S / nc).as("h"))
       var a: DataFrame = null
+      // NOT quietRounds-wrapped (r14): with AQE off, the analyzer hits
+      // an INTERNAL_ERROR "conflicting references" on this loop's
+      // self-referencing checkpoint shape (e joined against a frame
+      // derived from e's own checkpointed aggregate — DeduplicateRelations
+      // re-aliases one of the two same-id LogicalRDDs under AQE but not
+      // without it). The per-round job overhead here is 2 broadcasts +
+      // 2 checkpoints, tolerable at 4 rounds.
       for (_ <- 1 to rounds) {
         // Checkpoint the RAW frames, not the normalized ones: each raw
         // feeds both its L1 total (broadcast subtree) and the
@@ -3210,6 +3235,7 @@ package object api {
             (coalesce(sum("d"), lit(0L)) / 2).cast("long").as("n_edges"))
           .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
       var out: DataFrame = null
+      quietRounds(edges.sparkSession, e.count()) {
       for (r <- 1 to rounds) {
         val deg = degrees(e).localCheckpoint(true)
         val cen = census(r - 1, deg)
@@ -3219,6 +3245,7 @@ package object api {
           .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
           .select("u", "v")
           .localCheckpoint(true)
+      }
       }
       // rounds = 0 is valid (census the input, no peeling): the loop
       // never ran, so the final census is the only row.

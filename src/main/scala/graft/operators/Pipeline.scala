@@ -2699,6 +2699,7 @@ object Pipeline extends QueryModule {
           .localCheckpoint(true)
         var sp = sp0
         var frontier = sp0
+        val allDq = graft.api.quietRounds(s, adj.count()) {
         for (h <- 1 to 4) {
           val next = frontier.join(adj, frontier("node") === adj("n"))
             .groupBy(col("src"), col("m").as("node"))
@@ -2733,11 +2734,12 @@ object Pipeline extends QueryModule {
             .localCheckpoint(true)
           dqByLevel += (h -> dq)
         }
-        val allDq = (1 to 4).map(h =>
+        (1 to 4).map(h =>
             dqByLevel(h).join(
               sp.filter(col("d") === h).select("src", "node"),
               Seq("src", "node"), "left_semi"))
           .reduce(_ unionByName _)
+        }
         allDq.groupBy("node")
           .agg(sum("dq").as("bc_micro"))
           .orderBy(desc("bc_micro"), asc("node"))
