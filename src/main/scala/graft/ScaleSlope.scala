@@ -193,6 +193,14 @@ object ScaleSlope {
           .as("s_acctbal"))
 
   private def generate(s: SparkSession, dir: String, scale: Long): Unit = {
+    // The corpus is a pure function of (generator code, scale), so a dir
+    // that finished generating under the same generator version is
+    // reusable as-is — rerunning the 100× generation (~10 min of writes)
+    // per invocation made single-key re-measurements pay the whole
+    // harness cost. Bump GEN_VERSION whenever any generator above
+    // changes shape.
+    val marker = java.nio.file.Paths.get(dir, s"_gen_v${GenVersion}_$scale")
+    if (java.nio.file.Files.exists(marker)) return
     documents(s, 5000L * scale).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     embeddings(s, 2000L * scale).write.mode("overwrite")
@@ -209,7 +217,12 @@ object ScaleSlope {
       .parquet(s"$dir/customer.parquet")
     supplier(s, 1000L * scale).write.mode("overwrite")
       .parquet(s"$dir/supplier.parquet")
+    java.nio.file.Files.createFile(marker)
+    ()
   }
+
+  /** Generator-shape version for the reuse marker above. */
+  private val GenVersion = 1
 
   /** Heaviest families per VERDICT r10's plan audit: candidate-generating
     * dedup, iterative graph, ANN index builds, n-gram contamination,
