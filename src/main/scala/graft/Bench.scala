@@ -28,6 +28,21 @@ object Bench {
     } catch { case _: Throwable => () }
   }
 
+  /** Cross-round comparability ledger (ADVICE r14): keys whose
+    * build-once/query-many INDEX construction was hoisted out of the
+    * timed key into [[warmup]], with the round that hoisted it — so a
+    * reader diffing totals across rounds can see which deltas are
+    * pricing changes rather than code speedups. Layout caches shared by
+    * whole families (bucketed/partitioned copies, streaming slices, the
+    * DSv2 topic) predate the ledger and are documented in BASELINE.md;
+    * this lists the per-key index hoists.
+    */
+  private[graft] val warmHoisted: Seq[(String, String)] = Seq(
+    "sim_ann_graph" -> "r14:knnGraph",
+    "graph_pagerank" -> "r14:pagerankPreparedEdges",
+    "sim_ann_nndescent" -> "r15:nndescentKnn",
+    "sim_ann_recall_nndescent" -> "r15:nndescentKnn")
+
   /** Fixed-work CPU+shuffle calibration probe: a deterministic in-memory
     * sort+agg over spark.range — no I/O, no fixture dependence — so every
     * bench artifact carries an environment yardstick. Quoting totals as
@@ -160,9 +175,17 @@ object Bench {
     // reference is GC'd, so holding every frame accumulates the whole
     // run's checkpoint blocks. Dropping the frame per-key lets the
     // ContextCleaner reclaim as the run proceeds.
+    // Tuple: (counted, full, cpuFull, rows, planTag, cpuCounted).
+    // cpuCounted snapshots process CPU at the counted boundary (tc) so
+    // the retime valve's wall-vs-cpu/cores comparison uses the SAME
+    // window as the counted wall it judges — cpu measured across the
+    // whole attempt includes the untimed full-output re-run, which
+    // inflates cpu/cores and can under-trigger the descheduled-signature
+    // arm (ADVICE r14). cpuFull stays in the artifact as the honest
+    // whole-key compute record.
     def attempt(name: String,
         fn: (SparkSession, String) => DataFrame)
-        : (Double, Double, Double, Long, String) = {
+        : (Double, Double, Double, Long, String, Double) = {
       val c0 = cpuNow(); val t0 = System.nanoTime()
       try {
         if (breakKey.contains(name))
@@ -171,17 +194,18 @@ object Bench {
         val tb = System.nanoTime() // construction (incl. side effects)
         val n = frame.count()
         val tc = System.nanoTime() // counted pricing ends here
+        val cc = cpuNow()
         frame.queryExecution.toRdd.count() // every output column, re-run
         val tf = System.nanoTime()
         val tag =
           try PlanAudit.planClass(frame.queryExecution.executedPlan.toString)
           catch { case _: Throwable => "unplannable" }
         ((tc - t0) / 1e9, ((tb - t0) + (tf - tc)) / 1e9,
-          (cpuNow() - c0) / 1e9, n, tag)
+          (cpuNow() - c0) / 1e9, n, tag, (cc - c0) / 1e9)
       } catch {
         case _: Throwable =>
-          ((System.nanoTime() - t0) / 1e9, 0.0, (cpuNow() - c0) / 1e9,
-            -1L, "error")
+          val c = (cpuNow() - c0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, 0.0, c, -1L, "error", c)
       }
     }
     // Stable timing order (map iteration order is hash-dependent).
@@ -195,16 +219,25 @@ object Bench {
     // full map; totals from a filtered run are NOT comparable).
     val only: Option[Set[String]] =
       sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Fail fast on typo'd filter keys: a misspelled GRAFT_BENCH_ONLY used
+    // to silently time zero keys and print an empty-looking artifact
+    // (ADVICE r14) — an unknown key is a harness usage error, not data.
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_BENCH_ONLY names unknown keys: ${unknown.toSeq.sorted
+          .mkString(", ")}")
+    }
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
       .map { case ((name, fn), idx) =>
         val a1 = attempt(name, fn)
         if (a1._4 != -1L &&
-          shouldRetime(a1._1, a1._3, priors.get(name), cpus.toInt)) {
+          shouldRetime(a1._1, a1._6, priors.get(name), cpus.toInt)) {
           System.err.println(
             f"[bench] RETIME $name: ${a1._1}%.1f s counted, " +
-              f"cpu ${a1._3}%.1f s (prior median " +
+              f"counted-window cpu ${a1._6}%.1f s (prior median " +
               f"${priors.get(name).fold("none")(p => f"$p%.2f s")}, " +
               f"10x threshold ${retimeThreshold(priors.get(name))}%.1f s) " +
               "— rerunning once")
@@ -222,15 +255,28 @@ object Bench {
     val planClasses = timed.map { case (r, tag) => (r.name, tag) }
     val lines = artifactLines(
       results, planClasses, calibration, sfDir, Scratch.divertedKeys)
+    // A filtered run's totals cover only the subset — stamp the stdout
+    // artifact so a human reading it later can tell (the driver never
+    // sets the filter, so official artifacts never carry this line).
+    only.foreach { f =>
+      println(s"""{"metric":"filtered","filtered":${f.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    }
     lines.foreach(println)
     // The stdout tail is a 2000-char window, so the FULL per-key map can
     // never be guaranteed to survive it — persist the complete artifact
     // to a file as well (cwd = repo root under the driver), so per-key
-    // cross-round comparisons never depend on the tail.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL_LAST.json"),
-      lines.mkString("", "\n", "\n"))
-    catch { case _: Throwable => () }
+    // cross-round comparisons never depend on the tail. `.jsonl`: the
+    // file is one JSON object per line, not one JSON document (ADVICE
+    // r14 — tooling that trusted the old .json extension threw "Extra
+    // data"). Filtered runs skip the write entirely: a partial artifact
+    // in the full-sweep file's place is indistinguishable from a full
+    // sweep to a later reader.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL_LAST.jsonl"),
+        lines.mkString("", "\n", "\n"))
+      catch { case _: Throwable => () }
     spark.stop()
   }
 
@@ -290,7 +336,12 @@ object Bench {
     val pcs = planClasses.map { case (k, t) => s""""$k":"$t"""" }
       .mkString("{", ",", "}")
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val hoist = warmHoisted.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
     Seq(
+      // Pricing-change ledger: which keys had index builds hoisted into
+      // warmup, and when — cross-round total diffs read this first.
+      s"""{"metric":"warm_hoisted","warm_hoisted":$hoist,"sf":"$sfDir"}""",
       s"""{"metric":"cpu","cpu":$cp,"sf":"$sfDir"}""",
       s"""{"metric":"full","full":$fl,"sf":"$sfDir"}""",
       s"""{"metric":"retimed","retimed":$ret,"order":$ord,"sf":"$sfDir"}""",

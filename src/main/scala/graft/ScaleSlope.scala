@@ -269,7 +269,12 @@ object ScaleSlope {
     "dedup_incremental", "graph_jaccard_capped",
     // round 14: the linear kNN-graph build that replaces sim_ann_graph's
     // quadratic-by-contract exact build at corpus scale
-    "sim_ann_nndescent")
+    "sim_ann_nndescent",
+    // round 15 (VERDICT r14 task 1): the next cost tier — every key
+    // >2.2 s in BENCH_r14 whose 100 TB story was still 10×-measured
+    // prose. Bounds and rationale live in SlopeSpec.
+    "dedup_fuzzy_cluster", "dedup_containment", "mix_dedup_weighted",
+    "graph_hits", "graph_anf_hll", "graph_closeness")
 
   /** Keys whose 100× point is skipped (with the reason printed into the
     * artifact): quadratic-by-contract fixture-scale builds.
@@ -339,9 +344,6 @@ object ScaleSlope {
         val per = keyScales.map { case (sc, d) =>
           stateRows.set(0)
           liveQueries.clear()
-          // 2 runs at the 100× point (cold + warm) — 3 runs would hold
-          // the harness hostage to the heaviest key; warm = min of the
-          // non-cold runs either way.
           // 3 runs at every scale: warm = min of runs 2-3. A single warm
           // sample at the 100× point proved fragile — one run contended
           // with the previous run's still-draining multi-GB checkpoint

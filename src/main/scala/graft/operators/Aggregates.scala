@@ -1826,12 +1826,23 @@ object Aggregates extends QueryModule {
           .orderBy("event_type")
       },
       oracle = Some {
+        // Each step ranges over the FULL state set ts0 via left joins
+        // (coalesce 0 when a state has no incoming transitions), exactly
+        // like the Scala power iteration's dense vector — an inner-join
+        // chain narrows x's row set to transition TARGETS, so a
+        // source-only state (e.g. a type occurring only as a user's
+        // first event) would survive the Scala rowSum>0 filter but drop
+        // out of the oracle's final join (ADVICE r14 medium). On the
+        // fixture every type is both source and target, so values and
+        // hashes are unchanged; Round15Spec pins the divergent fixture.
         def step(k: Int) = s"""
         x$k AS (
-          SELECT p.b AS t,
-                 CAST(sum(x.v * p.p) AS BIGINT) // 10000 AS v
-          FROM x${k - 1} x JOIN p ON p.a = x.t
-          GROUP BY p.b)"""
+          SELECT s.t,
+                 CAST(coalesce(sum(x.v * p.p), 0) AS BIGINT) // 10000 AS v
+          FROM ts0 s
+          LEFT JOIN p ON p.b = s.t
+          LEFT JOIN x${k - 1} x ON x.t = p.a
+          GROUP BY s.t)"""
         s"""
         WITH seq AS (
           SELECT user_id, event_type,

@@ -283,7 +283,10 @@ object Udx extends QueryModule {
     // exact rank of each reported estimate — count(cents ≤ est) via one
     // broadcast of the 15-row estimate table back onto lineitem — must sit
     // within ε·n+1 of the requested rank. No oracle: the estimate depends
-    // on the digest's merge tree, which DuckDB cannot replay.
+    // on the digest's merge tree, which DuckDB cannot replay — the
+    // hash-checked replay of the digest ARITHMETIC lives in the r15 twin
+    // udaf_qdigest_portable below (offline build over exact leaf counts,
+    // same fold rule and rank readout, fully oracle-green).
     Q(
       "udaf_qdigest",
       (s, dir) => {
@@ -325,6 +328,163 @@ object Udx extends QueryModule {
             (abs(col("e.rk") - col("e.q") * col("n")) <=
               lit(eps) * col("n") + 1).as("rank_ok"))
           .orderBy("l_returnflag", "q")
+      }),
+
+    // OWNED portable q-digest — the oracle-bearing twin udaf_qdigest
+    // cannot be (its estimate depends on the streaming buffer's merge
+    // tree, which DuckDB cannot replay), completing the sketch-twin
+    // shelf: HLL got hllCtes (r11), Count-Min/SimHash/MinHash have
+    // portable twins, quantiles get this. This is the CLASSIC offline
+    // q-digest (Shrivastava et al. 2004 build it exactly this way):
+    // exact leaf counts over the implicit binary tree of the cents
+    // universe [0, 2^24), then ONE deterministic bottom-up compaction
+    // sweep — a sibling group (pair or lone child) folds into its
+    // parent iff its pending count is ≤ t = ⌊n/k⌋, else its members
+    // are emitted as digest nodes — then rank extraction by the
+    // (upper-bound asc, range-size asc) cumulative walk. Every step is
+    // integer arithmetic on (node id, count) pairs, so the WHOLE
+    // digest — build, compaction, quantile readout — replays bit-exactly
+    // in DuckDB. Scale shape: the ONLY data-sized pass is the leaf
+    // census (map-combined groupBy, shuffle carries ≤ distinct-cents
+    // rows, bounded by the 2^24 universe, never by row count); the 24
+    // fold levels then run entirely WITHOUT exchanges — one
+    // repartition on l_returnflag lets every per-level window/distinct
+    // reuse the partitioning (flag ⊆ every level's keys), and levels
+    // shrink geometrically. The streaming sibling keeps the mergeable
+    // buffer story; this key certifies the digest ARITHMETIC.
+    Q(
+      "udaf_qdigest_portable",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val uBits = 24
+        val k = 2048L
+        val leaves = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"),
+            (lit(1L << uBits) +
+              round(col("l_extendedprice") * 100).cast("long")).as("id"))
+          .groupBy("l_returnflag", "id")
+          .agg(count(lit(1)).as("c"))
+        val nt = leaves.groupBy("l_returnflag")
+          .agg(sum("c").as("n"), expr(s"sum(c) div $k").as("t"))
+        // One partitioning serves every level: flag is a subset of each
+        // window/distinct key below, so no further exchange appears.
+        var pending = leaves.join(nt, "l_returnflag")
+          .repartition(col("l_returnflag"))
+          .select(col("l_returnflag"), col("id"), col("c").cast("long")
+            .as("c"), col("n"), col("t"))
+        var emitted = Seq.empty[org.apache.spark.sql.DataFrame]
+        for (lvl <- uBits to 1 by -1) {
+          val w = Window.partitionBy(col("l_returnflag"),
+            expr("id div 2"))
+          val sc = pending.withColumn("sc", sum(col("c")).over(w))
+          emitted :+= sc.filter(col("sc") > col("t"))
+            .select(col("l_returnflag"), col("id"), col("c"),
+              col("n"), lit(lvl).as("lvl"))
+          pending = sc.filter(col("sc") <= col("t"))
+            .select(col("l_returnflag"), expr("id div 2").as("id"),
+              col("sc").as("c"), col("n"), col("t"))
+            .distinct()
+        }
+        // level-0 root survivor (empty in practice: full fold would need
+        // n ≤ n/k) — kept for totality so the union is exhaustive
+        emitted :+= pending.select(col("l_returnflag"), col("id"),
+          col("c"), col("n"), lit(0).as("lvl"))
+        val em = emitted.reduce(_ unionAll _)
+          .withColumn("sz",
+            expr(s"shiftleft(CAST(1 AS BIGINT), $uBits - lvl)"))
+          .withColumn("ub",
+            (col("id") - expr("shiftleft(CAST(1 AS BIGINT), lvl)"))
+              * col("sz") + col("sz") - 1)
+        val cum = em.withColumn("cum",
+          sum(col("c")).over(Window.partitionBy("l_returnflag")
+            .orderBy("ub", "sz")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val nodes = em.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("digest_nodes"))
+        // Integer rank targets (fnum/fden avoids float ceil drift):
+        // target = max(1, ceil(n·f)) for f ∈ {1/2, 9/10, 99/100}.
+        val fr = Seq((0.5, 1L, 2L), (0.9, 9L, 10L), (0.99, 99L, 100L))
+        val tq = nt.select(col("l_returnflag"), col("n"),
+          explode(typedlit(fr)).as("f"))
+          .select(col("l_returnflag"), col("n"), col("f._1").as("q"),
+            greatest(lit(1L),
+              expr("(n * f._2 + f._3 - 1) div f._3")).as("target"))
+        tq.join(cum.select(col("l_returnflag"), col("ub"), col("cum")),
+            Seq("l_returnflag"))
+          .filter(col("cum") >= col("target"))
+          .groupBy("l_returnflag", "q", "n")
+          // cum is monotone in (ub, sz): min(ub) over the crossing
+          // suffix IS the first crossing node's upper bound, already in
+          // value space (a leaf's ub = its cents value).
+          .agg(min(col("ub")).as("est_cents"))
+          .join(broadcast(nodes), "l_returnflag")
+          .select(col("l_returnflag"), col("q"),
+            col("est_cents"), col("n"), col("digest_nodes"))
+          .orderBy("l_returnflag", "q")
+      },
+      oracle = Some {
+        val uB = 24
+        def lvlCtes(lvl: Int) = s"""
+        s$lvl AS (
+          SELECT *, sum(c) OVER (PARTITION BY flag, id // 2) AS sc
+          FROM p$lvl),
+        e$lvl AS (
+          SELECT flag, id, c, n, $lvl AS lvl FROM s$lvl WHERE sc > t),
+        p${lvl - 1} AS (
+          SELECT DISTINCT flag, id // 2 AS id, CAST(sc AS BIGINT) AS c,
+                 n, t
+          FROM s$lvl WHERE sc <= t)"""
+        s"""
+        WITH leaves AS (
+          SELECT l_returnflag AS flag,
+                 ${1L << uB} + CAST(round(l_extendedprice * 100)
+                   AS BIGINT) AS id,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1, 2),
+        nt AS (
+          SELECT flag, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) // 2048 AS t
+          FROM leaves GROUP BY 1),
+        p$uB AS (
+          SELECT l.flag, l.id, l.c, nt.n, nt.t
+          FROM leaves l JOIN nt USING (flag)),
+        ${(uB to 1 by -1).map(lvlCtes).mkString(",")},
+        em AS (
+          ${(uB to 1 by -1)
+            .map(l => s"SELECT flag, id, c, n, lvl FROM e$l")
+            .mkString("\n          UNION ALL ")}
+          UNION ALL SELECT flag, id, c, n, 0 AS lvl FROM p0),
+        ub AS (
+          SELECT flag, id, c, n, lvl,
+                 (CAST(1 AS BIGINT) << ($uB - lvl)) AS sz,
+                 (id - (CAST(1 AS BIGINT) << lvl))
+                   * (CAST(1 AS BIGINT) << ($uB - lvl))
+                   + (CAST(1 AS BIGINT) << ($uB - lvl)) - 1 AS ub
+          FROM em),
+        cumt AS (
+          SELECT flag, ub,
+                 CAST(sum(c) OVER (PARTITION BY flag ORDER BY ub, sz
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM ub),
+        nodes AS (SELECT flag, count(*) AS digest_nodes FROM ub
+                  GROUP BY 1),
+        fr AS (SELECT * FROM (VALUES
+                 (CAST(0.5 AS DOUBLE), 1, 2),
+                 (CAST(0.9 AS DOUBLE), 9, 10),
+                 (CAST(0.99 AS DOUBLE), 99, 100)) AS f(q, fn, fd)),
+        tq AS (
+          SELECT nt.flag, fr.q, nt.n,
+                 greatest(1, (nt.n * fr.fn + fr.fd - 1) // fr.fd)
+                   AS target
+          FROM nt CROSS JOIN fr)
+        SELECT t.flag AS l_returnflag, t.q,
+               CAST(min(c.ub) AS BIGINT) AS est_cents, t.n,
+               nodes.digest_nodes
+        FROM tq t
+        JOIN cumt c ON c.flag = t.flag AND c.cum >= t.target
+        JOIN nodes ON nodes.flag = t.flag
+        GROUP BY 1, 2, 4, 5
+        ORDER BY l_returnflag, q"""
       }),
 
     // Misra–Gries heavy hitters: the bounded-memory top-k-frequent sketch

@@ -120,9 +120,11 @@ class ArtifactContractSpec extends AnyFunSuite {
     assert(out.contains("correctness artifact OK"), out)
   }
 
-  test("BENCH_LOCAL_LAST.json written by the last real bench run (if any) " +
+  test("BENCH_LOCAL_LAST.jsonl written by the last real bench run (if any) " +
     "also satisfies the contract") {
-    val f = Paths.get("BENCH_LOCAL_LAST.json")
+    // .jsonl since r15: the file is one JSON object per line (ADVICE r14
+    // — the old .json extension broke json.load with "Extra data").
+    val f = Paths.get("BENCH_LOCAL_LAST.jsonl")
     assume(Files.exists(f), "no local bench artifact yet — run graft.Bench")
     val (rc, out) = runChecker(
       Files.readString(f).split("\n").toSeq)
