@@ -1730,6 +1730,37 @@ package object api {
         universeBits: Int = 20, k: Int = 2048): Column =
       udaf(new graft.functions.QDigest(fractions, universeBits, k)).apply(c)
 
+    /** The same q-digest as a NATIVE TypedImperativeAggregate
+      * ([[graft.functions.QDigestAgg]], delegating to the same
+      * reduce/merge/finish): identical algorithm and error contract,
+      * minus the ScalaAggregator bridge's per-row encoder round-trip —
+      * the production entry point for the hot path (the udaf form stays
+      * as the user-extension-surface demonstration).
+      */
+    def quantileDigestNative(
+        c: Column, fractions: Seq[Double],
+        universeBits: Int = 20, k: Int = 2048): Column = {
+      import org.apache.spark.sql.graftx.Bridge
+      Bridge.column(graft.functions.QDigestAgg(
+        Bridge.expression(c), fractions, universeBits, k)
+        .toAggregateExpression())
+    }
+
+    /** OFFLINE q-digest node set ([[graft.functions.QDigestOfflineNodes]]):
+      * exact leaf census (order-free, map-combined) + one deterministic
+      * fold at eval — the digest as array<struct<id, c, lvl>>, a pure
+      * function of the input multiset (partitioning/merge-order
+      * independent, hence DuckDB-replayable — udaf_qdigest_portable's
+      * engine side). The streaming [[quantileDigest]]/[[quantileDigestNative]]
+      * forms trade that exactness for O(k) in-flight state.
+      */
+    def quantileDigestOfflineNodes(
+        c: Column, universeBits: Int = 24, k: Int = 2048): Column = {
+      import org.apache.spark.sql.graftx.Bridge
+      Bridge.column(graft.functions.QDigestOfflineNodes(
+        Bridge.expression(c), universeBits, k).toAggregateExpression())
+    }
+
     /** KMV (bottom-k) distinct-value sketch of a LONG column: the k
       * smallest splitmix64 hash values as a sorted array<long>. Unlike
       * HLL this supports SET ALGEBRA after aggregation — intersection /

@@ -338,3 +338,321 @@ class QDigest(
     Encoders.javaSerialization[QDigestBuf]
   def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
+
+/** The same q-digest as a NATIVE Catalyst [[org.apache.spark.sql.catalyst
+  * .expressions.aggregate.TypedImperativeAggregate]] — the r14 ScanBaseline
+  * A/B attributed ~350–550 ns/row of udaf_qdigest's residue (key warm
+  * 1.0–1.1 s vs a 0.5–0.6 s honest two-pass scan floor) to the
+  * ScalaAggregator bridge: per row it evals the input THROUGH an
+  * ExpressionEncoder round-trip (boxing the long) and re-reads the buffer
+  * object out of the aggregation-buffer row. This class is the same
+  * algorithm ([[QDigest]]'s reduce/merge/finish, shared by delegation, so
+  * the two can never drift) wired directly into the aggregation iterator:
+  * `update` reads `child.eval(input)` as a primitive, the buffer stays a
+  * live [[QDigestBuf]] between rows, and serialization happens only at the
+  * partial → final shuffle — one length-prefixed (n, ids, cnts) byte blob
+  * per (partition, group), compacted first so the wire size is O(k).
+  *
+  * Same mergeability/error contract as [[QDigest]]: rank error ≤
+  * (universeBits/k)·n, buffer O(k) regardless of input size, partial
+  * aggregation map-side. NULL inputs are skipped (SQL aggregate
+  * convention).
+  */
+case class QDigestAgg(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    fractions: Seq[Double],
+    universeBits: Int = 20,
+    k: Int = 2048,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[QDigestBuf]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[
+      org.apache.spark.sql.catalyst.expressions.Expression] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types._
+
+  /** One algorithm instance per plan node: reduce/merge/finish/compact
+    * delegate here, so QDigestAgg IS QDigest with a faster doorway.
+    */
+  @transient private lazy val algo = new QDigest(fractions, universeBits, k)
+
+  // AbstractDataType (and so ImplicitCastInputTypes) is private[sql]:
+  // type discipline goes through checkInputDataTypes, the
+  // CosineSimilarity pattern. Callers pass an explicit LONG column.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT argument, got " +
+        child.dataType.catalogString)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "qdigest"
+
+  override def createAggregationBuffer(): QDigestBuf = new QDigestBuf
+
+  override def update(buf: QDigestBuf, input: InternalRow): QDigestBuf = {
+    val v = child.eval(input)
+    if (v == null) buf else algo.reduce(buf, v.asInstanceOf[Long])
+  }
+
+  override def merge(a: QDigestBuf, b: QDigestBuf): QDigestBuf =
+    algo.merge(a, b)
+
+  override def eval(buf: QDigestBuf): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      algo.finish(buf).toArray)
+
+  /** Length-prefixed primitive blob (n, len, ids, cnts) — compacted
+    * first, so the log is empty and the wire carries O(k) longs.
+    */
+  override def serialize(buf: QDigestBuf): Array[Byte] = {
+    algo.compact(buf)
+    val bb = java.nio.ByteBuffer.allocate(12 + 16 * buf.len)
+    bb.putLong(buf.n).putInt(buf.len)
+    var i = 0
+    while (i < buf.len) { bb.putLong(buf.ids(i)); i += 1 }
+    i = 0
+    while (i < buf.len) { bb.putLong(buf.cnts(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QDigestBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new QDigestBuf
+    buf.n = bb.getLong()
+    buf.len = bb.getInt()
+    buf.ids = new Array[Long](buf.len)
+    buf.cnts = new Array[Long](buf.len)
+    var i = 0
+    while (i < buf.len) { buf.ids(i) = bb.getLong(); i += 1 }
+    i = 0
+    while (i < buf.len) { buf.cnts(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QDigestAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QDigestAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): QDigestAgg = copy(child = newChild)
+}
+
+/** The OFFLINE q-digest (Shrivastava et al. 2004's original
+  * construction) as a TypedImperativeAggregate: exact leaf counts
+  * accumulated order-free (partial buffers are leaf-count arrays; merge
+  * is count addition — NO folding during accumulation), then ONE
+  * deterministic bottom-up fold at `eval`, emitting the digest's
+  * surviving nodes as array<struct<id, c, lvl>>.
+  *
+  * This is the engine side of udaf_qdigest_portable: because leaf
+  * accumulation is exact and the fold runs exactly once on the complete
+  * census, the result is a pure function of the input MULTISET —
+  * independent of partitioning and merge order — which is what lets the
+  * DuckDB oracle replay it bit-exactly (the streaming [[QDigest]]'s
+  * merge-tree-dependent estimates cannot be). The relational
+  * formulation (24 chained per-level aggregates) computes the same
+  * thing but pays 24 object-hash aggregation passes at the
+  * flag-partitioning parallelism (measured 11 s at sf0.1); here the
+  * leaf census rides the normal partial/final aggregation path
+  * (map-combined, shuffle carries one compacted leaf array per
+  * partition-group, bounded by min(distinct values, 2^universeBits))
+  * and the fold is a μs-scale in-memory sweep per group.
+  *
+  * Fold rule, identical to the oracle's CTE chain: at each level
+  * deepest-first, a sibling group (pair or lone child) of PENDING nodes
+  * folds into its parent iff its summed count ≤ t = ⌊n/k⌋, else its
+  * members are emitted as digest nodes at that level; the root (level
+  * 0) emits whatever remains.
+  */
+case class QDigestOfflineNodes(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    universeBits: Int = 24,
+    k: Int = 2048,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[QDigestBuf]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[
+      org.apache.spark.sql.catalyst.expressions.Expression] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types._
+
+  require(universeBits >= 1 && universeBits <= 40)
+  require(k >= 1)
+
+  private val universe: Long = 1L << universeBits
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT argument, got " +
+        child.dataType.catalogString)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("c", LongType, nullable = false),
+    StructField("lvl", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "qdigest_offline_nodes"
+
+  override def createAggregationBuffer(): QDigestBuf = new QDigestBuf
+
+  override def update(buf: QDigestBuf, input: InternalRow): QDigestBuf = {
+    val raw = child.eval(input)
+    if (raw == null) return buf
+    val v = math.min(math.max(raw.asInstanceOf[Long], 0L), universe - 1)
+    if (buf.fLen == buf.fresh.length) {
+      if (buf.fLen >= math.max(4096L, 4L * buf.len)) leafCompact(buf)
+      else {
+        val g = new Array[Long](buf.fresh.length * 2)
+        System.arraycopy(buf.fresh, 0, g, 0, buf.fLen)
+        buf.fresh = g
+      }
+    }
+    buf.fresh(buf.fLen) = v
+    buf.fLen += 1
+    buf.n += 1
+    buf
+  }
+
+  /** Exact-census compaction: sort + run-length-encode the raw log and
+    * merge-join with the sorted survivors. NO fold — accumulation keeps
+    * exact per-value counts ([[QDigest.compact]]'s front half without
+    * the sweep).
+    */
+  private def leafCompact(buf: QDigestBuf): Unit = {
+    if (buf.fLen == 0) return
+    java.util.Arrays.sort(buf.fresh, 0, buf.fLen)
+    val mIds = new Array[Long](buf.len + buf.fLen)
+    val mCnt = new Array[Long](mIds.length)
+    var i = 0; var j = 0; var u = 0
+    while (i < buf.len || j < buf.fLen) {
+      val nv = if (j < buf.fLen) buf.fresh(j) else Long.MaxValue
+      if (i < buf.len && buf.ids(i) < nv) {
+        mIds(u) = buf.ids(i); mCnt(u) = buf.cnts(i); i += 1; u += 1
+      } else {
+        var c = 0L
+        val v = buf.fresh(j)
+        while (j < buf.fLen && buf.fresh(j) == v) { c += 1; j += 1 }
+        if (i < buf.len && buf.ids(i) == v) { c += buf.cnts(i); i += 1 }
+        mIds(u) = v; mCnt(u) = c; u += 1
+      }
+    }
+    buf.fLen = 0
+    if (buf.fresh.length > 8192) buf.fresh = new Array[Long](64)
+    buf.ids = mIds; buf.cnts = mCnt; buf.len = u
+  }
+
+  override def merge(a: QDigestBuf, b: QDigestBuf): QDigestBuf = {
+    leafCompact(a); leafCompact(b)
+    val mIds = new Array[Long](a.len + b.len)
+    val mCnt = new Array[Long](mIds.length)
+    var i = 0; var j = 0; var u = 0
+    while (i < a.len || j < b.len) {
+      if (j >= b.len || (i < a.len && a.ids(i) < b.ids(j))) {
+        mIds(u) = a.ids(i); mCnt(u) = a.cnts(i); i += 1
+      } else if (i >= a.len || b.ids(j) < a.ids(i)) {
+        mIds(u) = b.ids(j); mCnt(u) = b.cnts(j); j += 1
+      } else {
+        mIds(u) = a.ids(i); mCnt(u) = a.cnts(i) + b.cnts(j); i += 1; j += 1
+      }
+      u += 1
+    }
+    a.ids = mIds; a.cnts = mCnt; a.len = u
+    a.n += b.n
+    a
+  }
+
+  /** The once-only bottom-up fold over the exact census. Pending node
+    * ids stay sorted ascending at every level (parents of an ascending
+    * walk ascend), so sibling grouping is adjacency.
+    */
+  override def eval(buf: QDigestBuf): Any = {
+    leafCompact(buf)
+    val t = buf.n / k
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    def emit(id: Long, c: Long, lvl: Int): Unit = {
+      out += new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](id, c, lvl)); ()
+    }
+    // Start at the leaf level: node id = universe + value.
+    var ids = new Array[Long](buf.len)
+    var cnts = new Array[Long](buf.len)
+    var len = buf.len
+    var i0 = 0
+    while (i0 < len) {
+      ids(i0) = universe + buf.ids(i0); cnts(i0) = buf.cnts(i0); i0 += 1
+    }
+    var lvl = universeBits
+    while (lvl >= 1 && len > 0) {
+      // len, not len/2: a level of LONE children can fold every node
+      // individually (sparse census), one parent per node
+      val nIds = new Array[Long](len)
+      val nCnt = new Array[Long](nIds.length)
+      var nk = 0
+      var i = 0
+      while (i < len) {
+        val id = ids(i); val c = cnts(i)
+        var s = c; var rc = -1L
+        if ((id & 1L) == 0L && i + 1 < len && ids(i + 1) == id + 1) {
+          rc = cnts(i + 1); s = c + rc; i += 2
+        } else i += 1
+        if (s <= t) { nIds(nk) = id >> 1; nCnt(nk) = s; nk += 1 }
+        else {
+          emit(id, c, lvl)
+          if (rc >= 0) emit(id + 1, rc, lvl)
+        }
+      }
+      ids = nIds; cnts = nCnt; len = nk
+      lvl -= 1
+    }
+    var r = 0
+    while (r < len) { emit(ids(r), cnts(r), 0); r += 1 }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override def serialize(buf: QDigestBuf): Array[Byte] = {
+    leafCompact(buf)
+    val bb = java.nio.ByteBuffer.allocate(12 + 16 * buf.len)
+    bb.putLong(buf.n).putInt(buf.len)
+    var i = 0
+    while (i < buf.len) { bb.putLong(buf.ids(i)); i += 1 }
+    i = 0
+    while (i < buf.len) { bb.putLong(buf.cnts(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QDigestBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new QDigestBuf
+    buf.n = bb.getLong()
+    buf.len = bb.getInt()
+    buf.ids = new Array[Long](buf.len)
+    buf.cnts = new Array[Long](buf.len)
+    var i = 0
+    while (i < buf.len) { buf.ids(i) = bb.getLong(); i += 1 }
+    i = 0
+    while (i < buf.len) { buf.cnts(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): QDigestOfflineNodes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): QDigestOfflineNodes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): QDigestOfflineNodes = copy(child = newChild)
+}

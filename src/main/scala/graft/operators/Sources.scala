@@ -349,8 +349,14 @@ object Sources extends QueryModule {
     // record reader parses. Deterministic BMP fixtures are written to
     // scratch, re-read via format("binaryFile") with a glob, and
     // re-decoded; byte lengths and a pixel probe certify a lossless
-    // round-trip. (No oracle: the side-effecting write's absolute paths
-    // aren't portable — every check is carried in-row.)
+    // round-trip. Oracle since r15: every output cell is a deterministic
+    // function of the fixture CONTRACT (12 files named img_%02d.bmp; BMP
+    // size = 54-byte header + h·rowStride with rows padded to 4 bytes;
+    // decode booleans true on a lossless round-trip), so DuckDB replays
+    // the format arithmetic — file count, exact names, byte length —
+    // rather than rows-only-trusting the in-row booleans. The absolute
+    // scratch PATH stays out of the output (basename only), which is
+    // what makes the replay portable.
     Q(
       "scan_binary_files",
       (s, dir) => {
@@ -379,7 +385,14 @@ object Sources extends QueryModule {
             (element_at(col("decoded"), 1) === w &&
               element_at(col("decoded"), 2) === h).as("dims_ok"))
           .orderBy("file")
-      }),
+      },
+      oracle = Some("""
+        SELECT printf('img_%02d.bmp', i) AS file,
+               CAST(54 + 16 * ((32 * 3 + 3) // 4 * 4) AS BIGINT)
+                 AS length,
+               true AS len_ok, true AS dims_ok
+        FROM generate_series(0, 11) AS t(i)
+        ORDER BY file""")),
 
     // Avro object-container ingestion (round 10). The sandbox ships avro
     // core jars (avro-1.12.1) but NOT the spark-avro DataSource module,
@@ -775,9 +788,14 @@ object Sources extends QueryModule {
 
     // The parquet _metadata hidden column — per-row file lineage (which
     // file, which position), the hook ingestion pipelines use for
-    // provenance tracking and selective reprocessing. No oracle (file
-    // names are environment paths); the contiguity check self-certifies:
-    // row_index must cover exactly [0, n_rows) within each file.
+    // provenance tracking and selective reprocessing. No oracle,
+    // PERMANENTLY (r15 adjudication): the output is keyed by physical
+    // part-file names and per-file row counts — properties of the
+    // parquet LAYOUT, one abstraction level below the logical tables
+    // the oracle harness registers as views; no SQL over the `lineitem`
+    // view can see which part file a row came from. The contiguity
+    // check self-certifies instead: row_index must cover exactly
+    // [0, n_rows) within each file.
     Q(
       "scan_parquet_metadata",
       (s, dir) =>

@@ -295,10 +295,14 @@ object Udx extends QueryModule {
         val eps = uBits.toDouble / kk
         val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
           round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        // Native TypedImperativeAggregate since r15: same algorithm via
+        // delegation, but update() reads the long primitively instead of
+        // through the ScalaAggregator encoder round-trip (the measured
+        // ~350-550 ns/row bridge residue from the r14 ScanBaseline A/B).
         val sk = li.groupBy("l_returnflag")
           .agg(
-            graft.api.Sketches.quantileDigest(col("cents"), fr, uBits, kk)
-              .as("qs"),
+            graft.api.Sketches.quantileDigestNative(
+              col("cents"), fr, uBits, kk).as("qs"),
             count(lit(1)).as("n"))
         // Rank self-check in ONE unexploded pass: the 3-row-per-flag
         // estimate frame used to fan every lineitem row out ×3 through
@@ -344,52 +348,43 @@ object Udx extends QueryModule {
     // (upper-bound asc, range-size asc) cumulative walk. Every step is
     // integer arithmetic on (node id, count) pairs, so the WHOLE
     // digest — build, compaction, quantile readout — replays bit-exactly
-    // in DuckDB. Scale shape: the ONLY data-sized pass is the leaf
-    // census (map-combined groupBy, shuffle carries ≤ distinct-cents
-    // rows, bounded by the 2^24 universe, never by row count); the 24
-    // fold levels then run entirely WITHOUT exchanges — one
-    // repartition on l_returnflag lets every per-level window/distinct
-    // reuse the partitioning (flag ⊆ every level's keys), and levels
-    // shrink geometrically. The streaming sibling keeps the mergeable
-    // buffer story; this key certifies the digest ARITHMETIC.
+    // in DuckDB. Scale shape: ONE data-sized pass — the exact leaf
+    // census accumulates inside functions.QDigestOfflineNodes partial
+    // buffers (map-combined; the shuffle carries one compacted leaf
+    // array per partition-group, bounded by min(distinct cents, 2^24),
+    // never by row count; merge is order-free count addition, so the
+    // digest is a pure function of the multiset — the property the
+    // oracle replay rests on) and the once-only fold is a μs in-memory
+    // sweep at eval. Two earlier shapes are recorded in NOTES r15: a
+    // 25-branch union (O(levels²) plan re-derivation, 435 s at sf0.1)
+    // and a 24-chained-aggregate single lineage (exchange-free but 24
+    // object-hash collect_list passes at flag parallelism, 11 s); the
+    // aggregate form reads 0.3-0.4 s. The streaming sibling keeps the
+    // mergeable-buffer story; this key certifies the digest ARITHMETIC.
     Q(
       "udaf_qdigest_portable",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val uBits = 24
-        val k = 2048L
-        val leaves = Tables.lineitem(s, dir)
+        // One aggregate = census + fold; 3 rows out, each carrying the
+        // digest node array. Checkpointed: the node explode and the
+        // rank-target derivation both read it.
+        val dig = Tables.lineitem(s, dir)
           .select(col("l_returnflag"),
-            (lit(1L << uBits) +
-              round(col("l_extendedprice") * 100).cast("long")).as("id"))
-          .groupBy("l_returnflag", "id")
-          .agg(count(lit(1)).as("c"))
-        val nt = leaves.groupBy("l_returnflag")
-          .agg(sum("c").as("n"), expr(s"sum(c) div $k").as("t"))
-        // One partitioning serves every level: flag is a subset of each
-        // window/distinct key below, so no further exchange appears.
-        var pending = leaves.join(nt, "l_returnflag")
-          .repartition(col("l_returnflag"))
-          .select(col("l_returnflag"), col("id"), col("c").cast("long")
-            .as("c"), col("n"), col("t"))
-        var emitted = Seq.empty[org.apache.spark.sql.DataFrame]
-        for (lvl <- uBits to 1 by -1) {
-          val w = Window.partitionBy(col("l_returnflag"),
-            expr("id div 2"))
-          val sc = pending.withColumn("sc", sum(col("c")).over(w))
-          emitted :+= sc.filter(col("sc") > col("t"))
-            .select(col("l_returnflag"), col("id"), col("c"),
-              col("n"), lit(lvl).as("lvl"))
-          pending = sc.filter(col("sc") <= col("t"))
-            .select(col("l_returnflag"), expr("id div 2").as("id"),
-              col("sc").as("c"), col("n"), col("t"))
-            .distinct()
-        }
-        // level-0 root survivor (empty in practice: full fold would need
-        // n ≤ n/k) — kept for totality so the union is exhaustive
-        emitted :+= pending.select(col("l_returnflag"), col("id"),
-          col("c"), col("n"), lit(0).as("lvl"))
-        val em = emitted.reduce(_ unionAll _)
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .groupBy("l_returnflag")
+          .agg(
+            graft.api.Sketches.quantileDigestOfflineNodes(
+              col("cents"), uBits, 2048).as("nodes"),
+            count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val em = dig
+          .select(col("l_returnflag"), col("n"),
+            size(col("nodes")).cast("long").as("digest_nodes"),
+            explode(col("nodes")).as("e"))
+          .select(col("l_returnflag"), col("n"), col("digest_nodes"),
+            col("e.id").as("id"), col("e.c").as("c"),
+            col("e.lvl").as("lvl"))
           .withColumn("sz",
             expr(s"shiftleft(CAST(1 AS BIGINT), $uBits - lvl)"))
           .withColumn("ub",
@@ -399,25 +394,25 @@ object Udx extends QueryModule {
           sum(col("c")).over(Window.partitionBy("l_returnflag")
             .orderBy("ub", "sz")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val nodes = em.groupBy("l_returnflag")
-          .agg(count(lit(1)).as("digest_nodes"))
         // Integer rank targets (fnum/fden avoids float ceil drift):
         // target = max(1, ceil(n·f)) for f ∈ {1/2, 9/10, 99/100}.
         val fr = Seq((0.5, 1L, 2L), (0.9, 9L, 10L), (0.99, 99L, 100L))
-        val tq = nt.select(col("l_returnflag"), col("n"),
+        val tq = dig.select(col("l_returnflag"), col("n"),
+          size(col("nodes")).cast("long").as("digest_nodes"),
           explode(typedlit(fr)).as("f"))
-          .select(col("l_returnflag"), col("n"), col("f._1").as("q"),
+          .select(col("l_returnflag"), col("n"), col("digest_nodes"),
+            col("f._1").as("q"),
             greatest(lit(1L),
               expr("(n * f._2 + f._3 - 1) div f._3")).as("target"))
-        tq.join(cum.select(col("l_returnflag"), col("ub"), col("cum")),
+        tq.join(
+            cum.select(col("l_returnflag"), col("ub"), col("cum")),
             Seq("l_returnflag"))
           .filter(col("cum") >= col("target"))
-          .groupBy("l_returnflag", "q", "n")
+          .groupBy("l_returnflag", "q", "n", "digest_nodes")
           // cum is monotone in (ub, sz): min(ub) over the crossing
           // suffix IS the first crossing node's upper bound, already in
           // value space (a leaf's ub = its cents value).
           .agg(min(col("ub")).as("est_cents"))
-          .join(broadcast(nodes), "l_returnflag")
           .select(col("l_returnflag"), col("q"),
             col("est_cents"), col("n"), col("digest_nodes"))
           .orderBy("l_returnflag", "q")

@@ -119,4 +119,84 @@ class QDigestSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("native TypedImperativeAggregate path (QDigestAgg) matches the " +
+    "udaf path bit-exactly on a deterministic merge tree") {
+    // One input partition ⇒ both paths see the identical update order and
+    // the identical (single) partial buffer, so the digests — same
+    // algorithm by delegation — must finish to the SAME estimates. The
+    // multi-partition equivalence is deliberately NOT asserted (merge
+    // trees legally differ); the bound tests above cover that.
+    val sp = spark
+    val fr = Seq(0.25, 0.5, 0.9, 0.99)
+    val df = sp.range(0, 60000, 1, 1).select(
+      (col("id") % 3).as("g"),
+      ((col("id") * 2654435761L) % 1048576).as("v"))
+    def run(agg: org.apache.spark.sql.Column) = df.groupBy("g")
+      .agg(agg.as("qs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = run(api.Sketches.quantileDigestNative(col("v"), fr, 20, 512))
+    val bridged = run(api.Sketches.quantileDigest(col("v"), fr, 20, 512))
+    assert(native == bridged, s"native $native vs bridged $bridged")
+    // And the native path still obeys the rank bound on its own.
+    val byG = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val eps = 20.0 / 512
+    native.foreach { case (g, est) =>
+      val sorted = byG(g)
+      fr.zip(est).foreach { case (q, v) =>
+        val r = rankOf(sorted, v)
+        assert(math.abs(r - math.ceil(q * sorted.length)) <=
+          eps * sorted.length + 1, s"g=$g q=$q est=$v rank=$r")
+      }
+    }
+  }
+
+  test("QDigestOfflineNodes is partitioning-invariant (pure function " +
+    "of the multiset) and its fold matches a reference sweep") {
+    val sp = spark
+    // The offline digest must be bit-identical however the input is
+    // partitioned — exact leaf census, order-free merge, one fold at
+    // eval. This is the property udaf_qdigest_portable's DuckDB replay
+    // rests on (the streaming QDigest has no such guarantee).
+    def run(parts: Int) = sp.range(0, 50000, 1, parts)
+      .select((col("id") % 2).as("g"),
+        ((col("id") * 2654435761L) % 1048576).as("v"))
+      .groupBy("g")
+      .agg(api.Sketches.quantileDigestOfflineNodes(col("v"), 20, 256)
+        .as("nodes"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).sorted)
+      .toMap
+    val one = run(1)
+    val many = run(32)
+    assert(one == many, "digest must not depend on partitioning")
+    // Counts conserve: every input value lands in exactly one node.
+    one.foreach { case (g, nodes) =>
+      assert(nodes.map(_._2).sum == 25000L, s"g=$g mass not conserved")
+      // fold rule: every emitted node's count respects the tree (a
+      // node's id at lvl sits in [2^lvl, 2^(lvl+1)))
+      nodes.foreach { case (id, _, lvl) =>
+        assert(id >= (1L << lvl) && id < (2L << lvl), s"($id, $lvl)")
+      }
+    }
+  }
+
+  test("QDigestAgg buffer round-trips its wire format (shuffle path) " +
+    "and rejects non-long input") {
+    val d = graft.functions.QDigestAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      Seq(0.5), universeBits = 16, k = 256)
+    val buf = d.createAggregationBuffer()
+    val algo = new QDigest(Seq(0.5), 16, 256)
+    (0 until 20000).foreach(i => algo.reduce(buf, (i.toLong * 31) % 65536))
+    val back = d.deserialize(d.serialize(buf))
+    assert(back.n == buf.n)
+    assert(algo.finish(back) == algo.finish(buf))
+    assert(back.fLen == 0, "wire format must carry a compacted digest")
+    val bad = graft.functions.QDigestAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), Seq(0.5))
+    assert(!bad.checkInputDataTypes().isSuccess)
+  }
 }

@@ -49,7 +49,38 @@ class SlopeSpec extends AnyFunSuite {
         "bounds candidates regardless of in-degree skew"),
     // quadratic-by-contract fixture build: 1x->10x warm slope asserted
     "sim_ann_graph" -> (120.0,
-      "exact kNN graph build is O(n^2) BY CONTRACT at fixture scale"))
+      "exact kNN graph build is O(n^2) BY CONTRACT at fixture scale"),
+    // round 15 (VERDICT r14 task 1): the next cost tier, measured solo
+    // at 48g heap (8g OOM'd the two heaviest graph fixpoints at the
+    // 60M-row 100x point — protocol note in NOTES r15)
+    "dedup_fuzzy_cluster" -> (15.0,
+      "brand-blocked levenshtein pairs: block cardinality scales with " +
+        "the corpus so blocks stay constant-size; CC is log-round"),
+    "mix_dedup_weighted" -> (15.0,
+      "LSH band-bucket candidates O(corpus x bands); confirm joins " +
+        "touch candidates only; CC + weight rollup linear"),
+    "graph_hits" -> (15.0,
+      "per-round hub/auth share joins linear in purchase edges under " +
+        "the quietRounds valve"),
+    "graph_anf_hll" -> (15.0,
+      "register-OR frontier folds linear in edges; HLL state is " +
+        "per-node constant width"),
+    "graph_closeness" -> (15.0,
+      "bounded-radius BFS frontier joins; frontier saturates to the " +
+        "seed set's reachable nodes"),
+    // NOT an engine regression at 60: the synthetic corpus draws from a
+    // FIXED 50-token vocabulary, so the 3-shingle space (125k combos)
+    // saturates between 10x (mean df ~8.5) and 100x (mean df ~85, still
+    // under the maxDf=256 stop-shingle cap) — candidate volume sum(df^2)
+    // grows ~quadratically BY WORKLOAD in that window, while per-pair
+    // throughput stays flat (t100_warm 142 s over ~9e8 candidate pairs).
+    // Real corpora grow shingle DIVERSITY with size instead of
+    // saturating, and the key's 100 TB contract is sample/LSH-bounded
+    // with the cap as the boilerplate valve (scaladoc + SURVEY row).
+    "dedup_containment" -> (60.0,
+      "sum(df^2) candidate densification on the saturating synthetic " +
+        "shingle vocabulary — workload-quadratic window below the " +
+        "maxDf cap; engine per-pair cost flat"))
 
   private lazy val artifact: Map[String, Map[String, String]] = {
     val p = java.nio.file.Paths.get("SLOPES_X100.json")
