@@ -786,6 +786,98 @@ object Pipeline extends QueryModule {
         FROM r JOIN a ON r.event_type = a.event_type AND rn <= alloc
         GROUP BY 1, 2, 3, 4 ORDER BY 1""")),
 
+    // DSIR-style importance resampling (round 15; Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // the data-SELECTION pass that picks raw documents LOOKING LIKE a
+    // target domain. Features are hashed unigrams (1024 md5 buckets —
+    // the portable-hash discipline); the target model trains on the
+    // src0 slice, the raw model on the whole corpus, both add-one
+    // smoothed; a raw doc's importance is Σ over its token instances
+    // of log(p_target(bucket)/p_raw(bucket)). Each bucket's log-ratio
+    // is quantized ONCE to 1e-9 integer units and the per-doc score is
+    // an INTEGER sum — order-free (the dq_drift_psi fixed-point
+    // discipline), so ranking and hashes replay exactly; a double
+    // Σln() would be summation-order-exposed. Top-20 non-target docs
+    // selected. Scale shape: two 1024-row bucket histograms
+    // (map-combined) broadcast onto the token stream; per-doc integer
+    // aggregate (map-combined on doc_id); global top-20 is a
+    // TakeOrdered, never a full sort.
+    Q(
+      "sample_dsir",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def bucket(term: org.apache.spark.sql.Column) =
+          conv(substring(md5(term), 1, 15), 16, 10).cast("long") % 1024
+        val toks = docs
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("term"))
+          .withColumn("b", bucket(col("term")))
+        val tgt = toks.filter(col("source") === "src0")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+        val stats = toks.agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("nt"),
+          count(lit(1)).as("nr"))
+        // one quantized log-ratio per bucket; 0-count target buckets
+        // enter through the +1 smoothing (left join, coalesce 0)
+        val lr = raw.join(tgt, Seq("b"), "left")
+          .crossJoin(broadcast(stats))
+          .select(col("b"),
+            floor(log(
+              ((coalesce(col("ct"), lit(0L)) + 1.0) /
+                (col("nt") + 1024.0)) /
+                ((col("cr") + 1.0) / (col("nr") + 1024.0))) * 1e9)
+              .cast("long").as("q"))
+        val scored = toks.filter(col("source") =!= "src0")
+          .join(broadcast(lr), "b")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("dsir_n9"))
+        scored
+          .orderBy(desc("dsir_n9"), asc("doc_id"))
+          .limit(20)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("dsir_n9"), asc("doc_id"))).cast("int"))
+          .select(col("rank"), col("doc_id"), col("source"),
+            col("n_tokens"), col("dsir_n9"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 ('0x' || substring(md5(term), 1, 15))::BIGINT % 1024
+                   AS b
+          FROM (SELECT doc_id, source,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents)),
+        tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM toks
+                WHERE source = 'src0' GROUP BY 1),
+        raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM toks
+                GROUP BY 1),
+        nn AS (SELECT
+                 (SELECT count(*) FROM toks WHERE source = 'src0') AS nt,
+                 (SELECT count(*) FROM toks) AS nr),
+        lr AS (
+          SELECT raw.b,
+                 CAST(floor(ln(
+                   ((coalesce(tgt.ct, 0) + 1.0) / (nn.nt + 1024.0)) /
+                     ((raw.cr + 1.0) / (nn.nr + 1024.0))) * 1e9)
+                   AS BIGINT) AS q
+          FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN nn),
+        scored AS (
+          SELECT t.doc_id, t.source,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(lr.q) AS BIGINT) AS dsir_n9
+          FROM toks t JOIN lr ON lr.b = t.b
+          WHERE t.source <> 'src0'
+          GROUP BY 1, 2)
+        SELECT CAST(row_number() OVER
+                 (ORDER BY dsir_n9 DESC, doc_id) AS INT) AS rank,
+               doc_id, source, n_tokens, dsir_n9
+        FROM scored
+        ORDER BY dsir_n9 DESC, doc_id
+        LIMIT 20""")),
+
     // SOFT dedup for the training mix: near-duplicate clusters are
     // DOWN-WEIGHTED (weight = 1e6/cluster_size ppm) instead of dropped —
     // the modern alternative to hard dedup (keep every copy, make the

@@ -624,6 +624,88 @@ object Text extends QueryModule {
         WHERE tf.doc_id < 20
         ORDER BY doc_id, term""")),
 
+    // BM25 top-k retrieval (round 15) — the ranking function tf-idf is
+    // the teaching version of: Robertson/Lucene BM25 (k1=1.2, b=0.75,
+    // the ln(1 + (N-df+0.5)/(df+0.5)) always-positive idf) scoring the
+    // corpus against the 10 highest-df terms as single-term queries
+    // (deterministic from the data — the worst-case, least selective
+    // queries a retrieval layer must survive), top-5 docs per query.
+    // This is the retrieval leg a training-data pipeline uses for
+    // contamination probes and dedup-by-query. Plan shape at scale:
+    // tf/dl/df are map-combined linear aggregates; the 10-row query
+    // table BROADCASTS onto the tf postings so scoring touches only
+    // the queried terms' posting lists; dl joins by doc_id (shuffle on
+    // the posting side only); top-5 per query runs on the engine's own
+    // TopKPerGroup physical operator — map-side bounded heaps, so the
+    // shuffle carries ≤ 5·queries·partitions rows, never a posting
+    // list, regardless of how hot the query terms are (and df-hot is
+    // the worst case by construction here).
+    Q(
+      "text_bm25_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), asc("term")).limit(10)
+        val scored = tf
+          .join(broadcast(dfq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          // expression structure mirrors the oracle term-for-term so
+          // both engines evaluate the identical double dataflow
+          .withColumn("score",
+            log(lit(1) + (col("n_docs") - col("df") + 0.5) /
+              (col("df") + 0.5)) *
+              (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        val w = Window.partitionBy("term")
+          .orderBy(desc("score"), asc("doc_id"))
+        graft.api.Plans.topKPerGroup(scored.select(
+            col("term"), col("doc_id"), col("score")),
+            Seq("term"), Seq(("score", true), ("doc_id", false)), 5)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select(col("term"), col("rank"), col("doc_id"),
+            round(col("score"), 4).as("bm25"))
+          .orderBy("term", "rank")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM t GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM t GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         avg(dl) AS avgdl FROM dl),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+        q AS (SELECT term, df FROM (
+                SELECT term, df,
+                       row_number() OVER (ORDER BY df DESC, term) AS rn
+                FROM df) WHERE rn <= 10),
+        scored AS (
+          SELECT q.term, tf.doc_id,
+                 ln(1 + (n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                   AS score
+          FROM q JOIN tf ON tf.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats),
+        top AS (SELECT term, doc_id, score,
+                       row_number() OVER (PARTITION BY term
+                         ORDER BY score DESC, doc_id) AS rank
+                FROM scored)
+        SELECT term, CAST(rank AS INT) AS rank, doc_id,
+               round(score, 4) AS bm25
+        FROM top WHERE rank <= 5
+        ORDER BY term, rank""")),
+
     // Language ID via a unigram model trained on the corpus itself:
     // P(term|lang) with add-one smoothing, doc scored by sum of log-probs,
     // argmax lang. Output is the actual×predicted confusion matrix. The

@@ -80,7 +80,20 @@ class SlopeSpec extends AnyFunSuite {
     "dedup_containment" -> (60.0,
       "sum(df^2) candidate densification on the saturating synthetic " +
         "shingle vocabulary — workload-quadratic window below the " +
-        "maxDf cap; engine per-pair cost flat"))
+        "maxDf cap; engine per-pair cost flat"),
+    "dedup_connected_components" -> (15.0,
+      "pair volume bounded by the planted near-dup structure (one " +
+        "pair per 10 docs); CC rounds log-diameter, labels broadcast"),
+    // same densification window as dedup_containment: the ground-truth
+    // leg is the key's self-declared audit-only quadratic tool (exact
+    // inverted-index join on the 40% sample), and the synthetic
+    // 50-token vocabulary saturates the shingle space between 10x and
+    // 100x — sum(df^2) grows ~quadratically there. The LSH leg itself
+    // (band-bucket candidates) is linear; production audits on a
+    // bounded sample, which is this key's documented 100 TB contract.
+    "dedup_lsh_audit" -> (45.0,
+      "exact-truth leg is the declared audit-only quadratic join on " +
+        "the saturating synthetic shingle vocabulary; LSH leg linear"))
 
   private lazy val artifact: Map[String, Map[String, String]] = {
     val p = java.nio.file.Paths.get("SLOPES_X100.json")
