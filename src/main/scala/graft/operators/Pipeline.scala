@@ -812,20 +812,20 @@ object Pipeline extends QueryModule {
           .select(col("doc_id"), col("source"),
             explode(split(col("text"), " ")).as("term"))
           .withColumn("b", bucket(col("term")))
-        val tgt = toks.filter(col("source") === "src0")
-          .groupBy("b").agg(count(lit(1)).as("ct"))
-        val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
-        val stats = toks.agg(
-          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("nt"),
-          count(lit(1)).as("nr"))
+        // ONE histogram pass carries both models: cr (raw) and ct
+        // (target, a conditional sum) per bucket; nt/nr are its own
+        // 1024-row rollup. Two token-stream scans total (histogram +
+        // per-doc scoring) — a tgt/raw/stats split costs four.
+        val h = toks.groupBy("b").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+        val stats = h.agg(sum("ct").as("nt"), sum("cr").as("nr"))
         // one quantized log-ratio per bucket; 0-count target buckets
-        // enter through the +1 smoothing (left join, coalesce 0)
-        val lr = raw.join(tgt, Seq("b"), "left")
-          .crossJoin(broadcast(stats))
+        // enter through the +1 smoothing
+        val lr = h.crossJoin(broadcast(stats))
           .select(col("b"),
             floor(log(
-              ((coalesce(col("ct"), lit(0L)) + 1.0) /
-                (col("nt") + 1024.0)) /
+              ((col("ct") + 1.0) / (col("nt") + 1024.0)) /
                 ((col("cr") + 1.0) / (col("nr") + 1024.0))) * 1e9)
               .cast("long").as("q"))
         val scored = toks.filter(col("source") =!= "src0")
