@@ -59,6 +59,51 @@ class Round15Spec extends AnyFunSuite with SparkFixture {
     assert(a eq b, "nndescentKnn must be memoized per (session, dir)")
   }
 
+  test("text_bm25_topk: scores positive, ranks dense 1..5 per query, " +
+    "and higher-tf docs never rank below lower-tf docs of equal length") {
+    val out = SparkEntry.queries("text_bm25_topk")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 50, s"expected 10 queries x top-5, got ${out.length}")
+    val byTerm = out.groupBy(_.getString(0))
+    assert(byTerm.size == 10)
+    byTerm.foreach { case (term, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5),
+        s"$term ranks not dense")
+      // BM25 with the ln(1 + ...) idf is strictly positive
+      rows.foreach(r => assert(r.getDouble(3) > 0, s"$term ${r}"))
+      // scores non-increasing in rank
+      val sc = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, term)
+    }
+  }
+
+  test("sample_dsir: no target-domain docs selected, scores " +
+    "non-increasing, and a planted target-vocab doc outranks an " +
+    "off-domain doc") {
+    val sp = spark
+    import sp.implicits._
+    // 3 target docs define the domain vocabulary; raw docs: one written
+    // in target vocab, one in disjoint vocab. The in-domain doc must
+    // score strictly higher (per-bucket log-ratios are positive exactly
+    // on target-heavy buckets).
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "en", "src0", 0L),
+      (2L, "beta gamma alpha gamma", "en", "src0", 0L),
+      (3L, "alpha alpha beta gamma", "en", "src0", 0L),
+      (4L, "alpha beta gamma beta", "en", "src1", 0L),
+      (5L, "zeta eta theta iota kappa", "en", "src2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.Scratch.fresh("dsir_spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("sample_dsir")(sp, dir).collect()
+    assert(out.forall(_.getString(2) != "src0"), "target docs leaked")
+    assert(out.length == 2)
+    val byDoc = out.map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(byDoc(4L) > byDoc(5L),
+      s"in-domain doc must outrank off-domain: $byDoc")
+    assert(out(0).getLong(1) == 4L && out(0).getInt(0) == 1)
+  }
+
   test("Bench.shouldRetime judges the counted window (cpu at tc), and " +
     "GRAFT_BENCH_ONLY unknown keys fail fast") {
     // Descheduled signature: wall 9 s ≫ prior 2 s AND ≫ cpu/cores with
