@@ -296,12 +296,22 @@ object ScaleSlope {
       else if (x100) heavy100Keys
       else defaultKeys
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" applies session confs
+    // before measurement — e.g. the RocksDB state-store provider for the
+    // streaming 100× runs, where state rows reach the millions the
+    // HDFS-backed store is documented NOT to be for (BASELINE.md).
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Max state-store rows seen across a key's runs at one scale — the
     // number that certifies "state is keyed by users/windows, not raw
@@ -374,8 +384,12 @@ object ScaleSlope {
         val st = if (per(1L)._3 > 0 || per(10L)._3 > 0)
           s""","state_rows_1x":${per(1L)._3},"state_rows_10x":${per(10L)._3}"""
         else ""
-        val s100 = per.get(100L).map { case (cold, warm, _) =>
-          f""","t100_cold":$cold%.2f,"t100_warm":$warm%.2f,"slope_10_100":${warm / per(10L)._2}%.1f"""
+        val s100 = per.get(100L).map { case (cold, warm, st100) =>
+          // state_rows_100x: the number that certifies streaming state
+          // is keyed by users/windows, not raw events, at the 10M-event
+          // point (r15 streaming x100 extension)
+          val stc = if (st100 > 0) s""","state_rows_100x":$st100""" else ""
+          f""","t100_cold":$cold%.2f,"t100_warm":$warm%.2f,"slope_10_100":${warm / per(10L)._2}%.1f$stc"""
         }.getOrElse(if (x100) s""","x100":"capped-by-contract"""" else "")
         println(f"""{"key":"$key","t1_cold":${per(1L)._1}%.2f,"t1_warm":${per(1L)._2}%.2f,"t10_cold":${per(10L)._1}%.2f,"t10_warm":${per(10L)._2}%.2f,"warm_slope":$slope%.1f,"cold_slope":$coldSlope%.1f$st$s100}""")
         Some((key, per.get(100L).map(_._2 / per(10L)._2).getOrElse(slope)))

@@ -93,7 +93,28 @@ class SlopeSpec extends AnyFunSuite {
     // bounded sample, which is this key's documented 100 TB contract.
     "dedup_lsh_audit" -> (45.0,
       "exact-truth leg is the declared audit-only quadratic join on " +
-        "the saturating synthetic shingle vocabulary; LSH leg linear"))
+        "the saturating synthetic shingle vocabulary; LSH leg linear"),
+    // round 15 streaming extension (10M events at 100x; state_rows in
+    // the artifact certify WHAT the state is keyed by)
+    "stream_watermark_agg" -> (15.0,
+      "state saturates at window x type cardinality (1205 rows at " +
+        "100x, flat from 10x) — watermark-scoped, never event-sized"),
+    "stream_dedup" -> (15.0,
+      "state = distinct keys inside the watermark; grows with key " +
+        "cardinality (1.9M at 100x) but per-event cost stays flat"),
+    // NOT a store problem: the RocksDB A/B at 100x read 223.5 s vs the
+    // HDFS-backed store's 244.8 (and RocksDB is WORSE at 10x, 13.7 vs
+    // 10.3 — the JNI overhead BASELINE.md declines at fixture scale).
+    // The dominant term is the session operator's per-batch merge-sort
+    // over input + touched state, with state legitimately linear in
+    // user cardinality (the generator scales users with events;
+    // 3.4M session rows at 100x). The engine's 100 TB sessionization
+    // path is the BATCH sessionize_gap operator (linear lag/cumsum);
+    // streaming session windows are the low-latency tool, priced here.
+    "stream_session_window" -> (30.0,
+      "per-batch session merge-sort over input + state that is " +
+        "linear in users by workload; both state stores measured " +
+        "within 10% — inherent operator cost, batch path documented"))
 
   private lazy val artifact: Map[String, Map[String, String]] = {
     val p = java.nio.file.Paths.get("SLOPES_X100.json")
