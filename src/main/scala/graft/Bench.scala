@@ -246,6 +246,14 @@ object Bench {
             a2._5)
         } else (KeyRes(name, a1._1, a1._2, a1._3, a1._4, idx, None), a1._5)
       }
+    // Drift stamp (VERDICT r15 task 1): re-run the calibration probe at
+    // sweep END. The r15 official artifact embedded up to ~19% of ambient
+    // environment with no way to tell WHEN the machine phase hit — a
+    // start-only probe certifies the first minute of a 6-minute sweep.
+    // start≈end ⇒ the sweep ran in one environment and `total /
+    // calibration` normalizes honestly; start≠end ⇒ the artifact itself
+    // says the box drifted mid-sweep and the totals carry that caveat.
+    val calibrationEnd = calibrate(spark)
     val results = timed.map(_._1)
     val (errors, suspectZero) = issues(results)
     (errors ++ suspectZero).foreach { n =>
@@ -254,7 +262,8 @@ object Bench {
          else "0 rows but oracle-bearing")) }
     val planClasses = timed.map { case (r, tag) => (r.name, tag) }
     val lines = artifactLines(
-      results, planClasses, calibration, sfDir, Scratch.divertedKeys)
+      results, planClasses, calibration, sfDir, Scratch.divertedKeys,
+      calibrationEnd)
     // A filtered run's totals cover only the subset — stamp the stdout
     // artifact so a human reading it later can tell (the driver never
     // sets the filter, so official artifacts never carry this line).
@@ -312,7 +321,12 @@ object Bench {
       planClasses: Seq[(String, String)],
       calibration: Double,
       sfDir: String,
-      diverted: Seq[String]): Seq[String] = {
+      diverted: Seq[String],
+      // end-of-sweep calibration probe (VERDICT r15 task 1). Defaults to
+      // the start value so synthetic/spec callers that don't model drift
+      // read as a zero-drift sweep.
+      calibrationEnd: Double = -1.0): Seq[String] = {
+    val calibEnd = if (calibrationEnd > 0) calibrationEnd else calibration
     val (errors, suspectZero) = issues(results)
     val total = results.map(_.countedSec).sum
     // Errored keys keep their partial elapsed in `queries` for triage but
@@ -353,6 +367,6 @@ object Bench {
       // driver's 2000-char tail — the r11 truncation class all over
       // again); they already live on the rows line, the headline only
       // needs the counts.
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"total_full":$totalFull%.3f,"calibration_sec":$calibration%.3f,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_suspect_zero":${suspectZero.size},"n_retimed":${results.count(_.firstAttempt.isDefined)}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_ok":$totalOk%.3f,"total_full":$totalFull%.3f,"calibration_sec":$calibration%.3f,"calibration_end_sec":$calibEnd%.3f,"calibration_drift":${calibEnd / calibration}%.3f,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_suspect_zero":${suspectZero.size},"n_retimed":${results.count(_.firstAttempt.isDefined)}}""")
   }
 }

@@ -60,6 +60,44 @@ object ScaleSlope {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Vocabulary-SCALING documents variant (VERDICT r15 task 2): same
+    * shape and near-dup planting as [[documents]], but tokens draw from
+    * a vocabulary that grows with corpus size per Heaps' law
+    * (V = K·T^β with K=4, β=0.5 over T ≈ 65·n tokens) instead of the
+    * fixed 50-token set. The fixed vocabulary saturates the 125k
+    * 3-shingle space between 10× and 100× — mean df grows 8.5 → 85 and
+    * the inverted-index candidate volume Σ df² grows quadratically BY
+    * WORKLOAD (the r15 dedup_containment 52.8 slope row measured that
+    * densification window, not the engine). Real corpora grow shingle
+    * DIVERSITY with size: under Heaps growth the distinct-shingle count
+    * tracks token mass, mean df stays O(1), and Σ df² stays linear — so
+    * this corpus measures the operator's production regime and the
+    * maxDf stop-shingle cap stays the off-path valve it is in
+    * production.
+    */
+  private def documentsVocabScaling(s: SparkSession, n: Long): DataFrame = {
+    val vocab = math.max(50L, 4L * math.round(math.sqrt(65.0 * n)))
+    def textOf(seed: org.apache.spark.sql.Column,
+        extra: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(
+        sequence(lit(0), lit(20) + pmod(hash(seed), lit(70)) + extra),
+        i => concat(lit("w"),
+          pmod(hash(seed * 31 + i), lit(vocab)))))
+    s.range(0, n, 1, 32)
+      .withColumn("base",
+        when(pmod(col("id"), lit(10)) === 9, col("id") - 1)
+          .otherwise(col("id")))
+      .select(
+        col("id").as("doc_id"),
+        textOf(col("base"),
+          when(pmod(col("id"), lit(10)) === 9, lit(1)).otherwise(lit(0)))
+          .as("text"),
+        element_at(typedlit(Seq("en", "de", "fr", "es")),
+          pmod(hash(col("id") * 7), lit(4)).cast("int") + 1).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(5))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   private def embeddings(s: SparkSession, n: Long): DataFrame =
     s.range(0, n, 1, 32)
       .select(
@@ -192,7 +230,20 @@ object ScaleSlope {
         (pmod(hash(col("id") * 3), lit(1000000)).cast("double") / 100)
           .as("s_acctbal"))
 
-  private def generate(s: SparkSession, dir: String, scale: Long): Unit = {
+  private def generate(s: SparkSession, dir: String, scale: Long,
+      vocabScale: Boolean = false): Unit = {
+    if (vocabScale) {
+      // vocab-scaling mode certifies the shingle-family keys, which read
+      // ONLY documents — skip the 7 other tables (lineitem at 100× is
+      // 60M rows of write the mode would never read).
+      val marker = java.nio.file.Paths
+        .get(dir, s"_gen_vocab_v${GenVersion}_$scale")
+      if (java.nio.file.Files.exists(marker)) return
+      documentsVocabScaling(s, 5000L * scale).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      java.nio.file.Files.createFile(marker)
+      return
+    }
     // The corpus is a pure function of (generator code, scale), so a dir
     // that finished generating under the same generator version is
     // reusable as-is — rerunning the 100× generation (~10 min of writes)
@@ -274,7 +325,19 @@ object ScaleSlope {
     // >2.2 s in BENCH_r14 whose 100 TB story was still 10×-measured
     // prose. Bounds and rationale live in SlopeSpec.
     "dedup_fuzzy_cluster", "dedup_containment", "mix_dedup_weighted",
-    "graph_hits", "graph_anf_hll", "graph_closeness")
+    "graph_hits", "graph_anf_hll", "graph_closeness",
+    // round 16 (VERDICT r15 task 4): the remaining >= ~2 s keys whose
+    // 100 TB story was prose-only
+    "graph_jaccard", "graph_bfs", "graph_walk_pairs", "text_lsa_topics",
+    "text_ngram_novelty", "ml_confusion_matrix", "pipeline_corpus_prep")
+
+  /** Keys certified on the vocabulary-SCALING corpus (`--vocabscale`,
+    * VERDICT r15 task 2): the shingle-family keys whose candidate volume
+    * is Σ df² — quadratic on the fixed-vocabulary synthetic corpus BY
+    * WORKLOAD (shingle-space saturation), linear on a Heaps-law corpus.
+    * All read only `documents`.
+    */
+  private val vocabScaleKeys = Seq("dedup_containment")
 
   /** Keys whose 100× point is skipped (with the reason printed into the
     * artifact): quadratic-by-contract fixture-scale builds.
@@ -286,15 +349,27 @@ object ScaleSlope {
     // the output DIRECTORY and silently benchmark the batch keys); any
     // other dash-argument is a typo'd flag — fail fast, not mis-measure.
     val (flags, positional) = args.partition(_.startsWith("--"))
-    flags.filterNot(f => f == "--streaming" || f == "--x100").foreach { f =>
-      sys.error(s"ScaleSlope: unknown flag $f (--streaming | --x100)") }
-    val x100 = flags.contains("--x100")
-    val outBase = positional.headOption.getOrElse("/tmp/graft_scale")
+    flags.filterNot(f =>
+        f == "--streaming" || f == "--x100" || f == "--vocabscale")
+      .foreach { f =>
+        sys.error(
+          s"ScaleSlope: unknown flag $f (--streaming | --x100 | --vocabscale)")
+      }
+    val vocabScale = flags.contains("--vocabscale")
+    // vocabscale implies the 100× protocol (its whole point is the
+    // production-regime 10×→100× slope) on its own corpus directory.
+    val x100 = flags.contains("--x100") || vocabScale
+    val outBase = positional.headOption.getOrElse(
+      if (vocabScale) "/tmp/graft_scale_vocab" else "/tmp/graft_scale")
     val keys =
       if (flags.contains("--streaming")) streamingKeys
       else if (positional.length > 1) positional.drop(1).toSeq
+      else if (vocabScale) vocabScaleKeys
       else if (x100) heavy100Keys
       else defaultKeys
+    // Artifact rows from the vocab-scaling corpus get their own key
+    // label: same operator, different (production-regime) workload.
+    val labelSuffix = if (vocabScale) "_vocabscale" else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -343,7 +418,7 @@ object ScaleSlope {
     val scales = if (x100) Seq(1L, 10L, 100L) else Seq(1L, 10L)
     val dirs = scales.map { sc =>
       val d = s"$outBase/x$sc"
-      generate(spark, d, sc)
+      generate(spark, d, sc, vocabScale)
       sc -> d
     }
     val results = keys.flatMap { key =>
@@ -391,11 +466,11 @@ object ScaleSlope {
           val stc = if (st100 > 0) s""","state_rows_100x":$st100""" else ""
           f""","t100_cold":$cold%.2f,"t100_warm":$warm%.2f,"slope_10_100":${warm / per(10L)._2}%.1f$stc"""
         }.getOrElse(if (x100) s""","x100":"capped-by-contract"""" else "")
-        println(f"""{"key":"$key","t1_cold":${per(1L)._1}%.2f,"t1_warm":${per(1L)._2}%.2f,"t10_cold":${per(10L)._1}%.2f,"t10_warm":${per(10L)._2}%.2f,"warm_slope":$slope%.1f,"cold_slope":$coldSlope%.1f$st$s100}""")
+        println(f"""{"key":"$key$labelSuffix","t1_cold":${per(1L)._1}%.2f,"t1_warm":${per(1L)._2}%.2f,"t10_cold":${per(10L)._1}%.2f,"t10_warm":${per(10L)._2}%.2f,"warm_slope":$slope%.1f,"cold_slope":$coldSlope%.1f$st$s100}""")
         Some((key, per.get(100L).map(_._2 / per(10L)._2).getOrElse(slope)))
       } catch {
         case e: Throwable =>
-          println(s"""{"key":"$key","error":"${e.getClass.getSimpleName}: ${
+          println(s"""{"key":"$key$labelSuffix","error":"${e.getClass.getSimpleName}: ${
             Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(120)
               .replace("\\", "\\\\").replace("\"", "'")}"}""")
           None

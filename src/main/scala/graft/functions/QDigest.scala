@@ -33,6 +33,25 @@ final class QDigestBuf extends Serializable {
   var n: Long = 0L
 }
 
+object QDigestBuf {
+  /** Serialized blob size for `len` (id, cnt) pairs, computed in Long
+    * (ADVICE r15): the streaming digest is bounded by O(k·universeBits)
+    * but the OFFLINE exact leaf census is bounded only by distinct-value
+    * count, so with universeBits up to 40 a census past ~134M leaves
+    * would overflow the Int expression `12 + 16 * len` and surface as a
+    * bewildering NegativeArraySizeException at shuffle time. Fail loud
+    * with the actual numbers instead.
+    */
+  def wireSize(len: Int): Int = {
+    val bytes = 12L + 16L * len
+    require(bytes <= Int.MaxValue,
+      s"q-digest buffer too large to serialize: $len leaf nodes need " +
+        s"$bytes bytes (> Int.MaxValue). Lower universeBits or " +
+        "pre-aggregate the input to cut distinct-value count.")
+    bytes.toInt
+  }
+}
+
 /** From-scratch q-digest quantile sketch as a typed Aggregator — the third
   * owned mergeable summary next to HyperLogLog (distinct) and Misra–Gries
   * (heavy hitters).
@@ -411,7 +430,7 @@ case class QDigestAgg(
     */
   override def serialize(buf: QDigestBuf): Array[Byte] = {
     algo.compact(buf)
-    val bb = java.nio.ByteBuffer.allocate(12 + 16 * buf.len)
+    val bb = java.nio.ByteBuffer.allocate(QDigestBuf.wireSize(buf.len))
     bb.putLong(buf.n).putInt(buf.len)
     var i = 0
     while (i < buf.len) { bb.putLong(buf.ids(i)); i += 1 }
@@ -624,7 +643,7 @@ case class QDigestOfflineNodes(
 
   override def serialize(buf: QDigestBuf): Array[Byte] = {
     leafCompact(buf)
-    val bb = java.nio.ByteBuffer.allocate(12 + 16 * buf.len)
+    val bb = java.nio.ByteBuffer.allocate(QDigestBuf.wireSize(buf.len))
     bb.putLong(buf.n).putInt(buf.len)
     var i = 0
     while (i < buf.len) { bb.putLong(buf.ids(i)); i += 1 }

@@ -48,7 +48,7 @@ object Dedup extends QueryModule {
       .empty[(SparkSession, String), DataFrame]
 
   private def plantedSigs(s: SparkSession, dir: String): DataFrame =
-    plantedSigCache.getOrElseUpdate((s, dir),
+    SessionCache.cached(plantedSigCache, (s, dir))(_._1)(
       graft.api.Dedup.minhashSignatures(
         withPlanted(s, dir), col("doc_id"), col("text"))
         .localCheckpoint(true))

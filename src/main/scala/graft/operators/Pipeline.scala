@@ -30,7 +30,7 @@ object Pipeline extends QueryModule {
   private def urgentCoPurchasePairs(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    coPurchaseCache.getOrElseUpdate((s, dir), {
+    SessionCache.cached(coPurchaseCache, (s, dir))(_._1)({
       val urgent = Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey")
@@ -98,7 +98,7 @@ object Pipeline extends QueryModule {
   private def urgentCoPurchaseEdges(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    coPurchaseEdgeCache.getOrElseUpdate((s, dir), {
+    SessionCache.cached(coPurchaseEdgeCache, (s, dir))(_._1)({
       urgentCoPurchasePairs(s, dir)
         .select(col("u").cast("long").as("u"),
           col("v").cast("long").as("v"))
@@ -122,7 +122,7 @@ object Pipeline extends QueryModule {
   private def urgentCoPurchaseAdj(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    coPurchaseAdjCache.getOrElseUpdate((s, dir), {
+    SessionCache.cached(coPurchaseAdjCache, (s, dir))(_._1)({
       val e = urgentCoPurchaseEdges(s, dir)
       e.select(col("u").as("n"), col("v").as("m"))
         .unionAll(e.select(col("v").as("n"), col("u").as("m")))
@@ -145,7 +145,7 @@ object Pipeline extends QueryModule {
   private def pagerankPreparedEdges(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    pagerankEdgeCache.getOrElseUpdate((s, dir), {
+    SessionCache.cached(pagerankEdgeCache, (s, dir))(_._1)({
       val raw = Tables.lineitem(s, dir)
         .select((col("l_partkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
@@ -167,7 +167,7 @@ object Pipeline extends QueryModule {
   private def purchaseEdges(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    purchaseEdgeCache.getOrElseUpdate((s, dir), {
+    SessionCache.cached(purchaseEdgeCache, (s, dir))(_._1)({
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir),
           col("l_orderkey") === col("o_orderkey"))

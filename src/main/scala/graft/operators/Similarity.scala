@@ -132,7 +132,7 @@ object Similarity extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def pqEnc(s: SparkSession, dir: String): DataFrame =
-    pqEncCache.getOrElseUpdate((s, dir), graft.api.Similarity.pqEncode(
+    SessionCache.cached(pqEncCache, (s, dir))(_._1)(graft.api.Similarity.pqEncode(
         Tables.embeddings(s, dir), col("vec_id"), unitExprQ, pqCb(s, dir))
       .localCheckpoint(true))
 
@@ -147,7 +147,7 @@ object Similarity extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def exactTop3(s: SparkSession, dir: String): DataFrame =
-    exactTop3Cache.getOrElseUpdate((s, dir), {
+    SessionCache.cached(exactTop3Cache, (s, dir))(_._1)({
       val v = vecs(s, dir)
       val q = v.filter(col("vec_id") < 50)
         .select(col("vec_id").as("query_id"), col("e").as("qe"))
@@ -175,7 +175,7 @@ object Similarity extends QueryModule {
     * (per-dimension double mean of each seed-assigned cluster).
     */
   private[operators] def ivfSeedCents(s: SparkSession, dir: String): DataFrame =
-    ivfCentCache.getOrElseUpdate((s, dir, "seed"), {
+    SessionCache.cached(ivfCentCache, (s, dir, "seed"))(_._1)({
       val v = vecs(s, dir)
       val wn = Window.partitionBy("vec_id")
         .orderBy(round(col("ccos"), 6).desc, col("cid"))
@@ -205,7 +205,7 @@ object Similarity extends QueryModule {
     * sim_ann_ivf_trained oracle SQL.
     */
   private[operators] def ivfTrainedCents(s: SparkSession, dir: String): DataFrame =
-    ivfCentCache.getOrElseUpdate((s, dir, "trained"),
+    SessionCache.cached(ivfCentCache, (s, dir, "trained"))(_._1)(
       graft.api.Similarity.kMeansCentroids(
         Tables.embeddings(s, dir), col("vec_id"), unitExprQ,
         k = 16, iterations = 5)
@@ -709,7 +709,7 @@ object Similarity extends QueryModule {
     * greedy k-center family works over — checkpointed once per dir.
     */
   private def kcenterQ(s: SparkSession, dir: String): DataFrame =
-    kcenterQCache.getOrElseUpdate((s, dir),
+    SessionCache.cached(kcenterQCache, (s, dir))(_._1)(
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
           transform(col("embedding"),
@@ -797,7 +797,7 @@ object Similarity extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def knnGraph(s: SparkSession, dir: String): DataFrame =
-    knnGraphCache.getOrElseUpdate((s, dir), {
+    SessionCache.cached(knnGraphCache, (s, dir))(_._1)({
       val v = vecs(s, dir)
       val a = v.select(col("vec_id").as("n"), col("e").as("ne"))
       val b = v.select(col("vec_id").as("m"), col("e").as("me"))
@@ -846,7 +846,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def nndescentKnn(
       s: SparkSession, dir: String, rounds: Int = NndRounds): DataFrame =
-    nndescentCache.getOrElseUpdate((s, dir, rounds),
+    SessionCache.cached(nndescentCache, (s, dir, rounds))(_._1)(
       // already a localCheckpoint: the build's final round checkpoints
       buildNndescentKnn(s, dir, rounds))
 
@@ -997,7 +997,7 @@ object Similarity extends QueryModule {
   // session's block manager; a dir-only key would replay a stopped
   // session's checkpoint blocks after a session restart.
   private def hammingCodes(s: SparkSession, dir: String): DataFrame =
-    hammingCache.getOrElseUpdate((s, dir), {
+    SessionCache.cached(hammingCache, (s, dir))(_._1)({
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").as("e"),
           transform(col("embedding"), x => x.cast("double")).as("ed"))

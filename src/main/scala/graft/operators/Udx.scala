@@ -431,9 +431,14 @@ object Udx extends QueryModule {
           FROM s$lvl WHERE sc <= t)"""
         s"""
         WITH leaves AS (
+          -- least/greatest mirrors QDigestOfflineNodes.update's clamp to
+          -- [0, 2^uB) (ADVICE r15): without it, any cents value at or
+          -- above 2^24 (price >= $$167,772.16 — absent from TPC-H today
+          -- but latent) would silently diverge engine vs oracle.
           SELECT l_returnflag AS flag,
-                 ${1L << uB} + CAST(round(l_extendedprice * 100)
-                   AS BIGINT) AS id,
+                 ${1L << uB} + least(greatest(
+                   CAST(round(l_extendedprice * 100) AS BIGINT), 0),
+                   ${(1L << uB) - 1}) AS id,
                  CAST(count(*) AS BIGINT) AS c
           FROM lineitem GROUP BY 1, 2),
         nt AS (

@@ -32,7 +32,10 @@ class ArtifactContractSpec extends AnyFunSuite {
     }
     val plans = keys.map(k => (k, "ok"))
     Bench.artifactLines(results, plans, calibration = 0.2,
-      sfDir = "/root/testdata/sf0.1", diverted = Seq.empty)
+      sfDir = "/root/testdata/sf0.1", diverted = Seq.empty,
+      // model a drift-bearing sweep so the contract check sees the r16
+      // calibration_end_sec / calibration_drift scalars on the last line
+      calibrationEnd = 0.24)
   }
 
   private def runChecker(lines: Seq[String]): (Int, String) = {
