@@ -228,7 +228,16 @@ object Bench {
         s"GRAFT_BENCH_ONLY names unknown keys: ${unknown.toSeq.sorted
           .mkString(", ")}")
     }
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Diagnostic hook (r16 drift A/B): GRAFT_BENCH_REVERSE=1 times the
+    // keys in REVERSE name order. If a regression follows execution
+    // POSITION (early-sweep slow phase) rather than key identity, the
+    // reversed sweep moves it onto different keys — the discriminator
+    // between "this key got slower" and "the first minutes of any sweep
+    // run slow". The driver never sets it; official artifacts are always
+    // forward-ordered (same pricing as every prior round).
+    val reverse = sys.env.get("GRAFT_BENCH_REVERSE").contains("1")
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timed = (if (reverse) ordered0.reverse else ordered0)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
       .map { case ((name, fn), idx) =>
@@ -271,6 +280,11 @@ object Bench {
       println(s"""{"metric":"filtered","filtered":${f.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
     }
+    // A reversed run's totals are order-diagnostic, never official —
+    // stamp it, and skip the full-sweep file write below for the same
+    // reason a filtered run skips it.
+    if (reverse)
+      println(s"""{"metric":"reversed","reversed":true,"sf":"$sfDir"}""")
     lines.foreach(println)
     // The stdout tail is a 2000-char window, so the FULL per-key map can
     // never be guaranteed to survive it — persist the complete artifact
@@ -281,7 +295,7 @@ object Bench {
     // data"). Filtered runs skip the write entirely: a partial artifact
     // in the full-sweep file's place is indistinguishable from a full
     // sweep to a later reader.
-    if (only.isEmpty)
+    if (only.isEmpty && !reverse)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL_LAST.jsonl"),
         lines.mkString("", "\n", "\n"))
