@@ -341,8 +341,14 @@ object ScaleSlope {
 
   /** Keys whose 100× point is skipped (with the reason printed into the
     * artifact): quadratic-by-contract fixture-scale builds.
+    * graph_jaccard joined sim_ann_graph in r16: its own scaladoc names
+    * it the AUDIT-scale exact tool (wedge volume Σ deg², measured 110 s
+    * at 10× in r11; ~6.5e9 wedges at this corpus's 100× point) and
+    * names graph_jaccard_capped — 100×-certified since r13 — as the
+    * 100 TB default. Driving the exact audit tool at 100× measures the
+    * documented contract, not the engine.
     */
-  private val cap10Keys = Set("sim_ann_graph")
+  private val cap10Keys = Set("sim_ann_graph", "graph_jaccard")
 
   def main(args: Array[String]): Unit = {
     // Recognize --streaming ANYWHERE (a lone `--streaming` used to become

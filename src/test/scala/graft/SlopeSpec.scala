@@ -77,10 +77,26 @@ class SlopeSpec extends AnyFunSuite {
     // Real corpora grow shingle DIVERSITY with size instead of
     // saturating, and the key's 100 TB contract is sample/LSH-bounded
     // with the cap as the boilerplate valve (scaladoc + SURVEY row).
-    "dedup_containment" -> (60.0,
+    // r16 (VERDICT r15 task 2): bound tightened 60 -> 55 (just above the
+    // measured 52.8) and the row is now explicitly the ADVERSARIAL
+    // stress reading — the BINDING production-regime certificate is
+    // dedup_containment_vocabscale directly below, measured on a corpus
+    // whose vocabulary grows with size like real corpora do.
+    "dedup_containment" -> (55.0,
       "sum(df^2) candidate densification on the saturating synthetic " +
         "shingle vocabulary — workload-quadratic window below the " +
-        "maxDf cap; engine per-pair cost flat"),
+        "maxDf cap; engine per-pair cost flat; production regime " +
+        "certified by the _vocabscale row"),
+    // Same operator, Heaps-law vocabulary-scaling corpus (ScaleSlope
+    // --vocabscale): distinct shingles track token mass, mean df stays
+    // O(1), candidate volume sum(df^2) stays linear — measured 5.8 at
+    // 10x->100x (t100_warm 16.9 s vs the saturating corpus's 142 s on
+    // the same row counts). This is the regime the key's scaladoc
+    // claims for real corpora; the bound gives ~2x headroom over the
+    // measurement.
+    "dedup_containment_vocabscale" -> (12.0,
+      "Heaps-law shingle diversity: mean df O(1) so the inverted-index " +
+        "join is linear in sampled token mass; measured 5.8"),
     "dedup_connected_components" -> (15.0,
       "pair volume bounded by the planted near-dup structure (one " +
         "pair per 10 docs); CC rounds log-diameter, labels broadcast"),
@@ -94,6 +110,38 @@ class SlopeSpec extends AnyFunSuite {
     "dedup_lsh_audit" -> (45.0,
       "exact-truth leg is the declared audit-only quadratic join on " +
         "the saturating synthetic shingle vocabulary; LSH leg linear"),
+    // round 16 (VERDICT r15 task 4): the remaining >= ~2 s keys, same
+    // protocol (3 runs/scale, solo JVM, 48g heap)
+    "graph_bfs" -> (15.0,
+      "hop-capped (4) frontier joins linear in touched edges; " +
+        "frontier saturates to the reachable set; measured 5.1"),
+    "graph_walk_pairs" -> (15.0,
+      "pair join is per-walk and window-bounded (<= w*len pairs per " +
+        "walk, never cross-walk); census one hash agg; measured 2.0"),
+    "text_lsa_topics" -> (15.0,
+      "tf-idf postings linear in token mass, fixed-rank power " +
+        "iteration per-round linear; measured 8.2"),
+    "text_ngram_novelty" -> (15.0,
+      "n-gram census + novelty join linear in token mass; measured 8.1"),
+    "ml_confusion_matrix" -> (18.0,
+      "one scan + label-pair census; 10.2 measured = linear once the " +
+        "100x point saturates the 32 cores (1x/10x under-utilize), " +
+        "small headroom for that knee"),
+    "pipeline_corpus_prep" -> (15.0,
+      "end-to-end prep composes per-stage linear passes (normalize, " +
+        "LID, quality, dedup-lite, pack); measured 9.8, t100 150 s " +
+        "is volume, not curvature"),
+    // audit-scale exact tool, quadratic BY CONTRACT like sim_ann_graph:
+    // wedge volume is sum(deg^2) with no cap (its scaladoc names
+    // graph_jaccard_capped — 100x-certified, bound 25 — as the 100 TB
+    // default and this key as the bounded-subgraph ground-truther).
+    // 100x point skipped by the harness; the asserted bound is the
+    // 1x->10x warm slope (11.6 measured: degree grows with corpus on
+    // the synthetic generator, so the wedge join is super-linear
+    // exactly as documented).
+    "graph_jaccard" -> (20.0,
+      "exact wedge join sum(deg^2), audit-only by contract; capped " +
+        "at 10x, 1x->10x slope asserted"),
     // round 15 streaming extension (10M events at 100x; state_rows in
     // the artifact certify WHAT the state is keyed by)
     "stream_watermark_agg" -> (15.0,
