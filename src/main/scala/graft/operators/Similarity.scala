@@ -4877,11 +4877,20 @@ object Similarity extends QueryModule {
         val train = v.filter(col("vec_id") % 50 =!= 0)
           .select(col("vec_id").as("train_id"), col("e"))
         broadcast(eval_).join(train)
-          .withColumn("cos6", round(cosine(col("qe"), col("e")), 6))
+          .withColumn("cosr", cosine(col("qe"), col("e")))
+          .withColumn("cos6", round(col("cosr"), 6))
           .groupBy("eval_id")
           .agg(
             sum(when(col("cos6") >= 0.35, 1L).otherwise(0L)).as("n_leaky"),
-            round(max(col("cos6")), 4).as("max_cos"),
+            // SINGLE rounding from the raw double (r16 sf0.1 attestation
+            // find): round(max(cos6), 4) re-rounds an already-quantized
+            // value, and at eval 1950 / sf0.1 the 6-decimal max landed
+            // EXACTLY on a 4-decimal half boundary (0.388350) where
+            // Spark's decimal-string HALF_UP (-> 0.3884) and DuckDB's
+            // binary-value round (-> 0.3883) legitimately disagree. A
+            // raw cosine sits ~1e-8 off such boundaries, so one rounding
+            // is engine-portable; two are not.
+            round(max(col("cosr")), 4).as("max_cos"),
             // argmax as ONE lexicographic struct-min (cos desc via
             // negation, then smallest id) — partial-aggregates map-side,
             // no window over the cross product.
@@ -4897,6 +4906,7 @@ object Similarity extends QueryModule {
           FROM embeddings),
         x AS (
           SELECT q.vec_id AS eval_id, t.vec_id AS train_id,
+                 list_dot_product(q.e, t.e) / (q.nrm * t.nrm) AS cosr,
                  round(list_dot_product(q.e, t.e) / (q.nrm * t.nrm), 6)
                    AS cos6
           FROM e q JOIN e t ON t.vec_id % 50 <> 0
@@ -4908,7 +4918,10 @@ object Similarity extends QueryModule {
         SELECT eval_id,
                CAST(count(*) FILTER (WHERE cos6 >= 0.35) AS BIGINT)
                  AS n_leaky,
-               round(max(cos6), 4) AS max_cos,
+               -- single rounding from the raw double, mirroring the
+               -- engine (see the Scala-side comment: re-rounding cos6
+               -- to 4 decimals hits an exact half boundary at sf0.1)
+               round(max(cosr), 4) AS max_cos,
                min(train_id) FILTER (WHERE rn = 1) AS top_train_id
         FROM x2 GROUP BY eval_id ORDER BY eval_id"""))
   )

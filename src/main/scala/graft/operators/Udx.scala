@@ -895,23 +895,69 @@ object Udx extends QueryModule {
             (col("sk_a_n") < K && col("sk_b_n") < K).as("exact_mode"))
           .orderBy("type_a", "type_b")
       },
+      // Full sketch replay (r16, upgraded from the complete-regime-only
+      // exact count after the sf0.1 attestation exercised truncation):
+      // splitmix64 is replayed bit-exactly in HUGEINT mod-2^64
+      // arithmetic (wrapping 64-bit multiply = lo-32 x m + ((hi-32 x m)
+      // mod 2^32) << 32, all < 2^97 so HUGEINT never overflows; xor and
+      // >> operate on the unsigned-in-HUGEINT value; validated against
+      // the Java finalizer bit-for-bit). The bottom-k sketch, theta, the
+      // shared-below-theta census, and the integer estimator then follow
+      // the engine arithmetic exactly, so the oracle certifies BOTH the
+      // complete regime (sf0.01) and the truncated regime (sf0.1+).
+      // Constants: 11400714819323198485 = 0x9E3779B97F4A7C15,
+      // 13787848793156543929 = 0xBF58476D1CE4E5B9,
+      // 10723151780598845931 = 0x94D049BB133111EB, 9007199254740992 =
+      // 2^53 (KmvRange), 18446744073709551616 = 2^64.
       oracle = Some("""
         WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
-        n AS (SELECT event_type, count(*) AS c FROM du GROUP BY 1),
-        co AS (
-          SELECT a.event_type AS ta, b.event_type AS tb,
-                 count(*) AS common
-          FROM du a JOIN du b
-            ON a.user_id = b.user_id AND a.event_type < b.event_type
-          GROUP BY 1, 2)
-        SELECT na.event_type AS type_a, nb.event_type AS type_b,
-               CAST(na.c AS BIGINT) AS sk_a_n,
-               CAST(nb.c AS BIGINT) AS sk_b_n,
-               CAST(coalesce(co.common, 0) AS BIGINT) AS est_common,
-               TRUE AS exact_mode
-        FROM n na JOIN n nb ON na.event_type < nb.event_type
-        LEFT JOIN co ON co.ta = na.event_type AND co.tb = nb.event_type
-        ORDER BY type_a, type_b"""))
+        z0 AS (SELECT event_type,
+                 ((user_id::HUGEINT + 11400714819323198485)
+                  % 18446744073709551616 + 18446744073709551616)
+                 % 18446744073709551616 AS z FROM du),
+        z1 AS (SELECT event_type, xor(z, z >> 30) AS z FROM z0),
+        z2 AS (SELECT event_type,
+                 ((z % 4294967296) * 13787848793156543929::HUGEINT
+                  + (((z // 4294967296) * 13787848793156543929::HUGEINT)
+                     % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS z FROM z1),
+        z3 AS (SELECT event_type, xor(z, z >> 27) AS z FROM z2),
+        z4 AS (SELECT event_type,
+                 ((z % 4294967296) * 10723151780598845931::HUGEINT
+                  + (((z // 4294967296) * 10723151780598845931::HUGEINT)
+                     % 4294967296) * 4294967296)
+                 % 18446744073709551616 AS z FROM z3),
+        hh AS (SELECT DISTINCT event_type,
+                 CAST(xor(z, z >> 31) >> 11 AS BIGINT) AS h FROM z4),
+        rk AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS ndv
+               FROM hh),
+        sk AS (SELECT * FROM rk WHERE rn <= 256),
+        th AS (SELECT event_type,
+                 CAST(CASE WHEN max(ndv) < 256 THEN 9007199254740992
+                      ELSE max(CASE WHEN rn = 256 THEN h END) END
+                   AS BIGINT) AS theta,
+                 CAST(least(max(ndv), 256) AS BIGINT) AS skn
+               FROM sk GROUP BY 1),
+        pr AS (SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+                 ta.skn AS sk_a_n, tb.skn AS sk_b_n,
+                 least(ta.theta, tb.theta) AS theta
+               FROM th ta JOIN th tb
+                 ON ta.event_type < tb.event_type),
+        sh AS (SELECT p.type_a, p.type_b, count(*) AS shared
+               FROM pr p
+               JOIN sk a ON a.event_type = p.type_a AND a.h < p.theta
+               JOIN sk b ON b.event_type = p.type_b AND b.h = a.h
+               GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b, p.sk_a_n, p.sk_b_n,
+               CAST(coalesce(sh.shared, 0) * 9007199254740992
+                 // p.theta AS BIGINT) AS est_common,
+               (p.sk_a_n < 256 AND p.sk_b_n < 256) AS exact_mode
+        FROM pr p LEFT JOIN sh
+          ON sh.type_a = p.type_a AND sh.type_b = p.type_b
+        ORDER BY p.type_a, p.type_b"""))
   )
 }
 

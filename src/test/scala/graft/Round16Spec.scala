@@ -123,6 +123,37 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
     assert(a == "A" && b == "A", "live entry must be served from cache")
   }
 
+  test("single-rounding rule: re-rounding a 6-quantized double at scale " +
+    "4 is engine-ambiguous (the sf0.1 attestation find)") {
+    import org.apache.spark.sql.functions.{lit, round => sqlRound}
+    // The double nearest 0.388350 prints as "0.38835": Spark's round
+    // (BigDecimal HALF_UP on the shortest decimal repr) goes UP...
+    val d = spark.range(1).select(sqlRound(lit(0.388350), 4))
+      .first().getDouble(0)
+    assert(d == 0.3884, s"Spark rounds the half boundary up, got $d")
+    // ...while a binary-value rounder (DuckDB) sees 0.38834999999999997
+    // and goes down. One quantized value, two legitimate answers —
+    // which is why contamination_embedding's max_cos now rounds the
+    // RAW cosine exactly once on both sides.
+    assert(math.rint(0.388350 * 1e4) / 1e4 == 0.3883)
+    val sql = SparkEntry.oracleSql("contamination_embedding")
+    assert(sql.contains("round(max(cosr), 4)"),
+      "oracle must single-round the raw cosine")
+  }
+
+  test("udaf_kmv_intersect oracle replays the splitmix64 sketch (both " +
+    "regimes), not just the complete-sketch exact count") {
+    val sql = SparkEntry.oracleSql("udaf_kmv_intersect")
+    // the wrapping-multiply constants of the splitmix64 finalizer and
+    // the 2^53 KmvRange — present iff the oracle replays the sketch
+    assert(sql.contains("13787848793156543929"), "stage-1 multiplier")
+    assert(sql.contains("10723151780598845931"), "stage-2 multiplier")
+    assert(sql.contains("9007199254740992"), "KmvRange 2^53")
+    assert(!sql.contains("TRUE AS exact_mode"),
+      "exact_mode must be computed, not hardcoded — the truncated " +
+        "regime (sf0.1+) is certified now")
+  }
+
   test("bench artifact total line carries the r16 drift stamp " +
     "(calibration start, end, ratio) and stays scalars-only") {
     val keys = SparkEntry.queries.keys.toSeq.sorted.take(3)

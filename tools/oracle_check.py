@@ -10,6 +10,7 @@ floats). Mirrors SURVEY.md §5.1.
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -119,6 +120,14 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> str:
 def main() -> int:
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # ORACLE_TMP: spill directory for DuckDB temp storage. The sf0.1
+    # attestation's recursive-CTE replays (graph_kcore's peel) spill
+    # O(rounds x edges) — more than the root disk's headroom but fine on
+    # the 122G tmpfs; the sf0.01 driver runs never spill and ignore this.
+    tmp = os.environ.get("ORACLE_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     with open(f"{outdir}/oracle_sql.json") as f:

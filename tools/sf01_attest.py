@@ -16,7 +16,10 @@ quantization bug.
 
 Writes <verifyOutDir>/ATTEST_SF01.json: {key: "pass" | "fail: ..." |
 "oracle-timeout" | "no-oracle"} plus a summary line, exit 1 only on real
-failures.
+failures. Extra args after the timeout are a key filter: only those keys
+are (re-)checked and their rows are MERGED into an existing
+ATTEST_SF01.json — the retry path for oracle-timeout keys at a larger
+budget.
 """
 import json
 import os
@@ -27,11 +30,18 @@ import sys
 def main() -> int:
     sfdir, outdir = sys.argv[1], sys.argv[2]
     budget = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+    only = set(sys.argv[4:])
     with open(f"{outdir}/oracle_sql.json", encoding="utf-8") as f:
         oracle = json.load(f)
     produced = {d for d in os.listdir(outdir)
                 if os.path.isdir(os.path.join(outdir, d))}
+    if only:
+        produced &= only
     results = {}
+    attest_path = f"{outdir}/ATTEST_SF01.json"
+    if only and os.path.exists(attest_path):
+        with open(attest_path, encoding="utf-8") as f:
+            results = json.load(f).get("results", {})
     here = os.path.dirname(os.path.abspath(__file__))
     for name in sorted(produced):
         if name not in oracle:
@@ -58,6 +68,7 @@ def main() -> int:
     fails = {k: v for k, v in results.items() if v.startswith("fail")}
     summary = {
         "sf_dir": sfdir, "per_key_timeout_sec": budget,
+        "retried_keys": sorted(only),
         "n_keys": len(results), "n_pass": n_pass,
         "n_oracle_timeout": n_to, "n_no_oracle": n_no,
         "n_fail": len(fails), "failures": fails, "results": results,
