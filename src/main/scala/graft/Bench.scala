@@ -26,6 +26,30 @@ object Bench {
       graft.operators.DsV2.topic(spark, sfDir)
       ()
     } catch { case _: Throwable => () }
+    // JIT/codegen breadth pass (r16): the reversed-order A/B proved the
+    // first ~2 execution deciles of every fresh-JVM sweep pay a 1.3-1.7x
+    // premium that follows POSITION, not key identity — C2 compilation
+    // and codegen-class generation smeared over the first ~80 keys,
+    // which the flagship+index warmup above cannot cover (408 keys
+    // exercise far more plan shapes). Running every key once on the
+    // TINIEST sibling fixture compiles those paths for cents: codegen
+    // caches by expression tree, so the sf0.001 classes are the sf0.1
+    // classes. Streaming keys are excluded (each runs a real
+    // microbatch lifecycle — seconds of wall for little shared JIT,
+    // and they execute late in the sweep anyway, past the ramp).
+    try {
+      val tiny = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(tiny) &&
+        tiny.toString != sfDir) {
+        val t = tiny.toString
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filterNot(_._1.startsWith("stream_"))
+          .foreach { case (_, fn) =>
+            try { fn(spark, t).queryExecution.toRdd.count(); () }
+            catch { case _: Throwable => () }
+          }
+      }
+    } catch { case _: Throwable => () }
   }
 
   /** Cross-round comparability ledger (ADVICE r14): keys whose
@@ -41,7 +65,12 @@ object Bench {
     "sim_ann_graph" -> "r14:knnGraph",
     "graph_pagerank" -> "r14:pagerankPreparedEdges",
     "sim_ann_nndescent" -> "r15:nndescentKnn",
-    "sim_ann_recall_nndescent" -> "r15:nndescentKnn")
+    "sim_ann_recall_nndescent" -> "r15:nndescentKnn",
+    // r16: EVERY key's JIT/codegen now warms via the sf0.001 breadth
+    // pass in warmup() — a uniform pricing change (~-20% on totals,
+    // validated uniform across execution deciles), recorded here so
+    // cross-round total diffs read it first. "*" = whole registry.
+    "*" -> "r16:jitBreadthWarmup")
 
   /** Fixed-work CPU+shuffle calibration probe: a deterministic in-memory
     * sort+agg over spark.range — no I/O, no fixture dependence — so every
