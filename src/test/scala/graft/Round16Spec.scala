@@ -154,6 +154,14 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
         "regime (sf0.1+) is certified now")
   }
 
+  test("the r16 jitBreadthWarmup pricing change stays in the " +
+    "warm_hoisted ledger (cross-round totals are uninterpretable " +
+    "without it)") {
+    assert(Bench.warmHoisted.toMap.get("*").exists(_.startsWith("r16:")),
+      "the '*' registry-wide pricing entry must survive — removing it " +
+        "makes the r15->r16 ~20% total drop read as a code speedup")
+  }
+
   test("bench artifact total line carries the r16 drift stamp " +
     "(calibration start, end, ratio) and stays scalars-only") {
     val keys = SparkEntry.queries.keys.toSeq.sorted.take(3)
