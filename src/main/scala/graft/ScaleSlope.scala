@@ -230,8 +230,38 @@ object ScaleSlope {
         (pmod(hash(col("id") * 3), lit(1000000)).cast("double") / 100)
           .as("s_acctbal"))
 
+  /** Both modes write `documents.parquet` into the same layout, so a dir
+    * that carries the OTHER mode's finished marker holds a documents
+    * table this mode would mislabel: a standard `--x100` pointed at a
+    * dir where `--vocabscale` ran (explicit shared outBase) would see
+    * its own old marker, skip generation, and silently measure the
+    * Heaps-law corpus as the standard one. Fail fast instead — the two
+    * corpora are different workloads and must live in different dirs
+    * (the defaults already differ: /tmp/graft_scale{,_vocab}).
+    */
+  private def requireNoCrossModeMarker(dir: String, vocabScale: Boolean): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return
+    // "_gen_vocab_v" itself starts with "_gen_v", so classify the more
+    // specific prefix first.
+    def isVocabMarker(n: String) = n.startsWith("_gen_vocab_v")
+    def isStdMarker(n: String) = n.startsWith("_gen_v") && !isVocabMarker(n)
+    scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+      val it = st.iterator()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        val conflict = if (vocabScale) isStdMarker(name) else isVocabMarker(name)
+        if (conflict)
+          sys.error(s"ScaleSlope: $dir holds a ${if (vocabScale) "standard" else "vocabscale"}-mode " +
+            s"generation marker ($name); the two corpora share documents.parquet and cannot " +
+            "share a directory — point this mode at its own outBase or delete the dir.")
+      }
+    }
+  }
+
   private def generate(s: SparkSession, dir: String, scale: Long,
       vocabScale: Boolean = false): Unit = {
+    requireNoCrossModeMarker(dir, vocabScale)
     if (vocabScale) {
       // vocab-scaling mode certifies the shingle-family keys, which read
       // ONLY documents — skip the 7 other tables (lineitem at 100× is
@@ -329,7 +359,13 @@ object ScaleSlope {
     // round 16 (VERDICT r15 task 4): the remaining >= ~2 s keys whose
     // 100 TB story was prose-only
     "graph_jaccard", "graph_bfs", "graph_walk_pairs", "text_lsa_topics",
-    "text_ngram_novelty", "ml_confusion_matrix", "pipeline_corpus_prep")
+    "text_ngram_novelty", "ml_confusion_matrix", "pipeline_corpus_prep",
+    // round 17 (VERDICT r16 task 3): the remaining >= ~1 s uncovered
+    // keys from BENCH_r16 (ml_lift_curve shares ml_calibration_curve's
+    // broadcast-knn pass)
+    "ml_silhouette", "graph_clustering_coeff", "sim_mmr_rerank",
+    "sample_dsir", "ml_calibration_curve", "ml_lift_curve",
+    "agg_kaplan_meier")
 
   /** Keys certified on the vocabulary-SCALING corpus (`--vocabscale`,
     * VERDICT r15 task 2): the shingle-family keys whose candidate volume
@@ -337,7 +373,7 @@ object ScaleSlope {
     * WORKLOAD (shingle-space saturation), linear on a Heaps-law corpus.
     * All read only `documents`.
     */
-  private val vocabScaleKeys = Seq("dedup_containment")
+  private val vocabScaleKeys = Seq("dedup_containment", "dedup_lsh_audit")
 
   /** Keys whose 100× point is skipped (with the reason printed into the
     * artifact): quadratic-by-contract fixture-scale builds.

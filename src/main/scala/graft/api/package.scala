@@ -459,92 +459,110 @@ package object api {
 
     /** Distributed connected components over an undirected edge list — the
       * closure step that turns near-duplicate PAIRS into dedup CLUSTERS
-      * (one keeper per component). Min-label propagation with a
-      * pointer-jumping step per round: neighbor-min alone needs
-      * diameter rounds; composing label := label(label) doubles effective
-      * reach per round, so `iterations` (a CAP — rounds stop early at the
-      * sum-stable fixed point) = 8 covers diameters into the hundreds.
-      * All steps are min-aggregates and equi-joins (order-free,
-      * deterministic); lineage is cut every few rounds so plan size stays
-      * bounded. Output: (id, component) with component = min id reachable.
-      */
-    /** `broadcastLabels = true` hints the per-round label frame as the
-      * broadcast side of both the edge join and the pointer jump,
-      * collapsing each round's 3 shuffles to the single groupBy — right
-      * when the NODE set is known broadcast-sized (the checkpointed
-      * leaves carry default = huge stats, so the planner never picks
-      * the broadcast on its own). Leave false for graphs whose node
-      * count can be executor-memory-sized — a billion-label broadcast
-      * is the wrong plan no matter how many rounds it saves.
+      * (one keeper per component). Alternating large-star / small-star
+      * contraction (Kiveris et al., "Connected Components in MapReduce
+      * and Beyond", SoCC 2014): each round rewires every edge toward the
+      * minimum of a neighborhood, provably converging to per-component
+      * stars rooted at the component MINIMUM in O(log² n) rounds
+      * REGARDLESS of id layout. (The previous min-label + label(label)
+      * pointer jump was O(diameter) worst-case: the jump stalls whenever
+      * label(label)=label, i.e. on any chain whose ids descend toward
+      * the far end — ml_dbscan_grid's stringy sf0.1 geometry hit exactly
+      * that, fragmenting clusters at the 30-round cap. Found in r17 when
+      * the grid-blocked DuckDB oracle made the sf0.1 comparison runnable;
+      * VERDICT r16 task 2.) All steps are min-aggregates, equi-joins and
+      * distincts over 8-byte ids (order-free, deterministic); lineage is
+      * cut every round so plan size stays bounded. `iterations` remains
+      * a safety CAP; rounds stop early at the exact all-stars fixed
+      * point. Output: (id, component) with component = min id reachable.
+      *
+      * `broadcastLabels = true` hints the per-round parent frame (one row
+      * per node) as the broadcast side of the rewiring joins — right when
+      * the NODE set is known broadcast-sized (the checkpointed leaves
+      * carry default = huge stats, so the planner never picks the
+      * broadcast on its own). Leave false for graphs whose node count can
+      * be executor-memory-sized — a billion-parent broadcast is the wrong
+      * plan no matter how many shuffles it saves.
       */
     def connectedComponents(
         nodes: DataFrame, nodeId: Column,
         edges: DataFrame, src: Column, dst: Column,
         iterations: Int = 8,
         broadcastLabels: Boolean = false): DataFrame = {
-      val e = edges.select(src.as("src"), dst.as("dst"))
-      // Materialize the edge list once: it is re-joined every iteration,
-      // and recomputing an expensive upstream (e.g. the MinHash LSH
-      // pipeline feeding in candidate pairs) per round would dominate the
-      // whole closure (measured: 60 s → 4 s on the dedup pipeline).
-      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
-      var labels = nodes.select(nodeId.as("id"), nodeId.as("label"))
       val sp = edges.sparkSession
-      // Convergence probe: labels only ever decrease, so an unchanged
-      // exact sum (decimal — no Long overflow at any node count) means no
-      // label moved ⇒ fixed point ⇒ every component already carries its
-      // min id. `iterations` is thus a CAP (label(label) doubling reaches
-      // diameter 2^iterations), and typical inputs stop rounds early: the
-      // probe is one tiny scan of the just-checkpointed labels, far
-      // cheaper than the 2-join round it saves. Seeded with the initial
-      // identity-label sum so an already-converged input (no edges, or
-      // every node its own min) exits after a single round.
-      // Seed probe also counts the nodes (same 1-row job) — the count
-      // sizes the round loop's shuffle fan-out below.
-      val seed = labels
-        .agg(sum(col("label").cast("decimal(38,0)")), count(lit(1)))
-        .collect()(0)
-      var prevSum: java.math.BigDecimal = seed.getDecimal(0)
-      val nNodes = seed.getLong(1)
+      // Canonical (a < b) undirected edge set, materialized once: it is
+      // rewritten every round, and recomputing an expensive upstream
+      // (e.g. the MinHash LSH pipeline feeding in candidate pairs) per
+      // round would dominate the whole closure (measured: 60 s → 4 s on
+      // the dedup pipeline).
+      var c = edges.select(src.as("u"), dst.as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      // m(x) = min(Γ(x) ∪ {x}) over the current edge set — one row per
+      // node, the frame broadcastLabels hints into every rewiring join.
+      def parents(cc: DataFrame): DataFrame =
+        cc.select(col("a").as("u"), col("b").as("v"))
+          .union(cc.select(col("b").as("u"), col("a").as("v")))
+          .groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+      def maybeB(df: DataFrame): DataFrame =
+        if (broadcastLabels) broadcast(df) else df
+      val nNodes = nodes.select(nodeId.as("id")).count()
       var round = 0
-      var converged = false
+      var converged = c.isEmpty
       quietRounds(sp, nNodes) {
       while (round < iterations && !converged) {
-        // One round = min over three candidate sets in a single aggregate:
-        // keep own label, labels arriving over edges, and the composed
-        // label(label(x)) jump — 2 joins + 1 agg per round instead of the
-        // 3-join neighbor-min/jump split.
-        val lab = if (broadcastLabels) broadcast(labels) else labels
-        val viaEdges = sym.join(lab, col("src") === col("id"))
-          .select(col("dst").as("id"), col("label"))
-        val viaJump = (if (broadcastLabels)
-            broadcast(labels.toDF("jkey", "jlabel"))
-          else labels.toDF("jkey", "jlabel"))
-          .join(labels, col("label") === col("jkey"))
-          .select(col("id"), col("jlabel").as("label"))
-        labels = labels.union(viaEdges).union(viaJump)
-          .groupBy("id").agg(min("label").as("label"))
-        // Cut lineage EVERY round: Catalyst analysis over the nested
-        // iterative plan quickly costs more than executing the tiny
-        // per-round jobs (measured: per-round checkpointing ≈ 3× faster
-        // end-to-end than every-3-rounds on the dedup pipeline).
-        // statsResetLeaf on top: localCheckpoint INHERITS the origin
-        // stats, and the viaJump labels⋈labels squares sizeInBytes every
-        // round — 2^(63·2^k) after k rounds, which stalls planning on
-        // megabyte-long BigInts and overflows Catalyst's stats visitor
-        // near round 25 (hit by ml_dbscan_grid's 30-round stringy
-        // components; dedup's shallow 8-round groups never got there).
-        labels = org.apache.spark.sql.graftx.Bridge.statsResetLeaf(
-          labels.localCheckpoint(true))
-        val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
-          .collect()(0).getDecimal(0)
-        if (prevSum != null && s.compareTo(prevSum) == 0) converged = true
-        prevSum = s
+        // Large-star: every canonical edge (a,b) rewires its LARGER
+        // endpoint to m(a) — since m(a) ≤ a < b the result is already
+        // canonical and never a self-loop. Connectivity is preserved
+        // because b's new neighbor m(a) stays connected to a through a's
+        // own emission (the paper's Lemma 1).
+        c = org.apache.spark.sql.graftx.Bridge.statsResetLeaf(c
+          .join(maybeB(parents(c)), col("a") === col("u"))
+          .select(col("m").as("a"), col("b"))
+          .distinct()
+          .localCheckpoint(true))
+        // Small-star: every canonical edge (a,b) rewires its SMALLER
+        // endpoint AND b itself to m(b) (m(b) ≤ a because a ∈ Γ(b)):
+        // emits (m(b), a) — dropped when m(b) = a — and (m(b), b),
+        // where m(b) < b always holds.
+        val j = c.join(maybeB(parents(c)), col("b") === col("u"))
+        c = org.apache.spark.sql.graftx.Bridge.statsResetLeaf(j
+          .filter(col("m") =!= col("a"))
+          .select(col("m").as("a"), col("a").as("b"))
+          .union(j.select(col("m").as("a"), col("b")))
+          .distinct()
+          .localCheckpoint(true))
+        // Exact fixed-point probe: the edge set is all stars iff every
+        // canonical edge (a,b) has m(a) = a and m(b) = a. One pass over
+        // the (shrinking, checkpointed) edge set with the broadcastable
+        // parent frame — no checksums, no collision risk.
+        val pf = parents(c)
+        val viol = c
+          .join(maybeB(pf.toDF("ua", "ma")), col("a") === col("ua"))
+          .join(maybeB(pf.toDF("ub", "mb")), col("b") === col("ub"))
+          .filter(!(col("ma") === col("a") && col("mb") === col("a")))
+          .limit(1).count()
+        converged = viol == 0L
         round += 1
       }
       }
-      labels.select(col("id"), col("label").as("component"))
+      // Final star set: roots never appear on the b side (a < b), so
+      // every node's component is its root if it is a leaf, else its own
+      // id. The groupBy-min is a no-op on a converged star set but keeps
+      // the output well-defined if the safety cap ever binds.
+      val leafLab = c.select(col("b").as("id"), col("a").as("component"))
+        .groupBy("id").agg(min("component").as("component"))
+      nodes.select(nodeId.as("id"))
+        .union(c.select(col("a").as("id")))
+        .union(c.select(col("b").as("id")))
+        .distinct()
+        .join(leafLab, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
     }
 
     /** Exact duplicate groups by normalized-text digest: one row per

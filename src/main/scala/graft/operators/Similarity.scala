@@ -2972,12 +2972,14 @@ object Similarity extends QueryModule {
           .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
           .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
           .filter(col("id_a") < col("id_b"))
-        // Geometric clusters are STRINGY (hundreds of nodes, large
-        // diameter), unlike dedup's shallow near-dup groups — the default
-        // 8-round cap exits before the min label crosses the biggest
-        // cluster. 30 rounds is diameter-30 even with zero jump gains;
-        // the convergence probe makes the surplus rounds free once the
-        // label sum stabilizes.
+        // Geometric clusters are STRINGY (hundreds of nodes, diameters
+        // in the hundreds), unlike dedup's shallow near-dup groups. The
+        // r17 sf0.1 attestation proved diameter-bounded label propagation
+        // insufficient here (30 rounds left 333 of the true 324
+        // components); connectedComponents is now the alternating
+        // large-star/small-star contraction, which converges in O(log² n)
+        // alternations regardless of diameter — 30 is a pure safety cap
+        // and the exact all-stars probe exits rounds early.
         // broadcastLabels: the core set is customer-bounded (≤ n points),
         // safely broadcast at any harness scale — collapses each of the
         // ~25 closure rounds from 3 shuffles to 1 (measured 10.6 → ~5 s
@@ -3020,9 +3022,34 @@ object Similarity extends QueryModule {
         cnt AS (SELECT count(*) AS n FROM p),
         ee AS (SELECT CAST(round(sqrt(64940000000000000.0 / n)) AS BIGINT)
                  AS eps FROM cnt),
+        -- Same 3x3 grid-cell blocking the engine's geoCellJoin proves
+        -- complete (cell width = eps, so a pair within eps differs by at
+        -- most 1 in each cell index): candidates are cell-local, never
+        -- all-pairs, which is what kept this replay under the sf0.1
+        -- attestation budget (the r16 all-pairs CTE was O(n^2) distance
+        -- evaluations — 2.25e10 at 150k points). Coordinates shift
+        -- non-negative before the integer division so floor-vs-truncate
+        -- conventions cannot move a point across a cell boundary.
+        cells AS (
+          SELECT id, lat, lon,
+                 (lat + 60000000) // eps AS cx,
+                 (lon + 170000000) // eps AS cy
+          FROM p, ee),
+        offs AS (SELECT o1.dx, o2.dy
+                 FROM range(-1, 2) o1(dx), range(-1, 2) o2(dy)),
+        -- single composite cell key so the candidate join is ONE
+        -- hash-join equality (two arithmetic equalities made DuckDB
+        -- nested-loop it); 1e6 multiplier > any cy index (lon span
+        -- 340e6 over eps >= ~2e5 at any harness scale)
+        probe AS (
+          SELECT a.id, a.lat, a.lon,
+                 (a.cx + o.dx) * 1000000 + (a.cy + o.dy) AS ck
+          FROM cells a, offs o),
+        bld AS (SELECT id, lat, lon, cx * 1000000 + cy AS ck FROM cells),
         pairs AS (
           SELECT a.id AS ia, b.id AS ib
-          FROM p a, p b, ee
+          FROM probe a JOIN bld b USING (ck)
+          CROSS JOIN ee
           WHERE a.id <> b.id
             AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
                 <= eps*eps),
@@ -4867,7 +4894,8 @@ object Similarity extends QueryModule {
     // through the fused codegen cosine with no shuffle of the big side
     // (same plan family as sim_cosine_topk); the aggregate is
     // per-eval-id, i.e. tiny. Ties on the closest-train pick break by
-    // round(cos,6) then smallest id — the cosineTopK determinism rule.
+    // the 1e-6 integer quantization (floor(cos*1e6+0.5)) then smallest
+    // id — the cosineTopK determinism rule, made engine-portable.
     Q(
       "contamination_embedding",
       (s, dir) => {
@@ -4878,10 +4906,20 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("train_id"), col("e"))
         broadcast(eval_).join(train)
           .withColumn("cosr", cosine(col("qe"), col("e")))
-          .withColumn("cos6", round(col("cosr"), 6))
+          // Internal quantization for the threshold and the argmax
+          // tie-break: floor(x*1e6 + 0.5) as a LONG, not round(x, 6).
+          // Spark's round is BigDecimal-HALF_UP on the shortest decimal
+          // repr while DuckDB rounds the binary value — a raw cosine
+          // landing on a 6-decimal half boundary would diverge (the same
+          // class as the r16 max_cos find, lower probability; ADVICE
+          // r16). floor over double multiply+add is IEEE-identical in
+          // both engines, so the quantized integer is engine-portable by
+          // construction.
+          .withColumn("q6",
+            floor(col("cosr") * lit(1000000d) + lit(0.5d)).cast("long"))
           .groupBy("eval_id")
           .agg(
-            sum(when(col("cos6") >= 0.35, 1L).otherwise(0L)).as("n_leaky"),
+            sum(when(col("q6") >= 350000L, 1L).otherwise(0L)).as("n_leaky"),
             // SINGLE rounding from the raw double (r16 sf0.1 attestation
             // find): round(max(cos6), 4) re-rounds an already-quantized
             // value, and at eval 1950 / sf0.1 the 6-decimal max landed
@@ -4894,7 +4932,7 @@ object Similarity extends QueryModule {
             // argmax as ONE lexicographic struct-min (cos desc via
             // negation, then smallest id) — partial-aggregates map-side,
             // no window over the cross product.
-            min(struct((-col("cos6")).as("nc"), col("train_id").as("tid")))
+            min(struct((-col("q6")).as("nc"), col("train_id").as("tid")))
               .getField("tid").as("top_train_id"))
           .orderBy("eval_id")
       },
@@ -4907,16 +4945,19 @@ object Similarity extends QueryModule {
         x AS (
           SELECT q.vec_id AS eval_id, t.vec_id AS train_id,
                  list_dot_product(q.e, t.e) / (q.nrm * t.nrm) AS cosr,
-                 round(list_dot_product(q.e, t.e) / (q.nrm * t.nrm), 6)
-                   AS cos6
+                 -- engine-portable integer quantization (see Scala-side
+                 -- comment): floor over IEEE double arithmetic, never
+                 -- engine-specific round conventions
+                 CAST(floor(list_dot_product(q.e, t.e) / (q.nrm * t.nrm)
+                            * 1000000 + 0.5) AS BIGINT) AS q6
           FROM e q JOIN e t ON t.vec_id % 50 <> 0
           WHERE q.vec_id % 50 = 0),
         x2 AS (
           SELECT *, row_number() OVER (PARTITION BY eval_id
-                      ORDER BY cos6 DESC, train_id) AS rn
+                      ORDER BY q6 DESC, train_id) AS rn
           FROM x)
         SELECT eval_id,
-               CAST(count(*) FILTER (WHERE cos6 >= 0.35) AS BIGINT)
+               CAST(count(*) FILTER (WHERE q6 >= 350000) AS BIGINT)
                  AS n_leaky,
                -- single rounding from the raw double, mirroring the
                -- engine (see the Scala-side comment: re-rounding cos6

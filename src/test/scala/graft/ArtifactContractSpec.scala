@@ -123,6 +123,33 @@ class ArtifactContractSpec extends AnyFunSuite {
     assert(out.contains("correctness artifact OK"), out)
   }
 
+  test("the current round carries a DRIFT_rNN.json drift artifact of " +
+    "valid shape (VERDICT r16 task 5: comparability is an artifact, " +
+    "not a re-derivation)") {
+    import scala.jdk.CollectionConverters._
+    // Current round = latest committed CORRECTNESS round + 1 (the driver
+    // commits CORRECTNESS_r{N} when round N closes, so a tree holding
+    // r16 is round 17 in progress). The pin activates once the round's
+    // first full sweep has run via tools/round_close_bench.py — from
+    // then on, a deleted or stale drift artifact fails sbt test.
+    val rounds = Files.list(Paths.get(".")).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("CORRECTNESS_r\\d+\\.json") =>
+        s.stripPrefix("CORRECTNESS_r").stripSuffix(".json").toInt }
+      .toSeq
+    assume(rounds.nonEmpty, "no committed correctness artifacts")
+    val current = rounds.max + 1
+    val drift = Paths.get(s"DRIFT_r$current.json")
+    assert(Files.exists(drift),
+      s"DRIFT_r$current.json missing — run tools/round_close_bench.py " +
+        s"$current <prev-official.jsonl> (the round-close sweep command " +
+        "emits it alongside BENCH_LOCAL_LAST.jsonl)")
+    val txt = Files.readString(drift)
+    for (field <- Seq("\"reference\"", "\"runs\"", "\"settled_sum_ratio\"",
+        "\"settled_median_ratio\"", "\"decile_median_ratio\""))
+      assert(txt.contains(field), s"DRIFT_r$current.json lacks $field")
+  }
+
   test("BENCH_LOCAL_LAST.jsonl written by the last real bench run (if any) " +
     "also satisfies the contract") {
     // .jsonl since r15: the file is one JSON object per line (ADVICE r14

@@ -15,6 +15,16 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
   test("agg_markov_stationary: the DuckDB oracle, run on the source-only " +
     "fixture, matches the engine (ADVICE r15 — the r15 pin only ran the " +
     "Spark side)") {
+    // The replay shells out to the driver-side oracle stack; on a box
+    // without python3+duckdb this test is not runnable — cancel, don't
+    // fail (ADVICE r16).
+    val duckdbAvailable =
+      try {
+        val probe = new ProcessBuilder("python3", "-c", "import duckdb")
+          .redirectErrorStream(true).start()
+        probe.waitFor() == 0
+      } catch { case _: java.io.IOException => false }
+    assume(duckdbAvailable, "python3 + duckdb not available on this box")
     val sp = spark
     import sp.implicits._
     import java.sql.Timestamp
@@ -35,11 +45,14 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
     // the lone part file.
     val tmp = s"$dir/_ev"
     ev.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
-    var src: java.nio.file.Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    val src = scala.util.Using.resource(Files.list(Paths.get(tmp))) { st =>
+      val part = st.iterator()
+      var found: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) found = p
+      }
+      found
     }
     assert(src != null, "no part file written")
     Files.move(src, Paths.get(s"$dir/events.parquet"))

@@ -67,6 +67,10 @@ def main():
     pa, pb = argv
     qa, ta = load(pa)
     qb, tb = load(pb)
+    for path, t in ((pa, ta), (pb, tb)):
+        if t is None or "total_ok" not in t:
+            sys.exit(f"{path}: no total line (truncated or crashed sweep?) "
+                     "— nothing to diff")
     ca, cb = ta.get("calibration_sec"), tb.get("calibration_sec")
     print(f"A: {pa}")
     print(f"   total_ok={ta['total_ok']:.1f}s n={ta['n_queries']} "
@@ -101,7 +105,7 @@ def main():
         print(f"{name:<16}{n:>4}{sa:>10.2f}{sb:>10.2f}{sb / sa if sa else 0:>8.2f}")
     sa, sb = sum(qa[k] for k in shared), sum(qb[k] for k in shared)
     print(f"{'SHARED TOTAL':<16}{len(shared):>4}{sa:>10.2f}{sb:>10.2f}"
-          f"{sb / sa:>8.2f}")
+          f"{sb / sa if sa else 0:>8.2f}")
     deltas = sorted(shared, key=lambda k: qb[k] - qa[k])
     print(f"\ntop {top} regressions (B - A):")
     for k in deltas[-top:][::-1]:
