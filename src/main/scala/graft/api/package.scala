@@ -457,50 +457,21 @@ package object api {
         .select("contained_id", "container_id", "containment_pm")
     }
 
-    /** Distributed connected components over an undirected edge list — the
-      * closure step that turns near-duplicate PAIRS into dedup CLUSTERS
-      * (one keeper per component). Alternating large-star / small-star
-      * contraction (Kiveris et al., "Connected Components in MapReduce
-      * and Beyond", SoCC 2014): each round rewires every edge toward the
-      * minimum of a neighborhood, provably converging to per-component
-      * stars rooted at the component MINIMUM in O(log² n) rounds
-      * REGARDLESS of id layout. (The previous min-label + label(label)
-      * pointer jump was O(diameter) worst-case: the jump stalls whenever
-      * label(label)=label, i.e. on any chain whose ids descend toward
-      * the far end — ml_dbscan_grid's stringy sf0.1 geometry hit exactly
-      * that, fragmenting clusters at the 30-round cap. Found in r17 when
-      * the grid-blocked DuckDB oracle made the sf0.1 comparison runnable;
-      * VERDICT r16 task 2.) All steps are min-aggregates, equi-joins and
-      * distincts over 8-byte ids (order-free, deterministic); lineage is
-      * cut every round so plan size stays bounded. `iterations` remains
-      * a safety CAP; rounds stop early at the exact all-stars fixed
-      * point. Output: (id, component) with component = min id reachable.
-      *
-      * `broadcastLabels = true` hints the per-round parent frame (one row
-      * per node) as the broadcast side of the rewiring joins — right when
-      * the NODE set is known broadcast-sized (the checkpointed leaves
-      * carry default = huge stats, so the planner never picks the
-      * broadcast on its own). Leave false for graphs whose node count can
-      * be executor-memory-sized — a billion-parent broadcast is the wrong
-      * plan no matter how many shuffles it saves.
+    /** Alternating large-star / small-star contraction (Kiveris et al.,
+      * "Connected Components in MapReduce and Beyond", SoCC 2014) over a
+      * canonical (a < b) edge set: each round rewires every edge toward
+      * the minimum of a neighborhood, provably converging to
+      * per-component stars rooted at the component MINIMUM in O(log² n)
+      * rounds REGARDLESS of id layout. Returns (id, component) for every
+      * id appearing in `c0`. All steps are min-aggregates, equi-joins and
+      * distincts over 8-byte ids (order-free, deterministic); rounds stop
+      * early at the exact all-stars fixed point; `iterations` is a
+      * safety cap.
       */
-    def connectedComponents(
-        nodes: DataFrame, nodeId: Column,
-        edges: DataFrame, src: Column, dst: Column,
-        iterations: Int = 8,
-        broadcastLabels: Boolean = false): DataFrame = {
-      val sp = edges.sparkSession
-      // Canonical (a < b) undirected edge set, materialized once: it is
-      // rewritten every round, and recomputing an expensive upstream
-      // (e.g. the MinHash LSH pipeline feeding in candidate pairs) per
-      // round would dominate the whole closure (measured: 60 s → 4 s on
-      // the dedup pipeline).
-      var c = edges.select(src.as("u"), dst.as("v"))
-        .filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .distinct()
-        .localCheckpoint(true)
+    private def alternatingStars(
+        c0: DataFrame, iterations: Int,
+        maybeB: DataFrame => DataFrame): DataFrame = {
+      var c = c0
       // m(x) = min(Γ(x) ∪ {x}) over the current edge set — one row per
       // node, the frame broadcastLabels hints into every rewiring join.
       def parents(cc: DataFrame): DataFrame =
@@ -508,12 +479,8 @@ package object api {
           .union(cc.select(col("b").as("u"), col("a").as("v")))
           .groupBy("u").agg(min(col("v")).as("mn"))
           .select(col("u"), least(col("mn"), col("u")).as("m"))
-      def maybeB(df: DataFrame): DataFrame =
-        if (broadcastLabels) broadcast(df) else df
-      val nNodes = nodes.select(nodeId.as("id")).count()
       var round = 0
       var converged = c.isEmpty
-      quietRounds(sp, nNodes) {
       while (round < iterations && !converged) {
         // Large-star: every canonical edge (a,b) rewires its LARGER
         // endpoint to m(a) — since m(a) ≤ a < b the result is already
@@ -549,20 +516,145 @@ package object api {
         converged = viol == 0L
         round += 1
       }
-      }
       // Final star set: roots never appear on the b side (a < b), so
       // every node's component is its root if it is a leaf, else its own
       // id. The groupBy-min is a no-op on a converged star set but keeps
       // the output well-defined if the safety cap ever binds.
       val leafLab = c.select(col("b").as("id"), col("a").as("component"))
         .groupBy("id").agg(min("component").as("component"))
-      nodes.select(nodeId.as("id"))
-        .union(c.select(col("a").as("id")))
-        .union(c.select(col("b").as("id")))
+      c.select(col("a").as("id")).union(c.select(col("b").as("id")))
+        .union(c0.select(col("a").as("id")))
+        .union(c0.select(col("b").as("id")))
         .distinct()
         .join(leafLab, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("component"), col("id")).as("component"))
+    }
+
+    /** Distributed connected components over an undirected edge list — the
+      * closure step that turns near-duplicate PAIRS into dedup CLUSTERS
+      * (one keeper per component). Two phases:
+      *
+      * Phase 1 — min-label propagation with a label(label) pointer jump:
+      * per round one union-aggregate over (own ∪ via-edges ∪ jump)
+      * labels, with an exact decimal-sum convergence probe (labels only
+      * decrease, so an unchanged sum IS the fixed point). Cheapest rounds
+      * available and converges fast on the common shallow/ascending-id
+      * graphs — but it is O(diameter) worst-case: the jump stalls
+      * whenever label(label)=label, i.e. on chains whose ids descend
+      * toward the far end. ml_dbscan_grid's stringy sf0.1 geometry hit
+      * exactly that, fragmenting clusters at the old 30-round cap (found
+      * in r17 when the grid-blocked DuckDB oracle made the sf0.1
+      * comparison runnable; VERDICT r16 task 2).
+      *
+      * Phase 2 (only if phase 1 hits its 8-round cap unconverged) —
+      * contract each partial label-cluster to one node and run
+      * [[alternatingStars]] on the contracted graph: provable O(log² n)
+      * convergence on any id layout, at contracted (≤ label-count) size.
+      * Composition is exact: the component minimum m keeps label(m) = m
+      * through phase 1 (labels only decrease and nothing is below it),
+      * so m survives contraction as its own node and the star root of
+      * every contracted component is the true component min.
+      *
+      * Output: (id, component) with component = min id reachable.
+      * `iterations` caps each phase. `broadcastLabels = true` hints the
+      * per-round label/parent frame (one row per node) as the broadcast
+      * side of every join — right when the NODE set is known
+      * broadcast-sized (the checkpointed leaves carry default = huge
+      * stats, so the planner never picks the broadcast on its own).
+      * Leave false for graphs whose node count can be
+      * executor-memory-sized.
+      */
+    def connectedComponents(
+        nodes: DataFrame, nodeId: Column,
+        edges: DataFrame, src: Column, dst: Column,
+        iterations: Int = 8,
+        broadcastLabels: Boolean = false): DataFrame = {
+      val e = edges.select(src.as("src"), dst.as("dst"))
+      // Materialize the edge list once: it is re-joined every iteration,
+      // and recomputing an expensive upstream (e.g. the MinHash LSH
+      // pipeline feeding in candidate pairs) per round would dominate the
+      // whole closure (measured: 60 s → 4 s on the dedup pipeline).
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      var labels = nodes.select(nodeId.as("id"), nodeId.as("label"))
+      val sp = edges.sparkSession
+      def maybeB(df: DataFrame): DataFrame =
+        if (broadcastLabels) broadcast(df) else df
+      // Convergence probe: labels only ever decrease, so an unchanged
+      // exact sum (decimal — no Long overflow at any node count) means no
+      // label moved ⇒ fixed point ⇒ every component already carries its
+      // min id. Seeded with the initial identity-label sum so an
+      // already-converged input (no edges, or every node its own min)
+      // exits after a single round. The seed probe also counts the nodes
+      // (same 1-row job) — the count sizes the round loop's shuffle
+      // fan-out below.
+      val seed = labels
+        .agg(sum(col("label").cast("decimal(38,0)")), count(lit(1)))
+        .collect()(0)
+      var prevSum: java.math.BigDecimal = seed.getDecimal(0)
+      val nNodes = seed.getLong(1)
+      // Phase 1 is capped at 8 rounds regardless of `iterations`: past
+      // that, per-hop label spreading is losing to the contracted
+      // star phase below, which converges in O(log²) of the REMAINING
+      // cluster count.
+      val phase1Cap = math.min(iterations, 8)
+      var round = 0
+      var converged = false
+      quietRounds(sp, nNodes) {
+      while (round < phase1Cap && !converged) {
+        // One round = min over three candidate sets in a single aggregate:
+        // keep own label, labels arriving over edges, and the composed
+        // label(label(x)) jump — 2 joins + 1 agg per round instead of the
+        // 3-join neighbor-min/jump split.
+        val lab = maybeB(labels)
+        val viaEdges = sym.join(lab, col("src") === col("id"))
+          .select(col("dst").as("id"), col("label"))
+        val viaJump = maybeB(labels.toDF("jkey", "jlabel"))
+          .join(labels, col("label") === col("jkey"))
+          .select(col("id"), col("jlabel").as("label"))
+        labels = labels.union(viaEdges).union(viaJump)
+          .groupBy("id").agg(min("label").as("label"))
+        // Cut lineage EVERY round: Catalyst analysis over the nested
+        // iterative plan quickly costs more than executing the tiny
+        // per-round jobs (measured: per-round checkpointing ≈ 3× faster
+        // end-to-end than every-3-rounds on the dedup pipeline).
+        // statsResetLeaf on top: localCheckpoint INHERITS the origin
+        // stats, and the viaJump labels⋈labels squares sizeInBytes every
+        // round — megabyte-long BigInts stall planning after ~25 rounds.
+        labels = org.apache.spark.sql.graftx.Bridge.statsResetLeaf(
+          labels.localCheckpoint(true))
+        val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0)
+        if (prevSum != null && s.compareTo(prevSum) == 0) converged = true
+        prevSum = s
+        round += 1
+      }
+      if (!converged) {
+        // Phase 2: contract edges through the partial labels — each
+        // current label-cluster becomes one node — and close the
+        // contracted graph with the star contraction. Contracted size is
+        // the current distinct-label count, ≤ nodes and usually far
+        // smaller after 8 rounds of propagation.
+        val la = labels.toDF("ka", "la")
+        val lb = labels.toDF("kb", "lb")
+        val contracted = sym
+          .join(maybeB(la), col("src") === col("ka"))
+          .join(maybeB(lb), col("dst") === col("kb"))
+          .filter(col("la") =!= col("lb"))
+          .select(least(col("la"), col("lb")).as("a"),
+            greatest(col("la"), col("lb")).as("b"))
+          .distinct()
+          .localCheckpoint(true)
+        val roots = alternatingStars(contracted, iterations, maybeB)
+        labels = labels
+          .join(maybeB(roots.toDF("rk", "root")),
+            col("label") === col("rk"), "left")
+          .select(col("id"),
+            coalesce(col("root"), col("label")).as("label"))
+      }
+      }
+      labels.select(col("id"), col("label").as("component"))
     }
 
     /** Exact duplicate groups by normalized-text digest: one row per
