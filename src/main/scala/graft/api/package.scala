@@ -23,9 +23,11 @@ package object api {
     * sizes (r14 census: ml_dbscan_grid ran 208 jobs, graph_betweenness
     * 97) — but AQE simply off runs full-width shuffle tasks and gets
     * SLOWER (9.3 s vs 7.7 measured). The right shape is both: AQE off
-    * AND the shuffle width sized to the iterated frame (16-byte-row
-    * scale: ~2M rows per partition, floored at 4), scoped to the loop
-    * and restored after. Beyond 50M rows the session conf is left
+    * AND the shuffle width sized to the iterated frame (~50k rows per
+    * partition, clamped to [4, max(cores, session width)] — the fan-out
+    * of a frontier×adjacency round is CPU work per ROW, so width follows
+    * row count, capped so it never exceeds what the box/cluster offers),
+    * scoped to the loop and restored after. Beyond 50M rows the session conf is left
     * untouched: there AQE has real decisions (skew, stats-driven
     * coalescing) and per-round job overhead is noise against data work.
     * Measured: ml_dbscan_grid 7.7→5.3 s warm, dedup_fuzzy_cluster
@@ -41,7 +43,19 @@ package object api {
       val priorAqe = sp.conf.get(aqeKey)
       val priorShuf = sp.conf.get(shufKey)
       sp.conf.set(aqeKey, "false")
-      sp.conf.set(shufKey, math.max(4L, nRows / 2000000L).toString)
+      // Width rule (r17): rows/50k, clamped to [4, max(cores, session
+      // width)]. The r16 rows/2M divisor pinned every sub-8M-row graph
+      // at 4 partitions — but these kernels are CPU-bound in the JOIN
+      // FAN-OUT (frontier×adjacency wedges, Σdeg rows per round), not
+      // in shuffle bytes, so 4-wide rounds left 7/8 of the box idle
+      // (graph_betweenness: 22.8 cpu-s at cpu/wall 5.5 on 32 cores).
+      // The cap keeps big-graph runs at the session/cluster width
+      // (never LOWERS a cluster-tuned value); the floor keeps tiny
+      // fixture graphs at the measured r16 optimum.
+      val cap = math.max(sp.sparkContext.defaultParallelism.toLong,
+        priorShuf.toLong)
+      sp.conf.set(shufKey,
+        math.min(cap, math.max(4L, nRows / 50000L)).toString)
       try body
       finally {
         sp.conf.set(aqeKey, priorAqe)
@@ -605,15 +619,18 @@ package object api {
       while (round < phase1Cap && !converged) {
         // One round = min over three candidate sets in a single aggregate:
         // keep own label, labels arriving over edges, and the composed
-        // label(label(x)) jump — 2 joins + 1 agg per round instead of the
-        // 3-join neighbor-min/jump split.
-        val lab = maybeB(labels)
-        val viaEdges = sym.join(lab, col("src") === col("id"))
+        // label(label(x)) jump. The jump is expressed as PER-ROUND EXTRA
+        // EDGES (label(x) → x) unioned into the static edge stream, so
+        // both candidate sets come out of ONE join against the label
+        // frame (r17: the separate labels⋈labels jump join cost a second
+        // broadcast build + probe per round for the same rows — via the
+        // jump edge (label(x), x), x receives label(label(x)) exactly).
+        val jumpEdges = labels
+          .select(col("label").as("src"), col("id").as("dst"))
+        val viaBoth = sym.union(jumpEdges)
+          .join(maybeB(labels), col("src") === col("id"))
           .select(col("dst").as("id"), col("label"))
-        val viaJump = maybeB(labels.toDF("jkey", "jlabel"))
-          .join(labels, col("label") === col("jkey"))
-          .select(col("id"), col("jlabel").as("label"))
-        labels = labels.union(viaEdges).union(viaJump)
+        labels = labels.union(viaBoth)
           .groupBy("id").agg(min("label").as("label"))
         // Cut lineage EVERY round: Catalyst analysis over the nested
         // iterative plan quickly costs more than executing the tiny
@@ -2861,7 +2878,11 @@ package object api {
         nodesDeg.filter(col("deg").isNull).limit(1).count() > 0
       var ranks = nodesDeg.withColumn("rank_fp", lit(S / n))
       var round = 0
-      quietRounds(edges.sparkSession, n) {
+      // Width the round loop by the EDGE count, not n: the per-round
+      // work is the e ⋈ shares join + the dst-keyed aggregate over
+      // edge-count rows (the node-sized shares frame is the broadcast
+      // side). e is checkpointed, so the count scans cached blocks (r17).
+      quietRounds(edges.sparkSession, math.max(n, e.count())) {
       while (round < iterations) {
         val shares = ranks.filter(col("deg").isNotNull)
           .select(col("id").as("share_src"),
@@ -3300,7 +3321,10 @@ package object api {
       val nc = hubs.count()
       var h = hubs.select(col("c"), lit(S / nc).as("h"))
       var a: DataFrame = null
-      quietRounds(edges.sparkSession, nc) {
+      // Width by edge count: each half-round is a broadcast join against
+      // e plus an edge-count-row aggregate — the hub count under-sizes
+      // the shuffle width 30× on the purchase bipartite (r17).
+      quietRounds(edges.sparkSession, math.max(nc, e.count())) {
       for (_ <- 1 to rounds) {
         // Checkpoint the RAW frames, not the normalized ones: each raw
         // feeds both its L1 total (broadcast subtree) and the

@@ -2803,33 +2803,42 @@ object Pipeline extends QueryModule {
           sp = sp.unionByName(next)
           frontier = next
         }
-        sp = sp.localCheckpoint(true)
-        // backward: level h pulls from level h+1's micro-unit deltas
+        // sp is a union of 5 already-checkpointed level frames — the
+        // backward filters below scan cached blocks; re-checkpointing
+        // the union only added a materialization job (r17).
+        // backward: level h pulls from level h+1's micro-unit deltas.
+        // Each level frame carries (src, node, sig, dq): keeping sig on
+        // the dq frame lets level h read level h+1's (sig, dq) from ONE
+        // frame instead of re-joining sp against dqByLevel per level
+        // (r17: one join per level removed). Level 0 is the sources
+        // themselves — Brandes excludes δ_s(s) from bc, so its
+        // dependency pass is never computed (the r16 code built and
+        // checkpointed it, then dropped it).
         var dqByLevel = Map[Int, org.apache.spark.sql.DataFrame](
           4 -> sp.filter(col("d") === 4)
-            .select(col("src"), col("node"), lit(0L).as("dq")))
-        for (h <- 3 to 0 by -1) {
+            .select(col("src"), col("node"), col("sig"), lit(0L).as("dq")))
+        for (h <- 3 to 1 by -1) {
           val cur = sp.filter(col("d") === h)
             .select(col("src"), col("node"), col("sig"))
-          val nxt = sp.filter(col("d") === h + 1)
-            .select(col("src"), col("node").as("m"), col("sig").as("wsig"))
-            .join(dqByLevel(h + 1).select(col("src"),
-              col("node").as("m"), col("dq").as("wdq")), Seq("src", "m"))
+          val nxt = dqByLevel(h + 1)
+            .select(col("src"), col("node").as("m"),
+              col("sig").as("wsig"), col("dq").as("wdq"))
           val terms = cur.join(adj, cur("node") === adj("n"))
             .join(nxt, Seq("src", "m"))
             .select(col("src"), col("node"),
               expr("(sig * (1000000 + wdq)) div wsig").as("term"))
             .groupBy("src", "node").agg(sum("term").as("dqs"))
           val dq = cur.join(terms, Seq("src", "node"), "left")
-            .select(col("src"), col("node"),
+            .select(col("src"), col("node"), col("sig"),
               coalesce(col("dqs"), lit(0L)).as("dq"))
             .localCheckpoint(true)
           dqByLevel += (h -> dq)
         }
-        (1 to 4).map(h =>
-            dqByLevel(h).join(
-              sp.filter(col("d") === h).select("src", "node"),
-              Seq("src", "node"), "left_semi"))
+        // Each dqByLevel(h) holds exactly level h's (src, node) rows by
+        // construction (built from sp.filter(d === h) via a left join),
+        // so the r16 per-level left_semi re-filter against sp was an
+        // identity — 4 SortMergeJoins in the final plan for nothing.
+        (1 to 4).map(h => dqByLevel(h).select("node", "dq"))
           .reduce(_ unionByName _)
         }
         allDq.groupBy("node")

@@ -290,8 +290,16 @@ object Text extends QueryModule {
         val tok = toks(s, dir).select("doc_id", "term")
         val n = Tables.documents(s, dir).count()
         val qlnN = math.round(math.log(n.toDouble) * 1e6)
-        val dfF = tok.distinct().groupBy("term")
-          .agg(count(lit(1)).as("df"))
+        // ONE tokenize pass: tf has exactly one row per (doc, term)
+        // present, so df = per-term row count of tf — the r16 shape
+        // (tok.distinct for df + tok.groupBy for tf) exploded and
+        // shuffled the token stream twice for the same information.
+        // Materialized once for its two consumers (df → top broadcast,
+        // and the tf·idf weights).
+        val tf = tok.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        val dfF = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val top = dfF.orderBy(desc("df"), asc("term")).limit(50)
           .select(col("term"), col("df"),
             row_number().over(org.apache.spark.sql.expressions.Window
@@ -299,8 +307,7 @@ object Text extends QueryModule {
           .withColumn("idfq", expr(
             s"($qlnN - cast(round(ln(df) * 1e6, 0) as bigint))" +
               " div 1000"))
-        val w = tok.groupBy("doc_id", "term")
-          .agg(count(lit(1)).as("tf"))
+        val w = tf
           .join(broadcast(top), Seq("term"))
           .select(col("doc_id"), col("rk"),
             (col("tf") * col("idfq")).as("w"))
@@ -1414,15 +1421,22 @@ object Text extends QueryModule {
           .select(col("doc_id"), col("source"),
             split(col("text"), " ").as("ws"))
           .filter(size(col("ws")) >= 8)
+        // ONE shuffle of the shingle stream (r17): hash-repartition on k
+        // FIRST — HashPartitioning(k) satisfies the distinct's clustering
+        // requirement by the subset rule, and the first-occurrence
+        // window below reuses the same partitioning — where the r16
+        // shape (distinct → groupBy(k) → join back on k) recomputed the
+        // explode+distinct twice and shuffled it by k twice more.
+        val byK = org.apache.spark.sql.expressions.Window.partitionBy("k")
         val sh = w
           .select(col("doc_id"), col("source"),
             explode(sequence(lit(1), size(col("ws")) - 7)).as("i"),
             col("ws"))
           .select(col("doc_id"), col("source"),
             md5(concat_ws(" ", slice(col("ws"), col("i"), lit(8)))).as("k"))
+          .repartition(col("k"))
           .distinct()
-        val first = sh.groupBy("k").agg(min(col("doc_id")).as("first_doc"))
-        sh.join(first, Seq("k"))
+        sh.withColumn("first_doc", min(col("doc_id")).over(byK))
           .groupBy("source")
           .agg(
             countDistinct(col("doc_id")).as("n_docs"),
@@ -1476,18 +1490,29 @@ object Text extends QueryModule {
           .select(col("doc_id"), col("source"),
             split(col("text"), " ").as("ws"))
           .filter(size(col("ws")) >= 5)
+        // ONE shuffle of the n-gram stream (r17): repartition on k, then
+        // detect duplicated shingles with a window min/max over the same
+        // partitioning — a shingle appears in ≥2 distinct docs iff its
+        // per-k min(doc) ≠ max(doc). The r16 shape (groupBy(k)
+        // countDistinct → join back on k) recomputed the explode twice
+        // and shuffled it by k twice. The position-union distinct then
+        // repartitions by doc_id (subset rule again) so its aggregate
+        // and the per-doc count share one exchange.
+        val byK = org.apache.spark.sql.expressions.Window.partitionBy("k")
         val ng = w
           .select(col("doc_id"),
             explode(sequence(lit(1), size(col("ws")) - 4)).as("p"),
             col("ws"))
           .select(col("doc_id"), col("p"),
             md5(concat_ws(" ", slice(col("ws"), col("p"), lit(5)))).as("k"))
-        val dup = ng.groupBy("k")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("k")
-        val cov = ng.join(dup, Seq("k"))
+          .repartition(col("k"))
+        val cov = ng
+          .withColumn("dmin", min(col("doc_id")).over(byK))
+          .withColumn("dmax", max(col("doc_id")).over(byK))
+          .filter(col("dmin") =!= col("dmax"))
           .select(col("doc_id"),
             explode(sequence(col("p"), col("p") + 4)).as("pos"))
+          .repartition(col("doc_id"))
           .distinct()
           .groupBy("doc_id").agg(count(lit(1)).as("covered"))
         w.select(col("doc_id"), col("source"),
