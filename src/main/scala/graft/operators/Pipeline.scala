@@ -1951,8 +1951,14 @@ object Pipeline extends QueryModule {
           .withColumn("tc", size(col("toks")).cast("long"))
           .filter(col("tc").between(20, 500))
           .withColumn("pre", md5(array_join(slice(col("toks"), 1, 8), " ")))
-        val keep = norm.groupBy("pre").agg(min("doc_id").as("doc_id"))
-        val kept = norm.join(keep, Seq("pre", "doc_id"), "left_semi")
+        // One normalize pass (r17): keeper = row whose doc_id is the
+        // per-prefix minimum, selected with a window over pre — the r16
+        // groupBy+left_semi shape re-ran the normalize+tokenize regex
+        // pipeline on both join sides.
+        val wPre = org.apache.spark.sql.expressions.Window.partitionBy("pre")
+        val kept = norm
+          .withColumn("mind", min(col("doc_id")).over(wPre))
+          .filter(col("doc_id") === col("mind"))
         graft.api.Pipeline.packConcatSplit(
           kept, col("source"), col("doc_id"), col("tc"), budget = 512)
           .select(col("id").as("doc_id"), col("group").as("source"),
@@ -2170,8 +2176,12 @@ object Pipeline extends QueryModule {
       "graph_recommend",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // Materialized once: the weighted edge frame feeds both the
+        // anchor aggregate and the ranked join — without the checkpoint
+        // the pair-count shuffle runs twice (r17).
         val w = urgentCoPurchasePairs(s, dir)
           .groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
         val sym = w.select(col("u").as("a"), col("v").as("b"), col("cnt"))
           .unionAll(w.select(col("v").as("a"), col("u").as("b"),
             col("cnt")))
@@ -2619,6 +2629,13 @@ object Pipeline extends QueryModule {
               struct(h.as("h"), col("m").as("m")).as("c"))
             .groupBy("seed").agg(min("c").as("c"))
             .select(col("seed"), col("c.m").as("node"))
+            // Checkpoint the 5-row frontier per step (r17): without it
+            // each later step's broadcast build AND each union branch of
+            // `out` re-derives the whole chain — O(steps²) full scans of
+            // the adjacency for a 25-row result (the StageBudgetSpec
+            // re-execution class). With it the adjacency is scanned once
+            // per step, exactly the walk's inherent cost.
+            .localCheckpoint(true)
           out = out.unionByName(cur.withColumn("step", lit(k)))
         }
         out.select(col("seed"), col("step"), col("node"))
@@ -2641,8 +2658,12 @@ object Pipeline extends QueryModule {
     Q(
       "graph_walk_pairs",
       (s, dir) => {
+        // Materialize the composed 25-row walk once: both self-join
+        // sides would otherwise re-derive the whole 4-step trajectory
+        // build (r17).
         val w = all.find(_.name == "graph_random_walk").get.run(s, dir)
           .select(col("seed"), col("step"), col("node"))
+          .localCheckpoint(true)
         w.as("a").join(w.as("b"),
             col("a.seed") === col("b.seed") &&
             col("b.step") > col("a.step") &&
