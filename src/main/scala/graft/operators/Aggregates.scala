@@ -2797,6 +2797,9 @@ object Aggregates extends QueryModule {
           .groupBy("user_id", "seq")
           .agg(expr("(max(us) - min(us)) div 60000000").as("dur"),
             max("us").as("mx"))
+          // session-cardinality; feeds the global-max probe AND the life
+          // table — unmaterialized, the sessionize window ran twice (r17)
+          .localCheckpoint(true)
         val gmax = sess.agg(max("mx").as("gmx"))
         val tbl = sess.crossJoin(broadcast(gmax))
           .select(col("dur"),
@@ -2805,6 +2808,9 @@ object Aggregates extends QueryModule {
           .groupBy("dur")
           .agg(sum(when(col("cens") === 0L, 1L).otherwise(0L)).as("d"),
             sum("cens").as("c"))
+          // duration-cardinality; read by its own n_total rollup and the
+          // KM walk (r17)
+          .localCheckpoint(true)
         val byT = Window.orderBy("dur")
         val run = byT.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)

@@ -3736,14 +3736,23 @@ object Similarity extends QueryModule {
         val test = d.filter(col("doc_id") % 2 === 1)
         val tw = train.select(col("lang").as("cls"),
           explode(col("ws")).as("w"))
-        val lw = tw.groupBy("cls", "w").agg(count(lit(1)).as("cnt"))
-          .select(col("cls"), col("w"),
-            round(log(col("cnt") + 1) * 1e6, 0).cast("long").as("lw"))
-        val tot = tw.groupBy("cls").agg(count(lit(1)).as("tot"))
-        val vocab = tw.select("w").distinct().agg(count(lit(1)).as("v"))
-        val nTrain = train.agg(count(lit(1)).as("n"))
+        // ONE pass over the train token stream (r17): the (class, word)
+        // count frame is materialized once (V·C rows) and every other
+        // model table rolls up from it — per-class token totals are
+        // Σ_w cnt, the vocabulary is its distinct word set, and the
+        // class priors' denominator is Σ nc. The r16 shape re-exploded
+        // the train tokens three times (lw / tot / vocab) and re-scanned
+        // the train docs twice (priors / nTrain).
+        val lwRaw = tw.groupBy("cls", "w").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val lw = lwRaw.select(col("cls"), col("w"),
+          round(log(col("cnt") + 1) * 1e6, 0).cast("long").as("lw"))
+        val tot = lwRaw.groupBy("cls").agg(sum("cnt").as("tot"))
+        val vocab = lwRaw.select("w").distinct().agg(count(lit(1)).as("v"))
         val priors = train.groupBy(col("lang").as("cls"))
           .agg(count(lit(1)).as("nc"))
+          .localCheckpoint(true)
+        val nTrain = priors.agg(sum("nc").as("n"))
         val clsConst = tot.join(priors, "cls")
           .crossJoin(vocab).crossJoin(nTrain)
           .select(col("cls"),

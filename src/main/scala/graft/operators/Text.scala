@@ -1191,20 +1191,29 @@ object Text extends QueryModule {
       "text_perplexity_bigram",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // Tokenize ONCE (checkpointed: the stream feeds both the bigram
+        // window and the unigram model), attach the bigram-model counts
+        // with two count-windows sharing ONE hash partitioning on prev
+        // (HashPartitioning(prev) satisfies the (prev, term) window's
+        // clustering by the subset rule), and fold the token total out
+        // of the vocab-sized unigram table. The r16 shape re-tokenized
+        // the corpus four times and shuffled the bigram stream twice
+        // more through the groupBy + join-back on (prev, term) (r17).
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .localCheckpoint(true)
         val w = Window.partitionBy("doc_id").orderBy("pos")
         val bg = toks
           .withColumn("prev", lag("term", 1).over(w))
           .filter(col("prev").isNotNull)
-        val bmodel = bg.groupBy("prev", "term")
-          .agg(count(lit(1)).as("cpw"))
-        val ctx = bg.groupBy("prev").agg(count(lit(1)).as("cp"))
+          .repartition(col("prev"))
+        val wpt = Window.partitionBy("prev", "term")
+        val wp = Window.partitionBy("prev")
         val uni = toks.groupBy("term").agg(count(lit(1)).as("cw"))
-        val tot = toks.agg(count(lit(1)).as("tot"))
-        bg.join(bmodel, Seq("prev", "term"))
-          .join(broadcast(ctx), "prev")
+        val tot = uni.agg(sum("cw").as("tot"))
+        bg.withColumn("cpw", count(lit(1)).over(wpt))
+          .withColumn("cp", count(lit(1)).over(wp))
           .join(broadcast(uni), "term")
           .crossJoin(broadcast(tot))
           .withColumn("lpq",
