@@ -395,6 +395,11 @@ package object api {
         .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
         .select(col("id"), col("nsh"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+        // materialized once (r17): the inverted index feeds the hot-list
+        // build and both wedge-join sides - unmaterialized, the
+        // tokenize+shingle+md5 pipeline ran per consumer; size is
+        // shingle-instance-linear in the caller's (sampled) input
+        .localCheckpoint(true)
       // Same maxDf stop-shingle valve as [[containmentPairs]] (see there):
       // caps the Σ df(g)² join fan-out at maxDf² per shingle. The valve is
       // a broadcast ANTI-join against the df>maxDf shingle list — that
@@ -452,6 +457,11 @@ package object api {
         .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
         .select(col("id"), col("nsh"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+        // materialized once (r17): the inverted index feeds the hot-list
+        // build and both wedge-join sides - unmaterialized, the
+        // tokenize+shingle+md5 pipeline ran per consumer; size is
+        // shingle-instance-linear in the caller's (sampled) input
+        .localCheckpoint(true)
       // df valve: broadcast ANTI-join against the df>maxDf stop-shingle
       // list. The list holds only shingles HOTTER than the cap —
       // boilerplate-sized by construction — so it broadcasts at any
@@ -4172,7 +4182,11 @@ package object api {
       * Output: one row (n_rows, rho).
       */
     def spearmanRho(df: DataFrame, x: Column, y: Column): DataFrame = {
+      // Materialized once: the pair frame feeds both rank tables AND the
+      // moment join — unmaterialized, the caller's upstream aggregation
+      // ran three times (r17).
       val b = df.select(x.cast("long").as("q"), y.cast("long").as("p"))
+        .localCheckpoint(true)
       def rank2(key: String): DataFrame = {
         val wlt = org.apache.spark.sql.expressions.Window.orderBy(key)
           .rowsBetween(Long.MinValue, -1)

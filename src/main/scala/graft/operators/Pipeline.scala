@@ -722,6 +722,9 @@ object Pipeline extends QueryModule {
             round(sqrt((col("n_pop") * col("s2") - col("s1") * col("s1"))
               .cast("double"))).cast("long"))
           .select("event_type", "n_pop", "wq")
+          // stratum-cardinality (5 rows); unmaterialized, the twq/tfl
+          // scalar rollups re-ran the events aggregation per use (r17)
+          .localCheckpoint(true)
         val withTot = w.crossJoin(
           broadcast(w.agg(sum("wq").as("twq"))))
           .withColumn("fl", expr(s"($n * wq) div twq"))

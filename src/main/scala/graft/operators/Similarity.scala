@@ -3107,6 +3107,10 @@ object Similarity extends QueryModule {
         val labeled = assigned.join(
           Tables.embeddings(s, dir).select(col("vec_id").as("id"),
             col("label")), "id")
+          // feeds the per-label census AND the per-cluster totals —
+          // unmaterialized, the assignment projection + label join ran
+          // twice (r17)
+          .localCheckpoint(true)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("cluster").orderBy(desc("nl"), asc("label"))
         labeled.groupBy("cluster", "label")
@@ -3178,6 +3182,9 @@ object Similarity extends QueryModule {
           k = 8, iterations = 5)
           .select(col("id"), col("cluster"))
           .join(vecs(s, dir).withColumnRenamed("vec_id", "id"), "id")
+          // three consumers (both within-cluster join sides + the
+          // census) — unmaterialized, the assign+join ran per use (r17)
+          .localCheckpoint(true)
         val a = asg.select(col("cluster"), col("id").as("ia"),
           col("e").as("ea"))
         val b = asg.select(col("cluster"), col("id").as("ib"),
@@ -3848,6 +3855,10 @@ object Similarity extends QueryModule {
           .withColumn("vr", row_number().over(wV))
           .filter(col("vr") === 1)
           .select(col("true_label"), col("label").as("pred_label"))
+          // holdout-cardinality (one row per query); feeds the by-true
+          // AND by-pred censuses — unmaterialized, the broadcast-knn
+          // scoring pass (the key's dominant cost) ran twice (r17)
+          .localCheckpoint(true)
         val byTrue = preds.groupBy(col("true_label").as("label"))
           .agg(count(lit(1)).as("n_true"),
             sum(when(col("pred_label") === col("true_label"), 1L)
@@ -4033,6 +4044,10 @@ object Similarity extends QueryModule {
           .filter(col("rn") <= 10)
           .groupBy("query_id", "y")
           .agg(sum("nl").as("score"))
+          // holdout-cardinality; feeds the decile cut AND the totals
+          // rollup — unmaterialized, the broadcast-knn scoring pass ran
+          // twice (r17)
+          .localCheckpoint(true)
         val dec = scores.withColumn("decile",
           ntile(10).over(Window.orderBy(desc("score"), col("query_id"))))
         val g = dec.groupBy("decile")
@@ -4122,6 +4137,9 @@ object Similarity extends QueryModule {
           .withColumn("pred_pm", col("score") * 100)
           .withColumn("obs_pm", expr("1000 * np div n"))
           .withColumn("gap_pm", col("obs_pm") - col("pred_pm"))
+          // 11 rows; feeds the ECE rollup AND the final projection —
+          // unmaterialized, the broadcast-knn scoring pass ran twice (r17)
+          .localCheckpoint(true)
         val ece = h.agg(
           expr("sum(n * abs(gap_pm)) div sum(n)").as("ece_pm"))
         h.crossJoin(broadcast(ece))
@@ -4717,9 +4735,14 @@ object Similarity extends QueryModule {
         val byx = f.groupBy("x").agg(
           count(lit(1)).as("n"),
           sum(col("y").cast(dec)).as("sy"))
-        val tot = f.agg(
-          count(lit(1)).as("nt"),
-          sum(col("y").cast(dec)).as("syt"))
+          // bin-cardinality; feeds the cumulative walk AND the totals
+          // rollup (below), so the fact scan runs once (r17)
+          .localCheckpoint(true)
+        // totals fold out of the bin frame — the r16 shape re-scanned
+        // the fact table for one global aggregate
+        val tot = byx.agg(
+          sum(col("n")).as("nt"),
+          sum(col("sy")).as("syt"))
         val w = Window.orderBy("x")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = byx.select(col("x"),
