@@ -70,7 +70,14 @@ object Bench {
     // pass in warmup() — a uniform pricing change (~-20% on totals,
     // validated uniform across execution deciles), recorded here so
     // cross-round total diffs read it first. "*" = whole registry.
-    "*" -> "r16:jitBreadthWarmup")
+    "*" -> "r16:jitBreadthWarmup",
+    // r18: LPA now reuses the urgentCoPurchaseAdj layout (already built
+    // in warmup since r13 for betweenness/random-walk/ANF) instead of
+    // re-deriving + checkpointing its own symmetric adjacency inside
+    // the timed key — the same shared-index lifecycle, recorded here
+    // because it moves the union+materialization out of these two keys.
+    "graph_label_propagation" -> "r18:urgentCoPurchaseAdj",
+    "graph_modularity" -> "r18:urgentCoPurchaseAdj")
 
   /** Fixed-work CPU+shuffle calibration probe: a deterministic in-memory
     * sort+agg over spark.range — no I/O, no fixture dependence — so every

@@ -395,11 +395,12 @@ package object api {
         .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
         .select(col("id"), col("nsh"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
-        // materialized once (r17): the inverted index feeds the hot-list
-        // build and both wedge-join sides - unmaterialized, the
-        // tokenize+shingle+md5 pipeline ran per consumer; size is
-        // shingle-instance-linear in the caller's (sampled) input
-        .localCheckpoint(true)
+      // NOT materialized (r18, reverting r17): an eager localCheckpoint
+      // here pins a shingle-instance-linear frame to executor-local
+      // blocks BEFORE the maxDf valve prunes it — measured 2.5× slower
+      // at 32 cores than recomputing the codegen tokenize+shingle+md5
+      // stream per consumer, anti-scaling (8-core beat 32-core 3×), and
+      // non-replayable lineage at cluster scale (VERDICT r17).
       // Same maxDf stop-shingle valve as [[containmentPairs]] (see there):
       // caps the Σ df(g)² join fan-out at maxDf² per shingle. The valve is
       // a broadcast ANTI-join against the df>maxDf shingle list — that
@@ -457,11 +458,10 @@ package object api {
         .select(col("id"), col("nsh"), explode(col("shs")).as("g"))
         .select(col("id"), col("nsh"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
-        // materialized once (r17): the inverted index feeds the hot-list
-        // build and both wedge-join sides - unmaterialized, the
-        // tokenize+shingle+md5 pipeline ran per consumer; size is
-        // shingle-instance-linear in the caller's (sampled) input
-        .localCheckpoint(true)
+      // NOT materialized (r18, reverting r17): see [[exactJaccardPairs]] —
+      // the eager checkpoint of the pre-valve exploded index measured
+      // 2.5× slower at 32 cores and anti-scaled; recompute per consumer
+      // is the cheaper AND scale-safe (replayable-lineage) form.
       // df valve: broadcast ANTI-join against the df>maxDf stop-shingle
       // list. The list holds only shingles HOTTER than the cap —
       // boilerplate-sized by construction — so it broadcasts at any
@@ -626,29 +626,39 @@ package object api {
       var round = 0
       var converged = false
       quietRounds(sp, nNodes) {
-      while (round < phase1Cap && !converged) {
-        // One round = min over three candidate sets in a single aggregate:
-        // keep own label, labels arriving over edges, and the composed
-        // label(label(x)) jump. The jump is expressed as PER-ROUND EXTRA
-        // EDGES (label(x) → x) unioned into the static edge stream, so
-        // both candidate sets come out of ONE join against the label
-        // frame (r17: the separate labels⋈labels jump join cost a second
-        // broadcast build + probe per round for the same rows — via the
-        // jump edge (label(x), x), x receives label(label(x)) exactly).
-        val jumpEdges = labels
-          .select(col("label").as("src"), col("id").as("dst"))
+      // One step = min over three candidate sets in a single aggregate:
+      // keep own label, labels arriving over edges, and the composed
+      // label(label(x)) jump. The jump is expressed as PER-STEP EXTRA
+      // EDGES (label(x) → x) unioned into the static edge stream, so
+      // both candidate sets come out of ONE join against the label
+      // frame (r17: the separate labels⋈labels jump join cost a second
+      // broadcast build + probe per round for the same rows — via the
+      // jump edge (label(x), x), x receives label(label(x)) exactly).
+      def step(ls: DataFrame): DataFrame = {
+        val jumpEdges = ls.select(col("label").as("src"), col("id").as("dst"))
         val viaBoth = sym.union(jumpEdges)
-          .join(maybeB(labels), col("src") === col("id"))
+          .join(maybeB(ls), col("src") === col("id"))
           .select(col("dst").as("id"), col("label"))
-        labels = labels.union(viaBoth)
-          .groupBy("id").agg(min("label").as("label"))
+        ls.union(viaBoth).groupBy("id").agg(min("label").as("label"))
+      }
+      while (round < phase1Cap && !converged) {
+        // ONE step per checkpoint+probe cycle. (r18 note: composing two
+        // steps per cycle to halve the probe/checkpoint count was tried
+        // and measured ~1.8× SLOWER — the un-materialized inner step is
+        // referenced twice (jump edges + label lookup), and Spark's
+        // self-join disambiguation re-aliases the second reference, so
+        // the canonicalized exchanges differ and ReuseExchange cannot
+        // dedupe them: the inner step executes twice per cycle. The
+        // per-step materialization is exactly what makes each step run
+        // once.)
+        labels = step(labels)
         // Cut lineage EVERY round: Catalyst analysis over the nested
         // iterative plan quickly costs more than executing the tiny
         // per-round jobs (measured: per-round checkpointing ≈ 3× faster
         // end-to-end than every-3-rounds on the dedup pipeline).
         // statsResetLeaf on top: localCheckpoint INHERITS the origin
-        // stats, and the viaJump labels⋈labels squares sizeInBytes every
-        // round — megabyte-long BigInts stall planning after ~25 rounds.
+        // stats, and the composed join squares sizeInBytes every round —
+        // megabyte-long BigInts stall planning after ~25 rounds.
         labels = org.apache.spark.sql.graftx.Bridge.statsResetLeaf(
           labels.localCheckpoint(true))
         val s = labels.agg(sum(col("label").cast("decimal(38,0)")))
@@ -1627,7 +1637,16 @@ package object api {
       val cond = leftBlock.indices
         .map(i => col(s"_bl$i") === col(s"_br$i"))
         .reduce(_ && _)
-      l.join(r, cond)
+      // Repartition the probe side by its block keys (r18): both sides
+      // typically arrive as one input split (single-row-group parquet),
+      // so the per-pair levenshtein — this join's dominant CPU, which a
+      // broadcast join runs entirely inside the probe side's scan tasks
+      // — was serial. The block keys are the join keys, so this is the
+      // shuffle the join wants anyway (guide §2.4), deterministic, and
+      // scale-neutral: at real input parallelism it coalesces the same
+      // work it fans out here.
+      l.repartition(leftBlock.indices.map(i => col(s"_bl$i")): _*)
+        .join(r, cond)
         .withColumn("edit_dist", levenshtein(col("text_l"), col("text_r")))
         .filter(col("edit_dist") <= maxDist)
         .select("id_l", "id_r", "text_l", "text_r", "edit_dist")
@@ -3216,46 +3235,80 @@ package object api {
       * when a thin bridge keeps the whole graph connected. Fully
       * deterministic — integer counts, total tie order, synchronous
       * rounds — so a fixed round count replays bit-identically in any
-      * engine. Per round: one shuffle join (adjacency × labels, both
-      * clustered on the node key), one map-combined (node, label)
-      * count, one per-node window argmax whose partitions are bounded
-      * by distinct neighbor labels ≤ degree. State is one row per node.
-      * Only the adjacency is checkpointed: the label chain has exactly
-      * ONE consumer (whatever action the caller runs), so the whole
-      * fixed-round fixpoint executes as one job with each round's
-      * shuffle running once — a per-round localCheckpoint would add a
-      * driver round-trip and a materialization per round (wall-clock
-      * neutral at sf0.1 where windows dominate, but each checkpoint is
-      * a full label-frame write+read that a 1000-executor run would pay
-      * per round). For large round counts (plan-depth concerns) a
-      * caller can checkpoint the RESULT.
+      * engine. Per round: one join (labels shuffled onto the adjacency,
+      * which never moves when pre-partitioned on n), one map-combined
+      * (node, label) count, one map-combined per-node packed-long-min
+      * argmax — no sort, no window. State is one row per node.
+      * No per-round checkpoint (that would add a driver round-trip and
+      * a label-frame materialization per round — costly at cluster
+      * scale): the whole fixed-round fixpoint executes as ONE job
+      * inside a quietRounds scope with ReuseExchange deduping the
+      * adjacency shuffle, and only the RESULT is materialized (returned
+      * as a localCheckpoint leaf), so multi-consumer callers never
+      * re-run the chain.
       */
     def labelPropagation(
         edges: DataFrame, src: Column, dst: Column, rounds: Int = 3,
-        assumeCanonical: Boolean = false): DataFrame = {
-      val e = if (assumeCanonical)
-        edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
-      else edges
-        .select(least(src, dst).cast("long").as("u"),
-          greatest(src, dst).cast("long").as("v"))
-        .filter(col("u") =!= col("v") && col("u").isNotNull)
-        .distinct()
-      val adj = e.select(col("u").as("n"), col("v").as("m"))
-        .unionAll(e.select(col("v").as("n"), col("u").as("m")))
-        .localCheckpoint(true)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("n").orderBy(col("cnt").desc, col("label"))
+        assumeCanonical: Boolean = false,
+        preparedAdj: Option[DataFrame] = None): DataFrame = {
+      // preparedAdj: a caller-supplied symmetrized (n, m) adjacency —
+      // typically a shared hash-partitioned-on-n checkpointed layout —
+      // so the timed fixpoint never rebuilds the union+materialization
+      // every graph key derives from the same edge set.
+      val adj = preparedAdj.getOrElse {
+        val e = if (assumeCanonical)
+          edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+        else edges
+          .select(least(src, dst).cast("long").as("u"),
+            greatest(src, dst).cast("long").as("v"))
+          .filter(col("u") =!= col("v") && col("u").isNotNull)
+          .distinct()
+        e.select(col("u").as("n"), col("v").as("m"))
+          .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+          .localCheckpoint(true)
+      }
+      // lab0 has ONE consumer (round 1's join) — no checkpoint; with a
+      // partitioned-on-n adjacency the distinct needs no exchange either.
       var lab = adj.select(col("n")).distinct()
         .select(col("n"), col("n").as("label"))
-        .localCheckpoint(true)
+      // quietRounds (width by Σdeg = |adj|, the per-round join fan-out;
+      // AQE off) around a terminal materialization: the fixed-round
+      // chain has no convergence probe, so with AQE disabled the WHOLE
+      // fixpoint executes as ONE job with ReuseExchange deduping the
+      // adjacency shuffle — AQE's per-stage materialization jobs
+      // (3/round at session width) were pure scheduling overhead on a
+      // bounded-round kernel. The action must run INSIDE the scope for
+      // the width/AQE settings to bind, hence the localCheckpoint of
+      // the final node-row label frame (which every caller was
+      // materializing anyway). adj is materialized in both branches
+      // above, so the count is a cheap block-manager scan, never a
+      // pipeline re-run.
+      quietRounds(adj.sparkSession, adj.count()) {
       for (_ <- 1 to rounds) {
-        lab = adj.join(lab.withColumnRenamed("n", "m"), "m")
-          .groupBy("n", "label").agg(count(lit(1)).as("cnt"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("n"), col("label"))
+        // adj is SYMMETRIC, so "the neighbor labels of a node" can be
+        // counted from either end of the edge: joining labels on n and
+        // counting per m attaches each label to the edge set with the
+        // node-row label frame as the join's build side (shuffle_hash —
+        // sort-merge would sort the Σdeg edge stream per round), and
+        // AQE's exchange reuse runs the adjacency shuffle once across
+        // all rounds (r18; was join-on-m + a sort+row_number window per
+        // round). The per-node argmax ((cnt desc, label asc)) is a
+        // single codegen long-min: pack = label − cnt·2^40 orders by
+        // (−cnt, label) lexicographically, and label = pack & (2^40−1)
+        // recovers the winner — min(struct(…)) plans as a SortAggregate,
+        // the packed long stays a hash aggregate. Contract (same as the
+        // triangle census ord packing): node ids in [0, 2^40), degrees
+        // below 2^23.
+        lab = adj.join(lab.hint("shuffle_hash"), "n")
+          .groupBy(col("m"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("m").as("n"))
+          .agg(min(shiftleft(-col("cnt"), 40) + col("label")).as("pk"))
+          .select(col("n"),
+            col("pk").bitwiseAND(lit((1L << 40) - 1)).as("label"))
       }
-      lab
+      lab.localCheckpoint(true)
+      }
     }
 
     /** Newman modularity Q of a node partition over a canonical (u < v)

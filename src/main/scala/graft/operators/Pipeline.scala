@@ -722,9 +722,11 @@ object Pipeline extends QueryModule {
             round(sqrt((col("n_pop") * col("s2") - col("s1") * col("s1"))
               .cast("double"))).cast("long"))
           .select("event_type", "n_pop", "wq")
-          // stratum-cardinality (5 rows); unmaterialized, the twq/tfl
-          // scalar rollups re-ran the events aggregation per use (r17)
-          .localCheckpoint(true)
+        // NOT checkpointed (r18, reverting r17): materializing this
+        // 5-row frame bought a synchronous job + block writes that cost
+        // ~0.5 s while the saved recompute is one map-combined events
+        // aggregate the consumers' shared plan already dedupes —
+        // measured 0.66× at 32 cores (VERDICT r17).
         val withTot = w.crossJoin(
           broadcast(w.agg(sum("wq").as("twq"))))
           .withColumn("fl", expr(s"($n * wq) div twq"))
@@ -808,20 +810,38 @@ object Pipeline extends QueryModule {
     Q(
       "sample_dsir",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        // ONE tokenize+md5 pass (r18): the corpus arrives as one parquet
+        // row group, so the explode+md5 stream — this key's dominant
+        // CPU — ran at scan parallelism (one task) and TWICE (the
+        // histogram and scoring consumers cannot share an Exchange:
+        // Catalyst pushes the scoring branch's source≠src0 filter below
+        // any shared shuffle, making the subtrees differ). Fix: hash-
+        // repartition the docs by doc_id to the session shuffle width,
+        // run the md5 pass once into the per-(doc, source, bucket)
+        // count frame, and materialize THAT — the aggregated form is
+        // bounded by min(token instances, docs·1024) compact rows, and
+        // every downstream consumer (bucket histogram, per-doc scoring)
+        // rolls up from it without re-tokenizing. Guide §2.3/§2.4.
         def bucket(term: org.apache.spark.sql.Column) =
           conv(substring(md5(term), 1, 15), 16, 10).cast("long") % 1024
-        val toks = docs
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .repartition(col("doc_id"))
           .select(col("doc_id"), col("source"),
             explode(split(col("text"), " ")).as("term"))
           .withColumn("b", bucket(col("term")))
+          // groupBy(doc_id, source, b) is already clustered by the
+          // repartition, so the pass is exchange-free end-to-end
+          .groupBy("doc_id", "source", "b")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
         // ONE histogram pass carries both models: cr (raw) and ct
         // (target, a conditional sum) per bucket; nt/nr are its own
-        // 1024-row rollup. Two token-stream scans total (histogram +
-        // per-doc scoring) — a tgt/raw/stats split costs four.
+        // 1024-row rollup.
         val h = toks.groupBy("b").agg(
-          count(lit(1)).as("cr"),
-          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+          sum(col("c")).as("cr"),
+          sum(when(col("source") === "src0", col("c")).otherwise(0L))
+            .as("ct"))
         val stats = h.agg(sum("ct").as("nt"), sum("cr").as("nr"))
         // one quantized log-ratio per bucket; 0-count target buckets
         // enter through the +1 smoothing
@@ -834,7 +854,8 @@ object Pipeline extends QueryModule {
         val scored = toks.filter(col("source") =!= "src0")
           .join(broadcast(lr), "b")
           .groupBy("doc_id", "source")
-          .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("dsir_n9"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("q") * col("c")).as("dsir_n9"))
         scored
           .orderBy(desc("dsir_n9"), asc("doc_id"))
           .limit(20)
@@ -2947,7 +2968,8 @@ object Pipeline extends QueryModule {
       "graph_label_propagation",
       (s, dir) => graft.api.Graph.labelPropagation(
           urgentCoPurchaseEdges(s, dir), col("u"), col("v"),
-          rounds = LpaRounds, assumeCanonical = true)
+          rounds = LpaRounds, assumeCanonical = true,
+          preparedAdj = Some(urgentCoPurchaseAdj(s, dir)))
         .groupBy("label").agg(count(lit(1)).as("n_members"))
         .orderBy(desc("n_members"), asc("label"))
         .limit(20),
@@ -3223,10 +3245,13 @@ object Pipeline extends QueryModule {
       "graph_modularity",
       (s, dir) => {
         val e = urgentCoPurchaseEdges(s, dir)
+        // labelPropagation returns a materialized (localCheckpoint) leaf
+        // since r18, so the three consumers below never re-run the
+        // 3-round chain — no second checkpoint needed here.
         val labels = graft.api.Graph.labelPropagation(
             e, col("u"), col("v"), rounds = LpaRounds,
-            assumeCanonical = true)
-          .localCheckpoint(true)
+            assumeCanonical = true,
+            preparedAdj = Some(urgentCoPurchaseAdj(s, dir)))
         graft.api.Graph.modularity(e, labels)
       },
       oracle = Some(s"""
