@@ -801,6 +801,15 @@ package object api {
       // The complement must be the same IEEE double the oracle's literal
       // parses to: 1.0 - 0.7 is 0.30000000000000004, but "0.3" is not.
       val inv = (100 - lambdaPct) / 100.0
+      // quietRounds (r18): the greedy loop materializes a bounded frame
+      // per pick (pool, pair sims, selected×selectK), and at session
+      // width with AQE on each materialization fanned out into per-stage
+      // jobs — 49 scheduler jobs for 40 output rows. Width by the true
+      // pool row count nQueries·poolK (queries are few by the broadcast
+      // contract, so the count is one cheap scan); AQE off makes each
+      // checkpoint exactly one job.
+      val nq = queries.count()
+      quietRounds(queries.sparkSession, nq * poolK) {
       val c = candidates.select(candId.as("cand_id"), candVec.as("e"))
       val pool = cosineTopK(queries, queryId, queryVec,
           candidates, candId, candVec, topK = poolK)
@@ -854,6 +863,7 @@ package object api {
       }
       selected.select(col("query_id"), col("rank"), col("cand_id"),
         col("score"))
+      }
     }
 
     /** Fused single-pass inner product (custom codegen Catalyst

@@ -48,6 +48,11 @@ object Multimodal extends QueryModule {
     Tables.documents(s, dir)
       .filter(col("doc_id") < 100)
       .select(col("doc_id"))
+      // single-row-group input ⇒ one scan task; the BMP encode (and the
+      // decode that follows in every consumer) ran serially. One hash
+      // exchange of 100 longs fans the codec work across the session
+      // width (r18).
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         val c = (id % 5).toInt

@@ -2043,6 +2043,14 @@ object Similarity extends QueryModule {
             .filter(col("rn") <= keep)
         var visited = q.select(col("query_id"), lit(0L).as("cand_id"))
         var beam = visited
+        // quietRounds (r18): the beam loop materializes a ≤(50·hops·
+        // beam·k)-row visited set per hop; at session width with AQE on
+        // each hop fanned out into per-stage jobs (30 scheduler jobs for
+        // 150 output rows). Width by the visited-set bound; AQE off
+        // makes each hop's checkpoint exactly one job. The final rank
+        // below stays OUTSIDE the scope (the caller's action executes it
+        // at session width).
+        graft.api.quietRounds(s, 50L * 4 * 8 * 8) {
         for (_ <- 1 to 4) {
           val expand = broadcast(beam)
             .join(g, col("cand_id") === col("n"))
@@ -2050,6 +2058,7 @@ object Similarity extends QueryModule {
           visited = visited.unionByName(expand)
             .distinct().localCheckpoint(true)
           beam = rank(visited, 8).select("query_id", "cand_id")
+        }
         }
         // display value floor-quantized (tie-free), never round(·,4):
         // a half-boundary at the 4th decimal flips between Spark's
@@ -3846,8 +3855,15 @@ object Similarity extends QueryModule {
             col("vec_id") < 3500)
           .select(col("vec_id").as("query_id"),
             col("label").as("true_label"), col("e").as("qe"))
+        // repartition the streamed train side (r18): single-row-group
+        // input means the broadcast-knn cosine map — this key's dominant
+        // CPU — ran in one scan task; one deterministic hash exchange of
+        // the small train projection fans it across the session width.
+        // Every downstream aggregate is integer (vote counts), so the
+        // result is partitioning-independent by construction.
         val train = v.filter(col("vec_id") % 7 =!= 0)
           .select(col("vec_id").as("cand_id"), col("label"), col("e"))
+          .repartition(col("cand_id"))
         val wN = Window.partitionBy("query_id")
           .orderBy(round(col("cos"), 6).desc, col("cand_id"))
         val wV = Window.partitionBy("query_id")
@@ -3955,9 +3971,14 @@ object Similarity extends QueryModule {
             col("vec_id") < 3500)
           .select(col("vec_id").as("query_id"),
             (col("label") % 2).cast("long").as("y"), col("e").as("qe"))
+        // repartition the streamed train side (r18): see
+        // ml_confusion_matrix — parallelizes the single-scan-task
+        // broadcast-knn cosine; integer aggregates keep the result
+        // partitioning-independent.
         val train = v.filter(col("vec_id") % 7 =!= 0)
           .select(col("vec_id").as("cand_id"),
             (col("label") % 2).cast("long").as("nl"), col("e"))
+          .repartition(col("cand_id"))
         val wN = Window.partitionBy("query_id")
           .orderBy(round(col("cos"), 6).desc, col("cand_id"))
         val scores = broadcast(test).join(train)
@@ -4040,9 +4061,14 @@ object Similarity extends QueryModule {
             col("vec_id") < 3500)
           .select(col("vec_id").as("query_id"),
             (col("label") % 2).cast("long").as("y"), col("e").as("qe"))
+        // repartition the streamed train side (r18): see
+        // ml_confusion_matrix — parallelizes the single-scan-task
+        // broadcast-knn cosine; integer aggregates keep the result
+        // partitioning-independent.
         val train = v.filter(col("vec_id") % 7 =!= 0)
           .select(col("vec_id").as("cand_id"),
             (col("label") % 2).cast("long").as("nl"), col("e"))
+          .repartition(col("cand_id"))
         val wN = Window.partitionBy("query_id")
           .orderBy(round(col("cos"), 6).desc, col("cand_id"))
         val scores = broadcast(test).join(train)
@@ -4126,9 +4152,14 @@ object Similarity extends QueryModule {
             col("vec_id") < 3500)
           .select(col("vec_id").as("query_id"),
             (col("label") % 2).cast("long").as("y"), col("e").as("qe"))
+        // repartition the streamed train side (r18): see
+        // ml_confusion_matrix — parallelizes the single-scan-task
+        // broadcast-knn cosine; integer aggregates keep the result
+        // partitioning-independent.
         val train = v.filter(col("vec_id") % 7 =!= 0)
           .select(col("vec_id").as("cand_id"),
             (col("label") % 2).cast("long").as("nl"), col("e"))
+          .repartition(col("cand_id"))
         val wN = Window.partitionBy("query_id")
           .orderBy(round(col("cos"), 6).desc, col("cand_id"))
         val scores = broadcast(test).join(train)
