@@ -96,7 +96,17 @@ class SlopeSpec extends AnyFunSuite {
     // measurement.
     "dedup_containment_vocabscale" -> (12.0,
       "Heaps-law shingle diversity: mean df O(1) so the inverted-index " +
-        "join is linear in sampled token mass; measured 5.8"),
+        "join is linear in sampled token mass; measured 5.8 (r16), " +
+        "6.3 (r18 re-run after the shingle-index checkpoint revert)"),
+    // r18 (VERDICT r17 task 8, the carried r16 weak): the SAME
+    // production-regime certificate for the audit key — on the
+    // Heaps-law corpus its exact-truth leg's candidate volume sum(df^2)
+    // stays linear in sampled token mass (t100_warm 22.7 s vs 242.7 s
+    // on the saturating corpus), so the 45-bound saturating row above is
+    // confirmed as adversarial-workload stress, not engine curvature.
+    "dedup_lsh_audit_vocabscale" -> (12.0,
+      "Heaps-law shingle diversity: exact-truth leg linear in sampled " +
+        "token mass, LSH leg linear by construction; measured 5.4"),
     "dedup_connected_components" -> (15.0,
       "pair volume bounded by the planted near-dup structure (one " +
         "pair per 10 docs); CC rounds log-diameter, labels broadcast"),
