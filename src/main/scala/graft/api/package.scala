@@ -248,6 +248,14 @@ package object api {
       val base = df.select(id.as("id"), split(text, " ").as("ws"))
         .withColumn("n", size(col("ws")))
         .filter(col("n") >= shingleWords)
+        // One deterministic hash exchange before the shingle explode
+        // (r18): low-split input (the single-row-group fixture, or any
+        // corpus whose files out-count its splits) ran the tokenize+md5
+        // signature pipeline — this index's dominant CPU — at scan
+        // parallelism; the exchange replaces the signature aggregate's
+        // own shuffle (groupBy(id) is clustered by it), so it moves the
+        // shuffle earlier rather than adding one.
+        .repartition(col("id"))
       val sh = base
         .select(col("id"), explode(
           transform(sequence(lit(1), col("n") - (shingleWords - 1)),
@@ -260,11 +268,19 @@ package object api {
         min((lit(portableA(i)) * col("h") + portableB(i)) % portableP)
           .as(s"m$i"))
       val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
-      (0 until bands).map { b =>
-        sig.select(col("id"), lit(b).as("band"),
-          md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
-            .as("bkey"))
-      }.reduce(_.unionAll(_))
+      // Band rows via ONE per-row explode (r18): the former 4-way
+      // self-union referenced the signature subtree once per band, and
+      // Spark's relation deduplication re-aliases each reference so
+      // ReuseExchange cannot dedupe them — the whole signature pipeline
+      // executed `bands` times (measured: 4 concurrent ~1 s jobs on
+      // mix_dedup_weighted). Same (id, band, bkey) row multiset.
+      sig.select(col("id"), explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+              .as("bkey"))
+        }: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"),
+          col("bb.bkey").as("bkey"))
     }
 
     /** Duplicated-passage profile — exact repeated k-word span detection
